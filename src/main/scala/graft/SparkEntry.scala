@@ -1,13 +1,316 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Topology
+import graft.operators.ReferenceOps
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.dedup.Dedup
+import graft.similarity.Ann
+import graft.multimodal.Multimodal
+
+/** Driver contract (see SURVEY.md §5.2/§7). Every operator from SURVEY §2
+  * plus the north-star LLM-pipeline operators is exposed as a named query
+  * over the driver's Parquet tables, with a DuckDB oracle where the
+  * semantics are ANSI-SQL-expressible.
+  *
+  * Oracle-compat rules used throughout (SURVEY §7.3.4):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - double→int truncation is written `CAST(TRUNC(x) AS INT)` in DuckDB to
+  *    match Spark's truncating cast (DuckDB's bare CAST rounds);
+  *  - money sums go through DECIMAL(18,2) so they are exact and
+  *    order-independent, then back to DOUBLE;
+  *  - floating similarity scores are computed with identical
+  *    left-to-right double arithmetic on both sides and rounded to 6 dp.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS) which Spark rejects by default;
+    // read nanos as long, then rebuild a proper timestamp column. Integer
+    // `div` (not floor of a double) — epoch nanos exceed double's 2^53.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** English stopword list shared by Spark and oracle SQL. */
+  private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("[", ",", "]")
+
+  // ------------------------------------------------------------ reference surface
+
+  /** P1+P2+P3 — filter on amount, key-preserving projection (core.clj:77-83). */
+  private def filterProject(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(col("o_totalprice") >= 250000)
+      .select(col("o_orderkey").as("key"), col("o_custkey").as("user_id"),
+        col("o_totalprice").as("amount"))
+
+  /** P4+P5 — cents→units rescale with truncation + value reshape (core.clj:112-118). */
+  private def donationRescale(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .filter(col("value") * 100 >= 10000)
+      .select(col("event_id").as("key"), col("user_id"),
+        ReferenceOps.centsToUnits(col("value") * 100).as("amount"))
+
+  /** M1/M2 — schema-normalized bag-union of two branches (core.clj:130-134). */
+  private def mergeUnion(s: SparkSession, dir: String): DataFrame = {
+    val purchases = t(s, dir, "orders")
+      .filter(col("o_totalprice") >= 250000)
+      .select(col("o_custkey").as("user_id"), col("o_totalprice").cast("int").as("amount"))
+    val donations = t(s, dir, "events")
+      .filter(col("value") * 100 >= 10000)
+      .select(col("user_id"), ReferenceOps.centsToUnits(col("value") * 100).as("amount"))
+    ReferenceOps.merge(Seq(purchases, donations))
+  }
+
+  /** T1+T2 — the full Part-3 topology (core.clj:139-157) compiled and run in
+    * batch (experiment) mode: orders play `purchase-made`, events play
+    * `humble-donation-made` (FIXTURES.md §B mapping).
+    */
+  private def topologyTransactions(s: SparkSession, dir: String): DataFrame = {
+    val purchases = t(s, dir, "orders").select(
+      col("o_orderkey").as("key"), col("o_custkey").as("user_id"),
+      col("o_totalprice").as("amount"))
+    val donations = t(s, dir, "events").select(
+      col("event_id").as("key"), col("user_id"),
+      (col("value") * 100).as("donation_amount_cents"))
+    ReferenceOps.transactionTopology
+      .compile(Map("purchase-made" -> purchases, "humble-donation-made" -> donations))
+      .apply("large-transaction-made")
+  }
+
+  // --------------------------------------------------------- analytic core
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n"))
+
+  private def joinAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+
+  private def windowHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+
+  private def topkOrders(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  // ------------------------------------------------------------------ dedup
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+
+  private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8)
+
+  private def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8)
+
+  private def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+
+  private def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
+
+  private def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.45, bits = 4, tables = 16)
+
+  // ---------------------------------------------------------- text analysis
+
+  private def tokenCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        count(lit(1)).as("n_docs"))
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val toks = TF.tokens(lower(col("text")))
+    d.select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+      TF.punctCount(col("text")).cast("long").as("n_punct"),
+      size(filter(toks, x => x.isInCollection(TF.stopwords("en")))).cast("long").as("n_stop"))
+  }
+
+  private def langIdQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), TF.langId(col("text")).as("lang_guess"))
+
+  private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), TF.fingerprintMod(col("text")).as("fp"))
+
+  // ------------------------------------------------------------- similarity
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toIndexedSeq.map(_.toDouble)
+
+  private def topkCosine(s: SparkSession, dir: String): DataFrame =
+    Ann.bruteForceTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+      queryVec(s, dir), k = 20)
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val idx = Ann.LshIndex(dim = 64, bits = 4, tables = 16, seed = 7)
+    val indexed = idx.withBuckets(t(s, dir, "embeddings"), "embedding")
+    idx.topK(indexed, "embedding", "vec_id", queryVec(s, dir), k = 20)
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  private def multimodalBytes(s: SparkSession, dir: String): DataFrame =
+    Multimodal.byteStats(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("n_chars").cast("long").as("n_chars"))
+
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")).toDF()
+
+  // ------------------------------------------------------------- contract
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    topologyTransactions(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_project"      -> (filterProject(_, _)),
+    "q_donation_rescale"    -> (donationRescale(_, _)),
+    "q_merge_union"         -> (mergeUnion(_, _)),
+    "q_topology_experiment" -> (topologyTransactions(_, _)),
+    "q1_agg"                -> (q1Agg(_, _)),
+    "q_join_agg"            -> (joinAgg(_, _)),
+    "q_window_hourly"       -> (windowHourly(_, _)),
+    "q_topk_orders"         -> (topkOrders(_, _)),
+    "q_dedup_exact"         -> (dedupExact(_, _)),
+    "q_ngram_jaccard"       -> (ngramJaccard(_, _)),
+    "q_minhash_lsh"         -> (minhashLsh(_, _)),
+    "q_simhash_pairs"       -> (simhashPairs(_, _)),
+    "q_embed_near_dup"      -> (embedNearDup(_, _)),
+    "q_embed_near_dup_lsh"  -> (embedNearDupLsh(_, _)),
+    "q_token_count"         -> (tokenCounts(_, _)),
+    "q_text_quality"        -> (textQuality(_, _)),
+    "q_lang_id"             -> (langIdQ(_, _)),
+    "q_fingerprint"         -> (fingerprintQ(_, _)),
+    "q_topk_cosine"         -> (topkCosine(_, _)),
+    "q_ann_lsh"             -> (annLsh(_, _)),
+    "q_multimodal_bytes"    -> (multimodalBytes(_, _)),
+    "q_multimodal_meta"     -> (multimodalMeta(_, _)))
+
+  /** Shared SQL fragments for the oracle strings. */
+  private val duckToks =
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+  private val duckShingleCte =
+    s"""WITH toksrc AS (
+       |  SELECT doc_id, $duckToks AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS shingles
+       |  FROM toksrc WHERE len(w) >= 5
+       |), inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+       |)
+       |SELECT a, b, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON a = sa.doc_id
+       |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON b = sb.doc_id
+       |WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.8""".stripMargin
+  private val duckCos =
+    """list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) FOR i IN range(1, 65)]) /
+      |(sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])) *
+      | sqrt(list_sum([CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])))""".stripMargin
+
+  private val duckLangId = {
+    val cases = TF.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      s"{'s': len(list_intersect(toks, ${sqlList(words)})) / ${words.size}.0, 'l': '$lang'}"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS toks FROM documents)
+       |SELECT doc_id, (list_sort([$cases])[-1]).l AS lang_guess FROM t""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT o_orderkey AS key, o_custkey AS user_id, o_totalprice AS amount
+        |FROM orders WHERE o_totalprice >= 250000""".stripMargin,
+    "q_donation_rescale" ->
+      """SELECT event_id AS key, user_id, CAST(TRUNC((value*100)/100) AS INT) AS amount
+        |FROM events WHERE value*100 >= 10000""".stripMargin,
+    "q_merge_union" ->
+      """SELECT o_custkey AS user_id, CAST(TRUNC(o_totalprice) AS INT) AS amount
+        |FROM orders WHERE o_totalprice >= 250000
+        |UNION ALL
+        |SELECT user_id, CAST(TRUNC((value*100)/100) AS INT) AS amount
+        |FROM events WHERE value*100 >= 10000""".stripMargin,
+    "q_topology_experiment" ->
+      """SELECT o_orderkey AS key, o_custkey AS user_id, CAST(TRUNC(o_totalprice) AS INT) AS amount
+        |FROM orders WHERE o_totalprice >= 100
+        |UNION ALL
+        |SELECT event_id AS key, user_id, CAST(TRUNC((value*100)/100) AS INT) AS amount
+        |FROM events WHERE value*100 >= 10000""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    "q_window_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_dedup_exact" ->
+      "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    "q_ngram_jaccard" -> duckShingleCte,
+    "q_minhash_lsh"   -> duckShingleCte,
+    "q_embed_near_dup" ->
+      s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
+         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |WHERE round($duckCos, 6) >= 0.45""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT lang, CAST(SUM(len($duckToks)) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
+         |FROM documents GROUP BY lang""".stripMargin,
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+         |CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         |CAST(len(list_filter($duckToks, x -> list_contains(${sqlList(TF.stopwords("en"))}, x))) AS BIGINT) AS n_stop
+         |FROM documents""".stripMargin,
+    "q_lang_id" -> duckLangId,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |list_reduce(list_prepend(CAST(5381 AS BIGINT), [CAST(ord(text[i]) AS BIGINT) FOR i IN range(1, len(text)+1)]),
+        |  (a, x) -> (a * 31 + x) % 1000000007) AS fp
+        |FROM documents""".stripMargin,
+    "q_topk_cosine" ->
+      s"""WITH x AS (SELECT * FROM embeddings WHERE vec_id = 0)
+         |SELECT y.vec_id AS vec_id, round($duckCos, 6) AS cos
+         |FROM embeddings y, x
+         |ORDER BY cos DESC, y.vec_id LIMIT 20""".stripMargin,
+    "q_multimodal_bytes" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |CAST(len(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin)
 }

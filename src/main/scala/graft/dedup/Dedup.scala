@@ -1,0 +1,258 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Corpus deduplication operators for large-scale training-data pipelines
+  * (north-star, SURVEY §7.1 phase 4): exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB posture):
+  *  - Signatures (minhash/simhash/fingerprints) are single-pass codegen'd
+  *    expressions — no shuffle to build, embarrassingly parallel.
+  *  - Candidate generation is always a *bucket* `groupBy` (band hash, simhash
+  *    chunk, LSH bucket): one shuffle keyed on the bucket, never an all-pairs
+  *    join. Bucket width controls the shuffle's fan-in.
+  *  - `maxBucket` caps pathological buckets (stop-shingles, boilerplate) so a
+  *    hot key cannot quadratically explode a task — the skew guard.
+  *  - Verification joins are on doc-id pairs (narrow, hash-joinable) against
+  *    the pre-computed shingle-set table, so the expensive exact Jaccard runs
+  *    only on candidates.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: one representative row (minimum id) per distinct key.
+    * Map-side partial aggregation makes this a single shuffle on the key
+    * hash; at 100 TB the key would be a 64-bit fingerprint rather than the
+    * raw text (see [[graft.functions.TextFunctions.fingerprint64]]) to keep
+    * shuffle volume at 8 bytes/row.
+    */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(min(col(idCol)).as(idCol))
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word `n`-gram shingle set per document (lowercased,
+    * whitespace-tokenized). Documents shorter than `n` words get an empty
+    * set.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(a) + size(b) - inter
+    when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
+  }
+
+  /** doc_id → shingle set table (the verification side-input). */
+  def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("shingles"))
+
+  // ------------------------------------- exact n-gram Jaccard (baseline)
+
+  /** Exact all-pairs n-gram Jaccard ≥ `threshold`, via an inverted index on
+    * shingles: explode → self-join on shingle → per-pair intersection count →
+    * |A∪B| = |A|+|B|−|A∩B|. No signature approximation — this is the oracle
+    * semantics MinHash must reproduce. Cost is Σ_s df(s)² over shingle doc
+    * frequencies; fine when shingles are selective (word 5-grams), guarded by
+    * `maxDocFreq` at scale (drops stop-shingles; disabled when 0).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val inv = if (maxDocFreq > 0) {
+      val hot = inv0.groupBy("s").count().filter(col("count") > maxDocFreq).select("s")
+      inv0.join(hot, Seq("s"), "left_anti")
+    } else inv0
+    val pairs = inv.as("x").join(inv.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sets.select(col("doc_id").as("a"), size(col("shingles")).as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), size(col("shingles")).as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ----------------------------------------------------------- MinHash+LSH
+
+  /** MinHash parameters. `numHashes = bands * rowsPerBand`. With the default
+    * 128 hashes in 64 bands of 2, the probability of *missing* a pair at
+    * Jaccard j is (1−j²)^64 — ≈1e-29 at j=0.8, so LSH candidates + exact
+    * verification reproduce the exact result with overwhelming probability
+    * while scanning each document once.
+    */
+  final case class MinHashParams(numHashes: Int = 128, bands: Int = 64, seed: Long = 42L) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand: Int = numHashes / bands
+    private val rng = new scala.util.Random(seed)
+    /** Affine-permutation coefficients h_i(x) = (a_i·x + b_i) mod p.
+      * Coefficients and hashed inputs are kept below 2^31 so a·x + b < 2^63
+      * — no Long overflow, ANSI-mode safe (Spark 4 default).
+      */
+    val p: Long = 2147483647L // 2^31 - 1, prime
+    val as: Array[Long] = Array.fill(numHashes)(rng.nextInt(Int.MaxValue - 1).toLong + 1)
+    val bs: Array[Long] = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
+  }
+
+  /** MinHash signature (array of `numHashes` longs) from a shingle-set
+    * column. Single-pass: one `aggregate` over the shingle hashes updating
+    * all minima via `zip_with` — O(|shingles|·numHashes) inside codegen, no
+    * UDF, no shuffle. (Long multiply wraps on overflow; that's fine — the
+    * affine maps only need to be deterministic pseudo-permutations.)
+    */
+  def minhashSignature(shingles: Column, params: MinHashParams): Column = {
+    val coefs = arrays_zip(lit(params.as).as("a"), lit(params.bs).as("b"))
+    // reduce the base hash below 2^31 so the affine step cannot overflow
+    val hs = transform(shingles, s => pmod(xxhash64(s), lit(params.p)))
+    aggregate(hs,
+      array_repeat(lit(Long.MaxValue), params.numHashes),
+      (acc, x) => zip_with(acc, coefs,
+        (m, ab) => least(m, pmod(ab.getField("a") * x + ab.getField("b"), lit(params.p)))))
+  }
+
+  /** Candidate pairs via LSH banding: a pair is a candidate iff some band of
+    * their signatures is identical. One explode (doc × bands) + one groupBy
+    * on (band index, band signature) — the only shuffle. `maxBucket` caps
+    * degenerate buckets (skew guard).
+    */
+  def minhashCandidates(signed: DataFrame, params: MinHashParams, maxBucket: Int = 1000): DataFrame = {
+    val r = params.rowsPerBand
+    val bands = posexplode(transform(sequence(lit(0), lit(params.bands - 1)),
+      i => slice(col("sig"), i * r + 1, lit(r))))
+    val buckets = signed
+      .select(col("doc_id"), bands.as(Seq("band", "band_sig")))
+      .groupBy(col("band"), col("band_sig"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // all ordered pairs within a bucket: (ids[i], ids[j]) for i < j
+    buckets
+      .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
+        transform(slice(col("ids"), i + 2, size(col("ids")) - 1 - i),
+          j => struct(element_at(col("ids"), i + 1).as("a"), j.as("b")))))).as("pair"))
+      .select(col("pair.a").as("a"), col("pair.b").as("b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs with exact verification: signatures →
+    * banded candidates → exact Jaccard on candidates only. Same output as
+    * [[ngramJaccardPairs]] (w.h.p.), but each document is scanned once and
+    * the only quadratic work is within buckets.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   threshold: Double, params: MinHashParams = MinHashParams()): DataFrame = {
+    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val signed = sets.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), minhashSignature(col("shingles"), params).as("sig"))
+    val cand = minhashCandidates(signed, params)
+    cand
+      .join(sets.select(col("doc_id").as("a"), col("shingles").as("sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shingles").as("sb")), "b")
+      .select(col("a"), col("b"), round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each
+    * token's xxhash64, sign-packed MSB-first. Pure Catalyst (`aggregate` +
+    * `zip_with` over 64 literal bit probes) — single pass, no UDF.
+    */
+  def simhash64(text: Column): Column = {
+    val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    val th = transform(toks, t => xxhash64(t))
+    val votes = aggregate(th,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(k =>
+          (shiftright(h, k).bitwiseAND(1) * 2 - 1).cast("long")): _*),
+        (a, v) => a + v))
+    aggregate(reverse(votes), lit(0L),
+      (packed, s) => shiftleft(packed, 1).bitwiseOR(when(s >= 0, 1L).otherwise(0L)))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16), via
+    * 4-chunk pigeonhole blocking: if two hashes differ in ≤ 15 bits, at least
+    * one of their four 16-bit chunks is identical — so grouping on chunks
+    * finds every such pair with zero false negatives, and one shuffle.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming < 16, "4-chunk blocking is exact only for maxHamming <= 15")
+    val hashed = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim")).cache()
+    val chunks = posexplode(array((0 until 4).map(i =>
+      shiftright(col("sim"), i * 16).bitwiseAND(0xFFFFL)): _*))
+    val buckets = hashed
+      .select(col("doc_id"), col("sim"), chunks.as(Seq("chunk", "ck")))
+      .groupBy(col("chunk"), col("ck"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("sim")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(sequence(lit(0), size(col("xs")) - 2), i =>
+        transform(slice(col("xs"), i + 2, size(col("xs")) - 1 - i),
+          y => struct(element_at(col("xs"), i + 1).as("x"), y.as("y")))))).as("p"))
+      .select(col("p.x.doc_id").as("a"), col("p.y.doc_id").as("b"),
+        hamming(col("p.x.sim"), col("p.y.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- embedding near-dup
+
+  /** Exact embedding-cosine near-dup pairs (cosine ≥ threshold) — the O(n²)
+    * correctness baseline. Use [[embeddingNearDupLsh]] at scale.
+    */
+  def embeddingNearDupExact(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("a"), VectorFunctions.toDouble(col(vecCol)).as("va"))
+    val b = df.select(col(idCol).as("b"), VectorFunctions.toDouble(col(vecCol)).as("vb"))
+    a.join(b, col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** LSH-blocked embedding near-dup: candidates share a random-hyperplane
+    * bucket in at least one of `tables` tables, then exact cosine verifies.
+    * Turns O(n²) into Σ bucket². Recall < 1 by nature of LSH — tune
+    * bits/tables for the target threshold.
+    */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                          threshold: Double, bits: Int = 8, tables: Int = 12,
+                          seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
+    val index = graft.similarity.Ann.LshIndex(dim, bits, tables, seed)
+    val withB = index.withBuckets(
+      df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v")), "v")
+    val tagged = withB.select(col("doc_id"), col("v"),
+      posexplode(array((0 until tables).map(i => col(s"bucket_$i")): _*)).as(Seq("table", "bucket")))
+    val buckets = tagged
+      .groupBy(col("table"), col("bucket"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("v")))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(sequence(lit(0), size(col("xs")) - 2), i =>
+        transform(slice(col("xs"), i + 2, size(col("xs")) - 1 - i),
+          y => struct(element_at(col("xs"), i + 1).as("x"), y.as("y")))))).as("p"))
+      .select(col("p.x.doc_id").as("a"), col("p.y.doc_id").as("b"),
+        col("p.x.v").as("va"), col("p.y.v").as("vb"))
+      .distinct()
+      .select(col("a"), col("b"),
+        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

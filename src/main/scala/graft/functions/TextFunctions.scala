@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale corpus pipelines
+  * (SURVEY §7.1 phase 4). Everything here is built from Catalyst-native
+  * `org.apache.spark.sql.functions` (codegen'd, whole-stage-friendly, no
+  * UDFs) so filters composed from them stay pushdown- and codegen-eligible
+  * at 100 TB scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty-safe: `trim` then split on `\s+`, dropping the
+    * empty string a leading split can produce. Deterministic across engines
+    * (the oracle uses the same trim+regexp split).
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count (whitespace tokenization). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: counts alternating letter/digit runs and
+    * punctuation marks as separate tokens — `\w+` runs plus single
+    * non-space-non-word chars.
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(trim(text), "(?<=\\W)|(?=\\W)"), t => length(trim(t)) > 0))
+
+  /** Count of sentence-level punctuation characters. Restricted to an explicit
+    * class (not POSIX `[:punct:]`) so Spark and any SQL oracle agree exactly.
+    */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0, punctCount(text).cast("double") / length(text)).otherwise(lit(0.0))
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Small closed-class words; public knowledge.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as"),
+    "es" -> Seq("el", "la", "los", "las", "un", "una", "y", "de", "en", "que", "es", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "les", "un", "une", "et", "de", "en", "que", "est", "pour", "dans", "sur", "avec"),
+    "de" -> Seq("der", "die", "das", "ein", "eine", "und", "von", "zu", "in", "ist", "mit", "auf", "den", "für"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "就", "不", "人", "都", "一", "这", "他"))
+
+  private val englishStopwords: Seq[String] = stopwords("en")
+
+  /** Fraction of tokens that are (English) stopwords — a standard quality
+    * signal for web-scraped corpora.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val hits = size(filter(toks, t => t.isInCollection(englishStopwords)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Mean token length — very long "tokens" indicate boilerplate/markup. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  /** Composite document quality score in [0,1] from length, punctuation and
+    * stopword signals (Gopher/C4-style heuristics from the public corpus-
+    * filtering literature). Deterministic, branch-free except `when`.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore  = least(length(text).cast("double") / 500.0, lit(1.0))
+    val punctOk   = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
+    val stopOk    = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val tokLenOk  = when(meanTokenLength(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    round((lenScore * 0.3 + punctOk * 0.2 + stopOk * 0.3 + tokLenOk * 0.2), 6)
+  }
+
+  /** Language-ID by stopword evidence: score = fraction of the language's
+    * stopword list present in the document's token set; argmax wins, ties
+    * broken by language code (deterministic). Pure Catalyst expression —
+    * `sort_array` of (score, lang) structs, take the last.
+    */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(lower(text)))
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(array_intersect(toks, lit(words.toArray)))
+      // ascending sort + take last = argmax; equal scores tie-break on the
+      // struct's second field (lexicographically-last language code wins) —
+      // deterministic either way.
+      struct(hits.cast("double") / words.size, lit(lang).as("lang"))
+    }
+    val best = element_at(sort_array(array(scored: _*)), -1)
+    best.getField("lang")
+  }
+
+  /** 56-bit polynomial rolling-hash fingerprint of the full text (base 31,
+    * masked to 56 bits each step so `acc*31` stays below 2^61 — ANSI-mode
+    * safe, no wrapping multiply). The classic Rabin-Karp-style document
+    * fingerprint; useful as a cheap exact-dup key that's stable across
+    * storage layouts. Built from `aggregate` over the char array — stays
+    * inside codegen.
+    */
+  def fingerprint64(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => length(c) === 1),
+      lit(5381L),
+      (acc, c) => (acc * 31L + ascii(c).cast("long")).bitwiseAND(lit((1L << 56) - 1)))
+
+  /** Rolling-hash fingerprint reduced mod 1e9+7 at every step, so the
+    * accumulator stays below 2^30 and the arithmetic never overflows — the
+    * variant that is exactly reproducible in any ANSI-SQL engine with strict
+    * (non-wrapping) BIGINT arithmetic, used by the oracle-checked query.
+    */
+  def fingerprintMod(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), c => length(c) === 1),
+      lit(5381L),
+      (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(1000000007L)))
+
+  /** Shingled (word n-gram) fingerprints: the rolling-hash of each n-word
+    * window — the "rolling hash" document fingerprinting primitive used for
+    * local near-dup detection.
+    */
+  def shingleFingerprints(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<bigint>"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column math over `array<float>` / `array<double>` embedding
+  * columns, built entirely from Catalyst higher-order functions
+  * (`zip_with` + `aggregate`) — codegen'd, no UDF, no driver-side work
+  * (SURVEY §7.1 phase 4, similarity search).
+  *
+  * All math is done in DOUBLE with strict left-to-right summation so results
+  * are bit-deterministic and reproducible by the SQL oracle.
+  */
+object VectorFunctions {
+
+  /** Cast an `array<float>` embedding to `array<double>` for stable math. */
+  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Dot product, left-to-right double accumulation. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity; 0.0 for zero-norm inputs (deterministic, no NaN). */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  /** Squared L2 distance. */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** A literal query vector as a Column (broadcast as a constant into
+    * codegen — no join needed for single-query scoring).
+    */
+  def vecLit(q: Seq[Double]): Column = lit(q.toArray)
+
+  /** Random-hyperplane signature: for each hyperplane, 1 if `dot(v, h) >= 0`
+    * else 0, packed MSB-first into a Long bucket id. Hyperplanes are plain
+    * Scala literals (generated deterministically by the caller) — the whole
+    * signature is one codegen'd expression per row, no shuffle.
+    */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+    planes.foldLeft(lit(0L)) { (acc, p) =>
+      acc * 2 + when(dot(v, vecLit(p)) >= 0, 1L).otherwise(0L)
+    }
+
+  /** Deterministic Gaussian-ish hyperplanes from a seed (driver-side, tiny). */
+  def randomHyperplanes(numPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Driver-side signature of a query vector against the same hyperplanes —
+    * must mirror `hyperplaneBucket` exactly.
+    */
+  def bucketOf(v: Seq[Double], planes: Seq[Seq[Double]]): Long =
+    planes.foldLeft(0L) { (acc, p) =>
+      val d = v.zip(p).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      acc * 2 + (if (d >= 0) 1L else 0L)
+    }
+}

@@ -1,0 +1,89 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §7.1 phase 4 / north-star similarity search).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline. One
+  *    narrow scan + a k-row `ORDER BY ... LIMIT k` (Spark's TakeOrderedAndProject
+  *    — O(n) per partition with a k-heap, then a k-sized driver merge; no full
+  *    sort, no shuffle of the data).
+  *  - [[LshIndex]]: random-hyperplane LSH with multiple tables. Each row maps
+  *    to `tables` bucket ids (a codegen'd expression — no shuffle to build).
+  *    A query probes only its own buckets: at scale the bucket column becomes
+  *    a partition/cluster key so a probe is a partition-pruned scan of
+  *    ~n/2^bits of the data per table instead of the full corpus.
+  */
+object Ann {
+
+  /** Exact cosine top-k for one query vector. The query is a literal constant
+    * folded into codegen — no join, single pass.
+    */
+  def bruteForceTopK(df: DataFrame, vecCol: String, idCol: String,
+                     query: Seq[Double], k: Int): DataFrame = {
+    val v = toDouble(col(vecCol))
+    df.select(col(idCol), round(cosine(v, vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH index parameters: `tables` independent signatures of `bits`
+    * hyperplanes each. Recall for cosine ≥ c grows with tables and shrinks
+    * with bits; bits controls bucket selectivity (≈ n/2^bits rows probed per
+    * table).
+    */
+  final case class LshIndex(dim: Int, bits: Int, tables: Int, seed: Long) {
+    /** Per-table hyperplanes, deterministic from the seed. */
+    val planes: Seq[Seq[Seq[Double]]] =
+      (0 until tables).map(t => randomHyperplanes(bits, dim, seed + t))
+
+    /** Add `bucket_0..bucket_{tables-1}` columns. At 100 TB the result would
+      * be written bucketed/partitioned by these columns so probes prune.
+      */
+    def withBuckets(df: DataFrame, vecCol: String): DataFrame = {
+      val v = toDouble(col(vecCol))
+      planes.zipWithIndex.foldLeft(df) { case (d, (p, i)) =>
+        d.withColumn(s"bucket_$i", hyperplaneBucket(v, p))
+      }
+    }
+
+    /** Driver-side buckets of a query vector (mirrors `withBuckets`). */
+    def bucketsOf(query: Seq[Double]): Seq[Long] = planes.map(p => bucketOf(query, p))
+
+    /** ANN top-k: probe the query's bucket in each table, then exact-rank the
+      * shortlist. `bucket_i = lit` predicates are pushdown-eligible, so with
+      * bucket-partitioned storage this scans a small fraction of the corpus.
+      */
+    def topK(indexed: DataFrame, vecCol: String, idCol: String,
+             query: Seq[Double], k: Int): DataFrame = {
+      val qb = bucketsOf(query)
+      val probe = qb.zipWithIndex
+        .map { case (b, i) => col(s"bucket_$i") === lit(b) }
+        .reduce(_ || _)
+      val v = toDouble(col(vecCol))
+      indexed.filter(probe)
+        .select(col(idCol), round(cosine(v, vecLit(query)), 6).as("cos"))
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
+    }
+  }
+
+  /** IVF-style coarse quantization using an existing label/cluster column as
+    * the inverted-list key (centroid assignment is a separate concern —
+    * k-means or external). Probing `nprobe` nearest lists turns top-k into a
+    * partition-pruned scan. Exposed for the scale path; correctness baseline
+    * remains [[bruteForceTopK]].
+    */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String, listCol: String,
+              query: Seq[Double], probeLists: Seq[Any], k: Int): DataFrame = {
+    val v = toDouble(col(vecCol))
+    df.filter(col(listCol).isInCollection(probeLists))
+      .select(col(idCol), round(cosine(v, vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.codec.JsonCodec
+import graft.core.Topology
+
+/** Streaming runner: binds a [[graft.core.Topology]] to Structured Streaming
+  * sources/sinks. The compiler is shared with batch mode (SURVEY §3.2-3.3) —
+  * this file only supplies the bindings and lifecycle.
+  *
+  * Semantics vs the reference (`core.clj:15-20`): the reference runs
+  * at-least-once with record caching off (immediate per-record emission);
+  * Structured Streaming's checkpointed micro-batches give the same
+  * at-least-once multiset of outputs with per-micro-batch emission
+  * (SURVEY §2.5 "exactly-once" note) — identical results, different
+  * granularity.
+  */
+object StreamRunner {
+
+  /** S1 — Kafka source for one topic, decoded to (key, value fields...)
+    * (`js/kstream`, `core.clj:78`). `startingOffsets=earliest` mirrors the
+    * reference's consumer seek-to-beginning read-back (`core.clj:67-74`).
+    */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topic: String,
+                  keyType: DataType, valueSchema: StructType,
+                  startingOffsets: String = "earliest"): DataFrame = {
+    val raw = spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+    JsonCodec.flatten(JsonCodec.decode(raw, keyType, valueSchema))
+  }
+
+  /** S2 — Kafka sink (`js/to`, `core.clj:83`): JSON-encode and write. */
+  def kafkaSink(df: DataFrame, bootstrap: String, topic: String,
+                checkpointDir: String): StreamingQuery =
+    JsonCodec.encode(df)
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** In-memory sink for tests (S5 analog of the reference's `view-messages`
+    * consumer read-back, `core.clj:67-74`): results land in
+    * `spark.table(queryName)`.
+    */
+  def memorySink(df: DataFrame, queryName: String): StreamingQuery =
+    df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** T1+T5 — compile a topology against streaming source bindings and start
+    * one sink query per sink topic. Returns the running queries; stop via
+    * [[Engine.stop]].
+    */
+  def start(topology: Topology, bindings: Map[String, DataFrame],
+            sinkWriter: (String, DataFrame) => StreamingQuery): Engine = {
+    val compiled = topology.compile(bindings)
+    val queries = topology.sinks.map(s => sinkWriter(s, compiled(s)))
+    Engine(queries)
+  }
+
+  /** Event-time tumbling-window aggregation with a watermark — the streaming
+    * capability the reference conspicuously lacks (SURVEY §2.5): counts and
+    * sums per (window, key) with late data beyond `delay` dropped.
+    */
+  def windowedAgg(df: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+                  windowDuration: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+
+  /** Streaming exact dedup within a watermark: drops repeats of `keyCols`
+    * arriving within the state-retention horizon — the streaming face of
+    * [[graft.dedup.Dedup.exact]].
+    */
+  def streamingDedup(df: DataFrame, tsCol: String, delay: String,
+                     keyCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+}
+
+/** Lifecycle wrapper (T5, `js/start`/`js/close`, `core.clj:86-95`). */
+final case class Engine(queries: Seq[StreamingQuery]) {
+  def awaitAll(): Unit = queries.foreach(_.awaitTermination())
+  def processAllAvailable(): Unit = queries.foreach(_.processAllAvailable())
+  def stop(): Unit = queries.foreach(_.stop())
+}
