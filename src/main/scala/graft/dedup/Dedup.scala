@@ -37,14 +37,14 @@ object Dedup {
 
   /** Distinct word `n`-gram shingle set per document (lowercased,
     * whitespace-tokenized). Documents shorter than `n` words get an empty
-    * set.
+    * set. Native expression ([[graft.expressions.WordShingles]]) — one
+    * JIT-compiled loop per row instead of a four-lambda HOF chain.
     */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.WordShingles(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks), n))
   }
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
@@ -69,7 +69,7 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val sets = shingleSets(df, idCol, textCol, n)
     val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
     val inv = if (maxDocFreq > 0) {
       val hot = inv0.groupBy("s").count().filter(col("count") > maxDocFreq).select("s")
@@ -108,25 +108,24 @@ object Dedup {
   }
 
   /** MinHash signature (array of `numHashes` longs) from a shingle-set
-    * column. Single-pass: one `aggregate` over the shingle hashes updating
-    * all minima via `zip_with` — O(|shingles|·numHashes) inside codegen, no
-    * UDF, no shuffle. (Long multiply wraps on overflow; that's fine — the
-    * affine maps only need to be deterministic pseudo-permutations.)
+    * column — a native codegen'd Catalyst expression
+    * ([[graft.expressions.MinHashSignature]]): one `|shingles| × numHashes`
+    * primitive loop per row inside whole-stage codegen, no UDF, no shuffle.
     */
-  def minhashSignature(shingles: Column, params: MinHashParams): Column = {
-    val coefs = arrays_zip(lit(params.as).as("a"), lit(params.bs).as("b"))
-    // reduce the base hash below 2^31 so the affine step cannot overflow
-    val hs = transform(shingles, s => pmod(xxhash64(s), lit(params.p)))
-    aggregate(hs,
-      array_repeat(lit(Long.MaxValue), params.numHashes),
-      (acc, x) => zip_with(acc, coefs,
-        (m, ab) => least(m, pmod(ab.getField("a") * x + ab.getField("b"), lit(params.p)))))
-  }
+  def minhashSignature(shingles: Column, params: MinHashParams): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.MinHashSignature(
+        org.apache.spark.sql.graft.ColumnBridge.expression(shingles),
+        params.as, params.bs))
 
   /** Candidate pairs via LSH banding: a pair is a candidate iff some band of
     * their signatures is identical. One explode (doc × bands) + one groupBy
-    * on (band index, band signature) — the only shuffle. `maxBucket` caps
-    * degenerate buckets (skew guard).
+    * on a hashed 64-bit band key — the only shuffle. Hashing (band index,
+    * band signature) down to one long keeps the aggregate on a primitive
+    * key (grouping on `array<long>` falls out of the fast hash-aggregate
+    * path); a hash collision can only ADD a candidate, and every candidate
+    * is exactly verified afterwards. `maxBucket` caps degenerate buckets
+    * (skew guard).
     */
   def minhashCandidates(signed: DataFrame, params: MinHashParams, maxBucket: Int = 1000): DataFrame = {
     val r = params.rowsPerBand
@@ -134,7 +133,8 @@ object Dedup {
       i => slice(col("sig"), i * r + 1, lit(r))))
     val buckets = signed
       .select(col("doc_id"), bands.as(Seq("band", "band_sig")))
-      .groupBy(col("band"), col("band_sig"))
+      .select(col("doc_id"), xxhash64(col("band"), col("band_sig")).as("bk"))
+      .groupBy(col("bk"))
       .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     // all ordered pairs within a bucket: (ids[i], ids[j]) for i < j
@@ -153,7 +153,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, params: MinHashParams = MinHashParams()): DataFrame = {
-    val sets = shingleSets(df, idCol, textCol, n).cache()
+    val sets = shingleSets(df, idCol, textCol, n)
     val signed = sets.filter(size(col("shingles")) > 0)
       .select(col("doc_id"), minhashSignature(col("shingles"), params).as("sig"))
     val cand = minhashCandidates(signed, params)
@@ -167,20 +167,15 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each
-    * token's xxhash64, sign-packed MSB-first. Pure Catalyst (`aggregate` +
-    * `zip_with` over 64 literal bit probes) — single pass, no UDF.
+    * token's xxhash64, sign-packed MSB-first — a native codegen'd Catalyst
+    * expression ([[graft.expressions.SimHash64]]): one `|tokens| × 64`
+    * primitive loop per row, no UDF, no shuffle.
     */
   def simhash64(text: Column): Column = {
     val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
-    val th = transform(toks, t => xxhash64(t))
-    val votes = aggregate(th,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(k =>
-          (shiftright(h, k).bitwiseAND(1) * 2 - 1).cast("long")): _*),
-        (a, v) => a + v))
-    aggregate(reverse(votes), lit(0L),
-      (packed, s) => shiftleft(packed, 1).bitwiseOR(when(s >= 0, 1L).otherwise(0L)))
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.SimHash64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks)))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -194,7 +189,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming < 16, "4-chunk blocking is exact only for maxHamming <= 15")
-    val hashed = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim")).cache()
+    val hashed = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
     val chunks = posexplode(array((0 until 4).map(i =>
       shiftright(col("sim"), i * 16).bitwiseAND(0xFFFFL)): _*))
     val buckets = hashed
@@ -219,11 +214,14 @@ object Dedup {
     */
   def embeddingNearDupExact(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a"), VectorFunctions.toDouble(col(vecCol)).as("va"))
-    val b = df.select(col(idCol).as("b"), VectorFunctions.toDouble(col(vecCol)).as("vb"))
+    val base = df.select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val a = base.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = base.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos"))
+        round(VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -231,28 +229,42 @@ object Dedup {
     * bucket in at least one of `tables` tables, then exact cosine verifies.
     * Turns O(n²) into Σ bucket². Recall < 1 by nature of LSH — tune
     * bits/tables for the target threshold.
+    *
+    * Scale shape: candidate generation shuffles only (table, bucket, id) —
+    * 20 bytes/row·table — and pairs are deduped as bare (a, b) id pairs
+    * BEFORE the vectors are joined back, so the wide embedding column is
+    * read twice and never shuffled through the quadratic step.
     */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                           threshold: Double, bits: Int = 8, tables: Int = 12,
                           seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
     val index = graft.similarity.Ann.LshIndex(dim, bits, tables, seed)
-    val withB = index.withBuckets(
-      df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v")), "v")
-    val tagged = withB.select(col("doc_id"), col("v"),
-      posexplode(array((0 until tables).map(i => col(s"bucket_$i")): _*)).as(Seq("table", "bucket")))
-    val buckets = tagged
-      .groupBy(col("table"), col("bucket"))
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("v")))).as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
-    buckets
-      .select(explode(flatten(transform(sequence(lit(0), size(col("xs")) - 2), i =>
-        transform(slice(col("xs"), i + 2, size(col("xs")) - 1 - i),
-          y => struct(element_at(col("xs"), i + 1).as("x"), y.as("y")))))).as("p"))
-      .select(col("p.x.doc_id").as("a"), col("p.y.doc_id").as("b"),
-        col("p.x.v").as("va"), col("p.y.v").as("vb"))
-      .distinct()
+    val vecs = df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val withB = index.withBuckets(vecs.select("doc_id", "v"), "v")
+    // (table, bucket, id) tags — 20 bytes/row·table; the vector never rides along.
+    val tagged = withB.select(col("doc_id"),
+      posexplode(col("buckets")).as(Seq("table", "bucket")))
+    // Skew guard: drop pathological buckets before the quadratic self-join.
+    val okBuckets = tagged.groupBy(col("table"), col("bucket")).count()
+      .filter(col("count").between(2, maxBucket)).select("table", "bucket")
+    val t2 = tagged.join(okBuckets, Seq("table", "bucket"))
+    // Candidate pairs via codegen'd equi-self-join on the bucket key (not a
+    // per-bucket HOF array expansion). Verification runs BEFORE the distinct:
+    // dots are a native codegen'd expression and the vector join keys are
+    // bare ids, so re-scoring a pair that collides in k tables costs k cheap
+    // dots while the distinct only shuffles the (few) surviving rows.
+    val cand = t2.as("x").join(t2.as("y"),
+        col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    cand
+      .join(vecs.select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(vecs.select(col("doc_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
       .select(col("a"), col("b"),
-        round(VectorFunctions.cosine(col("va"), col("vb")), 6).as("cos"))
+        round(VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
   }
 }

@@ -1,0 +1,127 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Heavy loop bodies for the shingle/bucket expressions, compiled Scala
+  * called from thin generated code — keeps whole-stage codegen units small
+  * (fast Janino compiles) while the hot loop runs JIT-compiled.
+  */
+object ShingleUtil {
+  private val space = UTF8String.fromString(" ")
+
+  /** Distinct word n-gram shingles from a token array, first-occurrence
+    * order. Semantics match
+    * `array_distinct(transform(sequence(0, len-n), i -> concat_ws(' ', slice(toks, i+1, n))))`.
+    */
+  def shingles(tokens: ArrayData, n: Int): ArrayData = {
+    val numToks = tokens.numElements()
+    if (numToks < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i <= numToks - n) {
+      var j = 0
+      while (j < n) { window(j) = tokens.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, window: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Random-hyperplane bucket ids, one per table. `planes` is laid out flat
+    * as [table][bit][dim]; bucket bit b is set iff dot(v, plane) >= 0,
+    * packed MSB-first (matches
+    * [[graft.functions.VectorFunctions.hyperplaneBucket]]).
+    */
+  def hyperplaneBuckets(v: ArrayData, planes: Array[Double],
+                        tables: Int, bits: Int, dim: Int): ArrayData = {
+    val n = math.min(v.numElements(), dim)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var acc = 0L
+      var b = 0
+      while (b < bits) {
+        val off = (t * bits + b) * dim
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += v.getDouble(i) * planes(off + i); i += 1 }
+        acc = acc * 2 + (if (d >= 0) 1L else 0L)
+        b += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Distinct word n-gram shingle set per row over an `array<string>` token
+  * column — native replacement for the `transform`+`slice`+`concat_ws`+
+  * `array_distinct` HOF chain (which interprets four lambdas and allocates
+  * O(tokens) intermediate arrays per row).
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.shingles(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ShingleUtil.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** All `tables` random-hyperplane LSH bucket ids in one expression over an
+  * `array<double>` vector — native replacement for `tables × bits` separate
+  * dot-product column trees (which bloat the codegen unit and recompute the
+  * input cast per plane).
+  */
+case class HyperplaneBuckets(child: Expression, planes: Array[Double],
+                             tables: Int, bits: Int, dim: Int)
+    extends UnaryExpression {
+  require(planes.length == tables * bits * dim, "planes layout mismatch")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.hyperplaneBuckets(input.asInstanceOf[ArrayData], planes, tables, bits, dim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ShingleUtil.hyperplaneBuckets(" +
+        s"$c, $planesRef, $tables, $bits, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Dense-vector column math over `array<float>` / `array<double>` embedding
   * columns, built entirely from Catalyst higher-order functions
@@ -13,12 +14,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Cast an `array<float>` embedding to `array<double>` for stable math. */
-  def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Cast an `array<float>` embedding to `array<double>` for stable math.
+    * A plain `Cast` (codegen'd array cast), not a higher-order `transform`.
+    */
+  def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Dot product, left-to-right double accumulation. */
+  /** Dot product, left-to-right double accumulation, as a native codegen'd
+    * Catalyst expression ([[graft.expressions.DotProduct]]). The HOF
+    * formulation (`aggregate(zip_with(...))`) computes the same value but
+    * sits outside whole-stage codegen — ~20× slower on 64-dim vectors.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    ColumnBridge.column(graft.expressions.DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def normSq(a: Column): Column = dot(a, a)
 
@@ -28,6 +36,17 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column = {
     val d  = dot(a, b)
     val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  /** Cosine from a pair dot and precomputed per-vector norms. For quadratic
+    * pair pipelines: norms are computed once per VECTOR on the linear-size
+    * base table, so each of the O(n²) pairs costs one dot instead of three
+    * array reductions. Arithmetic (`d / (norm_a * norm_b)`) is identical to
+    * [[cosine]], so results match bit-for-bit.
+    */
+  def cosinePrenormed(d: Column, normA: Column, normB: Column): Column = {
+    val nn = normA * normB
     when(nn > 0, d / nn).otherwise(lit(0.0))
   }
 

@@ -41,28 +41,38 @@ object Ann {
     val planes: Seq[Seq[Seq[Double]]] =
       (0 until tables).map(t => randomHyperplanes(bits, dim, seed + t))
 
-    /** Add `bucket_0..bucket_{tables-1}` columns. At 100 TB the result would
-      * be written bucketed/partitioned by these columns so probes prune.
+    /** Flat [table][bit][dim] layout for the native bucket expression. */
+    private val flatPlanes: Array[Double] = planes.flatten.flatten.toArray
+
+    /** All `tables` bucket ids as one `array<long>` column — a single native
+      * codegen'd expression ([[graft.expressions.HyperplaneBuckets]]) rather
+      * than `tables × bits` separate dot-product column trees.
       */
-    def withBuckets(df: DataFrame, vecCol: String): DataFrame = {
-      val v = toDouble(col(vecCol))
-      planes.zipWithIndex.foldLeft(df) { case (d, (p, i)) =>
-        d.withColumn(s"bucket_$i", hyperplaneBucket(v, p))
-      }
-    }
+    def bucketsCol(vec: Column): Column =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.HyperplaneBuckets(
+          org.apache.spark.sql.graft.ColumnBridge.expression(toDouble(vec)),
+          flatPlanes, tables, bits, dim))
+
+    /** Add a `buckets` column (`array<long>`, one id per table). At 100 TB
+      * the result would be written partitioned/bucketed by (a derivation of)
+      * these ids so probes prune.
+      */
+    def withBuckets(df: DataFrame, vecCol: String): DataFrame =
+      df.withColumn("buckets", bucketsCol(col(vecCol)))
 
     /** Driver-side buckets of a query vector (mirrors `withBuckets`). */
     def bucketsOf(query: Seq[Double]): Seq[Long] = planes.map(p => bucketOf(query, p))
 
     /** ANN top-k: probe the query's bucket in each table, then exact-rank the
-      * shortlist. `bucket_i = lit` predicates are pushdown-eligible, so with
-      * bucket-partitioned storage this scans a small fraction of the corpus.
+      * shortlist. With bucket-partitioned storage the probe predicate prunes
+      * to a small fraction of the corpus per table.
       */
     def topK(indexed: DataFrame, vecCol: String, idCol: String,
              query: Seq[Double], k: Int): DataFrame = {
       val qb = bucketsOf(query)
       val probe = qb.zipWithIndex
-        .map { case (b, i) => col(s"bucket_$i") === lit(b) }
+        .map { case (b, i) => element_at(col("buckets"), i + 1) === lit(b) }
         .reduce(_ || _)
       val v = toDouble(col(vecCol))
       indexed.filter(probe)
