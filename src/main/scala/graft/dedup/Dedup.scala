@@ -181,17 +181,28 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (< 16), via
-    * 4-chunk pigeonhole blocking: if two hashes differ in ≤ 15 bits, at least
-    * one of their four 16-bit chunks is identical — so grouping on chunks
-    * finds every such pair with zero false negatives, and one shuffle.
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`, via
+    * pigeonhole chunk blocking (Manku et al., WWW'07): the 64 bits split into
+    * `maxHamming + 1` chunks, so two hashes within `maxHamming` differing
+    * bits MUST agree on at least one whole chunk — grouping on chunks finds
+    * every such pair with zero false negatives, in one shuffle. More chunks
+    * (higher `maxHamming`) ⇒ wider buckets ⇒ more candidates: the classic
+    * deployment is maxHamming=3 with 4 × 16-bit chunks.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, maxBucket: Int = 1000): DataFrame = {
-    require(maxHamming < 16, "4-chunk blocking is exact only for maxHamming <= 15")
+    require(maxHamming >= 0 && maxHamming < 16,
+      "chunk blocking needs maxHamming+1 <= 16 chunks of >= 4 bits")
+    val c = maxHamming + 1
+    val bounds = (0 to c).map(i => i * 64 / c)
+    val chunkCols = (0 until c).map { i =>
+      val lo = bounds(i)
+      val w = bounds(i + 1) - lo
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      shiftrightunsigned(col("sim"), lo).bitwiseAND(mask)
+    }
     val hashed = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
-    val chunks = posexplode(array((0 until 4).map(i =>
-      shiftright(col("sim"), i * 16).bitwiseAND(0xFFFFL)): _*))
+    val chunks = posexplode(array(chunkCols: _*))
     val buckets = hashed
       .select(col("doc_id"), col("sim"), chunks.as(Seq("chunk", "ck")))
       .groupBy(col("chunk"), col("ck"))

@@ -1,0 +1,114 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Dedup operator semantics on crafted corpora: exact keys, Jaccard math,
+  * MinHash-LSH vs the exact inverted-index baseline, SimHash blocking
+  * completeness, embedding near-dup exact vs LSH.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire tonight"
+  private val nearDup = base.replace("tonight", "today") // one token differs
+  private val other =
+    "completely unrelated text about spark catalyst expressions and codegen pipelines running fast"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, other), (4L, base), (5L, "short text")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the min id per distinct key") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out(base) === 1L)        // 1 and 4 collapse to 1
+    assert(out.size === 4)
+  }
+
+  test("jaccard column math") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    assert(df.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0) === 0.5)
+    val empty = Seq((Seq.empty[String], Seq.empty[String])).toDF("x", "y")
+    assert(empty.select(Dedup.jaccard(col("x"), col("y"))).head.getDouble(0) === 0.0)
+  }
+
+  test("ngramJaccardPairs finds the near-dup and the exact dup, not the unrelated doc") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // identical → jaccard 1.0
+    assert(pairs.contains((1L, 2L))) // near-dup
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhashPairs reproduces the exact n-gram Jaccard result") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mh === exact)
+  }
+
+  test("maxDocFreq drops stop-shingles from the inverted index") {
+    // every doc shares shingle "x y z"; maxDocFreq=1 kills it
+    val d = Seq((1L, "x y z a"), (2L, "x y z b"), (3L, "x y z c")).toDF("doc_id", "text")
+    val without = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.1)
+    val withCap = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.1, maxDocFreq = 1)
+    assert(without.count() === 3)   // all pairs share the hot shingle
+    assert(withCap.count() === 0)   // candidate generation pruned it
+  }
+
+  test("simhashPairs: identical docs at hamming 0; blocking finds all pairs <= maxHamming") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs((1L, 4L)) === 0)           // identical text
+    assert(pairs.contains((1L, 2L)))        // near-dup within 10 bits
+    // pigeonhole completeness: brute-force check against all simhash pairs
+    val hashes = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 10
+    } yield ((ia, ib), d)).toMap
+    assert(pairs === brute)
+  }
+
+  test("simhashPairs rejects maxHamming >= 16 (blocking guarantee boundary)") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16)
+    }
+  }
+
+  test("embedding near-dup exact: cosine threshold, ordered pairs only") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // cos ≈ 0.994 with v1
+      (3L, Seq(0.0f, 1.0f, 0.0f)),   // orthogonal to v1
+      (4L, Seq(0.0f, 0.0f, 0.0f))    // zero vector → cos defined as 0
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDupExact(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 2L)))
+  }
+
+  test("embedding near-dup LSH agrees with exact on well-separated vectors") {
+    val rng = new scala.util.Random(3)
+    // 20 random unit-ish vectors + 3 planted near-identical pairs
+    val randoms = (1L to 20L).map(i => (i, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val planted = Seq(101L, 102L, 103L).flatMap { i =>
+      val v = Seq.fill(16)(rng.nextGaussian().toFloat)
+      val jitter = v.map(x => x + 0.01f * rng.nextGaussian().toFloat)
+      Seq((i, v), (i + 100L, jitter))
+    }
+    val vecs = (randoms ++ planted).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDupExact(vecs, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding",
+      dim = 16, threshold = 0.95, bits = 4, tables = 12, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(Set((101L, 201L), (102L, 202L), (103L, 203L)) ++ exact))
+    assert(lsh === exact) // high-cosine planted pairs: recall ≈ 1 at these params
+  }
+}

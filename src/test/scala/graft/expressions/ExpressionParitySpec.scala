@@ -1,0 +1,113 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.dedup.Dedup
+import graft.functions.VectorFunctions
+import graft.similarity.Ann
+import org.apache.spark.sql.functions._
+
+/** Native-expression parity tests: each custom codegen'd expression must
+  * produce exactly the value of the declarative (HOF) formulation it
+  * replaced — both in codegen and interpreted (eval) mode. Property-style
+  * inputs come from a seeded generator (one Spark job for all cases).
+  */
+class ExpressionParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(7)
+  private def randVec(n: Int = 8): List[Double] =
+    List.fill(n)(rng.nextDouble() * 20 - 10)
+
+  test("DotProduct matches the aggregate/zip_with formulation (50 random vectors)") {
+    val cases = List.fill(50)((randVec(), randVec()))
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("hof")
+    ).collect()
+    rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
+  test("DotProduct interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val a = Seq(1.5, -2.0, 3.25)
+    val litA = Literal.create(a, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    // interpreted eval path (nullSafeEval), bypassing codegen entirely
+    assert(DotProduct(litA, litA).eval(null) === a.map(x => x * x).sum)
+  }
+
+  test("WordShingles matches the transform/slice/concat_ws/array_distinct chain") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a a a a a a a",               // heavy repetition → distinct shrinks
+      "one two three four",          // < n tokens for n=5 → empty
+      "  leading  and   trailing   whitespace  mess ",
+      "")
+    val df = texts.toDF("text")
+    val n = 5
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) > 0)
+    val hof = when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(
+      Dedup.wordShingles(col("text"), n).as("native"), hof.as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0).toSet === r.getSeq[String](1).toSet)
+      assert(r.getSeq[String](0).length === r.getSeq[String](1).length)
+    }
+  }
+
+  test("MinHashSignature matches the affine-min HOF formulation") {
+    val params = Dedup.MinHashParams(numHashes = 16, bands = 8)
+    val df = Seq(
+      Seq("alpha beta", "beta gamma", "gamma delta"),
+      Seq("x"),
+      Seq.empty[String]).toDF("shingles")
+    val coefs = arrays_zip(lit(params.as).as("a"), lit(params.bs).as("b"))
+    val hs = transform(col("shingles"), s => pmod(xxhash64(s), lit(params.p)))
+    val hof = aggregate(hs,
+      array_repeat(lit(Long.MaxValue), params.numHashes),
+      (acc, x) => zip_with(acc, coefs,
+        (m, ab) => least(m, pmod(ab.getField("a") * x + ab.getField("b"), lit(params.p)))))
+    val rows = df.select(
+      Dedup.minhashSignature(col("shingles"), params).as("native"), hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
+  test("SimHash64 matches the vote/pack HOF formulation") {
+    val texts = Seq("the quick brown fox", "the quick brown fox", "completely different words here", "x")
+    val df = texts.toDF("text")
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) > 0)
+    val th = transform(toks, t => xxhash64(t))
+    val votes = aggregate(th,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc,
+        array((0 until 64).map(k =>
+          (shiftright(h, k).bitwiseAND(1) * 2 - 1).cast("long")): _*),
+        (a, v) => a + v))
+    val hof = aggregate(reverse(votes), lit(0L),
+      (packed, s) => shiftleft(packed, 1).bitwiseOR(when(s >= 0, 1L).otherwise(0L)))
+    val rows = df.select(Dedup.simhash64(col("text")).as("native"), hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // identical texts → identical simhash (hamming 0)
+    assert(rows(0).getLong(0) === rows(1).getLong(0))
+  }
+
+  test("HyperplaneBuckets matches the driver-side bucketOf for every table") {
+    val idx = Ann.LshIndex(dim = 8, bits = 4, tables = 6, seed = 11L)
+    val vs = List.fill(25)(randVec())
+    val df = vs.map(Tuple1(_)).toDF("v")
+    val got = idx.withBuckets(df, "v").select("v", "buckets").collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) === idx.bucketsOf(r.getSeq[Double](0)))
+    }
+  }
+
+  test("hamming distance via bit_count(xor)") {
+    val df = Seq((0L, -1L), (5L, 4L), (7L, 7L)).toDF("a", "b")
+    val got = df.select(Dedup.hamming(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(64, 1, 0))
+  }
+}

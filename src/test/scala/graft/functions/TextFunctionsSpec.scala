@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens and tokenCount: whitespace split, empty-safe") {
+    val df = Seq("  the quick  brown   fox ", "", "one").toDF("text")
+    val counts = df.select(TextFunctions.tokenCount(col("text"))).collect().map(_.getInt(0)).toSeq
+    assert(counts === Seq(4, 0, 1))
+  }
+
+  test("punctCount counts only the closed class [.,;:!?]") {
+    val df = Seq("Hello, world! How are you? Fine; thanks: yes. (ok)").toDF("text")
+    assert(df.select(TextFunctions.punctCount(col("text"))).head.getInt(0) === 6)
+  }
+
+  test("stopwordRatio on a stopword-heavy vs stopword-free sentence") {
+    val df = Seq("the cat is on the mat", "zebra quagga okapi").toDF("text")
+    val rs = df.select(TextFunctions.stopwordRatio(col("text"))).collect().map(_.getDouble(0))
+    assert(rs(0) > 0.5 && rs(1) === 0.0)
+  }
+
+  test("meanTokenLength") {
+    val df = Seq("ab abcd").toDF("text")
+    assert(df.select(TextFunctions.meanTokenLength(col("text"))).head.getDouble(0) === 3.0)
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    val df = Seq(
+      "the cat and the dog are in the house that is big",
+      "el perro y la casa es grande por la noche con luz",
+      "der Hund und die Katze ist mit dem Ball auf den Tisch",
+      "le chien et le chat est dans la maison pour une nuit").toDF("text")
+    val langs = df.select(TextFunctions.langId(col("text"))).collect().map(_.getString(0)).toSeq
+    assert(langs === Seq("en", "es", "de", "fr"))
+  }
+
+  test("qualityScore is in [0,1] and ranks clean text above junk") {
+    val clean = ("the quick brown fox jumps over the lazy dog and runs far " * 10).trim
+    val junk = "!!!! ???? ;;;; aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa !!!!"
+    val df = Seq(clean, junk).toDF("text")
+    val qs = df.select(TextFunctions.qualityScore(col("text"))).collect().map(_.getDouble(0))
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    assert(qs(0) > qs(1))
+  }
+
+  test("fingerprintMod: deterministic, content-sensitive, bounded") {
+    val df = Seq("abc", "abc", "abd").toDF("text")
+    val fps = df.select(TextFunctions.fingerprintMod(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+    assert(fps.forall(f => f >= 0 && f < 1000000007L))
+  }
+
+  test("fingerprint64 stays within 56 bits") {
+    val df = Seq("some long text " * 100).toDF("text")
+    val fp = df.select(TextFunctions.fingerprint64(col("text"))).head.getLong(0)
+    assert(fp >= 0 && fp < (1L << 56))
+  }
+
+  test("shingleFingerprints: one hash per n-token window") {
+    val df = Seq("a b c d e").toDF("text")
+    val fps = df.select(TextFunctions.shingleFingerprints(col("text"), 3)).head.getSeq[Long](0)
+    assert(fps.length === 3) // windows: abc bcd cde
+    assert(fps.distinct.length === 3)
+  }
+
+  test("subwordCount splits word runs and punctuation marks") {
+    val df = Seq("don't stop, now!").toDF("text")
+    // don ' t stop , now ! → 7
+    assert(df.select(TextFunctions.subwordCount(col("text"))).head.getInt(0) === 7)
+  }
+}

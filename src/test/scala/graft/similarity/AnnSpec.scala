@@ -1,0 +1,50 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(5)
+  private def vecs(n: Int, dim: Int) =
+    (1L to n.toLong).map(i => (i, Seq.fill(dim)(rng.nextGaussian().toFloat)))
+
+  test("bruteForceTopK: the query's own vector ranks first with cos 1.0") {
+    val data = vecs(50, 16)
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.head._2.map(_.toDouble)
+    val top = Ann.bruteForceTopK(df, "embedding", "vec_id", q, k = 5).collect()
+    assert(top.length === 5)
+    assert(top.head.getLong(0) === 1L)
+    assert(top.head.getDouble(1) === 1.0)
+    // descending, deterministic tiebreak
+    val cosines = top.map(_.getDouble(1)).toSeq
+    assert(cosines === cosines.sorted.reverse)
+  }
+
+  test("LSH topK returns a subset of the brute-force ranking including the query itself") {
+    val data = vecs(200, 16)
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.head._2.map(_.toDouble)
+    val idx = Ann.LshIndex(dim = 16, bits = 4, tables = 8, seed = 9L)
+    val indexed = idx.withBuckets(df, "embedding")
+    val got = idx.topK(indexed, "embedding", "vec_id", q, k = 10).collect()
+    assert(got.nonEmpty)
+    assert(got.head.getLong(0) === 1L) // identical vector always collides with itself
+    assert(got.head.getDouble(1) === 1.0)
+    val bruteScores = Ann.bruteForceTopK(df, "embedding", "vec_id", q, k = 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach(r => assert(bruteScores(r.getLong(0)) === r.getDouble(1)))
+  }
+
+  test("ivfTopK probes only the given lists") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.9f, 0.1f), "a"),
+      (3L, Seq(0.0f, 1.0f), "b")).toDF("vec_id", "embedding", "cluster")
+    val got = Ann.ivfTopK(df, "embedding", "vec_id", "cluster",
+      Seq(1.0, 0.0), probeLists = Seq("a"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L)) // cluster b never scanned
+  }
+}

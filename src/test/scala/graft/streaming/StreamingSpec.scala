@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.codec.JsonCodec
+import graft.operators.ReferenceOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Batch/streaming unification (SURVEY §5.2.5): the SAME compiled topology
+  * run over MemoryStream sources must produce the same multiset of outputs
+  * as the batch experiment — the engine's analog of willa's run-experiment
+  * claim. Plus the event-time capabilities the reference lacks.
+  */
+case class Purchase(key: Int, user_id: Int, amount: Double)
+case class Donation(key: Int, user_id: Int, donation_amount_cents: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val purchases = Seq(
+    Purchase(1, 1, 10), Purchase(2, 2, 500), Purchase(3, 3, 50), Purchase(4, 4, 1000))
+  private val donations = Seq(
+    Donation(5, 2345, 15000), Donation(6, 9, 500))
+
+  test("streaming run of the transaction topology equals the batch experiment") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[Purchase]
+    val dIn = MemoryStream[Donation]
+    pIn.addData(purchases: _*)
+    dIn.addData(donations: _*)
+
+    val engine = StreamRunner.start(
+      ReferenceOps.transactionTopology,
+      Map("purchase-made" -> pIn.toDF(), "humble-donation-made" -> dIn.toDF()),
+      (sink, df) => df.writeStream.format("memory")
+        .queryName("t_" + sink.replace('-', '_'))
+        .trigger(Trigger.AvailableNow()).start())
+    engine.processAllAvailable()
+    engine.stop()
+
+    val streamed = spark.table("t_large_transaction_made")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSorted
+
+    val batch = ReferenceOps.transactionTopology.experiment(Map(
+      "purchase-made"        -> purchases.toDF(),
+      "humble-donation-made" -> donations.toDF()))("large-transaction-made")
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSorted
+
+    assert(streamed === batch)
+    assert(batch.map(_._3).sorted === Seq(150, 500, 1000))
+  }
+
+  implicit class SortOps(xs: Array[(Int, Int, Int)]) {
+    def toSorted: Seq[(Int, Int, Int)] = xs.toSeq.sorted
+  }
+
+  test("windowedAgg: event-time tumbling window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:10"), "a", 1.0),
+      (Timestamp.valueOf("2024-01-01 00:00:50"), "a", 2.0),
+      (Timestamp.valueOf("2024-01-01 00:01:10"), "a", 4.0),
+      (Timestamp.valueOf("2024-01-01 00:00:30"), "b", 8.0))
+    val agg = StreamRunner.windowedAgg(
+      in.toDF().toDF("ts", "k", "v"), "ts", "k", "v", "1 minute", "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("t_windowed")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_windowed")
+      .select(col("window.start").cast("string"), col("k"), col("n"), col("total"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows === Set(
+      ("2024-01-01 00:00:00", "a", 2L, 3.0),
+      ("2024-01-01 00:01:00", "a", 1L, 4.0),
+      ("2024-01-01 00:00:00", "b", 1L, 8.0)))
+  }
+
+  test("streamingDedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    in.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:01"), "x"),
+      (Timestamp.valueOf("2024-01-01 00:00:02"), "x"),
+      (Timestamp.valueOf("2024-01-01 00:00:03"), "y"))
+    val dedup = StreamRunner.streamingDedup(in.toDF().toDF("ts", "k"), "ts", "1 minute", Seq("k"))
+    val q = dedup.writeStream.format("memory").queryName("t_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("t_dedup").select("k").collect().map(_.getString(0)).sorted === Seq("x", "y"))
+  }
+
+  test("JsonCodec round-trip: encode to Kafka wire shape, decode back") {
+    val df = Seq((1, 1234, 200), (2, 2345, 150)).toDF("key", "user_id", "amount")
+    val wire = JsonCodec.encode(df)
+    assert(wire.columns.toSeq === Seq("key", "value"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("amount", org.apache.spark.sql.types.IntegerType)))
+    val back = JsonCodec.flatten(JsonCodec.decode(wire,
+      org.apache.spark.sql.types.IntegerType, schema))
+    val rows = back.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(rows === Set((1, 1234, 200), (2, 2345, 150)))
+  }
+}
