@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Topology
-import graft.operators.ReferenceOps
+import graft.operators.{Analytics, ReferenceOps}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.dedup.Dedup
 import graft.similarity.Ann
@@ -112,6 +112,69 @@ object SparkEntry {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
 
+  /** Window-function sessionization over the events stream (30-min gap). */
+  private def sessionizeQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.sessionize(t(s, dir, "events"), "ts", "user_id", gapSeconds = 1800,
+        orderCols = Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+
+  /** Ranking window: top-3 orders per customer. */
+  private def rankOrders(s: SparkSession, dir: String): DataFrame =
+    Analytics.topPerKey(
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      col("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+
+  /** Rollup revenue by (region, nation). */
+  private def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Analytics.rollupAgg(
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey")),
+      levels = Seq(col("r_name"), col("n_name")),
+      aggs = Seq(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders")))
+
+  /** Anti join: customers with no order above 300k. */
+  private def antiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+
+  /** Semi join: customers with at least one order above 300k. */
+  private def semiJoin(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders").filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+
+  /** As-of join: each purchase event matched to the user's latest view event
+    * at or before it (inner semantics — unmatched purchases dropped).
+    */
+  private def asofJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    Analytics.asofJoin(purchases, views, "user_id", "ts", "ts", Seq("view_value"))
+      .filter(col("asof_view_value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("asof_view_value").as("prior_view_value"))
+  }
+
+  /** IVF top-k: probe only the query vector's own inverted list (`label`). */
+  private def ivfTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val lbl = emb.filter(col("vec_id") === 0).select("label").head().getInt(0)
+    Ann.ivfTopK(emb, "embedding", "vec_id", "label", queryVec(s, dir),
+      probeLists = Seq(lbl), k = 20)
+  }
+
   // ------------------------------------------------------------------ dedup
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -124,7 +187,7 @@ object SparkEntry {
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8)
 
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+    Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
 
   private def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
@@ -197,6 +260,13 @@ object SparkEntry {
     "q_join_agg"            -> (joinAgg(_, _)),
     "q_window_hourly"       -> (windowHourly(_, _)),
     "q_topk_orders"         -> (topkOrders(_, _)),
+    "q_sessionize"          -> (sessionizeQ(_, _)),
+    "q_rank_orders"         -> (rankOrders(_, _)),
+    "q_rollup_revenue"      -> (rollupRevenue(_, _)),
+    "q_anti_join"           -> (antiJoin(_, _)),
+    "q_semi_join"           -> (semiJoin(_, _)),
+    "q_asof_join"           -> (asofJoinQ(_, _)),
+    "q_ivf_topk"            -> (ivfTopkQ(_, _)),
     "q_dedup_exact"         -> (dedupExact(_, _)),
     "q_ngram_jaccard"       -> (ngramJaccard(_, _)),
     "q_minhash_lsh"         -> (minhashLsh(_, _)),
@@ -281,6 +351,44 @@ object SparkEntry {
     "q_topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM x)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "q_rank_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT COALESCE(CAST(r_name AS VARCHAR), 'ALL') AS r_name,
+        |  COALESCE(CAST(n_name AS VARCHAR), 'ALL') AS n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value, v.value AS prior_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_ngram_jaccard" -> duckShingleCte,
@@ -308,6 +416,11 @@ object SparkEntry {
       s"""WITH x AS (SELECT * FROM embeddings WHERE vec_id = 0)
          |SELECT y.vec_id AS vec_id, round($duckCos, 6) AS cos
          |FROM embeddings y, x
+         |ORDER BY cos DESC, y.vec_id LIMIT 20""".stripMargin,
+    "q_ivf_topk" ->
+      s"""WITH x AS (SELECT * FROM embeddings WHERE vec_id = 0)
+         |SELECT y.vec_id AS vec_id, round($duckCos, 6) AS cos
+         |FROM embeddings y, x WHERE y.label = x.label
          |ORDER BY cos DESC, y.vec_id LIMIT 20""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

