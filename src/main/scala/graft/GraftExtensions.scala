@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.dedup.Dedup
+import graft.expressions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
+
+/** Session extension registering the engine's native expressions as SQL
+  * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the
+  * Column API. Install via
+  * `spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def register(ext: SparkSessionExtensions, name: String, usage: String,
+                       builder: FunctionBuilder): Unit =
+    ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "vec_dot",
+      "vec_dot(a, b) - dot product of two array<double> vectors",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "vec_dot takes 2 arguments")
+        DotProduct(args.head, args(1))
+      })
+    register(ext, "simhash64",
+      "simhash64(tokens) - 64-bit SimHash of an array<string> token column",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "simhash64 takes 1 argument")
+        SimHash64(args.head)
+      })
+    register(ext, "word_shingles",
+      "word_shingles(tokens, n) - distinct word n-gram shingles of an array<string>",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "word_shingles takes 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles n must be an integer literal, got $other")
+        }
+        WordShingles(args.head, n)
+      })
+    register(ext, "minhash_signature",
+      "minhash_signature(shingles) - 128-hash MinHash signature (default params)",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "minhash_signature takes 1 argument")
+        val p = Dedup.MinHashParams()
+        MinHashSignature(args.head, p.as, p.bs)
+      })
+  }
+}

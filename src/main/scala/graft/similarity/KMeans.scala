@@ -1,0 +1,100 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Distributed Lloyd's k-means over an `array<double>`-castable embedding
+  * column — the centroid-assignment step that completes the IVF similarity
+  * path ([[Ann.ivfTopK]]): build centroids, write the corpus partitioned by
+  * `list`, probe the nearest lists at query time.
+  *
+  * Scale shape per iteration: centroids are a driver-side array broadcast
+  * into codegen as literals (k·dim doubles — tiny); assignment is one
+  * narrow pass (k native dot products per row via
+  * [[graft.expressions.DotProduct]]); the update is one partial-aggregated
+  * `groupBy(list)` shuffle of k·dim running sums. Nothing quadratic, no
+  * cartesian join against a centroid table.
+  */
+object KMeans {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+
+    /** Squared-L2 nearest-centroid id for a vector column, expanded as
+      * `argmin_c (|v|² - 2·v·c + |c|²)`; `|v|²` is constant across centroids
+      * so the comparison needs only `-2·v·c + |c|²` — k fused dot products
+      * inside whole-stage codegen.
+      */
+    def assignCol(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val v = VectorFunctions.toDouble(vec)
+      val scored = centroids.zipWithIndex.map { case (c, i) =>
+        val cNormSq = c.map(x => x * x).sum
+        struct((VectorFunctions.dot(v, VectorFunctions.vecLit(c.toSeq)) * -2.0 + cNormSq).as("d"),
+          lit(i).as("i"))
+      }
+      array_min(array(scored.toIndexedSeq: _*)).getField("i")
+    }
+
+    /** Assign every row to its nearest centroid (`list` column). */
+    def assign(df: DataFrame, vecCol: String): DataFrame =
+      df.withColumn("list", assignCol(col(vecCol)))
+
+    /** Nearest `nprobe` centroid ids for a query vector (driver-side). */
+    def probeLists(query: Seq[Double], nprobe: Int): Seq[Int] =
+      centroids.zipWithIndex.map { case (c, i) =>
+        val d = c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+        (d, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+  }
+
+  /** Train by Lloyd's iterations. Initialization is deterministic
+    * farthest-point (greedy k-center) on a bounded driver-side sample taken
+    * in `idCol` order — the same spreading k-means++ buys, without
+    * randomness, and O(sample · k) driver work regardless of corpus size.
+    */
+  def fit(df: DataFrame, vecCol: String, idCol: String, k: Int,
+          maxIter: Int = 10): Model = {
+    val vecs = df.select(col(idCol), VectorFunctions.toDouble(col(vecCol)).as("v"))
+    val sample = vecs.orderBy(col(idCol)).limit(math.max(k * 50, 1000))
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "k-means needs at least one row")
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val init = scala.collection.mutable.ArrayBuffer(sample.head)
+    while (init.length < math.min(k, sample.length)) {
+      init += sample.maxBy(p => init.map(c => d2(p, c)).min)
+    }
+    while (init.length < k) init += init.head // degenerate: fewer points than k
+    var centroids: Array[Array[Double]] = init.toArray
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val model = Model(centroids)
+      // one narrow pass to assign + one groupBy shuffle to re-average
+      val updated = model.assign(vecs, "v")
+        .groupBy(col("list"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until centroids(0).length).map(i =>
+            sum(element_at(col("v"), i + 1))): _*).as("sums"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2)))
+        .toMap
+      val next = centroids.zipWithIndex.map { case (old, i) =>
+        updated.get(i) match {
+          case Some((n, sums)) => sums.map(_ / n).toArray
+          case None            => old // empty cluster keeps its centroid
+        }
+      }
+      moved = next.zip(centroids).exists { case (a, b) =>
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum > 1e-12
+      }
+      centroids = next
+      iter += 1
+    }
+    Model(centroids)
+  }
+}

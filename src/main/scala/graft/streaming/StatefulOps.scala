@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** A closed user session emitted by [[StatefulOps.streamingSessionize]]. */
+final case class SessionOut(user_id: Long, n_events: Long, total_value: Double,
+                            session_start: Timestamp, session_end: Timestamp)
+
+/** One input event for the stateful operators. */
+final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+
+private final case class SessionState(n: Long, total: Double, start: Long, last: Long)
+
+/** Custom streaming state via `flatMapGroupsWithState` — the arbitrary-state
+  * face of the engine (the batch analog is
+  * [[graft.operators.Analytics.sessionize]]). Kafka Streams exposes this as
+  * Processor API state stores; Structured Streaming's equivalent keeps state
+  * per group key in the state store with watermark-driven timeouts.
+  *
+  * Scale notes: state is one small fixed-size record per OPEN session (not
+  * per event); the state store shuffles on the group key once; event-time
+  * timeout means idle keys are closed and evicted by watermark progress, so
+  * state size tracks concurrent activity, not history.
+  */
+object StatefulOps {
+
+  implicit private val sessionOutEnc: Encoder[SessionOut] = Encoders.product[SessionOut]
+  implicit private val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+
+  /** Streaming sessionization: events grouped by user; a session closes (and
+    * emits one [[SessionOut]] row) when no event arrives within `gapMs` of
+    * the last one, tracked by event-time timeout against the watermark.
+    *
+    * Input must already have a watermark on `ts`.
+    */
+  def streamingSessionize(events: Dataset[SessionEvent], gapMs: Long,
+                          outputMode: OutputMode = OutputMode.Append()): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        outputMode, GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, batch, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // gap elapsed with no new events: close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.n, s.total, new Timestamp(s.start), new Timestamp(s.last)))
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.total + e.value, s.start, math.max(s.last, t)))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, s.n, s.total, new Timestamp(s.start), new Timestamp(s.last))
+                  cur = Some(SessionState(1, e.value, t, t))
+                case None =>
+                  cur = Some(SessionState(1, e.value, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

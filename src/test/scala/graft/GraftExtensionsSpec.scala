@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("extensions expose native expressions as SQL functions") {
+    // force a NEW session (getOrCreate would silently reuse the base test
+    // session and never apply the extensions); the SparkContext is shared
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      assert(s ne base)
+      val dot = s.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head.getDouble(0)
+      assert(dot === 11.0)
+      val sh = s.sql(
+        "SELECT word_shingles(array('a','b','c','d'), 2) AS s").head.getSeq[String](0)
+      assert(sh === Seq("a b", "b c", "c d"))
+      val sim = s.sql("SELECT simhash64(array('x','y')) AS h").head.getLong(0)
+      val sim2 = s.sql("SELECT simhash64(array('x','y')) AS h").head.getLong(0)
+      assert(sim === sim2)
+      val mh = s.sql("SELECT minhash_signature(array('sh1','sh2')) AS m").head.getSeq[Long](0)
+      assert(mh.length === 128)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    import TestSpark.spark.implicits._
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) 99L else i.toLong % 50, i)).toDF("k", "v")
+    val small = (0L to 99L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(small, "k").collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted === plain)
+  }
+}
