@@ -219,6 +219,13 @@ object SparkEntry {
   private def fingerprintQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), TF.fingerprintMod(col("text")).as("fp"))
 
+  private def qualityScoreQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+
+  private def subwordCountQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TF.subwordCount(col("text")).cast("long").as("n_subwords"))
+
   // ------------------------------------------------------------- similarity
 
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
@@ -277,6 +284,8 @@ object SparkEntry {
     "q_text_quality"        -> (textQuality(_, _)),
     "q_lang_id"             -> (langIdQ(_, _)),
     "q_fingerprint"         -> (fingerprintQ(_, _)),
+    "q_quality_score"       -> (qualityScoreQ(_, _)),
+    "q_subword_count"       -> (subwordCountQ(_, _)),
     "q_topk_cosine"         -> (topkCosine(_, _)),
     "q_ann_lsh"             -> (annLsh(_, _)),
     "q_multimodal_bytes"    -> (multimodalBytes(_, _)),
@@ -407,6 +416,29 @@ object SparkEntry {
          |CAST(len(list_filter($duckToks, x -> list_contains(${sqlList(TF.stopwords("en"))}, x))) AS BIGINT) AS n_stop
          |FROM documents""".stripMargin,
     "q_lang_id" -> duckLangId,
+    "q_quality_score" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS raw_toks,
+         |    $duckToks AS low_toks
+         |  FROM documents
+         |)
+         |SELECT doc_id, round(
+         |  least(len(text) / 500.0, 1.0) * 0.3
+         |  + (CASE WHEN (CASE WHEN len(text) > 0
+         |       THEN CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / len(text)
+         |       ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+         |  + least((CASE WHEN len(low_toks) > 0
+         |       THEN CAST(len(list_filter(low_toks, x -> list_contains(${sqlList(TF.stopwords("en"))}, x))) AS DOUBLE) / len(low_toks)
+         |       ELSE 0.0 END) * 5.0, 1.0) * 0.3
+         |  + (CASE WHEN (CASE WHEN len(raw_toks) > 0
+         |       THEN CAST(list_sum(list_transform(raw_toks, x -> len(x))) AS DOUBLE) / len(raw_toks)
+         |       ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+         |  6) AS quality
+         |FROM q""".stripMargin,
+    "q_subword_count" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_subwords
+        |FROM documents""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |list_reduce(list_prepend(CAST(5381 AS BIGINT), [CAST(ord(text[i]) AS BIGINT) FOR i IN range(1, len(text)+1)]),

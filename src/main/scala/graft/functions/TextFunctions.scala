@@ -23,10 +23,11 @@ object TextFunctions {
 
   /** A BPE-ish subword proxy: counts alternating letter/digit runs and
     * punctuation marks as separate tokens — `\w+` runs plus single
-    * non-space-non-word chars.
+    * non-space-non-word chars. Expressed as `regexp_extract_all` (no
+    * lookarounds) so RE2-based engines compute the identical count.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(trim(text), "(?<=\\W)|(?=\\W)"), t => length(trim(t)) > 0))
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
   /** Count of sentence-level punctuation characters. Restricted to an explicit
     * class (not POSIX `[:punct:]`) so Spark and any SQL oracle agree exactly.
