@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch table sources/sinks and the storage-layout utilities that make the
+  * 100 TB posture concrete. The reference's only "source" is a Kafka topic
+  * (SURVEY §2.1); the batch engine reads Parquet tables and controls HOW
+  * they are laid out, because at scale the layout *is* the query plan:
+  *
+  *  - **partitionBy(dates/categories)** → partition pruning: a filter on the
+  *    partition column skips whole directories before any IO.
+  *  - **bucketBy(key)** → co-located joins/aggregations: two tables bucketed
+  *    on the same key by the same bucket count join with ZERO shuffle
+  *    (`SortMergeJoin` over pre-shuffled buckets).
+  *  - **sortWithinPartitions** → row-group/page min-max pruning inside
+  *    Parquet for range predicates on the sort key.
+  */
+object Tables {
+
+  /** Read one named Parquet table from a directory layout `dir/<name>.parquet`.
+    * (The driver's testdata layout; events' nanos timestamp is normalized by
+    * the caller — see SparkEntry.t.)
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Write partitioned by low-cardinality columns (dates, categories):
+    * filters on `cols` become directory pruning. `maxRecordsPerFile` bounds
+    * file size without an extra repartition shuffle.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String],
+                       maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(cols: _*)
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Write as a bucketed+sorted managed table: subsequent equi-joins or
+    * aggregations on `bucketCols` read the buckets directly instead of
+    * shuffling. This is the materialization you'd give the LSH `buckets`
+    * column or a join key touched by many queries.
+    */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted = if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.format("parquet").saveAsTable(tableName)
+  }
+
+  /** Repartition-then-sort layout for range-heavy access without a managed
+    * table: `repartitionByRange` gives globally ordered files, so min/max
+    * footer stats prune file scans for range predicates on `sortCols`.
+    */
+  def writeRangeLayout(df: DataFrame, path: String, sortCols: Seq[String],
+                       numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+}
