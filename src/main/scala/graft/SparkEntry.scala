@@ -226,6 +226,29 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"),
       TF.subwordCount(col("text")).cast("long").as("n_subwords"))
 
+  /** Exact dedup after canonical normalization (case/punct/whitespace). */
+  private def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(
+      t(s, dir, "documents").select(col("doc_id"), TF.normalizeText(col("text")).as("norm_text")),
+      "norm_text", "doc_id")
+
+  /** Exact distinct cardinality per group (map-side partial distinct). */
+  private def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  /** Per-label mean embedding via the VectorSumAgg custom aggregate —
+    * centroids of the label partition (rows-only check: float mean order
+    * sensitivity makes a bit-exact SQL oracle unreliable).
+    */
+  private def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), VF.vecSum(VF.toDouble(col("embedding"))).as("sums"))
+      .select(col("label"), col("n"),
+        transform(col("sums"), x => round(x / col("n"), 6)).as("centroid"))
+
   // ------------------------------------------------------------- similarity
 
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
@@ -286,6 +309,9 @@ object SparkEntry {
     "q_fingerprint"         -> (fingerprintQ(_, _)),
     "q_quality_score"       -> (qualityScoreQ(_, _)),
     "q_subword_count"       -> (subwordCountQ(_, _)),
+    "q_dedup_normalized"    -> (dedupNormalized(_, _)),
+    "q_distinct_users"      -> (distinctUsers(_, _)),
+    "q_label_centroids"     -> (labelCentroids(_, _)),
     "q_topk_cosine"         -> (topkCosine(_, _)),
     "q_ann_lsh"             -> (annLsh(_, _)),
     "q_multimodal_bytes"    -> (multimodalBytes(_, _)),
@@ -400,6 +426,12 @@ object SparkEntry {
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
+    "q_dedup_normalized" ->
+      """SELECT trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
+        |MIN(doc_id) AS doc_id FROM documents GROUP BY 1""".stripMargin,
+    "q_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_ngram_jaccard" -> duckShingleCte,
     "q_minhash_lsh"   -> duckShingleCte,
     "q_embed_near_dup" ->

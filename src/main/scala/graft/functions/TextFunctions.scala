@@ -18,6 +18,14 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(trim(text), "\\s+"), t => length(t) > 0)
 
+  /** Canonical normalization for near-exact dedup (C4-style): lowercase,
+    * strip sentence punctuation, collapse whitespace runs, trim. Two
+    * boilerplate documents differing only in case/punct/spacing normalize to
+    * the same key.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[.,;:!?]", ""), "\\s+", " "))
+
   /** Token count (whitespace tokenization). */
   def tokenCount(text: Column): Column = size(tokens(text))
 

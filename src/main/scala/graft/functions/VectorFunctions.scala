@@ -54,6 +54,15 @@ object VectorFunctions {
   def l2Sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
 
+  /** Element-wise SUM aggregate over an `array<double>` column (a
+    * [[graft.expressions.VectorSumAgg]] TypedImperativeAggregate — primitive
+    * buffer, map-side partial aggregation).
+    */
+  def vecSum(v: Column): Column =
+    ColumnBridge.column(graft.expressions.VectorSumAgg(ColumnBridge.expression(v))
+      .toAggregateExpression())
+
+
   /** A literal query vector as a Column (broadcast as a constant into
     * codegen — no join needed for single-query scoring).
     */

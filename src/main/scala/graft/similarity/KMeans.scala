@@ -78,8 +78,7 @@ object KMeans {
       val updated = model.assign(vecs, "v")
         .groupBy(col("list"))
         .agg(count(lit(1)).as("n"),
-          array((0 until centroids(0).length).map(i =>
-            sum(element_at(col("v"), i + 1))): _*).as("sums"))
+          VectorFunctions.vecSum(col("v")).as("sums"))
         .collect()
         .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2)))
         .toMap
