@@ -131,18 +131,17 @@ object Dedup {
     val r = params.rowsPerBand
     val bands = posexplode(transform(sequence(lit(0), lit(params.bands - 1)),
       i => slice(col("sig"), i * r + 1, lit(r))))
-    val buckets = signed
+    val tagged = signed
       .select(col("doc_id"), bands.as(Seq("band", "band_sig")))
       .select(col("doc_id"), xxhash64(col("band"), col("band_sig")).as("bk"))
-      .groupBy(col("bk"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    // all ordered pairs within a bucket: (ids[i], ids[j]) for i < j
-    buckets
-      .select(explode(flatten(transform(sequence(lit(0), size(col("ids")) - 2), i =>
-        transform(slice(col("ids"), i + 2, size(col("ids")) - 1 - i),
-          j => struct(element_at(col("ids"), i + 1).as("a"), j.as("b")))))).as("pair"))
-      .select(col("pair.a").as("a"), col("pair.b").as("b"))
+    // skew guard via window count — shares the self-join's partitioning
+    val guarded = tagged
+      .withColumn("_bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bk"))))
+      .filter(col("_bn").between(2, maxBucket)).drop("_bn")
+    guarded.as("x").join(guarded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
   }
 
@@ -257,9 +256,13 @@ object Dedup {
     val tagged = withB.select(col("doc_id"),
       posexplode(col("buckets")).as(Seq("table", "bucket")))
     // Skew guard: drop pathological buckets before the quadratic self-join.
-    val okBuckets = tagged.groupBy(col("table"), col("bucket")).count()
-      .filter(col("count").between(2, maxBucket)).select("table", "bucket")
-    val t2 = tagged.join(okBuckets, Seq("table", "bucket"))
+    // A window count over (table, bucket) shares the self-join's hash
+    // partitioning, so the guard adds a sort but ZERO extra exchanges
+    // (a groupBy-count + semi-join formulation costs two).
+    val t2 = tagged
+      .withColumn("_bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("table"), col("bucket"))))
+      .filter(col("_bn").between(2, maxBucket)).drop("_bn")
     // Candidate pairs via codegen'd equi-self-join on the bucket key (not a
     // per-bucket HOF array expansion). Verification runs BEFORE the distinct:
     // dots are a native codegen'd expression and the vector join keys are
