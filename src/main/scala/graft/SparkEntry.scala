@@ -238,6 +238,22 @@ object SparkEntry {
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
 
+  /** Exact interpolated percentiles per group. */
+  private def percentilesQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+
+  /** HLL++ sketch cardinality — the constant-memory face of
+    * [[distinctUsers]] for 100 TB group-bys (rows-only: sketch estimates are
+    * engine-specific).
+    */
+  private def approxDistinctQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+
   /** Per-label mean embedding via the VectorSumAgg custom aggregate —
     * centroids of the label partition (rows-only check: float mean order
     * sensitivity makes a bit-exact SQL oracle unreliable).
@@ -311,6 +327,8 @@ object SparkEntry {
     "q_subword_count"       -> (subwordCountQ(_, _)),
     "q_dedup_normalized"    -> (dedupNormalized(_, _)),
     "q_distinct_users"      -> (distinctUsers(_, _)),
+    "q_percentiles"         -> (percentilesQ(_, _)),
+    "q_approx_distinct"     -> (approxDistinctQ(_, _)),
     "q_label_centroids"     -> (labelCentroids(_, _)),
     "q_topk_cosine"         -> (topkCosine(_, _)),
     "q_ann_lsh"             -> (annLsh(_, _)),
@@ -431,6 +449,10 @@ object SparkEntry {
         |MIN(doc_id) AS doc_id FROM documents GROUP BY 1""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med,
+        |round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
     "q_ngram_jaccard" -> duckShingleCte,
     "q_minhash_lsh"   -> duckShingleCte,
