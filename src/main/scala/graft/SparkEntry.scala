@@ -226,6 +226,15 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"),
       TF.subwordCount(col("text")).cast("long").as("n_subwords"))
 
+  /** TF-IDF term statistics: top-5 terms per document by term frequency
+    * (integer counts — exact across engines; idf transform is caller-side,
+    * see TextFunctions.termStats).
+    */
+  private def tfidfQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.topPerKey(
+      TF.termStats(t(s, dir, "documents"), "doc_id", "text"),
+      col("doc_id"), Seq(col("tf").desc, col("term")), k = 5)
+
   /** Exact dedup after canonical normalization (case/punct/whitespace). */
   private def dedupNormalized(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(
@@ -328,6 +337,7 @@ object SparkEntry {
     "q_dedup_normalized"    -> (dedupNormalized(_, _)),
     "q_distinct_users"      -> (distinctUsers(_, _)),
     "q_percentiles"         -> (percentilesQ(_, _)),
+    "q_tfidf"               -> (tfidfQ(_, _)),
     "q_approx_distinct"     -> (approxDistinctQ(_, _)),
     "q_label_centroids"     -> (labelCentroids(_, _)),
     "q_topk_cosine"         -> (topkCosine(_, _)),
@@ -454,6 +464,19 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med,
         |round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckToks) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+         |), dfreq AS (
+         |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+         |)
+         |SELECT doc_id, tf.term, tf, df, rn FROM (
+         |  SELECT doc_id, term, tf,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+         |  FROM tf) tf JOIN dfreq ON tf.term = dfreq.term
+         |WHERE rn <= 5""".stripMargin,
     "q_ngram_jaccard" -> duckShingleCte,
     "q_minhash_lsh"   -> duckShingleCte,
     "q_embed_near_dup" ->

@@ -129,6 +129,24 @@ object TextFunctions {
       lit(5381L),
       (acc, c) => pmod(acc * 31L + ascii(c).cast("long"), lit(1000000007L)))
 
+  /** Term statistics for TF-IDF-style weighting: explode tokens → per
+    * (doc, term) term frequency → join per-term document frequency. Counts
+    * stay integers (exact across engines); the caller applies its preferred
+    * idf transform (`tf * ln(N/df)` etc.) — libm log differences make the
+    * transformed score engine-specific.
+    *
+    * Scale shape: two shuffles (doc+term agg, term agg), the second over the
+    * much smaller distinct-term set; both partial-aggregated.
+    */
+  def termStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
   /** Shingled (word n-gram) fingerprints: the rolling-hash of each n-word
     * window — the "rolling hash" document fingerprinting primitive used for
     * local near-dup detection.

@@ -11,6 +11,13 @@ import graft.core.Topology
   * sources/sinks. The compiler is shared with batch mode (SURVEY §3.2-3.3) —
   * this file only supplies the bindings and lifecycle.
   *
+  * Test posture: this build environment has no Kafka broker and no
+  * spark-sql-kafka connector jar, so [[kafkaSource]]/[[kafkaSink]] are the
+  * standard Structured Streaming API calls but exercised only to the API
+  * boundary; the runner itself is fully tested through the
+  * [[memorySink]]/MemoryStream path (StreamingSpec), which shares every line
+  * of compile/lifecycle code with the Kafka path.
+  *
   * Semantics vs the reference (`core.clj:15-20`): the reference runs
   * at-least-once with record caching off (immediate per-record emission);
   * Structured Streaming's checkpointed micro-batches give the same
