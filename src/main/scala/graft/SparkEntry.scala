@@ -186,6 +186,15 @@ object SparkEntry {
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8)
 
+  /** End-to-end dedup resolution: near-dup pairs → connected components →
+    * keep/drop decision per involved doc (rows-only: component labeling is
+    * iterative, not ANSI-SQL-expressible without recursive CTE fragility).
+    */
+  private def dedupResolve(s: SparkSession, dir: String): DataFrame =
+    Dedup.resolveDuplicates(
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8))
+      .orderBy(col("id"))
+
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
 
@@ -325,6 +334,7 @@ object SparkEntry {
     "q_dedup_exact"         -> (dedupExact(_, _)),
     "q_ngram_jaccard"       -> (ngramJaccard(_, _)),
     "q_minhash_lsh"         -> (minhashLsh(_, _)),
+    "q_dedup_resolve"       -> (dedupResolve(_, _)),
     "q_simhash_pairs"       -> (simhashPairs(_, _)),
     "q_embed_near_dup"      -> (embedNearDup(_, _)),
     "q_embed_near_dup_lsh"  -> (embedNearDupLsh(_, _)),

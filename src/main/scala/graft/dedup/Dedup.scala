@@ -225,6 +225,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // --------------------------------------------------- duplicate resolution
+
+  /** Resolve near-dup PAIRS into keep/drop decisions: connected components
+    * over the pair graph, each component represented by its minimum doc id.
+    * Returns (doc_id, keep_id) for every document that appears in a pair —
+    * rows with doc_id != keep_id are the ones a dedup pass drops.
+    *
+    * Implementation: iterative min-label propagation entirely in DataFrames
+    * — per round, every node adopts the smallest label among itself and its
+    * neighbors; converges in O(component diameter) rounds (near-dup
+    * components are shallow in practice: duplicates of a common source).
+    * Each round is one shuffle on the pair edge list; no driver-side graph.
+    */
+  def resolveDuplicates(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
+                        maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().cache()
+    // Each round references the previous labels twice (propagate + converge
+    // check), so the logical plan would DOUBLE per round without lineage
+    // truncation — localCheckpoint materializes the round's result and cuts
+    // the plan (at cluster scale: checkpoint() to reliable storage instead).
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("keep_id", col("id"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (round < maxRounds && changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("keep_id", "v_label"), "v")
+        .groupBy(col("u").as("id")).agg(min(col("v_label")).as("n_label"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("keep_id"), coalesce(col("n_label"), col("keep_id"))).as("keep_id"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("keep_id", "old"), "id")
+        .filter(col("keep_id") =!= col("old")).count()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Exact embedding-cosine near-dup pairs (cosine ≥ threshold) — the O(n²)

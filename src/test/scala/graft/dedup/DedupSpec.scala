@@ -111,4 +111,19 @@ class DedupSpec extends SparkSpec {
     assert(exact.subsetOf(Set((101L, 201L), (102L, 202L), (103L, 203L)) ++ exact))
     assert(lsh === exact) // high-cosine planted pairs: recall ≈ 1 at these params
   }
+
+  test("resolveDuplicates: connected components keep the min id") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 5L)).toDF("a", "b") // chain 1-2-3, pair 5-9
+    val out = Dedup.resolveDuplicates(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 5L))
+  }
+
+  test("resolveDuplicates converges on a long chain within maxRounds") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.resolveDuplicates(chain, maxRounds = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 12)
+    assert(out.values.toSet === Set(1L))
+  }
 }
