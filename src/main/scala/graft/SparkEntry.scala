@@ -167,6 +167,46 @@ object SparkEntry {
         col("asof_view_value").as("prior_view_value"))
   }
 
+  /** Pivot: one column per event type, summed values per user bucket. */
+  private def pivotQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("user_bucket", (col("user_id") % 10).cast("int"))
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+
+  /** Cube: all grouping-set combinations of (returnflag, linestatus). */
+  private def cubeQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"), col("n"))
+
+  /** Orders above their customer's average — correlated-aggregate semantics
+    * expressed as a window (one shuffle, no rescan). The comparison is the
+    * cross-multiplied `price * n > sum` in DECIMAL so it is exact on both
+    * engines (a float average's low bits depend on summation order).
+    */
+  private def aboveAvgQ(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    t(s, dir, "orders")
+      .withColumn("cust_sum", sum(col("o_totalprice").cast("decimal(18,2)")).over(w))
+      .withColumn("cust_n", count(lit(1)).over(w))
+      .filter(col("o_totalprice").cast("decimal(18,2)") * col("cust_n") > col("cust_sum"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  /** Set ops: customers with orders EXCEPT customers with an order > 300k. */
+  private def exceptQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      .except(t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey")))
+
+  private def intersectQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+
   /** IVF top-k: probe only the query vector's own inverted list (`label`). */
   private def ivfTopkQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -330,6 +370,11 @@ object SparkEntry {
     "q_anti_join"           -> (antiJoin(_, _)),
     "q_semi_join"           -> (semiJoin(_, _)),
     "q_asof_join"           -> (asofJoinQ(_, _)),
+    "q_pivot"               -> (pivotQ(_, _)),
+    "q_cube"                -> (cubeQ(_, _)),
+    "q_above_avg"           -> (aboveAvgQ(_, _)),
+    "q_except"              -> (exceptQ(_, _)),
+    "q_intersect"           -> (intersectQ(_, _)),
     "q_ivf_topk"            -> (ivfTopkQ(_, _)),
     "q_dedup_exact"         -> (dedupExact(_, _)),
     "q_ngram_jaccard"       -> (ngramJaccard(_, _)),
@@ -462,6 +507,30 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+        |CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view"
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |COALESCE(l_linestatus, 'ALL') AS l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS cust_sum,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS cust_n
+        |  FROM orders) WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cust_n > cust_sum""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_dedup_normalized" ->

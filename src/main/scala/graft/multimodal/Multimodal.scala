@@ -102,6 +102,29 @@ object Multimodal {
     }
   }
 
+  /** STUB resize ??? — stands in for a real image resize (e.g. libvips).
+    * Produces a deterministic fake payload of `ceil(w*h/64)` bytes derived
+    * from the original hash; a real deployment swaps only the body. The
+    * Dataset shape (binary in → binary out, metadata columns preserved,
+    * per-partition batching) is the production plumbing.
+    */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      // per-partition resize-library init would go here
+      batch.map { m =>
+        val seed = fnv1a(m.content)
+        val n = math.max(1, w * h / 64)
+        val out = new Array[Byte](n)
+        var x = seed
+        var i = 0
+        while (i < n) { x = x * 6364136223846793005L + 1442695040888963407L; out(i) = (x >>> 56).toByte; i += 1 }
+        MediaRecord(m.media_id, m.mime, out)
+      }
+    }
+  }
+
   /** Byte-level metadata that needs no decode: pure Catalyst, oracle-checkable. */
   def byteStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),

@@ -41,4 +41,14 @@ class MultimodalSpec extends SparkSpec {
       everyN = 2, dim = 4).collect()
     assert(frames.map(_.frame_index).sorted.toSeq === Seq(0, 2, 4))
   }
+
+  test("resize: deterministic fake payload sized from target dims, metadata preserved") {
+    val resized = Multimodal.resize(Multimodal.asMedia(docs, "doc_id", "text"), 64, 64)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(resized(1L).content.length === 64)   // 64*64/64
+    assert(resized(1L).mime === "image/png")
+    val again = Multimodal.resize(Multimodal.asMedia(docs, "doc_id", "text"), 64, 64)
+      .collect().map(m => m.media_id -> m.content.toSeq).toMap
+    assert(resized(1L).content.toSeq === again(1L))
+  }
 }

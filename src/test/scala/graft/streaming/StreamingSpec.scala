@@ -104,4 +104,29 @@ class StreamingSpec extends SparkSpec {
     val rows = back.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
     assert(rows === Set((1, 1234, 200), (2, 2345, 150)))
   }
+
+  test("stream-stream interval join with watermarks on both sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val purchases = MemoryStream[(Timestamp, Long, Double)]
+    clicks.addData(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "adA"),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), 2L, "adB"),
+      (Timestamp.valueOf("2024-01-01 09:00:00"), 3L, "adC"))
+    purchases.addData(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, 50.0),  // 5 min after click -> joins
+      (Timestamp.valueOf("2024-01-01 11:30:00"), 2L, 70.0),  // 70 min after -> outside window
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 3L, 90.0))  // 60 min after -> boundary, inclusive
+    val c = clicks.toDF().toDF("click_ts", "user", "ad").withWatermark("click_ts", "1 minute")
+    val p = purchases.toDF().toDF("p_ts", "p_user", "amount").withWatermark("p_ts", "1 minute")
+    val joined = c.join(p,
+      org.apache.spark.sql.functions.expr(
+        "user = p_user AND p_ts BETWEEN click_ts AND click_ts + INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("t_ssjoin")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("t_ssjoin").select("user", "ad", "amount")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, "adA", 50.0), (3L, "adC", 90.0)))
+  }
 }
