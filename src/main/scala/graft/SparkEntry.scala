@@ -167,6 +167,26 @@ object SparkEntry {
         col("asof_view_value").as("prior_view_value"))
   }
 
+  /** JSON column extraction: parse events.props (a JSON string) with an
+    * explicit schema and aggregate the extracted field — from_json is the
+    * engine's EdnSerde-replacement codec applied inside a query.
+    */
+  private def jsonExtractQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"))
+
+  /** Date arithmetic: monthly order revenue with month boundaries. */
+  private def monthlyRevenueQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+
   /** Pivot: one column per event type, summed values per user bucket. */
   private def pivotQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -371,6 +391,8 @@ object SparkEntry {
     "q_semi_join"           -> (semiJoin(_, _)),
     "q_asof_join"           -> (asofJoinQ(_, _)),
     "q_pivot"               -> (pivotQ(_, _)),
+    "q_json_extract"        -> (jsonExtractQ(_, _)),
+    "q_monthly_revenue"     -> (monthlyRevenueQ(_, _)),
     "q_cube"                -> (cubeQ(_, _)),
     "q_above_avg"           -> (aboveAvgQ(_, _)),
     "q_except"              -> (exceptQ(_, _)),
@@ -515,6 +537,15 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
         |CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view"
         |FROM events GROUP BY 1""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+        |COUNT(CAST(props->>'k' AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_monthly_revenue" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_cube" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |COALESCE(l_linestatus, 'ALL') AS l_linestatus, COUNT(*) AS n
