@@ -167,6 +167,26 @@ object SparkEntry {
         col("asof_view_value").as("prior_view_value"))
   }
 
+  /** TPC-H Q3-shaped revenue query executed through `spark.sql` over temp
+    * views — the SAME SQL text serves as its own oracle (the engine's SQL
+    * surface is ANSI-compatible for this query class). Revenue goes through
+    * DECIMAL so both engines sum exactly.
+    */
+  private val sqlQ3Text =
+    """SELECT l_orderkey,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |COUNT(*) AS n_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  private def sqlQ3(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql(sqlQ3Text)
+  }
+
   /** JSON column extraction: parse events.props (a JSON string) with an
     * explicit schema and aggregate the extracted field — from_json is the
     * engine's EdnSerde-replacement codec applied inside a query.
@@ -392,6 +412,7 @@ object SparkEntry {
     "q_asof_join"           -> (asofJoinQ(_, _)),
     "q_pivot"               -> (pivotQ(_, _)),
     "q_json_extract"        -> (jsonExtractQ(_, _)),
+    "q_sql_q3"              -> (sqlQ3(_, _)),
     "q_monthly_revenue"     -> (monthlyRevenueQ(_, _)),
     "q_cube"                -> (cubeQ(_, _)),
     "q_above_avg"           -> (aboveAvgQ(_, _)),
@@ -537,6 +558,7 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
         |CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view"
         |FROM events GROUP BY 1""".stripMargin,
+    "q_sql_q3" -> sqlQ3Text,
     "q_json_extract" ->
       """SELECT event_type, SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
         |COUNT(CAST(props->>'k' AS BIGINT)) AS n_k
