@@ -16,7 +16,8 @@ import graft.expressions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "math_funcs", "1.0.0", "", "built-in")
 
   private def register(ext: SparkSessionExtensions, name: String, usage: String,
                        builder: FunctionBuilder): Unit =
