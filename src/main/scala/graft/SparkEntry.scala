@@ -237,6 +237,24 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
 
+  /** Range (interval) join: orders classified into price bands via a
+    * non-equi BETWEEN join against a tiny broadcast bands table — the
+    * broadcast-nested-loop shape appropriate when one side is literal-small
+    * (a shuffle range join would be wrong here).
+    */
+  private def rangeJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("low", 0.0, 150000.0), ("mid", 150000.0, 300000.0),
+      ("high", 300000.0, 450000.0), ("extreme", 450000.0, 1e9))
+      .toDF("band", "lo", "hi")
+    t(s, dir, "orders")
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
   /** Set ops: customers with orders EXCEPT customers with an order > 300k. */
   private def exceptQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders").select(col("o_custkey").as("custkey"))
@@ -416,6 +434,7 @@ object SparkEntry {
     "q_monthly_revenue"     -> (monthlyRevenueQ(_, _)),
     "q_cube"                -> (cubeQ(_, _)),
     "q_above_avg"           -> (aboveAvgQ(_, _)),
+    "q_range_join"          -> (rangeJoinQ(_, _)),
     "q_except"              -> (exceptQ(_, _)),
     "q_intersect"           -> (intersectQ(_, _)),
     "q_ivf_topk"            -> (ivfTopkQ(_, _)),
@@ -578,6 +597,13 @@ object SparkEntry {
         |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS cust_sum,
         |    COUNT(*) OVER (PARTITION BY o_custkey) AS cust_n
         |  FROM orders) WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cust_n > cust_sum""".stripMargin,
+    "q_range_join" ->
+      """SELECT band, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN (VALUES ('low', 0.0, 150000.0), ('mid', 150000.0, 300000.0),
+        |  ('high', 300000.0, 450000.0), ('extreme', 450000.0, 1e9)) AS bands(band, lo, hi)
+        |ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band""".stripMargin,
     "q_except" ->
       """SELECT o_custkey AS custkey FROM orders
         |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
