@@ -38,6 +38,14 @@ object SparkEntry {
   /** English stopword list shared by Spark and oracle SQL. */
   private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
+  /** Memoized row count per table path — LSH auto-sizing needs the corpus
+    * size driver-side; one metadata-only count job per (dir, table), not one
+    * per query invocation.
+    */
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def tableCount(s: SparkSession, dir: String, name: String): Long =
+    countCache.getOrElseUpdate(s"$dir/$name", t(s, dir, name).count())
+
   // ------------------------------------------------------------ reference surface
 
   /** P1+P2+P3 — filter on amount, key-preserving projection (core.clj:77-83). */
@@ -285,8 +293,8 @@ object SparkEntry {
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8)
 
   /** End-to-end dedup resolution: near-dup pairs → connected components →
-    * keep/drop decision per involved doc (rows-only: component labeling is
-    * iterative, not ANSI-SQL-expressible without recursive CTE fragility).
+    * keep/drop decision per involved doc. Oracle: a DuckDB recursive CTE
+    * over the exact-Jaccard pair graph (see [[duckResolveCte]]).
     */
   private def dedupResolve(s: SparkSession, dir: String): DataFrame =
     Dedup.resolveDuplicates(
@@ -300,8 +308,12 @@ object SparkEntry {
     Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
 
   private def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    // bits/tables = 0 → auto-size from corpus and threshold (Ann.bitsFor /
+    // Ann.tablesFor): fixed bits degrade to near-all-pairs as the corpus
+    // grows, fixed tables lose recall as bits grow
     Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, threshold = 0.45, bits = 4, tables = 16)
+      dim = 64, threshold = 0.45,
+      bits = Ann.bitsFor(tableCount(s, dir, "embeddings")), tables = 0)
 
   // ---------------------------------------------------------- text analysis
 
@@ -371,15 +383,19 @@ object SparkEntry {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
 
   /** Per-label mean embedding via the VectorSumAgg custom aggregate —
-    * centroids of the label partition (rows-only check: float mean order
-    * sensitivity makes a bit-exact SQL oracle unreliable).
+    * centroids of the label partition, exploded to one scalar row per
+    * (label, dim) so the result is sortable/hashable downstream. Rounding
+    * the MEAN (not the sum) to 6 dp absorbs summation-order noise: the
+    * double-sum error is ~n·ulp but dividing by n shrinks it ~1e-14, far
+    * inside the 5e-7 rounding band — so a real DuckDB oracle holds.
     */
   private def labelCentroids(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"), VF.vecSum(VF.toDouble(col("embedding"))).as("sums"))
-      .select(col("label"), col("n"),
-        transform(col("sums"), x => round(x / col("n"), 6)).as("centroid"))
+      .select(col("label"), col("n"), posexplode(col("sums")).as(Seq("dim", "sv")))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+        round(col("sv") / col("n"), 6).as("centroid"))
 
   // ------------------------------------------------------------- similarity
 
@@ -392,8 +408,11 @@ object SparkEntry {
       queryVec(s, dir), k = 20)
 
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
-    val idx = Ann.LshIndex(dim = 64, bits = 4, tables = 16, seed = 7)
-    val indexed = idx.withBuckets(t(s, dir, "embeddings"), "embedding")
+    val emb = t(s, dir, "embeddings")
+    // size bits from the corpus so each probe scans ~64 rows per table
+    val idx = Ann.LshIndex(dim = 64,
+      bits = Ann.bitsFor(tableCount(s, dir, "embeddings")), tables = 16, seed = 7)
+    val indexed = idx.withBuckets(emb, "embedding")
     idx.topK(indexed, "embedding", "vec_id", queryVec(s, dir), k = 20)
   }
 
@@ -465,8 +484,12 @@ object SparkEntry {
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
-  private val duckShingleCte =
-    s"""WITH toksrc AS (
+  /** CTE chain producing exact 5-gram Jaccard pairs ≥ 0.8 as `jpairs(a, b,
+    * jaccard)` — shared by the jaccard/minhash oracles and (wrapped in a
+    * recursive CTE) the connected-components oracle.
+    */
+  private val duckShingleCtes =
+    s"""toksrc AS (
        |  SELECT doc_id, $duckToks AS w FROM documents
        |), sh AS (
        |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS shingles
@@ -475,12 +498,29 @@ object SparkEntry {
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+       |), jpairs AS (
+       |  SELECT a, b, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+       |  FROM pairs
+       |  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON a = sa.doc_id
+       |  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON b = sb.doc_id
+       |  WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.8
+       |)""".stripMargin
+  private val duckShingleCte =
+    s"WITH $duckShingleCtes\nSELECT a, b, jaccard FROM jpairs"
+  /** Connected components over the exact-Jaccard pair graph (min label per
+    * component) — the oracle for [[dedupResolve]]. Valid because the minhash
+    * pair set is itself oracle-verified equal to the exact pair set
+    * (q_minhash_lsh), so both engines resolve the same graph.
+    */
+  private val duckResolveCte =
+    s"""WITH RECURSIVE $duckShingleCtes,
+       |edges AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+       |walk(id, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.id
        |)
-       |SELECT a, b, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
-       |FROM pairs
-       |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON a = sa.doc_id
-       |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON b = sb.doc_id
-       |WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.8""".stripMargin
+       |SELECT id, MIN(lbl) AS keep_id FROM walk GROUP BY id""".stripMargin
   private val duckCos =
     """list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) FOR i IN range(1, 65)]) /
       |(sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])) *
@@ -539,7 +579,7 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), s AS (
         |  SELECT user_id, ts,
-        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         |  FROM x)
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
@@ -579,7 +619,7 @@ object SparkEntry {
         |FROM events GROUP BY 1""".stripMargin,
     "q_sql_q3" -> sqlQ3Text,
     "q_json_extract" ->
-      """SELECT event_type, SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+      """SELECT event_type, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |COUNT(CAST(props->>'k' AS BIGINT)) AS n_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q_monthly_revenue" ->
@@ -637,6 +677,12 @@ object SparkEntry {
          |WHERE rn <= 5""".stripMargin,
     "q_ngram_jaccard" -> duckShingleCte,
     "q_minhash_lsh"   -> duckShingleCte,
+    "q_dedup_resolve" -> duckResolveCte,
+    "q_label_centroids" ->
+      """SELECT label, i - 1 AS dim, COUNT(*) AS n,
+        |round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid
+        |FROM embeddings, generate_series(1, 64) AS g(i)
+        |GROUP BY label, i""".stripMargin,
     "q_embed_near_dup" ->
       s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
          |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id

@@ -256,12 +256,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("keep_id", "v_label"), "v")
         .groupBy(col("u").as("id")).agg(min(col("v_label")).as("n_label"))
+      // Fold the convergence flag into the SAME select that the checkpoint
+      // materializes: the old formulation re-joined next against the previous
+      // labels just to count changes — a second shuffling job per round. Now
+      // the post-checkpoint count only scans the cached round result.
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("keep_id"), coalesce(col("n_label"), col("keep_id"))).as("keep_id"))
+        .select(col("id"),
+          least(col("keep_id"), coalesce(col("n_label"), col("keep_id"))).as("keep_id"),
+          (coalesce(col("n_label"), col("keep_id")) < col("keep_id")).as("chg"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("keep_id", "old"), "id")
-        .filter(col("keep_id") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.drop("chg")
       round += 1
     }
     edges.unpersist()
@@ -288,8 +293,14 @@ object Dedup {
 
   /** LSH-blocked embedding near-dup: candidates share a random-hyperplane
     * bucket in at least one of `tables` tables, then exact cosine verifies.
-    * Turns O(n²) into Σ bucket². Recall < 1 by nature of LSH — tune
-    * bits/tables for the target threshold.
+    * Turns O(n²·d) into O(n·T·b·d + n²·T·2^-b·d): hashing is linear, and the
+    * candidate fraction T·2^-b shrinks as bits grow — total work n^(1+ρ),
+    * ρ = ln(1/p1)/ln 2 (≈0.63 at threshold 0.45). Crossover note: at small n
+    * (e.g. the sf0.1 corpus, n=2000) a recall-sound config has T·2^-b ≈ 1,
+    * i.e. as many candidate dots as exact all-pairs — LSH ties exact there
+    * and pulls ahead as n grows, because the n² term carries the 2^-b factor
+    * while exact doesn't. Recall < 1 by nature of LSH — auto-sizing holds it
+    * ≥98% per pair at the stated threshold (see Ann.tablesFor).
     *
     * Scale shape: candidate generation shuffles only (table, bucket, id) —
     * 20 bytes/row·table — and pairs are deduped as bare (a, b) id pairs
@@ -297,12 +308,16 @@ object Dedup {
     * read twice and never shuffled through the quadratic step.
     */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                          threshold: Double, bits: Int = 0, tables: Int = 12,
+                          threshold: Double, bits: Int = 0, tables: Int = 0,
                           seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
     // bits <= 0 → size from the corpus so buckets stay ~64 rows; fixed bits
-    // on a grown corpus silently degrades to near-all-pairs (see Ann.bitsFor)
+    // on a grown corpus silently degrades to near-all-pairs (see Ann.bitsFor).
+    // tables <= 0 → size from (bits, threshold) to hold ≥95% recall
+    // (Ann.tablesFor); fixed tables with growing bits silently loses recall.
     val sizedBits = if (bits > 0) bits else graft.similarity.Ann.bitsFor(df.count())
-    val index = graft.similarity.Ann.LshIndex(dim, sizedBits, tables, seed)
+    val sizedTables = if (tables > 0) tables
+      else graft.similarity.Ann.tablesFor(sizedBits, threshold)
+    val index = graft.similarity.Ann.LshIndex(dim, sizedBits, sizedTables, seed)
     val vecs = df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val withB = index.withBuckets(vecs.select("doc_id", "v"), "v")

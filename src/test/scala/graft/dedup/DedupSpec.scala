@@ -112,6 +112,42 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact) // high-cosine planted pairs: recall ≈ 1 at these params
   }
 
+  test("embedding near-dup LSH auto-sizing holds >= 95% recall vs exact on the sf0.01 corpus") {
+    // recall gate on REAL data with the auto bits/tables sizing the queries
+    // use — future tuning can't silently trade recall for speed (the sized
+    // config is what q_embed_near_dup_lsh runs)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.45)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", dim = 64, threshold = 0.45)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact)) // exact verification: zero false positives
+    // gate: ≥95% recall, with a one-miss allowance when the pair set is so
+    // small that a single statistically-expected miss (sizing targets 98%
+    // per-pair, not 100%) would demand 100% recall
+    val missed = (exact -- lsh).size
+    val allowance = math.max(1, math.ceil(exact.size * 0.05).toInt)
+    assert(missed <= allowance,
+      s"recall ${(exact & lsh).size}/${exact.size}: $missed missed > $allowance allowed")
+  }
+
+  test("simhashPairs on the sf0.01 corpus match driver-side brute force exactly") {
+    // simhash is engine-specific (xxhash64 seeds) so no SQL oracle exists;
+    // this is the equivalent strength check: recompute every pairwise
+    // hamming distance driver-side and require exact set equality
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val hashes = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield ((ia, ib), d)).toMap
+    assert(pairs === brute)
+  }
+
   test("resolveDuplicates: connected components keep the min id") {
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 5L)).toDF("a", "b") // chain 1-2-3, pair 5-9
     val out = Dedup.resolveDuplicates(pairs)

@@ -23,6 +23,19 @@ class AnnSpec extends SparkSpec {
     assert(cosines === cosines.sorted.reverse)
   }
 
+  test("bitsFor/tablesFor sizing math") {
+    assert(Ann.bitsFor(20000) === 9)          // ceil(log2(20000/64))
+    assert(Ann.bitsFor(10) === 2)             // clamp floor
+    assert(Ann.bitsFor(Long.MaxValue) === 24) // clamp ceiling
+    // p1 for cos 0.45 ≈ 0.648; b=5 → p=0.114 → T=ceil(ln .02 / ln .886)=33
+    assert(math.abs(Ann.hyperplaneP1(0.45) - 0.6485) < 1e-3)
+    assert(Ann.tablesFor(5, 0.45) === 33)
+    assert(Ann.tablesFor(5, 0.45, recall = 0.95) === 25)
+    // higher threshold → fewer tables needed for the same recall
+    assert(Ann.tablesFor(5, 0.9) < Ann.tablesFor(5, 0.45))
+    assert(Ann.tablesFor(24, 0.45) === 64)    // clamp ceiling
+  }
+
   test("LSH topK returns a subset of the brute-force ranking including the query itself") {
     val data = vecs(200, 16)
     val df = data.toDF("vec_id", "embedding")

@@ -47,6 +47,16 @@ for name, sql in sorted(oracle.items()):
     bad = []
     for c in ocols:
         oc, sc = o[c], s[c]
+        # the driver's hash is dtype-sensitive: DuckDB HUGEINT sums become
+        # float64 in pandas while Spark writes int64, and the driver fails on
+        # the 99111.0-vs-99111 formatting even when values match (round 1:
+        # q_json_extract, q_sessionize). Mirror that by failing on any
+        # numeric-kind mismatch before the value compare.
+        okind, skind = oc.dtype.kind, sc.dtype.kind
+        if okind != skind and not (okind == "M" and skind == "M") \
+                and {okind, skind} != {"i", "u"}:
+            bad.append((c, f"dtype kind mismatch oracle={oc.dtype} spark={sc.dtype}"))
+            continue
         if str(oc.dtype).startswith("datetime") or str(sc.dtype).startswith("datetime"):
             oc = pd.to_datetime(oc).astype("datetime64[us]")
             sc = pd.to_datetime(sc).astype("datetime64[us]")
