@@ -738,5 +738,30 @@ object SparkEntry {
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(len(text) AS BIGINT) AS n_chars
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+    // FNV-1a replicated in DuckDB: HUGEINT arithmetic mod 2^64 for the
+    // wrapping multiply; byte xor touches only the low 8 bits so it runs as
+    // BIGINT xor on (h % 256). Valid because the corpus is ASCII
+    // (octet_length == len, asserted by q_multimodal_bytes matching), so
+    // ord(char) == byte. Verifies the decode-stub plumbing end to end:
+    // width/height are floorMod of the signed/shifted hash.
+    "q_multimodal_meta" ->
+      """WITH h AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb, list_reduce(
+        |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |      [CAST(ord(text[i]) AS HUGEINT) FOR i IN range(1, len(text)+1)]),
+        |    (a, b) -> ((a - (a % 256) + xor(CAST(a % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % 18446744073709551616
+        |  ) AS hu
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id, nb, hu,
+        |    CASE WHEN hu >= 9223372036854775808 THEN CAST(hu - 18446744073709551616 AS BIGINT)
+        |         ELSE CAST(hu AS BIGINT) END AS hsv
+        |  FROM h
+        |)
+        |SELECT doc_id AS media_id, 'image/png' AS mime,
+        |  CAST(640 + ((hsv % 1280) + 1280) % 1280 AS INT) AS width,
+        |  CAST(360 + (hu // 4294967296) % 720 AS INT) AS height,
+        |  CAST(nb AS BIGINT) AS n_bytes, hsv AS sha_like
+        |FROM hs""".stripMargin)
 }

@@ -132,6 +132,28 @@ final case class Topology(entities: Map[String, Entity], workflow: Seq[(String, 
     val edges = workflow.map { case (a, b) => s"""  "$a" -> "$b";""" }
     (Seq("digraph topology {") ++ nodes ++ edges ++ Seq("}")).mkString("\n")
   }
+
+  /** DOT rendering with per-entity experiment results overlaid — the
+    * reference's post-experiment visualization (`wv/view-topology` after
+    * `we/run-experiment`, `core.clj:237`): each node label shows up to
+    * `maxRows` of that entity's output plus a row count.
+    */
+  def toDot(results: Map[String, Array[org.apache.spark.sql.Row]], maxRows: Int = 3): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val nodes = entities.toSeq.sortBy(_._1).map { case (n, e) =>
+      val shape = e match { case _: Topic => "cylinder"; case _: Stream => "box" }
+      results.get(n) match {
+        case Some(rows) =>
+          val shown = rows.take(maxRows)
+            .map(r => esc(r.mkString("(", ", ", ")"))).mkString("\\n")
+          val suffix = s"\\n[${rows.length} rows]"
+          s"""  "$n" [shape=$shape, label="${esc(n)}\\n$shown$suffix"];"""
+        case None => s"""  "$n" [shape=$shape];"""
+      }
+    }
+    val edges = workflow.map { case (a, b) => s"""  "$a" -> "$b";""" }
+    (Seq("digraph topology {") ++ nodes ++ edges ++ Seq("}")).mkString("\n")
+  }
 }
 
 object Topology {

@@ -119,4 +119,20 @@ class TopologySpec extends SparkSpec {
     ReferenceOps.transactionTopology.entities.keys.foreach(n => assert(dot.contains(n)))
     assert(dot.linesIterator.count(_.contains("->")) === 4)
   }
+
+  test("toDot overlays experiment results per entity (core.clj:237)") {
+    val t = ReferenceOps.transactionTopology
+    val results = t.experiment(Map(
+      "purchase-made"        -> purchases((1, 200, 1234, 100)),
+      "humble-donation-made" -> donations((2, 2345, 15000))))
+    val dot = t.toDot(results)
+    assert(dot.startsWith("digraph"))
+    // every entity annotated with its row count; sink shows the two outputs
+    t.entities.keys.foreach(n => assert(dot.contains(s""""$n"""")))
+    assert(dot.contains(s"[${results("large-transaction-made").length} rows]"))
+    assert(dot.contains("1234")) // a value from the purchase row is rendered
+    assert(dot.linesIterator.count(_.contains("->")) === 4)
+    // structure-only rendering unchanged
+    assert(!t.toDot.contains("rows]"))
+  }
 }

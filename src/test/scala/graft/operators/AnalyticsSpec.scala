@@ -75,6 +75,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.head.getDouble(3) === 42.0)
   }
 
+  test("approx_count_distinct tracks the exact distinct count within its error bound (sf0.01 events)") {
+    // q_approx_distinct has no SQL oracle (HLL sketches are engine-specific);
+    // this pins the estimate to the exact count on real data instead. rsd =
+    // 0.01 → allow 5 sigma ≈ 5% before flagging.
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val rows = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact drifts > 5%")
+    }
+  }
+
   test("rollupAgg labels grouping-set nulls and keeps leaf rows") {
     val df = Seq(("r1", "n1", 10.0), ("r1", "n2", 20.0), ("r2", "n3", 5.0))
       .toDF("region", "nation", "rev")
