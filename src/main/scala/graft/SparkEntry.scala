@@ -6,6 +6,7 @@ import graft.core.Topology
 import graft.operators.{Analytics, ReferenceOps}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.dedup.Dedup
+import graft.pipeline.TrainingData
 import graft.similarity.Ann
 import graft.multimodal.Multimodal
 
@@ -416,6 +417,34 @@ object SparkEntry {
     idx.topK(indexed, "embedding", "vec_id", queryVec(s, dir), k = 20)
   }
 
+  // ------------------------------------------- training-data pipeline ops
+
+  /** Benchmark decontamination: docs with doc_id % 4 == 0 play the benchmark
+    * corpus, the rest are training docs; report shared-5-gram containment.
+    */
+  private def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TrainingData.contaminationReport(
+      d.filter(col("doc_id") % 4 =!= 0), d.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", n = 5)
+  }
+
+  /** Token-budget sequence packing: 2000-token packs in doc_id order. */
+  private def packBudgetedQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.packBudgeted(t(s, dir, "documents"), "doc_id", "text", budget = 2000)
+
+  /** Content-addressed 80/10/10 split over the document text hash. */
+  private def trainSplitQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.contentSplit(t(s, dir, "documents"), "text", valPct = 10, testPct = 10)
+
+  /** Seeded per-language stratified sample (rows-only: Bernoulli sampling is
+    * engine-RNG-specific; determinism + proportions are spec-gated).
+    */
+  private def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.stratifiedSample(t(s, dir, "documents"), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25), seed = 7L)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+
   // ------------------------------------------------------------- multimodal
 
   private def multimodalBytes(s: SparkSession, dir: String): DataFrame =
@@ -479,7 +508,11 @@ object SparkEntry {
     "q_topk_cosine"         -> (topkCosine(_, _)),
     "q_ann_lsh"             -> (annLsh(_, _)),
     "q_multimodal_bytes"    -> (multimodalBytes(_, _)),
-    "q_multimodal_meta"     -> (multimodalMeta(_, _)))
+    "q_multimodal_meta"     -> (multimodalMeta(_, _)),
+    "q_decontaminate"       -> (decontaminateQ(_, _)),
+    "q_pack_budgeted"       -> (packBudgetedQ(_, _)),
+    "q_train_split"         -> (trainSplitQ(_, _)),
+    "q_stratified_sample"   -> (stratifiedSampleQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -739,6 +772,45 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(len(text) AS BIGINT) AS n_chars
         |FROM documents""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS shingles
+         |  FROM toksrc WHERE len(w) >= 5
+         |), bs AS (
+         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 4 = 0
+         |), hits AS (
+         |  SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_shared
+         |  FROM (SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+         |        FROM sh WHERE doc_id % 4 != 0) t
+         |  JOIN bs USING (s) GROUP BY 1, 2
+         |)
+         |SELECT doc_id, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS containment
+         |FROM hits""".stripMargin,
+    "q_pack_budgeted" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len($duckToks) AS n_tokens FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_after
+         |  FROM d
+         |)
+         |SELECT CAST(FLOOR((cum_after - n_tokens) / 2000.0) AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM c GROUP BY 1""".stripMargin,
+    "q_train_split" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(5381 AS BIGINT), [CAST(ord(text[i]) AS BIGINT) FOR i IN range(1, len(text)+1)]),
+         |      (a, x) -> (a * 31 + x) % 1000000007) % 100 AS bucket,
+         |    len($duckToks) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM f GROUP BY 1""".stripMargin,
     // FNV-1a replicated in DuckDB: HUGEINT arithmetic mod 2^64 for the
     // wrapping multiply; byte xor touches only the low 8 bits so it runs as
     // BIGINT xor on (h % 256). Valid because the corpus is ASCII

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: benchmark decontamination, token-budget sequence
+  * packing, content-addressed dataset splits, and stratified sampling.
+  * (North-star scope — the reference, a streaming ETL walkthrough, has no
+  * counterpart; these extend the engine the same way the dedup/similarity
+  * modules do.)
+  */
+object TrainingData {
+
+  /** Benchmark decontamination report: for every training document sharing at
+    * least one word n-gram with the benchmark corpus, the number of distinct
+    * shared shingles and the containment ratio shared/|train shingles|
+    * (Brown et al., NeurIPS'20 appendix-C-style n-gram overlap filtering).
+    *
+    * Scale shape: the benchmark side is the small one (benchmarks are KBs to
+    * MBs while training corpora are TBs), so its distinct-shingle set is
+    * broadcast and the training side streams through a broadcast hash join —
+    * no shuffle of the training corpus at all. The per-doc aggregation
+    * shuffles only (doc_id, shingle-hit) rows for contaminated docs, a tiny
+    * fraction of the corpus. `maxDocFreq` (0 = off) drops shingles present in
+    * more than that many BENCHMARK docs (boilerplate guards).
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame, idCol: String,
+                          textCol: String, n: Int = 5,
+                          maxDocFreq: Int = 0): DataFrame = {
+    val trainSh = Dedup.shingleSets(train, idCol, textCol, n)
+      .filter(size(col("shingles")) > 0)
+    val benchShingle = {
+      val exploded = Dedup.shingleSets(bench, idCol, textCol, n)
+        .select(col("doc_id"), explode(col("shingles")).as("s"))
+      val capped =
+        if (maxDocFreq <= 0) exploded.select("s").distinct()
+        else exploded.groupBy(col("s"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") <= maxDocFreq).select("s")
+      capped
+    }
+    trainSh
+      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+        explode(col("shingles")).as("s"))
+      .join(broadcast(benchShingle), "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("containment"))
+  }
+
+  /** Token-budget sequence packing: documents are laid out in `orderCol`
+    * order and assigned to consecutive packs of ~`budget` tokens by
+    * cumulative token count (pack_id = floor(cumsum_before / budget) — the
+    * deterministic streaming-concatenation layout; a doc whose tokens
+    * straddle a boundary belongs to the pack where it starts). Returns one
+    * row per pack with doc and token totals.
+    *
+    * Scale note: a single global window is a one-reducer sort at 100 TB — at
+    * scale the ordering column is a (shard, offset) pair and the window runs
+    * per shard (range-partitioned), packs numbered shard-locally then offset
+    * by a per-shard prefix sum of pack counts (a tiny driver-side exclusive
+    * scan over shard aggregates, same pattern as file-stitching writers).
+    */
+  def packBudgeted(df: DataFrame, orderCol: String, textCol: String,
+                   budget: Long): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(orderCol),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum_after", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id", ((col("cum_after") - col("n_tokens")) / budget).cast("long"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  /** Content-addressed train/val/test split: the split is a pure function of
+    * the document TEXT (via the deterministic [[TextFunctions.fingerprintMod]]
+    * rolling hash), not of row ids or RNG — so it is stable across re-shards,
+    * re-ingestion, and engines, and duplicate texts always land in the same
+    * split (no train/test leakage through near-identical rows). `valPct` and
+    * `testPct` are percentages of the 0-99 hash space.
+    *
+    * Scale shape: embarrassingly parallel map + one partial-aggregated
+    * shuffle of 3 rows per partition.
+    */
+  def contentSplit(df: DataFrame, textCol: String,
+                   valPct: Int = 1, testPct: Int = 1): DataFrame = {
+    require(valPct + testPct < 100, "val+test must leave room for train")
+    val bucket = pmod(TextFunctions.fingerprintMod(col(textCol)), lit(100))
+    val split = when(bucket < lit(100 - valPct - testPct), "train")
+      .when(bucket < lit(100 - testPct), "val")
+      .otherwise("test")
+    df.select(split.as("split"),
+        TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+  }
+
+  /** Per-stratum Bernoulli sampling with a deterministic seed — class
+    * rebalancing / downsampling by label. Exact per-row independence (no
+    * fixed-size guarantee) is the shape that scales: no count, no sort, no
+    * shuffle; each row keeps or drops itself from a hash of (seed, row).
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+                       fractions: Map[String, Double], seed: Long): DataFrame =
+    df.stat.sampleBy(strataCol, fractions, seed)
+}

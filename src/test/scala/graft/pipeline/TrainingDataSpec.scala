@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: decontamination overlap math,
+  * token-budget packing layout, content-split stability, seeded sampling.
+  */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val phrase = "the quick brown fox jumps over the lazy dog tonight"
+
+  test("contaminationReport flags exactly the train docs sharing an n-gram with bench") {
+    val train = Seq(
+      (1L, phrase),                                                   // contaminated: contains bench 5-grams
+      (2L, "completely different words about spark catalyst planning and codegen")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, phrase + " extra tail words here")).toDF("doc_id", "text")
+    val out = TrainingData.contaminationReport(train, bench, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).toSet === Set(1L))
+    val (_, shared, containment) = out.head
+    // doc 1 has 6 distinct 5-grams (10 tokens), all contained in bench
+    assert(shared === 6L)
+    assert(containment === 1.0)
+  }
+
+  test("contaminationReport maxDocFreq drops benchmark boilerplate shingles") {
+    val train = Seq((1L, phrase)).toDF("doc_id", "text")
+    // the shared shingles appear in 3 bench docs; cap at 2 kills them
+    val bench = (100L to 102L).map(i => (i, phrase)).toDF("doc_id", "text")
+    val capped = TrainingData.contaminationReport(train, bench, "doc_id", "text",
+      n = 5, maxDocFreq = 2)
+    assert(capped.count() === 0)
+    val uncapped = TrainingData.contaminationReport(train, bench, "doc_id", "text", n = 5)
+    assert(uncapped.count() === 1)
+  }
+
+  test("packBudgeted assigns docs to packs by cumulative token count") {
+    // 4 docs of 3 tokens each, budget 5: cum_before = 0,3,6,9 → packs 0,0,1,1
+    val docs = (1L to 4L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    val out = TrainingData.packBudgeted(docs, "doc_id", "text", budget = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out === Seq((0L, 2L, 6L), (1L, 2L, 6L)))
+  }
+
+  test("contentSplit is a pure function of text: duplicates share a split, ids don't matter") {
+    val a = Seq((1L, phrase), (2L, phrase), (3L, "some other document text entirely"))
+      .toDF("doc_id", "text")
+    val out = TrainingData.contentSplit(a, "text", valPct = 30, testPct = 30).collect()
+    assert(out.map(_.getLong(1)).sum === 3)
+    // identical text twice → both rows in one split bucket (n_docs for that
+    // split counts both), so no split has exactly 1 of the duplicated text
+    val withDup = out.find(_.getLong(1) >= 2)
+    assert(withDup.isDefined)
+    intercept[IllegalArgumentException] {
+      TrainingData.contentSplit(a, "text", valPct = 60, testPct = 40)
+    }
+  }
+
+  test("stratifiedSample is seed-deterministic and tracks requested fractions (sf0.01)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val fr = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
+    val s1 = TrainingData.stratifiedSample(docs, "lang", fr, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = TrainingData.stratifiedSample(docs, "lang", fr, seed = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2) // same seed → identical sample
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = TrainingData.stratifiedSample(docs, "lang", fr, seed = 7L)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Bernoulli sd on the smallest stratum (~64 rows at 0.25) is ~0.054;
+    // gate at ~4 sigma so the check catches wrong-fraction bugs, not noise
+    fr.foreach { case (lang, f) =>
+      val got = sampled.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(got - f) < 0.22, s"$lang sampled $got vs requested $f")
+    }
+  }
+}
