@@ -313,8 +313,8 @@ object SparkEntry {
     // Ann.tablesFor): fixed bits degrade to near-all-pairs as the corpus
     // grows, fixed tables lose recall as bits grow
     Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
-      dim = 64, threshold = 0.45,
-      bits = Ann.bitsFor(tableCount(s, dir, "embeddings")), tables = 0)
+      dim = 64, threshold = 0.45, bits = 0, tables = 0,
+      n = tableCount(s, dir, "embeddings"))
 
   // ---------------------------------------------------------- text analysis
 

@@ -280,7 +280,10 @@ object Dedup {
     */
   def embeddingNearDupExact(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val base = df.select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
+    // fan out the streamed side: the quadratic dot loop must not run on a
+    // single small-file scan split (no-op at scale)
+    val base = graft.operators.Par.fanOut(df)
+      .select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val a = base.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -309,15 +312,27 @@ object Dedup {
     */
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                           threshold: Double, bits: Int = 0, tables: Int = 0,
-                          seed: Long = 42L, maxBucket: Int = 2000): DataFrame = {
+                          seed: Long = 42L, maxBucket: Int = 2000,
+                          n: Long = -1L, broadcastMaxRows: Long = 500000L): DataFrame = {
     // bits <= 0 → size from the corpus so buckets stay ~64 rows; fixed bits
     // on a grown corpus silently degrades to near-all-pairs (see Ann.bitsFor).
     // tables <= 0 → size from (bits, threshold) to hold ≥95% recall
     // (Ann.tablesFor); fixed tables with growing bits silently loses recall.
-    val sizedBits = if (bits > 0) bits else graft.similarity.Ann.bitsFor(df.count())
+    // n: caller-known corpus size (skips a count job when memoized upstream).
+    val corpusN = if (n > 0) n else df.count()
+    val sizedBits = if (bits > 0) bits else graft.similarity.Ann.bitsFor(corpusN)
     val sizedTables = if (tables > 0) tables
       else graft.similarity.Ann.tablesFor(sizedBits, threshold)
     val index = graft.similarity.Ann.LshIndex(dim, sizedBits, sizedTables, seed)
+    // The candidate list is O(n·T/2^b) rows while the vector table is O(n):
+    // when the vectors fit (≤ broadcastMaxRows ≈ 250 MB at dim 64) the
+    // verification joins MUST be broadcast — Spark's size estimate for a
+    // derived projection can exceed autoBroadcastJoinThreshold and silently
+    // flip both joins to sort-merge over the huge candidate side (measured
+    // 66 s vs 4 s on a 20k-vector corpus). Above the cap a shuffle join is
+    // the right plan anyway.
+    val bcast: DataFrame => DataFrame =
+      if (corpusN <= broadcastMaxRows) broadcast(_) else identity
     val vecs = df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val withB = index.withBuckets(vecs.select("doc_id", "v"), "v")
@@ -342,8 +357,8 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
     cand
-      .join(vecs.select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
-      .join(vecs.select(col("doc_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .join(bcast(vecs.select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na"))), "a")
+      .join(bcast(vecs.select(col("doc_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))), "b")
       .select(col("a"), col("b"),
         round(VectorFunctions.cosinePrenormed(
           VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
