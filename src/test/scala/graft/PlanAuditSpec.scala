@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the properties that make these queries scale —
+  * filter/column pushdown into the parquet scan, broadcast joins on small
+  * sides, TakeOrderedAndProject for top-k, map-side partial aggregation —
+  * asserted on the REAL driver queries so a refactor can't silently trade
+  * them away. Plans are inspected at sf0.001 (planning is scale-independent;
+  * AQE may re-plan at runtime but only ever in the same or better direction
+  * for these shapes).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("q_filter_project: predicate and projection reach the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(o_totalprice,250000.0)"), p)
+    // pruned read schema: only the three projected columns are scanned
+    assert(p.contains("o_orderkey") && !p.contains("o_orderdate"), p)
+  }
+
+  test("q_sql_q3: the orderstatus filter is pushed into the orders scan") {
+    val p = plan("q_sql_q3")
+    assert(p.contains("EqualTo(o_orderstatus,O)"), p)
+  }
+
+  test("q_join_agg: dimension joins broadcast; aggregation is partial+final") {
+    val p = plan("q_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine before the exchange
+  }
+
+  // formatted mode prints each operator twice (tree + numbered detail
+  // section) — count exchanges via the numbered detail headers
+  private def exchanges(p: String): Int =
+    "\\(\\d+\\) Exchange".r.findAllIn(p).length
+
+  test("q1_agg: map-side partial aggregation before the single exchange") {
+    val p = plan("q1_agg")
+    assert(p.contains("partial_sum") && p.contains("partial_count"), p)
+    assert(exchanges(p) === 1, p)
+  }
+
+  test("q_topk_orders: top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q_range_join: literal-small bands side is broadcast-nested-loop") {
+    val p = plan("q_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_embed_near_dup_lsh: verification joins broadcast the vector side") {
+    val p = plan("q_embed_near_dup_lsh")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_decontaminate: benchmark shingle set is the broadcast side") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_sessionize: one shuffle shared by both windows and the aggregation") {
+    val p = plan("q_sessionize")
+    // the lag window, the running-sum window and the final groupBy all
+    // partition by user_id — the plan must not re-exchange between them
+    assert(exchanges(p) === 1, p)
+  }
+}
