@@ -232,16 +232,57 @@ object Dedup {
     * Returns (doc_id, keep_id) for every document that appears in a pair —
     * rows with doc_id != keep_id are the ones a dedup pass drops.
     *
-    * Implementation: iterative min-label propagation entirely in DataFrames
-    * — per round, every node adopts the smallest label among itself and its
-    * neighbors; converges in O(component diameter) rounds (near-dup
-    * components are shallow in practice: duplicates of a common source).
-    * Each round is one shuffle on the pair edge list; no driver-side graph.
+    * Two paths, size-gated on the EDGE count (one cheap job):
+    *  - `≤ maxDriverEdges`: union-find on the driver. The verified near-dup
+    *    pair set is orders of magnitude smaller than the corpus (it is the
+    *    output of the LSH+verify funnel), so even 100 TB corpora typically
+    *    yield driver-sized pair graphs; a distributed iteration on a 255-edge
+    *    graph is pure scheduling overhead (measured 2.6 s vs ~0.1 s).
+    *  - otherwise: iterative min-label propagation entirely in DataFrames —
+    *    per round, every node adopts the smallest label among itself and its
+    *    neighbors; converges in O(component diameter) rounds (near-dup
+    *    components are shallow: duplicates of a common source). Each round is
+    *    one shuffle on the edge list; no driver-side graph.
+    * Both paths are asserted equal in DedupSpec.
     */
   def resolveDuplicates(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
-                        maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+                        maxRounds: Int = 20, maxDriverEdges: Long = 1L << 22): DataFrame = {
+    val spark = pairs.sparkSession
+    // persist the skinny (u, v) projection: the size gate needs a count and
+    // whichever path follows re-reads the edges — without this the whole
+    // upstream pair pipeline (LSH + verification) would execute twice
+    val rawEdges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .persist()
+    val nEdges = rawEdges.count()
+    if (nEdges <= maxDriverEdges) {
+      // union-find with path compression; roots then remapped to the
+      // component minimum so the semantics match the distributed path
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      val collected = rawEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      collected.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      val allNodes = collected.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+      allNodes.foreach { id =>
+        val r = find(id)
+        minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+      }
+      import spark.implicits._
+      rawEdges.unpersist()
+      return allNodes.toSeq.sorted.map(id => (id, minOfRoot(find(id))))
+        .toDF("id", "keep_id")
+    }
+    val edges = rawEdges
+      .unionByName(rawEdges.select(col("v").as("u"), col("u").as("v")))
       .distinct().cache()
     // Each round references the previous labels twice (propagate + converge
     // check), so the logical plan would DOUBLE per round without lineage
@@ -270,6 +311,7 @@ object Dedup {
       round += 1
     }
     edges.unpersist()
+    rawEdges.unpersist()
     labels
   }
 

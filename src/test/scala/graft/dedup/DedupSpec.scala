@@ -162,4 +162,16 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 12)
     assert(out.values.toSet === Set(1L))
   }
+
+  test("resolveDuplicates: driver union-find and distributed propagation agree") {
+    // maxDriverEdges = 0 forces the distributed path on the same graph
+    val pairs = Seq((2L, 1L), (2L, 3L), (9L, 5L), (7L, 8L), (8L, 9L))
+      .toDF("a", "b")
+    val fast = Dedup.resolveDuplicates(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.resolveDuplicates(pairs, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === dist)
+    assert(fast === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 5L))
+  }
 }
