@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Reproduces the README "scale probe": blows the sf0.1 test corpus up 10×
+  * (each doc/vector duplicated with jitter — the realistic near-dup shape)
+  * into /tmp, then times the dedup/similarity pipelines on it. Run:
+  * `sbt "runMain graft.ScaleProbe"` (env `SPARK_GRAFT_SF_DIR` overrides the
+  * source corpus).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val copies = spark.range(10).select(col("id").as("copy"))
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .crossJoin(copies)
+      .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+        // jitter: append a copy-specific token so copies are near- not exact dups
+        concat(col("text"), lit(" copytag"), col("copy")).as("text"))
+    docs.write.mode("overwrite").parquet("/tmp/graft_probe_docs")
+
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .crossJoin(copies)
+      .select((col("vec_id") * 10 + col("copy")).as("vec_id"),
+        transform(col("embedding"), x => x + (rand(42) - 0.5f) * lit(0.001f)).as("embedding"))
+    vecs.write.mode("overwrite").parquet("/tmp/graft_probe_vecs")
+
+    val d = spark.read.parquet("/tmp/graft_probe_docs")
+    val v = spark.read.parquet("/tmp/graft_probe_vecs")
+    println(s"docs=${d.count()} vecs=${v.count()}")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$n")
+    }
+    time("exact dedup") { graft.dedup.Dedup.exact(d, "text", "doc_id").count() }
+    time("minhash+lsh pairs") {
+      graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", 5, 0.8).count() }
+    time("ngram inverted index") {
+      graft.dedup.Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.8, maxDocFreq = 1000).count() }
+    time("simhash pairs") {
+      graft.dedup.Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3).count() }
+    time("embed near-dup exact") {
+      graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.45).count() }
+    time("embed near-dup lsh (auto)") {
+      graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.45).count() }
+    spark.stop()
+  }
+}
