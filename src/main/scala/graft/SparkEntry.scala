@@ -291,7 +291,8 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8)
 
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8)
+    Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8,
+      corpusN = tableCount(s, dir, "documents"))
 
   /** End-to-end dedup resolution: near-dup pairs → connected components →
     * keep/drop decision per involved doc. Oracle: a DuckDB recursive CTE
@@ -299,7 +300,8 @@ object SparkEntry {
     */
   private def dedupResolve(s: SparkSession, dir: String): DataFrame =
     Dedup.resolveDuplicates(
-      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8))
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8,
+        corpusN = tableCount(s, dir, "documents")))
       .orderBy(col("id"))
 
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =

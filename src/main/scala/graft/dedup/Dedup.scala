@@ -157,16 +157,23 @@ object Dedup {
     * shingle pair).
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
-                   threshold: Double, params: MinHashParams = MinHashParams()): DataFrame = {
+                   threshold: Double, params: MinHashParams = MinHashParams(),
+                   corpusN: Long = -1L, broadcastMaxRows: Long = 200000L): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
       .select(col("doc_id"), array_distinct(transform(col("shingles"), s => xxhash64(s))).as("hs"))
     val signed = df.select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), minhashSignature(col("shingles"), params).as("sig"))
     val cand = minhashCandidates(signed, params)
+    // broadcast the hashed-set side of verification when the caller knows
+    // the corpus fits (~200 MB at 1 KB/doc); Spark's estimate for the
+    // derived projection otherwise flips to a shuffle join (0.5 s of the
+    // 1.7 s query at sf0.1). Unknown count → leave the planner to decide.
+    val bcast: DataFrame => DataFrame =
+      if (corpusN >= 0 && corpusN <= broadcastMaxRows) broadcast(_) else identity
     cand
-      .join(sets.select(col("doc_id").as("a"), col("hs").as("sa")), "a")
-      .join(sets.select(col("doc_id").as("b"), col("hs").as("sb")), "b")
+      .join(bcast(sets.select(col("doc_id").as("a"), col("hs").as("sa"))), "a")
+      .join(bcast(sets.select(col("doc_id").as("b"), col("hs").as("sb"))), "b")
       .select(col("a"), col("b"), round(jaccard(col("sa"), col("sb")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
