@@ -148,6 +148,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs === brute)
   }
 
+  test("dirty input: null/empty/whitespace text flows through without crashing") {
+    // production corpora contain nulls and empties; the engine must degrade
+    // (null propagation / empty sets), never throw
+    val dirty = Seq((1L, "hello world of spark and more words here ok"),
+      (2L, null.asInstanceOf[String]), (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+    val sh = dirty.select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[String](1))).toMap
+    assert(sh(1L).get.nonEmpty)
+    assert(sh(2L).isEmpty)          // null text → null shingles
+    assert(sh(3L).get.isEmpty)      // empty text → empty set
+    assert(sh(4L).get.isEmpty)
+    assert(Dedup.exact(dirty, "text", "doc_id").count() === 4)
+    assert(Dedup.minhashPairs(dirty, "doc_id", "text", 3, 0.5).count() === 0)
+    // empty and whitespace-only both simhash to 0 → paired at hamming 0
+    val simPairs = Dedup.simhashPairs(dirty, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(simPairs.toSet === Set((3L, 4L)))
+  }
+
   test("resolveDuplicates: connected components keep the min id") {
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 5L)).toDF("a", "b") // chain 1-2-3, pair 5-9
     val out = Dedup.resolveDuplicates(pairs)
