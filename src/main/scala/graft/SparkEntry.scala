@@ -354,7 +354,7 @@ object SparkEntry {
     */
   private def tfidfQ(s: SparkSession, dir: String): DataFrame =
     Analytics.topPerKey(
-      TF.termStats(t(s, dir, "documents"), "doc_id", "text"),
+      TF.termStats(t(s, dir, "documents"), "doc_id", "text", broadcastVocab = true),
       col("doc_id"), Seq(col("tf").desc, col("term")), k = 5)
 
   /** Exact dedup after canonical normalization (case/punct/whitespace). */

@@ -136,15 +136,22 @@ object TextFunctions {
     * transformed score engine-specific.
     *
     * Scale shape: two shuffles (doc+term agg, term agg), the second over the
-    * much smaller distinct-term set; both partial-aggregated.
+    * much smaller distinct-term set; both partial-aggregated. With
+    * `broadcastVocab` the tf⋈df join broadcasts the document-frequency side
+    * — vocabulary grows sublinearly (Heaps' law), so it usually fits, and
+    * the big exploded tf table then avoids a third shuffle (re-keying from
+    * (doc, term) to term). Default off: a pathological vocabulary must not
+    * OOM the default path — opt in when the vocabulary is known to fit.
     */
   def termStats(df: org.apache.spark.sql.DataFrame, idCol: String,
-                textCol: String): org.apache.spark.sql.DataFrame = {
+                textCol: String,
+                broadcastVocab: Boolean = false): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    tf.join(dfreq, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
+    val dff = if (broadcastVocab) broadcast(dfreq) else dfreq
+    tf.join(dff, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
 
   /** Shingled (word n-gram) fingerprints: the rolling-hash of each n-word
