@@ -310,6 +310,14 @@ object SparkEntry {
   private def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
 
+  /** Cost-dispatched near-dup (the user-facing entry point): exact below
+    * the measured crossover, LSH above — oracle = the exact pair SQL, valid
+    * at verify scale where the dispatcher picks the exact path.
+    */
+  private def embedNearDupAuto(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
+      dim = 64, threshold = 0.45, n = tableCount(s, dir, "embeddings"))
+
   private def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
     // bits/tables = 0 → auto-size from corpus and threshold (Ann.bitsFor /
     // Ann.tablesFor): fixed bits degrade to near-all-pairs as the corpus
@@ -494,6 +502,7 @@ object SparkEntry {
     "q_dedup_resolve"       -> (dedupResolve(_, _)),
     "q_simhash_pairs"       -> (simhashPairs(_, _)),
     "q_embed_near_dup"      -> (embedNearDup(_, _)),
+    "q_embed_near_dup_auto" -> (embedNearDupAuto(_, _)),
     "q_embed_near_dup_lsh"  -> (embedNearDupLsh(_, _)),
     "q_token_count"         -> (tokenCounts(_, _)),
     "q_text_quality"        -> (textQuality(_, _)),
@@ -719,6 +728,10 @@ object SparkEntry {
         |FROM embeddings, generate_series(1, 64) AS g(i)
         |GROUP BY label, i""".stripMargin,
     "q_embed_near_dup" ->
+      s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
+         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+         |WHERE round($duckCos, 6) >= 0.45""".stripMargin,
+    "q_embed_near_dup_auto" ->
       s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
          |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
          |WHERE round($duckCos, 6) >= 0.45""".stripMargin,

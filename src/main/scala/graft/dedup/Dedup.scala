@@ -343,6 +343,21 @@ object Dedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** Cost-dispatched embedding near-dup — the entry point callers should
+    * use. Below `crossoverN` the exact all-pairs path wins: a recall-sound
+    * LSH config at low thresholds does as many candidate dots as exact
+    * (T·2^-b ≈ 1) plus pipeline overhead — measured tie at n=2k, 4× LSH win
+    * at n=20k (`graft.ScaleProbe`). Above it, auto-sized LSH. The same
+    * size-gating idea as [[resolveDuplicates]]' union-find fast path.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                       threshold: Double, n: Long = -1L,
+                       crossoverN: Long = 8192L): DataFrame = {
+    val corpusN = if (n > 0) n else df.count()
+    if (corpusN <= crossoverN) embeddingNearDupExact(df, idCol, vecCol, threshold)
+    else embeddingNearDupLsh(df, idCol, vecCol, dim, threshold, n = corpusN)
+  }
+
   /** LSH-blocked embedding near-dup: candidates share a random-hyperplane
     * bucket in at least one of `tables` tables, then exact cosine verifies.
     * Turns O(n²·d) into O(n·T·b·d + n²·T·2^-b·d): hashing is linear, and the

@@ -148,6 +148,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs === brute)
   }
 
+  test("embeddingNearDup dispatcher: exact below the crossover, LSH above") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.45)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // n=500 < default crossover → exact path, identical pairs
+    val auto = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 64, 0.45)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === exact)
+    // crossoverN = 0 forces the LSH path: subset with high recall
+    val forced = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 64, 0.45, crossoverN = 0L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(forced.subsetOf(exact) && forced.size >= exact.size - 1)
+  }
+
   test("dirty input: null/empty/whitespace text flows through without crashing") {
     // production corpora contain nulls and empties; the engine must degrade
     // (null propagation / empty sets), never throw
