@@ -465,6 +465,17 @@ object SparkEntry {
   private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.imageMeta(Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text")).toDF()
 
+  /** Frame sampling layout (every 3rd frame of the fake video): the
+    * (media_id, frame_index) multiplicity is deterministic — frame count =
+    * payload_bytes/1024 + 1 — so the explode/generator plumbing gets a real
+    * oracle even though the per-frame features are engine-specific fakes.
+    */
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSamples(
+        Multimodal.asMedia(t(s, dir, "documents"), "doc_id", "text"), everyN = 3, dim = 8)
+      .toDF()
+      .select(col("media_id"), col("frame_index").cast("long").as("frame_index"))
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -520,6 +531,7 @@ object SparkEntry {
     "q_ann_lsh"             -> (annLsh(_, _)),
     "q_multimodal_bytes"    -> (multimodalBytes(_, _)),
     "q_multimodal_meta"     -> (multimodalMeta(_, _)),
+    "q_multimodal_frames"   -> (multimodalFrames(_, _)),
     "q_decontaminate"       -> (decontaminateQ(_, _)),
     "q_pack_budgeted"       -> (packBudgetedQ(_, _)),
     "q_train_split"         -> (trainSplitQ(_, _)),
@@ -826,6 +838,10 @@ object SparkEntry {
          |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM f GROUP BY 1""".stripMargin,
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+        |CAST(unnest([i FOR i IN range(0, octet_length(encode(text)) // 1024 + 1, 3)]) AS BIGINT) AS frame_index
+        |FROM documents""".stripMargin,
     // FNV-1a replicated in DuckDB: HUGEINT arithmetic mod 2^64 for the
     // wrapping multiply; byte xor touches only the low 8 bits so it runs as
     // BIGINT xor on (h % 256). Valid because the corpus is ASCII
