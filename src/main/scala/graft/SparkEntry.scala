@@ -299,10 +299,11 @@ object SparkEntry {
     * over the exact-Jaccard pair graph (see [[duckResolveCte]]).
     */
   private def dedupResolve(s: SparkSession, dir: String): DataFrame =
+    // no orderBy: a global sort is an extra range-partition exchange and the
+    // driver's compare sorts rows itself
     Dedup.resolveDuplicates(
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8,
         corpusN = tableCount(s, dir, "documents")))
-      .orderBy(col("id"))
 
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
