@@ -456,6 +456,23 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25), seed = 7L)
       .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
 
+  /** Nearest-centroid assignment with FIXED centroids (the first 10 corpus
+    * vectors) — oracle-verifies the k-means/IVF assignment expression: the
+    * `-2·v·c + |c|²` score and the (distance, id) argmin tie-break are
+    * computed with identical left-to-right double arithmetic in DuckDB, so
+    * the full assignment matches bit-exactly. (Lloyd's training itself is
+    * iterative float-mean math — spec-verified, not oracle-able.)
+    */
+  private def kmeansAssignQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 10).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    graft.similarity.KMeans.Model(cents)
+      .assign(emb, "embedding")
+      .select(col("vec_id"), col("list").cast("long").as("list"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   private def multimodalBytes(s: SparkSession, dir: String): DataFrame =
@@ -508,6 +525,7 @@ object SparkEntry {
     "q_except"              -> (exceptQ(_, _)),
     "q_intersect"           -> (intersectQ(_, _)),
     "q_ivf_topk"            -> (ivfTopkQ(_, _)),
+    "q_kmeans_assign"       -> (kmeansAssignQ(_, _)),
     "q_dedup_exact"         -> (dedupExact(_, _)),
     "q_ngram_jaccard"       -> (ngramJaccard(_, _)),
     "q_minhash_lsh"         -> (minhashLsh(_, _)),
@@ -839,6 +857,17 @@ object SparkEntry {
          |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM f GROUP BY 1""".stripMargin,
+    "q_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) * -2.0
+        |    + list_sum([CAST(c.cemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) AS d
+        |  FROM embeddings e CROSS JOIN c
+        |)
+        |SELECT vec_id, CAST(cid AS BIGINT) AS list FROM (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM s
+        |) WHERE rn = 1""".stripMargin,
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id,
         |CAST(unnest([i FOR i IN range(0, octet_length(encode(text)) // 1024 + 1, 3)]) AS BIGINT) AS frame_index
