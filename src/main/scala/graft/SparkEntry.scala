@@ -601,6 +601,15 @@ object SparkEntry {
       |(sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])) *
       | sqrt(list_sum([CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])))""".stripMargin
 
+  /** Exact cosine near-dup pairs — shared by q_embed_near_dup and the
+    * cost-dispatched q_embed_near_dup_auto (same semantics, one string to
+    * keep in sync).
+    */
+  private val duckNearDupSql =
+    s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
+       |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+       |WHERE round($duckCos, 6) >= 0.45""".stripMargin
+
   private val duckLangId = {
     val cases = TF.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       s"{'s': len(list_intersect(toks, ${sqlList(words)})) / ${words.size}.0, 'l': '$lang'}"
@@ -758,14 +767,8 @@ object SparkEntry {
         |round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid
         |FROM embeddings, generate_series(1, 64) AS g(i)
         |GROUP BY label, i""".stripMargin,
-    "q_embed_near_dup" ->
-      s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
-         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-         |WHERE round($duckCos, 6) >= 0.45""".stripMargin,
-    "q_embed_near_dup_auto" ->
-      s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
-         |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-         |WHERE round($duckCos, 6) >= 0.45""".stripMargin,
+    "q_embed_near_dup"      -> duckNearDupSql,
+    "q_embed_near_dup_auto" -> duckNearDupSql,
     "q_token_count" ->
       s"""SELECT lang, CAST(SUM(len($duckToks)) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
          |FROM documents GROUP BY lang""".stripMargin,
@@ -858,15 +861,17 @@ object SparkEntry {
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM f GROUP BY 1""".stripMargin,
     "q_kmeans_assign" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 10),
+      """WITH c AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb
+        |  FROM embeddings WHERE vec_id < 10),
         |s AS (
-        |  SELECT e.vec_id, c.cid,
+        |  SELECT e.vec_id, c.cidx,
         |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) * -2.0
         |    + list_sum([CAST(c.cemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) AS d
         |  FROM embeddings e CROSS JOIN c
         |)
-        |SELECT vec_id, CAST(cid AS BIGINT) AS list FROM (
-        |  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM s
+        |SELECT vec_id, CAST(cidx AS BIGINT) AS list FROM (
+        |  SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM s
         |) WHERE rn = 1""".stripMargin,
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id,

@@ -124,14 +124,7 @@ final case class Topology(entities: Map[String, Entity], workflow: Seq[(String, 
     compile(inputs).map { case (name, df) => name -> df.collect() }
 
   /** DOT rendering of the DAG (T4, `wv/view-topology`, `core.clj:204`). */
-  def toDot: String = {
-    val nodes = entities.toSeq.sortBy(_._1).map {
-      case (n, _: Topic)  => s"""  "$n" [shape=cylinder];"""
-      case (n, _: Stream) => s"""  "$n" [shape=box];"""
-    }
-    val edges = workflow.map { case (a, b) => s"""  "$a" -> "$b";""" }
-    (Seq("digraph topology {") ++ nodes ++ edges ++ Seq("}")).mkString("\n")
-  }
+  def toDot: String = toDot(Map.empty)
 
   /** DOT rendering with per-entity experiment results overlaid — the
     * reference's post-experiment visualization (`wv/view-topology` after

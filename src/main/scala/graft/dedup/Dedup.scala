@@ -257,11 +257,17 @@ object Dedup {
     val spark = pairs.sparkSession
     // persist the skinny (u, v) projection: the size gate needs a count and
     // whichever path follows re-reads the edges — without this the whole
-    // upstream pair pipeline (LSH + verification) would execute twice
-    val rawEdges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
-      .persist()
+    // upstream pair pipeline (LSH + verification) would execute twice.
+    // Ids keep their original type: min/least propagate any orderable type,
+    // and casting (e.g. string ids) to long would null them out.
+    val rawEdges = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
+    val integralIds = {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      Seq(ByteType, ShortType, IntegerType, LongType).contains(rawEdges.schema.head.dataType)
+    }
     val nEdges = rawEdges.count()
-    if (nEdges <= maxDriverEdges) {
+    // the union-find fast path is long-keyed — only integral id types take it
+    if (integralIds && nEdges <= maxDriverEdges) {
       // union-find with path compression; roots then remapped to the
       // component minimum so the semantics match the distributed path
       val parent = scala.collection.mutable.LongMap.empty[Long]
@@ -272,7 +278,9 @@ object Dedup {
         while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
         r
       }
-      val collected = rawEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val collected = rawEdges
+        .select(col("u").cast("long"), col("v").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
       collected.foreach { case (u, v) =>
         val (ru, rv) = (find(u), find(v))
         if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
@@ -285,8 +293,10 @@ object Dedup {
       }
       import spark.implicits._
       rawEdges.unpersist()
+      val idType = pairs.schema(pairs.schema.fieldIndex(aCol)).dataType
       return allNodes.toSeq.sorted.map(id => (id, minOfRoot(find(id))))
         .toDF("id", "keep_id")
+        .select(col("id").cast(idType).as("id"), col("keep_id").cast(idType).as("keep_id"))
     }
     val edges = rawEdges
       .unionByName(rawEdges.select(col("v").as("u"), col("u").as("v")))
@@ -366,8 +376,11 @@ object Dedup {
     * (e.g. the sf0.1 corpus, n=2000) a recall-sound config has T·2^-b ≈ 1,
     * i.e. as many candidate dots as exact all-pairs — LSH ties exact there
     * and pulls ahead as n grows, because the n² term carries the 2^-b factor
-    * while exact doesn't. Recall < 1 by nature of LSH — auto-sizing holds it
-    * ≥98% per pair at the stated threshold (see Ann.tablesFor).
+    * while exact doesn't. Recall < 1 by nature of LSH — auto-sizing TARGETS
+    * 98% per pair at the stated threshold (Ann.tablesFor), but the 64-table
+    * clamp binds at large n/low thresholds; check
+    * Ann.expectedRecall(bits, tables, threshold) for the achieved value and
+    * raise the threshold or switch methods if it is too low.
     *
     * Scale shape: candidate generation shuffles only (table, bucket, id) —
     * 20 bytes/row·table — and pairs are deduped as bare (a, b) id pairs

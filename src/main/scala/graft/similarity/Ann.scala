@@ -49,6 +49,19 @@ object Ann {
     else math.max(4, math.min(64, math.ceil(math.log1p(-recall) / math.log1p(-p)).toInt))
   }
 
+  /** Per-pair recall actually achieved at the threshold by a (bits, tables)
+    * config: `1-(1-p1^bits)^tables`. The 64-table clamp in [[tablesFor]]
+    * binds once `bits ≳ 8` at low thresholds — hyperplane LSH fundamentally
+    * cannot hold 98% recall there (the required T grows as (1/p1)^bits) —
+    * so callers sizing for large corpora MUST check this value rather than
+    * assume the target: if it is too low, raise the similarity threshold,
+    * accept the recall, or switch to a graph/IVF ANN method.
+    */
+  def expectedRecall(bits: Int, tables: Int, cosineThreshold: Double): Double = {
+    val p = math.pow(hyperplaneP1(cosineThreshold), bits)
+    1.0 - math.pow(1.0 - p, tables.toDouble)
+  }
+
   /** Exact cosine top-k for one query vector. The query is a literal constant
     * folded into codegen — no join, single pass.
     */

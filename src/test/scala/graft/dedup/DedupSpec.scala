@@ -196,6 +196,15 @@ class DedupSpec extends SparkSpec {
     assert(out.values.toSet === Set(1L))
   }
 
+  test("resolveDuplicates works with non-numeric (string) ids via the distributed path") {
+    // string ids cannot take the long-keyed union-find fast path; they must
+    // fall through to min-label propagation, which orders lexicographically
+    val pairs = Seq(("b", "a"), ("b", "c"), ("z", "x")).toDF("a", "b")
+    val out = Dedup.resolveDuplicates(pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "z" -> "x"))
+  }
+
   test("resolveDuplicates: driver union-find and distributed propagation agree") {
     // maxDriverEdges = 0 forces the distributed path on the same graph
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 5L), (7L, 8L), (8L, 9L))

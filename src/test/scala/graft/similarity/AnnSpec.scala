@@ -34,6 +34,10 @@ class AnnSpec extends SparkSpec {
     // higher threshold → fewer tables needed for the same recall
     assert(Ann.tablesFor(5, 0.9) < Ann.tablesFor(5, 0.45))
     assert(Ann.tablesFor(24, 0.45) === 64)    // clamp ceiling
+    // when the clamp binds, expectedRecall reports the ACHIEVED (lower)
+    // recall so callers can detect the degradation instead of assuming 98%
+    assert(Ann.expectedRecall(5, Ann.tablesFor(5, 0.45), 0.45) >= 0.98)
+    assert(Ann.expectedRecall(12, 64, 0.45) < 0.5)
   }
 
   test("LSH topK returns a subset of the brute-force ranking including the query itself") {

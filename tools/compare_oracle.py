@@ -53,8 +53,7 @@ for name, sql in sorted(oracle.items()):
         # q_json_extract, q_sessionize). Mirror that by failing on any
         # numeric-kind mismatch before the value compare.
         okind, skind = oc.dtype.kind, sc.dtype.kind
-        if okind != skind and not (okind == "M" and skind == "M") \
-                and {okind, skind} != {"i", "u"}:
+        if okind != skind and {okind, skind} != {"i", "u"}:
             bad.append((c, f"dtype kind mismatch oracle={oc.dtype} spark={sc.dtype}"))
             continue
         if str(oc.dtype).startswith("datetime") or str(sc.dtype).startswith("datetime"):

@@ -10,6 +10,7 @@ sbt -batch test
 rm -rf /tmp/graft_gate
 sbt -batch "runMain graft.Verify $SF /tmp/graft_gate"
 python3 tools/compare_oracle.py "$SF" /tmp/graft_gate
+rm -f /tmp/graft_bench.json   # never report a stale bench as green
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
 SPARK_GRAFT_OUT=/tmp/graft_bench.json \
