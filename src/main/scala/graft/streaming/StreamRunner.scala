@@ -94,6 +94,38 @@ object StreamRunner {
                      keyCols: Seq[String]): DataFrame =
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-static enrichment join: every micro-batch hash-joins against the
+    * static dimension (re-resolved per batch, so a refreshed dim table is
+    * picked up). Broadcast by default — the dim is the small side in the
+    * enrichment shape; disable for dims that don't fit an executor.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
+             broadcastDim: Boolean = true): DataFrame =
+    stream.join(if (broadcastDim) broadcast(dim) else dim, keys)
+
+  /** One micro-batch of [[idempotentParquetSink]]: the batch lands in its
+    * own `_batch_id` partition with dynamic partition overwrite, so a
+    * REPLAYED batch id rewrites its partition instead of appending
+    * duplicates — the standard exactly-once-to-storage recipe over an
+    * at-least-once source. Exposed for direct testing.
+    */
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("_batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(path)
+
+  /** Idempotent parquet sink via foreachBatch + [[writeBatchIdempotent]]. */
+  def idempotentParquetSink(df: DataFrame, path: String,
+                            checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .foreachBatch((batch: DataFrame, batchId: Long) =>
+        writeBatchIdempotent(batch, batchId, path))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }
 
 /** Lifecycle wrapper (T5, `js/start`/`js/close`, `core.clj:86-95`). */

@@ -129,4 +129,38 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(got === Set((1L, "adA", 50.0), (3L, "adC", 90.0)))
   }
+  test("stream-static enrichment join broadcasts the dimension per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    in.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user", "tier")
+    val enriched = StreamRunner.enrich(in.toDF().toDF("user", "amount"), dim, Seq("user"))
+    val q = enriched.writeStream.format("memory").queryName("t_enriched")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("t_enriched").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(rows === Set((1L, 10.0, "gold"), (2L, 20.0, "silver"))) // inner join drops user 3
+  }
+
+  test("idempotent parquet sink: replaying a batch id rewrites, never duplicates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_idem_ckpt").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    in.addData((1L, "a"), (2L, "b"))
+    val q = StreamRunner.idempotentParquetSink(in.toDF().toDF("id", "v"), dir, ckpt)
+    q.processAllAvailable(); q.stop()
+    val afterFirst = spark.read.parquet(dir).count()
+    assert(afterFirst === 2)
+    // simulate an at-least-once replay of batch 0 with the same payload:
+    // the batch overwrites its own partition instead of appending
+    StreamRunner.writeBatchIdempotent(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L, dir)
+    assert(spark.read.parquet(dir).count() === 2)
+    // a replay carrying a corrected payload REPLACES the partition
+    StreamRunner.writeBatchIdempotent(Seq((1L, "a2")).toDF("id", "v"), 0L, dir)
+    val fin = spark.read.parquet(dir).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fin === Set((1L, "a2")))
+  }
+
 }
