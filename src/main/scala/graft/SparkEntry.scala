@@ -216,6 +216,34 @@ object SparkEntry {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** NTILE quartiles of order price within each order status — the
+    * equi-height bucketing window (per-partition sort, one shuffle).
+    */
+  private def ntileQ(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .groupBy(col("o_orderstatus"), col("tile"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
+  /** Day-over-day revenue delta via lag — the offset window. The global
+    * window runs over POST-aggregation data (one row per day), so the
+    * single-partition sort is a few thousand rows regardless of corpus
+    * size; deltas subtract in DECIMAL (exact) before the double cast.
+    */
+  private def dailyDeltaQ(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    t(s, dir, "orders")
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .select(col("day"), col("rev").cast("double").as("revenue"),
+        lag(col("rev"), 1).over(w).cast("double").as("prev_revenue"),
+        (col("rev") - lag(col("rev"), 1).over(w)).cast("double").as("delta"))
+  }
+
   /** Pivot: one column per event type, summed values per user bucket. */
   private def pivotQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -511,6 +539,8 @@ object SparkEntry {
     "q_topk_orders"         -> (topkOrders(_, _)),
     "q_sessionize"          -> (sessionizeQ(_, _)),
     "q_rank_orders"         -> (rankOrders(_, _)),
+    "q_ntile"               -> (ntileQ(_, _)),
+    "q_daily_delta"         -> (dailyDeltaQ(_, _)),
     "q_rollup_revenue"      -> (rollupRevenue(_, _)),
     "q_anti_join"           -> (antiJoin(_, _)),
     "q_semi_join"           -> (semiJoin(_, _)),
@@ -673,6 +703,22 @@ object SparkEntry {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderstatus, tile, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM (SELECT o_orderstatus, o_totalprice,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile
+        |  FROM orders)
+        |GROUP BY 1, 2""".stripMargin,
+    "q_daily_delta" ->
+      """WITH d AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT day, CAST(rev AS DOUBLE) AS revenue,
+        |CAST(lag(rev) OVER (ORDER BY day) AS DOUBLE) AS prev_revenue,
+        |CAST(rev - lag(rev) OVER (ORDER BY day) AS DOUBLE) AS delta
+        |FROM d""".stripMargin,
     "q_rollup_revenue" ->
       """SELECT COALESCE(CAST(r_name AS VARCHAR), 'ALL') AS r_name,
         |  COALESCE(CAST(n_name AS VARCHAR), 'ALL') AS n_name,

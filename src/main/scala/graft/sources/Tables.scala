@@ -25,6 +25,24 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Read a newline-delimited JSON table with an explicit schema. Schema-on
+    * -read is mandatory at scale: inference is a full extra pass over the
+    * data, and a drifting inferred schema silently changes downstream plans.
+    */
+  def jsonTable(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Read a headered CSV table with an explicit schema (no inference pass;
+    * `mode=FAILFAST` so corrupt rows fail loudly instead of becoming nulls).
+    */
+  def csvTable(spark: SparkSession, path: String,
+               schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "FAILFAST")
+      .csv(path)
+
   /** Write partitioned by low-cardinality columns (dates, categories):
     * filters on `cols` become directory pruning. `maxRecordsPerFile` bounds
     * file size without an extra repartition shuffle.

@@ -41,4 +41,25 @@ class TablesSpec extends SparkSpec {
     val back = spark.read.parquet(dir).filter(col("id") > 990)
     assert(back.count() === 10)
   }
+  test("json and csv sources round-trip with explicit schemas") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0), (3L, "with,comma", 0.0))
+      .toDF("id", "name", "score")
+    val jdir = Files.createTempDirectory("graft_json").toString
+    df.write.mode("overwrite").json(jdir)
+    val jback = Tables.jsonTable(spark, jdir, schema)
+    assert(jback.schema === schema)
+    assert(jback.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      === df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
+    val cdir = Files.createTempDirectory("graft_csv").toString
+    df.write.mode("overwrite").option("header", "true").csv(cdir)
+    val cback = Tables.csvTable(spark, cdir, schema)
+    assert(cback.schema === schema)
+    assert(cback.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      === df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
+  }
+
 }
