@@ -413,6 +413,17 @@ object SparkEntry {
       .agg(round(expr("percentile(value, 0.5)"), 6).as("med"),
         round(expr("percentile(value, 0.95)"), 6).as("p95"))
 
+  /** GK-sketch percentiles — the constant-memory, single-pass face of
+    * [[percentilesQ]] for 100 TB group-bys (rows-only: sketch cut points
+    * are engine-specific; a spec pins them inside the rank-error bound of
+    * the exact percentiles).
+    */
+  private def approxPercentilesQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("approx_percentile(value, 0.5, 1000)"), 6).as("med_approx"),
+        round(expr("approx_percentile(value, 0.95, 1000)"), 6).as("p95_approx"))
+
   /** HLL++ sketch cardinality — the constant-memory face of
     * [[distinctUsers]] for 100 TB group-bys (rows-only: sketch estimates are
     * engine-specific).
@@ -575,6 +586,7 @@ object SparkEntry {
     "q_percentiles"         -> (percentilesQ(_, _)),
     "q_tfidf"               -> (tfidfQ(_, _)),
     "q_approx_distinct"     -> (approxDistinctQ(_, _)),
+    "q_approx_percentiles"  -> (approxPercentilesQ(_, _)),
     "q_label_centroids"     -> (labelCentroids(_, _)),
     "q_topk_cosine"         -> (topkCosine(_, _)),
     "q_ann_lsh"             -> (annLsh(_, _)),

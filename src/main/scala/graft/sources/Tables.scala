@@ -77,4 +77,35 @@ object Tables {
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
+
+  /** Morton (Z-order) interleave of two non-negative 32-bit int columns —
+    * the multi-dimensional clustering key. A 1-D sort gives one column tight
+    * per-file min/max stats and leaves the other spanning the full domain;
+    * Z-order keeps BOTH dimensions locally clustered so footer-stats pruning
+    * works for predicates on either column. Bit-spreading uses the classic
+    * shift/mask ladder — ~10 fused bitwise ops, whole-stage codegen'd.
+    */
+  def zorder2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def spread(c: org.apache.spark.sql.Column) = {
+      var x = c.cast("long")
+      x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+      x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-ordered file layout over two columns: range-partition and sort by the
+    * Morton key so per-file min/max stats stay tight on both `colA` and
+    * `colB` — file pruning for range predicates on either.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int): Unit =
+    df.withColumn("_z", zorder2(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
 }

@@ -93,6 +93,22 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile lands inside the rank-error band of the exact percentile (sf0.01 events)") {
+    // accuracy 1000 → rank error ≤ 0.1%; the sketch's median must sit
+    // between the exact 49.5th and 50.5th percentiles (generous 5x margin)
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val rows = ev.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("approx"),
+        expr("percentile(value, 0.495)").as("lo"),
+        expr("percentile(value, 0.505)").as("hi"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, lo, hi) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(a >= lo && a <= hi, s"${r.getString(0)}: approx median $a outside [$lo, $hi]")
+    }
+  }
+
   test("rollupAgg labels grouping-set nulls and keeps leaf rows") {
     val df = Seq(("r1", "n1", 10.0), ("r1", "n2", 20.0), ("r2", "n3", 5.0))
       .toDF("region", "nation", "rev")

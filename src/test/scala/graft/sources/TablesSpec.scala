@@ -62,4 +62,44 @@ class TablesSpec extends SparkSpec {
       === df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
   }
 
+  test("zorder2 interleaves bits (matches a driver-side reference)") {
+    def spreadRef(v: Long): Long = {
+      var x = v
+      x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+      x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+      x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x << 2)) & 0x3333333333333333L
+      (x | (x << 1)) & 0x5555555555555555L
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (123456L, 654321L))
+    val df = cases.toDF("a", "b")
+      .select(Tables.zorder2(col("a"), col("b")).as("z"))
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val want = cases.map { case (a, b) => spreadRef(a) | (spreadRef(b) << 1) }
+    assert(got === want)
+  }
+
+  test("z-order layout keeps per-file min/max tight on BOTH dimensions") {
+    // 64x64 grid; 16 files. A 1-D x-sort gives tight x ranges but each file
+    // spans the full y domain; z-order bounds both.
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+    val df = grid.toDF("x", "y")
+    val zdir = Files.createTempDirectory("graft_z").toString
+    val xdir = Files.createTempDirectory("graft_x").toString
+    Tables.writeZOrdered(df, zdir, "x", "y", numFiles = 16)
+    Tables.writeRangeLayout(df, xdir, Seq("x"), numFiles = 16)
+    def perFileRanges(dir: String): Seq[(Long, Long)] = {
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).toSeq.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y"))).head
+        (r.getInt(0).toLong, r.getInt(1).toLong)
+      }
+    }
+    val z = perFileRanges(zdir)
+    val naive = perFileRanges(xdir)
+    assert(z.map(_._1).max <= 32, s"z-order x ranges too wide: $z")
+    assert(z.map(_._2).max <= 32, s"z-order y ranges too wide: $z")
+    assert(naive.map(_._2).max >= 60, "x-sorted layout should span the y domain per file")
+  }
+
 }
