@@ -385,6 +385,27 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"),
       TF.subwordCount(col("text")).cast("long").as("n_subwords"))
 
+  /** Within-document repetition (a Gopher/C4-style quality filter signal):
+    * the fraction of a document's word bigrams taken by its most frequent
+    * bigram. High values flag boilerplate/spam. Bigrams are NON-distinct
+    * occurrences (unlike the dedup shingle sets), counted per doc in one
+    * explode + partial-aggregated groupBy.
+    */
+  private def repetitionQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = TF.tokens(lower(col("text")))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("top_bigram_n"), col("n_bigrams"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"))
+  }
+
   /** TF-IDF term statistics: top-5 terms per document by term frequency
     * (integer counts — exact across engines; idf transform is caller-side,
     * see TextFunctions.termStats).
@@ -585,6 +606,7 @@ object SparkEntry {
     "q_distinct_users"      -> (distinctUsers(_, _)),
     "q_percentiles"         -> (percentilesQ(_, _)),
     "q_tfidf"               -> (tfidfQ(_, _)),
+    "q_repetition"          -> (repetitionQ(_, _)),
     "q_approx_distinct"     -> (approxDistinctQ(_, _)),
     "q_approx_percentiles"  -> (approxPercentilesQ(_, _)),
     "q_label_centroids"     -> (labelCentroids(_, _)),
@@ -817,6 +839,19 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
          |  FROM tf) tf JOIN dfreq ON tf.term = dfreq.term
          |WHERE rn <= 5""".stripMargin,
+    "q_repetition" ->
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), bg AS (
+         |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+         |  FROM toksrc WHERE len(w) >= 2
+         |), c AS (
+         |  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+         |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
+         |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
+         |FROM c GROUP BY doc_id""".stripMargin,
     "q_ngram_jaccard" -> duckShingleCte,
     "q_minhash_lsh"   -> duckShingleCte,
     "q_dedup_resolve" -> duckResolveCte,
