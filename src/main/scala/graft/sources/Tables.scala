@@ -31,7 +31,9 @@ object Tables {
     */
   def jsonTable(spark: SparkSession, path: String,
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST") // corrupt lines fail loudly, not null-rows
+      .json(path)
 
   /** Read a headered CSV table with an explicit schema (no inference pass;
     * `mode=FAILFAST` so corrupt rows fail loudly instead of becoming nulls).
@@ -41,6 +43,9 @@ object Tables {
     spark.read.schema(schema)
       .option("header", "true")
       .option("mode", "FAILFAST")
+      // validate header names against the schema instead of binding columns
+      // positionally — a reordered producer must fail, not silently swap
+      .option("enforceSchema", "false")
       .csv(path)
 
   /** Write partitioned by low-cardinality columns (dates, categories):
@@ -87,7 +92,10 @@ object Tables {
     */
   def zorder2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     def spread(c: org.apache.spark.sql.Column) = {
-      var x = c.cast("long")
+      // inputs must be non-negative 32-bit values; the mask guarantees the
+      // spread ladder sees only the low 32 bits (a negative int would
+      // otherwise sign-extend garbage into the interleave)
+      var x = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
       x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
       x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
       x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
@@ -102,10 +110,14 @@ object Tables {
     * `colB` — file pruning for range predicates on either.
     */
   def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
-                    numFiles: Int): Unit =
-    df.withColumn("_z", zorder2(col(colA), col(colB)))
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions(col("_z"))
-      .drop("_z")
+                    numFiles: Int): Unit = {
+    // collision-safe temp name: silently clobbering a user column called
+    // "_z" would drop their data from the written table
+    val zc = Iterator.from(0).map(i => s"_z$i").find(!df.columns.contains(_)).get
+    df.withColumn(zc, zorder2(col(colA), col(colB)))
+      .repartitionByRange(numFiles, col(zc))
+      .sortWithinPartitions(col(zc))
+      .drop(zc)
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -99,10 +99,14 @@ object StreamRunner {
     * static dimension (re-resolved per batch, so a refreshed dim table is
     * picked up). Broadcast by default — the dim is the small side in the
     * enrichment shape; disable for dims that don't fit an executor.
+    * `left_outer` by default: an event arriving before its dimension row
+    * (new user, late dim refresh) must survive with null attributes, not
+    * vanish — pass `joinType = "inner"` to filter instead.
     */
   def enrich(stream: DataFrame, dim: DataFrame, keys: Seq[String],
-             broadcastDim: Boolean = true): DataFrame =
-    stream.join(if (broadcastDim) broadcast(dim) else dim, keys)
+             broadcastDim: Boolean = true,
+             joinType: String = "left_outer"): DataFrame =
+    stream.join(if (broadcastDim) broadcast(dim) else dim, keys, joinType)
 
   /** One micro-batch of [[idempotentParquetSink]]: the batch lands in its
     * own `_batch_id` partition with dynamic partition overwrite, so a
@@ -117,14 +121,17 @@ object StreamRunner {
       .partitionBy("_batch_id")
       .parquet(path)
 
-  /** Idempotent parquet sink via foreachBatch + [[writeBatchIdempotent]]. */
-  def idempotentParquetSink(df: DataFrame, path: String,
-                            checkpointDir: String): StreamingQuery =
+  /** Idempotent parquet sink via foreachBatch + [[writeBatchIdempotent]].
+    * Default trigger drains available data and stops (batch-style backfill);
+    * pass `Trigger.ProcessingTime(...)` for a continuously running pipeline.
+    */
+  def idempotentParquetSink(df: DataFrame, path: String, checkpointDir: String,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     df.writeStream
       .foreachBatch((batch: DataFrame, batchId: Long) =>
         writeBatchIdempotent(batch, batchId, path))
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 }
 

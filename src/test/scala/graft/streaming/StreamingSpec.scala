@@ -139,8 +139,17 @@ class StreamingSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow()).start()
     q.processAllAvailable(); q.stop()
     val rows = spark.table("t_enriched").collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
-    assert(rows === Set((1L, 10.0, "gold"), (2L, 20.0, "silver"))) // inner join drops user 3
+      .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+    // left_outer default: the unmatched event survives with a null attribute
+    assert(rows === Set((1L, 10.0, Some("gold")), (2L, 20.0, Some("silver")),
+      (3L, 30.0, None)))
+    // inner variant filters instead
+    val q2 = StreamRunner.enrich(in.toDF().toDF("user", "amount"), dim, Seq("user"),
+        joinType = "inner")
+      .writeStream.format("memory").queryName("t_enriched_inner")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("t_enriched_inner").count() === 2)
   }
 
   test("idempotent parquet sink: replaying a batch id rewrites, never duplicates") {
