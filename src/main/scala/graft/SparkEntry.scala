@@ -176,6 +176,22 @@ object SparkEntry {
         col("asof_view_value").as("prior_view_value"))
   }
 
+  /** Salted skew join: orders⋈customer⋈nation revenue with the orders side
+    * salt-sharded 8 ways and the dimension replicated per salt — the static
+    * hot-key defense when AQE skew splitting isn't enough. Oracle = the
+    * plain join SQL: salting must be result-invariant.
+    */
+  private def saltedJoinQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedJoin(
+        t(s, dir, "orders"),
+        t(s, dir, "customer").join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("o_custkey"), col("n_name")),
+        key = "o_custkey", salt = 8)
+      .groupBy(col("n_name"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+
   /** TPC-H Q3-shaped revenue query executed through `spark.sql` over temp
     * views — the SAME SQL text serves as its own oracle (the engine's SQL
     * surface is ANSI-compatible for this query class). Revenue goes through
@@ -576,6 +592,7 @@ object SparkEntry {
     "q_rollup_revenue"      -> (rollupRevenue(_, _)),
     "q_anti_join"           -> (antiJoin(_, _)),
     "q_semi_join"           -> (semiJoin(_, _)),
+    "q_salted_join"         -> (saltedJoinQ(_, _)),
     "q_asof_join"           -> (asofJoinQ(_, _)),
     "q_pivot"               -> (pivotQ(_, _)),
     "q_json_extract"        -> (jsonExtractQ(_, _)),
@@ -707,6 +724,13 @@ object SparkEntry {
         |COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_join_agg" ->
+      """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
+    // the salted join must be result-invariant — same oracle as q_join_agg
+    "q_salted_join" ->
       """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
