@@ -401,6 +401,21 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"),
       TF.subwordCount(col("text")).cast("long").as("n_subwords"))
 
+  /** C4-style per-document filter features with exact integer numerators:
+    * mean word length (non-space chars / tokens) and uppercase-character
+    * ratio — both integer/integer divisions rounded at 6 dp, so the oracle
+    * matches bit-exactly.
+    */
+  private def textStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val nonSpace = length(regexp_replace(col("text"), "\\s", ""))
+    val nToks = TF.tokenCount(col("text"))
+    val nUpper = length(col("text")) - length(regexp_replace(col("text"), "[A-Z]", ""))
+    t(s, dir, "documents").select(col("doc_id"),
+      when(nToks > 0, round(nonSpace.cast("double") / nToks, 6)).otherwise(0.0).as("mean_word_len"),
+      when(length(col("text")) > 0,
+        round(nUpper.cast("double") / length(col("text")), 6)).otherwise(0.0).as("upper_frac"))
+  }
+
   /** Within-document repetition (a Gopher/C4-style quality filter signal):
     * the fraction of a document's word bigrams taken by its most frequent
     * bigram. High values flag boilerplate/spam. Bigrams are NON-distinct
@@ -624,6 +639,7 @@ object SparkEntry {
     "q_percentiles"         -> (percentilesQ(_, _)),
     "q_tfidf"               -> (tfidfQ(_, _)),
     "q_repetition"          -> (repetitionQ(_, _)),
+    "q_text_stats"          -> (textStatsQ(_, _)),
     "q_approx_distinct"     -> (approxDistinctQ(_, _)),
     "q_approx_percentiles"  -> (approxPercentilesQ(_, _)),
     "q_label_centroids"     -> (labelCentroids(_, _)),
@@ -863,6 +879,15 @@ object SparkEntry {
          |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
          |  FROM tf) tf JOIN dfreq ON tf.term = dfreq.term
          |WHERE rn <= 5""".stripMargin,
+    "q_text_stats" ->
+      s"""SELECT doc_id,
+         |CASE WHEN len($duckToks) > 0
+         |  THEN round(CAST(len(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($duckToks), 6)
+         |  ELSE 0.0 END AS mean_word_len,
+         |CASE WHEN len(text) > 0
+         |  THEN round(CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / len(text), 6)
+         |  ELSE 0.0 END AS upper_frac
+         |FROM documents""".stripMargin,
     "q_repetition" ->
       s"""WITH toksrc AS (
          |  SELECT doc_id, $duckToks AS w FROM documents
