@@ -102,4 +102,24 @@ class TablesSpec extends SparkSpec {
     assert(naive.map(_._2).max >= 60, "x-sorted layout should span the y domain per file")
   }
 
+  test("zorder2 round-trips: de-interleaving recovers both coordinates (1000 random cases)") {
+    def unspread(z: Long): Long = {
+      var x = z & 0x5555555555555555L
+      x = (x | (x >> 1)) & 0x3333333333333333L
+      x = (x | (x >> 2)) & 0x0F0F0F0F0F0F0F0FL
+      x = (x | (x >> 4)) & 0x00FF00FF00FF00FFL
+      x = (x | (x >> 8)) & 0x0000FFFF0000FFFFL
+      (x | (x >> 16)) & 0x00000000FFFFFFFFL
+    }
+    val rng = new scala.util.Random(11)
+    val cases = Seq.fill(1000)((rng.nextInt(Int.MaxValue).toLong, rng.nextInt(Int.MaxValue).toLong))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), Tables.zorder2(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(unspread(r.getLong(2)) === r.getLong(0), s"a lost in ${r}")
+      assert(unspread(r.getLong(2) >> 1) === r.getLong(1), s"b lost in ${r}")
+    }
+  }
+
 }
