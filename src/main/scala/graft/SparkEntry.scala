@@ -276,6 +276,19 @@ object SparkEntry {
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"), col("n"))
 
+  /** Explicit GROUPING SETS — the general grouping-set form that cube and
+    * rollup specialize: per-returnflag totals and per-linestatus totals in
+    * one pass (one Expand + one aggregation, not a self-union of two scans).
+    */
+  private def groupingSetsQ(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+            |COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+            |SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin)
+  }
+
   /** Orders above their customer's average — correlated-aggregate semantics
     * expressed as a window (one shuffle, no rescan). The comparison is the
     * cross-multiplied `price * n > sum` in DECIMAL so it is exact on both
@@ -614,6 +627,7 @@ object SparkEntry {
     "q_sql_q3"              -> (sqlQ3(_, _)),
     "q_monthly_revenue"     -> (monthlyRevenueQ(_, _)),
     "q_cube"                -> (cubeQ(_, _)),
+    "q_grouping_sets"       -> (groupingSetsQ(_, _)),
     "q_above_avg"           -> (aboveAvgQ(_, _)),
     "q_range_join"          -> (rangeJoinQ(_, _)),
     "q_except"              -> (exceptQ(_, _)),
@@ -835,6 +849,12 @@ object SparkEntry {
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
         |COALESCE(l_linestatus, 'ALL') AS l_linestatus, COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
     "q_above_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM (
         |  SELECT o_orderkey, o_custkey, o_totalprice,
