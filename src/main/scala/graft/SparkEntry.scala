@@ -260,6 +260,37 @@ object SparkEntry {
         (col("rev") - lag(col("rev"), 1).over(w)).cast("double").as("delta"))
   }
 
+  /** Relative-rank windows: percent_rank and cume_dist of each order within
+    * its status partition — deterministic under ties (both are pure
+    * functions of the rank/row position given the same ordering).
+    */
+  private def percentRankQ(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+  }
+
+  /** Bag-semantics set ops: EXCEPT ALL keeps multiplicity (a customer with 3
+    * small orders and 1 big one survives twice), unlike the set-semantics
+    * q_except.
+    */
+  private def exceptAllQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      .exceptAll(t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("custkey")))
+      .groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+
+  /** Fixed-width histogram via portable floor-div bucketing (no engine
+    * histogram UDAF): order prices in 25k-wide buckets.
+    */
+  private def histogramQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / 25000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Pivot: one column per event type, summed values per user bucket. */
   private def pivotQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
@@ -617,6 +648,9 @@ object SparkEntry {
     "q_rank_orders"         -> (rankOrders(_, _)),
     "q_ntile"               -> (ntileQ(_, _)),
     "q_daily_delta"         -> (dailyDeltaQ(_, _)),
+    "q_percent_rank"        -> (percentRankQ(_, _)),
+    "q_except_all"          -> (exceptAllQ(_, _)),
+    "q_histogram"           -> (histogramQ(_, _)),
     "q_rollup_revenue"      -> (rollupRevenue(_, _)),
     "q_anti_join"           -> (antiJoin(_, _)),
     "q_semi_join"           -> (semiJoin(_, _)),
@@ -868,6 +902,21 @@ object SparkEntry {
         |  ('high', 300000.0, 450000.0), ('extreme', 450000.0, 1e9)) AS bands(band, lo, hi)
         |ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band""".stripMargin,
+    "q_percent_rank" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |round(percent_rank() OVER w, 6) AS pr,
+        |round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q_except_all" ->
+      """SELECT custkey, COUNT(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+        |) GROUP BY custkey""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(FLOOR(o_totalprice / 25000) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_except" ->
       """SELECT o_custkey AS custkey FROM orders
         |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000""".stripMargin,
