@@ -362,6 +362,19 @@ object SparkEntry {
     t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
       .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
 
+  /** Part catalog stats: brand-level pricing over the part dimension with a
+    * LIKE filter — string-predicate pushdown plus DECIMAL-exact averaging
+    * (avg = sum/count computed identically on both engines).
+    */
+  private def partBrandsQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_type").like("%AND%"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(sum(col("p_retailprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1)), 6).as("avg_price"),
+        max(col("p_size")).as("max_size"))
+
   /** IVF top-k: probe only the query vector's own inverted list (`label`). */
   private def ivfTopkQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -668,6 +681,7 @@ object SparkEntry {
     "q_intersect"           -> (intersectQ(_, _)),
     "q_ivf_topk"            -> (ivfTopkQ(_, _)),
     "q_kmeans_assign"       -> (kmeansAssignQ(_, _)),
+    "q_part_brands"         -> (partBrandsQ(_, _)),
     "q_dedup_exact"         -> (dedupExact(_, _)),
     "q_ngram_jaccard"       -> (ngramJaccard(_, _)),
     "q_minhash_lsh"         -> (minhashLsh(_, _)),
@@ -923,6 +937,12 @@ object SparkEntry {
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin,
+    "q_part_brands" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+        |round(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+        |MAX(p_size) AS max_size
+        |FROM part WHERE p_type LIKE '%AND%'
+        |GROUP BY p_brand""".stripMargin,
     "q_dedup_exact" ->
       "SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_dedup_normalized" ->
