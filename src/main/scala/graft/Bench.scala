@@ -27,21 +27,27 @@ object Bench {
       }
       val cold = once()
       val warm = once()
-      name -> (math.min(cold, warm), cold)
+      // steady-state = the warm (second) run, not min(cold, warm): min() of
+      // two samples biases optimistic (one lucky run sets the number)
+      name -> (warm, cold)
     }
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, (w, _)) => k -> w })
     val qsCold = jmap(results.map { case (k, (_, c)) => k -> c })
     val total = results.values.map(_._1).sum
     val coldTotal = results.values.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold_total":$coldTotal,"queries_cold":$qsCold,"sf":"$sfDir"}"""
+    // Stdout line must stay SHORT: the driver parses it out of a bounded log
+    // tail (~3.7 KB) and round 2's full line (3.8 KB with the cold map and
+    // 9-decimal doubles) got its head truncated -> BENCH_r02 parsed:null.
+    // Warm map at 3 decimals is ~1.5 KB; the cold breakdown goes to the file.
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}"""
     println(line)
-    // also write the JSON to a file: sbt wraps stdout in [info]/log decoration
-    // which broke the driver's parse in round 1 (BENCH_r01.json parsed:null)
+    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     spark.stop()
   }

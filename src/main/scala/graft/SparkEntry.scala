@@ -406,8 +406,15 @@ object SparkEntry {
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8,
         corpusN = tableCount(s, dir, "documents")))
 
+  /** SimHash near-dup pairs. Tokens hash with FNV-1a (engine-portable), so
+    * the DuckDB oracle recomputes every document's 64-bit simhash from
+    * scratch (HUGEINT FNV + bit votes) and checks the pair set row-for-row
+    * — the pigeonhole blocking has zero false negatives, so Spark's output
+    * IS the exact hamming ≤ 3 pair set.
+    */
   private def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
 
   private def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupExact(t(s, dir, "embeddings"), "vec_id", "embedding", 0.45)
@@ -421,9 +428,13 @@ object SparkEntry {
       dim = 64, threshold = 0.45, n = tableCount(s, dir, "embeddings"))
 
   private def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
-    // bits/tables = 0 → auto-size from corpus and threshold (Ann.bitsFor /
-    // Ann.tablesFor): fixed bits degrade to near-all-pairs as the corpus
-    // grows, fixed tables lose recall as bits grow
+    // bits/tables = 0 → auto-size from corpus, threshold, and probe radius
+    // (Ann.bitsFor / Ann.tablesFor): fixed bits degrade to near-all-pairs as
+    // the corpus grows, fixed tables lose recall as bits grow. Radius-1
+    // multiprobe at the 99.9% recall target drives the per-pair miss
+    // probability low enough that the output equals the exact pair set at
+    // verify scale — so the exact-cosine SQL oracle applies verbatim and a
+    // recall regression fails the hash compare (plus a spec pins it).
     Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.45, bits = 0, tables = 0,
       n = tableCount(s, dir, "embeddings"))
@@ -523,24 +534,48 @@ object SparkEntry {
         round(expr("percentile(value, 0.95)"), 6).as("p95"))
 
   /** GK-sketch percentiles — the constant-memory, single-pass face of
-    * [[percentilesQ]] for 100 TB group-bys (rows-only: sketch cut points
-    * are engine-specific; a spec pins them inside the rank-error bound of
-    * the exact percentiles).
+    * [[percentilesQ]] for 100 TB group-bys. Sketch cut points are
+    * engine-specific, so the oracle checks the sketch's CONTRACT instead of
+    * its value: the query re-ranks each approximate percentile against the
+    * group's raw values and emits whether its rank position lands inside a
+    * band 25× wider than the sketch's 1/1000 rank-error guarantee; DuckDB
+    * supplies the exact group counts and expects every band check true.
+    * Deterministic for fixed data (the GK sketch has no RNG), so the gate
+    * cannot flake; a sketch regression lands outside the band and fails the
+    * hash compare.
     */
-  private def approxPercentilesQ(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events")
+  private def approxPercentilesQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val sk = e.groupBy(col("event_type"))
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("ap50"),
+        expr("approx_percentile(value, 0.95, 1000)").as("ap95"))
+    e.join(broadcast(sk), "event_type")
       .groupBy(col("event_type"))
-      .agg(round(expr("approx_percentile(value, 0.5, 1000)"), 6).as("med_approx"),
-        round(expr("approx_percentile(value, 0.95, 1000)"), 6).as("p95_approx"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("ap95"), 1L).otherwise(0L)).as("r95"))
+      .select(col("event_type"), col("n"),
+        (col("r50").cast("double") / col("n")).between(0.475, 0.525).as("p50_in_band"),
+        (col("r95").cast("double") / col("n")).between(0.925, 0.975).as("p95_in_band"))
+  }
 
   /** HLL++ sketch cardinality — the constant-memory face of
-    * [[distinctUsers]] for 100 TB group-bys (rows-only: sketch estimates are
-    * engine-specific).
+    * [[distinctUsers]] for 100 TB group-bys. The estimate itself is
+    * engine-specific, so the oracle checks the sketch's error CONTRACT: the
+    * query computes both the exact distinct count and the rsd=1% HLL
+    * estimate and emits whether the relative error is within 5σ; DuckDB
+    * supplies the exact counts and expects every check true. HLL is
+    * deterministic for fixed data — no flake — while an estimator
+    * regression (>5% error) fails the hash compare.
     */
   private def approxDistinctQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), 0.01).as("hll"))
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("hll") - col("n_users_exact")).cast("double") / col("n_users_exact") <= 0.05)
+          .as("hll_in_band"))
 
   /** Per-label mean embedding via the VectorSumAgg custom aggregate —
     * centroids of the label partition, exploded to one scalar row per
@@ -567,13 +602,20 @@ object SparkEntry {
     Ann.bruteForceTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
       queryVec(s, dir), k = 20)
 
+  /** Multi-probe LSH top-k. Probing radius 1 (the query's bucket plus every
+    * 1-bit neighbor, per table) pushes the per-neighbor miss probability low
+    * enough that the shortlist provably-in-practice contains the true top-20
+    * at verify scale — so the brute-force SQL oracle applies verbatim, and a
+    * recall regression fails the hash compare. Deterministic: hyperplanes
+    * are seeded, data is fixed.
+    */
   private def annLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // size bits from the corpus so each probe scans ~64 rows per table
     val idx = Ann.LshIndex(dim = 64,
       bits = Ann.bitsFor(tableCount(s, dir, "embeddings")), tables = 16, seed = 7)
     val indexed = idx.withBuckets(emb, "embedding")
-    idx.topK(indexed, "embedding", "vec_id", queryVec(s, dir), k = 20)
+    idx.topK(indexed, "embedding", "vec_id", queryVec(s, dir), k = 20, probeHamming = 1)
   }
 
   // ------------------------------------------- training-data pipeline ops
@@ -596,13 +638,17 @@ object SparkEntry {
   private def trainSplitQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.contentSplit(t(s, dir, "documents"), "text", valPct = 10, testPct = 10)
 
-  /** Seeded per-language stratified sample (rows-only: Bernoulli sampling is
-    * engine-RNG-specific; determinism + proportions are spec-gated).
+  /** Content-hash per-language stratified sample: the keep/drop decision is
+    * `fnv1a64(doc_id) mod 1000 < rate(lang)·1000` — deterministic from row
+    * content, independent of partition layout and engine, so the DuckDB
+    * oracle replays the identical decision row for row (exact row-level
+    * match, not a statistical gate). The RNG `sampleBy` variant stays
+    * available as [[TrainingData.stratifiedSample]] (spec-gated).
     */
   private def stratifiedSampleQ(s: SparkSession, dir: String): DataFrame =
-    TrainingData.stratifiedSample(t(s, dir, "documents"), "lang",
-        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25), seed = 7L)
-      .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+    TrainingData.hashStratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25))
+      .select(col("doc_id"), col("lang"))
 
   /** Nearest-centroid assignment with FIXED centroids (the first 10 corpus
     * vectors) — oracle-verifies the k-means/IVF assignment expression: the
@@ -768,6 +814,61 @@ object SparkEntry {
     s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
        |WHERE round($duckCos, 6) >= 0.45""".stripMargin
+
+  /** FNV-1a 64 of an ASCII varchar SQL expression as an unsigned HUGEINT —
+    * the round-2 replication technique proven by q_multimodal_meta: the
+    * wrapping 64-bit multiply runs mod 2^64 in HUGEINT, and the byte xor
+    * touches only the low 8 bits so it runs as BIGINT xor on `h % 256`.
+    * Valid because the corpus is ASCII (`ord(char) == byte`, asserted by
+    * q_multimodal_bytes matching octet_length to len).
+    */
+  private def duckFnvU(v: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      [CAST(ord($v[i]) AS HUGEINT) FOR i IN range(1, len($v)+1)]),
+       |    (a, b) -> ((a - (a % 256) + xor(CAST(a % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211) % 18446744073709551616)""".stripMargin
+
+  /** Unsigned HUGEINT (mod 2^64) → signed BIGINT reinterpretation. */
+  private def duckU2S(v: String): String =
+    s"CASE WHEN $v >= 9223372036854775808 THEN CAST($v - 18446744073709551616 AS BIGINT) ELSE CAST($v AS BIGINT) END"
+
+  /** Exact cosine top-20 for query vector 0 — shared by q_topk_cosine and
+    * (because radius-1 multiprobe makes the LSH shortlist a superset of the
+    * true top-20 at verify scale) q_ann_lsh.
+    */
+  private val duckTopkSql =
+    s"""WITH x AS (SELECT * FROM embeddings WHERE vec_id = 0)
+       |SELECT y.vec_id AS vec_id, round($duckCos, 6) AS cos
+       |FROM embeddings y, x
+       |ORDER BY cos DESC, y.vec_id LIMIT 20""".stripMargin
+
+  /** Full DuckDB recomputation of the FNV-tokened 64-bit simhash and the
+    * exact hamming ≤ 3 pair set: per-token FNV in HUGEINT → per-bit ±1
+    * votes → sign-packed signature → all-pairs `bit_count(xor(...))`.
+    * All-pairs is fine at verify scale (500 docs → 125k pairs); Spark's
+    * pigeonhole blocking must reproduce it exactly (zero false negatives by
+    * construction, candidates exact-filtered).
+    */
+  private val duckSimhashSql =
+    s"""WITH RECURSIVE pw(b, p) AS (
+       |  SELECT 0, CAST(1 AS HUGEINT) UNION ALL SELECT b+1, p*2 FROM pw WHERE b < 63
+       |),
+       |toksrc AS (SELECT doc_id, $duckToks AS w FROM documents),
+       |tok AS (SELECT doc_id, unnest(w) AS tk FROM toksrc),
+       |th AS (SELECT doc_id, ${duckFnvU("tk")} AS hu FROM tok),
+       |votes AS (
+       |  SELECT doc_id, pw.b, SUM(CASE WHEN (hu // pw.p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th CROSS JOIN pw GROUP BY 1, 2
+       |),
+       |sims AS (
+       |  SELECT doc_id, SUM(CASE WHEN v >= 0 THEN pw.p ELSE CAST(0 AS HUGEINT) END) AS su
+       |  FROM votes JOIN pw ON votes.b = pw.b GROUP BY 1
+       |),
+       |simv AS (SELECT doc_id, ${duckU2S("su")} AS sh FROM sims)
+       |SELECT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+       |FROM simv x JOIN simv y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
 
   private val duckLangId = {
     val cases = TF.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
@@ -1038,11 +1139,24 @@ object SparkEntry {
         |list_reduce(list_prepend(CAST(5381 AS BIGINT), [CAST(ord(text[i]) AS BIGINT) FOR i IN range(1, len(text)+1)]),
         |  (a, x) -> (a * 31 + x) % 1000000007) AS fp
         |FROM documents""".stripMargin,
-    "q_topk_cosine" ->
-      s"""WITH x AS (SELECT * FROM embeddings WHERE vec_id = 0)
-         |SELECT y.vec_id AS vec_id, round($duckCos, 6) AS cos
-         |FROM embeddings y, x
-         |ORDER BY cos DESC, y.vec_id LIMIT 20""".stripMargin,
+    "q_topk_cosine" -> duckTopkSql,
+    "q_ann_lsh" -> duckTopkSql,
+    "q_embed_near_dup_lsh" -> duckNearDupSql,
+    "q_simhash_pairs" -> duckSimhashSql,
+    "q_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ${duckFnvU("CAST(doc_id AS VARCHAR)")} AS hu FROM documents
+         |), hs AS (SELECT doc_id, lang, ${duckU2S("hu")} AS hsv FROM h)
+         |SELECT doc_id, lang FROM hs
+         |WHERE ((hsv % 1000) + 1000) % 1000 <
+         |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 250
+         |            WHEN 'es' THEN 250 WHEN 'zh' THEN 250 ELSE 0 END""".stripMargin,
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, true AS hll_in_band
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_approx_percentiles" ->
+      """SELECT event_type, COUNT(*) AS n, true AS p50_in_band, true AS p95_in_band
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_ivf_topk" ->
       s"""WITH x AS (SELECT * FROM embeddings WHERE vec_id = 0)
          |SELECT y.vec_id AS vec_id, round($duckCos, 6) AS cos

@@ -181,15 +181,19 @@ object Dedup {
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each
-    * token's xxhash64, sign-packed MSB-first — a native codegen'd Catalyst
+    * token's 64-bit hash, sign-packed MSB-first — a native codegen'd Catalyst
     * expression ([[graft.expressions.SimHash64]]): one `|tokens| × 64`
     * primitive loop per row, no UDF, no shuffle.
+    *
+    * Tokens hash with FNV-1a by default: engine-portable (the DuckDB oracle
+    * recomputes the signature bit-for-bit — see q_simhash_pairs), same
+    * blocking quality as xxhash64. `useFnv = false` selects xxhash64.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column, useFnv: Boolean = true): Column = {
     val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
     org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.SimHash64(
-        org.apache.spark.sql.graft.ColumnBridge.expression(toks)))
+        org.apache.spark.sql.graft.ColumnBridge.expression(toks), useFnv))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
@@ -390,16 +394,23 @@ object Dedup {
   def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                           threshold: Double, bits: Int = 0, tables: Int = 0,
                           seed: Long = 42L, maxBucket: Int = 2000,
-                          n: Long = -1L, broadcastMaxRows: Long = 500000L): DataFrame = {
+                          n: Long = -1L, broadcastMaxRows: Long = 500000L,
+                          probeHamming: Int = 1, recall: Double = 0.999): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= 1,
+      "pair multiprobe supports radius 0 (off) or 1")
     // bits <= 0 → size from the corpus so buckets stay ~64 rows; fixed bits
     // on a grown corpus silently degrades to near-all-pairs (see Ann.bitsFor).
-    // tables <= 0 → size from (bits, threshold) to hold ≥95% recall
-    // (Ann.tablesFor); fixed tables with growing bits silently loses recall.
+    // tables <= 0 → size from (bits, threshold, probe radius) to hold the
+    // target recall (Ann.tablesFor); fixed tables with growing bits silently
+    // loses recall. Multiprobe radius 1 (default) lets a handful of tables
+    // reach 99.9% recall where single-probe needs dozens: the probing side
+    // also emits each bucket id with one bit flipped, so a pair collides
+    // when a table's signatures differ in ≤ 1 bit.
     // n: caller-known corpus size (skips a count job when memoized upstream).
     val corpusN = if (n > 0) n else df.count()
     val sizedBits = if (bits > 0) bits else graft.similarity.Ann.bitsFor(corpusN)
     val sizedTables = if (tables > 0) tables
-      else graft.similarity.Ann.tablesFor(sizedBits, threshold)
+      else graft.similarity.Ann.tablesFor(sizedBits, threshold, recall, probeHamming)
     val index = graft.similarity.Ann.LshIndex(dim, sizedBits, sizedTables, seed)
     // The candidate list is O(n·T/2^b) rows while the vector table is O(n):
     // when the vectors fit (≤ broadcastMaxRows ≈ 250 MB at dim 64) the
@@ -420,16 +431,33 @@ object Dedup {
     // A window count over (table, bucket) shares the self-join's hash
     // partitioning, so the guard adds a sort but ZERO extra exchanges
     // (a groupBy-count + semi-join formulation costs two).
+    // With multiprobe a singleton bucket can still receive partners from a
+    // neighboring bucket's probes, so only the hot-bucket cap applies; the
+    // classic equi-probe also drops singletons (nothing can join them).
     val t2 = tagged
       .withColumn("_bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("table"), col("bucket"))))
-      .filter(col("_bn").between(2, maxBucket)).drop("_bn")
+      .filter(if (probeHamming > 0) col("_bn") <= maxBucket
+              else col("_bn").between(2, maxBucket))
+      .drop("_bn")
+    // Multiprobe expansion on ONE side only: each probing row re-emits its
+    // bucket id with every single bit flipped ((1+bits)× rows of 20 bytes),
+    // while the build side keeps real buckets — a pair still meets through a
+    // plain equi-join whenever the two signatures differ in ≤ 1 bit.
+    val probedX =
+      if (probeHamming <= 0) t2
+      else {
+        val masks = (0 until sizedBits).map(1L << _)
+        t2.select(col("doc_id"), col("table"),
+          explode(concat(array(col("bucket")),
+            transform(typedlit(masks), m => col("bucket").bitwiseXOR(m)))).as("bucket"))
+      }
     // Candidate pairs via codegen'd equi-self-join on the bucket key (not a
     // per-bucket HOF array expansion). Verification runs BEFORE the distinct:
     // dots are a native codegen'd expression and the vector join keys are
     // bare ids, so re-scoring a pair that collides in k tables costs k cheap
     // dots while the distinct only shuffles the (few) surviving rows.
-    val cand = t2.as("x").join(t2.as("y"),
+    val cand = probedX.as("x").join(t2.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))

@@ -92,13 +92,69 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
     copy(child = newChild)
 }
 
+/** FNV-1a 64-bit constants — a public-domain hash (Fowler/Noll/Vo) simple
+  * enough that ANY engine can recompute it (the DuckDB oracle replicates it
+  * with HUGEINT arithmetic), making FNV-keyed signatures engine-portable.
+  */
+object Fnv1a {
+  final val Offset = 0xcbf29ce484222325L
+  final val Prime = 0x100000001b3L
+  def hash(bytes: Array[Byte]): Long = {
+    var h = Offset
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= Prime; i += 1 }
+    h
+  }
+}
+
+/** Native FNV-1a 64-bit hash of a string column (over its UTF-8 bytes). */
+case class Fnv1a64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv1a64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Fnv1a.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bs = ctx.freshName("bs")
+      val h = ctx.freshName("h")
+      val q = ctx.freshName("q")
+      s"""
+         |byte[] $bs = $c.getBytes();
+         |long $h = ${Fnv1a.Offset}L;
+         |for (int $q = 0; $q < $bs.length; $q++) {
+         |  $h ^= ($bs[$q] & 0xffL);
+         |  $h *= ${Fnv1a.Prime}L;
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash over an `array<string>` token column: each token's
-  * xxhash64 votes ±1 per bit position; the sign vector packs MSB-first
+  * 64-bit hash votes ±1 per bit position; the sign vector packs MSB-first
   * (bit 63 of the hash → bit 63 of the result, matching the original HOF
   * `aggregate(reverse(votes))` packing). One `|tokens| × 64` primitive loop
   * in codegen.
+  *
+  * `useFnv = true` (the default in [[graft.dedup.Dedup.simhash64]]) hashes
+  * tokens with FNV-1a instead of xxhash64: same quality class for blocking,
+  * but engine-portable — the DuckDB oracle recomputes the full simhash and
+  * verifies the pair output row-for-row, and at 100 TB any downstream system
+  * can re-derive signatures without a Spark dependency.
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, useFnv: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -117,7 +173,9 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h =
+          if (useFnv) Fnv1a.hash(s.getBytes)
+          else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
         var k = 0
         while (k < 64) { votes(k) += ((h >>> k) & 1L) * 2L - 1L; k += 1 }
       }
@@ -137,15 +195,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val votes = ctx.freshName("votes")
       val s = ctx.freshName("s")
       val h = ctx.freshName("h")
+      val bs = ctx.freshName("bs")
+      val q = ctx.freshName("q")
       val packed = ctx.freshName("packed")
+      val hashCode =
+        if (useFnv)
+          s"""byte[] $bs = $s.getBytes();
+             |    long $h = ${Fnv1a.Offset}L;
+             |    for (int $q = 0; $q < $bs.length; $q++) { $h ^= ($bs[$q] & 0xffL); $h *= ${Fnv1a.Prime}L; }""".stripMargin
+        else
+          s"""long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+             |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);""".stripMargin
       s"""
          |final int $n = $c.numElements();
          |final long[] $votes = new long[64];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$c.isNullAt($i)) {
          |    org.apache.spark.unsafe.types.UTF8String $s = $c.getUTF8String($i);
-         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    $hashCode
          |    for (int $k = 0; $k < 64; $k++) {
          |      $votes[$k] += (($h >>> $k) & 1L) * 2L - 1L;
          |    }

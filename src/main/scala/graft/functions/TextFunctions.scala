@@ -118,6 +118,17 @@ object TextFunctions {
       lit(5381L),
       (acc, c) => (acc * 31L + ascii(c).cast("long")).bitwiseAND(lit((1L << 56) - 1)))
 
+  /** FNV-1a 64-bit hash of a string column — a native codegen'd expression
+    * ([[graft.expressions.Fnv1a64]]). Public-domain algorithm simple enough
+    * for any engine to recompute (the DuckDB oracle replicates it in HUGEINT
+    * arithmetic), which makes it the engine-portable choice for
+    * deterministic content-hash decisions (sampling, sharding, simhash).
+    */
+  def fnv1a64(c: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.Fnv1a64(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** Rolling-hash fingerprint reduced mod 1e9+7 at every step, so the
     * accumulator stays below 2^30 and the arithmetic never overflows — the
     * variant that is exactly reproducible in any ANSI-SQL engine with strict

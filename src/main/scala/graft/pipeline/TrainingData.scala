@@ -105,8 +105,33 @@ object TrainingData {
     * rebalancing / downsampling by label. Exact per-row independence (no
     * fixed-size guarantee) is the shape that scales: no count, no sort, no
     * shuffle; each row keeps or drops itself from a hash of (seed, row).
+    *
+    * NOTE: `sampleBy`'s determinism depends on partition layout (the RNG is
+    * seeded per partition), so re-reading the corpus with a different split
+    * plan changes the sample. [[hashStratifiedSample]] is the
+    * layout-independent variant production pipelines should prefer.
     */
   def stratifiedSample(df: DataFrame, strataCol: String,
                        fractions: Map[String, Double], seed: Long): DataFrame =
     df.stat.sampleBy(strataCol, fractions, seed)
+
+  /** Content-hash stratified sampling: keep a row iff
+    * `fnv1a64(key) mod resolution < fraction(stratum) · resolution`.
+    * Fully deterministic from row CONTENT — independent of partition
+    * layout, engine, cluster size, or run order (unlike RNG `sampleBy`),
+    * so samples are reproducible and incrementally stable: re-running over
+    * an appended corpus keeps every previously-sampled row. One codegen'd
+    * filter, no shuffle, no count. The same decision is recomputable by any
+    * engine (the DuckDB oracle replays it row for row).
+    */
+  def hashStratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                           fractions: Map[String, Double],
+                           resolution: Int = 1000): DataFrame = {
+    val thresholds = fractions.map { case (k, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for $k out of [0,1]: $f")
+      k -> math.round(f * resolution).toInt
+    }
+    val thr = coalesce(element_at(typedlit(thresholds), col(strataCol)), lit(0))
+    df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")), lit(resolution.toLong)) < thr)
+  }
 }

@@ -36,29 +36,49 @@ object Ann {
   def hyperplaneP1(cosineThreshold: Double): Double =
     1.0 - math.acos(cosineThreshold) / math.Pi
 
-  /** Table count that holds recall ≥ `recall` for pairs at the cosine
-    * threshold once `bits` is fixed: solve `1-(1-p1^bits)^T ≥ recall` for T.
-    * Fixing tables while bits grow with the corpus silently trades recall
-    * for speed (measured at sf0.1: bits=5/T=16 → 89.6% recall, bits=5/T=24
-    * → 96.5%); sizing BOTH from (n, threshold, recall) keeps total work at
-    * the theoretical n^(1+ρ) with ρ = ln(1/p1)/ln 2 while recall stays put.
+  /** Per-table collision probability for a pair at the cosine threshold,
+    * with multiprobe radius `probeHamming`: the pair collides when their
+    * `bits`-bit signatures differ in ≤ `probeHamming` positions —
+    * `Σ_{i≤r} C(bits,i) p1^(bits-i) (1-p1)^i` (Lv et al., VLDB'07
+    * multi-probe LSH). Radius 0 is classic single-bucket LSH (`p1^bits`).
     */
-  def tablesFor(bits: Int, cosineThreshold: Double, recall: Double = 0.98): Int = {
-    val p = math.pow(hyperplaneP1(cosineThreshold), bits)
+  def tableHitProb(bits: Int, cosineThreshold: Double, probeHamming: Int = 0): Double = {
+    val p1 = hyperplaneP1(cosineThreshold)
+    def comb(n: Int, k: Int): Double =
+      (1 to k).map(i => (n - k + i).toDouble / i).product
+    (0 to math.min(probeHamming, bits)).map(i =>
+      comb(bits, i) * math.pow(p1, (bits - i).toDouble) * math.pow(1.0 - p1, i.toDouble)).sum
+  }
+
+  /** Table count that holds recall ≥ `recall` for pairs at the cosine
+    * threshold once `bits` is fixed: solve `1-(1-p)^T ≥ recall` for T with
+    * `p = tableHitProb(bits, threshold, probeHamming)`. Fixing tables while
+    * bits grow with the corpus silently trades recall for speed (measured
+    * at sf0.1: bits=5/T=16 → 89.6% recall, bits=5/T=24 → 96.5%); sizing
+    * BOTH from (n, threshold, recall) keeps total work at the theoretical
+    * n^(1+ρ) with ρ = ln(1/p1)/ln 2 while recall stays put. Multiprobe
+    * raises the per-table hit probability (radius 1 ≈ 3-5×) so far fewer
+    * tables reach the same recall — the standard space/recall trade.
+    */
+  def tablesFor(bits: Int, cosineThreshold: Double, recall: Double = 0.98,
+                probeHamming: Int = 0): Int = {
+    val p = tableHitProb(bits, cosineThreshold, probeHamming)
     if (p >= 1.0) 1
     else math.max(4, math.min(64, math.ceil(math.log1p(-recall) / math.log1p(-p)).toInt))
   }
 
-  /** Per-pair recall actually achieved at the threshold by a (bits, tables)
-    * config: `1-(1-p1^bits)^tables`. The 64-table clamp in [[tablesFor]]
-    * binds once `bits ≳ 8` at low thresholds — hyperplane LSH fundamentally
-    * cannot hold 98% recall there (the required T grows as (1/p1)^bits) —
-    * so callers sizing for large corpora MUST check this value rather than
-    * assume the target: if it is too low, raise the similarity threshold,
-    * accept the recall, or switch to a graph/IVF ANN method.
+  /** Per-pair recall actually achieved at the threshold by a
+    * (bits, tables, probeHamming) config: `1-(1-p)^tables`. The 64-table
+    * clamp in [[tablesFor]] binds once `bits ≳ 8` at low thresholds —
+    * hyperplane LSH fundamentally cannot hold 98% recall there (the
+    * required T grows as (1/p1)^bits) — so callers sizing for large corpora
+    * MUST check this value rather than assume the target: if it is too low,
+    * raise the similarity threshold, widen the probe radius, accept the
+    * recall, or switch to a graph/IVF ANN method.
     */
-  def expectedRecall(bits: Int, tables: Int, cosineThreshold: Double): Double = {
-    val p = math.pow(hyperplaneP1(cosineThreshold), bits)
+  def expectedRecall(bits: Int, tables: Int, cosineThreshold: Double,
+                     probeHamming: Int = 0): Double = {
+    val p = tableHitProb(bits, cosineThreshold, probeHamming)
     1.0 - math.pow(1.0 - p, tables.toDouble)
   }
 
@@ -109,12 +129,23 @@ object Ann {
     /** ANN top-k: probe the query's bucket in each table, then exact-rank the
       * shortlist. With bucket-partitioned storage the probe predicate prunes
       * to a small fraction of the corpus per table.
+      *
+      * `probeHamming > 0` enables multi-probe (Lv et al., VLDB'07): also scan
+      * buckets whose id differs from the query's in ≤ that many bits. Radius
+      * 1 turns a per-table hit probability p1^bits into
+      * p1^bits + bits·p1^(bits-1)(1-p1) — typically 3-5× — so near-perfect
+      * recall needs a handful of tables instead of dozens. The probed-bucket
+      * set stays enumerable (`tables × (1+bits)` ids at radius 1), so
+      * bucket-partitioned storage still prunes.
       */
     def topK(indexed: DataFrame, vecCol: String, idCol: String,
-             query: Seq[Double], k: Int): DataFrame = {
+             query: Seq[Double], k: Int, probeHamming: Int = 0): DataFrame = {
       val qb = bucketsOf(query)
       val probe = qb.zipWithIndex
-        .map { case (b, i) => element_at(col("buckets"), i + 1) === lit(b) }
+        .map { case (b, i) =>
+          if (probeHamming <= 0) element_at(col("buckets"), i + 1) === lit(b)
+          else bit_count(element_at(col("buckets"), i + 1).bitwiseXOR(lit(b))) <= probeHamming
+        }
         .reduce(_ || _)
       val v = toDouble(col(vecCol))
       indexed.filter(probe)

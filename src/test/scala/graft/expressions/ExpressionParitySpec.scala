@@ -89,10 +89,30 @@ class ExpressionParitySpec extends SparkSpec {
         (a, v) => a + v))
     val hof = aggregate(reverse(votes), lit(0L),
       (packed, s) => shiftleft(packed, 1).bitwiseOR(when(s >= 0, 1L).otherwise(0L)))
-    val rows = df.select(Dedup.simhash64(col("text")).as("native"), hof.as("hof")).collect()
+    val rows = df.select(Dedup.simhash64(col("text"), useFnv = false).as("native"), hof.as("hof")).collect()
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
     // identical texts → identical simhash (hamming 0)
     assert(rows(0).getLong(0) === rows(1).getLong(0))
+  }
+
+  test("SimHash64 FNV variant matches a driver-side recomputation; Fnv1a64 matches Fnv1a.hash") {
+    val texts = Seq("the quick brown fox", "pack my box with five dozen liquor jugs", "x y x y x")
+    val df = texts.toDF("text")
+    def simRef(t: String): Long = {
+      val toks = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val votes = new Array[Long](64)
+      toks.foreach { tk =>
+        val h = graft.expressions.Fnv1a.hash(tk.getBytes("UTF-8"))
+        (0 until 64).foreach(k => votes(k) += ((h >>> k) & 1L) * 2L - 1L)
+      }
+      (63 to 0 by -1).foldLeft(0L)((p, k) => (p << 1) | (if (votes(k) >= 0) 1L else 0L))
+    }
+    val got = df.select(col("text"), Dedup.simhash64(col("text")).as("sim"),
+      graft.functions.TextFunctions.fnv1a64(col("text")).as("fh")).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === simRef(r.getString(0)))
+      assert(r.getLong(2) === graft.expressions.Fnv1a.hash(r.getString(0).getBytes("UTF-8")))
+    }
   }
 
   test("HyperplaneBuckets matches the driver-side bucketOf for every table") {
