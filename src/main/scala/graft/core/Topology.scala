@@ -133,6 +133,7 @@ final case class Topology(entities: Map[String, Entity], workflow: Seq[(String, 
     */
   def toDot(results: Map[String, Array[org.apache.spark.sql.Row]], maxRows: Int = 3): String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r") // raw newlines break DOT labels
     val nodes = entities.toSeq.sortBy(_._1).map { case (n, e) =>
       val shape = e match { case _: Topic => "cylinder"; case _: Stream => "box" }
       results.get(n) match {

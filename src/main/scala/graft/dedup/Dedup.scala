@@ -265,9 +265,12 @@ object Dedup {
     // Ids keep their original type: min/least propagate any orderable type,
     // and casting (e.g. string ids) to long would null them out.
     val rawEdges = pairs.select(col(aCol).as("u"), col(bCol).as("v")).persist()
+    // fast path requires BOTH id columns to share one integral type: the
+    // result casts back to aCol's type, which would truncate wider b-ids
     val integralIds = {
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-      Seq(ByteType, ShortType, IntegerType, LongType).contains(rawEdges.schema.head.dataType)
+      val ts = rawEdges.schema.map(_.dataType).distinct
+      ts.size == 1 && Seq(ByteType, ShortType, IntegerType, LongType).contains(ts.head)
     }
     val nEdges = rawEdges.count()
     // the union-find fast path is long-keyed — only integral id types take it
@@ -360,9 +363,14 @@ object Dedup {
   /** Cost-dispatched embedding near-dup — the entry point callers should
     * use. Below `crossoverN` the exact all-pairs path wins: a recall-sound
     * LSH config at low thresholds does as many candidate dots as exact
-    * (T·2^-b ≈ 1) plus pipeline overhead — measured tie at n=2k, 4× LSH win
-    * at n=20k (`graft.ScaleProbe`). Above it, auto-sized LSH. The same
-    * size-gating idea as [[resolveDuplicates]]' union-find fast path.
+    * (T·(1+b)·2^-b ≈ 1) plus pipeline overhead. Measured at τ=0.45 with the
+    * 99.9%-recall multiprobe sizing: exact 5-7× faster at n=2k, parity at
+    * n=20k (`graft.ScaleProbe`), LSH ahead beyond as candidates grow
+    * n^(1+ρ), ρ≈0.63. (Round 2's "4× LSH win at 20k" was measured at ~96%
+    * effective recall — recall is paid for in candidates; at higher
+    * thresholds p1 rises and the crossover drops sharply.) Above the
+    * crossover, auto-sized LSH. The same size-gating idea as
+    * [[resolveDuplicates]]' union-find fast path.
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        threshold: Double, n: Long = -1L,
@@ -377,14 +385,18 @@ object Dedup {
     * Turns O(n²·d) into O(n·T·b·d + n²·T·2^-b·d): hashing is linear, and the
     * candidate fraction T·2^-b shrinks as bits grow — total work n^(1+ρ),
     * ρ = ln(1/p1)/ln 2 (≈0.63 at threshold 0.45). Crossover note: at small n
-    * (e.g. the sf0.1 corpus, n=2000) a recall-sound config has T·2^-b ≈ 1,
-    * i.e. as many candidate dots as exact all-pairs — LSH ties exact there
-    * and pulls ahead as n grows, because the n² term carries the 2^-b factor
-    * while exact doesn't. Recall < 1 by nature of LSH — auto-sizing TARGETS
-    * 98% per pair at the stated threshold (Ann.tablesFor), but the 64-table
-    * clamp binds at large n/low thresholds; check
-    * Ann.expectedRecall(bits, tables, threshold) for the achieved value and
-    * raise the threshold or switch methods if it is too low.
+    * (e.g. the sf0.1 corpus, n=2000) a recall-sound config has
+    * T·(1+b)·2^-b ≈ 1, i.e. as many candidate dots as exact all-pairs — LSH
+    * loses there (use [[embeddingNearDup]], which dispatches) and pulls
+    * ahead as n grows, because the n² term carries the 2^-b factor while
+    * exact doesn't. Recall < 1 by nature of LSH — auto-sizing targets
+    * `recall` (default 99.9%) per pair at the stated threshold via radius-1
+    * multiprobe (Ann.tablesFor with probeHamming=1: ~3-5× per-table hit
+    * probability, so ~5× fewer tables than single-probe needs), but the
+    * 64-table clamp binds at large n/low thresholds; check
+    * Ann.expectedRecall(bits, tables, threshold, probeHamming) for the
+    * achieved value and raise the threshold, widen the radius, or switch
+    * methods if it is too low.
     *
     * Scale shape: candidate generation shuffles only (table, bucket, id) —
     * 20 bytes/row·table — and pairs are deduped as bare (a, b) id pairs
@@ -408,7 +420,8 @@ object Dedup {
     // when a table's signatures differ in ≤ 1 bit.
     // n: caller-known corpus size (skips a count job when memoized upstream).
     val corpusN = if (n > 0) n else df.count()
-    val sizedBits = if (bits > 0) bits else graft.similarity.Ann.bitsFor(corpusN)
+    val sizedBits = if (bits > 0) bits
+      else graft.similarity.Ann.bitsFor(corpusN, probeHamming = probeHamming)
     val sizedTables = if (tables > 0) tables
       else graft.similarity.Ann.tablesFor(sizedBits, threshold, recall, probeHamming)
     val index = graft.similarity.Ann.LshIndex(dim, sizedBits, sizedTables, seed)

@@ -37,6 +37,29 @@ object ShingleUtil {
     new GenericArrayData(out)
   }
 
+  /** Top-bigram frequency stats in one per-row pass: returns
+    * `[max count of any word bigram, total bigram count]` over consecutive
+    * (non-distinct) token pairs. Counting is per-DOCUMENT state, so doing it
+    * inside the row (a small hashmap) instead of `explode` + two `groupBy`s
+    * removes the only shuffles from the repetition-signal query — at 100 TB
+    * that is the difference between a scan and re-shuffling the corpus's
+    * full bigram stream twice.
+    */
+  def bigramStats(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 2) return new GenericArrayData(Array[Long](0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < n - 1) {
+      val bg = UTF8String.concatWs(space, tokens.getUTF8String(i), tokens.getUTF8String(i + 1))
+      val c = counts.merge(bg, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericArrayData(Array[Long](top.toLong, (n - 1).toLong))
+  }
+
   /** Random-hyperplane bucket ids, one per table. `planes` is laid out flat
     * as [table][bit][dim]; bucket bit b is set iff dot(v, plane) >= 0,
     * packed MSB-first (matches
@@ -88,6 +111,33 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expressions.ShingleUtil.shingles($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row top-bigram stats `[top_count, total]` over an `array<string>`
+  * token column — native replacement for the explode → groupBy(doc, bigram)
+  * → groupBy(doc) pipeline, whose two corpus-wide string shuffles implement
+  * what is really per-row state (see [[ShingleUtil.bigramStats]]).
+  */
+case class BigramStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bigram_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.bigramStats(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ShingleUtil.bigramStats($c);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -26,9 +26,23 @@ object Ann {
     * near-all-pairs (buckets of n/2^bits rows each); measured: bits=4 on
     * 20k vectors produced 200M candidates vs 12M at the sized bits=8.
     */
-  def bitsFor(n: Long, targetBucket: Int = 64): Int =
-    math.max(2, math.min(24,
+  def bitsFor(n: Long, targetBucket: Int = 64, probeHamming: Int = 0): Int = {
+    var b = math.max(2, math.min(24,
       math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+    // Multiprobe scans ~Σ_{i≤r} C(b,i) buckets per probe (1+b at radius 1),
+    // so holding the same SCANNED-row budget needs more bits — without this,
+    // radius-1 probing at the single-probe sizing silently multiplies the
+    // candidate volume by ~(1+bits) and LSH degrades toward all-pairs.
+    if (probeHamming > 0) {
+      def scanned(bb: Int): Double = {
+        val probes = (0 to math.min(probeHamming, bb)).map(i =>
+          (1 to i).map(j => (bb - i + j).toDouble / j).product).sum
+        probes * n.toDouble / math.pow(2.0, bb)
+      }
+      while (b < 24 && scanned(b) > targetBucket) b += 1
+    }
+    b
+  }
 
   /** Collision probability of one random hyperplane for a pair at cosine
     * `c`: `1 - acos(c)/π` (Charikar, STOC'02 — public SimHash/LSH theory).

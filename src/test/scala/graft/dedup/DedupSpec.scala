@@ -112,24 +112,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact) // high-cosine planted pairs: recall ≈ 1 at these params
   }
 
-  test("embedding near-dup LSH auto-sizing holds >= 95% recall vs exact on the sf0.01 corpus") {
-    // recall gate on REAL data with the auto bits/tables sizing the queries
-    // use — future tuning can't silently trade recall for speed (the sized
-    // config is what q_embed_near_dup_lsh runs)
+  test("embedding near-dup LSH auto-sizing finds the EXACT pair set on the sf0.01 corpus") {
+    // recall pin on REAL data with the auto sizing the queries use: the
+    // driver oracle for q_embed_near_dup_lsh is the exact-cosine SQL, which
+    // only holds while radius-1 multiprobe at the 99.9% target keeps recall
+    // at 100% here — any tuning that trades recall for speed fails THIS
+    // spec before it fails the driver gate
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val exact = Dedup.embeddingNearDupExact(emb, "vec_id", "embedding", 0.45)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", dim = 64, threshold = 0.45)
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty)
-    assert(lsh.subsetOf(exact)) // exact verification: zero false positives
-    // gate: ≥95% recall, with a one-miss allowance when the pair set is so
-    // small that a single statistically-expected miss (sizing targets 98%
-    // per-pair, not 100%) would demand 100% recall
-    val missed = (exact -- lsh).size
-    val allowance = math.max(1, math.ceil(exact.size * 0.05).toInt)
-    assert(missed <= allowance,
-      s"recall ${(exact & lsh).size}/${exact.size}: $missed missed > $allowance allowed")
+    assert(lsh === exact,
+      s"LSH pairs != exact: missed ${(exact -- lsh).size}, spurious ${(lsh -- exact).size} of ${exact.size}")
   }
 
   test("simhashPairs on the sf0.01 corpus match driver-side brute force exactly") {

@@ -55,6 +55,32 @@ class AnnSpec extends SparkSpec {
     got.foreach(r => assert(bruteScores(r.getLong(0)) === r.getDouble(1)))
   }
 
+  test("multiprobe topK reproduces the exact brute-force top-20 on the sf0.01 corpus") {
+    // recall pin with q_ann_lsh's exact config: the driver oracle for that
+    // query is the brute-force SQL, valid only while radius-1 multiprobe
+    // keeps the true top-20 inside the shortlist here
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toIndexedSeq.map(_.toDouble)
+    val idx = Ann.LshIndex(dim = 64, bits = Ann.bitsFor(emb.count()), tables = 16, seed = 7)
+    val indexed = idx.withBuckets(emb, "embedding")
+    val got = idx.topK(indexed, "embedding", "vec_id", q, k = 20, probeHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = Ann.bruteForceTopK(emb, "embedding", "vec_id", q, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === brute)
+  }
+
+  test("tableHitProb: radius-1 multiprobe raises the per-table hit probability") {
+    val single = Ann.tableHitProb(5, 0.45)
+    val probed = Ann.tableHitProb(5, 0.45, probeHamming = 1)
+    assert(math.abs(single - math.pow(Ann.hyperplaneP1(0.45), 5)) < 1e-12)
+    assert(probed > 3 * single && probed < 1.0)
+    // fewer tables reach the same recall with probing
+    assert(Ann.tablesFor(5, 0.45, 0.999, probeHamming = 1) <
+      Ann.tablesFor(5, 0.45, 0.999))
+  }
+
   test("ivfTopK probes only the given lists") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.9f, 0.1f), "a"),
