@@ -647,6 +647,50 @@ object SparkEntry {
       "doc_id", "text", n = 5)
   }
 
+  /** Bloom-prefiltered decontamination — output identical to
+    * [[decontaminateQ]] by construction (bloom false positives are removed
+    * by the exact join), so it shares the oracle; what it adds is the
+    * 100 TB shape: the native [[graft.expressions.BloomMightContain]] probe
+    * filters the training scan with a ~30× smaller executor footprint than
+    * a broadcast string set, and exact verification joins only the
+    * survivors.
+    */
+  private def bloomDecontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TrainingData.bloomDecontaminate(
+      d.filter(col("doc_id") % 4 =!= 0), d.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", n = 5)
+  }
+
+  /** Top-5 documents per language by quality score — the "keep the best k
+    * per stratum" curation step (window top-k over the quality signal).
+    */
+  private def topQualityDocsQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), TF.qualityScore(col("text")).as("quality"))
+    Analytics.topPerKey(scored, col("lang"), Seq(col("quality").desc, col("doc_id")), k = 5)
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus's top-20
+    * vocabulary — a Gopher-style quality signal (high OOV ⇒ junk/garbled).
+    * The vocabulary is a TakeOrdered over the token frequency aggregate
+    * (deterministic count-desc/token-asc tiebreak) and is broadcast; counts
+    * are exact integers so the oracle matches bit-for-bit.
+    */
+  private def oovRateQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20)
+      .select(col("tok"), lit(1).as("iv"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_frac"))
+  }
+
   /** Token-budget sequence packing: 2000-token packs in doc_id order. */
   private def packBudgetedQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.packBudgeted(t(s, dir, "documents"), "doc_id", "text", budget = 2000)
@@ -774,6 +818,9 @@ object SparkEntry {
     "q_multimodal_meta"     -> (multimodalMeta(_, _)),
     "q_multimodal_frames"   -> (multimodalFrames(_, _)),
     "q_decontaminate"       -> (decontaminateQ(_, _)),
+    "q_bloom_decontaminate" -> (bloomDecontaminateQ(_, _)),
+    "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
+    "q_oov_rate"            -> (oovRateQ(_, _)),
     "q_pack_budgeted"       -> (packBudgetedQ(_, _)),
     "q_train_split"         -> (trainSplitQ(_, _)),
     "q_stratified_sample"   -> (stratifiedSampleQ(_, _)))
@@ -886,6 +933,51 @@ object SparkEntry {
        |  CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
        |FROM simv x JOIN simv y ON x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.sh, y.sh)) <= 3""".stripMargin
+
+  /** Per-doc quality score — shared by q_quality_score and (wrapped in a
+    * per-language window) q_top_quality_docs.
+    */
+  private val duckQualitySql =
+    s"""WITH q AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS raw_toks,
+       |    $duckToks AS low_toks
+       |  FROM documents
+       |)
+       |SELECT doc_id, round(
+       |  least(len(text) / 500.0, 1.0) * 0.3
+       |  + (CASE WHEN (CASE WHEN len(text) > 0
+       |       THEN CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / len(text)
+       |       ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+       |  + least((CASE WHEN len(low_toks) > 0
+       |       THEN CAST(len(list_filter(low_toks, x -> list_contains(${sqlList(TF.stopwords("en"))}, x))) AS DOUBLE) / len(low_toks)
+       |       ELSE 0.0 END) * 5.0, 1.0) * 0.3
+       |  + (CASE WHEN (CASE WHEN len(raw_toks) > 0
+       |       THEN CAST(list_sum(list_transform(raw_toks, x -> len(x))) AS DOUBLE) / len(raw_toks)
+       |       ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+       |  6) AS quality
+       |FROM q""".stripMargin
+
+  /** 5-gram containment report — shared by q_decontaminate and (identical
+    * output, bloom-prefiltered plan) q_bloom_decontaminate.
+    */
+  private val duckDecontaminateSql =
+    s"""WITH toksrc AS (
+       |  SELECT doc_id, $duckToks AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS shingles
+       |  FROM toksrc WHERE len(w) >= 5
+       |), bs AS (
+       |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 4 = 0
+       |), hits AS (
+       |  SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_shared
+       |  FROM (SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
+       |        FROM sh WHERE doc_id % 4 != 0) t
+       |  JOIN bs USING (s) GROUP BY 1, 2
+       |)
+       |SELECT doc_id, n_shared,
+       |  round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS containment
+       |FROM hits""".stripMargin
 
   private val duckLangId = {
     val cases = TF.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
@@ -1128,26 +1220,7 @@ object SparkEntry {
          |CAST(len(list_filter($duckToks, x -> list_contains(${sqlList(TF.stopwords("en"))}, x))) AS BIGINT) AS n_stop
          |FROM documents""".stripMargin,
     "q_lang_id" -> duckLangId,
-    "q_quality_score" ->
-      s"""WITH q AS (
-         |  SELECT doc_id, text,
-         |    list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS raw_toks,
-         |    $duckToks AS low_toks
-         |  FROM documents
-         |)
-         |SELECT doc_id, round(
-         |  least(len(text) / 500.0, 1.0) * 0.3
-         |  + (CASE WHEN (CASE WHEN len(text) > 0
-         |       THEN CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) / len(text)
-         |       ELSE 0.0 END) <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
-         |  + least((CASE WHEN len(low_toks) > 0
-         |       THEN CAST(len(list_filter(low_toks, x -> list_contains(${sqlList(TF.stopwords("en"))}, x))) AS DOUBLE) / len(low_toks)
-         |       ELSE 0.0 END) * 5.0, 1.0) * 0.3
-         |  + (CASE WHEN (CASE WHEN len(raw_toks) > 0
-         |       THEN CAST(list_sum(list_transform(raw_toks, x -> len(x))) AS DOUBLE) / len(raw_toks)
-         |       ELSE 0.0 END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
-         |  6) AS quality
-         |FROM q""".stripMargin,
+    "q_quality_score" -> duckQualitySql,
     "q_subword_count" ->
       """SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_subwords
         |FROM documents""".stripMargin,
@@ -1183,23 +1256,31 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(len(text) AS BIGINT) AS n_chars
         |FROM documents""".stripMargin,
-    "q_decontaminate" ->
-      s"""WITH toksrc AS (
-         |  SELECT doc_id, $duckToks AS w FROM documents
-         |), sh AS (
-         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS shingles
-         |  FROM toksrc WHERE len(w) >= 5
-         |), bs AS (
-         |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 4 = 0
-         |), hits AS (
-         |  SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_shared
-         |  FROM (SELECT doc_id, len(shingles) AS n_shingles, unnest(shingles) AS s
-         |        FROM sh WHERE doc_id % 4 != 0) t
-         |  JOIN bs USING (s) GROUP BY 1, 2
+    "q_decontaminate" -> duckDecontaminateSql,
+    "q_bloom_decontaminate" -> duckDecontaminateSql,
+    "q_top_quality_docs" ->
+      s"""WITH dq AS ($duckQualitySql),
+         |j AS (SELECT d.lang, dq.doc_id, dq.quality
+         |      FROM dq JOIN documents d ON dq.doc_id = d.doc_id)
+         |SELECT lang, doc_id, quality, rn FROM (
+         |  SELECT lang, doc_id, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rn
+         |  FROM j
+         |) WHERE rn <= 5""".stripMargin,
+    "q_oov_rate" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+         |    ORDER BY cnt DESC, tok LIMIT 20)
+         |),
+         |f AS (
+         |  SELECT t.doc_id, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
          |)
-         |SELECT doc_id, n_shared,
-         |  round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS containment
-         |FROM hits""".stripMargin,
+         |SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+         |  round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_frac
+         |FROM f GROUP BY doc_id""".stripMargin,
     "q_pack_budgeted" ->
       s"""WITH d AS (
          |  SELECT doc_id, len($duckToks) AS n_tokens FROM documents

@@ -118,6 +118,21 @@ object TextFunctions {
       lit(5381L),
       (acc, c) => (acc * 31L + ascii(c).cast("long")).bitwiseAND(lit((1L << 56) - 1)))
 
+  /** PII redaction for corpus cleaning: masks emails, URLs, and phone-like
+    * long digit runs with typed placeholder tags. Pure `regexp_replace`
+    * chain (codegen'd, pushdown-friendly), and the patterns avoid
+    * lookarounds/backreferences so RE2-based engines apply the identical
+    * rewrite. Order matters: emails first (an email would otherwise be
+    * half-eaten by the phone digit-run rule), then URLs, then phones.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://[^\\s]+", "<URL>"),
+      "\\+?[0-9][0-9()\\-\\. ]{6,}[0-9]", "<PHONE>")
+
   /** FNV-1a 64-bit hash of a string column — a native codegen'd expression
     * ([[graft.expressions.Fnv1a64]]). Public-domain algorithm simple enough
     * for any engine to recompute (the DuckDB oracle replicates it in HUGEINT

@@ -53,6 +53,49 @@ object TrainingData {
         round(col("n_shared").cast("double") / col("n_shingles"), 6).as("containment"))
   }
 
+  /** Bloom-prefiltered decontamination — same report as
+    * [[contaminationReport]], different 100 TB shape. The benchmark shingle
+    * set becomes a Bloom bitmap (~1.2 bytes/shingle at 1% fpp vs ~40 bytes
+    * for broadcast strings — ~30× smaller executor footprint), the training
+    * side filters through the native codegen'd
+    * [[graft.expressions.BloomMightContain]] probe during its scan, and the
+    * exact shingle join then runs only on the bloom survivors
+    * (contaminated + fpp fraction — typically orders of magnitude fewer
+    * rows), so it no longer needs the benchmark strings broadcast at all.
+    * False positives are removed by that exact join: the output is
+    * row-identical to [[contaminationReport]] (spec-asserted; shares its
+    * oracle). The bitmap builds driver-side — benchmark shingle sets are
+    * MB-scale by premise; for a huge member set, build per-partition
+    * bitmaps and `reduce(_ | _)` them instead.
+    */
+  def bloomDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    import graft.expressions.{BloomMightContain, BloomUtil}
+    val benchShingle = Dedup.shingleSets(bench, idCol, textCol, n)
+      .select(explode(col("shingles")).as("s")).distinct()
+    val members = benchShingle.collect().map(_.getString(0))
+    val (m, k) = BloomUtil.sized(math.max(1L, members.length.toLong), fpp)
+    val bits = new Array[Long]((m >>> 6).toInt)
+    members.foreach(s =>
+      BloomUtil.add(org.apache.spark.unsafe.types.UTF8String.fromString(s), bits, k, m))
+    val mightContain = org.apache.spark.sql.graft.ColumnBridge.column(
+      BloomMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("s")), bits, k, m))
+    Dedup.shingleSets(train, idCol, textCol, n)
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+        explode(col("shingles")).as("s"))
+      .filter(mightContain)
+      // exact verification on the (tiny) bloom-surviving side: a plain
+      // shuffle join by design — the point of the bloom path is not needing
+      // the benchmark strings resident on every executor
+      .join(benchShingle, "s")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles"), 6).as("containment"))
+  }
+
   /** Token-budget sequence packing: documents are laid out in `orderCol`
     * order and assigned to consecutive packs of ~`budget` tokens by
     * cumulative token count (pack_id = floor(cumsum_before / budget) — the

@@ -73,4 +73,17 @@ class TextFunctionsSpec extends SparkSpec {
     // don ' t stop , now ! → 7
     assert(df.select(TextFunctions.subwordCount(col("text"))).head.getInt(0) === 7)
   }
+
+  test("redactPii masks emails, urls, and phone-like digit runs") {
+    val df = Seq(
+      "mail me at jane.doe+x@example.co.uk today",
+      "see https://example.com/a?b=1 and http://x.io",
+      "call +1 (555) 123-4567 or 555.867.5309 now",
+      "version 1.2 of 2024 stays").toDF("text")
+    val got = df.select(TextFunctions.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(got(0) === "mail me at <EMAIL> today")
+    assert(got(1) === "see <URL> and <URL>")
+    assert(got(2) === "call <PHONE> or <PHONE> now")
+    assert(got(3) === "version 1.2 of 2024 stays") // short digit runs untouched
+  }
 }

@@ -59,6 +59,37 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("bloomDecontaminate output is row-identical to contaminationReport (sf0.01)") {
+    // the driver oracle for q_bloom_decontaminate is the exact containment
+    // SQL — valid only while the bloom prefilter + exact verify reproduces
+    // contaminationReport exactly (false positives all removed by the join)
+    val d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val train = d.filter(col("doc_id") % 4 =!= 0)
+    val bench = d.filter(col("doc_id") % 4 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = key(TrainingData.contaminationReport(train, bench, "doc_id", "text", n = 5))
+    val bloom = key(TrainingData.bloomDecontaminate(train, bench, "doc_id", "text", n = 5))
+    assert(exact.nonEmpty)
+    assert(bloom === exact)
+  }
+
+  test("hashStratifiedSample is a pure function of (key, stratum): layout-independent") {
+    val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+    val df1 = rows.toDF("doc_id", "lang")
+    val df2 = rows.reverse.toDF("doc_id", "lang").repartition(7) // different layout
+    val fr = Map("en" -> 0.5, "de" -> 0.25)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      TrainingData.hashStratifiedSample(df, "lang", "doc_id", fr)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(df1)
+    assert(ids(df2) === s1) // sampleBy would differ here; hash sampling cannot
+    // rates land near the requested fractions
+    val en = s1.count(_ % 2 == 0) / 200.0
+    val de = s1.count(_ % 2 == 1) / 200.0
+    assert(math.abs(en - 0.5) < 0.15 && math.abs(de - 0.25) < 0.15)
+  }
+
   test("stratifiedSample is seed-deterministic and tracks requested fractions (sf0.01)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val fr = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
