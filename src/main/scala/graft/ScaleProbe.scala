@@ -51,6 +51,14 @@ object ScaleProbe {
       graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.45).count() }
     time("embed near-dup lsh (auto)") {
       graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.45).count() }
+    // High-threshold regime: p1 = 1-acos(0.7)/π ≈ 0.745, so signatures are
+    // far more selective per bit and few tables hold high recall — this is
+    // where hyperplane LSH decisively beats exact (low thresholds pay the
+    // recall tax in candidates; see Dedup.embeddingNearDupLsh docs).
+    time("embed near-dup exact @0.7") {
+      graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.7).count() }
+    time("embed near-dup lsh  @0.7") {
+      graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.7).count() }
     spark.stop()
   }
 }

@@ -374,10 +374,25 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        threshold: Double, n: Long = -1L,
-                       crossoverN: Long = 8192L): DataFrame = {
+                       crossoverN: Long = 8192L,
+                       recall: Double = 0.999): DataFrame = {
     val corpusN = if (n > 0) n else df.count()
-    if (corpusN <= crossoverN) embeddingNearDupExact(df, idCol, vecCol, threshold)
-    else embeddingNearDupLsh(df, idCol, vecCol, dim, threshold, n = corpusN)
+    // Cost-based dispatch above the small-n floor: exact costs n²/2 dots in
+    // a tight codegen loop — priced at half an LSH verification dot (no join
+    // machinery) — vs the LSH config's model cost (candidates + probe rows,
+    // Ann.autoConfigWithCost). This encodes the measured reality that the
+    // crossover is THRESHOLD-dependent: at τ=0.45/R=0.999 exact wins far
+    // past 20k vectors (recall is paid for in candidates), at τ=0.7 LSH
+    // reaches parity at 20k and wins beyond.
+    val (config, lshCost) =
+      graft.similarity.Ann.autoConfigWithCost(corpusN, threshold, recall)
+    val exactCost = 0.5 * corpusN.toDouble * corpusN / 2
+    if (corpusN <= crossoverN || exactCost <= lshCost)
+      embeddingNearDupExact(df, idCol, vecCol, threshold)
+    else
+      embeddingNearDupLsh(df, idCol, vecCol, dim, threshold,
+        bits = config._1, tables = config._2, probeHamming = config._3,
+        n = corpusN, recall = recall)
   }
 
   /** LSH-blocked embedding near-dup: candidates share a random-hyperplane
@@ -410,20 +425,25 @@ object Dedup {
                           probeHamming: Int = 1, recall: Double = 0.999): DataFrame = {
     require(probeHamming >= 0 && probeHamming <= 1,
       "pair multiprobe supports radius 0 (off) or 1")
-    // bits <= 0 → size from the corpus so buckets stay ~64 rows; fixed bits
-    // on a grown corpus silently degrades to near-all-pairs (see Ann.bitsFor).
-    // tables <= 0 → size from (bits, threshold, probe radius) to hold the
-    // target recall (Ann.tablesFor); fixed tables with growing bits silently
-    // loses recall. Multiprobe radius 1 (default) lets a handful of tables
-    // reach 99.9% recall where single-probe needs dozens: the probing side
-    // also emits each bucket id with one bit flipped, so a pair collides
-    // when a table's signatures differ in ≤ 1 bit.
+    // bits/tables <= 0 → cost-optimal config from (n, threshold, recall):
+    // Ann.autoConfig enumerates radius-0 and radius-1 probing and picks the
+    // cheapest recall-feasible (bits, tables, radius) — fixed bits on a
+    // grown corpus silently degrade to near-all-pairs, fixed tables with
+    // growing bits silently lose recall, and a fixed probe radius is wrong
+    // in one threshold regime or the other (radius 1 is what keeps the
+    // 64-table clamp recall-feasible at low thresholds; radius 0 is cheaper
+    // whenever it fits). Explicit bits+tables override everything.
     // n: caller-known corpus size (skips a count job when memoized upstream).
     val corpusN = if (n > 0) n else df.count()
-    val sizedBits = if (bits > 0) bits
-      else graft.similarity.Ann.bitsFor(corpusN, probeHamming = probeHamming)
-    val sizedTables = if (tables > 0) tables
-      else graft.similarity.Ann.tablesFor(sizedBits, threshold, recall, probeHamming)
+    val (sizedBits, sizedTables, sizedProbe) =
+      if (bits > 0 && tables > 0) (bits, tables, probeHamming)
+      else if (bits > 0) // caller pinned bits: recall-size tables for THEM
+        (bits, graft.similarity.Ann.tablesFor(bits, threshold, recall, probeHamming),
+          probeHamming)
+      else {
+        val (ab, at, ap) = graft.similarity.Ann.autoConfig(corpusN, threshold, recall)
+        (ab, at, ap)
+      }
     val index = graft.similarity.Ann.LshIndex(dim, sizedBits, sizedTables, seed)
     // The candidate list is O(n·T/2^b) rows while the vector table is O(n):
     // when the vectors fit (≤ broadcastMaxRows ≈ 250 MB at dim 64) the
@@ -450,7 +470,7 @@ object Dedup {
     val t2 = tagged
       .withColumn("_bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("table"), col("bucket"))))
-      .filter(if (probeHamming > 0) col("_bn") <= maxBucket
+      .filter(if (sizedProbe > 0) col("_bn") <= maxBucket
               else col("_bn").between(2, maxBucket))
       .drop("_bn")
     // Multiprobe expansion on ONE side only: each probing row re-emits its
@@ -458,7 +478,7 @@ object Dedup {
     // while the build side keeps real buckets — a pair still meets through a
     // plain equi-join whenever the two signatures differ in ≤ 1 bit.
     val probedX =
-      if (probeHamming <= 0) t2
+      if (sizedProbe <= 0) t2
       else {
         val masks = (0 until sizedBits).map(1L << _)
         t2.select(col("doc_id"), col("table"),

@@ -86,9 +86,11 @@ object TrainingData {
       .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
         explode(col("shingles")).as("s"))
       .filter(mightContain)
-      // exact verification on the (tiny) bloom-surviving side: a plain
-      // shuffle join by design — the point of the bloom path is not needing
-      // the benchmark strings resident on every executor
+      // exact verification on the (tiny) bloom-surviving side, join strategy
+      // left to the planner: a tiny benchmark auto-broadcasts, a huge one
+      // shuffles — either is correct, because the probing side has already
+      // shrunk to ~(contaminated + fpp) rows. The bloom's job was keeping
+      // the FULL training scan from needing the string set at all.
       .join(benchShingle, "s")
       .groupBy(col("doc_id"), col("n_shingles"))
       .agg(count(lit(1)).as("n_shared"))

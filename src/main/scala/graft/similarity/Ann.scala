@@ -96,6 +96,54 @@ object Ann {
     1.0 - math.pow(1.0 - p, tables.toDouble)
   }
 
+  /** Cost-optimal (bits, tables, probeHamming) for a pair search over `n`
+    * vectors at the given cosine threshold and recall target. Enumerates
+    * radius-0 (classic) and radius-1 (multiprobe) configs that can hold the
+    * recall within the 64-table clamp and minimizes an empirical cost
+    * model: candidate verifications `n²/2 · T · probes(b) / 2^b` at weight
+    * 1 plus probe-row handling `n · T · probes(b)` at weight `rowWeight`
+    * (a shuffled/exploded probe row costs ~10× a codegen'd dot+hash probe,
+    * measured on local[32]). The interesting consequence, measured at 20k
+    * vectors: multiprobe wins at LOW thresholds (it is the only way to stay
+    * recall-feasible under the table clamp), while at high thresholds
+    * single-probe with more tables wins because the (1+b)× probe-row
+    * explosion costs more than the tables it saves. Returns the classic
+    * occupancy sizing as a fallback when no config is recall-feasible —
+    * callers should check [[expectedRecall]] (and raise the threshold or
+    * switch methods) in that regime.
+    */
+  def autoConfig(n: Long, threshold: Double, recall: Double = 0.999,
+                 rowWeight: Double = 10.0): (Int, Int, Int) =
+    autoConfigWithCost(n, threshold, recall, rowWeight)._1
+
+  /** [[autoConfig]] plus its model cost, for cost-based dispatch against the
+    * exact path ([[graft.dedup.Dedup.embeddingNearDup]]). Tables enumerate
+    * up to 256 (not [[tablesFor]]'s 64): past ~64 each table is real memory
+    * (one long per row per table) and real probe rows, but the model prices
+    * that, and at low thresholds large-T configs are the only ones that hold
+    * the recall — the theory's n^(1+ρ) scaling *requires* tables to grow
+    * with n.
+    */
+  def autoConfigWithCost(n: Long, threshold: Double, recall: Double = 0.999,
+                         rowWeight: Double = 10.0): ((Int, Int, Int), Double) = {
+    val feasible = for {
+      probe <- 0 to 1
+      b <- 2 to 24
+      p = tableHitProb(b, threshold, probe)
+      if p > 1e-12
+      tReq = math.ceil(math.log1p(-recall) / math.log1p(-p))
+      if tReq >= 1 && tReq <= 256
+    } yield {
+      val t = math.max(4, tReq.toInt)
+      val probes = 1.0 + (if (probe > 0) b.toDouble else 0.0)
+      val cost = n.toDouble * n / 2 * t * probes / math.pow(2.0, b) +
+        rowWeight * n.toDouble * t * probes
+      (cost, (b, t, probe))
+    }
+    if (feasible.isEmpty) ((bitsFor(n, probeHamming = 1), 64, 1), Double.MaxValue)
+    else { val best = feasible.minBy(_._1); (best._2, best._1) }
+  }
+
   /** Exact cosine top-k for one query vector. The query is a literal constant
     * folded into codegen — no join, single pass.
     */

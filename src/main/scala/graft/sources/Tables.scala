@@ -48,6 +48,14 @@ object Tables {
       .option("enforceSchema", "false")
       .csv(path)
 
+  /** Read an ORC table. ORC is the second columnar format large estates
+    * actually hold data in; Spark's native reader gives it the same
+    * predicate-pushdown/column-pruning treatment as Parquet, so everything
+    * in this engine works unchanged over ORC inputs.
+    */
+  def orcTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Write partitioned by low-cardinality columns (dates, categories):
     * filters on `cols` become directory pruning. `maxRecordsPerFile` bounds
     * file size without an extra repartition shuffle.

@@ -79,4 +79,22 @@ class PlanAuditSpec extends SparkSpec {
     // partition by user_id — the plan must not re-exchange between them
     assert(exchanges(p) === 1, p)
   }
+
+  test("q_repetition: per-row bigram stats -> a pure scan, zero exchanges") {
+    val p = plan("q_repetition")
+    assert(exchanges(p) === 0, p)
+    assert(p.contains("bigram_stats"), p)
+  }
+
+  test("q_bloom_decontaminate: bloom probe filters the scan before any join") {
+    val p = plan("q_bloom_decontaminate")
+    // the native probe must sit in a Filter on the training side, so the
+    // exact shingle join only sees bloom survivors
+    assert(p.contains("bloom_might_contain"), p)
+  }
+
+  test("q_oov_rate: vocabulary membership is a broadcast join") {
+    val p = plan("q_oov_rate")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -62,6 +62,19 @@ class TablesSpec extends SparkSpec {
       === df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
   }
 
+  test("orc source round-trips and pushes filters into the scan") {
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0), (3L, "gamma", 0.0))
+      .toDF("id", "name", "score")
+    val odir = Files.createTempDirectory("graft_orc").toString
+    df.write.mode("overwrite").orc(odir)
+    val back = Tables.orcTable(spark, odir)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      === df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet)
+    val p = back.filter(col("id") > 1L).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(id,1)"), p)
+  }
+
   test("zorder2 interleaves bits (matches a driver-side reference)") {
     def spreadRef(v: Long): Long = {
       var x = v
