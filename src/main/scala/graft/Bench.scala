@@ -22,7 +22,13 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // toRdd.count(), not count(): a count() aggregate lets Catalyst
+        // prune every projected column, so projection-heavy queries (quality
+        // scoring, fingerprints, language-ID) would be timed as bare scans.
+        // toRdd executes the query's own plan — every output column is
+        // actually computed, like a real consumer (or Verify's write) sees.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()

@@ -79,7 +79,18 @@ object TextFunctions {
     * stopword signals (Gopher/C4-style heuristics from the public corpus-
     * filtering literature). Deterministic, branch-free except `when`.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    round(org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.QualityScoreRaw(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        englishStopwords.toArray)), 6)
+
+  /** The declarative four-signal formulation [[qualityScore]] replaces —
+    * kept as the parity reference (`ExpressionParitySpec` asserts the native
+    * one-pass expression matches it bit-for-bit): the HOF chains here
+    * re-tokenize the document ~8× and run interpreted, ~4× slower at sf0.1.
+    */
+  def qualityScoreHof(text: Column): Column = {
     val lenScore  = least(length(text).cast("double") / 500.0, lit(1.0))
     val punctOk   = when(punctRatio(text) <= 0.2, 1.0).otherwise(0.0)
     val stopOk    = least(stopwordRatio(text) * 5.0, lit(1.0))

@@ -71,9 +71,16 @@ object TrainingData {
   def bloomDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int = 5, fpp: Double = 0.01): DataFrame = {
     import graft.expressions.{BloomMightContain, BloomUtil}
-    val benchShingle = Dedup.shingleSets(bench, idCol, textCol, n)
+    val spark = train.sparkSession
+    import spark.implicits._
+    val members = Dedup.shingleSets(bench, idCol, textCol, n)
       .select(explode(col("shingles")).as("s")).distinct()
-    val members = benchShingle.collect().map(_.getString(0))
+      .collect().map(_.getString(0))
+    // the collected members also serve as the exact-verify side — the
+    // benchmark corpus is shingled exactly once (they are already
+    // driver-resident for the bitmap build; re-parallelizing them is free
+    // next to re-scanning the benchmark docs)
+    val benchShingle = members.toSeq.toDF("s")
     val (m, k) = BloomUtil.sized(math.max(1L, members.length.toLong), fpp)
     val bits = new Array[Long]((m >>> 6).toInt)
     members.foreach(s =>

@@ -115,6 +115,26 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("QualityScoreRaw one-pass matches the declarative four-signal formulation") {
+    val texts = Seq(
+      "The quick brown fox jumps over the lazy dog, and then it naps.",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",       // one giant token
+      "a b c d e f g h",                                 // tiny tokens
+      "lots!!! of??? punctuation...,,, here;;; ok:::",
+      "   leading and trailing whitespace   ",
+      "tabs\tand\nnewlines\rsplittokens\ftoo",
+      "的 了 unicode tokens mixed with the and of",       // non-ASCII path
+      "x",
+      "")
+    val df = texts.toDF("text")
+    val rows = df.select(
+      graft.functions.TextFunctions.qualityScore(col("text")).as("native"),
+      graft.functions.TextFunctions.qualityScoreHof(col("text")).as("hof")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getDouble(0) === r.getDouble(1), s"mismatch on: '$t'")
+    }
+  }
+
   test("HyperplaneBuckets matches the driver-side bucketOf for every table") {
     val idx = Ann.LshIndex(dim = 8, bits = 4, tables = 6, seed = 11L)
     val vs = List.fill(25)(randVec())
