@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.dedup.Dedup
-import graft.expressions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
+import graft.expressions.{BigramStats, DotProduct, Fnv1a64, MinHashSignature, QualityScoreRaw, SimHash64, WordShingles}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the
@@ -53,6 +53,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "minhash_signature takes 1 argument")
         val p = Dedup.MinHashParams()
         MinHashSignature(args.head, p.as, p.bs)
+      })
+    register(ext, "fnv1a64",
+      "fnv1a64(s) - FNV-1a 64-bit hash of a string (engine-portable)",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "fnv1a64 takes 1 argument")
+        Fnv1a64(args.head)
+      })
+    register(ext, "bigram_stats",
+      "bigram_stats(tokens) - [top bigram count, total bigrams] of an array<string>",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "bigram_stats takes 1 argument")
+        BigramStats(args.head)
+      })
+    register(ext, "quality_score_raw",
+      "quality_score_raw(text) - unrounded composite quality score (English stopwords)",
+      { args: Seq[Expression] =>
+        require(args.length == 1, "quality_score_raw takes 1 argument")
+        QualityScoreRaw(args.head, graft.functions.TextFunctions.stopwords("en").toArray)
       })
   }
 }

@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: blow-up factor (default 10× → 50k docs / 20k vectors;
+    // pass 50 for the 100k-vector crossover demonstration)
+    val nCopies = if (args.nonEmpty) args(0).toInt else 10
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val copies = spark.range(10).select(col("id").as("copy"))
+    val copies = spark.range(nCopies.toLong).select(col("id").as("copy"))
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .crossJoin(copies)
@@ -40,23 +43,41 @@ object ScaleProbe {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$n")
     }
-    time("exact dedup") { graft.dedup.Dedup.exact(d, "text", "doc_id").count() }
-    time("minhash+lsh pairs") {
-      graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", 5, 0.8).count() }
-    time("ngram inverted index") {
-      graft.dedup.Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.8, maxDocFreq = 1000).count() }
-    time("simhash pairs") {
-      graft.dedup.Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3).count() }
-    time("embed near-dup exact") {
-      graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.45).count() }
-    time("embed near-dup lsh (auto)") {
-      graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.45).count() }
+    // doc pipelines only at the default factor — the big-factor runs target
+    // the embedding crossover and 250k-doc all-pairs baselines take minutes
+    if (nCopies <= 10) {
+      time("exact dedup") { graft.dedup.Dedup.exact(d, "text", "doc_id").count() }
+      time("minhash+lsh pairs") {
+        graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", 5, 0.8).count() }
+      time("ngram inverted index") {
+        graft.dedup.Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.8, maxDocFreq = 1000).count() }
+      time("simhash pairs") {
+        graft.dedup.Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3).count() }
+    }
+    // exact all-pairs baselines only at the default factor: at 100k vectors
+    // (factor 50) the quadratic runs exceeded 30 minutes on local[32] before
+    // being killed — which IS the datapoint: past ~10^5 rows only the
+    // sub-quadratic path is viable, whatever its constants.
+    if (nCopies <= 10) {
+      time("embed near-dup exact") {
+        graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.45).count() }
+    }
+    if (nCopies <= 10) {
+      // Forced-LSH at τ=0.45 only at the default factor: at 100k vectors the
+      // 99.9%-recall config is ~2.6e9 candidate dots + a 213M-row probe
+      // shuffle — the cost model prices it ≈ exact, so the DISPATCHER would
+      // pick exact; forcing LSH here just reproduces that prediction slowly.
+      time("embed near-dup lsh (auto)") {
+        graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.45).count() }
+    }
     // High-threshold regime: p1 = 1-acos(0.7)/π ≈ 0.745, so signatures are
     // far more selective per bit and few tables hold high recall — this is
     // where hyperplane LSH decisively beats exact (low thresholds pay the
     // recall tax in candidates; see Dedup.embeddingNearDupLsh docs).
-    time("embed near-dup exact @0.7") {
-      graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.7).count() }
+    if (nCopies <= 10) {
+      time("embed near-dup exact @0.7") {
+        graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.7).count() }
+    }
     time("embed near-dup lsh  @0.7") {
       graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.7).count() }
     spark.stop()

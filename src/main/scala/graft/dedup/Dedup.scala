@@ -486,21 +486,30 @@ object Dedup {
             transform(typedlit(masks), m => col("bucket").bitwiseXOR(m)))).as("bucket"))
       }
     // Candidate pairs via codegen'd equi-self-join on the bucket key (not a
-    // per-bucket HOF array expansion). Verification runs BEFORE the distinct:
-    // dots are a native codegen'd expression and the vector join keys are
-    // bare ids, so re-scoring a pair that collides in k tables costs k cheap
-    // dots while the distinct only shuffles the (few) surviving rows.
+    // per-bucket HOF array expansion).
     val cand = probedX.as("x").join(t2.as("y"),
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    cand
+    // Verification placement depends on expected candidate MULTIPLICITY
+    // (how many table/probe combos re-emit the same pair). A true near-dup
+    // collides in ~every table, so multiplicity ≈ tables·probes for exactly
+    // the pairs a dedup corpus is full of: at few tables, re-scoring a pair
+    // k times costs k cheap codegen'd dots and the distinct only shuffles
+    // survivors (verify-first wins); at many tables, dedup the bare (a, b)
+    // pairs BEFORE the vector joins — measured on a 100k-vector corpus of
+    // 50-way near-dup clusters at T=228, verify-first re-scored 5.6e8
+    // redundant candidates while distinct-first bounds dots at unique pairs.
+    val multiplicity = sizedTables * (1 + (if (sizedProbe > 0) sizedBits else 0))
+    val (candUnique, preDeduped) =
+      if (multiplicity >= 16) (cand.distinct(), true) else (cand, false)
+    val verified = candUnique
       .join(bcast(vecs.select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na"))), "a")
       .join(bcast(vecs.select(col("doc_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))), "b")
       .select(col("a"), col("b"),
         round(VectorFunctions.cosinePrenormed(
           VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
-      .distinct()
+    if (preDeduped) verified else verified.distinct()
   }
 }

@@ -31,6 +31,12 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(sim === sim2)
       val mh = s.sql("SELECT minhash_signature(array('sh1','sh2')) AS m").head.getSeq[Long](0)
       assert(mh.length === 128)
+      val fnv = s.sql("SELECT fnv1a64('abc') AS h").head.getLong(0)
+      assert(fnv === graft.expressions.Fnv1a.hash("abc".getBytes("UTF-8")))
+      val bg = s.sql("SELECT bigram_stats(array('a','b','a','b','c')) AS s").head.getSeq[Long](0)
+      assert(bg === Seq(2L, 4L)) // "a b" twice of 4 bigrams
+      val q = s.sql("SELECT round(quality_score_raw('the cat sat on the mat.'), 6) AS q").head.getDouble(0)
+      assert(q > 0.0 && q <= 1.0)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
