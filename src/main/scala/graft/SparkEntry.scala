@@ -580,9 +580,16 @@ object SparkEntry {
     * regression (>5% error) fails the hash compare.
     */
   private def approxDistinctQ(s: SparkSession, dir: String): DataFrame =
+    // Two-phase: distinct (event_type, user_id) pairs first (map-side
+    // combined — only unique pairs shuffle), then count + HLL over the
+    // distinct set. The HLL estimate is identical (registers are
+    // multiplicity-invariant) but the expensive rsd=1% sketch runs over
+    // |distinct| rows instead of riding an Expand over the full table
+    // inside the mixed exact+approx aggregate (measured 3× at sf0.1).
     t(s, dir, "events")
+      .groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("_c"))
       .groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("n_users_exact"),
+      .agg(count(lit(1)).as("n_users_exact"),
         approx_count_distinct(col("user_id"), 0.01).as("hll"))
       .select(col("event_type"), col("n_users_exact"),
         (abs(col("hll") - col("n_users_exact")).cast("double") / col("n_users_exact") <= 0.05)

@@ -105,6 +105,34 @@ object TrainingData {
         round(col("n_shared").cast("double") / col("n_shingles"), 6).as("containment"))
   }
 
+  /** Stateless decontamination filter for STREAMING curation: drops any
+    * document sharing at least one word n-gram with the benchmark corpus,
+    * deciding by Bloom probe alone. The bitmap is built once (driver-side,
+    * benchmark-sized) and rides into the stream's codegen as a constant, so
+    * the filter needs no state store, no stream-static join, and works
+    * verbatim in both execution contexts (live stream / batch experiment).
+    * Probe-only means clean documents can be false-dropped at rate ≤ `fpp`
+    * — the right trade for online curation (default 1e-4; the exact
+    * containment REPORT is the batch job's business, see
+    * [[bloomDecontaminate]]).
+    */
+  def decontaminationFilter(bench: DataFrame, idCol: String, textCol: String,
+                            n: Int = 5, fpp: Double = 1e-4): DataFrame => DataFrame = {
+    import graft.expressions.{BloomMightContain, BloomUtil}
+    val members = Dedup.shingleSets(bench, idCol, textCol, n)
+      .select(explode(col("shingles")).as("s")).distinct()
+      .collect().map(_.getString(0))
+    val (m, k) = BloomUtil.sized(math.max(1L, members.length.toLong), fpp)
+    val bits = new Array[Long]((m >>> 6).toInt)
+    members.foreach(s =>
+      BloomUtil.add(org.apache.spark.unsafe.types.UTF8String.fromString(s), bits, k, m))
+    def mightContain(s: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        BloomMightContain(
+          org.apache.spark.sql.graft.ColumnBridge.expression(s), bits, k, m))
+    df => df.filter(!exists(Dedup.wordShingles(col(textCol), n), s => mightContain(s)))
+  }
+
   /** Token-budget sequence packing: documents are laid out in `orderCol`
     * order and assigned to consecutive packs of ~`budget` tokens by
     * cumulative token count (pack_id = floor(cumsum_before / budget) — the

@@ -85,4 +85,36 @@ class CurationPipelineSpec extends SparkSpec {
     // fingerprint), 4 fails the quality gate
     assert(streamed.map(_._1) === Set(1L, 3L))
   }
+
+  test("streaming decontamination filter: same drops in live stream and batch experiment") {
+    implicit val sqlCtx = spark.sqlContext
+    // benchmark corpus = doc 1's text: docs 1 and 2 share 5-grams with it
+    // (2 differs only by case/punct, which shingling lowercases away on the
+    // intact spans), doc 3 shares none, doc 4 is too short to shingle
+    val bench = Seq((100L, docs.head.text)).toDF("doc_id", "text")
+    val decon = graft.pipeline.TrainingData.decontaminationFilter(
+      bench, "doc_id", "text", n = 5)
+    val topo = Topology(
+      entities = Map(
+        "raw-docs" -> Topic("raw-docs"),
+        "decon"    -> Stream("decon", decon),
+        "clean"    -> Topic("clean")),
+      workflow = Seq("raw-docs" -> "decon", "decon" -> "clean"))
+
+    val in = MemoryStream[RawDoc]
+    in.addData(docs: _*)
+    val engine = StreamRunner.start(
+      topo, Map("raw-docs" -> in.toDF()),
+      (sink, df) => df.writeStream.format("memory")
+        .queryName("t_decon").trigger(Trigger.AvailableNow()).start())
+    engine.processAllAvailable()
+    engine.stop()
+    val streamed = spark.table("t_decon").select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val batch = topo.experiment(Map("raw-docs" -> docs.toDF()))("clean")
+      .map(_.getAs[Long]("doc_id")).toSet
+
+    assert(streamed === batch)
+    assert(streamed === Set(3L, 4L)) // 1 and 2 are contaminated; 3 clean; 4 unshingleable
+  }
 }
