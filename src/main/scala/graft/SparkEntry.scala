@@ -698,6 +698,31 @@ object SparkEntry {
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_frac"))
   }
 
+  /** End-to-end corpus curation as ONE query — the full training-data
+    * pipeline composed from individually-oracled pieces: exact dedup on
+    * normalized text (keep min doc_id) → quality gate (native one-pass
+    * score ≥ 0.6) → benchmark decontamination (drop docs sharing any
+    * 5-gram with the doc_id%4==0 benchmark split) → token-budget packing.
+    * The DuckDB oracle replays the entire composition, so the INTERACTION
+    * of the stages is verified, not just each stage alone. Plan shape: two
+    * broadcast-able keep/drop joins + one window + one aggregate — the
+    * corpus is scanned, never re-shuffled wholesale.
+    */
+  private def curateCorpusQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val train = d.filter(col("doc_id") % 4 =!= 0)
+    val bench = d.filter(col("doc_id") % 4 === 0)
+    val keep = Dedup.exact(
+      train.select(col("doc_id"), TF.normalizeText(col("text")).as("k")), "k", "doc_id")
+      .select(col("doc_id"))
+    val q = train.join(keep, "doc_id")
+      .filter(TF.qualityScore(col("text")) >= 0.6)
+    val contaminated = TrainingData.contaminationReport(q, bench, "doc_id", "text", n = 5)
+      .select(col("doc_id"))
+    val clean = q.join(contaminated, Seq("doc_id"), "left_anti")
+    TrainingData.packBudgeted(clean, "doc_id", "text", budget = 2000)
+  }
+
   /** Token-budget sequence packing: 2000-token packs in doc_id order. */
   private def packBudgetedQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.packBudgeted(t(s, dir, "documents"), "doc_id", "text", budget = 2000)
@@ -826,6 +851,7 @@ object SparkEntry {
     "q_multimodal_frames"   -> (multimodalFrames(_, _)),
     "q_decontaminate"       -> (decontaminateQ(_, _)),
     "q_bloom_decontaminate" -> (bloomDecontaminateQ(_, _)),
+    "q_curate_corpus"       -> (curateCorpusQ(_, _)),
     "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
     "q_oov_rate"            -> (oovRateQ(_, _)),
     "q_pack_budgeted"       -> (packBudgetedQ(_, _)),
@@ -1265,6 +1291,45 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_decontaminate" -> duckDecontaminateSql,
     "q_bloom_decontaminate" -> duckDecontaminateSql,
+    "q_curate_corpus" ->
+      s"""WITH dq AS ($duckQualitySql),
+         |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id,
+         |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), '\\s+', ' ', 'g')) AS k
+         |    FROM train) GROUP BY k
+         |),
+         |q AS (
+         |  SELECT t.doc_id, t.text FROM train t
+         |  JOIN keep USING (doc_id)
+         |  JOIN dq ON t.doc_id = dq.doc_id
+         |  WHERE dq.quality >= 0.6
+         |),
+         |toksrc AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS shingles
+         |  FROM toksrc WHERE len(w) >= 5
+         |),
+         |bs AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 4 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT t.doc_id
+         |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+         |        WHERE doc_id IN (SELECT doc_id FROM q)) t
+         |  JOIN bs USING (s)
+         |),
+         |clean AS (
+         |  SELECT doc_id, text FROM q
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |),
+         |c AS (
+         |  SELECT doc_id, len($duckToks) AS n_tokens,
+         |    SUM(len($duckToks)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_after
+         |  FROM clean
+         |)
+         |SELECT CAST(FLOOR((cum_after - n_tokens) / 2000.0) AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM c GROUP BY 1""".stripMargin,
     "q_top_quality_docs" ->
       s"""WITH dq AS ($duckQualitySql),
          |j AS (SELECT d.lang, dq.doc_id, dq.quality
