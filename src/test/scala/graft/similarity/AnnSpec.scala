@@ -71,6 +71,35 @@ class AnnSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("ivfTopK over a list-partitioned layout is a partition-pruned scan") {
+    // proves the scale claim in Ann's docs: with the inverted-list id as a
+    // partition column, a probe reads only the probed lists' files — the
+    // probe predicate must appear in PartitionFilters, NOT as a post-scan
+    // row filter over the full corpus
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.sources.Tables.writePartitioned(emb, dir, Seq("label"))
+    val back = spark.read.parquet(dir)
+    val q = emb.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0).toIndexedSeq.map(_.toDouble)
+    val probe = Ann.ivfTopK(back, "embedding", "vec_id", "label", q,
+      probeLists = Seq(0, 1, 2), k = 10)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") && plan.contains("label#"), plan)
+    // pruning is real: the scan reports only the 3 probed partitions
+    val scans = probe.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty && scans.forall(_.selectedPartitions.partitionCount === 3),
+      scans.map(_.selectedPartitions.partitionCount).mkString(","))
+    // and the probed result equals the same top-k over a manual list filter
+    val manual = Ann.ivfTopK(emb, "embedding", "vec_id", "label", q,
+      probeLists = Seq(0, 1, 2), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = probe.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === manual)
+  }
+
   test("tableHitProb: radius-1 multiprobe raises the per-table hit probability") {
     val single = Ann.tableHitProb(5, 0.45)
     val probed = Ann.tableHitProb(5, 0.45, probeHamming = 1)
