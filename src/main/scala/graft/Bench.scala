@@ -32,10 +32,12 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
-      val warm = once()
-      // steady-state = the warm (second) run, not min(cold, warm): min() of
-      // two samples biases optimistic (one lucky run sets the number)
-      name -> (warm, cold)
+      // steady-state = MEDIAN of three warm runs: a single warm sample can
+      // be poisoned by a GC pause (observed: 3.4 s on a 0.26 s query), and
+      // min() of few samples biases optimistic (one lucky run sets the
+      // number) — the median is robust to one outlier in either direction
+      val warms = Seq(once(), once(), once()).sorted
+      name -> (warms(1), cold)
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(m: Iterable[(String, Double)]): String =
