@@ -50,9 +50,13 @@ object Bench {
     // tail (~3.7 KB) and round 2's full line (3.8 KB with the cold map and
     // 9-decimal doubles) got its head truncated -> BENCH_r02 parsed:null.
     // Warm map at 3 decimals is ~1.5 KB; the cold breakdown goes to the file.
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"sf":"$sfDir"}"""
+    // "measure" documents the round-3 methodology change vs earlier rounds:
+    // full plan execution (toRdd — not a count() that lets Catalyst prune
+    // projections) and median of 3 warm runs (not min(cold, warm)) — both
+    // make numbers HIGHER and honest, not slower code
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"measure":"plan_exec_median3warm","sf":"$sfDir"}"""
     println(line)
-    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"measure":"plan_exec_median3warm","sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileLine + "\n").getBytes("UTF-8"))
