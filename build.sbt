@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver machine-parses graft.Bench's one-line JSON out of the run log.
+// sbt's default logger prefixes forked stdout with "[info] ", which breaks
+// that parse (BENCH_r01..r03 all recorded parsed:null). StdoutOutput routes
+// the forked JVM's stdout straight through, unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

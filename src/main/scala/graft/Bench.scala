@@ -19,6 +19,11 @@ object Bench {
     // compile (~1-2 s/query locally — irrelevant at cluster scale where a
     // plan compiles once and processes TBs), run 2 is steady-state
     // throughput. Headline = steady-state; cold times are reported alongside.
+    // Failures must be LOUD: a broken query timed as its (short) failure
+    // latency shrinks the total and reads as a speedup. A query that throws
+    // on any run is reported as -1 in the per-query map, excluded from the
+    // totals, and named in the "failed" list.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -28,7 +33,11 @@ object Bench {
         // toRdd executes the query's own plan — every output column is
         // actually computed, like a real consumer (or Verify's write) sees.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val cold = once()
@@ -37,15 +46,17 @@ object Bench {
       // min() of few samples biases optimistic (one lucky run sets the
       // number) — the median is robust to one outlier in either direction
       val warms = Seq(once(), once(), once()).sorted
-      name -> (warms(1), cold)
+      if (failed.contains(name)) name -> (-1.0, -1.0) else name -> (warms(1), cold)
     }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jmap(m: Iterable[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val qs = jmap(results.map { case (k, (w, _)) => k -> w })
     val qsCold = jmap(results.map { case (k, (_, c)) => k -> c })
-    val total = results.values.map(_._1).sum
-    val coldTotal = results.values.map(_._2).sum
+    val ok = results.filterNot { case (k, _) => failed.contains(k) }
+    val total = ok.values.map(_._1).sum
+    val coldTotal = ok.values.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Stdout line must stay SHORT: the driver parses it out of a bounded log
     // tail (~3.7 KB) and round 2's full line (3.8 KB with the cold map and
     // 9-decimal doubles) got its head truncated -> BENCH_r02 parsed:null.
@@ -54,9 +65,9 @@ object Bench {
     // full plan execution (toRdd — not a count() that lets Catalyst prune
     // projections) and median of 3 warm runs (not min(cold, warm)) — both
     // make numbers HIGHER and honest, not slower code
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"measure":"plan_exec_median3warm","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"failed":$failedJson,"measure":"plan_exec_median3warm","sf":"$sfDir"}"""
     println(line)
-    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"measure":"plan_exec_median3warm","sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"measure":"plan_exec_median3warm","sf":"$sfDir"}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileLine + "\n").getBytes("UTF-8"))

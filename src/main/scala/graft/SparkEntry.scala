@@ -239,14 +239,19 @@ object SparkEntry {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
 
-  /** NTILE quartiles of order price within each order status — the
-    * equi-height bucketing window (per-partition sort, one shuffle).
+  /** NTILE quartiles of order price within each order status — equi-height
+    * bucketing. `o_orderstatus` has 3 values, so a plain
+    * `Window.partitionBy(status)` is 3 tasks at any scale; instead
+    * [[graft.operators.Analytics.rangedRank]] range-partitions the sort and
+    * derives the tile from the global row number in closed form (same bucket
+    * allocation as SQL NTILE, verified against the DuckDB oracle).
     */
   private def ntileQ(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders")
-      .withColumn("tile", ntile(4).over(w).cast("long"))
+    val ranked = graft.operators.Analytics.rangedRank(
+      t(s, dir, "orders").select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")),
+      Seq("o_orderstatus"), Seq(col("o_totalprice"), col("o_orderkey")))
+    ranked
+      .withColumn("tile", graft.operators.Analytics.ntileOf(col("rn"), col("n_part"), 4))
       .groupBy(col("o_orderstatus"), col("tile"))
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
@@ -268,16 +273,21 @@ object SparkEntry {
   }
 
   /** Relative-rank windows: percent_rank and cume_dist of each order within
-    * its status partition — deterministic under ties (both are pure
-    * functions of the rank/row position given the same ordering).
+    * its status partition. The (o_totalprice, o_orderkey) ordering is total,
+    * so both are closed-form functions of the global row number — computed
+    * by the range-partitioned [[graft.operators.Analytics.rangedRank]]
+    * instead of a 3-task `Window.partitionBy(status)` sort; identical
+    * doubles to the engine window functions (same (rn−1)/(n−1) and rn/n
+    * arithmetic), oracle-verified.
     */
   private def percentRankQ(s: SparkSession, dir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("o_orderstatus")).orderBy(col("o_totalprice"), col("o_orderkey"))
-    t(s, dir, "orders")
+    import graft.operators.Analytics
+    Analytics.rangedRank(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      Seq("o_orderstatus"), Seq(col("o_totalprice"), col("o_orderkey")))
       .select(col("o_orderkey"), col("o_orderstatus"),
-        round(percent_rank().over(w), 6).as("pr"),
-        round(cume_dist().over(w), 6).as("cd"))
+        round(Analytics.percentRankOf(col("rn"), col("n_part")), 6).as("pr"),
+        round(Analytics.cumeDistOf(col("rn"), col("n_part")), 6).as("cd"))
   }
 
   /** Bag-semantics set ops: EXCEPT ALL keeps multiplicity (a customer with 3

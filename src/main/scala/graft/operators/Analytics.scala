@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Analytic operators beyond the reference surface (SURVEY §2.5 lists them as
   * absent there): window functions, sessionization, rollup, semi/anti joins,
@@ -80,6 +81,98 @@ object Analytics {
       d.withColumn(s"_asof_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w)))
     carried.filter(col("_tag") === 1)
       .select((leftCols.map(col) ++ valueCols.map(c => col(s"_asof_$c").as(s"asof_$c"))): _*)
+  }
+
+  /** Range-partitioned two-pass global ranking — exact `row_number` (plus the
+    * per-partition row count) WITHOUT a window whose parallelism is capped by
+    * the partition-key cardinality. `Window.partitionBy(status)` over a
+    * 3-value key is 3 tasks forever — a parallelism ceiling, not skew. Here:
+    *
+    *  1. range-partition on (partCols ++ orderCols) into `shards`
+    *     order-respecting shards (equal sort keys never straddle a boundary),
+    *     `localCheckpoint` pinning the sampled boundaries between the two
+    *     passes;
+    *  2. count rows per (shard, partCols) — `shards × |keys|` rows to the
+    *     driver, where an exclusive prefix scan per key yields each shard's
+    *     global row-number offset and the key totals;
+    *  3. a window partitioned by (shard ++ partCols) — parallelism
+    *     `shards × |keys|` — computes local row numbers, and a broadcast
+    *     join adds the offset and total back.
+    *
+    * Global row_number = shard prefix + local row_number, exactly.
+    * `percent_rank` / `cume_dist` / `ntile` are pure functions of
+    * (row_number, partition count) ONLY under a TOTAL per-key ordering, so
+    * `orderCols` must end in a tiebreaker that makes rows unique (the same
+    * requirement any deterministic oracle comparison imposes); see
+    * [[percentRankOf]] / [[cumeDistOf]] / [[ntileOf]]. Partition keys must be
+    * non-null. Output: the input columns plus `rnCol` / `nCol`.
+    */
+  def rangedRank(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
+                 shards: Int = 0, rnCol: String = "rn", nCol: String = "n_part"): DataFrame = {
+    val spark = df.sparkSession
+    val nShards = if (shards > 0) shards
+      else spark.sessionState.conf.numShufflePartitions
+    val sharded = df
+      .repartitionByRange(nShards, (partCols.map(col) ++ orderCols): _*)
+      .withColumn("__shard", spark_partition_id())
+      .localCheckpoint()
+    val countRows = sharded
+      .groupBy((col("__shard") +: partCols.map(col)): _*)
+      .agg(count(lit(1)).as("c"))
+      .collect()
+    // exclusive prefix per part-key across shards in shard order, + totals —
+    // O(shards · |keys|) driver work, rejoined by broadcast (no string
+    // round-trip of the key values: they ride in Rows, any type)
+    val outRows = countRows
+      .groupBy(r => partCols.indices.map(i => r.get(i + 1)).toIndexedSeq)
+      .values.flatMap { rs =>
+        val sorted = rs.sortBy(_.getInt(0))
+        val cs = sorted.map(_.getLong(partCols.size + 1))
+        val total = cs.sum
+        sorted.zip(cs.scanLeft(0L)(_ + _)).map { case (r, p) =>
+          Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(p, total))
+        }
+      }.toSeq
+    val prefixSchema = StructType(
+      sharded.select((col("__shard") +: partCols.map(col)): _*).schema.fields ++
+        Seq(StructField("__prefix", LongType, nullable = false),
+          StructField("__total", LongType, nullable = false)))
+    val prefixDf = spark.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), prefixSchema)
+    val localW = Window
+      .partitionBy((col("__shard") +: partCols.map(col)): _*)
+      .orderBy(orderCols: _*)
+    sharded
+      .join(broadcast(prefixDf), "__shard" +: partCols)
+      .withColumn(rnCol, row_number().over(localW).cast("long") + col("__prefix"))
+      .withColumn(nCol, col("__total"))
+      .drop("__shard", "__prefix", "__total")
+  }
+
+  /** `percent_rank` from a total-order row number: (rn−1)/(n−1), 0 for a
+    * single-row partition — the same double arithmetic every SQL engine uses.
+    */
+  def percentRankOf(rn: Column, n: Column): Column =
+    when(n > 1, (rn - 1).cast("double") / (n - 1).cast("double")).otherwise(0.0)
+
+  /** `cume_dist` from a total-order row number: rn/n (rank == row number when
+    * the ordering is unique).
+    */
+  def cumeDistOf(rn: Column, n: Column): Column =
+    rn.cast("double") / n.cast("double")
+
+  /** `ntile(k)` from a total-order row number — SQL bucket allocation: the
+    * first n mod k buckets get ⌈n/k⌉ rows, the rest ⌊n/k⌋. Closed form, so
+    * no second window pass. floor() on doubles is exact below 2^52 rows.
+    */
+  def ntileOf(rn: Column, n: Column, k: Int): Column = {
+    val q = n / k            // Column `/` is double division
+    val qf = floor(q)
+    val r = n % k
+    val bigRows = (qf + 1) * r // rows living in the first r (larger) buckets
+    when(rn <= bigRows, floor((rn - 1) / (qf + 1)) + 1)
+      .otherwise(r + floor((rn - bigRows - 1) / qf) + 1)
+      .cast("long")
   }
 
   /** Hierarchical rollup aggregate with explicit ALL labels in place of the

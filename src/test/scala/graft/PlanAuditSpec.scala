@@ -97,4 +97,15 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q_oov_rate")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q_pack_budgeted / q_curate_corpus: no partition-less (one-reducer) window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q_pack_budgeted", "q_curate_corpus")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q: expected the packing window in the plan")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q: global window (single-partition sort at scale): $w"))
+    }
+  }
 }

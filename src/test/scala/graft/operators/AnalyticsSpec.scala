@@ -37,6 +37,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(4) === 2L) // one microsecond past the gap → new session
   }
 
+  test("rangedRank matches the engine window functions exactly, at any shard count") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 statuses (the q_percent_rank shape), many order-prefix ties so shard
+    // boundaries land inside tie runs; event_id makes the ordering total
+    val rows = (1L to 500L).map(i => (i, Seq("A", "B", "C")((i % 3).toInt), (i % 17).toInt))
+    val df = rows.toDF("id", "status", "price").repartition(13)
+    val w = Window.partitionBy(col("status")).orderBy(col("price"), col("id"))
+    val expect = df.select(col("id"),
+        percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("long").as("t4"), ntile(7).over(w).cast("long").as("t7"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+    for (shards <- Seq(1, 4, 32)) {
+      val got = Analytics.rangedRank(df, Seq("status"),
+          Seq(col("price"), col("id")), shards = shards)
+        .select(col("id"), Analytics.percentRankOf(col("rn"), col("n_part")).as("pr"),
+          Analytics.cumeDistOf(col("rn"), col("n_part")).as("cd"),
+          Analytics.ntileOf(col("rn"), col("n_part"), 4).as("t4"),
+          Analytics.ntileOf(col("rn"), col("n_part"), 7).as("t7"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+      assert(got === expect, s"shards=$shards") // bit-identical doubles, exact tiles
+    }
+  }
+
+  test("rangedRank with no partition columns: a global total-order rank, sharded") {
+    val df = (1L to 100L).map(i => (i, (i * 37 % 100).toInt)).toDF("id", "v")
+    val out = Analytics.rangedRank(df, Nil, Seq(col("v"), col("id")), shards = 8)
+      .select("rn", "n_part").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(_._1).sorted.toSeq === (1L to 100L))
+    assert(out.forall(_._2 === 100L))
+  }
+
   test("topPerKey keeps k rows per key in order") {
     val df = Seq((1, 10.0), (1, 30.0), (1, 20.0), (1, 40.0), (2, 5.0))
       .toDF("k", "v")

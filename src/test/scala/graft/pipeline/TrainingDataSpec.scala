@@ -45,6 +45,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(out === Seq((0L, 2L, 6L), (1L, 2L, 6L)))
   }
 
+  test("packBudgeted is shard-count invariant: sharded == 1-shard global layout") {
+    // uneven doc lengths so pack boundaries land mid-shard; results must be
+    // bit-identical whether the cumsum runs in 1, 3, or 32 range shards
+    val docs = (1L to 200L)
+      .map(i => (i, Seq.fill((i % 7 + 1).toInt)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+    def packs(shards: Int) =
+      TrainingData.packBudgeted(docs, "doc_id", "text", budget = 23, shards = shards)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val global = packs(1)
+    assert(global.map(_._3).sum === (1L to 200L).map(_ % 7 + 1).sum)
+    assert(packs(3) === global)
+    assert(packs(32) === global)
+  }
+
   test("contentSplit is a pure function of text: duplicates share a split, ids don't matter") {
     val a = Seq((1L, phrase), (2L, phrase), (3L, "some other document text entirely"))
       .toDF("doc_id", "text")
