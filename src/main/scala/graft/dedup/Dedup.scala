@@ -331,6 +331,11 @@ object Dedup {
           (coalesce(col("n_label"), col("keep_id")) < col("keep_id")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
+      // `next` is materialized — the PREVIOUS round's checkpoint blocks are
+      // dead weight from here on; release them (Dataset.unpersist can't:
+      // checkpoint storage bypasses the CacheManager). Only the final
+      // round's label table — the returned result — stays resident.
+      org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(labels)
       labels = next.drop("chg")
       round += 1
     }

@@ -83,21 +83,25 @@ object Analytics {
       .select((leftCols.map(col) ++ valueCols.map(c => col(s"_asof_$c").as(s"asof_$c"))): _*)
   }
 
-  /** Range-partitioned two-pass global ranking — exact `row_number` (plus the
+  /** Range-sharded two-pass global ranking — exact `row_number` (plus the
     * per-partition row count) WITHOUT a window whose parallelism is capped by
     * the partition-key cardinality. `Window.partitionBy(status)` over a
     * 3-value key is 3 tasks forever — a parallelism ceiling, not skew. Here:
     *
-    *  1. range-partition on (partCols ++ orderCols) into `shards`
-    *     order-respecting shards (equal sort keys never straddle a boundary),
-    *     `localCheckpoint` pinning the sampled boundaries between the two
-    *     passes;
-    *  2. count rows per (shard, partCols) — `shards × |keys|` rows to the
-    *     driver, where an exclusive prefix scan per key yields each shard's
-    *     global row-number offset and the key totals;
+    *  1. sample `shards − 1` boundary keys of (partCols ++ orderCols) ONCE
+    *     and freeze them as literals ([[RangeShard]]); the shard id becomes a
+    *     pure deterministic function of row content (equal sort keys never
+    *     straddle a boundary), so the two passes agree with NOTHING pinned —
+    *     the r4 `localCheckpoint` pin leaked block-manager memory for the
+    *     rest of the session;
+    *  2. count rows per (shard, partCols) over a persisted slim key
+    *     projection — `shards × |keys|` rows to the driver, where an
+    *     exclusive prefix scan per key yields each shard's global row-number
+    *     offset and the key totals;
     *  3. a window partitioned by (shard ++ partCols) — parallelism
     *     `shards × |keys|` — computes local row numbers, and a broadcast
-    *     join adds the offset and total back.
+    *     join adds the offset and total back. The window's own hash exchange
+    *     does the sharding — the r4 `repartitionByRange` exchange is gone.
     *
     * Global row_number = shard prefix + local row_number, exactly.
     * `percent_rank` / `cume_dist` / `ntile` are pure functions of
@@ -105,48 +109,68 @@ object Analytics {
     * `orderCols` must end in a tiebreaker that makes rows unique (the same
     * requirement any deterministic oracle comparison imposes); see
     * [[percentRankOf]] / [[cumeDistOf]] / [[ntileOf]]. Partition keys must be
-    * non-null. Output: the input columns plus `rnCol` / `nCol`.
+    * non-null, and `orderCols` must be plain ASCENDING columns/expressions
+    * (no `.desc` — the boundary comparison is ascending nulls-first; wrap a
+    * descending sort key as a negated/inverted expression instead).
+    * Output: the input columns plus `rnCol` / `nCol`.
     */
   def rangedRank(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
                  shards: Int = 0, rnCol: String = "rn", nCol: String = "n_part"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.SortOrder
+    orderCols.foreach { c =>
+      require(!org.apache.spark.sql.graft.ColumnBridge.expression(c).isInstanceOf[SortOrder],
+        "rangedRank orderCols must be plain ascending expressions (no .asc/.desc): " +
+          "boundary sharding compares ascending nulls-first")
+    }
     val spark = df.sparkSession
     val nShards = if (shards > 0) shards
       else spark.sessionState.conf.numShufflePartitions
-    val sharded = df
-      .repartitionByRange(nShards, (partCols.map(col) ++ orderCols): _*)
-      .withColumn("__shard", spark_partition_id())
-      .localCheckpoint()
-    val countRows = sharded
-      .groupBy((col("__shard") +: partCols.map(col)): _*)
-      .agg(count(lit(1)).as("c"))
-      .collect()
-    // exclusive prefix per part-key across shards in shard order, + totals —
-    // O(shards · |keys|) driver work, rejoined by broadcast (no string
-    // round-trip of the key values: they ride in Rows, any type)
-    val outRows = countRows
-      .groupBy(r => partCols.indices.map(i => r.get(i + 1)).toIndexedSeq)
-      .values.flatMap { rs =>
-        val sorted = rs.sortBy(_.getInt(0))
-        val cs = sorted.map(_.getLong(partCols.size + 1))
-        val total = cs.sum
-        sorted.zip(cs.scanLeft(0L)(_ + _)).map { case (r, p) =>
-          Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(p, total))
-        }
-      }.toSeq
-    val prefixSchema = StructType(
-      sharded.select((col("__shard") +: partCols.map(col)): _*).schema.fields ++
-        Seq(StructField("__prefix", LongType, nullable = false),
-          StructField("__total", LongType, nullable = false)))
-    val prefixDf = spark.createDataFrame(
-      java.util.Arrays.asList(outRows: _*), prefixSchema)
-    val localW = Window
-      .partitionBy((col("__shard") +: partCols.map(col)): _*)
-      .orderBy(orderCols: _*)
-    sharded
-      .join(broadcast(prefixDf), "__shard" +: partCols)
-      .withColumn(rnCol, row_number().over(localW).cast("long") + col("__prefix"))
-      .withColumn(nCol, col("__total"))
-      .drop("__shard", "__prefix", "__total")
+    val oNames = orderCols.indices.map(i => s"__o$i")
+    val keyNames = partCols ++ oNames
+    // slim key projection: the boundary sample and the counting pass read it
+    // from cache; the final pass re-derives the shard from the raw columns
+    val slim = df.select((partCols.map(col) ++
+        orderCols.zip(oNames).map { case (c, nm) => c.as(nm) }): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = RangeShard.boundaries(slim, keyNames, nShards)
+      val keyTypes = keyNames.map(nm => slim.schema(nm).dataType)
+      val countDf = slim
+        .withColumn("__shard", RangeShard.shardOf(keyNames.map(col), bounds, keyTypes))
+        .groupBy((col("__shard") +: partCols.map(col)): _*)
+        .agg(count(lit(1)).as("c"))
+      val countRows = countDf.collect()
+      // exclusive prefix per part-key across shards in shard order, + totals —
+      // O(shards · |keys|) driver work, rejoined by broadcast (no string
+      // round-trip of the key values: they ride in Rows, any type)
+      val outRows = countRows
+        .groupBy(r => partCols.indices.map(i => r.get(i + 1)).toIndexedSeq)
+        .values.flatMap { rs =>
+          val sorted = rs.sortBy(_.getInt(0))
+          val cs = sorted.map(_.getLong(partCols.size + 1))
+          val total = cs.sum
+          sorted.zip(cs.scanLeft(0L)(_ + _)).map { case (r, p) =>
+            Row.fromSeq(r.toSeq.dropRight(1) ++ Seq(p, total))
+          }
+        }.toSeq
+      val prefixSchema = StructType(
+        countDf.schema.fields.dropRight(1) ++
+          Seq(StructField("__prefix", LongType, nullable = false),
+            StructField("__total", LongType, nullable = false)))
+      val prefixDf = spark.createDataFrame(
+        java.util.Arrays.asList(outRows: _*), prefixSchema)
+      val localW = Window
+        .partitionBy((col("__shard") +: partCols.map(col)): _*)
+        .orderBy(orderCols: _*)
+      df.withColumn("__shard",
+          RangeShard.shardOf(partCols.map(col) ++ orderCols, bounds, keyTypes))
+        .join(broadcast(prefixDf), "__shard" +: partCols)
+        .withColumn(rnCol, row_number().over(localW).cast("long") + col("__prefix"))
+        .withColumn(nCol, col("__total"))
+        .drop("__shard", "__prefix", "__total")
+    } finally slim.unpersist(false)
+    // the final job recomputes the slim projection once post-unpersist —
+    // deterministic sharding makes that safe, and nothing stays pinned
   }
 
   /** `percent_rank` from a total-order row number: (rn−1)/(n−1), 0 for a

@@ -142,45 +142,55 @@ object TrainingData {
     *
     * Sharded formulation — a single `Window.orderBy` would be a one-reducer
     * global sort (every document through one task at 100 TB). Instead:
-    * range-partition on `orderCol` into `shards` order-respecting shards
-    * (shard i's keys all precede shard i+1's; equal keys never straddle a
-    * boundary), run the cumulative-sum window PER SHARD in parallel, and
-    * reconstruct the global running total by adding each shard's exclusive
-    * prefix of token totals — a driver-side scan over `shards` longs, the
-    * same pattern as file-stitching writers. `localCheckpoint` pins the
-    * shard assignment (range boundaries come from a sampling pass) so the
-    * totals job and the window job see identical shards, and doubles as the
-    * scan reuse between the two passes. Global cumsum = shard prefix +
+    * sample `shards − 1` boundary keys of `orderCol` once and freeze them as
+    * literals ([[graft.operators.RangeShard]]), making the shard id a pure
+    * deterministic function of row content (order-respecting: shard i's keys
+    * all precede shard i+1's, equal keys never straddle a boundary); run the
+    * cumulative-sum window PER SHARD in parallel, and reconstruct the global
+    * running total by adding each shard's exclusive prefix of token totals —
+    * a driver-side scan over `shards` longs, the same pattern as
+    * file-stitching writers. Determinism means the totals job and the window
+    * job agree on shards with nothing pinned (the r4 `localCheckpoint` pin
+    * leaked block-manager memory for the rest of the session); the slim
+    * (orderCol, n_tokens) projection is persisted only across the in-call
+    * jobs and released before returning. Global cumsum = shard prefix +
     * local cumsum, exactly — results are bit-identical to the global
     * window at any shard count.
     */
   def packBudgeted(df: DataFrame, orderCol: String, textCol: String,
                    budget: Long, shards: Int = 0): DataFrame = {
+    import graft.operators.RangeShard
     val spark = df.sparkSession
     val nShards = if (shards > 0) shards
       else spark.sessionState.conf.numShufflePartitions
     val local = df
       .select(col(orderCol),
         TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .repartitionByRange(nShards, col(orderCol))
-      .withColumn("shard", spark_partition_id())
-      .localCheckpoint()
-    // exclusive prefix sum of per-shard token totals: O(shards) driver work
-    val totals = local.groupBy(col("shard")).agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val shardIds = totals.keys.toSeq.sorted
-    val prefix: Map[Int, Long] =
-      shardIds.zip(shardIds.scanLeft(0L)(_ + totals(_))).toMap
-    val prefixCol =
-      if (prefix.isEmpty) lit(0L)
-      else coalesce(element_at(typedlit(prefix), col("shard")), lit(0L))
-    val w = Window.partitionBy(col("shard")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    local
-      .withColumn("cum_after", sum(col("n_tokens")).over(w) + prefixCol)
-      .withColumn("pack_id", ((col("cum_after") - col("n_tokens")) / budget).cast("long"))
-      .groupBy(col("pack_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = RangeShard.boundaries(local, Seq(orderCol), nShards)
+      val keyTypes = Seq(local.schema(orderCol).dataType)
+      val shardC = RangeShard.shardOf(Seq(col(orderCol)), bounds, keyTypes)
+      // exclusive prefix sum of per-shard token totals: O(shards) driver work
+      val totals = local.groupBy(shardC.as("shard")).agg(sum(col("n_tokens")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val shardIds = totals.keys.toSeq.sorted
+      val prefix: Map[Int, Long] =
+        shardIds.zip(shardIds.scanLeft(0L)(_ + totals(_))).toMap
+      val prefixCol =
+        if (prefix.isEmpty) lit(0L)
+        else coalesce(element_at(typedlit(prefix), col("shard")), lit(0L))
+      val w = Window.partitionBy(col("shard")).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      local
+        .withColumn("shard", shardC)
+        .withColumn("cum_after", sum(col("n_tokens")).over(w) + prefixCol)
+        .withColumn("pack_id", ((col("cum_after") - col("n_tokens")) / budget).cast("long"))
+        .groupBy(col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    } finally local.unpersist(false)
+    // the final job recomputes the slim projection once post-unpersist —
+    // deterministic sharding makes that safe, and nothing stays pinned
   }
 
   /** Content-addressed train/val/test split: the split is a pure function of
