@@ -70,7 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "quality_score_raw(text) - unrounded composite quality score (English stopwords)",
       { args: Seq[Expression] =>
         require(args.length == 1, "quality_score_raw takes 1 argument")
-        QualityScoreRaw(args.head, graft.functions.TextFunctions.stopwords("en").toArray)
+        QualityScoreRaw(args.head, graft.functions.TextFunctions.stopwords("en"))
       })
   }
 }

@@ -405,8 +405,14 @@ object SparkEntry {
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
 
+  /** Exact 5-gram Jaccard with the default hot-shingle guard ON (df cap
+    * `max(64, n/100)` — Dedup.autoDocFreqCap): one boilerplate shingle must
+    * not quadratically explode the inverted-index self-join. The oracle
+    * replays the identical cap ([[duckCappedJaccardSql]]).
+    */
   private def ngramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8)
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8,
+      corpusN = tableCount(s, dir, "documents"))
 
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8,
@@ -894,6 +900,33 @@ object SparkEntry {
        |)""".stripMargin
   private val duckShingleCte =
     s"WITH $duckShingleCtes\nSELECT a, b, jaccard FROM jpairs"
+  /** Exact Jaccard with the hot-shingle guard replayed: shingles whose
+    * document frequency exceeds `max(64, n/100)` (Dedup.autoDocFreqCap) are
+    * excluded from the INTERSECTION counts but not the set sizes — mirroring
+    * ngramJaccardPairs' default-on guard exactly. Oracle for q_ngram_jaccard
+    * (the uncapped `duckShingleCtes` stays the oracle for the minhash and
+    * resolve queries, whose banding handles hot shingles by bucket caps
+    * instead of dropping them).
+    */
+  private val duckCappedJaccardSql =
+    s"""WITH toksrc AS (
+       |  SELECT doc_id, $duckToks AS w FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS shingles
+       |  FROM toksrc WHERE len(w) >= 5
+       |), inv0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |cap AS (SELECT greatest(64, count(*) // 100) AS v FROM documents),
+       |hot AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) > (SELECT v FROM cap)),
+       |inv AS (SELECT * FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
+       |pairs AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+       |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
+       |)
+       |SELECT a, b, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON a = sa.doc_id
+       |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON b = sb.doc_id
+       |WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.8""".stripMargin
   /** Connected components over the exact-Jaccard pair graph (min label per
     * component) — the oracle for [[dedupResolve]]. Valid because the minhash
     * pair set is itself oracle-verified equal to the exact pair set
@@ -1243,7 +1276,7 @@ object SparkEntry {
          |  CAST(SUM(c) AS BIGINT) AS n_bigrams,
          |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
          |FROM c GROUP BY doc_id""".stripMargin,
-    "q_ngram_jaccard" -> duckShingleCte,
+    "q_ngram_jaccard" -> duckCappedJaccardSql,
     "q_minhash_lsh"   -> duckShingleCte,
     "q_dedup_resolve" -> duckResolveCte,
     "q_label_centroids" ->

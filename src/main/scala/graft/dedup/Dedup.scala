@@ -60,19 +60,42 @@ object Dedup {
 
   // ------------------------------------- exact n-gram Jaccard (baseline)
 
+  /** Auto-derived hot-shingle cap: drop shingles present in more than
+    * `max(64, corpusN/100)` documents. A shingle at document frequency f
+    * contributes f²/2 pairs to the inverted-index self-join, so ONE
+    * boilerplate 5-gram shared by 1% of a 10M-doc corpus is a 5·10⁹-pair
+    * task; under the cap a surviving shingle contributes ≤ 2k pairs. A
+    * natural-language word 5-gram above the cap is boilerplate
+    * (header/footer/license text), not signal.
+    */
+  def autoDocFreqCap(corpusN: Long): Int =
+    math.max(64L, corpusN / 100L).min(Int.MaxValue.toLong).toInt
+
   /** Exact all-pairs n-gram Jaccard ≥ `threshold`, via an inverted index on
     * shingles: explode → self-join on shingle → per-pair intersection count →
     * |A∪B| = |A|+|B|−|A∩B|. No signature approximation — this is the oracle
     * semantics MinHash must reproduce. Cost is Σ_s df(s)² over shingle doc
-    * frequencies; fine when shingles are selective (word 5-grams), guarded by
-    * `maxDocFreq` at scale (drops stop-shingles; disabled when 0).
+    * frequencies, which ONE boilerplate shingle makes quadratic in the
+    * corpus — so the hot-shingle guard is ON by default: `maxDocFreq < 0`
+    * derives [[autoDocFreqCap]] from the corpus size (`corpusN`, counted if
+    * not supplied), `0` disables the guard (pre-r5 behavior), `> 0` is an
+    * explicit cap. Dropped shingles are excluded from the INTERSECTION but
+    * not the set sizes, so affected pairs report a conservatively LOWER
+    * Jaccard — and a corpus whose every shingle is hot (e.g. > cap exact
+    * copies of one document) reports no pairs at all: exact-duplicate
+    * handling at that multiplicity belongs to [[exact]]/[[minhashPairs]],
+    * whose banding caps hot buckets instead of dropping shingles.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double, maxDocFreq: Int = 0): DataFrame = {
+                        n: Int, threshold: Double, maxDocFreq: Int = -1,
+                        corpusN: Long = -1L): DataFrame = {
+    val cap =
+      if (maxDocFreq >= 0) maxDocFreq
+      else autoDocFreqCap(if (corpusN >= 0) corpusN else df.count())
     val sets = shingleSets(df, idCol, textCol, n)
     val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val inv = if (maxDocFreq > 0) {
-      val hot = inv0.groupBy("s").count().filter(col("count") > maxDocFreq).select("s")
+    val inv = if (cap > 0) {
+      val hot = inv0.groupBy("s").count().filter(col("count") > cap).select("s")
       inv0.join(hot, Seq("s"), "left_anti")
     } else inv0
     val pairs = inv.as("x").join(inv.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
@@ -219,7 +242,14 @@ object Dedup {
       val mask = if (w == 64) -1L else (1L << w) - 1
       shiftrightunsigned(col("sim"), lo).bitwiseAND(mask)
     }
-    val hashed = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
+    // Token-less documents (empty/whitespace-only) have no signal: all-zero
+    // votes pack to the all-ones signature, so every such doc would pair
+    // with every other at hamming 0 — a meaningless quadratic clique (and a
+    // divergence from engines that drop token-less docs, e.g. the DuckDB
+    // oracle's unnest of an empty token list). Drop them up front.
+    val hashed = df
+      .filter(size(filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)) > 0)
+      .select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
     val chunks = posexplode(array(chunkCols: _*))
     val buckets = hashed
       .select(col("doc_id"), col("sim"), chunks.as(Seq("chunk", "ck")))
@@ -389,10 +419,15 @@ object Dedup {
     // crossover is THRESHOLD-dependent: at τ=0.45/R=0.999 exact wins far
     // past 20k vectors (recall is paid for in candidates), at τ=0.7 LSH
     // reaches parity at 20k and wins beyond.
-    val (config, lshCost) =
-      graft.similarity.Ann.autoConfigWithCost(corpusN, threshold, recall)
+    val (config, lshCost) = graft.similarity.Ann.autoConfigWithCost(corpusN, threshold, recall)
     val exactCost = 0.5 * corpusN.toDouble * corpusN / 2
-    if (corpusN <= crossoverN || exactCost <= lshCost)
+    // When NO config holds the recall (lshCost = MaxValue), the cost compare
+    // must not fall through to exact — at large n that launches an
+    // infeasible O(n²) job. Past the crossover, best-effort LSH with the
+    // fallback config is the only tractable plan; autoConfigWithCost has
+    // already logged the achieved (sub-target) recall.
+    val infeasible = lshCost == Double.MaxValue
+    if (corpusN <= crossoverN || (!infeasible && exactCost <= lshCost))
       embeddingNearDupExact(df, idCol, vecCol, threshold)
     else
       embeddingNearDupLsh(df, idCol, vecCol, dim, threshold,

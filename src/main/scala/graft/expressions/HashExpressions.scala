@@ -157,6 +157,12 @@ object BloomUtil {
     val m0 = math.max(64L,
       math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val m = (m0 + 63) / 64 * 64
+    // callers allocate `new Array[Long]((m >>> 6).toInt)`: past 2^37 bits
+    // (16 GiB — already far beyond a sane single bitmap) the Int cast would
+    // silently overflow into a negative array size. Fail loudly instead.
+    require(m <= (1L << 37),
+      s"bloom bitmap of $m bits (n=$n, fpp=$fpp) exceeds the 2^37 single-array bound — " +
+        "build per-partition bitmaps and OR-reduce them (see bloomDecontaminate's scaladoc)")
     (m, math.max(1, math.round(m.toDouble / n * math.log(2)).toInt))
   }
 
@@ -197,6 +203,24 @@ case class BloomMightContain(child: Expression, bits: Array[Long],
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
+
+  // The bitmap stays a primitive Array (a Seq[Long] would box every word —
+  // bitmaps reach GBs), but Array equality is reference identity, which
+  // would defeat Catalyst canonicalization / common-subexpression
+  // elimination: compare contents instead. hashCode samples O(1) of the
+  // bitmap (consistent with equals; full-array hashing of a GB bitmap per
+  // semanticHash call is not).
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContain =>
+      child == o.child && numHashes == o.numHashes && m == o.m &&
+        java.util.Arrays.equals(bits, o.bits)
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    val sample = if (bits.isEmpty) 0L else bits(0) ^ bits(bits.length - 1) ^ bits.length
+    java.util.Objects.hash(child, Integer.valueOf(numHashes),
+      java.lang.Long.valueOf(m), java.lang.Long.valueOf(sample))
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess

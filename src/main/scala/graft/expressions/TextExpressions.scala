@@ -113,13 +113,16 @@ object TextUtil {
   * of ~8 tokenizations; the caller wraps `round(_, 6)` so results are
   * bit-identical to the declarative version, which `ExpressionParitySpec`
   * asserts). `stops` is the lowercase stopword list used by the
-  * stopword-ratio signal.
+  * stopword-ratio signal — a `Seq`, NOT an `Array`: case-class equality on
+  * an Array field is reference identity, which defeats Catalyst
+  * canonicalization (two semantically identical score columns would never
+  * compare equal, so common-subexpression elimination never fires).
   */
-case class QualityScoreRaw(child: Expression, stops: Array[String])
+case class QualityScoreRaw(child: Expression, stops: Seq[String])
     extends UnaryExpression {
 
   private val stopBytes: Array[Array[Byte]] =
-    stops.map(_.getBytes("UTF-8"))
+    stops.map(_.getBytes("UTF-8")).toArray
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quality_score_raw"

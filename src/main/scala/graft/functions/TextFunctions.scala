@@ -83,7 +83,7 @@ object TextFunctions {
     round(org.apache.spark.sql.graft.ColumnBridge.column(
       graft.expressions.QualityScoreRaw(
         org.apache.spark.sql.graft.ColumnBridge.expression(text),
-        englishStopwords.toArray)), 6)
+        englishStopwords)), 6)
 
   /** The declarative four-signal formulation [[qualityScore]] replaces —
     * kept as the parity reference (`ExpressionParitySpec` asserts the native
@@ -135,6 +135,14 @@ object TextFunctions {
     * lookarounds/backreferences so RE2-based engines apply the identical
     * rewrite. Order matters: emails first (an email would otherwise be
     * half-eaten by the phone digit-run rule), then URLs, then phones.
+    *
+    * The phone rule requires ≥ 7 ACTUAL digits (each `[0-9][()\-. ]*` group
+    * is one digit plus separators), so short structured runs like `1.2 2024`
+    * or `v1.2.3.4` survive. Digit-dense non-phones — ISO dates
+    * (`2024-01-15`, 8 digits) and dotted IPs (10+ digits) — still redact:
+    * a deliberate recall-over-precision trade for PII scrubbing (a missed
+    * phone number is a leak; an over-masked date is noise), kept in the
+    * pattern because excluding them needs lookarounds RE2 engines reject.
     */
   def redactPii(text: Column): Column =
     regexp_replace(
@@ -142,7 +150,7 @@ object TextFunctions {
         regexp_replace(text,
           "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
         "https?://[^\\s]+", "<URL>"),
-      "\\+?[0-9][0-9()\\-\\. ]{6,}[0-9]", "<PHONE>")
+      "\\+?([0-9][()\\-\\. ]*){6,}[0-9]", "<PHONE>")
 
   /** FNV-1a 64-bit hash of a string column — a native codegen'd expression
     * ([[graft.expressions.Fnv1a64]]). Public-domain algorithm simple enough

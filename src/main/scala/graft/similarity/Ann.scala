@@ -125,7 +125,9 @@ object Ann {
     * with n.
     */
   def autoConfigWithCost(n: Long, threshold: Double, recall: Double = 0.999,
-                         rowWeight: Double = 10.0): ((Int, Int, Int), Double) = {
+                         rowWeight: Double = 10.0,
+                         onInfeasible: (Int, Int, Int, Double) => Unit =
+                           logInfeasible): ((Int, Int, Int), Double) = {
     val feasible = for {
       probe <- 0 to 1
       b <- 2 to 24
@@ -140,9 +142,23 @@ object Ann {
         rowWeight * n.toDouble * t * probes
       (cost, (b, t, probe))
     }
-    if (feasible.isEmpty) ((bitsFor(n, probeHamming = 1), 64, 1), Double.MaxValue)
-    else { val best = feasible.minBy(_._1); (best._2, best._1) }
+    if (feasible.isEmpty) {
+      val fb = (bitsFor(n, probeHamming = 1), 64, 1)
+      onInfeasible(fb._1, fb._2, fb._3, expectedRecall(fb._1, fb._2, threshold, fb._3))
+      (fb, Double.MaxValue)
+    } else { val best = feasible.minBy(_._1); (best._2, best._1) }
   }
+
+  /** Default recall telemetry for the infeasible fallback: a silent
+    * sub-target recall is a data-loss bug waiting to be "discovered" in a
+    * trained model — the achieved number must reach the operator's logs.
+    * Overridable (the `onInfeasible` hook) so specs can assert it fires.
+    */
+  private def logInfeasible(bits: Int, tables: Int, probe: Int, achieved: Double): Unit =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .warn(f"LSH recall target infeasible within the table clamp; falling back to " +
+        f"(bits=$bits, tables=$tables, probeHamming=$probe) with expected recall " +
+        f"$achieved%.4f — raise the threshold, widen the radius, or switch methods")
 
   /** Exact cosine top-k for one query vector. The query is a literal constant
     * folded into codegen — no join, single pass.

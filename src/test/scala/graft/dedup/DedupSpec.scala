@@ -60,6 +60,51 @@ class DedupSpec extends SparkSpec {
     assert(withCap.count() === 0)   // candidate generation pruned it
   }
 
+  test("hot-shingle guard is ON by default: a boilerplate shingle cannot go quadratic") {
+    // 70 exact copies of one boilerplate doc (every shingle at df 70 > the
+    // auto cap max(64, n/100) = 64) plus a real near-dup pair. Default:
+    // the boilerplate clique — 70·69/2 pairs from ONE hot shingle set — is
+    // pruned at candidate generation, while the low-df near-dup survives.
+    val boiler = (1L to 70L).map(i => (i, "all rights reserved by the example corporation"))
+    val d = (boiler ++ Seq((201L, base), (202L, nearDup))).toDF("doc_id", "text")
+    val guarded = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((201L, 202L))) // boilerplate clique gone, signal kept
+    val unguarded = Dedup.ngramJaccardPairs(d, "doc_id", "text", n = 3, threshold = 0.5,
+      maxDocFreq = 0)
+    assert(unguarded.count() === 70L * 69 / 2 + 1) // opt-out restores pre-guard behavior
+  }
+
+  test("autoDocFreqCap: 64 floor, 1% of corpus above it") {
+    assert(Dedup.autoDocFreqCap(100) === 64)
+    assert(Dedup.autoDocFreqCap(6400) === 64)
+    assert(Dedup.autoDocFreqCap(10000000) === 100000)
+  }
+
+  test("simhashPairs drops token-less docs instead of pairing them at hamming 0") {
+    // empty/whitespace docs pack all-zero votes to the all-ones signature —
+    // without the filter they'd form a meaningless clique (and diverge from
+    // oracles that drop token-less docs before signing)
+    val d = (Seq((1L, base), (2L, nearDup)) ++
+      Seq((6L, ""), (7L, "   "), (8L, "\t\n"))).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a >= 6L || b >= 6L })
+  }
+
+  test("embeddingNearDup dispatches to best-effort LSH, not exact, when no config holds the recall") {
+    // threshold ≈ −1 makes every (bits, tables ≤ 256) config miss 99.9%
+    // recall → autoConfigWithCost returns cost=MaxValue; past the crossover
+    // the dispatcher must still pick LSH (an O(n²) exact job at the claimed
+    // n=10⁹ would be infeasible). Plan-shape assertion only — not executed.
+    val vecs = Seq((1L, Seq.fill(16)(0.1f))).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(vecs, "vec_id", "embedding", dim = 16,
+      threshold = -0.9995, n = 1000000000L)
+    val plan = out.queryExecution.analyzed.toString.toLowerCase
+    assert(plan.contains("posexplode"), "expected the LSH bucket explode in the plan")
+  }
+
   test("simhashPairs: identical docs at hamming 0; blocking finds all pairs <= maxHamming") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 10)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
@@ -171,10 +216,12 @@ class DedupSpec extends SparkSpec {
     assert(sh(4L).get.isEmpty)
     assert(Dedup.exact(dirty, "text", "doc_id").count() === 4)
     assert(Dedup.minhashPairs(dirty, "doc_id", "text", 3, 0.5).count() === 0)
-    // empty and whitespace-only both simhash to 0 → paired at hamming 0
+    // token-less docs (empty/whitespace) carry no signal and are dropped
+    // before signing (r5): no meaningless hamming-0 clique, no divergence
+    // from oracles that unnest empty token lists
     val simPairs = Dedup.simhashPairs(dirty, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(simPairs.toSet === Set((3L, 4L)))
+    assert(simPairs.isEmpty)
   }
 
   test("resolveDuplicates: connected components keep the min id") {

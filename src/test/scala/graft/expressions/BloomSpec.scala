@@ -43,4 +43,13 @@ class BloomSpec extends AnyFunSuite {
     assert(m2 > m1 && m3 > m1)
     assert(m1 % 64 === 0 && m2 % 64 === 0)
   }
+
+  test("sizing fails loudly past the 2^37-bit single-array bound (no silent Int overflow)") {
+    // ~2e10 members at 1% fpp needs ~1.9e11 bits; `(m >>> 6).toInt` at the
+    // allocation sites would overflow into a negative array size
+    val e = intercept[IllegalArgumentException](BloomUtil.sized(20000000000L, 0.01))
+    assert(e.getMessage.contains("per-partition"))
+    val (m, _) = BloomUtil.sized(1400000000L, 0.01) // ~1.3e10 bits: still fine
+    assert(m > 0 && m <= (1L << 37))
+  }
 }

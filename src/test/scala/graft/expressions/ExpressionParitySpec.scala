@@ -135,6 +135,23 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("expressions with list/bitmap parameters keep structural equality (CSE-able)") {
+    // Array fields in a case class compare by reference, which silently
+    // defeats Catalyst canonicalization — two identical score/probe columns
+    // built separately would never be recognized as common subexpressions
+    import org.apache.spark.sql.graft.ColumnBridge
+    val child = ColumnBridge.expression(col("s"))
+    val stops = graft.functions.TextFunctions.stopwords("en")
+    val q1 = graft.expressions.QualityScoreRaw(child, stops)
+    val q2 = graft.expressions.QualityScoreRaw(child, stops.toList) // distinct Seq instance
+    assert(q1 == q2 && q1.hashCode == q2.hashCode)
+    val b1 = graft.expressions.BloomMightContain(child, Array(1L, 2L, 3L), 4, 192L)
+    val b2 = graft.expressions.BloomMightContain(child, Array(1L, 2L, 3L), 4, 192L)
+    val b3 = graft.expressions.BloomMightContain(child, Array(1L, 2L, 9L), 4, 192L)
+    assert(b1 == b2 && b1.hashCode == b2.hashCode)
+    assert(b1 != b3)
+  }
+
   test("HyperplaneBuckets matches the driver-side bucketOf for every table") {
     val idx = Ann.LshIndex(dim = 8, bits = 4, tables = 6, seed = 11L)
     val vs = List.fill(25)(randVec())

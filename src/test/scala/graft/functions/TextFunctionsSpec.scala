@@ -86,4 +86,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) === "call <PHONE> or <PHONE> now")
     assert(got(3) === "version 1.2 of 2024 stays") // short digit runs untouched
   }
+
+  test("redactPii phone rule needs >= 7 actual digits; digit-dense dates/IPs redact by design") {
+    val df = Seq(
+      "1.2 2024 release notes",    // 6 digits spread over a separator run: keep
+      "sections 1.2.3 and 4.5",    // 5 digits: keep
+      "meet on 2024-01-15 ok",     // 8 digits: redacted (documented trade)
+      "host 192.168.0.1 up").toDF("text") // 10 digits: redacted (documented trade)
+    val got = df.select(TextFunctions.redactPii(col("text"))).collect().map(_.getString(0))
+    assert(got(0) === "1.2 2024 release notes")
+    assert(got(1) === "sections 1.2.3 and 4.5")
+    assert(got(2) === "meet on <PHONE> ok")
+    assert(got(3) === "host <PHONE> up")
+  }
 }

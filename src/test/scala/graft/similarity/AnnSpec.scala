@@ -110,6 +110,26 @@ class AnnSpec extends SparkSpec {
       Ann.tablesFor(5, 0.45, 0.999))
   }
 
+  test("autoConfigWithCost fires the recall telemetry hook when no config is feasible") {
+    // near-antipodal threshold: p1 ≈ 0, so no (bits, tables ≤ 256) config
+    // holds 99.9% recall — the fallback must REPORT its achieved recall
+    // instead of silently under-delivering (a recall gap here is silent
+    // data loss downstream)
+    var reported = Option.empty[(Int, Int, Int, Double)]
+    val ((b, t, p), cost) = Ann.autoConfigWithCost(100000L, -0.9995, recall = 0.999,
+      onInfeasible = (bb, tt, pp, r) => reported = Some((bb, tt, pp, r)))
+    assert(cost === Double.MaxValue)
+    val (rb, rt, rp, achieved) = reported.getOrElse(fail("hook did not fire"))
+    assert((rb, rt, rp) === (b, t, p))
+    assert(achieved < 0.999 && achieved >= 0.0)
+    assert(math.abs(achieved - Ann.expectedRecall(b, t, -0.9995, p)) < 1e-12)
+    // feasible regime: the hook must NOT fire
+    var fired = false
+    Ann.autoConfigWithCost(100000L, 0.7, recall = 0.999,
+      onInfeasible = (_, _, _, _) => fired = true)
+    assert(!fired)
+  }
+
   test("ivfTopK probes only the given lists") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.9f, 0.1f), "a"),
