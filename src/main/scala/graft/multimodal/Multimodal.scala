@@ -15,9 +15,13 @@ final case class ImageMeta(media_id: Long, mime: String, width: Int, height: Int
 
 final case class FrameSample(media_id: Long, frame_index: Int, feature: Array[Float])
 
-/** Multimodal column plumbing (north-star). The *decode* step is a clearly
-  * marked STUB — no image/audio codecs exist in this environment — producing
-  * deterministic fake values from the payload hash. Everything around it
+/** Multimodal column plumbing (north-star). Image *decode* is real for the
+  * container formats the JDK ships readers for (PNG/JPEG/GIF/BMP via
+  * `javax.imageio` — header-only dimension reads, full decode for resize);
+  * payloads that are not a recognized image fall back to a deterministic
+  * stub derived from the payload hash, so the text-backed test corpus stays
+  * oracle-checkable. Feature extraction remains a clearly marked STUB (no
+  * ONNX/vision runtime in this environment). Everything around the decode
   * (schema, batch iteration shape, partitioning, the typed Dataset API) is
   * the real production plumbing and is tested.
   *
@@ -47,25 +51,63 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("content")).as[MediaRecord]
   }
 
-  /** STUB decode ??? — stands in for a real image decoder (e.g. libjpeg via
-    * JNI). Deterministic fake dimensions derived from the payload hash; a
-    * real deployment swaps only this function's body.
+  /** Fallback decode for payloads that are not a recognized image container:
+    * deterministic fake dimensions derived from the payload hash (keeps the
+    * text-backed fixture corpus oracle-checkable and the pipeline total —
+    * no asset is dropped for being undecodable).
     */
   private def decodeImageStub(payload: Array[Byte]): (Int, Int) = {
     val h = fnv1a(payload)
     (640 + (math.floorMod(h, 1280L)).toInt, 360 + (math.floorMod(h >>> 32, 720L)).toInt)
   }
 
-  /** Extract image metadata, batched per partition. Decoder "init" happens
-    * once per partition — the production shape for native codecs.
+  /** Magic-byte sniff for the containers `javax.imageio` ships readers for.
+    * Cheap rejection first: running ImageIO's SPI scan on every non-image
+    * payload (the common case in a mixed corpus) would dominate the batch.
+    */
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    (p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+    (p.length >= 3 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8 && (p(2) & 0xff) == 0xff) ||
+    (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+    (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
+
+  /** Real header-only dimension read via `javax.imageio`: positions a reader
+    * on the stream and asks for width/height WITHOUT decoding pixel data —
+    * O(header bytes) per asset, the right cost for a metadata pass over
+    * multi-MB payloads. Returns None for non-image or corrupt payloads.
+    */
+  private def decodeDims(payload: Array[Byte]): Option[(Int, Int)] = {
+    if (!looksLikeImage(payload)) None
+    else {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis, true); Some((r.getWidth(0), r.getHeight(0))) }
+          catch { case scala.util.control.NonFatal(_) => None } // truncated/corrupt
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+  }
+
+  /** Extract image metadata, batched per partition. Real `javax.imageio`
+    * dimension reads for recognized containers (header-only — pixel data is
+    * never decoded), deterministic stub for everything else. Decoder "init"
+    * happens once per partition — the production shape for native codecs.
     */
   def imageMeta(media: Dataset[MediaRecord]): Dataset[ImageMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { batch =>
-      // per-partition decoder init would go here (JNI handle, thread-local buffers)
+      // per-partition decoder init: no disk-backed stream cache (pure
+      // in-memory payloads), the spot where a JNI codec handle would live
+      javax.imageio.ImageIO.setUseCache(false)
       batch.map { m =>
-        val (w, h) = decodeImageStub(m.content)
+        val (w, h) = decodeDims(m.content).getOrElse(decodeImageStub(m.content))
         ImageMeta(m.media_id, m.mime, w, h, m.content.length.toLong, fnv1a(m.content))
       }
     }
@@ -102,25 +144,50 @@ object Multimodal {
     }
   }
 
-  /** STUB resize ??? — stands in for a real image resize (e.g. libvips).
-    * Produces a deterministic fake payload of `ceil(w*h/64)` bytes derived
-    * from the original hash; a real deployment swaps only the body. The
-    * Dataset shape (binary in → binary out, metadata columns preserved,
-    * per-partition batching) is the production plumbing.
+  /** Real resize for decodable payloads: `javax.imageio` decode →
+    * `Graphics2D` bilinear scale to (w, h) → PNG re-encode (so the output
+    * mime is always `image/png` on that path). Non-image payloads keep the
+    * deterministic fake (`ceil(w*h/64)` bytes from the original hash) so a
+    * mixed corpus flows through without drops. The Dataset shape (binary in
+    * → binary out, per-partition batching, one decoder init per partition)
+    * is the production plumbing; a libvips/JNI deployment swaps only the
+    * per-record body.
     */
   def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { batch =>
-      // per-partition resize-library init would go here
+      // per-partition resize-library init (ImageIO here; libvips handle in a
+      // native deployment)
+      javax.imageio.ImageIO.setUseCache(false)
       batch.map { m =>
-        val seed = fnv1a(m.content)
-        val n = math.max(1, w * h / 64)
-        val out = new Array[Byte](n)
-        var x = seed
-        var i = 0
-        while (i < n) { x = x * 6364136223846793005L + 1442695040888963407L; out(i) = (x >>> 56).toByte; i += 1 }
-        MediaRecord(m.media_id, m.mime, out)
+        val real: Option[MediaRecord] =
+          if (!looksLikeImage(m.content)) None
+          else try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
+              .map { img =>
+                val out = new java.awt.image.BufferedImage(
+                  w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                try {
+                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, w, h, null)
+                } finally g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                MediaRecord(m.media_id, "image/png", bos.toByteArray)
+              }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        real.getOrElse {
+          val seed = fnv1a(m.content)
+          val n = math.max(1, w * h / 64)
+          val out = new Array[Byte](n)
+          var x = seed
+          var i = 0
+          while (i < n) { x = x * 6364136223846793005L + 1442695040888963407L; out(i) = (x >>> 56).toByte; i += 1 }
+          MediaRecord(m.media_id, m.mime, out)
+        }
       }
     }
   }

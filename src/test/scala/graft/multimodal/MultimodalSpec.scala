@@ -15,7 +15,47 @@ class MultimodalSpec extends SparkSpec {
     assert(m(2L) === ((13, 11))) // two 2-byte chars
   }
 
-  test("imageMeta: deterministic stub decode, byte counts real") {
+  /** Deterministic tiny image fixture: solid-color w×h, encoded in-test via
+    * the same JDK ImageIO the engine decodes with.
+    */
+  private def encodedImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) { var y = 0; while (y < h) { img.setRGB(x, y, 0x336699); y += 1 }; x += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  private def media(rows: (Long, String, Array[Byte])*) =
+    rows.toSeq.map { case (id, mime, bytes) => MediaRecord(id, mime, bytes) }.toDS()
+
+  test("imageMeta: real javax.imageio dimensions for PNG/JPEG payloads") {
+    val png  = encodedImage(17, 9, "png")
+    val jpeg = encodedImage(3, 5, "jpg")
+    val meta = Multimodal.imageMeta(media(
+        (1L, "image/png", png), (2L, "image/jpeg", jpeg)))
+      .collect().map(m => m.media_id -> m).toMap
+    assert((meta(1L).width, meta(1L).height) === ((17, 9)))
+    assert((meta(2L).width, meta(2L).height) === ((3, 5)))
+    assert(meta(1L).n_bytes === png.length.toLong)
+  }
+
+  test("imageMeta: corrupt image payload falls back to the deterministic stub") {
+    val broken = encodedImage(17, 9, "png").take(12) // valid magic, truncated header
+    val meta = Multimodal.imageMeta(media((1L, "image/png", broken))).collect().head
+    assert(meta.width >= 640 && meta.height >= 360) // stub range, no exception
+  }
+
+  test("resize: real decode + scale + PNG re-encode for image payloads") {
+    val src = encodedImage(17, 9, "png")
+    val out = Multimodal.resize(media((1L, "image/png", src)), 8, 4).collect().head
+    assert(out.mime === "image/png")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.content))
+    assert((back.getWidth, back.getHeight) === ((8, 4)))
+  }
+
+  test("imageMeta: deterministic stub decode for non-image payloads, byte counts real") {
     val meta = Multimodal.imageMeta(Multimodal.asMedia(docs, "doc_id", "text"))
       .collect().map(m => m.media_id -> m).toMap
     assert(meta(1L).n_bytes === 11L)
