@@ -16,7 +16,10 @@ import graft.core.Topology
   * standard Structured Streaming API calls but exercised only to the API
   * boundary; the runner itself is fully tested through the
   * [[memorySink]]/MemoryStream path (StreamingSpec), which shares every line
-  * of compile/lifecycle code with the Kafka path.
+  * of compile/lifecycle code with the Kafka path, and end-to-end through the
+  * [[fileSource]]/[[fileSink]] bindings — a REAL external source (directory
+  * watching, checkpoint-tracked progress, restart/resume), the closest
+  * broker-less stand-in for the Kafka path.
   *
   * Semantics vs the reference (`core.clj:15-20`): the reference runs
   * at-least-once with record caching off (immediate per-record emission);
@@ -52,6 +55,34 @@ object StreamRunner {
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)
+      .start()
+
+  /** S1 (file binding) — directory-watching file source: every file that
+    * appears under `path` becomes part of the next micro-batch, with
+    * processed files tracked in the checkpoint exactly like Kafka offsets.
+    * This is the broker-less topic analog (same compile/lifecycle path as
+    * [[kafkaSource]]) and the shape of a real landing-zone ingest at scale:
+    * `maxFilesPerTrigger` (pass via `options`) bounds batch size, and the
+    * schema is declared, never inferred, so a malformed producer fails the
+    * batch instead of corrupting the table.
+    */
+  def fileSource(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "json",
+                 options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.format(format).schema(schema).options(options).load(path)
+
+  /** S2 (file binding) — append-mode file sink with checkpointed progress:
+    * the broker-less `js/to`. Restarting with the same checkpoint resumes
+    * from the last committed batch — already-processed input files are not
+    * re-emitted (the file-source analog of committed consumer offsets).
+    */
+  def fileSink(df: DataFrame, path: String, checkpointDir: String,
+               format: String = "parquet"): StreamingQuery =
+    df.writeStream
+      .format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
       .start()
 
   /** In-memory sink for tests (S5 analog of the reference's `view-messages`

@@ -56,6 +56,46 @@ class StreamingSpec extends SparkSpec {
     def toSorted: Seq[(Int, Int, Int)] = xs.toSeq.sorted
   }
 
+  test("file-to-file streaming run of the topology equals the batch experiment, " +
+       "and a restart picks up only new files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_filesrc").toString
+    val pDir = s"$root/purchase-made"
+    val dDir = s"$root/humble-donation-made"
+    val outDir = s"$root/large-transaction-made"
+    val ckpt = s"$root/ckpt"
+    purchases.toDF().coalesce(1).write.json(pDir)
+    donations.toDF().coalesce(1).write.json(dDir)
+
+    def bindings = Map(
+      "purchase-made" -> StreamRunner.fileSource(spark, pDir,
+        implicitly[org.apache.spark.sql.Encoder[Purchase]].schema),
+      "humble-donation-made" -> StreamRunner.fileSource(spark, dDir,
+        implicitly[org.apache.spark.sql.Encoder[Donation]].schema))
+    def run(): Unit = {
+      val engine = StreamRunner.start(ReferenceOps.transactionTopology, bindings,
+        (_, df) => StreamRunner.fileSink(df, outDir, ckpt))
+      engine.awaitAll() // AvailableNow drains all pending files, then stops
+    }
+
+    def readOut() = spark.read.parquet(outDir).select("key", "user_id", "amount")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSorted
+
+    run()
+    val streamed = readOut()
+    val batch = ReferenceOps.transactionTopology.experiment(Map(
+      "purchase-made"        -> purchases.toDF(),
+      "humble-donation-made" -> donations.toDF()))("large-transaction-made")
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSorted
+    assert(streamed === batch)
+
+    // a new file lands; a restarted run (same checkpoint) emits ONLY its
+    // qualifying rows — the already-processed files are not re-emitted
+    Seq(Purchase(7, 5, 250), Purchase(8, 6, 20)).toDF()
+      .coalesce(1).write.mode("append").json(pDir)
+    run()
+    assert(readOut() === (batch :+ ((7, 5, 250))).sorted)
+  }
+
   test("windowedAgg: event-time tumbling window with watermark") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
