@@ -494,7 +494,12 @@ object Dedup {
     // the right plan anyway.
     val bcast: DataFrame => DataFrame =
       if (corpusN <= broadcastMaxRows) broadcast(_) else identity
-    val vecs = df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
+    // Same single-split guard as the exact path: a small corpus scans as ONE
+    // partition, and without an exchange before the (broadcast) candidate
+    // join, the bucket hashing, the quadratic pair emission, AND the cosine
+    // verify all run on one core. No-op at scale.
+    val vecs = graft.operators.Par.fanOut(df)
+      .select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val withB = index.withBuckets(vecs.select("doc_id", "v"), "v")
     // (table, bucket, id) tags — 20 bytes/row·table; the vector never rides along.
@@ -507,7 +512,12 @@ object Dedup {
     // With multiprobe a singleton bucket can still receive partners from a
     // neighboring bucket's probes, so only the hot-bucket cap applies; the
     // classic equi-probe also drops singletons (nothing can join them).
-    val t2 = tagged
+    // When n ≤ maxBucket no bucket CAN exceed the cap, so the guard is a
+    // no-op by construction and the window pass (a shuffle + sort of n·T
+    // tag rows) is skipped outright; the equi-probe's singleton drop is
+    // only a join-probe saving, not a semantics change, so losing it in
+    // that regime is free.
+    val t2 = if (corpusN <= maxBucket) tagged else tagged
       .withColumn("_bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("table"), col("bucket"))))
       .filter(if (sizedProbe > 0) col("_bn") <= maxBucket
@@ -526,8 +536,14 @@ object Dedup {
             transform(typedlit(masks), m => col("bucket").bitwiseXOR(m)))).as("bucket"))
       }
     // Candidate pairs via codegen'd equi-self-join on the bucket key (not a
-    // per-bucket HOF array expansion).
-    val cand = probedX.as("x").join(t2.as("y"),
+    // per-bucket HOF array expansion). The build side is n·T skinny
+    // (id, table, bucket) rows ≈ 24 B each: when that fits an executor
+    // (≤ ~100 MB) broadcast it so the probe side streams map-only instead
+    // of both sides paying a full shuffle — the self-join analog of the
+    // verification joins' broadcast gate below.
+    val buildSide =
+      if (corpusN * sizedTables <= 4000000L) broadcast(t2.as("y")) else t2.as("y")
+    val cand = probedX.as("x").join(buildSide,
         col("x.table") === col("y.table") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
@@ -540,16 +556,66 @@ object Dedup {
     // pairs BEFORE the vector joins — measured on a 100k-vector corpus of
     // 50-way near-dup clusters at T=228, verify-first re-scored 5.6e8
     // redundant candidates while distinct-first bounds dots at unique pairs.
+    // Absolute-volume override: when the sizing model expects few candidate
+    // rows overall (n²/2·T·probes/2^b ≤ ~1e7), wholesale re-scoring is
+    // cheaper than ANY pre-distinct shuffle — with broadcast joins on both
+    // sides the whole verify stage is then map-only, zero wide exchanges —
+    // regardless of multiplicity.
+    val probesPerTag = 1.0 + (if (sizedProbe > 0) sizedBits.toDouble else 0.0)
+    val expectedCandRows =
+      corpusN.toDouble * corpusN / 2 * sizedTables * probesPerTag / math.pow(2.0, sizedBits)
     val multiplicity = sizedTables * (1 + (if (sizedProbe > 0) sizedBits else 0))
     val (candUnique, preDeduped) =
-      if (multiplicity >= 16) (cand.distinct(), true) else (cand, false)
-    val verified = candUnique
-      .join(bcast(vecs.select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na"))), "a")
-      .join(bcast(vecs.select(col("doc_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))), "b")
-      .select(col("a"), col("b"),
-        round(VectorFunctions.cosinePrenormed(
-          VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+      if (expectedCandRows <= 1e7) (cand, false)
+      else if (multiplicity >= 16) (cand.distinct(), true)
+      else (cand, false)
+    // Verify kernel. When the corpus fits a replicated flat store (n·dim
+    // doubles ≤ 64 MB — the same per-executor memory contract as the
+    // broadcast build side, minus row headers) and ids are integral, score
+    // candidates with [[graft.expressions.CosineByIds]]: a pure projection
+    // (two binary searches + one fused dot, ~0.3 µs/pair) instead of two
+    // broadcast hash joins that each materialize an 8·dim-byte row per pair
+    // (~7 µs/pair measured at dim 64). Zero joins, one WholeStageCodegen
+    // span from candidate emission through the threshold filter. Above the
+    // gate: the broadcast/shuffle join formulation, whose build side is
+    // bounded by `broadcastMaxRows`.
+    val idIsIntegral = df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    }
+    val verified =
+      if (idIsIntegral && corpusN * dim <= 8L * 1024 * 1024) {
+        val rows = vecs.select(col("doc_id").cast("long"), col("v"), col("nrm"))
+          .collect().sortBy(_.getLong(0))
+        val ids = Array.tabulate(rows.length)(rows(_).getLong(0))
+        val flat = new Array[Double](rows.length * dim)
+        val norms = new Array[Double](rows.length)
+        var i = 0
+        while (i < rows.length) {
+          val v = rows(i).getSeq[Double](1)
+          var k = 0
+          // zero-pad short vectors: products beyond the shorter length are 0,
+          // matching DotProduct's min-length loop exactly
+          while (k < v.length && k < dim) { flat(i * dim + k) = v(k); k += 1 }
+          norms(i) = rows(i).getDouble(2)
+          i += 1
+        }
+        import scala.collection.immutable.ArraySeq
+        val br = org.apache.spark.sql.graft.ColumnBridge
+        val cos = br.column(graft.expressions.CosineByIds(
+          br.expression(col("a").cast("long")), br.expression(col("b").cast("long")),
+          ArraySeq.unsafeWrapArray(ids), ArraySeq.unsafeWrapArray(flat),
+          ArraySeq.unsafeWrapArray(norms), dim))
+        candUnique.select(col("a"), col("b"), round(cos, 6).as("cos"))
+          .filter(col("cos") >= threshold)
+      } else candUnique
+        .join(bcast(vecs.select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na"))), "a")
+        .join(bcast(vecs.select(col("doc_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))), "b")
+        .select(col("a"), col("b"),
+          round(VectorFunctions.cosinePrenormed(
+            VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
+        .filter(col("cos") >= threshold)
     if (preDeduped) verified else verified.distinct()
   }
 }

