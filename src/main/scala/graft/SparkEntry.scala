@@ -450,6 +450,24 @@ object SparkEntry {
     Dedup.embeddingNearDup(t(s, dir, "embeddings"), "vec_id", "embedding",
       dim = 64, threshold = 0.45, n = tableCount(s, dir, "embeddings"))
 
+  /** SemDeDup semantic dedup over the embeddings corpus. Centroids are the
+    * first 10 vectors (the q_kmeans_assign fixed-centroid scheme) so the
+    * oracle replays the assignment bit-for-bit; eps matches the near-dup
+    * threshold, making the within-cluster pair set the cluster-restricted
+    * subset of q_embed_near_dup's pairs and the keep decision a recursive
+    * CTE over it.
+    */
+  private def semanticDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 10).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    Dedup.semanticDedup(emb, "vec_id", "embedding", dim = 64,
+      graft.similarity.KMeans.Model(cents), eps = 0.45,
+      n = tableCount(s, dir, "embeddings"))
+      .select(col("vec_id"), col("list").cast("long").as("list"), col("keep_id"))
+  }
+
   private def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
     // bits/tables = 0 → auto-size from corpus, threshold, and probe radius
     // (Ann.bitsFor / Ann.tablesFor): fixed bits degrade to near-all-pairs as
@@ -845,6 +863,7 @@ object SparkEntry {
     "q_embed_near_dup"      -> (embedNearDup(_, _)),
     "q_embed_near_dup_auto" -> (embedNearDupAuto(_, _)),
     "q_embed_near_dup_lsh"  -> (embedNearDupLsh(_, _)),
+    "q_semantic_dedup"      -> (semanticDedupQ(_, _)),
     "q_token_count"         -> (tokenCounts(_, _)),
     "q_text_quality"        -> (textQuality(_, _)),
     "q_lang_id"             -> (langIdQ(_, _)),
@@ -954,6 +973,40 @@ object SparkEntry {
     s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
        |WHERE round($duckCos, 6) >= 0.45""".stripMargin
+
+  /** SemDeDup oracle: replay the fixed-centroid assignment (the
+    * q_kmeans_assign technique), restrict the exact cosine pair graph to
+    * within-cluster pairs, resolve components with the recursive min-label
+    * CTE (the q_dedup_resolve technique), and default untouched docs to
+    * keeping themselves.
+    */
+  private val duckSemanticDedupSql =
+    s"""WITH RECURSIVE c AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb
+       |  FROM embeddings WHERE vec_id < 10),
+       |s AS (
+       |  SELECT e.vec_id, c.cidx,
+       |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) * -2.0
+       |    + list_sum([CAST(c.cemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) AS d
+       |  FROM embeddings e CROSS JOIN c),
+       |asg AS (
+       |  SELECT vec_id, CAST(cidx AS BIGINT) AS list FROM (
+       |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM s
+       |  ) WHERE rn = 1),
+       |p AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+       |  JOIN asg ax ON ax.vec_id = x.vec_id
+       |  JOIN asg ay ON ay.vec_id = y.vec_id AND ax.list = ay.list
+       |  WHERE round($duckCos, 6) >= 0.45),
+       |edges AS (SELECT a AS u, b AS v FROM p UNION SELECT b, a FROM p),
+       |walk(id, lbl) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.id),
+       |comp AS (SELECT id, MIN(lbl) AS keep_id FROM walk GROUP BY id)
+       |SELECT a.vec_id, a.list, COALESCE(cp.keep_id, a.vec_id) AS keep_id
+       |FROM asg a LEFT JOIN comp cp ON cp.id = a.vec_id""".stripMargin
 
   /** FNV-1a 64 of an ASCII varchar SQL expression as an unsigned HUGEINT —
     * the round-2 replication technique proven by q_multimodal_meta: the
@@ -1308,6 +1361,7 @@ object SparkEntry {
     "q_topk_cosine" -> duckTopkSql,
     "q_ann_lsh" -> duckTopkSql,
     "q_embed_near_dup_lsh" -> duckNearDupSql,
+    "q_semantic_dedup" -> duckSemanticDedupSql,
     "q_simhash_pairs" -> duckSimhashSql,
     "q_stratified_sample" ->
       s"""WITH h AS (

@@ -556,66 +556,131 @@ object Dedup {
     // pairs BEFORE the vector joins — measured on a 100k-vector corpus of
     // 50-way near-dup clusters at T=228, verify-first re-scored 5.6e8
     // redundant candidates while distinct-first bounds dots at unique pairs.
-    // Absolute-volume override: when the sizing model expects few candidate
-    // rows overall (n²/2·T·probes/2^b ≤ ~1e7), wholesale re-scoring is
-    // cheaper than ANY pre-distinct shuffle — with broadcast joins on both
-    // sides the whole verify stage is then map-only, zero wide exchanges —
-    // regardless of multiplicity.
-    val probesPerTag = 1.0 + (if (sizedProbe > 0) sizedBits.toDouble else 0.0)
-    val expectedCandRows =
-      corpusN.toDouble * corpusN / 2 * sizedTables * probesPerTag / math.pow(2.0, sizedBits)
+    // NOTE on a rejected "optimization": skipping this pre-distinct when the
+    // uniform-bucket sizing model expects few candidate rows looks attractive
+    // (the verify becomes map-only), but real embedding corpora are
+    // CLUSTERED — measured on the sf0.1 corpus the actual candidate volume
+    // was ~7× the model's estimate and the post-verify distinct then paid
+    // the full multiplicity (13 s vs 3 s). Multiplicity, not modeled volume,
+    // decides: it is a property of the config alone and holds on any data.
     val multiplicity = sizedTables * (1 + (if (sizedProbe > 0) sizedBits else 0))
     val (candUnique, preDeduped) =
-      if (expectedCandRows <= 1e7) (cand, false)
-      else if (multiplicity >= 16) (cand.distinct(), true)
-      else (cand, false)
-    // Verify kernel. When the corpus fits a replicated flat store (n·dim
-    // doubles ≤ 64 MB — the same per-executor memory contract as the
-    // broadcast build side, minus row headers) and ids are integral, score
-    // candidates with [[graft.expressions.CosineByIds]]: a pure projection
-    // (two binary searches + one fused dot, ~0.3 µs/pair) instead of two
-    // broadcast hash joins that each materialize an 8·dim-byte row per pair
-    // (~7 µs/pair measured at dim 64). Zero joins, one WholeStageCodegen
-    // span from candidate emission through the threshold filter. Above the
-    // gate: the broadcast/shuffle join formulation, whose build side is
-    // bounded by `broadcastMaxRows`.
-    val idIsIntegral = df.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.ShortType => true
-      case _ => false
-    }
-    val verified =
-      if (idIsIntegral && corpusN * dim <= 8L * 1024 * 1024) {
-        val rows = vecs.select(col("doc_id").cast("long"), col("v"), col("nrm"))
-          .collect().sortBy(_.getLong(0))
-        val ids = Array.tabulate(rows.length)(rows(_).getLong(0))
-        val flat = new Array[Double](rows.length * dim)
-        val norms = new Array[Double](rows.length)
-        var i = 0
-        while (i < rows.length) {
-          val v = rows(i).getSeq[Double](1)
-          var k = 0
-          // zero-pad short vectors: products beyond the shorter length are 0,
-          // matching DotProduct's min-length loop exactly
-          while (k < v.length && k < dim) { flat(i * dim + k) = v(k); k += 1 }
-          norms(i) = rows(i).getDouble(2)
-          i += 1
-        }
-        import scala.collection.immutable.ArraySeq
-        val br = org.apache.spark.sql.graft.ColumnBridge
-        val cos = br.column(graft.expressions.CosineByIds(
-          br.expression(col("a").cast("long")), br.expression(col("b").cast("long")),
-          ArraySeq.unsafeWrapArray(ids), ArraySeq.unsafeWrapArray(flat),
-          ArraySeq.unsafeWrapArray(norms), dim))
-        candUnique.select(col("a"), col("b"), round(cos, 6).as("cos"))
-          .filter(col("cos") >= threshold)
-      } else candUnique
-        .join(bcast(vecs.select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na"))), "a")
-        .join(bcast(vecs.select(col("doc_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))), "b")
-        .select(col("a"), col("b"),
-          round(VectorFunctions.cosinePrenormed(
-            VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
-        .filter(col("cos") >= threshold)
+      if (multiplicity >= 16) (cand.distinct(), true) else (cand, false)
+    val verified = verifyCosinePairs(candUnique, vecs,
+      idIsIntegral(df.schema(idCol).dataType), corpusN, dim, threshold, bcast)
     if (preDeduped) verified else verified.distinct()
+  }
+
+  private def idIsIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType => true
+    case _ => false
+  }
+
+  /** Exact-cosine verification of candidate (a, b) id pairs against the
+    * corpus vector table `vecs` (doc_id, v, nrm) — the shared verify kernel
+    * of every candidate-generation scheme (LSH buckets, semantic clusters).
+    *
+    * Two regimes. When the corpus fits a replicated flat store (n·dim
+    * doubles ≤ 64 MB — the same per-executor memory contract as a broadcast
+    * join's build side, minus row headers) and ids are integral, score
+    * candidates with [[graft.expressions.CosineByIds]]: a pure projection
+    * (two binary searches + one fused dot, ~0.3 µs/pair) instead of two
+    * broadcast hash joins that each materialize an 8·dim-byte row per pair
+    * (~7 µs/pair measured at dim 64) — zero joins, one WholeStageCodegen
+    * span from candidate emission through the threshold filter. Above the
+    * gate: the broadcast/shuffle join formulation (`bcast` is the caller's
+    * size-gated broadcast hint).
+    */
+  private def verifyCosinePairs(cand: DataFrame, vecs: DataFrame,
+                                integralIds: Boolean, corpusN: Long, dim: Int,
+                                threshold: Double,
+                                bcast: DataFrame => DataFrame): DataFrame =
+    if (integralIds && corpusN * dim <= 8L * 1024 * 1024) {
+      val rows = vecs.select(col("doc_id").cast("long"), col("v"), col("nrm"))
+        .collect().sortBy(_.getLong(0))
+      val ids = Array.tabulate(rows.length)(rows(_).getLong(0))
+      val flat = new Array[Double](rows.length * dim)
+      val norms = new Array[Double](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        val v = rows(i).getSeq[Double](1)
+        var k = 0
+        // zero-pad short vectors: products beyond the shorter length are 0,
+        // matching DotProduct's min-length loop exactly
+        while (k < v.length && k < dim) { flat(i * dim + k) = v(k); k += 1 }
+        norms(i) = rows(i).getDouble(2)
+        i += 1
+      }
+      import scala.collection.immutable.ArraySeq
+      val br = org.apache.spark.sql.graft.ColumnBridge
+      val cos = br.column(graft.expressions.CosineByIds(
+        br.expression(col("a").cast("long")), br.expression(col("b").cast("long")),
+        ArraySeq.unsafeWrapArray(ids), ArraySeq.unsafeWrapArray(flat),
+        ArraySeq.unsafeWrapArray(norms), dim))
+      cand.select(col("a"), col("b"), round(cos, 6).as("cos"))
+        .filter(col("cos") >= threshold)
+    } else cand
+      .join(bcast(vecs.select(col("doc_id").as("a"), col("v").as("va"), col("nrm").as("na"))), "a")
+      .join(bcast(vecs.select(col("doc_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))), "b")
+      .select(col("a"), col("b"),
+        round(VectorFunctions.cosinePrenormed(
+          VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+
+  // ------------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid, find
+    * near-duplicate pairs (cosine ≥ `eps`) ONLY within each cluster, resolve
+    * them to connected components, and keep the minimum-id representative of
+    * each component. Returns one row per document:
+    * (id, list, keep_id) — `keep_id != id` marks the rows a semantic dedup
+    * pass drops. Clustering bounds the quadratic comparison at n²/k per
+    * cluster (the paper's regime: k grows with n so clusters stay
+    * bucket-sized), at the cost of missing cross-cluster near-dups — the
+    * deliberate SemDeDup trade; pairs the paper would compare are exactly
+    * the within-cluster ones.
+    *
+    * Scale shape: assignment is one narrow codegen'd pass (k fused dot
+    * products per row, [[graft.similarity.KMeans.Model.assignCol]]); the
+    * candidate step self-joins a SKINNY (list, id) projection — the wide
+    * vector column never rides through the quadratic join — and
+    * `maxCluster` caps pathological clusters exactly like the LSH path's
+    * `maxBucket` (a window count that shares the join's hash partitioning,
+    * so the guard costs a sort but no extra exchange); verification goes
+    * through the shared [[verifyCosinePairs]] kernel (replicated flat store
+    * below the memory gate, size-gated broadcast joins above);
+    * [[resolveDuplicates]] handles components (driver union-find on the
+    * near-dup-sized pair set, min-label propagation past the gate).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    model: graft.similarity.KMeans.Model, eps: Double,
+                    n: Long = -1L, maxCluster: Int = 100000,
+                    broadcastMaxRows: Long = 500000L): DataFrame = {
+    val corpusN = if (n > 0) n else df.count()
+    val bcast: DataFrame => DataFrame =
+      if (corpusN <= broadcastMaxRows) broadcast(_) else identity
+    val vecs = graft.operators.Par.fanOut(df)
+      .select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", VectorFunctions.norm(col("v")))
+    val assigned = vecs.select(col("doc_id"), model.assignCol(col("v")).as("list"))
+    val guarded =
+      if (corpusN <= maxCluster) assigned
+      else assigned
+        .withColumn("_cn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("list"))))
+        .filter(col("_cn") <= maxCluster).drop("_cn")
+    // within-cluster candidate pairs: each unordered pair appears exactly
+    // once (one table, a < b), so no distinct is needed anywhere
+    val cand = guarded.as("x").join(bcast(guarded.as("y")),
+        col("x.list") === col("y.list") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val pairs = verifyCosinePairs(cand, vecs,
+      idIsIntegral(df.schema(idCol).dataType), corpusN, dim, eps, bcast)
+    val resolved = resolveDuplicates(pairs).withColumnRenamed("id", "doc_id")
+    assigned.join(resolved, Seq("doc_id"), "left")
+      .select(col("doc_id").as(idCol), col("list"),
+        coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
   }
 }

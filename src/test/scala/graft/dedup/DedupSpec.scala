@@ -248,6 +248,54 @@ class DedupSpec extends SparkSpec {
     assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "z" -> "x"))
   }
 
+  test("semanticDedup matches a full driver-side replay on the sf0.01 corpus") {
+    // strongest possible check, same spirit as the simhash brute-force spec:
+    // recompute assignment, within-cluster cosine pairs, and union-find
+    // components entirely driver-side and require row-for-row equality
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 10).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val model = graft.similarity.KMeans.Model(cents)
+    val got = Dedup.semanticDedup(emb, "vec_id", "embedding", dim = 64,
+      model = model, eps = 0.45)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def assignOf(v: Array[Double]): Int =
+      cents.zipWithIndex.map { case (c, i) =>
+        var dot = 0.0; var k = 0
+        while (k < 64) { dot += v(k) * c(k); k += 1 }
+        (dot * -2.0 + c.map(x => x * x).sum, i)
+      }.min._2
+    val asg = vecs.map { case (id, v) => id -> assignOf(v) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < 64) { s += a(k) * b(k); k += 1 }
+      val nn = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (nn > 0) s / nn else 0.0
+    }
+    val ids = vecs.keys.toArray.sorted
+    val pairs = for {
+      i <- ids.indices; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      if asg(a) == asg(b) &&
+        BigDecimal(cos(vecs(a), vecs(b))).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.45
+    } yield (a, b)
+    assert(pairs.nonEmpty, "corpus must contain within-cluster near-dups for this spec to bite")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = asg.map { case (id, list) =>
+      id -> (list, if (parent.contains(id) || pairs.exists(p => p._1 == id || p._2 == id)) find(id) else id)
+    }
+    assert(got === want)
+  }
+
   test("resolveDuplicates: driver union-find and distributed propagation agree") {
     // maxDriverEdges = 0 forces the distributed path on the same graph
     val pairs = Seq((2L, 1L), (2L, 3L), (9L, 5L), (7L, 8L), (8L, 9L))

@@ -167,4 +167,66 @@ class ExpressionParitySpec extends SparkSpec {
     val got = df.select(Dedup.hamming(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq
     assert(got === Seq(64, 1, 0))
   }
+
+  // --- CosineByIds: the replicated-flat-store verify kernel -----------------
+
+  private def flatStore(vecs: Map[Long, Array[Double]], dim: Int) = {
+    import scala.collection.immutable.ArraySeq
+    val ids = vecs.keys.toArray.sorted
+    val flat = new Array[Double](ids.length * dim)
+    val norms = new Array[Double](ids.length)
+    ids.zipWithIndex.foreach { case (id, i) =>
+      val v = vecs(id)
+      v.copyToArray(flat, i * dim)
+      norms(i) = math.sqrt(v.map(x => x * x).sum)
+    }
+    (ArraySeq.unsafeWrapArray(ids), ArraySeq.unsafeWrapArray(flat),
+      ArraySeq.unsafeWrapArray(norms))
+  }
+
+  test("CosineByIds matches the join-based cosinePrenormed verify (codegen path)") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dim = 8
+    val vecs = (1L to 30L).map(i => i -> Array.fill(dim)(rng.nextDouble() * 2 - 1)).toMap +
+      (99L -> Array.fill(dim)(0.0)) // zero vector → cosine defined as 0.0
+    val (ids, flat, norms) = flatStore(vecs, dim)
+    val pairs = (for { a <- vecs.keys; b <- vecs.keys if a < b } yield (a, b)).toSeq
+    val pairDf = pairs.toDF("a", "b")
+    val byIds = CosineByIds(
+      ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")),
+      ids, flat, norms, dim)
+    val got = pairDf.select(col("a"), col("b"), ColumnBridge.column(byIds).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // reference: the broadcast-join arithmetic (left-to-right dot / na*nb)
+    pairs.foreach { case (a, b) =>
+      val (va, vb) = (vecs(a), vecs(b))
+      var s = 0.0; var k = 0
+      while (k < dim) { s += va(k) * vb(k); k += 1 }
+      val nn = math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum)
+      val want = if (nn > 0) s / nn else 0.0
+      assert(got((a, b)) === want, s"pair ($a,$b)")
+    }
+  }
+
+  test("CosineByIds interpreted eval matches codegen and fails loudly on unknown ids") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val dim = 4
+    val vecs = Map(1L -> Array(1.0, 0.0, 0.0, 0.0), 2L -> Array(0.6, 0.8, 0.0, 0.0))
+    val (ids, flat, norms) = flatStore(vecs, dim)
+    val e = CosineByIds(Literal(1L), Literal(2L), ids, flat, norms, dim)
+    assert(e.eval(null) === 0.6) // dot=0.6, norms 1·1
+    val stale = CosineByIds(Literal(1L), Literal(42L), ids, flat, norms, dim)
+    intercept[IllegalStateException](stale.eval(null))
+  }
+
+  test("CosineByIds keeps structural equality across instances from the same store") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val dim = 4
+    val vecs = Map(1L -> Array(1.0, 0.0, 0.0, 0.0), 2L -> Array(0.0, 1.0, 0.0, 0.0))
+    val (ids1, flat1, norms1) = flatStore(vecs, dim)
+    val (ids2, flat2, norms2) = flatStore(vecs, dim) // rebuilt: distinct arrays
+    val e1 = CosineByIds(Literal(1L), Literal(2L), ids1, flat1, norms1, dim)
+    val e2 = CosineByIds(Literal(1L), Literal(2L), ids2, flat2, norms2, dim)
+    assert(e1 == e2 && e1.hashCode == e2.hashCode)
+  }
 }
