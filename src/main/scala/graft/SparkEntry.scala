@@ -762,6 +762,33 @@ object SparkEntry {
     TrainingData.packBudgeted(t(s, dir, "documents"), "doc_id", "text", budget = 2000)
 
   /** Content-addressed 80/10/10 split over the document text hash. */
+  /** Cross-corpus fuzzy decontamination: the benchmark is the `doc_id % 7`
+    * slice of the corpus (chosen so it contains real near-dup partners at
+    * verify scale); self-matches are excluded since here bench ⊂ train.
+    * Oracle = the exact cross Jaccard join, valid because banding recall at
+    * j ≥ 0.8 is 1 − 1e-28 per pair.
+    */
+  private def fuzzyDecontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TrainingData.fuzzyDecontaminate(docs, docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "text")
+      .filter(col("doc_id") =!= col("bench_id"))
+  }
+
+  private def chunkDocsQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 32, stride = 16)
+
+  /** DSIR importance scores against the `doc_id % 7` slice as the target
+    * domain (the same slice q_fuzzy_decontaminate treats as a benchmark —
+    * here it plays the high-quality-domain role).
+    */
+  private def importanceWeightsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TrainingData.importanceWeights(docs, docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text")
+  }
+
   private def trainSplitQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.contentSplit(t(s, dir, "documents"), "text", valPct = 10, testPct = 10)
 
@@ -891,7 +918,10 @@ object SparkEntry {
     "q_oov_rate"            -> (oovRateQ(_, _)),
     "q_pack_budgeted"       -> (packBudgetedQ(_, _)),
     "q_train_split"         -> (trainSplitQ(_, _)),
-    "q_stratified_sample"   -> (stratifiedSampleQ(_, _)))
+    "q_stratified_sample"   -> (stratifiedSampleQ(_, _)),
+    "q_fuzzy_decontaminate" -> (fuzzyDecontaminateQ(_, _)),
+    "q_chunk_docs"          -> (chunkDocsQ(_, _)),
+    "q_importance_weights"  -> (importanceWeightsQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -1472,6 +1502,62 @@ object SparkEntry {
          |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM f GROUP BY 1""".stripMargin,
+    "q_fuzzy_decontaminate" ->
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), sh AS (
+         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS shingles
+         |  FROM toksrc WHERE len(w) >= 5
+         |), b AS (
+         |  SELECT doc_id AS bench_id, shingles AS bsh FROM sh WHERE doc_id % 7 = 0
+         |), x AS (
+         |  SELECT t.doc_id, b.bench_id,
+         |    len(list_intersect(t.shingles, b.bsh)) AS inter,
+         |    len(t.shingles) AS nt, len(b.bsh) AS nb
+         |  FROM sh t CROSS JOIN b WHERE t.doc_id != b.bench_id)
+         |SELECT doc_id, bench_id, round(inter / (nt + nb - inter), 6) AS jaccard
+         |FROM x WHERE round(inter / (nt + nb - inter), 6) >= 0.8""".stripMargin,
+    "q_chunk_docs" ->
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), t AS (
+         |  SELECT doc_id, w, len(w) AS n FROM toksrc WHERE len(w) > 0
+         |), st AS (
+         |  SELECT doc_id, w, n, unnest(range(0, n, 16)) AS start FROM t)
+         |SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_index,
+         |  CAST(least(32, n - start) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(w[start+1:start+32], ' ') AS chunk_text
+         |FROM st""".stripMargin,
+    // fnv1a64 bucket: buckets = 4096 is a power of two, so Spark's
+    // pmod(signed, 4096) and the unsigned HUGEINT's % 4096 both select the
+    // low 12 bits — no signed reinterpretation needed. The weight formula is
+    // the ln of the smoothed ratio (one expression shape on both engines)
+    // and per-doc summation is left-to-right in token order (list_reduce ↔
+    // aggregate), keeping the rounded doubles bit-stable.
+    "q_importance_weights" ->
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), tok AS (
+         |  SELECT doc_id, unnest(w) AS tk, generate_subscripts(w, 1) AS ord FROM toksrc
+         |), tb AS (
+         |  SELECT doc_id, ord, CAST(${duckFnvU("tk")} % 4096 AS BIGINT) AS b FROM tok
+         |), tc AS (SELECT b, count(*) AS c FROM tb WHERE doc_id % 7 = 0 GROUP BY 1
+         |), rc AS (SELECT b, count(*) AS c FROM tb GROUP BY 1
+         |), tot AS (
+         |  SELECT (SELECT count(*) FROM tb WHERE doc_id % 7 = 0) AS tt,
+         |         (SELECT count(*) FROM tb) AS rt
+         |), wts AS (
+         |  SELECT r.b,
+         |    ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 4096.0))
+         |      - ln((r.c + 1.0) / (tot.rt + 4096.0)) AS wt
+         |  FROM rc r LEFT JOIN tc ON tc.b = r.b CROSS JOIN tot
+         |), docw AS (
+         |  SELECT tb.doc_id,
+         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(wts.wt ORDER BY tb.ord)), (a, x) -> a + x), 6) AS llr
+         |  FROM tb JOIN wts ON wts.b = tb.b GROUP BY tb.doc_id)
+         |SELECT d.doc_id, coalesce(dw.llr, 0.0) AS llr
+         |FROM documents d LEFT JOIN docw dw ON dw.doc_id = d.doc_id""".stripMargin,
     "q_kmeans_assign" ->
       """WITH c AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb

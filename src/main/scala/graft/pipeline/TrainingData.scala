@@ -249,4 +249,126 @@ object TrainingData {
     val thr = coalesce(element_at(typedlit(thresholds), col(strataCol)), lit(0))
     df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")), lit(resolution.toLong)) < thr)
   }
+
+  /** Fuzzy benchmark decontamination: training documents whose n-gram
+    * Jaccard similarity with ANY benchmark document reaches `threshold` —
+    * the near-duplicate analog of [[contaminationReport]] (which requires a
+    * shared shingle; this catches lightly-edited benchmark copies that
+    * shingle-overlap reports under-score). MinHash+LSH banding generates
+    * candidates across the two corpora, exact Jaccard on shingle sets
+    * verifies — the cross-corpus variant of
+    * [[graft.dedup.Dedup.minhashPairs]], same recall math: with the default
+    * 128 hashes / 64 bands of 2 the per-pair miss probability at j=0.8 is
+    * (1-j²)^64 ≈ 1e-28, so the output equals the exact cross join.
+    *
+    * Scale shape: the benchmark side is small by premise (KB-MB of
+    * benchmark text vs TB of training corpus), so its banded buckets AND
+    * its shingle sets broadcast; the training side streams through two
+    * map-only broadcast joins (candidate generation, verification) and
+    * never shuffles — the only exchange is the distinct over the tiny
+    * candidate set. The training corpus is scanned twice (once to band,
+    * once to verify), the standard LSH trade of a scan for a shuffle.
+    */
+  def fuzzyDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5, threshold: Double = 0.8,
+                         params: Dedup.MinHashParams = Dedup.MinHashParams()): DataFrame = {
+    val trainSh = Dedup.shingleSets(train, idCol, textCol, n)
+    val benchSh = Dedup.shingleSets(bench, idCol, textCol, n)
+      .filter(size(col("shingles")) > 0)
+    def banded(sh: DataFrame): DataFrame = {
+      val r = params.rowsPerBand
+      val bands = posexplode(transform(sequence(lit(0), lit(params.bands - 1)),
+        i => slice(col("sig"), i * r + 1, lit(r))))
+      sh.filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), Dedup.minhashSignature(col("shingles"), params).as("sig"))
+        .select(col("doc_id"), bands.as(Seq("band", "band_sig")))
+        .select(col("doc_id"), xxhash64(col("band"), col("band_sig")).as("bk"))
+    }
+    val cand = banded(trainSh)
+      .join(broadcast(banded(benchSh).withColumnRenamed("doc_id", "bench_id")), "bk")
+      .select(col("doc_id"), col("bench_id")).distinct()
+    trainSh.join(broadcast(cand), "doc_id")
+      .join(broadcast(benchSh.select(col("doc_id").as("bench_id"), col("shingles").as("bsh"))),
+        "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        round(Dedup.jaccard(col("shingles"), col("bsh")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+
+  /** DSIR-style data-selection scores (Xie et al. 2023, arXiv:2302.03169):
+    * per-document log-likelihood ratio between hashed-unigram language
+    * models of a TARGET domain and the RAW training corpus,
+    * `llr(doc) = Σ_tokens ln p̂_target(h(tok)) − ln p̂_raw(h(tok))` with
+    * add-one smoothing over `buckets` hash buckets. Documents that look
+    * like the target domain score high; sampling ∝ exp(llr) tilts a raw
+    * corpus toward the target (importance resampling). Token-less docs
+    * score 0.
+    *
+    * Scale shape: each side's bucket histogram is ONE partial-aggregated
+    * shuffle of ≤ `buckets` rows per partition, collected driver-side
+    * (`buckets` longs — a side input, not data); the per-doc score is then
+    * a single embarrassingly-parallel pass with the weight table riding
+    * into codegen as a 32 KB array literal. Summation is left-to-right in
+    * token order on both engines (`aggregate` here, `list_reduce` in the
+    * oracle), so scores are bit-stable.
+    */
+  def importanceWeights(train: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def toksOf(text: org.apache.spark.sql.Column) =
+      filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    def bucketOf(tok: org.apache.spark.sql.Column) =
+      pmod(TextFunctions.fnv1a64(tok), lit(buckets.toLong))
+    def histogram(df: DataFrame): Array[Long] = {
+      val rows = df.select(explode(toksOf(col(textCol))).as("tok"))
+        .groupBy(bucketOf(col("tok")).as("b")).count().collect()
+      val arr = new Array[Long](buckets)
+      rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    val ct = histogram(target)
+    val cr = histogram(train)
+    val (tTot, rTot) = (ct.sum, cr.sum)
+    // identical expression shape to the oracle: ln of the smoothed ratio,
+    // NOT a difference of lns — float parity demands one formula
+    val w = Array.tabulate(buckets) { b =>
+      math.log((ct(b) + 1.0) / (tTot + buckets.toDouble)) -
+        math.log((cr(b) + 1.0) / (rTot + buckets.toDouble))
+    }
+    val wLit = typedlit(w.toIndexedSeq)
+    train.select(col(idCol),
+      round(aggregate(
+        transform(toksOf(col(textCol)),
+          t => element_at(wLit, bucketOf(t).cast("int") + 1)),
+        lit(0.0), (acc, x) => acc + x), 6).as("llr"))
+  }
+
+  /** Fixed-length token chunking with stride — the sequence-prep step that
+    * turns documents into overlapping training windows (stride < chunk ⇒
+    * overlap = chunk − stride tokens, the standard sliding-window layout).
+    * One generator expression per row (`sequence` + `posexplode`), no
+    * shuffle, no state: chunk i of a doc with T tokens starts at i·stride
+    * while i·stride < T, and the last chunk may be short. Token-less
+    * documents produce no chunks. Chunk identity is (idCol, chunk_index),
+    * deterministic from content — re-runs and re-shards produce identical
+    * chunks.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
+    df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+          .as(Seq("chunk_index", "start")),
+        col("__toks"))
+      .select(col(idCol), col("chunk_index").cast("long").as("chunk_index"),
+        least(lit(chunkTokens), size(col("__toks")) - col("start")).cast("long")
+          .as("chunk_tokens"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
 }

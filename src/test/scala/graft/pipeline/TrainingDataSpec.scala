@@ -89,6 +89,106 @@ class TrainingDataSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("fuzzyDecontaminate equals the exact cross-corpus Jaccard join (sf0.01)") {
+    // same strength as the q_minhash_lsh gate, cross-corpus: LSH candidates +
+    // exact verify must reproduce the brute-force cross join exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val got = TrainingData.fuzzyDecontaminate(docs, bench, "doc_id", "text")
+      .filter(col("doc_id") =!= col("bench_id"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sh = graft.dedup.Dedup.shingleSets(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val benchIds = sh.keys.filter(_ % 7 == 0)
+    val want = (for {
+      t <- sh.keys; b <- benchIds if t != b
+      inter = (sh(t) & sh(b)).size
+      union = sh(t).size + sh(b).size - inter
+      j = if (union > 0) BigDecimal(inter.toDouble / union)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      if j >= 0.8
+    } yield ((t, b), j)).toMap
+    assert(want.nonEmpty, "corpus must contain cross-corpus near-dups for this spec to bite")
+    assert(got === want)
+  }
+
+  test("fuzzyDecontaminate finds an edited benchmark copy that exact overlap under-scores") {
+    val train = Seq(
+      (1L, phrase + " one two three four five six seven eight nine ten"),
+      (2L, "unrelated filler text that shares nothing with the benchmark at all today")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, phrase + " one two three four five six seven eight nine TEN"))
+      .toDF("doc_id", "text") // one token edited
+    val out = TrainingData.fuzzyDecontaminate(train, bench, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSet === Set((1L, 100L)))
+  }
+
+  test("importanceWeights ranks target-domain docs above off-domain docs, 0 for token-less") {
+    val train = Seq(
+      (1L, "quantum physics entanglement superposition qubits decoherence"),
+      (2L, "football goals referee penalty offside league"),
+      (3L, "quantum qubits physics lab experiment"),
+      (4L, "   ")
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "quantum physics qubits entanglement experiments"))
+      .toDF("doc_id", "text")
+    val got = TrainingData.importanceWeights(train, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L) && got(3L) > got(2L),
+      s"target-domain docs must outscore off-domain: $got")
+    assert(got(4L) === 0.0)
+  }
+
+  test("importanceWeights matches a driver-side replay on the sf0.01 corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val target = docs.filter(col("doc_id") % 7 === 0)
+    val got = TrainingData.importanceWeights(docs, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // replay: tokenize, bucket by fnv1a64 mod 4096, smoothed LLR, l-t-r sum
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def toks(s: String): Array[String] =
+      s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    def fnv(s: String): Long = {
+      var h = 0xcbf29ce484222325L
+      s.getBytes("UTF-8").foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      h
+    }
+    def bucket(t: String): Int = java.lang.Math.floorMod(fnv(t), 4096L).toInt
+    val B = 4096
+    val ct = new Array[Long](B); val cr = new Array[Long](B)
+    texts.foreach { case (id, s) =>
+      toks(s).foreach { t =>
+        cr(bucket(t)) += 1
+        if (id % 7 == 0) ct(bucket(t)) += 1
+      }
+    }
+    val (tt, rt) = (ct.sum, cr.sum)
+    val w = Array.tabulate(B)(b =>
+      math.log((ct(b) + 1.0) / (tt + B.toDouble)) - math.log((cr(b) + 1.0) / (rt + B.toDouble)))
+    val want = texts.map { case (id, s) =>
+      var acc = 0.0
+      toks(s).foreach(t => acc += w(bucket(t)))
+      id -> BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    assert(got === want)
+  }
+
+  test("chunkDocs lays out overlapping windows with deterministic identity") {
+    val toks = (1 to 10).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, toks), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
+    val out = TrainingData.chunkDocs(df, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // doc 1: 10 tokens, starts 0,3,6,9 → lengths 4,4,4,1
+    assert(out.filter(_._1 == 1L).sortBy(_._2) === Seq(
+      (1L, 0L, 4L, "t1 t2 t3 t4"), (1L, 1L, 4L, "t4 t5 t6 t7"),
+      (1L, 2L, 4L, "t7 t8 t9 t10"), (1L, 3L, 1L, "t10")))
+    assert(!out.exists(_._1 == 2L)) // token-less doc → no chunks
+    assert(out.filter(_._1 == 3L) === Seq((3L, 0L, 3L, "a b c")))
+  }
+
   test("hashStratifiedSample is a pure function of (key, stratum): layout-independent") {
     val rows = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "de"))
     val df1 = rows.toDF("doc_id", "lang")
