@@ -660,6 +660,24 @@ object SparkEntry {
     Ann.bruteForceTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
       queryVec(s, dir), k = 20)
 
+  /** Int8-quantized brute-force top-k — the 8× smaller store. The oracle
+    * replays quantization, the integer dot, and the rescale exactly (both
+    * engines round half-away-from-zero), so this gates the quantized math
+    * itself, not an approximation band.
+    */
+  private def annQuantizedQ(s: SparkSession, dir: String): DataFrame =
+    Ann.quantizedTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
+      queryVec(s, dir), k = 20)
+
+  /** Gopher quality rules as flat boolean flags + the AND-composite keep. */
+  private def gopherFilterQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TF.gopherFlags(col("text")).as("g"))
+      .select(col("doc_id"), col("g.f_wc").as("f_wc"), col("g.f_mwl").as("f_mwl"),
+        col("g.f_symbol").as("f_symbol"), col("g.f_bullet").as("f_bullet"),
+        col("g.f_ellipsis").as("f_ellipsis"), col("g.f_alpha").as("f_alpha"),
+        col("g.f_stop").as("f_stop"), col("g.keep").as("keep"))
+
   /** Multi-probe LSH top-k. Probing radius 1 (the query's bucket plus every
     * 1-bit neighbor, per table) pushes the per-neighbor miss probability low
     * enough that the shortlist provably-in-practice contains the true top-20
@@ -921,7 +939,9 @@ object SparkEntry {
     "q_stratified_sample"   -> (stratifiedSampleQ(_, _)),
     "q_fuzzy_decontaminate" -> (fuzzyDecontaminateQ(_, _)),
     "q_chunk_docs"          -> (chunkDocsQ(_, _)),
-    "q_importance_weights"  -> (importanceWeightsQ(_, _)))
+    "q_importance_weights"  -> (importanceWeightsQ(_, _)),
+    "q_ann_quantized"       -> (annQuantizedQ(_, _)),
+    "q_gopher_filter"       -> (gopherFilterQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -1528,6 +1548,58 @@ object SparkEntry {
          |  CAST(least(32, n - start) AS BIGINT) AS chunk_tokens,
          |  array_to_string(w[start+1:start+32], ' ') AS chunk_text
          |FROM st""".stripMargin,
+    // Quantization replay: per-vector symmetric int8 codes
+    // (scale = max|v|/127, q_i = round(v_i/scale) — both engines round
+    // half-away-from-zero), BIGINT dot, one (scale·qscale)·dot rescale.
+    "q_ann_quantized" ->
+      """WITH qv AS (
+        |  SELECT list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS qmx, embedding
+        |  FROM embeddings WHERE vec_id = 0
+        |), qq AS (
+        |  SELECT CASE WHEN qmx > 0 THEN qmx/127.0 ELSE 1.0 END AS qscale,
+        |    [CAST(round(CAST(x AS DOUBLE) / (CASE WHEN qmx > 0 THEN qmx/127.0 ELSE 1.0 END)) AS BIGINT) FOR x IN embedding] AS q
+        |  FROM qv
+        |), c AS (
+        |  SELECT vec_id, list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS mx, embedding
+        |  FROM embeddings
+        |), cq AS (
+        |  SELECT vec_id, CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END AS scale,
+        |    [CAST(round(CAST(x AS DOUBLE) / (CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END)) AS BIGINT) FOR x IN embedding] AS q
+        |  FROM c)
+        |SELECT cq.vec_id,
+        |  round(cq.scale * qq.qscale * list_sum([cq.q[i] * qq.q[i] FOR i IN range(1, 65)]), 6) AS qscore
+        |FROM cq CROSS JOIN qq
+        |ORDER BY qscore DESC, cq.vec_id LIMIT 20""".stripMargin,
+    // Gopher rules: every threshold is evaluated in integer arithmetic
+    // (cross-multiplied), so the booleans are engine-exact — no float
+    // ratio near a boundary.
+    "q_gopher_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $duckToks AS w FROM documents
+         |), m AS (
+         |  SELECT doc_id, len(w) AS words,
+         |    coalesce(list_sum([len(x) FOR x IN w]), 0) AS chars,
+         |    len(text) - len(replace(text, '#', ''))
+         |      + (len(text) - len(replace(text, '...', ''))) // 3
+         |      + (len(text) - len(replace(text, '…', ''))) AS symbols,
+         |    greatest(len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0]), 1) AS nlines,
+         |    len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0 AND regexp_matches(trim(l), '^[-*•]')]) AS bullets,
+         |    len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0 AND regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$')]) AS ells,
+         |    len([x FOR x IN w IF regexp_matches(x, '[a-z]')]) AS alphaw,
+         |    len(list_intersect(list_distinct(w), ['the','be','to','of','and','that','have','with'])) AS stops
+         |  FROM t)
+         |SELECT doc_id,
+         |  words >= 50 AND words <= 100000 AS f_wc,
+         |  chars >= words*3 AND chars <= words*10 AS f_mwl,
+         |  symbols*10 <= words AS f_symbol,
+         |  bullets*10 <= nlines AS f_bullet,
+         |  ells*10 < nlines*3 AS f_ellipsis,
+         |  alphaw*5 >= words*4 AS f_alpha,
+         |  stops >= 2 AS f_stop,
+         |  (words >= 50 AND words <= 100000) AND (chars >= words*3 AND chars <= words*10)
+         |    AND symbols*10 <= words AND bullets*10 <= nlines AND ells*10 < nlines*3
+         |    AND alphaw*5 >= words*4 AND stops >= 2 AS keep
+         |FROM m""".stripMargin,
     // fnv1a64 bucket: buckets = 4096 is a power of two, so Spark's
     // pmod(signed, 4096) and the unsigned HUGEINT's % 4096 both select the
     // low 12 bits — no signed reinterpretation needed. The weight formula is

@@ -159,3 +159,54 @@ case class CosineByIds(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native dot product over two `array<tinyint>` quantized vectors —
+  * integer multiply-accumulate in a tight codegen loop (no byte→double
+  * widening per element in the plan). Returns BIGINT: 127·127·dim stays far
+  * below 2^63 for any practical dim.
+  */
+case class DotProductInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_dot_i8"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<tinyint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getByte(i).toLong * y.getByte(i); i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getByte($i) * $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

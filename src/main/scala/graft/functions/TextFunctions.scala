@@ -210,4 +210,49 @@ object TextFunctions {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
       .otherwise(array().cast("array<bigint>"))
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, arXiv:2112.11446
+    * Appendix A1.1), as per-document boolean flags plus the AND-composite
+    * `keep`. Every rule is evaluated in INTEGER arithmetic (cross-multiplied
+    * thresholds, e.g. `10·symbols ≤ words` instead of `symbols/words ≤ 0.1`)
+    * so the decision is bit-identical on any engine — no float ratios near a
+    * boundary. One narrow codegen'd pass, no shuffle.
+    *
+    * Rules (flag true = passes):
+    *  - f_wc:       50 ≤ word count ≤ 100,000
+    *  - f_mwl:      mean word length in [3, 10]  (3n ≤ chars ≤ 10n)
+    *  - f_symbol:   symbol-to-word ratio ≤ 0.1 ('#' chars + '...'/'…' runs)
+    *  - f_bullet:   ≤ 10% of lines start with a bullet (-, *, •)
+    *  - f_ellipsis: < 30% of lines end with an ellipsis
+    *  - f_alpha:    ≥ 80% of words contain an alphabetic character
+    *  - f_stop:     ≥ 2 distinct Gopher stop words present
+    */
+  def gopherFlags(text: Column): Column = {
+    val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    val words = size(toks)
+    val chars = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val dots = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
+      (length(text) - length(regexp_replace(text, "…", "")))
+    val symbols = hashes + dots
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val nLines = greatest(size(lines), lit(1)) // a no-newline doc is one line
+    val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+    val ellipsisLines = size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]")))
+    val stopHits = size(array_intersect(array_distinct(toks),
+      typedlit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))))
+    val fWc = words.geq(50) && words.leq(100000)
+    val fMwl = (chars >= words * 3) && (chars <= words * 10)
+    val fSymbol = symbols * 10 <= words
+    val fBullet = bulletLines * 10 <= nLines
+    val fEllipsis = ellipsisLines * 10 < nLines * 3
+    val fAlpha = alphaWords * 5 >= words * 4
+    val fStop = stopHits >= 2
+    struct(
+      fWc.as("f_wc"), fMwl.as("f_mwl"), fSymbol.as("f_symbol"),
+      fBullet.as("f_bullet"), fEllipsis.as("f_ellipsis"),
+      fAlpha.as("f_alpha"), fStop.as("f_stop"),
+      (fWc && fMwl && fSymbol && fBullet && fEllipsis && fAlpha && fStop).as("keep"))
+  }
 }

@@ -219,6 +219,27 @@ class ExpressionParitySpec extends SparkSpec {
     intercept[IllegalStateException](stale.eval(null))
   }
 
+  test("DotProductInt8 matches the widened-double formulation, interpreted and codegen") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val rng2 = new scala.util.Random(13)
+    val cases = List.fill(40)((
+      List.fill(16)((rng2.nextInt(255) - 127).toByte),
+      List.fill(16)((rng2.nextInt(255) - 127).toByte)))
+    val df = cases.toDF("a", "b")
+    val i8 = ColumnBridge.column(DotProductInt8(
+      ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b"))))
+    val rows = df.select(i8.as("native"),
+      aggregate(zip_with(col("a").cast("array<long>"), col("b").cast("array<long>"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // interpreted eval path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val a = Seq[Byte](127, -127, 5)
+    val lit8 = Literal.create(a, ArrayType(ByteType))
+    assert(DotProductInt8(lit8, lit8).eval(null) === a.map(x => x.toLong * x).sum)
+  }
+
   test("CosineByIds keeps structural equality across instances from the same store") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val dim = 4

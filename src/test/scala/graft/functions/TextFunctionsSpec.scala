@@ -99,4 +99,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(2) === "meet on <PHONE> ok")
     assert(got(3) === "host <PHONE> up")
   }
+
+  test("gopherFlags: each rule trips on a crafted violator and passes a clean doc") {
+    val clean = (("the be to of and that have with " * 8) +
+      ("alpha beta gamma delta " * 5)).trim                     // 84 words, clean
+    val tooShort = "the be to of and that have with"            // 8 words
+    val symbols = (("the be to of and " * 10).trim + " " + "# " * 30).trim // 30 '#' vs 80 words
+    val bullets = Seq.fill(10)("- the be to of and that have with item").mkString("\n") +
+      "\nplain closing line of prose the be to of and that have with" // 10/11 bullet lines
+    val numeric = ("the be to of and that have with " * 4 +
+      "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 " * 2).trim // 40/72 numeric words
+    val noStops = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
+    val df = Seq((1L, clean), (2L, tooShort), (3L, symbols), (4L, bullets),
+      (5L, numeric), (6L, noStops)).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextFunctions.gopherFlags(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    def f(id: Long, name: String): Boolean =
+      got(id).getBoolean(got(id).schema.fieldIndex(name))
+    assert(f(1L, "keep"), s"clean doc must pass: ${got(1L)}")
+    assert(!f(2L, "f_wc") && !f(2L, "keep"))
+    assert(!f(3L, "f_symbol") && !f(3L, "keep"))
+    assert(!f(4L, "f_bullet") && !f(4L, "keep"))
+    assert(!f(5L, "f_alpha") && !f(5L, "keep"))
+    assert(!f(6L, "f_stop") && !f(6L, "keep"))
+  }
 }

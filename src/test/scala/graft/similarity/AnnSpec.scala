@@ -139,4 +139,34 @@ class AnnSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(got === Seq(1L, 2L)) // cluster b never scanned
   }
+
+  test("quantize8 reconstruction error is bounded by half a quantization step") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val rows = emb.limit(100)
+      .select(graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"),
+        Ann.quantize8(col("embedding")).as("qv"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val s = r.getStruct(1).getDouble(0)
+      val q = r.getStruct(1).getSeq[Byte](1)
+      v.indices.foreach { i =>
+        assert(math.abs(q(i) * s - v(i)) <= s / 2 + 1e-12,
+          s"elem $i: ${q(i)} * $s vs ${v(i)}")
+      }
+    }
+  }
+
+  test("quantizedTopK keeps high recall against the exact brute-force top-20 (sf0.01)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toIndexedSeq.map(_.toDouble)
+    val exact = Ann.bruteForceTopK(emb, "embedding", "vec_id", q, k = 20)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Ann.quantizedTopK(emb, "embedding", "vec_id", q, k = 20)
+      .collect().map(_.getLong(0)).toSet
+    // int8 at dim 64 keeps < 1% relative score error; near-ties at the list
+    // tail may swap, the head must hold
+    assert((exact & quant).size >= 18, s"recall ${(exact & quant).size}/20")
+  }
 }
