@@ -780,6 +780,24 @@ object SparkEntry {
     TrainingData.packBudgeted(t(s, dir, "documents"), "doc_id", "text", budget = 2000)
 
   /** Content-addressed 80/10/10 split over the document text hash. */
+  /** DSIR selection: k = 100 of the corpus, target = the `doc_id % 7` slice
+    * (same domain-role slice as q_importance_weights).
+    */
+  private def dsirSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TrainingData.dsirSample(docs, docs.filter(col("doc_id") % 7 === 0),
+      "doc_id", "text", k = 100)
+  }
+
+  /** Incremental dedup: the `doc_id % 7` slice plays the fresh delta, the
+    * rest the accumulated corpus; output keeps every original column.
+    */
+  private def dedupIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TrainingData.dedupAgainst(docs.filter(col("doc_id") % 7 === 0),
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+  }
+
   /** Cross-corpus fuzzy decontamination: the benchmark is the `doc_id % 7`
     * slice of the corpus (chosen so it contains real near-dup partners at
     * verify scale); self-matches are excluded since here bench ⊂ train.
@@ -941,7 +959,9 @@ object SparkEntry {
     "q_chunk_docs"          -> (chunkDocsQ(_, _)),
     "q_importance_weights"  -> (importanceWeightsQ(_, _)),
     "q_ann_quantized"       -> (annQuantizedQ(_, _)),
-    "q_gopher_filter"       -> (gopherFilterQ(_, _)))
+    "q_gopher_filter"       -> (gopherFilterQ(_, _)),
+    "q_dsir_sample"         -> (dsirSampleQ(_, _)),
+    "q_dedup_incremental"   -> (dedupIncrementalQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -1023,6 +1043,36 @@ object SparkEntry {
     s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
        |WHERE round($duckCos, 6) >= 0.45""".stripMargin
+
+  /** DSIR hashed-unigram LLR CTE chain (target = the `doc_id % 7` slice),
+    * shared by q_importance_weights and q_dsir_sample.
+    */
+  private lazy val duckImportanceCtes =
+    s"""WITH toksrc AS (
+       |  SELECT doc_id, $duckToks AS w FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(w) AS tk, generate_subscripts(w, 1) AS ord FROM toksrc
+       |), tb AS (
+       |  SELECT doc_id, ord, CAST(${duckFnvU("tk")} % 4096 AS BIGINT) AS b FROM tok
+       |), tc AS (SELECT b, count(*) AS c FROM tb WHERE doc_id % 7 = 0 GROUP BY 1
+       |), rc AS (SELECT b, count(*) AS c FROM tb GROUP BY 1
+       |), tot AS (
+       |  SELECT (SELECT count(*) FROM tb WHERE doc_id % 7 = 0) AS tt,
+       |         (SELECT count(*) FROM tb) AS rt
+       |), wts AS (
+       |  SELECT r.b,
+       |    ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 4096.0))
+       |      - ln((r.c + 1.0) / (tot.rt + 4096.0)) AS wt
+       |  FROM rc r LEFT JOIN tc ON tc.b = r.b CROSS JOIN tot
+       |), docw AS (
+       |  SELECT tb.doc_id,
+       |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list(wts.wt ORDER BY tb.ord)), (a, x) -> a + x), 6) AS llr
+       |  FROM tb JOIN wts ON wts.b = tb.b GROUP BY tb.doc_id)""".stripMargin
+
+  private val duckImportanceSelect =
+    """SELECT d.doc_id, coalesce(dw.llr, 0.0) AS llr
+      |FROM documents d LEFT JOIN docw dw ON dw.doc_id = d.doc_id""".stripMargin
 
   /** SemDeDup oracle: replay the fixed-centroid assignment (the
     * q_kmeans_assign technique), restrict the exact cosine pair graph to
@@ -1606,30 +1656,31 @@ object SparkEntry {
     // the ln of the smoothed ratio (one expression shape on both engines)
     // and per-doc summation is left-to-right in token order (list_reduce ↔
     // aggregate), keeping the rounded doubles bit-stable.
-    "q_importance_weights" ->
+    "q_importance_weights" -> s"$duckImportanceCtes\n$duckImportanceSelect",
+    // DSIR selection on top of the importance scores: Gumbel key
+    // g = -ln(-ln(u)) with u = (fnv(id) mod 2^20 + 0.5)/2^20 — the same
+    // content-addressed determinism as q_stratified_sample, so the oracle
+    // replays the full Gumbel-top-k draw.
+    "q_dsir_sample" ->
+      s"""$duckImportanceCtes,
+         |scored AS ($duckImportanceSelect)
+         |SELECT doc_id, llr,
+         |  round(llr - ln(-ln((CAST(${duckFnvU("CAST(doc_id AS VARCHAR)")} % 1048576 AS BIGINT) + 0.5) / 1048576.0)), 6) AS score
+         |FROM scored ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+    "q_dedup_incremental" ->
       s"""WITH toksrc AS (
          |  SELECT doc_id, $duckToks AS w FROM documents
-         |), tok AS (
-         |  SELECT doc_id, unnest(w) AS tk, generate_subscripts(w, 1) AS ord FROM toksrc
-         |), tb AS (
-         |  SELECT doc_id, ord, CAST(${duckFnvU("tk")} % 4096 AS BIGINT) AS b FROM tok
-         |), tc AS (SELECT b, count(*) AS c FROM tb WHERE doc_id % 7 = 0 GROUP BY 1
-         |), rc AS (SELECT b, count(*) AS c FROM tb GROUP BY 1
-         |), tot AS (
-         |  SELECT (SELECT count(*) FROM tb WHERE doc_id % 7 = 0) AS tt,
-         |         (SELECT count(*) FROM tb) AS rt
-         |), wts AS (
-         |  SELECT r.b,
-         |    ln((coalesce(tc.c, 0) + 1.0) / (tot.tt + 4096.0))
-         |      - ln((r.c + 1.0) / (tot.rt + 4096.0)) AS wt
-         |  FROM rc r LEFT JOIN tc ON tc.b = r.b CROSS JOIN tot
-         |), docw AS (
-         |  SELECT tb.doc_id,
-         |    round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list(wts.wt ORDER BY tb.ord)), (a, x) -> a + x), 6) AS llr
-         |  FROM tb JOIN wts ON wts.b = tb.b GROUP BY tb.doc_id)
-         |SELECT d.doc_id, coalesce(dw.llr, 0.0) AS llr
-         |FROM documents d LEFT JOIN docw dw ON dw.doc_id = d.doc_id""".stripMargin,
+         |), sh AS (
+         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)]) AS shingles
+         |  FROM toksrc WHERE len(w) >= 5
+         |), dup AS (
+         |  SELECT DISTINCT f.doc_id
+         |  FROM sh f JOIN sh c ON f.doc_id % 7 = 0 AND c.doc_id % 7 != 0
+         |  WHERE round(len(list_intersect(f.shingles, c.shingles))
+         |    / (len(f.shingles) + len(c.shingles) - len(list_intersect(f.shingles, c.shingles))), 6) >= 0.8)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d
+         |WHERE d.doc_id % 7 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
     "q_kmeans_assign" ->
       """WITH c AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb

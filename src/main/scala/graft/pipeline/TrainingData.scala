@@ -371,4 +371,57 @@ object TrainingData {
         array_join(slice(col("__toks"), col("start") + 1, lit(chunkTokens)), " ")
           .as("chunk_text"))
   }
+
+  /** DSIR selection — completes [[importanceWeights]] with the paper's
+    * sampling step: Gumbel-top-k over the importance scores (select the `k`
+    * documents maximizing `llr + g`, `g = −ln(−ln(u))`), which draws k
+    * samples WITHOUT replacement from the softmax distribution
+    * ∝ exp(llr). The uniform `u` is content-addressed —
+    * `(fnv1a64(id) mod 2^20 + 0.5) / 2^20` — so the "randomness" is a pure
+    * function of the document id: reproducible across engines, layouts, and
+    * re-runs, and replayable row-for-row by the SQL oracle (the same
+    * determinism contract as [[hashStratifiedSample]]).
+    *
+    * Scale shape: scoring is the [[importanceWeights]] pass (histogram side
+    * inputs + one narrow map); selection is TakeOrdered (per-partition
+    * top-k heap + driver merge of k rows). For huge k, switch to an
+    * approx-quantile threshold + filter instead of a global top-k; at the
+    * verify/demo scale (and typical per-domain budgets) TakeOrdered is the
+    * right plan.
+    */
+  def dsirSample(train: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, k: Int, buckets: Int = 4096): DataFrame = {
+    require(k > 0, "k must be positive")
+    val res = 1L << 20
+    val scored = importanceWeights(train, target, idCol, textCol, buckets)
+    val u = (pmod(TextFunctions.fnv1a64(col(idCol).cast("string")), lit(res))
+      .cast("double") + 0.5) / res.toDouble
+    scored.select(col(idCol), col("llr"),
+        round(col("llr") - log(-log(u)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Incremental (cross-corpus) dedup: the rows of `fresh` that are NOT
+    * near-duplicates (n-gram Jaccard ≥ `threshold`) of any document already
+    * in `corpus` — the ingestion gate of a continually-growing training set
+    * (dedup the delta against the accumulated corpus without re-pairing the
+    * corpus with itself). Candidates come from the cross-corpus MinHash
+    * banding of [[fuzzyDecontaminate]]; the final step is a left-anti join
+    * of `fresh` against the contaminated id set, so all original columns
+    * survive.
+    *
+    * Scale shape: when the corpus dwarfs the delta, the DELTA side is the
+    * small one — its banded buckets and shingle sets broadcast and the
+    * corpus streams map-only (the mirror image of fuzzyDecontaminate's
+    * premise, same machinery); the anti-join's right side is just the
+    * matched delta ids.
+    */
+  def dedupAgainst(fresh: DataFrame, corpus: DataFrame, idCol: String,
+                   textCol: String, n: Int = 5, threshold: Double = 0.8,
+                   params: Dedup.MinHashParams = Dedup.MinHashParams()): DataFrame = {
+    val dupIds = fuzzyDecontaminate(corpus, fresh, idCol, textCol, n, threshold, params)
+      .select(col("bench_id").as(idCol)).distinct()
+    fresh.join(dupIds, Seq(idCol), "left_anti")
+  }
 }

@@ -176,6 +176,45 @@ class TrainingDataSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("dsirSample is deterministic and prefers target-domain documents") {
+    val rng = new scala.util.Random(5)
+    def fill(words: Seq[String], n: Int) = Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" ")
+    val domain = Seq("quantum", "physics", "qubits", "entanglement", "decoherence")
+    val offdom = Seq("football", "referee", "goals", "penalty", "league")
+    val train = ((1L to 20L).map(i => (i, fill(domain, 30))) ++
+      (21L to 40L).map(i => (i, fill(offdom, 30)))).toDF("doc_id", "text")
+    val target = Seq((100L, fill(domain, 50))).toDF("doc_id", "text")
+    val a = TrainingData.dsirSample(train, target, "doc_id", "text", k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    val b = TrainingData.dsirSample(train, target, "doc_id", "text", k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a === b, "content-addressed Gumbel keys must make the sample reproducible")
+    assert(a.size === 10)
+    // Gumbel noise can promote a few off-domain docs, but the bulk of the
+    // sample must come from the domain half (llr gap >> noise scale here)
+    assert(a.count(_ <= 20L) >= 8, s"expected mostly domain docs, got $a")
+  }
+
+  test("dedupAgainst drops exactly the fresh docs with a near-dup in the corpus (sf0.01)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val fresh = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val kept = TrainingData.dedupAgainst(fresh, corpus, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val sh = graft.dedup.Dedup.shingleSets(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val freshIds = sh.keys.filter(_ % 7 == 0).toSet
+    val dups = for {
+      f <- freshIds; c <- sh.keys if c % 7 != 0
+      inter = (sh(f) & sh(c)).size
+      union = sh(f).size + sh(c).size - inter
+      if union > 0 && BigDecimal(inter.toDouble / union)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.8
+    } yield f
+    assert(dups.nonEmpty, "corpus must contain cross-slice near-dups for this spec to bite")
+    assert(kept === freshIds -- dups)
+  }
+
   test("chunkDocs lays out overlapping windows with deterministic identity") {
     val toks = (1 to 10).map(i => s"t$i").mkString(" ")
     val df = Seq((1L, toks), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
