@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.dedup.Dedup
-import graft.expressions.{BigramStats, DotProduct, Fnv1a64, MinHashSignature, QualityScoreRaw, SimHash64, WordShingles}
+import graft.expressions.{BigramStats, DotProduct, DotProductInt8, Fnv1a64, MinHashSignature, QualityScoreRaw, SimHash64, WordShingles}
 
 /** Session extension registering the engine's native expressions as SQL
   * functions, so `spark.sql("SELECT vec_dot(a, b) ...")` works alongside the
@@ -29,6 +29,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 2, "vec_dot takes 2 arguments")
         DotProduct(args.head, args(1))
+      })
+    register(ext, "vec_dot_i8",
+      "vec_dot_i8(a, b) - integer dot product of two array<tinyint> quantized vectors",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "vec_dot_i8 takes 2 arguments")
+        DotProductInt8(args.head, args(1))
       })
     register(ext, "simhash64",
       "simhash64(tokens) - 64-bit SimHash of an array<string> token column",

@@ -80,6 +80,24 @@ object ScaleProbe {
     }
     time("embed near-dup lsh  @0.7") {
       graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.7).count() }
+    if (nCopies <= 10) {
+      // the round-5 operators on the same blown-up corpus
+      time("semantic dedup (k=64)") {
+        val model = graft.similarity.KMeans.fit(v, "embedding", "vec_id", k = 64, maxIter = 5)
+        graft.dedup.Dedup.semanticDedup(v, "vec_id", "embedding", 64, model, 0.95).count() }
+      time("fuzzy decontaminate") {
+        graft.pipeline.TrainingData.fuzzyDecontaminate(
+          d, d.filter(col("doc_id") % 97 === 0), "doc_id", "text").count() }
+      time("dsir sample (k=5000)") {
+        graft.pipeline.TrainingData.dsirSample(
+          d, d.filter(col("doc_id") % 7 === 0), "doc_id", "text", k = 5000).count() }
+      time("ann quantized top-20") {
+        // the jittered corpus is array<double> (float + double jitter widens)
+        val q = v.filter(col("vec_id") === 0)
+          .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
+          .head().getSeq[Double](0).toIndexedSeq
+        graft.similarity.Ann.quantizedTopK(v, "embedding", "vec_id", q, 20).count() }
+    }
     spark.stop()
   }
 }

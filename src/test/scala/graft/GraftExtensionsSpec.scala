@@ -35,6 +35,10 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(fnv === graft.expressions.Fnv1a.hash("abc".getBytes("UTF-8")))
       val bg = s.sql("SELECT bigram_stats(array('a','b','a','b','c')) AS s").head.getSeq[Long](0)
       assert(bg === Seq(2L, 4L)) // "a b" twice of 4 bigrams
+      val di8 = s.sql(
+        "SELECT vec_dot_i8(cast(array(127, -2) AS array<tinyint>), cast(array(2, 3) AS array<tinyint>)) AS d")
+        .head.getLong(0)
+      assert(di8 === 127L * 2 - 2 * 3)
       val q = s.sql("SELECT round(quality_score_raw('the cat sat on the mat.'), 6) AS q").head.getDouble(0)
       assert(q > 0.0 && q <= 1.0)
     } finally {

@@ -98,6 +98,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_chunk_docs: generator-only layout — zero exchanges, no window") {
+    val p = plan("q_chunk_docs")
+    assert(exchanges(p) === 0, p)
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q_ann_quantized: quantized top-k is TakeOrderedAndProject over one scan") {
+    val p = plan("q_ann_quantized")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("vec_dot_i8"), p)
+  }
+
+  test("q_gopher_filter: rule flags are a pure scan, zero exchanges") {
+    val p = plan("q_gopher_filter")
+    assert(exchanges(p) === 0, p)
+  }
+
+  test("q_fuzzy_decontaminate: training side never sort-merge-joins") {
+    // the benchmark side (buckets AND shingle sets) must broadcast so the
+    // train corpus streams map-only; the only exchange is the candidate
+    // distinct + the final tiny joins
+    val p = plan("q_fuzzy_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_importance_weights / q_dsir_sample: scoring is scan + literal lookup, no join") {
+    val p = plan("q_importance_weights")
+    assert(!p.contains("Join"), p) // weight table rides as a codegen literal
+    assert(exchanges(p) === 0, p)
+    val p2 = plan("q_dsir_sample")
+    assert(!p2.contains("Join"), p2)
+    assert(p2.contains("TakeOrderedAndProject"), p2)
+  }
+
   test("q_pack_budgeted / q_curate_corpus: no partition-less (one-reducer) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("q_pack_budgeted", "q_curate_corpus")) {

@@ -215,6 +215,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept === freshIds -- dups)
   }
 
+  test("cross-corpus operators degrade cleanly on empty/degenerate inputs") {
+    val docs = Seq((1L, phrase), (2L, "short")).toDF("doc_id", "text")
+    val empty = docs.filter(col("doc_id") < 0)
+    // empty benchmark → nothing contaminated; empty corpus → nothing dropped
+    assert(TrainingData.fuzzyDecontaminate(docs, empty, "doc_id", "text").count() === 0)
+    assert(TrainingData.dedupAgainst(docs, empty, "doc_id", "text").count() === 2)
+    assert(TrainingData.dedupAgainst(empty, docs, "doc_id", "text").count() === 0)
+    // empty target → uniform smoothing only; scores still defined for all docs
+    assert(TrainingData.importanceWeights(docs, empty, "doc_id", "text").count() === 2)
+    // k larger than the corpus → the whole corpus, no error
+    assert(TrainingData.dsirSample(docs, docs, "doc_id", "text", k = 10).count() === 2)
+  }
+
   test("chunkDocs lays out overlapping windows with deterministic identity") {
     val toks = (1 to 10).map(i => s"t$i").mkString(" ")
     val df = Seq((1L, toks), (2L, ""), (3L, "a b c")).toDF("doc_id", "text")
