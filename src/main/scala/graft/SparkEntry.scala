@@ -669,6 +669,16 @@ object SparkEntry {
     Ann.quantizedTopK(t(s, dir, "embeddings"), "embedding", "vec_id",
       queryVec(s, dir), k = 20)
 
+  /** IVF + int8 top-k: probe only the query's own inverted list, score
+    * quantized codes — the memory-bound ANN composition.
+    */
+  private def ivfQuantizedQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val lbl = emb.filter(col("vec_id") === 0).select("label").head().getInt(0)
+    Ann.ivfQuantizedTopK(emb, "embedding", "vec_id", "label", queryVec(s, dir),
+      probeLists = Seq(lbl), k = 20)
+  }
+
   /** Gopher quality rules as flat boolean flags + the AND-composite keep. */
   private def gopherFilterQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -961,7 +971,8 @@ object SparkEntry {
     "q_ann_quantized"       -> (annQuantizedQ(_, _)),
     "q_gopher_filter"       -> (gopherFilterQ(_, _)),
     "q_dsir_sample"         -> (dsirSampleQ(_, _)),
-    "q_dedup_incremental"   -> (dedupIncrementalQ(_, _)))
+    "q_dedup_incremental"   -> (dedupIncrementalQ(_, _)),
+    "q_ivf_quantized"       -> (ivfQuantizedQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -1043,6 +1054,29 @@ object SparkEntry {
     s"""SELECT x.vec_id AS a, y.vec_id AS b, round($duckCos, 6) AS cos
        |FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
        |WHERE round($duckCos, 6) >= 0.45""".stripMargin
+
+  /** Int8-quantized top-20 replay, with an optional corpus WHERE clause
+    * (empty = brute force over all vectors; a label filter = the IVF probe).
+    */
+  private def duckQuantizedTopkSql(corpusWhere: String): String =
+    s"""WITH qv AS (
+       |  SELECT list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS qmx, embedding
+       |  FROM embeddings WHERE vec_id = 0
+       |), qq AS (
+       |  SELECT CASE WHEN qmx > 0 THEN qmx/127.0 ELSE 1.0 END AS qscale,
+       |    [CAST(round(CAST(x AS DOUBLE) / (CASE WHEN qmx > 0 THEN qmx/127.0 ELSE 1.0 END)) AS BIGINT) FOR x IN embedding] AS q
+       |  FROM qv
+       |), c AS (
+       |  SELECT vec_id, list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS mx, embedding
+       |  FROM embeddings $corpusWhere
+       |), cq AS (
+       |  SELECT vec_id, CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END AS scale,
+       |    [CAST(round(CAST(x AS DOUBLE) / (CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END)) AS BIGINT) FOR x IN embedding] AS q
+       |  FROM c)
+       |SELECT cq.vec_id,
+       |  round(cq.scale * qq.qscale * list_sum([cq.q[i] * qq.q[i] FOR i IN range(1, 65)]), 6) AS qscore
+       |FROM cq CROSS JOIN qq
+       |ORDER BY qscore DESC, cq.vec_id LIMIT 20""".stripMargin
 
   /** DSIR hashed-unigram LLR CTE chain (target = the `doc_id % 7` slice),
     * shared by q_importance_weights and q_dsir_sample.
@@ -1601,25 +1635,9 @@ object SparkEntry {
     // Quantization replay: per-vector symmetric int8 codes
     // (scale = max|v|/127, q_i = round(v_i/scale) — both engines round
     // half-away-from-zero), BIGINT dot, one (scale·qscale)·dot rescale.
-    "q_ann_quantized" ->
-      """WITH qv AS (
-        |  SELECT list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS qmx, embedding
-        |  FROM embeddings WHERE vec_id = 0
-        |), qq AS (
-        |  SELECT CASE WHEN qmx > 0 THEN qmx/127.0 ELSE 1.0 END AS qscale,
-        |    [CAST(round(CAST(x AS DOUBLE) / (CASE WHEN qmx > 0 THEN qmx/127.0 ELSE 1.0 END)) AS BIGINT) FOR x IN embedding] AS q
-        |  FROM qv
-        |), c AS (
-        |  SELECT vec_id, list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS mx, embedding
-        |  FROM embeddings
-        |), cq AS (
-        |  SELECT vec_id, CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END AS scale,
-        |    [CAST(round(CAST(x AS DOUBLE) / (CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END)) AS BIGINT) FOR x IN embedding] AS q
-        |  FROM c)
-        |SELECT cq.vec_id,
-        |  round(cq.scale * qq.qscale * list_sum([cq.q[i] * qq.q[i] FOR i IN range(1, 65)]), 6) AS qscore
-        |FROM cq CROSS JOIN qq
-        |ORDER BY qscore DESC, cq.vec_id LIMIT 20""".stripMargin,
+    "q_ann_quantized" -> duckQuantizedTopkSql(""),
+    "q_ivf_quantized" -> duckQuantizedTopkSql(
+      "WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)"),
     // Gopher rules: every threshold is evaluated in integer arithmetic
     // (cross-multiplied), so the booleans are engine-exact — no float
     // ratio near a boundary.

@@ -289,4 +289,17 @@ object Ann {
       .orderBy(col("qscore").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** IVF + int8: probe only the given inverted lists AND score int8 codes —
+    * the memory-bound ANN shape at 100 TB (IVF pruning bounds the IO to
+    * `nprobe/k` of the corpus, quantization bounds the resident store to
+    * 1/8 of float64). The list filter is a plain pushable predicate, so a
+    * corpus WRITTEN partitioned by `listCol` ([[graft.sources.Tables]])
+    * prunes at the file level and the scan never touches unprobed lists.
+    */
+  def ivfQuantizedTopK(df: DataFrame, vecCol: String, idCol: String,
+                       listCol: String, query: Seq[Double], probeLists: Seq[Any],
+                       k: Int): DataFrame =
+    quantizedTopK(df.filter(col(listCol).isInCollection(probeLists)),
+      vecCol, idCol, query, k)
 }

@@ -111,6 +111,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("vec_dot_i8"), p)
   }
 
+  test("q_ivf_quantized: the list filter is pushed into the parquet scan") {
+    val p = plan("q_ivf_quantized")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("q_gopher_filter: rule flags are a pure scan, zero exchanges") {
     val p = plan("q_gopher_filter")
     assert(exchanges(p) === 0, p)

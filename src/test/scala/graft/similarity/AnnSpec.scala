@@ -157,6 +157,16 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("ivfQuantizedTopK scores only the probed lists") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.9f, 0.1f), "a"),
+      (3L, Seq(1.0f, 0.01f), "b")).toDF("vec_id", "embedding", "cluster")
+    val got = Ann.ivfQuantizedTopK(df, "embedding", "vec_id", "cluster",
+      Seq(1.0, 0.0), probeLists = Seq("a"), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L)) // vec 3 is closer but lives in an unprobed list
+  }
+
   test("quantizedTopK keeps high recall against the exact brute-force top-20 (sf0.01)") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0).select(col("embedding"))
