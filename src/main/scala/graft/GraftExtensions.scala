@@ -72,6 +72,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "bigram_stats takes 1 argument")
         BigramStats(args.head)
       })
+    register(ext, "top_k_rows",
+      "top_k_rows(ord_struct, payload_struct, k) - bounded top-k aggregate: payloads of the k smallest ord structs, ascending",
+      { args: Seq[Expression] =>
+        require(args.length == 3, "top_k_rows takes 3 arguments")
+        val k = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_k_rows k must be an integer literal, got $other")
+        }
+        graft.expressions.TopKStructsAgg(args.head, args(1), k)
+      })
     register(ext, "quality_score_raw",
       "quality_score_raw(text) - unrounded composite quality score (English stopwords)",
       { args: Seq[Expression] =>

@@ -737,7 +737,12 @@ object SparkEntry {
   private def topQualityDocsQ(s: SparkSession, dir: String): DataFrame = {
     val scored = t(s, dir, "documents")
       .select(col("lang"), col("doc_id"), TF.qualityScore(col("text")).as("quality"))
-    Analytics.topPerKey(scored, col("lang"), Seq(col("quality").desc, col("doc_id")), k = 5)
+    // bounded-heap aggregate, not a window: each mapper ships <= k rows per
+    // language into the shuffle (same rows as the window formulation —
+    // spec-asserted; descending quality encoded as the negated field)
+    Analytics.topPerKeyAgg(scored, "lang",
+      ordAsc = Seq(negate(col("quality")), col("doc_id")),
+      payload = Seq("doc_id" -> col("doc_id"), "quality" -> col("quality")), k = 5)
   }
 
   /** Out-of-vocabulary rate per document against the corpus's top-20

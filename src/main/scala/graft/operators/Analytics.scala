@@ -41,6 +41,29 @@ object Analytics {
         row_number().over(Window.partitionBy(keyCol).orderBy(order: _*)))
       .filter(col("rn") <= k)
 
+  /** Grouped top-k via the bounded-heap aggregate
+    * ([[graft.expressions.TopKStructsAgg]]) — same rows as [[topPerKey]]
+    * (asserted by spec) with the scale shape a window cannot give: the
+    * aggregate partial-combines map-side, so each mapper ships at most k
+    * rows per key into the shuffle and no task ever sorts a hot key's whole
+    * partition. `ordAsc` are ASCENDING sort fields (negate a numeric column
+    * for descending) and must end in a tiebreaker for deterministic output;
+    * `payload` are the (name, column) pairs to return. Output: `keyCol`,
+    * the payload columns, and `rn` (1-based rank within the key).
+    */
+  def topPerKeyAgg(df: DataFrame, keyCol: String, ordAsc: Seq[Column],
+                   payload: Seq[(String, Column)], k: Int): DataFrame = {
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    val agg = br.column(graft.expressions.TopKStructsAgg(
+        br.expression(struct(ordAsc: _*)),
+        br.expression(struct(payload.map { case (n, c) => c.as(n) }: _*)), k)
+      .toAggregateExpression())
+    df.groupBy(col(keyCol)).agg(agg.as("_topk"))
+      .select(col(keyCol), posexplode(col("_topk")).as(Seq("_pos", "_row")))
+      .select(col(keyCol) +: payload.map { case (n, _) => col(s"_row.$n") } :+
+        (col("_pos") + 1).as("rn"): _*)
+  }
+
   /** As-of join: for each left row, the single latest right row of the same
     * key with `rightTs <= leftTs` (DuckDB/kdb ASOF JOIN semantics).
     *

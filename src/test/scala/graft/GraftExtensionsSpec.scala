@@ -39,6 +39,12 @@ class GraftExtensionsSpec extends SparkSpec {
         "SELECT vec_dot_i8(cast(array(127, -2) AS array<tinyint>), cast(array(2, 3) AS array<tinyint>)) AS d")
         .head.getLong(0)
       assert(di8 === 127L * 2 - 2 * 3)
+      val tk = s.sql(
+        """SELECT k, top_k_rows(struct(-score, id), struct(id), 2) AS t FROM VALUES
+          |  ('a', 1L, 5.0), ('a', 2L, 9.0), ('a', 3L, 7.0) AS v(k, id, score)
+          |GROUP BY k""".stripMargin)
+        .head.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+      assert(tk === Seq(2L, 3L)) // top-2 by score desc
       val q = s.sql("SELECT round(quality_score_raw('the cat sat on the mat.'), 6) AS q").head.getDouble(0)
       assert(q > 0.0 && q <= 1.0)
     } finally {

@@ -111,6 +111,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("vec_dot_i8"), p)
   }
 
+  test("q_top_quality_docs: grouped top-k is a partial bounded-heap aggregate, not a window sort") {
+    val p = plan("q_top_quality_docs")
+    assert(p.contains("ObjectHashAggregate") && p.contains("top_k_rows"), p)
+    assert(p.contains("partial_top_k_rows"), p) // map-side combine: <= k rows/key/mapper shuffle
+    assert(!p.contains("Window"), p)
+  }
+
   test("q_ivf_quantized: the list filter is pushed into the parquet scan") {
     val p = plan("q_ivf_quantized")
     assert(p.contains("PushedFilters") && p.contains("EqualTo(label,"), p)

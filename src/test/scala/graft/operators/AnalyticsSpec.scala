@@ -140,6 +140,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("topPerKeyAgg equals the window formulation row-for-row on the sf0.01 corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val scored = docs.select(col("lang"), col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    val window = Analytics.topPerKey(scored, col("lang"),
+        Seq(col("quality").desc, col("doc_id")), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // repartition(13) forces multi-buffer merges AND buffer serialization
+    // through the partial->final shuffle — the paths a 1-partition run skips
+    val agg = Analytics.topPerKeyAgg(scored.repartition(13), "lang",
+        ordAsc = Seq(negate(col("quality")), col("doc_id")),
+        payload = Seq("doc_id" -> col("doc_id"), "quality" -> col("quality")), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(agg === window)
+    assert(agg.size === 25) // 5 languages x top-5
+  }
+
+  test("topPerKeyAgg: k larger than the group, ties broken by the tiebreak field") {
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 2.0), ("a", 3L, 9.0), ("b", 4L, 1.0))
+      .toDF("key", "id", "score")
+    val out = Analytics.topPerKeyAgg(df, "key",
+        ordAsc = Seq(negate(col("score")), col("id")),
+        payload = Seq("id" -> col("id")), k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.toSet === Set(("a", 3L, 1), ("a", 1L, 2), ("a", 2L, 3), ("b", 4L, 1)))
+  }
+
   test("rollupAgg labels grouping-set nulls and keeps leaf rows") {
     val df = Seq(("r1", "n1", 10.0), ("r1", "n2", 20.0), ("r2", "n3", 5.0))
       .toDF("region", "nation", "rev")
