@@ -136,11 +136,17 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
 
-  /** Ranking window: top-3 orders per customer. */
+  /** Top-3 orders per customer — the bounded-heap aggregate form: customers
+    * are a high-cardinality key, so ≤ 3 rows per customer per mapper enter
+    * the shuffle instead of every order (rows identical to the window form).
+    */
   private def rankOrders(s: SparkSession, dir: String): DataFrame =
-    Analytics.topPerKey(
+    Analytics.topPerKeyAgg(
       t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
-      col("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
+      "o_custkey",
+      ordAsc = Seq(negate(col("o_totalprice")), col("o_orderkey")),
+      payload = Seq("o_orderkey" -> col("o_orderkey"),
+        "o_totalprice" -> col("o_totalprice")), k = 3)
 
   /** Rollup revenue by (region, nation). */
   private def rollupRevenue(s: SparkSession, dir: String): DataFrame =
@@ -555,9 +561,14 @@ object SparkEntry {
     * see TextFunctions.termStats).
     */
   private def tfidfQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.topPerKey(
+    // bounded-heap top-k: ≤ 5 (term, tf, df) rows per doc per mapper reach
+    // the shuffle — a document's whole vocabulary never sorts in one task
+    Analytics.topPerKeyAgg(
       TF.termStats(t(s, dir, "documents"), "doc_id", "text", broadcastVocab = true),
-      col("doc_id"), Seq(col("tf").desc, col("term")), k = 5)
+      "doc_id",
+      ordAsc = Seq(negate(col("tf")), col("term")),
+      payload = Seq("term" -> col("term"), "tf" -> col("tf"),
+        "df" -> col("df")), k = 5)
 
   /** Exact dedup after canonical normalization (case/punct/whitespace). */
   private def dedupNormalized(s: SparkSession, dir: String): DataFrame =

@@ -111,11 +111,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("vec_dot_i8"), p)
   }
 
-  test("q_top_quality_docs: grouped top-k is a partial bounded-heap aggregate, not a window sort") {
-    val p = plan("q_top_quality_docs")
-    assert(p.contains("ObjectHashAggregate") && p.contains("top_k_rows"), p)
-    assert(p.contains("partial_top_k_rows"), p) // map-side combine: <= k rows/key/mapper shuffle
-    assert(!p.contains("Window"), p)
+  test("grouped top-k queries are partial bounded-heap aggregates, not window sorts") {
+    for (q <- Seq("q_top_quality_docs", "q_rank_orders", "q_tfidf")) {
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate") && p.contains("top_k_rows"), s"$q:\n$p")
+      assert(p.contains("partial_top_k_rows"), s"$q:\n$p") // <= k rows/key/mapper shuffle
+      assert(!p.contains("Window"), s"$q:\n$p")
+    }
   }
 
   test("q_ivf_quantized: the list filter is pushed into the parquet scan") {
