@@ -131,6 +131,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges(p) === 0, p)
   }
 
+  test("q_semantic_dedup: within-cluster candidates broadcast below the gate, no global window") {
+    val p = plan("q_semantic_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p) // guard skipped below maxCluster; no sort anywhere
+  }
+
   test("q_fuzzy_decontaminate: training side never sort-merge-joins") {
     // the benchmark side (buckets AND shingle sets) must broadcast so the
     // train corpus streams map-only; the only exchange is the candidate

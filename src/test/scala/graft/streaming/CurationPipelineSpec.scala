@@ -86,6 +86,43 @@ class CurationPipelineSpec extends SparkSpec {
     assert(streamed.map(_._1) === Set(1L, 3L))
   }
 
+  test("streaming Gopher quality gate: same keeps in live stream and batch experiment") {
+    implicit val sqlCtx = spark.sqlContext
+    // gopherFlags is a stateless one-pass projection, so the SAME transform
+    // runs verbatim as a streaming filter — no state store, no watermark
+    val longDoc = ("the be to of and that have with " * 8 +
+      "alpha beta gamma delta " * 5).trim
+    val rows = Seq(
+      RawDoc(11, t("2024-01-01 00:00:01"), longDoc),            // passes all rules
+      RawDoc(12, t("2024-01-01 00:00:02"), "way too short"),    // word-count rule
+      RawDoc(13, t("2024-01-01 00:00:03"),
+        (("the be to of and " * 10).trim + " " + "# " * 30).trim)) // symbol rule
+    val gate: DataFrame => DataFrame =
+      df => df.filter(TF.gopherFlags(col("text")).getField("keep"))
+    val topo = Topology(
+      entities = Map(
+        "raw-docs" -> Topic("raw-docs"),
+        "gate"     -> Stream("gate", gate),
+        "clean"    -> Topic("clean")),
+      workflow = Seq("raw-docs" -> "gate", "gate" -> "clean"))
+
+    val in = MemoryStream[RawDoc]
+    in.addData(rows: _*)
+    val engine = StreamRunner.start(
+      topo, Map("raw-docs" -> in.toDF()),
+      (sink, df) => df.writeStream.format("memory")
+        .queryName("t_gopher").trigger(Trigger.AvailableNow()).start())
+    engine.processAllAvailable()
+    engine.stop()
+    val streamed = spark.table("t_gopher").select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val batch = topo.experiment(Map("raw-docs" -> rows.toDF()))("clean")
+      .map(_.getAs[Long]("doc_id")).toSet
+
+    assert(streamed === batch)
+    assert(streamed === Set(11L))
+  }
+
   test("streaming decontamination filter: same drops in live stream and batch experiment") {
     implicit val sqlCtx = spark.sqlContext
     // benchmark corpus = doc 1's text: docs 1 and 2 share 5-grams with it
