@@ -806,6 +806,11 @@ object SparkEntry {
     TrainingData.packBudgeted(t(s, dir, "documents"), "doc_id", "text", budget = 2000)
 
   /** Content-addressed 80/10/10 split over the document text hash. */
+  /** Passage-level exact dedup: repeated 16-token windows across the corpus. */
+  private def chunkDedupQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.duplicateChunks(t(s, dir, "documents"), "doc_id", "text",
+      chunkTokens = 16)
+
   /** DSIR selection: k = 100 of the corpus, target = the `doc_id % 7` slice
     * (same domain-role slice as q_importance_weights).
     */
@@ -988,7 +993,8 @@ object SparkEntry {
     "q_gopher_filter"       -> (gopherFilterQ(_, _)),
     "q_dsir_sample"         -> (dsirSampleQ(_, _)),
     "q_dedup_incremental"   -> (dedupIncrementalQ(_, _)),
-    "q_ivf_quantized"       -> (ivfQuantizedQ(_, _)))
+    "q_ivf_quantized"       -> (ivfQuantizedQ(_, _)),
+    "q_chunk_dedup"         -> (chunkDedupQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -1701,6 +1707,24 @@ object SparkEntry {
          |SELECT doc_id, llr,
          |  round(llr - ln(-ln((CAST(${duckFnvU("CAST(doc_id AS VARCHAR)")} % 1048576 AS BIGINT) + 0.5) / 1048576.0)), 6) AS score
          |FROM scored ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+    // chunk layout replayed (stride = chunk → non-overlapping), full windows
+    // only, then the FNV-1a fingerprint recomputed in HUGEINT and reduced to
+    // the signed BIGINT Spark emits
+    "q_chunk_dedup" ->
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), t AS (
+         |  SELECT doc_id, w, len(w) AS n FROM toksrc WHERE len(w) > 0
+         |), st AS (
+         |  SELECT doc_id, n, w, unnest(range(0, n, 16)) AS start FROM t
+         |), ch AS (
+         |  SELECT doc_id, array_to_string(w[start+1:start+16], ' ') AS chunk_text
+         |  FROM st WHERE least(16, n - start) = 16
+         |), fp AS (
+         |  SELECT doc_id, ${duckU2S(duckFnvU("chunk_text"))} AS chunk_fp FROM ch)
+         |SELECT chunk_fp, count(*) AS n_occurrences,
+         |  count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+         |FROM fp GROUP BY chunk_fp HAVING count(*) > 1""".stripMargin,
     "q_dedup_incremental" ->
       s"""WITH toksrc AS (
          |  SELECT doc_id, $duckToks AS w FROM documents

@@ -372,6 +372,28 @@ object TrainingData {
           .as("chunk_text"))
   }
 
+  /** Sub-document (passage-level) exact dedup: chunk every document into
+    * NON-overlapping `chunkTokens` windows, fingerprint each full window,
+    * and report fingerprints occurring more than once — repeated passages
+    * and boilerplate that document-level dedup cannot see (the Lee et al.
+    * 2022, arXiv:2107.06499 motivation, with fixed windows standing in for
+    * suffix-array substrings). Trailing partial windows are excluded: their
+    * length depends on document length, so equal text would still differ.
+    *
+    * Scale shape: one generator pass (no shuffle) then ONE
+    * partial-aggregated shuffle keyed on the 8-byte fingerprint — the
+    * shuffle carries (fp, partial counts), never chunk text.
+    */
+  def duplicateChunks(df: DataFrame, idCol: String, textCol: String,
+                      chunkTokens: Int = 64): DataFrame =
+    chunkDocs(df, idCol, textCol, chunkTokens, chunkTokens)
+      .filter(col("chunk_tokens") === chunkTokens)
+      .groupBy(TextFunctions.fnv1a64(col("chunk_text")).as("chunk_fp"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min(col(idCol)).as("first_doc"))
+      .filter(col("n_occurrences") > 1)
+
   /** DSIR selection — completes [[importanceWeights]] with the paper's
     * sampling step: Gumbel-top-k over the importance scores (select the `k`
     * documents maximizing `llr + g`, `g = −ln(−ln(u))`), which draws k
