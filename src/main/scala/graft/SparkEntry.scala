@@ -1669,9 +1669,9 @@ object SparkEntry {
          |), m AS (
          |  SELECT doc_id, len(w) AS words,
          |    coalesce(list_sum([len(x) FOR x IN w]), 0) AS chars,
-         |    len(text) - len(replace(text, '#', ''))
-         |      + (len(text) - len(replace(text, '...', ''))) // 3
-         |      + (len(text) - len(replace(text, '…', ''))) AS symbols,
+         |    len(text) - len(replace(text, '#', '')) AS hashes,
+         |    (len(text) - len(replace(text, '...', ''))) // 3
+         |      + (len(text) - len(replace(text, '…', ''))) AS dots,
          |    greatest(len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0]), 1) AS nlines,
          |    len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0 AND regexp_matches(trim(l), '^[-*•]')]) AS bullets,
          |    len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0 AND regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$')]) AS ells,
@@ -1681,13 +1681,14 @@ object SparkEntry {
          |SELECT doc_id,
          |  words >= 50 AND words <= 100000 AS f_wc,
          |  chars >= words*3 AND chars <= words*10 AS f_mwl,
-         |  symbols*10 <= words AS f_symbol,
-         |  bullets*10 <= nlines AS f_bullet,
-         |  ells*10 < nlines*3 AS f_ellipsis,
+         |  hashes*10 <= words AND dots*10 <= words AS f_symbol,
+         |  bullets*10 <= nlines*9 AS f_bullet,
+         |  ells*10 <= nlines*3 AS f_ellipsis,
          |  alphaw*5 >= words*4 AS f_alpha,
          |  stops >= 2 AS f_stop,
          |  (words >= 50 AND words <= 100000) AND (chars >= words*3 AND chars <= words*10)
-         |    AND symbols*10 <= words AND bullets*10 <= nlines AND ells*10 < nlines*3
+         |    AND (hashes*10 <= words AND dots*10 <= words)
+         |    AND bullets*10 <= nlines*9 AND ells*10 <= nlines*3
          |    AND alphaw*5 >= words*4 AND stops >= 2 AS keep
          |FROM m""".stripMargin,
     // fnv1a64 bucket: buckets = 4096 is a power of two, so Spark's

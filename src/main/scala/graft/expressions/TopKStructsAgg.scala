@@ -77,7 +77,12 @@ case class TopKStructsAgg(ord: Expression, payload: Expression, k: Int,
     // admission test BEFORE copying: a rejected row allocates nothing
     if (buf.size >= k && ordering.compare(o, buf.peek()._1) >= 0) return buf
     val p = payload.eval(input).asInstanceOf[InternalRow]
-    offer(buf, o.copy(), if (p == null) InternalRow.empty else p.copy())
+    // skip null payloads like null ords: dataType declares containsNull=false
+    // and serialize() projects through payload.dataType's field count, so a
+    // stored InternalRow.empty would throw at partial-agg serialization
+    // (reachable via the registered SQL function, not the typed API)
+    if (p == null) return buf
+    offer(buf, o.copy(), p.copy())
     buf
   }
 

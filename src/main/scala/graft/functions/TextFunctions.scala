@@ -218,12 +218,15 @@ object TextFunctions {
     * so the decision is bit-identical on any engine — no float ratios near a
     * boundary. One narrow codegen'd pass, no shuffle.
     *
-    * Rules (flag true = passes):
+    * Rules (flag true = passes; removal conditions are the paper's, so keep
+    * is the complement — e.g. the paper removes at bullet ratio > 0.9, so
+    * f_bullet passes at ≤ 0.9):
     *  - f_wc:       50 ≤ word count ≤ 100,000
     *  - f_mwl:      mean word length in [3, 10]  (3n ≤ chars ≤ 10n)
-    *  - f_symbol:   symbol-to-word ratio ≤ 0.1 ('#' chars + '...'/'…' runs)
-    *  - f_bullet:   ≤ 10% of lines start with a bullet (-, *, •)
-    *  - f_ellipsis: < 30% of lines end with an ellipsis
+    *  - f_symbol:   symbol-to-word ratio ≤ 0.1 PER symbol type — '#' chars
+    *                and '...'/'…' runs each individually, not their sum
+    *  - f_bullet:   ≤ 90% of lines start with a bullet (-, *, •)
+    *  - f_ellipsis: ≤ 30% of lines end with an ellipsis
     *  - f_alpha:    ≥ 80% of words contain an alphabetic character
     *  - f_stop:     ≥ 2 distinct Gopher stop words present
     */
@@ -234,7 +237,6 @@ object TextFunctions {
     val hashes = length(text) - length(regexp_replace(text, "#", ""))
     val dots = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3 +
       (length(text) - length(regexp_replace(text, "…", "")))
-    val symbols = hashes + dots
     val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
     val nLines = greatest(size(lines), lit(1)) // a no-newline doc is one line
     val bulletLines = size(filter(lines, l => trim(l).rlike("^[-*•]")))
@@ -244,9 +246,9 @@ object TextFunctions {
       typedlit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))))
     val fWc = words.geq(50) && words.leq(100000)
     val fMwl = (chars >= words * 3) && (chars <= words * 10)
-    val fSymbol = symbols * 10 <= words
-    val fBullet = bulletLines * 10 <= nLines
-    val fEllipsis = ellipsisLines * 10 < nLines * 3
+    val fSymbol = (hashes * 10 <= words) && (dots * 10 <= words)
+    val fBullet = bulletLines * 10 <= nLines * 9
+    val fEllipsis = ellipsisLines * 10 <= nLines * 3
     val fAlpha = alphaWords * 5 >= words * 4
     val fStop = stopHits >= 2
     struct(

@@ -261,17 +261,30 @@ object TrainingData {
     * 128 hashes / 64 bands of 2 the per-pair miss probability at j=0.8 is
     * (1-j²)^64 ≈ 1e-28, so the output equals the exact cross join.
     *
-    * Scale shape: the benchmark side is small by premise (KB-MB of
-    * benchmark text vs TB of training corpus), so its banded buckets AND
-    * its shingle sets broadcast; the training side streams through two
-    * map-only broadcast joins (candidate generation, verification) and
-    * never shuffles — the only exchange is the distinct over the tiny
-    * candidate set. The training corpus is scanned twice (once to band,
-    * once to verify), the standard LSH trade of a scan for a shuffle.
+    * Scale shape: the benchmark side is USUALLY small (KB-MB of benchmark
+    * text vs TB of training corpus), so its banded buckets AND its shingle
+    * sets broadcast and the training side streams through two map-only
+    * broadcast joins (candidate generation, verification), never shuffling
+    * wholesale. But "small by premise" is not a guarantee — [[dedupAgainst]]
+    * passes an arbitrary ingestion DELTA as this side — so the broadcasts
+    * are GATED on the bench row count (`broadcastMaxRows`, mirroring
+    * [[graft.dedup.Dedup.semanticDedup]]): above the gate the same plan
+    * degrades to shuffle joins instead of OOMing every executor. The
+    * candidate-pair set is deliberately NOT hint-broadcast: it is the
+    * output of a shuffle (`distinct`), so AQE sees its EXACT runtime size
+    * and picks broadcast-hash vs shuffle join itself — runtime facts beat a
+    * compile-time guess for a set whose size depends on how dup-heavy the
+    * corpus is. Pass `benchN` if the caller already knows the count (skips
+    * one count job).
     */
   def fuzzyDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int = 5, threshold: Double = 0.8,
-                         params: Dedup.MinHashParams = Dedup.MinHashParams()): DataFrame = {
+                         params: Dedup.MinHashParams = Dedup.MinHashParams(),
+                         benchN: Long = -1L,
+                         broadcastMaxRows: Long = 500000L): DataFrame = {
+    val bN = if (benchN >= 0) benchN else bench.count()
+    val bcast: DataFrame => DataFrame =
+      if (bN <= broadcastMaxRows) broadcast(_) else identity
     val trainSh = Dedup.shingleSets(train, idCol, textCol, n)
     val benchSh = Dedup.shingleSets(bench, idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
@@ -285,10 +298,11 @@ object TrainingData {
         .select(col("doc_id"), xxhash64(col("band"), col("band_sig")).as("bk"))
     }
     val cand = banded(trainSh)
-      .join(broadcast(banded(benchSh).withColumnRenamed("doc_id", "bench_id")), "bk")
+      .join(bcast(banded(benchSh).withColumnRenamed("doc_id", "bench_id")), "bk")
       .select(col("doc_id"), col("bench_id")).distinct()
-    trainSh.join(broadcast(cand), "doc_id")
-      .join(broadcast(benchSh.select(col("doc_id").as("bench_id"), col("shingles").as("bsh"))),
+    // no broadcast hint on cand: post-shuffle, AQE sizes it at runtime
+    trainSh.join(cand, "doc_id")
+      .join(bcast(benchSh.select(col("doc_id").as("bench_id"), col("shingles").as("bsh"))),
         "bench_id")
       .select(col("doc_id"), col("bench_id"),
         round(Dedup.jaccard(col("shingles"), col("bsh")), 6).as("jaccard"))
@@ -330,8 +344,10 @@ object TrainingData {
     val ct = histogram(target)
     val cr = histogram(train)
     val (tTot, rTot) = (ct.sum, cr.sum)
-    // identical expression shape to the oracle: ln of the smoothed ratio,
-    // NOT a difference of lns — float parity demands one formula
+    // identical expression shape to the oracle: the DIFFERENCE of the two
+    // smoothed log terms, ln(p_t) - ln(p_r) — the DuckDB oracle computes the
+    // same difference-of-lns, and float parity demands both engines share
+    // one formula (ln(a/b) would round differently from ln(a)-ln(b))
     val w = Array.tabulate(buckets) { b =>
       math.log((ct(b) + 1.0) / (tTot + buckets.toDouble)) -
         math.log((cr(b) + 1.0) / (rTot + buckets.toDouble))
@@ -437,12 +453,18 @@ object TrainingData {
     * small one — its banded buckets and shingle sets broadcast and the
     * corpus streams map-only (the mirror image of fuzzyDecontaminate's
     * premise, same machinery); the anti-join's right side is just the
-    * matched delta ids.
+    * matched delta ids. A delta is NOT small by premise the way a benchmark
+    * is, so the inherited `broadcastMaxRows` gate matters here: a bulk
+    * backfill delta above the gate falls back to shuffle joins instead of
+    * broadcasting GBs to every executor.
     */
   def dedupAgainst(fresh: DataFrame, corpus: DataFrame, idCol: String,
                    textCol: String, n: Int = 5, threshold: Double = 0.8,
-                   params: Dedup.MinHashParams = Dedup.MinHashParams()): DataFrame = {
-    val dupIds = fuzzyDecontaminate(corpus, fresh, idCol, textCol, n, threshold, params)
+                   params: Dedup.MinHashParams = Dedup.MinHashParams(),
+                   freshN: Long = -1L,
+                   broadcastMaxRows: Long = 500000L): DataFrame = {
+    val dupIds = fuzzyDecontaminate(corpus, fresh, idCol, textCol, n, threshold, params,
+        benchN = freshN, broadcastMaxRows = broadcastMaxRows)
       .select(col("bench_id").as(idCol)).distinct()
     fresh.join(dupIds, Seq(idCol), "left_anti")
   }

@@ -45,6 +45,15 @@ class GraftExtensionsSpec extends SparkSpec {
           |GROUP BY k""".stripMargin)
         .head.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
       assert(tk === Seq(2L, 3L)) // top-2 by score desc
+      // null payload structs are SKIPPED (not stored as empty rows that would
+      // break partial-agg serialization) — reachable only via this SQL form
+      val tkNull = s.sql(
+        """SELECT k, top_k_rows(struct(-score, id),
+          |                     if(id = 2, cast(null AS struct<id:bigint>), struct(id)), 2) AS t
+          |FROM VALUES ('a', 1L, 5.0), ('a', 2L, 9.0), ('a', 3L, 7.0) AS v(k, id, score)
+          |GROUP BY k""".stripMargin)
+        .head.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))
+      assert(tkNull === Seq(3L, 1L)) // id=2's null payload skipped; next best admitted
       val q = s.sql("SELECT round(quality_score_raw('the cat sat on the mat.'), 6) AS q").head.getDouble(0)
       assert(q > 0.0 && q <= 1.0)
     } finally {

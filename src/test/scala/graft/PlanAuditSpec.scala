@@ -140,9 +140,13 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_fuzzy_decontaminate: training side never sort-merge-joins") {
     // the benchmark side (buckets AND shingle sets) must broadcast so the
-    // train corpus streams map-only; the only exchange is the candidate
-    // distinct + the final tiny joins
-    val p = plan("q_fuzzy_decontaminate")
+    // train corpus streams map-only. The candidate-pair join is deliberately
+    // unhinted (AQE sizes the post-shuffle set at runtime), so assert on the
+    // FINAL adaptive plan after execution, where AQE has already replaced
+    // any static sort-merge guess with the broadcast it measured
+    val df = SparkEntry.queries("q_fuzzy_decontaminate")(spark, dir)
+    df.queryExecution.toRdd.count() // materialize so AQE finalizes
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }

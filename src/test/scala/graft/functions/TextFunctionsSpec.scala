@@ -110,8 +110,12 @@ class TextFunctionsSpec extends SparkSpec {
     val numeric = ("the be to of and that have with " * 4 +
       "1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 19 20 " * 2).trim // 40/72 numeric words
     val noStops = ("alpha beta gamma delta epsilon zeta eta theta " * 8).trim
+    val ellipsis = (Seq.fill(4)("the be to of and that have with more...") ++
+      Seq.fill(6)("the be to of and that have with prose")).mkString("\n") // 4/10 = 40% > 30%
+    val ellipsisEdge = (Seq.fill(3)("the be to of and that have with more...") ++
+      Seq.fill(7)("the be to of and that have with prose")).mkString("\n") // exactly 30% — kept (paper removes strictly >30%)
     val df = Seq((1L, clean), (2L, tooShort), (3L, symbols), (4L, bullets),
-      (5L, numeric), (6L, noStops)).toDF("doc_id", "text")
+      (5L, numeric), (6L, noStops), (7L, ellipsis), (8L, ellipsisEdge)).toDF("doc_id", "text")
     val got = df.select(col("doc_id"), TextFunctions.gopherFlags(col("text")).as("g"))
       .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
     def f(id: Long, name: String): Boolean =
@@ -122,5 +126,7 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!f(4L, "f_bullet") && !f(4L, "keep"))
     assert(!f(5L, "f_alpha") && !f(5L, "keep"))
     assert(!f(6L, "f_stop") && !f(6L, "keep"))
+    assert(!f(7L, "f_ellipsis") && !f(7L, "keep"), s"40% ellipsis lines must trip: ${got(7L)}")
+    assert(f(8L, "f_ellipsis") && f(8L, "keep"), s"exactly 30% ellipsis lines is kept: ${got(8L)}")
   }
 }

@@ -112,6 +112,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("fuzzyDecontaminate above the broadcast gate: shuffle-join fallback is row-identical") {
+    // broadcastMaxRows = 0 forces the fallback path (plain joins, no
+    // broadcast hints) that a too-large delta/bench side takes at scale —
+    // it must produce exactly the broadcast path's rows
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val viaBroadcast = key(TrainingData.fuzzyDecontaminate(docs, bench, "doc_id", "text"))
+    val viaShuffle = key(TrainingData.fuzzyDecontaminate(docs, bench, "doc_id", "text",
+      broadcastMaxRows = 0L))
+    assert(viaBroadcast.nonEmpty)
+    assert(viaShuffle === viaBroadcast)
+    // dedupAgainst inherits the gate through the same parameter
+    val keptB = TrainingData.dedupAgainst(bench, docs, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptS = TrainingData.dedupAgainst(bench, docs, "doc_id", "text",
+      broadcastMaxRows = 0L).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptS === keptB)
+  }
+
   test("fuzzyDecontaminate finds an edited benchmark copy that exact overlap under-scores") {
     val train = Seq(
       (1L, phrase + " one two three four five six seven eight nine ten"),
