@@ -11,6 +11,29 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Settle guard: a just-exited sbt/Spark JVM keeps stealing cores for
+    // ~minutes (observed: consecutive runs varying 2x), and the driver runs
+    // this bench right after the test suite. Round 5's "3.8x/4.3x
+    // regressions in untouched queries" were exactly this — scattered,
+    // position-independent slowdowns that vanish on a quiet box. Wait
+    // (bounded) for the 1-min load average to drop below half the worker
+    // count before timing anything; skippable via SPARK_GRAFT_NO_SETTLE.
+    if (!sys.env.contains("SPARK_GRAFT_NO_SETTLE")) {
+      // a draining test JVM shows load ~12 on this 32-way box, so the
+      // threshold must sit well under that; bounded wait, so a busy
+      // neighbor costs at most 2 min of settling, never a hang
+      val target = math.max(2.0, cpus.toDouble / 8.0)
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def load1(): Double =
+        try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+        catch { case _: Throwable => 0.0 }
+      var l = load1()
+      while (l > target && System.nanoTime() < deadline) {
+        System.err.println(f"BENCH SETTLE: load $l%.1f > $target%.1f, waiting...")
+        Thread.sleep(5000)
+        l = load1()
+      }
+    }
     // untimed warmup: session/codegen/IO-stack init shouldn't be billed to
     // whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -24,7 +47,16 @@ object Bench {
     // on any run is reported as -1 in the per-query map, excluded from the
     // totals, and named in the "failed" list.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b runs a subset in an otherwise-identical
+    // harness — the isolated-JVM control when bisecting cross-query
+    // interference (a query slow in-suite but fast alone points at residue
+    // left behind by an earlier query, not at its own plan)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         // toRdd.count(), not count(): a count() aggregate lets Catalyst

@@ -60,6 +60,26 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rangedRank prefix cache: same sort shares one sample; different data never does") {
+    Analytics.prefixCache.clear()
+    val df = (1L to 300L).map(i => (i, (i % 5).toInt)).toDF("id", "v")
+    val r1 = Analytics.rangedRank(df, Nil, Seq(col("v"), col("id")), shards = 8)
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Analytics.prefixCache.size === 1)
+    // second query over the SAME sort (q_ntile + q_percent_rank shape): the
+    // sampling and counting passes are served from cache, rows identical
+    val r2 = Analytics.rangedRank(df, Nil, Seq(col("v"), col("id")), shards = 8)
+      .select("id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Analytics.prefixCache.size === 1)
+    assert(r2 === r1)
+    // DIFFERENT data with the same shape must miss the cache and stay exact
+    val df2 = (1L to 120L).map(i => (i, (i % 3).toInt)).toDF("id", "v")
+    val r3 = Analytics.rangedRank(df2, Nil, Seq(col("v"), col("id")), shards = 8)
+      .select("rn").collect().map(_.getLong(0)).sorted.toSeq
+    assert(Analytics.prefixCache.size === 2)
+    assert(r3 === (1L to 120L))
+  }
+
   test("rangedRank with no partition columns: a global total-order rank, sharded") {
     val df = (1L to 100L).map(i => (i, (i * 37 % 100).toInt)).toDF("id", "v")
     val out = Analytics.rangedRank(df, Nil, Seq(col("v"), col("id")), shards = 8)
