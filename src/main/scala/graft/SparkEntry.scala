@@ -909,6 +909,28 @@ object SparkEntry {
       .toDF()
       .select(col("media_id"), col("frame_index").cast("long").as("frame_index"))
 
+  /** REAL decoded-pixel features, oracle-checked end to end: each document
+    * becomes a 24×16 PNG whose pixels follow a closed-form mod-256 formula
+    * ([[Multimodal.syntheticMedia]]), the engine round-trips it through a
+    * real ImageIO encode + decode, and [[Multimodal.features]] computes
+    * channel means + an 8-bin luminance histogram from the DECODED raster.
+    * PNG is lossless, so the DuckDB oracle replays the identical numbers by
+    * regenerating the pixel grid arithmetically — if the decode or the
+    * pixel math were fake, the hashes would diverge.
+    */
+  private def imageFeaturesQ(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id", 24, 16)
+    val f = Multimodal.features(media, dim = 11).toDF()
+    val cols = Seq(col("media_id").as("doc_id")) ++
+      Seq("mean_r", "mean_g", "mean_b").zipWithIndex.map { case (nm, i) =>
+        round(element_at(col("feature"), i + 1).cast("double"), 6).as(nm)
+      } ++
+      (0 until 8).map(b =>
+        round(element_at(col("feature"), b + 4).cast("double"), 6).as(s"h$b"))
+    f.select(cols: _*)
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -978,6 +1000,7 @@ object SparkEntry {
     "q_multimodal_bytes"    -> (multimodalBytes(_, _)),
     "q_multimodal_meta"     -> (multimodalMeta(_, _)),
     "q_multimodal_frames"   -> (multimodalFrames(_, _)),
+    "q_image_features"      -> (imageFeaturesQ(_, _)),
     "q_decontaminate"       -> (decontaminateQ(_, _)),
     "q_bloom_decontaminate" -> (bloomDecontaminateQ(_, _)),
     "q_curate_corpus"       -> (curateCorpusQ(_, _)),
@@ -1757,6 +1780,40 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |CAST(unnest([i FOR i IN range(0, octet_length(encode(text)) // 1024 + 1, 3)]) AS BIGINT) AS frame_index
         |FROM documents""".stripMargin,
+    // Real decoded-pixel features replayed without a codec: the engine
+    // renders each doc as a 24x16 PNG from a closed-form mod-256 pixel
+    // formula, ImageIO-decodes it, and computes channel means + an 8-bin
+    // BT.601 luminance histogram from the raster. PNG is lossless, so this
+    // SQL regenerates the same grid arithmetically; the REAL cast mirrors
+    // the engine's Array[Float] storage (round6 of float-of-double on both
+    // sides).
+    "q_image_features" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    CAST((d.doc_id*31 + x.x*7 + y.y*13) % 256 AS INTEGER) AS r,
+        |    CAST((d.doc_id*17 + x.x*11 + y.y*5) % 256 AS INTEGER) AS g,
+        |    CAST((d.doc_id*29 + x.x*3 + y.y*19) % 256 AS INTEGER) AS b
+        |  FROM documents d,
+        |       (SELECT unnest(range(24)) AS x) x,
+        |       (SELECT unnest(range(16)) AS y) y
+        |), lb AS (
+        |  SELECT doc_id, r, g, b,
+        |    ((r*299 + g*587 + b*114) // 1000) * 8 // 256 AS bin
+        |  FROM px
+        |)
+        |SELECT doc_id,
+        |  round(CAST(CAST(CAST(sum(r) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS mean_r,
+        |  round(CAST(CAST(CAST(sum(g) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS mean_g,
+        |  round(CAST(CAST(CAST(sum(b) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS mean_b,
+        |  round(CAST(CAST(CAST(sum(CASE WHEN bin=0 THEN 1 ELSE 0 END) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS h0,
+        |  round(CAST(CAST(CAST(sum(CASE WHEN bin=1 THEN 1 ELSE 0 END) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS h1,
+        |  round(CAST(CAST(CAST(sum(CASE WHEN bin=2 THEN 1 ELSE 0 END) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS h2,
+        |  round(CAST(CAST(CAST(sum(CASE WHEN bin=3 THEN 1 ELSE 0 END) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS h3,
+        |  round(CAST(CAST(CAST(sum(CASE WHEN bin=4 THEN 1 ELSE 0 END) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS h4,
+        |  round(CAST(CAST(CAST(sum(CASE WHEN bin=5 THEN 1 ELSE 0 END) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS h5,
+        |  round(CAST(CAST(CAST(sum(CASE WHEN bin=6 THEN 1 ELSE 0 END) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS h6,
+        |  round(CAST(CAST(CAST(sum(CASE WHEN bin=7 THEN 1 ELSE 0 END) AS DOUBLE)/384.0 AS REAL) AS DOUBLE), 6) AS h7
+        |FROM lb GROUP BY doc_id""".stripMargin,
     // FNV-1a replicated in DuckDB: HUGEINT arithmetic mod 2^64 for the
     // wrapping multiply; byte xor touches only the low 8 bits so it runs as
     // BIGINT xor on (h % 256). Valid because the corpus is ASCII

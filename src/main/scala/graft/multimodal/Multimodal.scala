@@ -17,13 +17,15 @@ final case class FrameSample(media_id: Long, frame_index: Int, feature: Array[Fl
 
 /** Multimodal column plumbing (north-star). Image *decode* is real for the
   * container formats the JDK ships readers for (PNG/JPEG/GIF/BMP via
-  * `javax.imageio` — header-only dimension reads, full decode for resize);
-  * payloads that are not a recognized image fall back to a deterministic
-  * stub derived from the payload hash, so the text-backed test corpus stays
-  * oracle-checkable. Feature extraction remains a clearly marked STUB (no
-  * ONNX/vision runtime in this environment). Everything around the decode
-  * (schema, batch iteration shape, partitioning, the typed Dataset API) is
-  * the real production plumbing and is tested.
+  * `javax.imageio` — header-only dimension reads, full decode for resize,
+  * feature extraction, and frame iteration); payloads that are not a
+  * recognized image fall back to a deterministic stand-in derived from the
+  * payload hash, so a mixed corpus flows through total and the text-backed
+  * test corpus stays oracle-checkable. Feature extraction over decodable
+  * payloads is REAL pixel math (channel means + luminance histogram over
+  * the decoded raster, oracle-replayed on the [[syntheticMedia]] corpus);
+  * only the non-image fallback remains a hash-seeded placeholder for the
+  * vision-model session this container cannot run.
   *
   * Scale notes: per-asset work uses `mapPartitions` so any native decoder
   * would be initialized once per partition (not per record) and fed a batch
@@ -113,33 +115,146 @@ object Multimodal {
     }
   }
 
-  /** STUB feature extraction ??? — deterministic pseudo-embedding (dim
-    * floats seeded by the payload hash). Real deployment: an ONNX/vision
-    * model session initialized per partition, fed fixed-size batches.
+  /** Real pixel feature of a decoded raster: `[mean_r, mean_g, mean_b,
+    * luminance-histogram fractions × (dim − 3)]`. Channel means are in
+    * 0..255; luminance is the BT.601 integer form `(299r + 587g + 114b) /
+    * 1000`, binned as `lum · bins / 256`; fractions are of the pixel count.
+    * Exact integer sums + one double division + a float cast — bit-stable
+    * on any JVM, and replayable by any engine that can do arithmetic (the
+    * DuckDB oracle regenerates the [[syntheticMedia]] grid and reproduces
+    * these numbers without an image codec).
+    */
+  private def pixelFeature(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val bins = dim - 3
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val hist = new Array[Long](bins)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sr += r; sg += g; sb += b
+        val lum = (r * 299 + g * 587 + b * 114) / 1000
+        hist(lum * bins / 256) += 1
+        y += 1
+      }
+      x += 1
+    }
+    val n = (w.toLong * h).toDouble
+    (Array(sr / n, sg / n, sb / n) ++ hist.map(_ / n)).map(_.toFloat)
+  }
+
+  /** Deterministic hash-seeded pseudo-embedding — the fallback for payloads
+    * no JDK reader decodes; stands in for the vision-model session (per
+    * partition init, batched inference) this container cannot run.
+    */
+  private def hashFeature(content: Array[Byte], dim: Int, salt: Long = 0L): Array[Float] = {
+    val rng = new scala.util.Random(fnv1a(content) ^ salt)
+    Array.fill(dim)(rng.nextFloat())
+  }
+
+  /** Feature extraction, batched per partition. REAL pixel math for any
+    * payload `javax.imageio` decodes ([[pixelFeature]]: channel means +
+    * luminance histogram); deterministic hash fallback for everything else,
+    * so a mixed corpus flows through total. `dim` must exceed 3 (three
+    * channel means + at least one histogram bin).
     */
   def features(media: Dataset[MediaRecord], dim: Int): Dataset[FrameSample] = {
+    require(dim > 3, "dim must exceed 3: three channel means + >=1 histogram bin")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
       batch.map { m =>
-        val rng = new scala.util.Random(fnv1a(m.content))
-        FrameSample(m.media_id, 0, Array.fill(dim)(rng.nextFloat()))
+        val real: Option[Array[Float]] =
+          if (!looksLikeImage(m.content)) None
+          else try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
+              .map(pixelFeature(_, dim))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        FrameSample(m.media_id, 0, real.getOrElse(hashFeature(m.content, dim)))
       }
     }
   }
 
-  /** Sample every `everyN`-th frame of a (fake) video: the explode/generator
-    * shape for frame-level processing. Frame count is a STUB (payload
-    * length / 1024 + 1); per-frame features are deterministic fakes.
+  /** Sample every `everyN`-th frame: the explode/generator shape for
+    * frame-level processing. For payloads with a JDK reader the frame count
+    * is REAL (`reader.getNumImages` — 1 for stills, the actual frame count
+    * for animated GIF) and each sampled frame's feature is the real
+    * [[pixelFeature]] of that decoded frame. Non-image payloads keep the
+    * deterministic stand-in (frame count = payload length / 1024 + 1,
+    * hash-seeded features) so mixed corpora flow through total.
     */
   def frameSamples(media: Dataset[MediaRecord], everyN: Int, dim: Int): Dataset[FrameSample] = {
+    require(dim > 3, "dim must exceed 3: three channel means + >=1 histogram bin")
     val spark = media.sparkSession
     import spark.implicits._
-    media.flatMap { m =>
-      val frames = (m.content.length / 1024 + 1)
-      (0 until frames by everyN).map { fi =>
-        val rng = new scala.util.Random(fnv1a(m.content) ^ fi.toLong)
-        FrameSample(m.media_id, fi, Array.fill(dim)(rng.nextFloat()))
+    media.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.flatMap { m =>
+        val real: Option[Seq[FrameSample]] =
+          if (!looksLikeImage(m.content)) None
+          else try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(m.content))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) None
+              else {
+                val r = readers.next()
+                try {
+                  r.setInput(iis, false) // seekable: getNumImages needs traversal
+                  val frames = r.getNumImages(true)
+                  Some((0 until frames by everyN).map(fi =>
+                    FrameSample(m.media_id, fi, pixelFeature(r.read(fi), dim))))
+                } catch { case scala.util.control.NonFatal(_) => None }
+                finally r.dispose()
+              }
+            } finally iis.close()
+          } catch { case scala.util.control.NonFatal(_) => None }
+        real.getOrElse {
+          val frames = (m.content.length / 1024 + 1)
+          (0 until frames by everyN).map(fi =>
+            FrameSample(m.media_id, fi, hashFeature(m.content, dim, fi.toLong)))
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic image corpus: pixel (x, y) of id `i` has
+    * channels given by a closed-form mod-256 integer formula, rendered into
+    * a REAL PNG. Because PNG is lossless, the decoded raster equals the
+    * formula — so an engine with no image codec (the DuckDB oracle) can
+    * replay any decoded-pixel computation by regenerating the grid
+    * arithmetically. This is the fixture that turns decode + feature
+    * extraction into an oracle-checkable path instead of a trust-me stub.
+    */
+  def syntheticMedia(df: DataFrame, idCol: String, w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      javax.imageio.ImageIO.setUseCache(false)
+      ids.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) {
+          var y = 0
+          while (y < h) {
+            val r = math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+            val g = math.floorMod(id * 17 + x * 11 + y * 5, 256L).toInt
+            val b = math.floorMod(id * 29 + x * 3 + y * 19, 256L).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            y += 1
+          }
+          x += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image/png", bos.toByteArray)
       }
     }
   }

@@ -66,6 +66,69 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(1L) === again(1L))
   }
 
+  test("features: REAL pixel math on a decodable payload — exact channel means + histogram") {
+    // solid 0x336699: mean_r=51, mean_g=102, mean_b=153 exactly;
+    // lum = (51*299 + 102*587 + 153*114)/1000 = 92 -> bin 92*8/256 = 2
+    val f = Multimodal.features(media((1L, "image/png", encodedImage(17, 9, "png"))), dim = 11)
+      .collect().head.feature.toSeq
+    assert(f === Seq[Float](51f, 102f, 153f, 0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+  }
+
+  test("syntheticMedia: PNG round trip is lossless — decoded features equal the closed form") {
+    val ids = Seq((7L, ""), (123456L, "")).toDF("doc_id", "text")
+    val got = Multimodal.features(
+        Multimodal.syntheticMedia(ids, "doc_id", 24, 16), dim = 11)
+      .collect().map(x => x.media_id -> x.feature.toSeq).toMap
+    def expect(id: Long): Seq[Float] = {
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val hist = new Array[Long](8)
+      for (x <- 0 until 24; y <- 0 until 16) {
+        val r = math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt
+        val g = math.floorMod(id * 17 + x * 11 + y * 5, 256L).toInt
+        val b = math.floorMod(id * 29 + x * 3 + y * 19, 256L).toInt
+        sr += r; sg += g; sb += b
+        hist((r * 299 + g * 587 + b * 114) / 1000 * 8 / 256) += 1
+      }
+      (Array(sr / 384.0, sg / 384.0, sb / 384.0) ++ hist.map(_ / 384.0)).map(_.toFloat).toSeq
+    }
+    assert(got(7L) === expect(7L))
+    assert(got(123456L) === expect(123456L))
+  }
+
+  test("frameSamples: REAL frame count and per-frame features for decodable payloads") {
+    // a still PNG has exactly 1 real frame (not bytes/1024+1), with the real feature
+    val png = Multimodal.frameSamples(
+        media((1L, "image/png", encodedImage(17, 9, "png"))), everyN = 1, dim = 11)
+      .collect()
+    assert(png.map(_.frame_index).toSeq === Seq(0))
+    assert(png.head.feature.toSeq === Seq[Float](51f, 102f, 153f, 0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    // animated GIF: real frame count from the container, one feature per frame
+    val gif = animatedGif(Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF))
+    val frames = Multimodal.frameSamples(media((2L, "image/gif", gif)), everyN = 2, dim = 11)
+      .collect().sortBy(_.frame_index)
+    assert(frames.map(_.frame_index).toSeq === Seq(0, 2))
+    // frame 0 is solid red in GIF's 256-color space: mean_r near 255, mean_g/b 0
+    assert(frames(0).feature(0) > 200f && frames(0).feature(1) < 50f)
+  }
+
+  /** Multi-frame GIF fixture via the JDK's own GIF sequence writer. */
+  private def animatedGif(colors: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(6, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 6; y <- 0 until 4) img.setRGB(x, y, c)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   test("features: fixed dim, deterministic per payload") {
     val f = Multimodal.features(Multimodal.asMedia(docs, "doc_id", "text"), dim = 8)
       .collect().map(x => x.media_id -> x.feature.toSeq).toMap
