@@ -14,7 +14,9 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: blow-up factor (default 10× → 50k docs / 20k vectors;
     // pass 50 for the 100k-vector crossover demonstration)
-    val nCopies = if (args.nonEmpty) args(0).toInt else 10
+    val nCopies = if (args.nonEmpty && args(0) != "skew") args(0).toInt else 10
+    // `runMain graft.ScaleProbe skew` runs ONLY the skewed top-k probe
+    val skewOnly = args.contains("skew")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -45,7 +47,7 @@ object ScaleProbe {
     }
     // doc pipelines only at the default factor — the big-factor runs target
     // the embedding crossover and 250k-doc all-pairs baselines take minutes
-    if (nCopies <= 10) {
+    if (!skewOnly && nCopies <= 10) {
       time("exact dedup") { graft.dedup.Dedup.exact(d, "text", "doc_id").count() }
       time("minhash+lsh pairs") {
         graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", 5, 0.8).count() }
@@ -58,11 +60,11 @@ object ScaleProbe {
     // (factor 50) the quadratic runs exceeded 30 minutes on local[32] before
     // being killed — which IS the datapoint: past ~10^5 rows only the
     // sub-quadratic path is viable, whatever its constants.
-    if (nCopies <= 10) {
+    if (!skewOnly && nCopies <= 10) {
       time("embed near-dup exact") {
         graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.45).count() }
     }
-    if (nCopies <= 10) {
+    if (!skewOnly && nCopies <= 10) {
       // Forced-LSH at τ=0.45 only at the default factor: at 100k vectors the
       // 99.9%-recall config is ~2.6e9 candidate dots + a 213M-row probe
       // shuffle — the cost model prices it ≈ exact, so the DISPATCHER would
@@ -74,13 +76,13 @@ object ScaleProbe {
     // far more selective per bit and few tables hold high recall — this is
     // where hyperplane LSH decisively beats exact (low thresholds pay the
     // recall tax in candidates; see Dedup.embeddingNearDupLsh docs).
-    if (nCopies <= 10) {
+    if (!skewOnly && nCopies <= 10) {
       time("embed near-dup exact @0.7") {
         graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.7).count() }
     }
-    time("embed near-dup lsh  @0.7") {
+    if (!skewOnly) time("embed near-dup lsh  @0.7") {
       graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.7).count() }
-    if (nCopies <= 10) {
+    if (!skewOnly && nCopies <= 10) {
       // the round-5 operators on the same blown-up corpus
       time("semantic dedup (k=64)") {
         val model = graft.similarity.KMeans.fit(v, "embedding", "vec_id", k = 64, maxIter = 5)
@@ -97,6 +99,68 @@ object ScaleProbe {
           .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
           .head().getSeq[Double](0).toIndexedSeq
         graft.similarity.Ann.quantizedTopK(v, "embedding", "vec_id", q, 20).count() }
+    }
+    // Skewed-key grouped top-k sweep: 10M ~170-byte rows (the "top documents
+    // per stratum" shape), hot-key fraction f ∈ {uniform, 50%, 90%}. The
+    // wall-clock on local[32] understates the cluster gap (local shuffle is
+    // memory-speed and 32 threads saturate at 1000 keys anyway), so the
+    // probe ALSO records what actually breaks at 100 TB: total shuffle
+    // bytes (the window exchanges every byte of every row; the bounded agg
+    // forwards <= k rows per key per mapper) and the slowest task (the
+    // window sorts the hot key's f·10M rows in ONE task — its runtime grows
+    // with f; the agg's partials stay balanced at any f). toRdd.count()
+    // executes the FULL plan — a bare count() would let Catalyst prune the
+    // payload column off the window side, deflating its shuffle.
+    if (nCopies <= 10) {
+      import java.util.concurrent.atomic.AtomicLong
+      val shuffleW = new AtomicLong; val maxTask = new AtomicLong
+      val shuffleRec = new AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) {
+            shuffleW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            shuffleRec.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+            maxTask.updateAndGet(m => math.max(m, te.taskMetrics.executorRunTime))
+            ()
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def timeM(name: String)(f: => Long): Unit = {
+        // flush pending task-end events from the previous run
+        org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+        shuffleW.set(0); maxTask.set(0); shuffleRec.set(0)
+        val t0 = System.nanoTime(); val n = f
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+        println(f"$name%-34s $sec%6.2f s  shuffle=${shuffleW.get / 1024 / 1024}%5d MB / ${shuffleRec.get}%8d rows  maxTask=${maxTask.get}%6d ms  rows=$n")
+      }
+      for (hotPct <- Seq(0, 50, 90)) {
+        val skewed = spark.range(10L * 1000 * 1000).select(
+          when(col("id") % 100 < hotPct, lit(0L)).otherwise(col("id") % 1000).as("k"),
+          (col("id") * 2654435761L % 1000003L).as("v"),
+          col("id"),
+          // sha2-derived payload: INCOMPRESSIBLE, so shuffle bytes reflect
+          // real volume (a constant filler compresses to nothing and hides
+          // the window's exchange); ~160 bytes/row
+          concat(sha2(col("id").cast("string"), 256),
+            sha2((col("id") + 1).cast("string"), 256),
+            sha2((col("id") + 2).cast("string"), 224)).as("payload"))
+        skewed.write.mode("overwrite").parquet("/tmp/graft_probe_skew")
+        val sk = spark.read.parquet("/tmp/graft_probe_skew")
+        timeM(s"top-5/key window   (hot=$hotPct%)") {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("v").desc, col("id").desc)
+          sk.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+            .select("k", "v", "id", "payload").queryExecution.toRdd.count()
+        }
+        timeM(s"top-5/key bounded agg (hot=$hotPct%)") {
+          graft.operators.Analytics.topPerKeyAgg(sk, "k",
+            Seq(-col("v"), -col("id")),
+            Seq("v" -> col("v"), "id" -> col("id"), "payload" -> col("payload")), 5)
+            .queryExecution.toRdd.count()
+        }
+      }
+      spark.sparkContext.removeSparkListener(listener)
     }
     spark.stop()
   }

@@ -27,4 +27,11 @@ object ColumnBridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Drain the listener bus (`private[spark]`) — lets a metrics probe read
+    * task totals for the job that JUST finished without racing the async
+    * event delivery. Test/probe use only.
+    */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
