@@ -727,6 +727,23 @@ object SparkEntry {
       "doc_id", "text", n = 5)
   }
 
+  /** Corpus mixture construction: language-stratified token-share targets
+    * (en 50%, the rest 12.5% each — exact binary fractions, so the share
+    * normalization is order-independent in float), fractions derived from
+    * the measured token census, content-hash keep decision. Output is the
+    * per-language summary of the sampled corpus; DuckDB replays the whole
+    * construction — census, binding-stratum minimum, threshold rounding,
+    * FNV keep rule — from the same table.
+    */
+  private def mixCorpusQ(s: SparkSession, dir: String): DataFrame = {
+    val targets = Map("en" -> 0.5, "fr" -> 0.125, "es" -> 0.125,
+      "zh" -> 0.125, "de" -> 0.125)
+    TrainingData.mixToTargets(t(s, dir, "documents"), "lang", "doc_id", "text", targets)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+  }
+
   /** Bloom-prefiltered decontamination — output identical to
     * [[decontaminateQ]] by construction (bloom false positives are removed
     * by the exact join), so it shares the oracle; what it adds is the
@@ -1003,6 +1020,7 @@ object SparkEntry {
     "q_image_features"      -> (imageFeaturesQ(_, _)),
     "q_decontaminate"       -> (decontaminateQ(_, _)),
     "q_bloom_decontaminate" -> (bloomDecontaminateQ(_, _)),
+    "q_mix_corpus"          -> (mixCorpusQ(_, _)),
     "q_curate_corpus"       -> (curateCorpusQ(_, _)),
     "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
     "q_oov_rate"            -> (oovRateQ(_, _)),
@@ -1567,6 +1585,37 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_decontaminate" -> duckDecontaminateSql,
     "q_bloom_decontaminate" -> duckDecontaminateSql,
+    // mixture construction replayed in full: token census, binding-stratum
+    // minimum M = min(T_s / p_s), integer thresholds round(p_s*M/T_s*1e6)
+    // (shares are exact binary fractions and the division order matches the
+    // Scala expression, so the doubles are bit-identical), then the FNV
+    // content-hash keep rule. CAST to DOUBLE everywhere — a bare 0.5
+    // literal is DECIMAL in DuckDB and would change the arithmetic.
+    "q_mix_corpus" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, len($duckToks) AS nt FROM documents
+         |  WHERE lang IN ('en','fr','es','zh','de')
+         |), census AS (
+         |  SELECT lang, sum(nt) AS t FROM tok GROUP BY lang
+         |), mm AS (
+         |  SELECT min(CAST(t AS DOUBLE) /
+         |    (CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END)) AS m
+         |  FROM census
+         |), thr AS (
+         |  SELECT lang, CAST(round(
+         |    (CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.125 AS DOUBLE) END)
+         |      * mm.m / CAST(t AS DOUBLE) * 1000000, 0) AS BIGINT) AS th
+         |  FROM census, mm
+         |), hh AS (
+         |  SELECT k.doc_id, k.lang, k.nt, thr.th,
+         |    ${duckFnvU("CAST(k.doc_id AS VARCHAR)")} AS hu
+         |  FROM tok k JOIN thr ON thr.lang = k.lang
+         |), keepd AS (
+         |  SELECT lang, nt FROM (SELECT lang, nt, th, ${duckU2S("hu")} AS hsv FROM hh)
+         |  WHERE ((hsv % 1000000) + 1000000) % 1000000 < th
+         |)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM keepd GROUP BY lang""".stripMargin,
     "q_curate_corpus" ->
       s"""WITH dq AS ($duckQualitySql),
          |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0),

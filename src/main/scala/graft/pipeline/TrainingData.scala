@@ -250,6 +250,55 @@ object TrainingData {
     df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")), lit(resolution.toLong)) < thr)
   }
 
+  /** Corpus mixture construction (the Pile/DoReMi-style data-mixing stage):
+    * given target TOKEN shares per stratum (language, source, domain …),
+    * derive each stratum's sampling fraction from its MEASURED token count
+    * and keep documents by the content-hash rule of
+    * [[hashStratifiedSample]]. Downsampling only: the achievable corpus
+    * size is capped by the scarcest stratum, `M = min_s(T_s / p_s)` with
+    * `T_s` the stratum's tokens and `p_s` its normalized target share, so
+    * stratum `s` keeps fraction `p_s · M / T_s` (the binding stratum keeps
+    * everything, abundant strata shrink to match). Strata missing from
+    * `targets` are dropped; a target stratum absent from the corpus binds
+    * M to 0 (nothing can satisfy its share) — callers wanting "best
+    * effort" should prune targets first.
+    *
+    * Fully deterministic and engine-replayable: fractions are integer
+    * thresholds at `resolution`, the keep decision is
+    * `fnv1a64(id) mod resolution < threshold(stratum)`, and both derive
+    * from one aggregation — the DuckDB oracle replays the entire
+    * construction including the float division (both engines divide the
+    * same exact integer sums).
+    *
+    * Scale shape: one partial-aggregated shuffle of |strata| rows for the
+    * token census, then ONE codegen'd filter pass over the corpus — the
+    * corpus itself never shuffles, and the thresholds ride as a literal
+    * map. Returns the kept rows (all input columns).
+    */
+  def mixToTargets(df: DataFrame, strataCol: String, keyCol: String,
+                   textCol: String, targets: Map[String, Double],
+                   resolution: Int = 1000000): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "targets must be non-empty positive shares")
+    val pTot = targets.values.sum
+    val p = targets.map { case (k, v) => k -> v / pTot }
+    val census = df
+      .filter(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(strataCol))
+      .agg(sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the binding stratum: the one whose measured tokens cover the smallest
+    // multiple of its target share
+    val m = p.keys.map(s => census.getOrElse(s, 0L) / p(s)).min
+    val thresholds = p.map { case (s, share) =>
+      val t = census.getOrElse(s, 0L)
+      s -> (if (t == 0L) 0 else math.round(share * m / t * resolution).toInt)
+    }
+    val thr = coalesce(element_at(typedlit(thresholds), col(strataCol)), lit(0))
+    df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")),
+      lit(resolution.toLong)) < thr)
+  }
+
   /** Fuzzy benchmark decontamination: training documents whose n-gram
     * Jaccard similarity with ANY benchmark document reaches `threshold` —
     * the near-duplicate analog of [[contaminationReport]] (which requires a

@@ -112,6 +112,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("mixToTargets: binding stratum keeps all; keep set equals the plain-Scala replay") {
+    // a: 100 tokens total, b: 400, c: 1000; targets (a .25, b .25, c .5)
+    // -> T/p = (400, 1600, 2000), M = 400 binds on a:
+    // thresholds a = 1e6 (keep all), b = 250000, c = 200000
+    val docs = ((1 to 10).map(i => (i.toLong, "a", ("w " * 10).trim)) ++
+      (11 to 50).map(i => (i.toLong, "b", ("w " * 10).trim)) ++
+      (51 to 150).map(i => (i.toLong, "c", ("w " * 10).trim)) ++
+      Seq((999L, "zz", ("w " * 10).trim))) // stratum absent from targets
+      .toDF("doc_id", "lang", "text")
+    val targets = Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.5)
+    val kept = TrainingData.mixToTargets(docs, "lang", "doc_id", "text", targets)
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang.getOrElse("a", Set.empty) === (1L to 10L).toSet) // binding stratum: all kept
+    assert(!byLang.contains("zz")) // untargeted stratum dropped
+    // exact replay of the rule in plain Scala — thresholds AND hash decision
+    def keepOf(id: Long, thr: Int): Boolean = {
+      val h = graft.expressions.Fnv1a.hash(id.toString.getBytes("UTF-8"))
+      (((h % 1000000L) + 1000000L) % 1000000L) < thr
+    }
+    val thrB = math.round(0.25 * 400.0 / 400.0 * 1000000).toInt
+    val thrC = math.round(0.5 * 400.0 / 1000.0 * 1000000).toInt
+    assert(byLang.getOrElse("b", Set.empty) ===
+      (11L to 50L).filter(keepOf(_, thrB)).toSet)
+    assert(byLang.getOrElse("c", Set.empty) ===
+      (51L to 150L).filter(keepOf(_, thrC)).toSet)
+    // deterministic: a second run is identical
+    val again = TrainingData.mixToTargets(docs, "lang", "doc_id", "text", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.map(_._1).toSet)
+  }
+
   test("fuzzyDecontaminate above the broadcast gate: shuffle-join fallback is row-identical") {
     // broadcastMaxRows = 0 forces the fallback path (plain joins, no
     // broadcast hints) that a too-large delta/bench side takes at scale —
