@@ -727,6 +727,15 @@ object SparkEntry {
       "doc_id", "text", n = 5)
   }
 
+  /** Leakage-free split: near-dup components move across the train/val/test
+    * boundary atomically (split = content-hash of the component root). The
+    * oracle rebuilds the components with the recursive exact-Jaccard CTE,
+    * roots every document, and replays the same FNV split rule.
+    */
+  private def leakFreeSplitQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.leakFreeSplit(t(s, dir, "documents"), "doc_id", "text",
+      corpusN = tableCount(s, dir, "documents"))
+
   /** Corpus mixture construction: language-stratified token-share targets
     * (en 50%, the rest 12.5% each — exact binary fractions, so the share
     * normalization is order-independent in float), fractions derived from
@@ -1021,6 +1030,7 @@ object SparkEntry {
     "q_decontaminate"       -> (decontaminateQ(_, _)),
     "q_bloom_decontaminate" -> (bloomDecontaminateQ(_, _)),
     "q_mix_corpus"          -> (mixCorpusQ(_, _)),
+    "q_leakfree_split"      -> (leakFreeSplitQ(_, _)),
     "q_curate_corpus"       -> (curateCorpusQ(_, _)),
     "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
     "q_oov_rate"            -> (oovRateQ(_, _)),
@@ -1529,6 +1539,30 @@ object SparkEntry {
     "q_ngram_jaccard" -> duckCappedJaccardSql,
     "q_minhash_lsh"   -> duckShingleCte,
     "q_dedup_resolve" -> duckResolveCte,
+    // components rebuilt via the recursive exact-Jaccard CTE, every doc
+    // rooted (singletons at themselves), split = FNV hash of the ROOT —
+    // so the oracle also proves no near-dup pair straddles a split
+    "q_leakfree_split" ->
+      s"""WITH RECURSIVE $duckShingleCtes,
+         |edges AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+         |walk(id, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.id
+         |),
+         |comp AS (SELECT id, MIN(lbl) AS root FROM walk GROUP BY id),
+         |ass AS (
+         |  SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS root
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         |), hh AS (
+         |  SELECT doc_id, root, ${duckFnvU("CAST(root AS VARCHAR)")} AS hu FROM ass
+         |), hs AS (
+         |  SELECT doc_id, root, ((${duckU2S("hu")} % 100) + 100) % 100 AS bucket FROM hh
+         |)
+         |SELECT doc_id, root,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM hs""".stripMargin,
     "q_label_centroids" ->
       """SELECT label, i - 1 AS dim, COUNT(*) AS n,
         |round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS centroid

@@ -250,6 +250,43 @@ object TrainingData {
     df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")), lit(resolution.toLong)) < thr)
   }
 
+  /** Leakage-free train/val/test split: assigns every document a split such
+    * that NO near-duplicate pair ever straddles a split boundary — the
+    * eval-integrity property a per-document hash split cannot give (a
+    * lightly edited copy of a training document landing in test silently
+    * inflates benchmark scores; [[contentSplit]] only guards EXACT text
+    * duplicates). Mechanism: near-dup pairs (n-gram Jaccard ≥ `threshold`
+    * via MinHash+LSH candidates) → connected components
+    * ([[graft.dedup.Dedup.resolveDuplicates]]) → every member inherits its
+    * component's min-id root (singletons root at themselves) → the split is
+    * the content-hash of the ROOT, so a whole duplicate cluster moves
+    * atomically. Returns (idCol, root, split) per document.
+    *
+    * Scale shape: everything rides the existing dedup machinery (banded
+    * candidates, skew caps, size-gated resolution); the extra cost over
+    * plain resolution is one left join of the corpus ids against the
+    * component table (near-dup-sized, AQE-sized to broadcast when small)
+    * and a codegen'd hash — no new shuffle of the corpus.
+    */
+  def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5, threshold: Double = 0.8,
+                    valPct: Int = 10, testPct: Int = 10,
+                    corpusN: Long = -1L): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
+      "val+test must leave room for train")
+    val pairs = Dedup.minhashPairs(df, idCol, textCol, n, threshold, corpusN = corpusN)
+    val resolved = Dedup.resolveDuplicates(pairs)
+      .withColumnRenamed("id", idCol).withColumnRenamed("keep_id", "root")
+    val bucket = pmod(TextFunctions.fnv1a64(col("root").cast("string")), lit(100L))
+    df.select(col(idCol))
+      .join(resolved, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("root"), col(idCol)).as("root"))
+      .withColumn("split",
+        when(bucket < lit(100L - valPct - testPct), "train")
+          .when(bucket < lit(100L - testPct), "val")
+          .otherwise("test"))
+  }
+
   /** Corpus mixture construction (the Pile/DoReMi-style data-mixing stage):
     * given target TOKEN shares per stratum (language, source, domain …),
     * derive each stratum's sampling fraction from its MEASURED token count

@@ -112,6 +112,32 @@ class TrainingDataSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("leakFreeSplit: no near-dup pair straddles a split; singletons hash-split by own id (sf0.01)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val out = TrainingData.leakFreeSplit(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.size === docs.count())
+    // the leakage property, checked against the pair set itself
+    val pairs = graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text", 5, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "corpus must contain near-dups for this spec to bite")
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._2 === out(b)._2, s"pair ($a,$b) straddles splits: ${out(a)}, ${out(b)}")
+      assert(out(a)._1 === out(b)._1, s"pair ($a,$b) has different roots")
+    }
+    // singletons: root = self, split = hash of own id
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val single = out.keys.filterNot(inPairs).take(20)
+    single.foreach { id =>
+      assert(out(id)._1 === id)
+      val b = ((graft.expressions.Fnv1a.hash(id.toString.getBytes("UTF-8")) % 100) + 100) % 100
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(out(id)._2 === want)
+    }
+    // splits are all populated at this corpus size
+    assert(out.values.map(_._2).toSet === Set("train", "val", "test"))
+  }
+
   test("mixToTargets: binding stratum keeps all; keep set equals the plain-Scala replay") {
     // a: 100 tokens total, b: 400, c: 1000; targets (a .25, b .25, c .5)
     // -> T/p = (400, 1600, 2000), M = 400 binds on a:
