@@ -314,25 +314,36 @@ object TrainingData {
     */
   def mixToTargets(df: DataFrame, strataCol: String, keyCol: String,
                    textCol: String, targets: Map[String, Double],
-                   resolution: Int = 1000000): DataFrame = {
+                   resolution: Int = 1000000): DataFrame =
+    mixFilter(df, strataCol, keyCol, textCol, targets, resolution)(df)
+
+  /** The gate form of [[mixToTargets]]: thresholds are computed ONCE from a
+    * static `census` corpus and returned as a stateless codegen'd filter —
+    * the shape a STREAMING curation pipeline needs (the census is a batch
+    * side input; the keep rule needs no state store and runs verbatim in a
+    * live stream or a batch experiment, like [[decontaminationFilter]]).
+    */
+  def mixFilter(census: DataFrame, strataCol: String, keyCol: String,
+                textCol: String, targets: Map[String, Double],
+                resolution: Int = 1000000): DataFrame => DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0.0),
       "targets must be non-empty positive shares")
     val pTot = targets.values.sum
     val p = targets.map { case (k, v) => k -> v / pTot }
-    val census = df
+    val counts = census
       .filter(col(strataCol).isin(targets.keys.toSeq: _*))
       .groupBy(col(strataCol))
       .agg(sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // the binding stratum: the one whose measured tokens cover the smallest
     // multiple of its target share
-    val m = p.keys.map(s => census.getOrElse(s, 0L) / p(s)).min
+    val m = p.keys.map(s => counts.getOrElse(s, 0L) / p(s)).min
     val thresholds = p.map { case (s, share) =>
-      val t = census.getOrElse(s, 0L)
+      val t = counts.getOrElse(s, 0L)
       s -> (if (t == 0L) 0 else math.round(share * m / t * resolution).toInt)
     }
     val thr = coalesce(element_at(typedlit(thresholds), col(strataCol)), lit(0))
-    df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")),
+    df => df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")),
       lit(resolution.toLong)) < thr)
   }
 

@@ -151,6 +151,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_mix_corpus: keep decision is a literal-threshold filter — corpus never joins") {
+    // the census is a separate |strata|-row aggregation collected at plan
+    // BUILD time; the returned plan must be scan → filter (thresholds as a
+    // literal map) → summary agg, with no join anywhere
+    val p = plan("q_mix_corpus")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p) // map-side combine on the summary
+  }
+
   test("q_importance_weights / q_dsir_sample: scoring is scan + literal lookup, no join") {
     val p = plan("q_importance_weights")
     assert(!p.contains("Join"), p) // weight table rides as a codegen literal

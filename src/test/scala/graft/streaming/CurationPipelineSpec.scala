@@ -16,6 +16,7 @@ import java.sql.Timestamp
   * contexts producing the same curated corpus from one DAG definition.
   */
 case class RawDoc(doc_id: Long, ts: Timestamp, text: String)
+case class LangDoc(doc_id: Long, ts: Timestamp, lang: String, text: String)
 
 class CurationPipelineSpec extends SparkSpec {
   import spark.implicits._
@@ -121,6 +122,44 @@ class CurationPipelineSpec extends SparkSpec {
 
     assert(streamed === batch)
     assert(streamed === Set(11L))
+  }
+
+  test("streaming mixture gate: batch-census thresholds apply verbatim to the live stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // census corpus (historical batch): 'aa' scarce, 'bb' abundant — equal
+    // targets force downsampling of bb while aa keeps everything
+    val census = ((1 to 5).map(i => (i.toLong, "aa", ("w " * 10).trim)) ++
+      (6 to 55).map(i => (i.toLong, "bb", ("w " * 10).trim)))
+      .toDF("doc_id", "lang", "text")
+    val gate = graft.pipeline.TrainingData.mixFilter(
+      census, "lang", "doc_id", "text", Map("aa" -> 0.5, "bb" -> 0.5))
+    val incoming = ((101 to 110).map(i => LangDoc(i.toLong, t("2024-01-01 00:00:01"), "aa", "fresh doc")) ++
+      (111 to 160).map(i => LangDoc(i.toLong, t("2024-01-01 00:00:02"), "bb", "fresh doc"))).toSeq
+    val topo = Topology(
+      entities = Map(
+        "raw-docs" -> Topic("raw-docs"),
+        "mix"      -> Stream("mix", gate),
+        "mixed"    -> Topic("mixed")),
+      workflow = Seq("raw-docs" -> "mix", "mix" -> "mixed"))
+    val in = MemoryStream[LangDoc]
+    in.addData(incoming: _*)
+    val engine = StreamRunner.start(
+      topo, Map("raw-docs" -> in.toDF()),
+      (sink, df) => df.writeStream.format("memory")
+        .queryName("t_mix").trigger(Trigger.AvailableNow()).start())
+    engine.processAllAvailable()
+    engine.stop()
+    val streamed = spark.table("t_mix").select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val batch = topo.experiment(Map("raw-docs" -> incoming.toDF()))("mixed")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed === batch)
+    // all 'aa' arrivals pass (binding stratum threshold = resolution);
+    // 'bb' arrivals are hash-gated at ~10% (50 tokens-aa vs 500 tokens-bb)
+    val aaIds = (101L to 110L).toSet
+    assert(aaIds.subsetOf(streamed))
+    val bbKept = streamed -- aaIds
+    assert(bbKept.size < 20, s"bb should be downsampled hard, kept ${bbKept.size}")
   }
 
   test("streaming decontamination filter: same drops in live stream and batch experiment") {
