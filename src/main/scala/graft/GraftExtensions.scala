@@ -72,6 +72,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "bigram_stats takes 1 argument")
         BigramStats(args.head)
       })
+    register(ext, "top_ngram_stats",
+      "top_ngram_stats(tokens, n) - [top n-gram count, its char length, total n-grams] of an array<string>",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "top_ngram_stats takes 2 arguments")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"top_ngram_stats n must be an integer literal, got $other")
+        }
+        graft.expressions.TopNgramStats(args.head, n)
+      })
     register(ext, "top_k_rows",
       "top_k_rows(ord_struct, payload_struct, k) - bounded top-k aggregate: payloads of the k smallest ord structs, ascending",
       { args: Seq[Expression] =>

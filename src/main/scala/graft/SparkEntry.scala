@@ -727,6 +727,18 @@ object SparkEntry {
       "doc_id", "text", n = 5)
   }
 
+  /** Gopher A1.2 repetition rules (top-n-gram coverage, n = 2/3/4) as flat
+    * booleans; one narrow scan, per-row HashMap census, no shuffle. Oracle
+    * rebuilds each n-gram census with unnest + group + deterministic
+    * tie-break and replays the integer threshold comparisons.
+    */
+  private def repetitionGopherQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TF.repetitionFlags(col("text")).as("g"))
+      .select(col("doc_id"), col("g.f_top2").as("f_top2"),
+        col("g.f_top3").as("f_top3"), col("g.f_top4").as("f_top4"),
+        col("g.keep").as("keep"))
+
   /** Leakage-free split: near-dup components move across the train/val/test
     * boundary atomically (split = content-hash of the component root). The
     * oracle rebuilds the components with the recursive exact-Jaccard CTE,
@@ -1031,6 +1043,7 @@ object SparkEntry {
     "q_bloom_decontaminate" -> (bloomDecontaminateQ(_, _)),
     "q_mix_corpus"          -> (mixCorpusQ(_, _)),
     "q_leakfree_split"      -> (leakFreeSplitQ(_, _)),
+    "q_repetition_gopher"   -> (repetitionGopherQ(_, _)),
     "q_curate_corpus"       -> (curateCorpusQ(_, _)),
     "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
     "q_oov_rate"            -> (oovRateQ(_, _)),
@@ -1863,6 +1876,41 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |CAST(unnest([i FOR i IN range(0, octet_length(encode(text)) // 1024 + 1, 3)]) AS BIGINT) AS frame_index
         |FROM documents""".stripMargin,
+    // each n-gram census rebuilt with unnest + group; tie-break (count DESC,
+    // gram ASC) matches the expression's smallest-gram rule; docs too short
+    // for an n-gram are absent from the census -> COALESCE 0 = the
+    // expression's [0,0,0] return; thresholds in the same integer arithmetic
+    "q_repetition_gopher" -> {
+      def census(n: Int) =
+        s"""SELECT doc_id, cnt * len(gram) AS cov FROM (
+           |    SELECT doc_id, gram, count(*) AS cnt,
+           |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram ASC) AS rn
+           |    FROM (
+           |      SELECT doc_id, array_to_string(list_slice(w, i, i + $n - 1), ' ') AS gram
+           |      FROM t, unnest(range(1, len(w) - $n + 2)) AS u(i)
+           |    ) GROUP BY doc_id, gram
+           |  ) WHERE rn = 1""".stripMargin
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS w, len(text) AS chars FROM documents
+         |), g2 AS (
+         |  ${census(2)}
+         |), g3 AS (
+         |  ${census(3)}
+         |), g4 AS (
+         |  ${census(4)}
+         |)
+         |SELECT t.doc_id,
+         |  COALESCE(g2.cov, 0) * 5  <= t.chars     AS f_top2,
+         |  COALESCE(g3.cov, 0) * 50 <= t.chars * 9 AS f_top3,
+         |  COALESCE(g4.cov, 0) * 25 <= t.chars * 4 AS f_top4,
+         |  (COALESCE(g2.cov, 0) * 5  <= t.chars AND
+         |   COALESCE(g3.cov, 0) * 50 <= t.chars * 9 AND
+         |   COALESCE(g4.cov, 0) * 25 <= t.chars * 4) AS keep
+         |FROM t
+         |LEFT JOIN g2 ON g2.doc_id = t.doc_id
+         |LEFT JOIN g3 ON g3.doc_id = t.doc_id
+         |LEFT JOIN g4 ON g4.doc_id = t.doc_id""".stripMargin
+    },
     // Real decoded-pixel features replayed without a codec: the engine
     // renders each doc as a 24x16 PNG from a closed-form mod-256 pixel
     // formula, ImageIO-decodes it, and computes channel means + an 8-bin

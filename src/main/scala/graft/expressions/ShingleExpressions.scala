@@ -60,6 +60,39 @@ object ShingleUtil {
     new GenericArrayData(Array[Long](top.toLong, (n - 1).toLong))
   }
 
+  /** Per-row top-n-gram stats `[top_count, top_chars, total_grams]`: the
+    * occurrence count of the most frequent word n-gram (ties broken by the
+    * lexicographically SMALLEST gram — deterministic on any engine), the
+    * character length of that gram (tokens joined with single spaces), and
+    * the number of n-gram positions. Same per-row-state argument as
+    * [[bigramStats]]: this is a HashMap per row, not a corpus shuffle.
+    */
+  def topNgramStats(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array[Long](0L, 0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var i = 0
+    while (i <= len - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = tokens.getUTF8String(i + j); j += 1 }
+      val gram = UTF8String.concatWs(space, parts: _*)
+      counts.merge(gram, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+      i += 1
+    }
+    var top: UTF8String = null
+    var topC = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val c = e.getValue.intValue()
+      if (c > topC || (c == topC && (top == null || e.getKey.compareTo(top) < 0))) {
+        topC = c; top = e.getKey
+      }
+    }
+    new GenericArrayData(Array[Long](topC.toLong, top.numChars().toLong, (len - n + 1).toLong))
+  }
+
   /** Random-hyperplane bucket ids, one per table. `planes` is laid out flat
     * as [table][bit][dim]; bucket bit b is set iff dot(v, plane) >= 0,
     * packed MSB-first (matches
@@ -138,6 +171,34 @@ case class BigramStats(child: Expression) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expressions.ShingleUtil.bigramStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row top-n-gram stats `[top_count, top_chars, total_grams]` over an
+  * `array<string>` token column — the generalization of [[BigramStats]] the
+  * Gopher A1.2 repetition rules need (n = 2, 3, 4), with a deterministic
+  * smallest-gram tie-break so the numbers replay on any engine.
+  */
+case class TopNgramStats(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "top_ngram_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.topNgramStats(input.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ShingleUtil.topNgramStats($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

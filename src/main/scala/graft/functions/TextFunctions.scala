@@ -257,4 +257,35 @@ object TextFunctions {
       fAlpha.as("f_alpha"), fStop.as("f_stop"),
       (fWc && fMwl && fSymbol && fBullet && fEllipsis && fAlpha && fStop).as("keep"))
   }
+
+  /** Gopher repetition rules (Rae et al. 2021 A1.2, the top-n-gram subset):
+    * a document is removed when the characters covered by its most frequent
+    * word n-gram exceed 20% (n=2), 18% (n=3) or 16% (n=4) of the document.
+    * Covered chars are `top_count · chars(gram)` with the gram's tokens
+    * joined by single spaces, over `length(text)` raw characters — an
+    * explicit, engine-replayable reading of the paper's "fraction of
+    * characters contained within the most frequently-occurring n-gram"
+    * (the paper's duplicate-n-gram-coverage rules need overlap-interval
+    * merging and are deliberately out of scope — documented, not faked).
+    * Thresholds compare in INTEGER arithmetic like [[gopherFlags]]; each
+    * n-gram census is one per-row [[graft.expressions.TopNgramStats]]
+    * HashMap, so the whole rule set is a single narrow scan, no shuffle.
+    * Flag true = passes; `keep` = all three.
+    */
+  def repetitionFlags(text: Column): Column = {
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    val toks = filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    val chars = length(text)
+    def covered(n: Int): Column = {
+      val st = br.column(graft.expressions.TopNgramStats(br.expression(toks), n))
+      element_at(st, 1) * element_at(st, 2)
+    }
+    // keep ⇔ covered/chars ≤ θ, cross-multiplied: 0.20 = 1/5, 0.18 = 9/50,
+    // 0.16 = 4/25 (removal is strictly >θ, so ≤ keeps the boundary doc)
+    val f2 = covered(2) * 5 <= chars
+    val f3 = covered(3) * 50 <= chars * 9
+    val f4 = covered(4) * 25 <= chars * 4
+    struct(f2.as("f_top2"), f3.as("f_top3"), f4.as("f_top4"),
+      (f2 && f3 && f4).as("keep"))
+  }
 }

@@ -35,6 +35,11 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(fnv === graft.expressions.Fnv1a.hash("abc".getBytes("UTF-8")))
       val bg = s.sql("SELECT bigram_stats(array('a','b','a','b','c')) AS s").head.getSeq[Long](0)
       assert(bg === Seq(2L, 4L)) // "a b" twice of 4 bigrams
+      val tg = s.sql("SELECT top_ngram_stats(array('a','b','a','b'), 2) AS s").head.getSeq[Long](0)
+      assert(tg === Seq(2L, 3L, 3L)) // "a b" twice, 3 chars, 3 bigram positions
+      // tie-break: equal counts -> lexicographically smallest gram wins
+      val tie = s.sql("SELECT top_ngram_stats(array('z','q','a','b'), 2) AS s").head.getSeq[Long](0)
+      assert(tie === Seq(1L, 3L, 3L)) // "a b" (smallest), 3 chars
       val di8 = s.sql(
         "SELECT vec_dot_i8(cast(array(127, -2) AS array<tinyint>), cast(array(2, 3) AS array<tinyint>)) AS d")
         .head.getLong(0)

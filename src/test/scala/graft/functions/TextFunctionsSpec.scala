@@ -129,4 +129,23 @@ class TextFunctionsSpec extends SparkSpec {
     assert(!f(7L, "f_ellipsis") && !f(7L, "keep"), s"40% ellipsis lines must trip: ${got(7L)}")
     assert(f(8L, "f_ellipsis") && f(8L, "keep"), s"exactly 30% ellipsis lines is kept: ${got(8L)}")
   }
+
+  test("repetitionFlags: top-n-gram coverage rules trip on crafted repeaters") {
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ") // all n-grams unique
+    // "spam ham" repeated: bigram "spam ham" covers ~half the doc -> f_top2 trips
+    val bigramHeavy = (("spam ham " * 12).trim + " " +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu").trim
+    // one 4-gram repeated amid filler: covers > 16% but each bigram < 20%
+    val fourgramHeavy = (Seq.fill(4)("one two three four").mkString(" ") + " " +
+      ("filler" + (1 to 14).map(i => s" word$i").mkString)).trim
+    val df = Seq((1L, clean), (2L, bigramHeavy), (3L, fourgramHeavy))
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextFunctions.repetitionFlags(col("text")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    def f(id: Long, name: String): Boolean =
+      got(id).getBoolean(got(id).schema.fieldIndex(name))
+    assert(f(1L, "keep"), s"clean doc must pass: ${got(1L)}")
+    assert(!f(2L, "f_top2") && !f(2L, "keep"), s"bigram repeater must trip: ${got(2L)}")
+    assert(!f(3L, "f_top4") && !f(3L, "keep"), s"4-gram repeater must trip: ${got(3L)}")
+  }
 }
