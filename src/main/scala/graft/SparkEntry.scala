@@ -727,6 +727,13 @@ object SparkEntry {
       "doc_id", "text", n = 5)
   }
 
+  /** Stride-1 repeated spans (Lee et al. exact-substring shape): every
+    * occurrence of a 16-token run shared by ≥ 2 documents, wherever it
+    * sits. Oracle regenerates every sliding window and its FNV fingerprint.
+    */
+  private def repeatedSpansQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", window = 16)
+
   /** Gopher A1.2 repetition rules (top-n-gram coverage, n = 2/3/4) as flat
     * booleans; one narrow scan, per-row HashMap census, no shuffle. Oracle
     * rebuilds each n-gram census with unnest + group + deterministic
@@ -1044,6 +1051,7 @@ object SparkEntry {
     "q_mix_corpus"          -> (mixCorpusQ(_, _)),
     "q_leakfree_split"      -> (leakFreeSplitQ(_, _)),
     "q_repetition_gopher"   -> (repetitionGopherQ(_, _)),
+    "q_repeated_spans"      -> (repeatedSpansQ(_, _)),
     "q_curate_corpus"       -> (curateCorpusQ(_, _)),
     "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
     "q_oov_rate"            -> (oovRateQ(_, _)),
@@ -1876,6 +1884,27 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |CAST(unnest([i FOR i IN range(0, octet_length(encode(text)) // 1024 + 1, 3)]) AS BIGINT) AS frame_index
         |FROM documents""".stripMargin,
+    // every stride-1 window regenerated, FNV-fingerprinted in HUGEINT,
+    // reduced to the signed BIGINT Spark emits; repeats = fps in >= 2 docs
+    "q_repeated_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), tt AS (
+         |  SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 16
+         |), sp0 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(list_slice(w, i + 1, i + 16), ' ') AS gram
+         |  FROM tt, unnest(range(0, n - 16 + 1)) AS u(i)
+         |), sp AS (
+         |  SELECT doc_id, pos, ${duckFnvU("gram")} AS hu FROM sp0
+         |), sps AS (
+         |  SELECT doc_id, pos, ${duckU2S("hu")} AS span_fp FROM sp
+         |), rep AS (
+         |  SELECT span_fp, count(DISTINCT doc_id) AS n_docs FROM sps
+         |  GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2
+         |)
+         |SELECT s.doc_id, s.pos, s.span_fp, r.n_docs
+         |FROM sps s JOIN rep r USING (span_fp)""".stripMargin,
     // each n-gram census rebuilt with unnest + group; tie-break (count DESC,
     // gram ASC) matches the expression's smallest-gram rule; docs too short
     // for an n-gram are absent from the census -> COALESCE 0 = the

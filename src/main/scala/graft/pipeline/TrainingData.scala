@@ -507,6 +507,47 @@ object TrainingData {
         min(col(idCol)).as("first_doc"))
       .filter(col("n_occurrences") > 1)
 
+  /** Repeated-span report: STRIDE-1 sliding `window`-token fingerprints —
+    * the faithful rendering of Lee et al. 2022's exact-substring dedup at
+    * window granularity. [[duplicateChunks]]'s non-overlapping windows miss
+    * any repeat that is offset between two documents (a quote starting at
+    * token 3 in one doc and token 40 in another never lands on the same
+    * chunk boundary); stride 1 catches every repeated `window`-token run
+    * wherever it sits. Returns one row per OCCURRENCE of a cross-document
+    * repeated span — (id, pos, span_fp, n_docs) — the per-doc cut list a
+    * span-removal pass consumes (positions are 0-based token offsets).
+    *
+    * Scale shape: the corpus amplifies to ~n_tokens rows, but each row is
+    * (8-byte fp, id, pos) — the span TEXT never leaves the generator — so
+    * the one fingerprint-keyed shuffle moves ≈ 20 bytes/token: at 100 TB of
+    * text that is comparable to the corpus itself, the irreducible cost of
+    * stride-1 coverage (the suffix-array construction it stands in for
+    * shuffles the same order). The window census partial-aggregates, and
+    * the occurrence join streams the generator side back against the
+    * repeated-fp set (AQE broadcasts it when duplication is sparse — the
+    * common case).
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    window: Int = 16): DataFrame = {
+    require(window > 0, "window must be positive")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
+    val spans = df.select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) >= window)
+      .select(col(idCol),
+        posexplode(sequence(lit(0), size(col("__toks")) - window))
+          .as(Seq("pos", "start")),
+        col("__toks"))
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        TextFunctions.fnv1a64(
+          array_join(slice(col("__toks"), col("start") + 1, lit(window)), " "))
+          .as("span_fp"))
+    val repeated = spans.groupBy(col("span_fp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    spans.join(repeated, "span_fp")
+      .select(col(idCol), col("pos"), col("span_fp"), col("n_docs"))
+  }
+
   /** DSIR selection — completes [[importanceWeights]] with the paper's
     * sampling step: Gumbel-top-k over the importance scores (select the `k`
     * documents maximizing `llr + g`, `g = −ln(−ln(u))`), which draws k

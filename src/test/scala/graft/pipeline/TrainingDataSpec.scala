@@ -112,6 +112,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("repeatedSpans: stride-1 catches an offset repeat that chunk dedup misses") {
+    val quote = (1 to 16).map(i => s"q$i").mkString(" ") // a 16-token quoted run
+    val a = (quote + " " + (1 to 20).map(i => s"a$i").mkString(" ")).trim     // quote at pos 0
+    val b = ((1 to 7).map(i => s"b$i").mkString(" ") + " " + quote + " " +
+      (1 to 12).map(i => s"c$i").mkString(" ")).trim                          // quote at pos 7
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, other)).toDF("doc_id", "text")
+    val spans = TrainingData.repeatedSpans(df, "doc_id", "text", window = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // exactly one shared 16-token window: the quote itself, at its offset in each doc
+    assert(spans.toSet === Set((1L, 0L, 2L), (2L, 7L, 2L)))
+    // the non-overlapping chunker cannot see it: doc 2's quote straddles the
+    // 16-token chunk boundary, so no chunk fingerprint repeats
+    val chunks = TrainingData.duplicateChunks(df, "doc_id", "text", chunkTokens = 16)
+    assert(chunks.count() === 0L)
+  }
+
   test("leakFreeSplit: no near-dup pair straddles a split; singletons hash-split by own id (sf0.01)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val out = TrainingData.leakFreeSplit(docs, "doc_id", "text")
