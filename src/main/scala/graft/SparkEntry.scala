@@ -734,6 +734,13 @@ object SparkEntry {
   private def repeatedSpansQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.repeatedSpans(t(s, dir, "documents"), "doc_id", "text", window = 16)
 
+  /** The removal pass over the span cut list: every non-first occurrence of
+    * a repeated 16-token span blanked, overlaps merged by token coverage.
+    * Oracle replays first-occurrence selection and the coverage mask.
+    */
+  private def removeSpansQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.removeRepeatedSpans(t(s, dir, "documents"), "doc_id", "text", window = 16)
+
   /** Gopher A1.2 repetition rules (top-n-gram coverage, n = 2/3/4) as flat
     * booleans; one narrow scan, per-row HashMap census, no shuffle. Oracle
     * rebuilds each n-gram census with unnest + group + deterministic
@@ -1052,6 +1059,7 @@ object SparkEntry {
     "q_leakfree_split"      -> (leakFreeSplitQ(_, _)),
     "q_repetition_gopher"   -> (repetitionGopherQ(_, _)),
     "q_repeated_spans"      -> (repeatedSpansQ(_, _)),
+    "q_remove_spans"        -> (removeSpansQ(_, _)),
     "q_curate_corpus"       -> (curateCorpusQ(_, _)),
     "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
     "q_oov_rate"            -> (oovRateQ(_, _)),
@@ -1905,6 +1913,43 @@ object SparkEntry {
          |)
          |SELECT s.doc_id, s.pos, s.span_fp, r.n_docs
          |FROM sps s JOIN rep r USING (span_fp)""".stripMargin,
+    // the removal replay: same stride-1 census, first occurrence per fp by
+    // (doc_id, pos), all other occurrences become cuts, token kept iff no
+    // cut covers its index, text re-joined in token order (docs losing
+    // every token — or token-less to begin with — emit '')
+    "q_remove_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), tt AS (
+         |  SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 16
+         |), sp0 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(list_slice(w, i + 1, i + 16), ' ') AS gram
+         |  FROM tt, unnest(range(0, n - 16 + 1)) AS u(i)
+         |), sp AS (
+         |  SELECT doc_id, pos, ${duckFnvU("gram")} AS hu FROM sp0
+         |), sps AS (
+         |  SELECT doc_id, pos, ${duckU2S("hu")} AS span_fp FROM sp
+         |), rep AS (
+         |  SELECT span_fp FROM sps GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2
+         |), occ AS (
+         |  SELECT s.doc_id, s.pos, s.span_fp,
+         |    ROW_NUMBER() OVER (PARTITION BY s.span_fp ORDER BY s.doc_id, s.pos) AS rn
+         |  FROM sps s JOIN rep USING (span_fp)
+         |), cut AS (
+         |  SELECT doc_id, pos FROM occ WHERE rn > 1
+         |), tok AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i, w[i + 1] AS tk
+         |  FROM t, unnest(range(0, len(w))) AS u(i)
+         |), kept AS (
+         |  SELECT tk.doc_id, tk.i, tk.tk FROM tok tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+         |    WHERE c.doc_id = tk.doc_id AND tk.i >= c.pos AND tk.i < c.pos + 16)
+         |)
+         |SELECT t.doc_id, COALESCE(k.text, '') AS text
+         |FROM t LEFT JOIN (
+         |  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id
+         |) k ON k.doc_id = t.doc_id""".stripMargin,
     // each n-gram census rebuilt with unnest + group; tie-break (count DESC,
     // gram ASC) matches the expression's smallest-gram rule; docs too short
     // for an n-gram are absent from the census -> COALESCE 0 = the

@@ -548,6 +548,44 @@ object TrainingData {
       .select(col(idCol), col("pos"), col("span_fp"), col("n_docs"))
   }
 
+  /** Span-removal pass over [[repeatedSpans]]' cut list: rewrites each
+    * document's token stream with every NON-FIRST occurrence of a repeated
+    * `window`-token span blanked out (first occurrence globally = smallest
+    * (doc, pos), the deterministic Lee-et-al keep rule), overlapping cuts
+    * merged by token-index coverage. Output is (id, text) with the kept
+    * tokens re-joined by single spaces — note the rewrite normalizes
+    * whitespace/case like every token-level operator here.
+    *
+    * Scale shape: the cut list is duplication-sized (occurrences of
+    * repeated spans only), grouped per doc into an array side column and
+    * joined back LEFT onto the corpus — untouched documents stream through
+    * the join with a null cut array and zero rewrite work; the per-doc
+    * coverage mask is one `filter(transform(...))` over the token array,
+    * no extra shuffle beyond the cut-list aggregation.
+    */
+  def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 16): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, window)
+    // first global occurrence of each fp survives; every other one is a cut.
+    // min(struct) partial-aggregates — no per-fp sort window, so a span
+    // repeated in a million documents costs what any fp costs
+    val firsts = spans.groupBy(col("span_fp"))
+      .agg(min(struct(col(idCol).as("__fid"), col("pos").as("__fpos"))).as("__first"))
+    val cuts = spans.join(firsts, "span_fp")
+      .filter(!(col(idCol) === col("__first.__fid") && col("pos") === col("__first.__fpos")))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__cuts"))
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
+    df.select(col(idCol), toks.as("__toks"))
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(col("__toks"), (t, i) =>
+            col("__cuts").isNull ||
+              !exists(col("__cuts"), p => i >= p && i < p + window)),
+          " ").as(textCol))
+  }
+
   /** DSIR selection — completes [[importanceWeights]] with the paper's
     * sampling step: Gumbel-top-k over the importance scores (select the `k`
     * documents maximizing `llr + g`, `g = −ln(−ln(u))`), which draws k

@@ -129,6 +129,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(chunks.count() === 0L)
   }
 
+  test("removeRepeatedSpans: non-first occurrences cut, first kept, untouched docs intact") {
+    val quote = (1 to 16).map(i => s"q$i").mkString(" ")
+    val a = (quote + " " + (1 to 20).map(i => s"a$i").mkString(" ")).trim
+    val b = ((1 to 7).map(i => s"b$i").mkString(" ") + " " + quote + " " +
+      (1 to 12).map(i => s"c$i").mkString(" ")).trim
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, other)).toDF("doc_id", "text")
+    val out = TrainingData.removeRepeatedSpans(df, "doc_id", "text", window = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 holds the first global occurrence -> unchanged (modulo normalize)
+    assert(out(1L) === a)
+    // doc 2 loses exactly the 16 quote tokens, prefix and suffix survive
+    assert(out(2L) === ((1 to 7).map(i => s"b$i") ++ (1 to 12).map(i => s"c$i")).mkString(" "))
+    // doc 3 has no repeats -> byte-identical
+    assert(out(3L) === other)
+    // a full duplicate pair: the copy collapses to overlap remnants only
+    val dup = Seq((10L, other), (11L, other)).toDF("doc_id", "text")
+    val dedup = TrainingData.removeRepeatedSpans(dup, "doc_id", "text", window = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dedup(10L) === other)
+    assert(dedup(11L) === "") // every token covered by some repeated window
+  }
+
   test("leakFreeSplit: no near-dup pair straddles a split; singletons hash-split by own id (sf0.01)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val out = TrainingData.leakFreeSplit(docs, "doc_id", "text")
