@@ -727,6 +727,19 @@ object SparkEntry {
       "doc_id", "text", n = 5)
   }
 
+  /** Policy-driven resolution: per near-dup component, keep the member with
+    * the highest quality score (ties → smallest id) — the curation keep
+    * rule, vs [[dedupResolve]]'s min-id. Oracle: recursive-CTE components
+    * plus a quality-ordered pick per component.
+    */
+  private def dedupResolveBestQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Dedup.resolveDuplicatesBy(
+      Dedup.minhashPairs(d, "doc_id", "text", n = 5, threshold = 0.8,
+        corpusN = tableCount(s, dir, "documents")),
+      d.select(col("doc_id"), TF.qualityScore(col("text")).as("q")), "doc_id", "q")
+  }
+
   /** Stride-1 repeated spans (Lee et al. exact-substring shape): every
     * occurrence of a 16-token run shared by ≥ 2 documents, wherever it
     * sits. Oracle regenerates every sliding window and its FNV fingerprint.
@@ -1060,6 +1073,7 @@ object SparkEntry {
     "q_repetition_gopher"   -> (repetitionGopherQ(_, _)),
     "q_repeated_spans"      -> (repeatedSpansQ(_, _)),
     "q_remove_spans"        -> (removeSpansQ(_, _)),
+    "q_dedup_resolve_best"  -> (dedupResolveBestQ(_, _)),
     "q_curate_corpus"       -> (curateCorpusQ(_, _)),
     "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
     "q_oov_rate"            -> (oovRateQ(_, _)),
@@ -1568,6 +1582,26 @@ object SparkEntry {
     "q_ngram_jaccard" -> duckCappedJaccardSql,
     "q_minhash_lsh"   -> duckShingleCte,
     "q_dedup_resolve" -> duckResolveCte,
+    // same recursive components; the survivor is the quality-DESC, id-ASC
+    // pick per component (mirrors min(struct(-score, id)))
+    "q_dedup_resolve_best" ->
+      s"""WITH RECURSIVE $duckShingleCtes,
+         |edges AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+         |walk(id, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.id
+         |),
+         |comp AS (SELECT id, MIN(lbl) AS root FROM walk GROUP BY id),
+         |dq AS ($duckQualitySql),
+         |win AS (
+         |  SELECT root, id AS keep_id FROM (
+         |    SELECT c.root, c.id,
+         |      ROW_NUMBER() OVER (PARTITION BY c.root ORDER BY dq.quality DESC, c.id ASC) AS rn
+         |    FROM comp c JOIN dq ON dq.doc_id = c.id
+         |  ) WHERE rn = 1
+         |)
+         |SELECT c.id, w.keep_id FROM comp c JOIN win w USING (root)""".stripMargin,
     // components rebuilt via the recursive exact-Jaccard CTE, every doc
     // rooted (singletons at themselves), split = FNV hash of the ROOT —
     // so the oracle also proves no near-dup pair straddles a split

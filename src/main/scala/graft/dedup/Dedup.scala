@@ -374,6 +374,33 @@ object Dedup {
     labels
   }
 
+  /** Policy-driven duplicate resolution: like [[resolveDuplicates]], but the
+    * survivor of each near-dup component is the member with the HIGHEST
+    * `scoreCol` in `priority` (ties → smallest id) instead of the smallest
+    * id — "keep the best-quality copy", the rule curation pipelines
+    * actually want (min-id keeps whichever copy happened to be ingested
+    * first). Components still come from the same min-label machinery, so
+    * the component structure is shared/spec-comparable with the plain
+    * resolver; the policy is applied as one aggregation over it.
+    *
+    * Scale shape: `priority` joins only the component MEMBERS (near-dup-
+    * sized, not corpus-sized); the argmax is a partial-aggregating
+    * `min(struct(-score, id))` per component — no sort window, hot
+    * components cost what any component costs.
+    */
+  def resolveDuplicatesBy(pairs: DataFrame, priority: DataFrame,
+                          idCol: String, scoreCol: String,
+                          aCol: String = "a", bCol: String = "b"): DataFrame = {
+    val comp = resolveDuplicates(pairs, aCol, bCol)
+      .withColumnRenamed("keep_id", "__root")
+    val scored = comp.join(
+      priority.select(col(idCol).as("id"), col(scoreCol).cast("double").as("__s")), "id")
+    val winners = scored.groupBy(col("__root"))
+      .agg(min(struct(negate(col("__s")).as("__neg"), col("id").as("__id"))).as("__w"))
+      .select(col("__root"), col("__w.__id").as("keep_id"))
+    comp.join(winners, "__root").select(col("id"), col("keep_id"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Exact embedding-cosine near-dup pairs (cosine ≥ threshold) — the O(n²)

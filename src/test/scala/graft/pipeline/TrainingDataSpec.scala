@@ -129,6 +129,18 @@ class TrainingDataSpec extends SparkSpec {
     assert(chunks.count() === 0L)
   }
 
+  test("resolveDuplicatesBy: highest-score member survives each component, ties to smallest id") {
+    import graft.dedup.Dedup
+    // components {1,2,3} (chain) and {10, 11}; 5 is a singleton (absent)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val prio = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5), (10L, 0.7), (11L, 0.7), (5L, 1.0))
+      .toDF("id", "score")
+    val out = Dedup.resolveDuplicatesBy(pairs, prio, "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L,   // 2 has top score
+      10L -> 10L, 11L -> 10L))                         // tie -> smaller id
+  }
+
   test("removeRepeatedSpans: non-first occurrences cut, first kept, untouched docs intact") {
     val quote = (1 to 16).map(i => s"q$i").mkString(" ")
     val a = (quote + " " + (1 to 20).map(i => s"a$i").mkString(" ")).trim
