@@ -52,6 +52,13 @@ object Bench {
     // interference (a query slow in-suite but fast alone points at residue
     // left behind by an earlier query, not at its own plan)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // a typo'd name must be LOUD: an empty/partial subset run still prints a
+    // well-formed summary, and a bisection script would misread it
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"BENCH WARN unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(",")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries

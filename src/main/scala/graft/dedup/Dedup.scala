@@ -387,6 +387,11 @@ object Dedup {
     * sized, not corpus-sized); the argmax is a partial-aggregating
     * `min(struct(-score, id))` per component — no sort window, hot
     * components cost what any component costs.
+    *
+    * Coverage: `priority` need not score every document — unscored members
+    * simply are not candidates, and a component with NO scored member falls
+    * back to the min-id rule (its root) rather than silently vanishing from
+    * the mapping. Scores join through a LEFT join for exactly this reason.
     */
   def resolveDuplicatesBy(pairs: DataFrame, priority: DataFrame,
                           idCol: String, scoreCol: String,
@@ -397,8 +402,9 @@ object Dedup {
       priority.select(col(idCol).as("id"), col(scoreCol).cast("double").as("__s")), "id")
     val winners = scored.groupBy(col("__root"))
       .agg(min(struct(negate(col("__s")).as("__neg"), col("id").as("__id"))).as("__w"))
-      .select(col("__root"), col("__w.__id").as("keep_id"))
-    comp.join(winners, "__root").select(col("id"), col("keep_id"))
+      .select(col("__root"), col("__w.__id").as("__win"))
+    comp.join(winners, Seq("__root"), "left")
+      .select(col("id"), coalesce(col("__win"), col("__root")).as("keep_id"))
   }
 
   // ------------------------------------------------- embedding near-dup

@@ -73,6 +73,21 @@ object Multimodal {
     (p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
     (p.length >= 2 && p(0) == 'B' && p(1) == 'M')
 
+  /** Full-decode admission guard: the magic-byte sniff is deliberately
+    * permissive (any payload starting 'B','M' "looks like" a BMP — e.g. a
+    * text document beginning "BM25 ..."), and a full `ImageIO.read` on such
+    * a payload can interpret following bytes as a ~2-billion-pixel header
+    * and DIE on raster allocation with an OutOfMemoryError that `NonFatal`
+    * does not catch — killing the task, not the record. So every full
+    * decode is admitted only after a HEADER-ONLY dimension read (no
+    * allocation) confirms a sane raster. 64M pixels ≈ a 256 MB ARGB buffer,
+    * far above any fixture and far below the OOM line.
+    */
+  private def decodableRaster(payload: Array[Byte], maxPixels: Long = 64L << 20): Boolean =
+    decodeDims(payload).exists { case (w, h) =>
+      w > 0 && h > 0 && w.toLong * h <= maxPixels
+    }
+
   /** Real header-only dimension read via `javax.imageio`: positions a reader
     * on the stream and asks for width/height WITHOUT decoding pixel data —
     * O(header bytes) per asset, the right cost for a metadata pass over
@@ -170,7 +185,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       batch.map { m =>
         val real: Option[Array[Float]] =
-          if (!looksLikeImage(m.content)) None
+          if (!decodableRaster(m.content)) None
           else try {
             Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
               .map(pixelFeature(_, dim))
@@ -196,7 +211,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       batch.flatMap { m =>
         val real: Option[Seq[FrameSample]] =
-          if (!looksLikeImage(m.content)) None
+          if (!decodableRaster(m.content)) None
           else try {
             val iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(m.content))
@@ -277,7 +292,7 @@ object Multimodal {
       javax.imageio.ImageIO.setUseCache(false)
       batch.map { m =>
         val real: Option[MediaRecord] =
-          if (!looksLikeImage(m.content)) None
+          if (!decodableRaster(m.content)) None
           else try {
             Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
               .map { img =>

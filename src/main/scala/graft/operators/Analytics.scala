@@ -156,16 +156,22 @@ object Analytics {
         orderCols.zip(oNames).map { case (c, nm) => c.as(nm) }): _*)
     val keyTypes = keyNames.map(nm => slim.schema(nm).dataType)
     // Sample/count memoization: boundaries and the per-(shard, key) prefix
-    // table are pure functions of (input plan, partCols, nShards) — distinct
+    // table are pure functions of (input data, partCols, nShards) — distinct
     // rank queries over the SAME sort (q_percent_rank and q_ntile both rank
     // orders by (status; totalprice, orderkey)) share one sampling + one
-    // counting pass instead of each paying both. The canonicalized logical
-    // plan is the cache key (sameResult-verified, so a hash collision can
-    // never serve wrong data); entries are a few hundred literal Rows —
-    // boundaries plus shards × |keys| prefixes — NOT pinned blocks, so this
-    // is driver-side metadata on the scale of a table-statistics cache.
+    // counting pass instead of each paying both. The key is the
+    // canonicalized logical plan (sameResult-verified) PLUS (a) the actual
+    // partCols names — canonicalization erases aliases, and the cached
+    // prefix schema embeds the first caller's names — and (b) a fingerprint
+    // of the leaf file listings (paths + size): plan canonicalization
+    // compares parquet scans by PATH, so without it an overwritten or
+    // appended table would serve stale offsets. Entries are a few hundred
+    // literal Rows — boundaries plus shards × |keys| prefixes — NOT pinned
+    // blocks: driver-side metadata on the scale of a table-statistics cache.
     val canon = slim.queryExecution.optimizedPlan.canonicalized
-    val cached = Analytics.prefixCache.get((canon.semanticHash(), nShards, partCols.size))
+    val filesFp = Analytics.leafFilesFingerprint(slim)
+    val cacheKey = (canon.semanticHash(), nShards, partCols.toList, filesFp)
+    val cached = Analytics.prefixCache.get(cacheKey)
       .filter(_.plan.sameResult(canon))
     val (bounds, outRows, prefixSchema) = cached match {
       case Some(e) => (e.bounds, e.rows, e.schema)
@@ -196,8 +202,7 @@ object Analytics {
               Seq(StructField("__prefix", LongType, nullable = false),
                 StructField("__total", LongType, nullable = false)))
           if (Analytics.prefixCache.size >= 64) Analytics.prefixCache.clear()
-          Analytics.prefixCache.put(
-            (canon.semanticHash(), nShards, partCols.size),
+          Analytics.prefixCache.put(cacheKey,
             Analytics.PrefixEntry(canon, bs, rows, schema))
           (bs, rows, schema)
         } finally p.unpersist(false)
@@ -223,7 +228,25 @@ object Analytics {
   // bounded: entries are tiny driver-side literals; evict wholesale at 64
   // rather than tracking LRU — a clear costs one re-sample, never correctness
   private[graft] val prefixCache =
-    new scala.collection.concurrent.TrieMap[(Int, Int, Int), PrefixEntry]()
+    new scala.collection.concurrent.TrieMap[(Int, Int, List[String], Int), PrefixEntry]()
+
+  /** Content fingerprint of a plan's file-backed leaves: sorted file paths +
+    * total size. Plan canonicalization compares file scans by root PATH, so
+    * a cache keyed on the plan alone would survive an overwrite/append of
+    * the same location; file names (part-UUIDs) and sizes change on any
+    * rewrite, so hashing the listing catches it. Non-file leaves (local
+    * data, RDDs) carry their data in the canonical plan already.
+    */
+  private[graft] def leafFilesFingerprint(df: DataFrame): Int =
+    df.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            (fs.location.inputFiles.toSeq.sorted, fs.sizeInBytes).hashCode()
+          case other => other.hashCode()
+        }
+      case other => other.getClass.getName.hashCode
+    }.hashCode()
 
   /** `percent_rank` from a total-order row number: (rn−1)/(n−1), 0 for a
     * single-row partition — the same double arithmetic every SQL engine uses.

@@ -372,7 +372,11 @@ object TrainingData {
     * and picks broadcast-hash vs shuffle join itself — runtime facts beat a
     * compile-time guess for a set whose size depends on how dup-heavy the
     * corpus is. Pass `benchN` if the caller already knows the count (skips
-    * one count job).
+    * one count job). NOTE the gate makes plan CONSTRUCTION eager: without
+    * `benchN` a count job runs when the DataFrame is built, not when it is
+    * executed — the deliberate price of deciding broadcast-vs-shuffle from
+    * a fact instead of a guess (the count scans only the small-by-premise
+    * side).
     */
   def fuzzyDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int = 5, threshold: Double = 0.8,

@@ -129,6 +129,19 @@ class MultimodalSpec extends SparkSpec {
     bos.toByteArray
   }
 
+  test("features: a text payload with image magic bytes takes the fallback, never a wild decode") {
+    // "BM..." passes the 2-byte BMP sniff; without the header-dims admission
+    // guard ImageIO would parse the ASCII as a ~2-billion-pixel header and
+    // die on raster allocation (OutOfMemoryError, which NonFatal misses)
+    val trap = "BM25 scoring is a bag of words retrieval function used by search engines"
+    val f = Multimodal.features(media((1L, "text/plain", trap.getBytes("UTF-8"))), dim = 8)
+      .collect().head
+    assert(f.feature.length === 8) // deterministic hash fallback, no crash
+    val again = Multimodal.features(media((1L, "text/plain", trap.getBytes("UTF-8"))), dim = 8)
+      .collect().head
+    assert(f.feature.toSeq === again.feature.toSeq)
+  }
+
   test("features: fixed dim, deterministic per payload") {
     val f = Multimodal.features(Multimodal.asMedia(docs, "doc_id", "text"), dim = 8)
       .collect().map(x => x.media_id -> x.feature.toSeq).toMap

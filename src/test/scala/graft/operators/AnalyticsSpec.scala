@@ -80,6 +80,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(r3 === (1L to 120L))
   }
 
+  test("rangedRank prefix cache: an overwritten parquet path never serves stale offsets") {
+    Analytics.prefixCache.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft_rankcache").toString
+    (1L to 200L).map(i => (i, (i % 7).toInt)).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    val r1 = Analytics.rangedRank(spark.read.parquet(dir), Nil,
+        Seq(col("v"), col("id")), shards = 8)
+      .select("rn", "n_part").collect()
+    assert(r1.forall(_.getLong(1) === 200L))
+    // overwrite the SAME path with different data: plan canonicalization
+    // compares scans by path, so only the file-listing fingerprint in the
+    // cache key keeps this from reusing the 200-row prefix table
+    (1L to 80L).map(i => (i, (i % 3).toInt)).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    val r2 = Analytics.rangedRank(spark.read.parquet(dir), Nil,
+        Seq(col("v"), col("id")), shards = 8)
+      .select("rn", "n_part").collect()
+    assert(r2.forall(_.getLong(1) === 80L))
+    assert(r2.map(_.getLong(0)).sorted.toSeq === (1L to 80L))
+  }
+
   test("rangedRank with no partition columns: a global total-order rank, sharded") {
     val df = (1L to 100L).map(i => (i, (i * 37 % 100).toInt)).toDF("id", "v")
     val out = Analytics.rangedRank(df, Nil, Seq(col("v"), col("id")), shards = 8)

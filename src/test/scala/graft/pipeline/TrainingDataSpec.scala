@@ -139,6 +139,12 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L,   // 2 has top score
       10L -> 10L, 11L -> 10L))                         // tie -> smaller id
+    // a component with NO scored member falls back to min-id, not silence
+    val sparse = Seq((20L, 0.4)).toDF("id", "score")   // neither 10 nor 11 scored
+    val fb = Dedup.resolveDuplicatesBy(pairs, sparse, "id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fb(10L) === 10L && fb(11L) === 10L)
+    assert(fb.keySet === Set(1L, 2L, 3L, 10L, 11L))
   }
 
   test("removeRepeatedSpans: non-first occurrences cut, first kept, untouched docs intact") {
