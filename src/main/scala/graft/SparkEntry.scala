@@ -727,6 +727,18 @@ object SparkEntry {
       "doc_id", "text", n = 5)
   }
 
+  /** Surgical decontamination: training docs (doc_id % 4 != 0) rewritten
+    * with every 16-token run shared with the benchmark quarter removed —
+    * drop-span, not drop-document. Oracle replays the cross-corpus span
+    * match and the coverage rewrite.
+    */
+  private def decontaminateSpansQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TrainingData.decontaminateSpans(
+      d.filter(col("doc_id") % 4 =!= 0), d.filter(col("doc_id") % 4 === 0),
+      "doc_id", "text", window = 16)
+  }
+
   /** Policy-driven resolution: per near-dup component, keep the member with
     * the highest quality score (ties → smallest id) — the curation keep
     * rule, vs [[dedupResolve]]'s min-id. Oracle: recursive-CTE components
@@ -1074,6 +1086,7 @@ object SparkEntry {
     "q_repeated_spans"      -> (repeatedSpansQ(_, _)),
     "q_remove_spans"        -> (removeSpansQ(_, _)),
     "q_dedup_resolve_best"  -> (dedupResolveBestQ(_, _)),
+    "q_decontaminate_spans" -> (decontaminateSpansQ(_, _)),
     "q_curate_corpus"       -> (curateCorpusQ(_, _)),
     "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
     "q_oov_rate"            -> (oovRateQ(_, _)),
@@ -1947,6 +1960,44 @@ object SparkEntry {
          |)
          |SELECT s.doc_id, s.pos, s.span_fp, r.n_docs
          |FROM sps s JOIN rep r USING (span_fp)""".stripMargin,
+    // cross-corpus span removal: train windows whose fingerprint appears in
+    // the benchmark quarter become cuts (ALL occurrences), token kept iff
+    // uncovered, text re-joined; train docs absent from the cut list pass
+    // through the rewrite byte-identically (modulo token normalization)
+    "q_decontaminate_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents WHERE doc_id % 4 != 0
+         |), bt AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents WHERE doc_id % 4 = 0
+         |), sp0 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(list_slice(w, i + 1, i + 16), ' ') AS gram
+         |  FROM t, unnest(range(0, len(w) - 16 + 1)) AS u(i) WHERE len(w) >= 16
+         |), sp AS (
+         |  SELECT doc_id, pos, ${duckFnvU("gram")} AS hu FROM sp0
+         |), sps AS (
+         |  SELECT doc_id, pos, ${duckU2S("hu")} AS span_fp FROM sp
+         |), bsp0 AS (
+         |  SELECT array_to_string(list_slice(w, i + 1, i + 16), ' ') AS gram
+         |  FROM bt, unnest(range(0, len(w) - 16 + 1)) AS u(i) WHERE len(w) >= 16
+         |), bsp AS (
+         |  SELECT ${duckFnvU("gram")} AS hu FROM bsp0
+         |), bfp AS (
+         |  SELECT DISTINCT ${duckU2S("hu")} AS span_fp FROM bsp
+         |), cut AS (
+         |  SELECT s.doc_id, s.pos FROM sps s JOIN bfp USING (span_fp)
+         |), tok AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i, w[i + 1] AS tk
+         |  FROM t, unnest(range(0, len(w))) AS u(i)
+         |), kept AS (
+         |  SELECT tk.doc_id, tk.i, tk.tk FROM tok tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+         |    WHERE c.doc_id = tk.doc_id AND tk.i >= c.pos AND tk.i < c.pos + 16)
+         |)
+         |SELECT t.doc_id, COALESCE(k.text, '') AS text
+         |FROM t LEFT JOIN (
+         |  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id
+         |) k ON k.doc_id = t.doc_id""".stripMargin,
     // the removal replay: same stride-1 census, first occurrence per fp by
     // (doc_id, pos), all other occurrences become cuts, token kept iff no
     // cut covers its index, text re-joined in token order (docs losing

@@ -590,6 +590,55 @@ object TrainingData {
           " ").as(textCol))
   }
 
+  /** Surgical span-level decontamination: rewrites TRAINING documents with
+    * every `window`-token run that also appears in the BENCHMARK corpus
+    * blanked out (all occurrences — benchmark text must go, there is no
+    * first-keeper), keeping the rest of the document. The drop-span
+    * alternative to [[decontaminationFilter]]'s drop-document rule: a long
+    * document quoting one benchmark answer loses 16 tokens, not its other
+    * ten thousand.
+    *
+    * Scale shape: the benchmark's distinct span-fingerprint set is tiny by
+    * premise and size-gated to broadcast (`broadcastMaxRows`, shuffle-join
+    * fallback above); the training side streams its stride-1 fingerprints
+    * map-only against it, and only MATCHED positions form the per-doc cut
+    * arrays — clean documents rewrite through the left join untouched.
+    */
+  def decontaminateSpans(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, window: Int = 16,
+                         benchN: Long = -1L,
+                         broadcastMaxRows: Long = 500000L): DataFrame = {
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
+    def spansOf(df: DataFrame): DataFrame =
+      df.select(col(idCol), toks(col(textCol)).as("__toks"))
+        .filter(size(col("__toks")) >= window)
+        .select(col(idCol),
+          posexplode(sequence(lit(0), size(col("__toks")) - window))
+            .as(Seq("pos", "start")),
+          col("__toks"))
+        .select(col(idCol), col("pos").cast("long").as("pos"),
+          TextFunctions.fnv1a64(
+            array_join(slice(col("__toks"), col("start") + 1, lit(window)), " "))
+            .as("span_fp"))
+    val bN = if (benchN >= 0) benchN else bench.count()
+    val bcast: DataFrame => DataFrame =
+      if (bN <= broadcastMaxRows) broadcast(_) else identity
+    val benchFps = spansOf(bench).select(col("span_fp")).distinct()
+    val cuts = spansOf(train)
+      .join(bcast(benchFps), "span_fp")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("__cuts"))
+    train.select(col(idCol), toks(col(textCol)).as("__toks"))
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          filter(col("__toks"), (t, i) =>
+            col("__cuts").isNull ||
+              !exists(col("__cuts"), p => i >= p && i < p + window)),
+          " ").as(textCol))
+  }
+
   /** DSIR selection — completes [[importanceWeights]] with the paper's
     * sampling step: Gumbel-top-k over the importance scores (select the `k`
     * documents maximizing `llr + g`, `g = −ln(−ln(u))`), which draws k

@@ -147,6 +147,28 @@ class TrainingDataSpec extends SparkSpec {
     assert(fb.keySet === Set(1L, 2L, 3L, 10L, 11L))
   }
 
+  test("decontaminateSpans: only the benchmark-overlapping run is cut, broadcast and fallback agree") {
+    val answer = (1 to 16).map(i => s"ans$i").mkString(" ")
+    val longDoc = ((1 to 30).map(i => s"pre$i").mkString(" ") + " " + answer + " " +
+      (1 to 30).map(i => s"post$i").mkString(" ")).trim
+    val clean = (1 to 40).map(i => s"c$i").mkString(" ")
+    val train = Seq((1L, longDoc), (2L, clean)).toDF("doc_id", "text")
+    val bench = Seq((100L, answer + " trailing words here")).toDF("doc_id", "text")
+    val out = TrainingData.decontaminateSpans(train, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 keeps its 60 surrounding tokens; the quoted answer is gone.
+    // NOTE: the bench doc's sliding windows also cover (answer-suffix +
+    // trailing) runs, but none of those appear in doc 1 — only the exact
+    // answer window matches, so exactly 16 tokens are cut
+    assert(out(1L) === ((1 to 30).map(i => s"pre$i") ++ (1 to 30).map(i => s"post$i")).mkString(" "))
+    assert(out(2L) === clean) // drop-span, not drop-document: untouched
+    // shuffle-join fallback (gate forced off) is row-identical
+    val fb = TrainingData.decontaminateSpans(train, bench, "doc_id", "text",
+      broadcastMaxRows = 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fb === out)
+  }
+
   test("removeRepeatedSpans: non-first occurrences cut, first kept, untouched docs intact") {
     val quote = (1 to 16).map(i => s"q$i").mkString(" ")
     val a = (quote + " " + (1 to 20).map(i => s"a$i").mkString(" ")).trim
