@@ -639,6 +639,49 @@ object TrainingData {
           " ").as(textCol))
   }
 
+  /** The gate form of [[decontaminateSpans]] for STREAMING curation: the
+    * benchmark's distinct span fingerprints build a Bloom bitmap ONCE
+    * (driver-side, benchmark-sized by premise) that rides into the stream's
+    * codegen as a constant; the rewrite is then a stateless per-row
+    * expression — each token is kept unless one of the row's OWN
+    * bloom-matching windows covers it — so the same transform runs verbatim
+    * in a live stream or a batch experiment (no state store, no
+    * stream-static join). Probe-only like [[decontaminationFilter]]: a
+    * clean span can be false-cut at rate ≤ `fpp` — the online-curation
+    * trade; the exact batch rewrite is [[decontaminateSpans]].
+    */
+  def decontaminateSpansGate(bench: DataFrame, idCol: String, textCol: String,
+                             window: Int = 16,
+                             fpp: Double = 1e-4): DataFrame => DataFrame = {
+    import graft.expressions.{BloomMightContain, BloomUtil}
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
+    val benchFps = bench.select(toks(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= window)
+      .select(explode(sequence(lit(0), size(col("__toks")) - window)).as("start"),
+        col("__toks"))
+      .select(array_join(slice(col("__toks"), col("start") + 1, lit(window)), " ").as("g"))
+      .distinct().collect().map(_.getString(0))
+    val (m, k) = BloomUtil.sized(math.max(1L, benchFps.length.toLong), fpp)
+    val bits = new Array[Long]((m >>> 6).toInt)
+    benchFps.foreach(s =>
+      BloomUtil.add(org.apache.spark.unsafe.types.UTF8String.fromString(s), bits, k, m))
+    def mightContain(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnBridge.column(BloomMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), bits, k, m))
+    df => {
+      val tk = toks(col(textCol))
+      // per-row cut starts: window positions whose joined text probes the bloom
+      val cutStarts = filter(sequence(lit(0), size(tk) - window),
+        s => mightContain(array_join(slice(tk, s + 1, lit(window)), " ")))
+      val rewritten = when(size(tk) < window, array_join(tk, " "))
+        .otherwise(array_join(
+          filter(tk, (t, i) => !exists(cutStarts, p => i >= p && i < p + window)),
+          " "))
+      df.withColumn(textCol, rewritten)
+    }
+  }
+
   /** DSIR selection — completes [[importanceWeights]] with the paper's
     * sampling step: Gumbel-top-k over the importance scores (select the `k`
     * documents maximizing `llr + g`, `g = −ln(−ln(u))`), which draws k

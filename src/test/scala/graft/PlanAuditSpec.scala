@@ -151,6 +151,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_repeated_spans / q_decontaminate_spans: fingerprint shuffles never carry span text") {
+    // the span census partial-aggregates on the 8-byte fingerprint and the
+    // generator's string column must be projected away before any exchange
+    val p = plan("q_repeated_spans")
+    assert(p.contains("partial_count"), p) // map-side combine on the fp census
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    exchangeSections.foreach(s =>
+      assert(!s.takeWhile(_ != '(').contains("gram"), p))
+    // surgical decontamination: the train side must not sort-merge-join
+    // against the (size-gated, broadcast) benchmark fingerprint set
+    val df = SparkEntry.queries("q_decontaminate_spans")(spark, dir)
+    df.queryExecution.toRdd.count()
+    val p2 = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p2.contains("BroadcastHashJoin"), p2)
+    assert(!p2.contains("SortMergeJoin"), p2)
+  }
+
   test("q_mix_corpus: keep decision is a literal-threshold filter — corpus never joins") {
     // the census is a separate |strata|-row aggregation collected at plan
     // BUILD time; the returned plan must be scan → filter (thresholds as a

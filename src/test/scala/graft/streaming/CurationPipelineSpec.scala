@@ -162,6 +162,41 @@ class CurationPipelineSpec extends SparkSpec {
     assert(bbKept.size < 20, s"bb should be downsampled hard, kept ${bbKept.size}")
   }
 
+  test("streaming surgical decontamination: spans cut identically in live stream and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val answer = (1 to 16).map(i => s"ans$i").mkString(" ")
+    val bench = Seq((100L, answer + " trailing words")).toDF("doc_id", "text")
+    val gate = graft.pipeline.TrainingData.decontaminateSpansGate(bench, "doc_id", "text")
+    val incoming = Seq(
+      RawDoc(1, t("2024-01-01 00:00:01"),
+        ((1 to 20).map(i => s"pre$i").mkString(" ") + " " + answer + " " +
+          (1 to 20).map(i => s"post$i").mkString(" ")).trim),
+      RawDoc(2, t("2024-01-01 00:00:02"), (1 to 30).map(i => s"c$i").mkString(" ")))
+    val topo = Topology(
+      entities = Map(
+        "raw-docs" -> Topic("raw-docs"),
+        "scrub"    -> Stream("scrub", gate),
+        "clean"    -> Topic("clean")),
+      workflow = Seq("raw-docs" -> "scrub", "scrub" -> "clean"))
+    val in = MemoryStream[RawDoc]
+    in.addData(incoming: _*)
+    val engine = StreamRunner.start(
+      topo, Map("raw-docs" -> in.toDF()),
+      (sink, df) => df.writeStream.format("memory")
+        .queryName("t_scrub").trigger(Trigger.AvailableNow()).start())
+    engine.processAllAvailable()
+    engine.stop()
+    val streamed = spark.table("t_scrub").select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = topo.experiment(Map("raw-docs" -> incoming.toDF()))("clean")
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(streamed === batch)
+    // the quoted answer is cut, everything else survives verbatim
+    assert(streamed(1L) ===
+      ((1 to 20).map(i => s"pre$i") ++ (1 to 20).map(i => s"post$i")).mkString(" "))
+    assert(streamed(2L) === (1 to 30).map(i => s"c$i").mkString(" "))
+  }
+
   test("streaming decontamination filter: same drops in live stream and batch experiment") {
     implicit val sqlCtx = spark.sqlContext
     // benchmark corpus = doc 1's text: docs 1 and 2 share 5-grams with it
