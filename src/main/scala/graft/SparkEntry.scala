@@ -727,6 +727,23 @@ object SparkEntry {
       "doc_id", "text", n = 5)
   }
 
+  /** Per-stratum fractional quality gate: keep the top 30% of documents per
+    * language by quality score — the "dynamic threshold" curation step done
+    * RANK-based (`rn · 10 ≤ n · 3`, exact integers) instead of
+    * quantile-threshold-based, so there is no float-interpolation boundary
+    * to disagree on between engines. Rides [[graft.operators.Analytics
+    * .rangedRank]] — parallelism shards × languages, not |languages|.
+    */
+  private def topFracQualityQ(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Analytics
+    val scored = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TF.qualityScore(col("text")).as("q"))
+    Analytics.rangedRank(scored, Seq("lang"),
+        Seq(negate(col("q")), col("doc_id")))
+      .filter(col("rn") * 10 <= col("n_part") * 3)
+      .select(col("doc_id"), col("lang"), col("q"))
+  }
+
   /** Surgical decontamination: training docs (doc_id % 4 != 0) rewritten
     * with every 16-token run shared with the benchmark quarter removed —
     * drop-span, not drop-document. Oracle replays the cross-corpus span
@@ -1087,6 +1104,7 @@ object SparkEntry {
     "q_remove_spans"        -> (removeSpansQ(_, _)),
     "q_dedup_resolve_best"  -> (dedupResolveBestQ(_, _)),
     "q_decontaminate_spans" -> (decontaminateSpansQ(_, _)),
+    "q_top_frac_quality"    -> (topFracQualityQ(_, _)),
     "q_curate_corpus"       -> (curateCorpusQ(_, _)),
     "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
     "q_oov_rate"            -> (oovRateQ(_, _)),
@@ -1960,6 +1978,18 @@ object SparkEntry {
          |)
          |SELECT s.doc_id, s.pos, s.span_fp, r.n_docs
          |FROM sps s JOIN rep r USING (span_fp)""".stripMargin,
+    // rank-based fractional gate: row_number over (quality DESC, doc_id)
+    // per language + the integer keep rule — no quantile interpolation to
+    // disagree on
+    "q_top_frac_quality" ->
+      s"""WITH dq AS ($duckQualitySql),
+         |r AS (
+         |  SELECT d.doc_id, d.lang, dq.quality AS q,
+         |    ROW_NUMBER() OVER (PARTITION BY d.lang ORDER BY dq.quality DESC, d.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY d.lang) AS n
+         |  FROM documents d JOIN dq ON dq.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, lang, q FROM r WHERE rn * 10 <= n * 3""".stripMargin,
     // cross-corpus span removal: train windows whose fingerprint appears in
     // the benchmark quarter become cuts (ALL occurrences), token kept iff
     // uncovered, text re-joined; train docs absent from the cut list pass
