@@ -727,6 +727,15 @@ object SparkEntry {
       "doc_id", "text", n = 5)
   }
 
+  /** CCNet-style LM quality signal: hashed-bigram model from the doc_id%5
+    * target slice, per-doc mean negative log-prob. Oracle recomputes both
+    * histograms and replays the ordered summation.
+    */
+  private def perplexityQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    TrainingData.perplexityScore(d, d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+  }
+
   /** Per-stratum fractional quality gate: keep the top 30% of documents per
     * language by quality score — the "dynamic threshold" curation step done
     * RANK-based (`rn · 10 ≤ n · 3`, exact integers) instead of
@@ -1105,6 +1114,7 @@ object SparkEntry {
     "q_dedup_resolve_best"  -> (dedupResolveBestQ(_, _)),
     "q_decontaminate_spans" -> (decontaminateSpansQ(_, _)),
     "q_top_frac_quality"    -> (topFracQualityQ(_, _)),
+    "q_perplexity"          -> (perplexityQ(_, _)),
     "q_curate_corpus"       -> (curateCorpusQ(_, _)),
     "q_top_quality_docs"    -> (topQualityDocsQ(_, _)),
     "q_oov_rate"            -> (oovRateQ(_, _)),
@@ -1978,6 +1988,40 @@ object SparkEntry {
          |)
          |SELECT s.doc_id, s.pos, s.span_fp, r.n_docs
          |FROM sps s JOIN rep r USING (span_fp)""".stripMargin,
+    // hashed-bigram LM replayed end to end: target bigram/context bucket
+    // histograms recomputed (pmod == unsigned % for the 2^14 bucket count),
+    // per-position term = ln(c2+1) - ln(c1+B) joined from the histograms,
+    // per-doc summation ordered by position (list ORDER BY ord), negate
+    // then divide — the exact float op order of the engine
+    "q_perplexity" ->
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), pos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS ord,
+         |    w[i - 1] AS prev, w[i] AS tok, len(w) - 1 AS npos
+         |  FROM toksrc, unnest(range(2, len(w) + 1)) AS u(i) WHERE len(w) >= 2
+         |), pb AS (
+         |  SELECT doc_id, ord, npos, prev || ' ' || tok AS bg, prev FROM pos
+         |), pk AS (
+         |  SELECT doc_id, ord, npos,
+         |    CAST(${duckFnvU("bg")} % 16384 AS BIGINT) AS b2,
+         |    CAST(${duckFnvU("prev")} % 16384 AS BIGINT) AS b1
+         |  FROM pb
+         |), cb AS (
+         |  SELECT b2 AS b, count(*) AS c FROM pk WHERE doc_id % 5 = 0 GROUP BY 1
+         |), cc AS (
+         |  SELECT b1 AS b, count(*) AS c FROM pk WHERE doc_id % 5 = 0 GROUP BY 1
+         |), term AS (
+         |  SELECT pk.doc_id, pk.ord, pk.npos,
+         |    ln(coalesce(cb.c, 0) + 1.0) - ln(coalesce(cc.c, 0) + 16384.0) AS t
+         |  FROM pk LEFT JOIN cb ON cb.b = pk.b2 LEFT JOIN cc ON cc.b = pk.b1
+         |), docs AS (
+         |  SELECT doc_id, round((-(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(t ORDER BY ord)), (a, x) -> a + x))) / npos, 6) AS nll
+         |  FROM term GROUP BY doc_id, npos
+         |)
+         |SELECT d.doc_id, coalesce(s.nll, 0.0) AS nll
+         |FROM documents d LEFT JOIN docs s ON s.doc_id = d.doc_id""".stripMargin,
     // rank-based fractional gate: row_number over (quality DESC, doc_id)
     // per language + the integer keep rule — no quantile interpolation to
     // disagree on

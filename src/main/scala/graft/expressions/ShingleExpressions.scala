@@ -93,6 +93,39 @@ object ShingleUtil {
     new GenericArrayData(Array[Long](topC.toLong, top.numChars().toLong, (len - n + 1).toLong))
   }
 
+  /** Per-row hashed-bigram negative log-likelihood: Σ over positions of
+    * `lnBi(bucket(prev⌣' '⌣tok)) − lnCtx(bucket(prev))`, negated and
+    * divided by the position count (0 for <2 tokens). FNV-1a is
+    * byte-sequential, so the bigram hash CONTINUES from the context hash
+    * (one byte pass per token serves both buckets, and position i's token
+    * hash is position i+1's context hash) — no string concatenation, no
+    * per-position re-hash of the prefix. The log tables arrive precomputed
+    * (ln(c+1), ln(c+B)) so the loop is pure lookups and adds.
+    */
+  def bigramNll(tokens: ArrayData, lnBi: Array[Double], lnCtx: Array[Double],
+                buckets: Int): Double = {
+    val n = tokens.numElements()
+    if (n < 2) return 0.0
+    def fnvOf(s: UTF8String): Long = graft.expressions.Fnv1a.hash(s.getBytes)
+    var sum = 0.0
+    var hPrev = fnvOf(tokens.getUTF8String(0))
+    var i = 1
+    while (i < n) {
+      val tok = tokens.getUTF8String(i)
+      val hTok = fnvOf(tok)
+      var h = hPrev
+      h ^= (' ' & 0xffL); h *= graft.expressions.Fnv1a.Prime
+      val tb = tok.getBytes
+      var j = 0
+      while (j < tb.length) { h ^= (tb(j) & 0xffL); h *= graft.expressions.Fnv1a.Prime; j += 1 }
+      sum += lnBi(java.lang.Math.floorMod(h, buckets.toLong).toInt) -
+        lnCtx(java.lang.Math.floorMod(hPrev, buckets.toLong).toInt)
+      hPrev = hTok
+      i += 1
+    }
+    -sum / (n - 1)
+  }
+
   /** Random-hyperplane bucket ids, one per table. `planes` is laid out flat
     * as [table][bit][dim]; bucket bit b is set iff dot(v, plane) >= 0,
     * packed MSB-first (matches
@@ -199,6 +232,42 @@ case class TopNgramStats(child: Expression, n: Int) extends UnaryExpression {
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expressions.ShingleUtil.topNgramStats($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-row hashed-bigram LM negative log-likelihood over an `array<string>`
+  * token column — the scoring kernel of
+  * [[graft.pipeline.TrainingData.perplexityScore]]. A native expression
+  * because the higher-order-function formulation (`aggregate` +
+  * `element_at` on 16k-entry literal arrays + two string hashes per
+  * position) is CodegenFallback-interpreted and measured 8.4 s at sf0.1;
+  * this is one byte-level loop per row with the log tables as reference
+  * objects.
+  */
+case class BigramNll(child: Expression, lnBi: Array[Double], lnCtx: Array[Double],
+                     buckets: Int) extends UnaryExpression {
+  require(lnBi.length == buckets && lnCtx.length == buckets, "table size mismatch")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bigram_nll"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.bigramNll(input.asInstanceOf[ArrayData], lnBi, lnCtx, buckets)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val biRef = ctx.addReferenceObj("bigramLnBi", lnBi, "double[]")
+    val ctxRef = ctx.addReferenceObj("bigramLnCtx", lnCtx, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ShingleUtil.bigramNll($c, $biRef, $ctxRef, $buckets);")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -590,6 +590,56 @@ object TrainingData {
           " ").as(textCol))
   }
 
+  /** Hashed-bigram LM perplexity scoring (the CCNet-style quality signal,
+    * Wenzek et al. 2020's shape with a hashed bigram model standing in for
+    * KenLM): a bigram language model is estimated from a TARGET corpus over
+    * `buckets` hash buckets with add-one smoothing, and every document gets
+    * `nll = −mean_i ln p̂(tok_i | tok_{i−1})` — LOW nll = looks like the
+    * target domain, the signal CCNet buckets corpora by. Token-less and
+    * single-token docs score 0. The per-position term is computed as the
+    * DIFFERENCE of the two smoothed log terms (ln(c₂+1) − ln(c₁+B)),
+    * left-to-right in token order, one division by (n−1) at the end — the
+    * same float-parity contract as [[importanceWeights]], so the oracle
+    * replays scores bit-for-bit.
+    *
+    * Scale shape: two partial-aggregated histogram shuffles over the
+    * target (≤ `buckets` rows each), collected as side inputs (`buckets`
+    * longs); scoring is one embarrassingly-parallel pass with both weight
+    * tables riding into codegen as array literals. Returns (idCol, nll).
+    */
+  def perplexityScore(df: DataFrame, target: DataFrame, idCol: String,
+                      textCol: String, buckets: Int = 16384): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def toksOf(text: org.apache.spark.sql.Column) =
+      filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    def ctxBucket(tok: org.apache.spark.sql.Column) =
+      pmod(TextFunctions.fnv1a64(tok), lit(buckets.toLong))
+    def biBucket(prev: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
+      pmod(TextFunctions.fnv1a64(concat_ws(" ", prev, tok)), lit(buckets.toLong))
+    val tt = target.select(toksOf(col(textCol)).as("__t")).filter(size(col("__t")) >= 2)
+    def hist(pairs: DataFrame, bucket: org.apache.spark.sql.Column): Array[Long] = {
+      val rows = pairs.groupBy(bucket.as("b")).agg(count(lit(1)).as("c")).collect()
+      val arr = new Array[Long](buckets)
+      rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    // bigram occurrences: (prev, tok) for i in 1..n-1; context = its prev
+    val bi = tt.select(posexplode(col("__t")).as(Seq("__i", "__tok")), col("__t"))
+      .filter(col("__i") >= 1)
+      .select(element_at(col("__t"), col("__i")).as("__prev"), col("__tok"))
+    val cBi = hist(bi, biBucket(col("__prev"), col("__tok")))
+    val cCtx = hist(bi, ctxBucket(col("__prev")))
+    // precomputed log tables: the scoring loop (native BigramNll — the HOF
+    // formulation was CodegenFallback-interpreted, 8.4 s at sf0.1) does
+    // pure lookups; identical doubles to computing ln per row
+    val lnBi = cBi.map(c => math.log(c + 1.0))
+    val lnCtx = cCtx.map(c => math.log(c + buckets.toDouble))
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    val nll = br.column(graft.expressions.BigramNll(
+      br.expression(toksOf(col(textCol))), lnBi, lnCtx, buckets))
+    df.select(col(idCol), round(nll, 6).as("nll"))
+  }
+
   /** Surgical span-level decontamination: rewrites TRAINING documents with
     * every `window`-token run that also appears in the BENCHMARK corpus
     * blanked out (all occurrences — benchmark text must go, there is no

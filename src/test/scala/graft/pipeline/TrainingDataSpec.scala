@@ -147,6 +147,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(fb.keySet === Set(1L, 2L, 3L, 10L, 11L))
   }
 
+  test("perplexityScore: target-like docs score lower nll; degenerate docs score 0") {
+    val target = Seq(
+      (100L, "the quantum state collapses when the quantum state is measured"),
+      (101L, "quantum computing uses the quantum state of qubits")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quantum state of qubits collapses when measured"), // target-like bigrams
+      (2L, "football referee penalty offside corner goalkeeper"),  // off-domain
+      (3L, "single"), (4L, "  ")).toDF("doc_id", "text")
+    val out = TrainingData.perplexityScore(docs, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < out(2L), s"target-like must score lower nll: $out")
+    assert(out(3L) === 0.0 && out(4L) === 0.0)
+    val again = TrainingData.perplexityScore(docs, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === out)
+  }
+
   test("decontaminateSpans: only the benchmark-overlapping run is cut, broadcast and fallback agree") {
     val answer = (1 to 16).map(i => s"ans$i").mkString(" ")
     val longDoc = ((1 to 30).map(i => s"pre$i").mkString(" ") + " " + answer + " " +
