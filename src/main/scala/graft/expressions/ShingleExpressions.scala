@@ -253,6 +253,26 @@ case class BigramNll(child: Expression, lnBi: Array[Double], lnCtx: Array[Double
   override def dataType: DataType = DoubleType
   override def prettyName: String = "bigram_nll"
 
+  // primitive arrays compare by reference, which would defeat Catalyst
+  // canonicalization / CSE (two plan rewrites rebuilding this expression
+  // would never compare equal and the per-row loop would run twice) —
+  // content equality + an O(1) consistent hash, the BloomMightContain
+  // pattern
+  override def equals(other: Any): Boolean = other match {
+    case o: BigramNll =>
+      child == o.child && buckets == o.buckets &&
+        java.util.Arrays.equals(lnBi, o.lnBi) && java.util.Arrays.equals(lnCtx, o.lnCtx)
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    def s(a: Array[Double]): Long =
+      if (a.isEmpty) 0L
+      else java.lang.Double.doubleToLongBits(a(0)) ^
+        java.lang.Double.doubleToLongBits(a(a.length - 1)) ^ a.length
+    java.util.Objects.hash(child, Integer.valueOf(buckets),
+      java.lang.Long.valueOf(s(lnBi)), java.lang.Long.valueOf(s(lnCtx)))
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

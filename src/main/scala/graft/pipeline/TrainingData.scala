@@ -531,11 +531,16 @@ object TrainingData {
     * repeated-fp set (AQE broadcasts it when duplication is sparse — the
     * common case).
     */
-  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
-                    window: Int = 16): DataFrame = {
+  /** Stride-1 span fingerprints `(idCol, pos, span_fp)` — the shared
+    * generator behind [[repeatedSpans]] and [[decontaminateSpans]] (one
+    * definition, so tokenizer/fingerprint changes cannot silently diverge
+    * the census from the decontaminator).
+    */
+  private def spanFingerprints(df: DataFrame, idCol: String, textCol: String,
+                               window: Int): DataFrame = {
     require(window > 0, "window must be positive")
     val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
-    val spans = df.select(col(idCol), toks.as("__toks"))
+    df.select(col(idCol), toks.as("__toks"))
       .filter(size(col("__toks")) >= window)
       .select(col(idCol),
         posexplode(sequence(lit(0), size(col("__toks")) - window))
@@ -545,6 +550,11 @@ object TrainingData {
         TextFunctions.fnv1a64(
           array_join(slice(col("__toks"), col("start") + 1, lit(window)), " "))
           .as("span_fp"))
+  }
+
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+                    window: Int = 16): DataFrame = {
+    val spans = spanFingerprints(df, idCol, textCol, window)
     val repeated = spans.groupBy(col("span_fp"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -623,12 +633,17 @@ object TrainingData {
       rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
       arr
     }
-    // bigram occurrences: (prev, tok) for i in 1..n-1; context = its prev
+    // bigram occurrences: (prev, tok) for i in 1..n-1; context = its prev.
+    // Persisted across the TWO histogram collects — without it each would
+    // re-run the tokenize + posexplode generator over the whole target;
+    // unpersisted before return, so nothing stays pinned.
     val bi = tt.select(posexplode(col("__t")).as(Seq("__i", "__tok")), col("__t"))
       .filter(col("__i") >= 1)
       .select(element_at(col("__t"), col("__i")).as("__prev"), col("__tok"))
-    val cBi = hist(bi, biBucket(col("__prev"), col("__tok")))
-    val cCtx = hist(bi, ctxBucket(col("__prev")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cBi, cCtx) = try {
+      (hist(bi, biBucket(col("__prev"), col("__tok"))), hist(bi, ctxBucket(col("__prev"))))
+    } finally bi.unpersist(false)
     // precomputed log tables: the scoring loop (native BigramNll — the HOF
     // formulation was CodegenFallback-interpreted, 8.4 s at sf0.1) does
     // pure lookups; identical doubles to computing ln per row
@@ -660,22 +675,16 @@ object TrainingData {
                          broadcastMaxRows: Long = 500000L): DataFrame = {
     def toks(c: org.apache.spark.sql.Column) =
       filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
-    def spansOf(df: DataFrame): DataFrame =
-      df.select(col(idCol), toks(col(textCol)).as("__toks"))
-        .filter(size(col("__toks")) >= window)
-        .select(col(idCol),
-          posexplode(sequence(lit(0), size(col("__toks")) - window))
-            .as(Seq("pos", "start")),
-          col("__toks"))
-        .select(col(idCol), col("pos").cast("long").as("pos"),
-          TextFunctions.fnv1a64(
-            array_join(slice(col("__toks"), col("start") + 1, lit(window)), " "))
-            .as("span_fp"))
-    val bN = if (benchN >= 0) benchN else bench.count()
+    val benchFps = spanFingerprints(bench, idCol, textCol, window)
+      .select(col("span_fp")).distinct()
+    // the gate must count what is actually broadcast: the per-SPAN
+    // fingerprint set (~tokens-per-doc rows PER benchmark document, so a
+    // doc-count gate would under-measure by orders of magnitude). `benchN`
+    // is therefore the known distinct-FINGERPRINT count, not a doc count.
+    val bN = if (benchN >= 0) benchN else benchFps.count()
     val bcast: DataFrame => DataFrame =
       if (bN <= broadcastMaxRows) broadcast(_) else identity
-    val benchFps = spansOf(bench).select(col("span_fp")).distinct()
-    val cuts = spansOf(train)
+    val cuts = spanFingerprints(train, idCol, textCol, window)
       .join(bcast(benchFps), "span_fp")
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("__cuts"))
