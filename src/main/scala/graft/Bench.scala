@@ -19,11 +19,12 @@ object Bench {
     // (bounded) for the 1-min load average to drop below half the worker
     // count before timing anything; skippable via SPARK_GRAFT_NO_SETTLE.
     if (!sys.env.contains("SPARK_GRAFT_NO_SETTLE")) {
-      // a draining test JVM shows load ~12 on this 32-way box, so the
-      // threshold must sit well under that; bounded wait, so a busy
-      // neighbor costs at most 2 min of settling, never a hang
-      val target = math.max(2.0, cpus.toDouble / 8.0)
-      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      // a draining test JVM shows load ~12 on this 32-way box and still
+      // inflated a full run ~1.2x when admission happened at load ~4, so
+      // the threshold sits near idle (~1); bounded wait, so a busy
+      // neighbor costs at most 3 min of settling, never a hang
+      val target = math.max(1.5, cpus.toDouble / 16.0)
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
       def load1(): Double =
         try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
         catch { case _: Throwable => 0.0 }
