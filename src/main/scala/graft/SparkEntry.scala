@@ -2040,19 +2040,19 @@ object SparkEntry {
     // through the rewrite byte-identically (modulo token normalization)
     "q_decontaminate_spans" ->
       s"""WITH t AS (
-         |  SELECT doc_id, $duckToks AS w FROM documents WHERE doc_id % 4 != 0
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w FROM documents WHERE doc_id % 4 != 0
          |), bt AS (
-         |  SELECT doc_id, $duckToks AS w FROM documents WHERE doc_id % 4 = 0
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w FROM documents WHERE doc_id % 4 = 0
          |), sp0 AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |    array_to_string(list_slice(w, i + 1, i + 16), ' ') AS gram
+         |    lower(array_to_string(list_slice(w, i + 1, i + 16), ' ')) AS gram
          |  FROM t, unnest(range(0, len(w) - 16 + 1)) AS u(i) WHERE len(w) >= 16
          |), sp AS (
          |  SELECT doc_id, pos, ${duckFnvU("gram")} AS hu FROM sp0
          |), sps AS (
          |  SELECT doc_id, pos, ${duckU2S("hu")} AS span_fp FROM sp
          |), bsp0 AS (
-         |  SELECT array_to_string(list_slice(w, i + 1, i + 16), ' ') AS gram
+         |  SELECT lower(array_to_string(list_slice(w, i + 1, i + 16), ' ')) AS gram
          |  FROM bt, unnest(range(0, len(w) - 16 + 1)) AS u(i) WHERE len(w) >= 16
          |), bsp AS (
          |  SELECT ${duckFnvU("gram")} AS hu FROM bsp0
@@ -2078,12 +2078,12 @@ object SparkEntry {
     // every token — or token-less to begin with — emit '')
     "q_remove_spans" ->
       s"""WITH t AS (
-         |  SELECT doc_id, $duckToks AS w FROM documents
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w FROM documents
          |), tt AS (
          |  SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 16
          |), sp0 AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |    array_to_string(list_slice(w, i + 1, i + 16), ' ') AS gram
+         |    lower(array_to_string(list_slice(w, i + 1, i + 16), ' ')) AS gram
          |  FROM tt, unnest(range(0, n - 16 + 1)) AS u(i)
          |), sp AS (
          |  SELECT doc_id, pos, ${duckFnvU("gram")} AS hu FROM sp0

@@ -531,16 +531,26 @@ object TrainingData {
     * repeated-fp set (AQE broadcasts it when duplication is sparse — the
     * common case).
     */
+  /** RAW (case-preserving) whitespace tokens — the reassembly alphabet for
+    * span rewrites. Matching is case-insensitive (fingerprints lower the
+    * joined window), but a rewrite must hand back the user's own casing,
+    * not a lowercased corpus; token BOUNDARIES are case-independent, so
+    * raw and lowered arrays align index-for-index.
+    */
+  private def rawToks(c: org.apache.spark.sql.Column) =
+    filter(split(trim(c), "\\s+"), t => length(t) > 0)
+
   /** Stride-1 span fingerprints `(idCol, pos, span_fp)` — the shared
     * generator behind [[repeatedSpans]] and [[decontaminateSpans]] (one
     * definition, so tokenizer/fingerprint changes cannot silently diverge
-    * the census from the decontaminator).
+    * the census from the decontaminator). Fingerprints are over the
+    * LOWERED window (case-insensitive matching); positions index the raw
+    * token array.
     */
   private def spanFingerprints(df: DataFrame, idCol: String, textCol: String,
                                window: Int): DataFrame = {
     require(window > 0, "window must be positive")
-    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
-    df.select(col(idCol), toks.as("__toks"))
+    df.select(col(idCol), rawToks(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= window)
       .select(col(idCol),
         posexplode(sequence(lit(0), size(col("__toks")) - window))
@@ -548,7 +558,7 @@ object TrainingData {
         col("__toks"))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         TextFunctions.fnv1a64(
-          array_join(slice(col("__toks"), col("start") + 1, lit(window)), " "))
+          lower(array_join(slice(col("__toks"), col("start") + 1, lit(window)), " ")))
           .as("span_fp"))
   }
 
@@ -567,8 +577,9 @@ object TrainingData {
     * `window`-token span blanked out (first occurrence globally = smallest
     * (doc, pos), the deterministic Lee-et-al keep rule), overlapping cuts
     * merged by token-index coverage. Output is (id, text) with the kept
-    * tokens re-joined by single spaces — note the rewrite normalizes
-    * whitespace/case like every token-level operator here.
+    * RAW tokens re-joined by single spaces — matching is case-insensitive
+    * (fingerprints lower the window) but the rewrite preserves the user's
+    * casing; only whitespace runs are normalized.
     *
     * Scale shape: the cut list is duplication-sized (occurrences of
     * repeated spans only), grouped per doc into an array side column and
@@ -589,8 +600,7 @@ object TrainingData {
       .filter(!(col(idCol) === col("__first.__fid") && col("pos") === col("__first.__fpos")))
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("__cuts"))
-    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
-    df.select(col(idCol), toks.as("__toks"))
+    df.select(col(idCol), rawToks(col(textCol)).as("__toks"))
       .join(cuts, Seq(idCol), "left")
       .select(col(idCol),
         array_join(
@@ -673,8 +683,6 @@ object TrainingData {
                          textCol: String, window: Int = 16,
                          benchN: Long = -1L,
                          broadcastMaxRows: Long = 500000L): DataFrame = {
-    def toks(c: org.apache.spark.sql.Column) =
-      filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
     val benchFps = spanFingerprints(bench, idCol, textCol, window)
       .select(col("span_fp")).distinct()
     // the gate must count what is actually broadcast: the per-SPAN
@@ -688,7 +696,7 @@ object TrainingData {
       .join(bcast(benchFps), "span_fp")
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("__cuts"))
-    train.select(col(idCol), toks(col(textCol)).as("__toks"))
+    train.select(col(idCol), rawToks(col(textCol)).as("__toks"))
       .join(cuts, Seq(idCol), "left")
       .select(col(idCol),
         array_join(
@@ -713,13 +721,11 @@ object TrainingData {
                              window: Int = 16,
                              fpp: Double = 1e-4): DataFrame => DataFrame = {
     import graft.expressions.{BloomMightContain, BloomUtil}
-    def toks(c: org.apache.spark.sql.Column) =
-      filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0)
-    val benchFps = bench.select(toks(col(textCol)).as("__toks"))
+    val benchFps = bench.select(rawToks(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= window)
       .select(explode(sequence(lit(0), size(col("__toks")) - window)).as("start"),
         col("__toks"))
-      .select(array_join(slice(col("__toks"), col("start") + 1, lit(window)), " ").as("g"))
+      .select(lower(array_join(slice(col("__toks"), col("start") + 1, lit(window)), " ")).as("g"))
       .distinct().collect().map(_.getString(0))
     val (m, k) = BloomUtil.sized(math.max(1L, benchFps.length.toLong), fpp)
     val bits = new Array[Long]((m >>> 6).toInt)
@@ -729,10 +735,11 @@ object TrainingData {
       org.apache.spark.sql.graft.ColumnBridge.column(BloomMightContain(
         org.apache.spark.sql.graft.ColumnBridge.expression(c), bits, k, m))
     df => {
-      val tk = toks(col(textCol))
-      // per-row cut starts: window positions whose joined text probes the bloom
+      val tk = rawToks(col(textCol))
+      // per-row cut starts: window positions whose lowered text probes the
+      // bloom; the rewrite reassembles the RAW tokens (user casing intact)
       val cutStarts = filter(sequence(lit(0), size(tk) - window),
-        s => mightContain(array_join(slice(tk, s + 1, lit(window)), " ")))
+        s => mightContain(lower(array_join(slice(tk, s + 1, lit(window)), " "))))
       val rewritten = when(size(tk) < window, array_join(tk, " "))
         .otherwise(array_join(
           filter(tk, (t, i) => !exists(cutStarts, p => i >= p && i < p + window)),

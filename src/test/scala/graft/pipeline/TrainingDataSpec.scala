@@ -201,6 +201,14 @@ class TrainingDataSpec extends SparkSpec {
     assert(out(2L) === ((1 to 7).map(i => s"b$i") ++ (1 to 12).map(i => s"c$i")).mkString(" "))
     // doc 3 has no repeats -> byte-identical
     assert(out(3L) === other)
+    // matching is case-insensitive, but the rewrite preserves RAW casing:
+    // an uppercased copy of the quote is still cut, and kept tokens keep case
+    val cased = Seq((20L, quote + " Tail One Two"), (21L, quote.toUpperCase + " Mixed Case Tail"))
+      .toDF("doc_id", "text")
+    val casedOut = TrainingData.removeRepeatedSpans(cased, "doc_id", "text", window = 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(casedOut(20L) === quote + " Tail One Two")  // first occurrence, casing intact
+    assert(casedOut(21L) === "Mixed Case Tail")        // upper copy cut; tail keeps case
     // a full duplicate pair: the copy collapses to overlap remnants only
     val dup = Seq((10L, other), (11L, other)).toDF("doc_id", "text")
     val dedup = TrainingData.removeRepeatedSpans(dup, "doc_id", "text", window = 16)
