@@ -147,6 +147,34 @@ class TrainingDataSpec extends SparkSpec {
     assert(fb.keySet === Set(1L, 2L, 3L, 10L, 11L))
   }
 
+  test("dirty input: round-6 operators degrade on null/empty/short text, never throw") {
+    val dirty = Seq((1L, ("w " * 40).trim), (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, "   "), (5L, "short doc")).toDF("doc_id", "text")
+    // spans: null/empty/short docs simply produce no windows
+    assert(TrainingData.repeatedSpans(dirty, "doc_id", "text").count() === 0)
+    val removed = TrainingData.removeRepeatedSpans(dirty, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(removed(1L).get === ("w " * 40).trim)
+    assert(removed(2L).isEmpty)          // null text stays null
+    assert(removed(3L).get === "" && removed(4L).get === "")
+    val decon = TrainingData.decontaminateSpans(
+      dirty, dirty.filter(col("doc_id") === 1L), "doc_id", "text")
+    assert(decon.count() === 5)
+    // mixing: null stratum rows are dropped (not in targets), null text = 0 tokens
+    val mixed = TrainingData.mixToTargets(
+      Seq((1L, "aa", "w w w"), (2L, null.asInstanceOf[String], "w w"),
+        (3L, "aa", null.asInstanceOf[String])).toDF("doc_id", "lang", "text"),
+      "lang", "doc_id", "text", Map("aa" -> 1.0))
+    assert(mixed.collect().map(_.getLong(0)).toSet.subsetOf(Set(1L, 3L)))
+    // perplexity: null text propagates null, degenerate docs score 0.0
+    val ppl = TrainingData.perplexityScore(dirty,
+        dirty.filter(col("doc_id") === 1L), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(ppl(1L).isDefined)
+    assert(ppl(2L).isEmpty)
+    assert(ppl(3L) === Some(0.0) && ppl(4L) === Some(0.0))
+  }
+
   test("perplexityScore: target-like docs score lower nll; degenerate docs score 0") {
     val target = Seq(
       (100L, "the quantum state collapses when the quantum state is measured"),
