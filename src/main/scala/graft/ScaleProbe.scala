@@ -92,6 +92,9 @@ object ScaleProbe {
           d, d.filter(col("doc_id") % 97 === 0), "doc_id", "text").count() }
       time("repeated spans (w=16)") {
         graft.pipeline.TrainingData.repeatedSpans(d, "doc_id", "text").count() }
+      time("perplexity (2^14 buckets)") {
+        graft.pipeline.TrainingData.perplexityScore(
+          d, d.filter(col("doc_id") % 5 === 0), "doc_id", "text").count() }
       time("dsir sample (k=5000)") {
         graft.pipeline.TrainingData.dsirSample(
           d, d.filter(col("doc_id") % 7 === 0), "doc_id", "text", k = 5000).count() }
