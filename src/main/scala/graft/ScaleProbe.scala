@@ -28,7 +28,8 @@ object ScaleProbe {
       .crossJoin(copies)
       .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
         // jitter: append a copy-specific token so copies are near- not exact dups
-        concat(col("text"), lit(" copytag"), col("copy")).as("text"))
+        concat(col("text"), lit(" copytag"), col("copy")).as("text"),
+        col("lang"))
     docs.write.mode("overwrite").parquet("/tmp/graft_probe_docs")
 
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -44,6 +45,32 @@ object ScaleProbe {
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
       println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  rows=$n")
+    }
+    // Metered timer: wall-clock plus the facts that actually break at
+    // 100 TB — total shuffle bytes/records and the slowest task (the skew
+    // signal local[32] wall-clock hides, because local shuffle is
+    // memory-speed). Shared by the skew sweep and the per-operator probes.
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleW = new AtomicLong; val maxTask = new AtomicLong
+    val shuffleRec = new AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          shuffleW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          shuffleRec.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          maxTask.updateAndGet(m => math.max(m, te.taskMetrics.executorRunTime))
+          ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def timeM(name: String)(f: => Long): Unit = {
+      // flush pending task-end events from the previous run
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+      shuffleW.set(0); maxTask.set(0); shuffleRec.set(0)
+      val t0 = System.nanoTime(); val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+      println(f"$name%-34s $sec%6.2f s  shuffle=${shuffleW.get / 1024 / 1024}%5d MB / ${shuffleRec.get}%8d rows  maxTask=${maxTask.get}%6d ms  rows=$n")
     }
     // doc pipelines only at the default factor — the big-factor runs target
     // the embedding crossover and 250k-doc all-pairs baselines take minutes
@@ -104,6 +131,24 @@ object ScaleProbe {
           .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
           .head().getSeq[Double](0).toIndexedSeq
         graft.similarity.Ann.quantizedTopK(v, "embedding", "vec_id", q, 20).count() }
+      // round-6 operators with an unprobed shuffle surface, metered: the
+      // mixture census shuffles |strata| partial rows keyed by a LOW-
+      // CARDINALITY stratum (worst case: one reducer per language takes the
+      // language's whole partial stream — partial aggregation is what keeps
+      // that a row-count, not a corpus), and leakFreeSplit's component step
+      // shuffles candidate-pair edges + per-round label frontiers (the
+      // blown-up corpus is its worst realistic shape: every doc sits in a
+      // 10-member near-dup clique, so the edge set is ~45 pairs per
+      // original doc).
+      val langs = d.groupBy(col("lang")).count()
+        .orderBy(col("count").desc, col("lang")).limit(2)
+        .collect().map(_.getString(0))
+      timeM("mixture census + gate") {
+        graft.pipeline.TrainingData.mixToTargets(
+          d, "lang", "doc_id", "text",
+          Map(langs(0) -> 0.7, langs(1) -> 0.3)).count() }
+      timeM("leak-free split") {
+        graft.pipeline.TrainingData.leakFreeSplit(d, "doc_id", "text").count() }
     }
     // Skewed-key grouped top-k sweep: 10M ~170-byte rows (the "top documents
     // per stratum" shape), hot-key fraction f ∈ {uniform, 50%, 90%}. The
@@ -117,28 +162,6 @@ object ScaleProbe {
     // executes the FULL plan — a bare count() would let Catalyst prune the
     // payload column off the window side, deflating its shuffle.
     if (nCopies <= 10) {
-      import java.util.concurrent.atomic.AtomicLong
-      val shuffleW = new AtomicLong; val maxTask = new AtomicLong
-      val shuffleRec = new AtomicLong
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.taskMetrics != null) {
-            shuffleW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
-            shuffleRec.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
-            maxTask.updateAndGet(m => math.max(m, te.taskMetrics.executorRunTime))
-            ()
-          }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      def timeM(name: String)(f: => Long): Unit = {
-        // flush pending task-end events from the previous run
-        org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
-        shuffleW.set(0); maxTask.set(0); shuffleRec.set(0)
-        val t0 = System.nanoTime(); val n = f
-        val sec = (System.nanoTime() - t0) / 1e9
-        org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
-        println(f"$name%-34s $sec%6.2f s  shuffle=${shuffleW.get / 1024 / 1024}%5d MB / ${shuffleRec.get}%8d rows  maxTask=${maxTask.get}%6d ms  rows=$n")
-      }
       for (hotPct <- Seq(0, 50, 90)) {
         val skewed = spark.range(10L * 1000 * 1000).select(
           when(col("id") % 100 < hotPct, lit(0L)).otherwise(col("id") % 1000).as("k"),

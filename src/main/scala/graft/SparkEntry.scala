@@ -904,6 +904,63 @@ object SparkEntry {
     TrainingData.packBudgeted(clean, "doc_id", "text", budget = 2000)
   }
 
+  /** End-to-end curation v2 — the CCNet-shaped pipeline: exact dedup
+    * (normalized text, keep min doc_id) → Gopher A1.1 quality rules →
+    * perplexity band-pass (hashed-bigram LM from the doc_id%5==0 target
+    * slice, keep 0 ≤ nll ≤ 7.85 — the band that drops the worst-perplexity
+    * tail) → SURGICAL span decontamination against the doc_id%4==0
+    * benchmark quarter (drop-span, not drop-document) → token-budget
+    * packing over the REWRITTEN text. The perplexity stage runs through the
+    * streaming [[TrainingData.perplexityGate]] — so the oracle checks the
+    * gate transform itself, and the identical closure is what a live
+    * curation stream runs. The DuckDB oracle replays all five stages AND
+    * their interactions (pack token counts are over post-rewrite text).
+    *
+    * The Gopher stage composes every A1.1 flag EXCEPT `f_stop`: the
+    * stop-word rule tests English-ness, and the synthetic corpus contains
+    * no English stopwords at all — with it the pipeline provably empties
+    * (0 keeps at every SF), which would make the whole downstream replay
+    * vacuous. Dropping exactly that rule is the per-corpus adaptation the
+    * Gopher paper itself prescribes for non-English slices.
+    */
+  private def curateCorpusV2Q(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val train = d.filter(col("doc_id") % 4 =!= 0)
+    val bench = d.filter(col("doc_id") % 4 === 0)
+    val target = d.filter(col("doc_id") % 5 === 0)
+    val keep = Dedup.exact(
+      train.select(col("doc_id"), TF.normalizeText(col("text")).as("k")), "k", "doc_id")
+      .select(col("doc_id"))
+    val g = TF.gopherFlags(col("text"))
+    val gophered = train.join(keep, "doc_id")
+      .filter(g.getField("f_wc") && g.getField("f_mwl") && g.getField("f_symbol") &&
+        g.getField("f_bullet") && g.getField("f_ellipsis") && g.getField("f_alpha"))
+    val banded = TrainingData.perplexityGate(target, "text", maxNll = 7.85)(gophered)
+    val cleaned = TrainingData.decontaminateSpans(banded, bench, "doc_id", "text")
+    TrainingData.packBudgeted(cleaned, "doc_id", "text", budget = 2000)
+  }
+
+  /** PII redaction over a deterministically synthesized PII-bearing column
+    * (the corpus itself has no PII spans — the same synthesis move as
+    * [[syntheticMedia]]): emails / URLs / phone runs masked by
+    * [[TF.redactPii]]'s RE2-safe regex chain, replayed verbatim by DuckDB.
+    * Every third doc carries no PII and must pass through byte-identically.
+    */
+  private def redactPiiQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val raw = when(col("doc_id") % 3 === 2,
+        concat(lit("clean note "), col("doc_id").cast("string")))
+      .otherwise(concat(
+        lit("reach u"), col("doc_id").cast("string"),
+        lit("@mail"), (col("doc_id") % 7).cast("string"),
+        lit(".org or https://ex"), (col("doc_id") % 5).cast("string"),
+        lit(".com/d?id="), col("doc_id").cast("string"),
+        lit(" tel +1 (415) 555-0"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit(" end")))
+    d.select(col("doc_id"), raw.as("raw"), TF.redactPii(raw).as("redacted"))
+  }
+
   /** Token-budget sequence packing: 2000-token packs in doc_id order. */
   private def packBudgetedQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.packBudgeted(t(s, dir, "documents"), "doc_id", "text", budget = 2000)
@@ -1129,7 +1186,9 @@ object SparkEntry {
     "q_dsir_sample"         -> (dsirSampleQ(_, _)),
     "q_dedup_incremental"   -> (dedupIncrementalQ(_, _)),
     "q_ivf_quantized"       -> (ivfQuantizedQ(_, _)),
-    "q_chunk_dedup"         -> (chunkDedupQ(_, _)))
+    "q_chunk_dedup"         -> (chunkDedupQ(_, _)),
+    "q_curate_corpus_v2"    -> (curateCorpusV2Q(_, _)),
+    "q_redact_pii"          -> (redactPiiQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -1950,6 +2009,137 @@ object SparkEntry {
          |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
          |FROM documents d
          |WHERE d.doc_id % 7 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
+    // curation v2 replay: dedup keep-set, Gopher A1.1 keep rule (verbatim
+    // from q_gopher_filter), the full hashed-bigram nll chain (verbatim from
+    // q_perplexity, renamed CTEs), the literal band [0, 7.85], the surgical
+    // span rewrite against the benchmark quarter (verbatim from
+    // q_decontaminate_spans, scoped to banded docs), and packing over the
+    // REWRITTEN text — all five stages and their interactions
+    "q_curate_corpus_v2" ->
+      s"""WITH train AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 != 0),
+         |keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id,
+         |      trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), '\\s+', ' ', 'g')) AS k
+         |    FROM train) GROUP BY k
+         |),
+         |gt AS (
+         |  SELECT tr.doc_id, tr.text, $duckToks AS w FROM train tr JOIN keep USING (doc_id)
+         |), gm AS (
+         |  SELECT doc_id, len(w) AS words,
+         |    coalesce(list_sum([len(x) FOR x IN w]), 0) AS chars,
+         |    len(text) - len(replace(text, '#', '')) AS hashes,
+         |    (len(text) - len(replace(text, '...', ''))) // 3
+         |      + (len(text) - len(replace(text, '…', ''))) AS dots,
+         |    greatest(len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0]), 1) AS nlines,
+         |    len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0 AND regexp_matches(trim(l), '^[-*•]')]) AS bullets,
+         |    len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0 AND regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$')]) AS ells,
+         |    len([x FOR x IN w IF regexp_matches(x, '[a-z]')]) AS alphaw
+         |  FROM gt
+         |), gk AS (
+         |  SELECT doc_id FROM gm
+         |  WHERE (words >= 50 AND words <= 100000) AND (chars >= words*3 AND chars <= words*10)
+         |    AND (hashes*10 <= words AND dots*10 <= words)
+         |    AND bullets*10 <= nlines*9 AND ells*10 <= nlines*3
+         |    AND alphaw*5 >= words*4
+         |),
+         |ptok AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |ppos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS ord,
+         |    w[i - 1] AS prev, w[i] AS tok, len(w) - 1 AS npos
+         |  FROM ptok, unnest(range(2, len(w) + 1)) AS u(i) WHERE len(w) >= 2
+         |), ppb AS (
+         |  SELECT doc_id, ord, npos, prev || ' ' || tok AS bg, prev FROM ppos
+         |), ppk AS (
+         |  SELECT doc_id, ord, npos,
+         |    CAST(${duckFnvU("bg")} % 16384 AS BIGINT) AS b2,
+         |    CAST(${duckFnvU("prev")} % 16384 AS BIGINT) AS b1
+         |  FROM ppb
+         |), pcb AS (
+         |  SELECT b2 AS b, count(*) AS c FROM ppk WHERE doc_id % 5 = 0 GROUP BY 1
+         |), pcc AS (
+         |  SELECT b1 AS b, count(*) AS c FROM ppk WHERE doc_id % 5 = 0 GROUP BY 1
+         |), pterm AS (
+         |  SELECT ppk.doc_id, ppk.ord, ppk.npos,
+         |    ln(coalesce(pcb.c, 0) + 1.0) - ln(coalesce(pcc.c, 0) + 16384.0) AS t
+         |  FROM ppk LEFT JOIN pcb ON pcb.b = ppk.b2 LEFT JOIN pcc ON pcc.b = ppk.b1
+         |), pnll AS (
+         |  SELECT doc_id, round((-(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(t ORDER BY ord)), (a, x) -> a + x))) / npos, 6) AS nll
+         |  FROM pterm GROUP BY doc_id, npos
+         |),
+         |banded AS (
+         |  SELECT tr.doc_id, tr.text FROM train tr JOIN gk USING (doc_id)
+         |  LEFT JOIN pnll s ON s.doc_id = tr.doc_id
+         |  WHERE coalesce(s.nll, 0.0) >= 0.0 AND coalesce(s.nll, 0.0) <= 7.85
+         |),
+         |bt AS (
+         |  SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w FROM banded
+         |), benchw AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w FROM documents WHERE doc_id % 4 = 0
+         |), ssp0 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    lower(array_to_string(list_slice(w, i + 1, i + 16), ' ')) AS gram
+         |  FROM bt, unnest(range(0, len(w) - 16 + 1)) AS u(i) WHERE len(w) >= 16
+         |), ssp AS (
+         |  SELECT doc_id, pos, ${duckFnvU("gram")} AS hu FROM ssp0
+         |), ssps AS (
+         |  SELECT doc_id, pos, ${duckU2S("hu")} AS span_fp FROM ssp
+         |), bsp0 AS (
+         |  SELECT lower(array_to_string(list_slice(w, i + 1, i + 16), ' ')) AS gram
+         |  FROM benchw, unnest(range(0, len(w) - 16 + 1)) AS u(i) WHERE len(w) >= 16
+         |), bsp AS (
+         |  SELECT ${duckFnvU("gram")} AS hu FROM bsp0
+         |), bfp AS (
+         |  SELECT DISTINCT ${duckU2S("hu")} AS span_fp FROM bsp
+         |), cut AS (
+         |  SELECT s.doc_id, s.pos FROM ssps s JOIN bfp USING (span_fp)
+         |), tok AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS i, w[i + 1] AS tk
+         |  FROM bt, unnest(range(0, len(w))) AS u(i)
+         |  WHERE doc_id IN (SELECT doc_id FROM cut)
+         |), kept AS (
+         |  SELECT tk.doc_id, tk.i, tk.tk FROM tok tk
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+         |    WHERE c.doc_id = tk.doc_id AND tk.i >= c.pos AND tk.i < c.pos + 16)
+         |), rew AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN b.doc_id IN (SELECT doc_id FROM cut)
+         |         THEN COALESCE(k.t2, '') ELSE b.text END AS rw
+         |  FROM bt b LEFT JOIN (
+         |    SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS t2 FROM kept GROUP BY doc_id
+         |  ) k ON k.doc_id = b.doc_id
+         |), pc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split_regex(trim(rw), '\\s+'), x -> len(x) > 0)) AS n_tokens,
+         |    SUM(len(list_filter(string_split_regex(trim(rw), '\\s+'), x -> len(x) > 0)))
+         |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_after
+         |  FROM rew
+         |)
+         |SELECT CAST(FLOOR((cum_after - n_tokens) / 2000.0) AS BIGINT) AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM pc GROUP BY 1""".stripMargin,
+    // the synthesized PII column is a pure function of doc_id (string
+    // concat + lpad — identical builtins on both engines) and the redaction
+    // chain is TF.redactPii's exact regexes with 'g' — RE2-compatible by
+    // construction (no lookarounds/backreferences)
+    "q_redact_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 2 THEN 'clean note ' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'reach u' || CAST(doc_id AS VARCHAR) || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+        |           || '.org or https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/d?id='
+        |           || CAST(doc_id AS VARCHAR) || ' tel +1 (415) 555-0'
+        |           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' end' END AS raw
+        |  FROM documents)
+        |SELECT doc_id, raw,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(raw,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '\+?([0-9][()\-\. ]*){6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM p""".stripMargin,
     "q_kmeans_assign" ->
       """WITH c AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb
@@ -2037,10 +2227,11 @@ object SparkEntry {
     // cross-corpus span removal: train windows whose fingerprint appears in
     // the benchmark quarter become cuts (ALL occurrences), token kept iff
     // uncovered, text re-joined; train docs absent from the cut list pass
-    // through the rewrite byte-identically (modulo token normalization)
+    // through with their ORIGINAL text byte-identically (whitespace intact —
+    // only documents that actually lose a span are token-rejoined)
     "q_decontaminate_spans" ->
       s"""WITH t AS (
-         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w FROM documents WHERE doc_id % 4 != 0
+         |  SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w FROM documents WHERE doc_id % 4 != 0
          |), bt AS (
          |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w FROM documents WHERE doc_id % 4 = 0
          |), sp0 AS (
@@ -2063,22 +2254,26 @@ object SparkEntry {
          |), tok AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS i, w[i + 1] AS tk
          |  FROM t, unnest(range(0, len(w))) AS u(i)
+         |  WHERE doc_id IN (SELECT doc_id FROM cut)
          |), kept AS (
          |  SELECT tk.doc_id, tk.i, tk.tk FROM tok tk
          |  WHERE NOT EXISTS (SELECT 1 FROM cut c
          |    WHERE c.doc_id = tk.doc_id AND tk.i >= c.pos AND tk.i < c.pos + 16)
          |)
-         |SELECT t.doc_id, COALESCE(k.text, '') AS text
+         |SELECT t.doc_id,
+         |  CASE WHEN t.doc_id IN (SELECT doc_id FROM cut)
+         |       THEN COALESCE(k.text, '') ELSE t.text END AS text
          |FROM t LEFT JOIN (
          |  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id
          |) k ON k.doc_id = t.doc_id""".stripMargin,
     // the removal replay: same stride-1 census, first occurrence per fp by
     // (doc_id, pos), all other occurrences become cuts, token kept iff no
-    // cut covers its index, text re-joined in token order (docs losing
-    // every token — or token-less to begin with — emit '')
+    // cut covers its index, text re-joined in token order (a doc losing
+    // every token emits ''); docs with NO cuts keep their ORIGINAL text
+    // byte-identically — whitespace intact
     "q_remove_spans" ->
       s"""WITH t AS (
-         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w FROM documents
+         |  SELECT doc_id, text, list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0) AS w FROM documents
          |), tt AS (
          |  SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) >= 16
          |), sp0 AS (
@@ -2100,12 +2295,15 @@ object SparkEntry {
          |), tok AS (
          |  SELECT doc_id, CAST(i AS BIGINT) AS i, w[i + 1] AS tk
          |  FROM t, unnest(range(0, len(w))) AS u(i)
+         |  WHERE doc_id IN (SELECT doc_id FROM cut)
          |), kept AS (
          |  SELECT tk.doc_id, tk.i, tk.tk FROM tok tk
          |  WHERE NOT EXISTS (SELECT 1 FROM cut c
          |    WHERE c.doc_id = tk.doc_id AND tk.i >= c.pos AND tk.i < c.pos + 16)
          |)
-         |SELECT t.doc_id, COALESCE(k.text, '') AS text
+         |SELECT t.doc_id,
+         |  CASE WHEN t.doc_id IN (SELECT doc_id FROM cut)
+         |       THEN COALESCE(k.text, '') ELSE t.text END AS text
          |FROM t LEFT JOIN (
          |  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS text FROM kept GROUP BY doc_id
          |) k ON k.doc_id = t.doc_id""".stripMargin,

@@ -188,6 +188,30 @@ object BloomUtil {
     }
     true
   }
+
+  /** Long-keyed variants: the member is an 8-byte fingerprint (e.g. a span
+    * FNV), not a string — the build side collects longs, ~12× less driver
+    * traffic than the span strings they fingerprint, and the probe hashes
+    * one word instead of re-walking bytes.
+    */
+  def addLong(v: Long, bits: Array[Long], numHashes: Int, m: Long): Unit = {
+    var i = 0
+    while (i < numHashes) {
+      val pos = java.lang.Math.floorMod(XXH64.hashLong(v, i.toLong), m)
+      bits((pos >>> 6).toInt) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
+  def containsLong(v: Long, bits: Array[Long], numHashes: Int, m: Long): Boolean = {
+    var i = 0
+    while (i < numHashes) {
+      val pos = java.lang.Math.floorMod(XXH64.hashLong(v, i.toLong), m)
+      if ((bits((pos >>> 6).toInt) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
 }
 
 /** Native Bloom-filter membership probe over a string column. The bitmap
@@ -236,6 +260,48 @@ case class BloomMightContain(child: Expression, bits: Array[Long],
     val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expressions.BloomUtil.contains($c, $bitsRef, $numHashes, ${m}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** [[BloomMightContain]] for a LONG child: probes an 8-byte fingerprint
+  * column against a fingerprint-built bitmap (see [[BloomUtil.addLong]]).
+  * Same canonicalization contract — content equality over the bitmap with an
+  * O(1) sampled hash.
+  */
+case class BloomMightContainLong(child: Expression, bits: Array[Long],
+                                 numHashes: Int, m: Long) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain_long"
+
+  override def equals(other: Any): Boolean = other match {
+    case o: BloomMightContainLong =>
+      child == o.child && numHashes == o.numHashes && m == o.m &&
+        java.util.Arrays.equals(bits, o.bits)
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    val sample = if (bits.isEmpty) 0L else bits(0) ^ bits(bits.length - 1) ^ bits.length
+    java.util.Objects.hash(child, Integer.valueOf(numHashes),
+      java.lang.Long.valueOf(m), java.lang.Long.valueOf(sample))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BloomUtil.containsLong(input.asInstanceOf[Long], bits, numHashes, m)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.BloomUtil.containsLong($c, $bitsRef, $numHashes, ${m}L);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -124,6 +124,39 @@ object ShingleUtil {
       i += 1
     }
     -sum / (n - 1)
+  }
+
+  /** Coverage-mask span rewrite: the tokens NOT covered by any
+    * `[start, start + window)` cut, re-joined with single spaces. Cut starts
+    * are copied out, sorted once, and swept alongside the token index with a
+    * running `coveredUntil` watermark, so a document that is mostly cuts
+    * costs O(tokens + cuts·log cuts) — not the O(tokens × cuts) of the
+    * per-token `exists(cuts, …)` HOF formulation this replaces (which also
+    * interpreted two lambdas per token).
+    */
+  def spanCutRewrite(tokens: ArrayData, cuts: ArrayData, window: Int): UTF8String = {
+    val n = tokens.numElements()
+    val m = cuts.numElements()
+    val starts = new Array[Long](m)
+    var i = 0
+    while (i < m) { starts(i) = cuts.getLong(i); i += 1 }
+    java.util.Arrays.sort(starts)
+    val kept = new Array[UTF8String](n)
+    var k = 0
+    var j = 0
+    var coveredUntil = Long.MinValue
+    i = 0
+    while (i < n) {
+      while (j < m && starts(j) <= i) {
+        val end = starts(j) + window
+        if (end > coveredUntil) coveredUntil = end
+        j += 1
+      }
+      if (i >= coveredUntil) { kept(k) = tokens.getUTF8String(i); k += 1 }
+      i += 1
+    }
+    UTF8String.concatWs(space,
+      (if (k == n) kept else java.util.Arrays.copyOfRange(kept, 0, k)): _*)
   }
 
   /** Random-hyperplane bucket ids, one per table. `planes` is laid out flat
@@ -324,4 +357,44 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Coverage-mask span rewrite over `(tokens array<string>, cut starts
+  * array<bigint>)` — the ONE rewrite kernel shared by
+  * [[graft.pipeline.TrainingData.removeRepeatedSpans]],
+  * [[graft.pipeline.TrainingData.decontaminateSpans]], and the streaming
+  * [[graft.pipeline.TrainingData.decontaminateSpansGate]]. Native because the
+  * HOF formulation (`filter(toks, (t,i) => !exists(cuts, p => …))`) is
+  * O(tokens × cuts) per row — quadratic on a document that is mostly
+  * repeated/contaminated spans, the exact worst case a span remover exists
+  * for — and because one definition keeps the three call sites from
+  * diverging (they were three verbatim copies of the lambda tree).
+  */
+case class SpanCutRewrite(left: Expression, right: Expression, window: Int)
+    extends BinaryExpression {
+  require(window > 0, "window must be positive")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "span_cut_rewrite"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<bigint>), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  override def nullSafeEval(toks: Any, cuts: Any): Any =
+    ShingleUtil.spanCutRewrite(
+      toks.asInstanceOf[ArrayData], cuts.asInstanceOf[ArrayData], window)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, c) =>
+      s"${ev.value} = graft.expressions.ShingleUtil.spanCutRewrite($t, $c, $window);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

@@ -246,7 +246,7 @@ object TrainingData {
       require(f >= 0.0 && f <= 1.0, s"fraction for $k out of [0,1]: $f")
       k -> math.round(f * resolution).toInt
     }
-    val thr = coalesce(element_at(typedlit(thresholds), col(strataCol)), lit(0))
+    val thr = coalesce(element_at(typedlit(thresholds), col(strataCol).cast("string")), lit(0))
     df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")), lit(resolution.toLong)) < thr)
   }
 
@@ -330,9 +330,13 @@ object TrainingData {
       "targets must be non-empty positive shares")
     val pTot = targets.values.sum
     val p = targets.map { case (k, v) => k -> v / pTot }
+    // strataCol is CAST to string on both the census and the lookup side:
+    // targets keys are strings, and a non-string stratum (an int region
+    // code, say) would otherwise ClassCastException at gate construction
+    val strata = col(strataCol).cast("string")
     val counts = census
-      .filter(col(strataCol).isin(targets.keys.toSeq: _*))
-      .groupBy(col(strataCol))
+      .filter(strata.isin(targets.keys.toSeq: _*))
+      .groupBy(strata.as("__s"))
       .agg(sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // the binding stratum: the one whose measured tokens cover the smallest
@@ -342,7 +346,7 @@ object TrainingData {
       val t = counts.getOrElse(s, 0L)
       s -> (if (t == 0L) 0 else math.round(share * m / t * resolution).toInt)
     }
-    val thr = coalesce(element_at(typedlit(thresholds), col(strataCol)), lit(0))
+    val thr = coalesce(element_at(typedlit(thresholds), col(strataCol).cast("string")), lit(0))
     df => df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")),
       lit(resolution.toLong)) < thr)
   }
@@ -364,18 +368,23 @@ object TrainingData {
     * broadcast joins (candidate generation, verification), never shuffling
     * wholesale. But "small by premise" is not a guarantee — [[dedupAgainst]]
     * passes an arbitrary ingestion DELTA as this side — so the broadcasts
-    * are GATED on the bench row count (`broadcastMaxRows`, mirroring
-    * [[graft.dedup.Dedup.semanticDedup]]): above the gate the same plan
+    * are GATED on the bench side's estimated EXPLODED volume, not its doc
+    * count: what actually broadcasts is the banded-bucket table (docs ×
+    * `params.bands` rows) and the shingle sets (~one shingle per token), so
+    * the gate compares `max(docs × bands, total tokens)` against
+    * `broadcastMaxRows` — a doc-count gate would under-measure by orders of
+    * magnitude and admit multi-GB broadcasts. Above the gate the same plan
     * degrades to shuffle joins instead of OOMing every executor. The
     * candidate-pair set is deliberately NOT hint-broadcast: it is the
     * output of a shuffle (`distinct`), so AQE sees its EXACT runtime size
     * and picks broadcast-hash vs shuffle join itself — runtime facts beat a
     * compile-time guess for a set whose size depends on how dup-heavy the
-    * corpus is. Pass `benchN` if the caller already knows the count (skips
-    * one count job). NOTE the gate makes plan CONSTRUCTION eager: without
-    * `benchN` a count job runs when the DataFrame is built, not when it is
+    * corpus is. Pass `benchN` if the caller already knows the exploded
+    * broadcast volume (skips one stats job). NOTE the gate makes plan
+    * CONSTRUCTION eager: without `benchN` a one-aggregate stats job
+    * (count + token sum) runs when the DataFrame is built, not when it is
     * executed — the deliberate price of deciding broadcast-vs-shuffle from
-    * a fact instead of a guess (the count scans only the small-by-premise
+    * a fact instead of a guess (the job scans only the small-by-premise
     * side).
     */
   def fuzzyDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
@@ -383,7 +392,12 @@ object TrainingData {
                          params: Dedup.MinHashParams = Dedup.MinHashParams(),
                          benchN: Long = -1L,
                          broadcastMaxRows: Long = 500000L): DataFrame = {
-    val bN = if (benchN >= 0) benchN else bench.count()
+    val bN = if (benchN >= 0) benchN else {
+      val stats = bench.agg(count(lit(1)).as("d"),
+        coalesce(sum(TextFunctions.tokenCount(col(textCol)).cast("long")), lit(0L)).as("t"))
+        .head()
+      math.max(stats.getLong(0) * params.bands, stats.getLong(1))
+    }
     val bcast: DataFrame => DataFrame =
       if (bN <= broadcastMaxRows) broadcast(_) else identity
     val trainSh = Dedup.shingleSets(train, idCol, textCol, n)
@@ -540,6 +554,24 @@ object TrainingData {
   private def rawToks(c: org.apache.spark.sql.Column) =
     filter(split(trim(c), "\\s+"), t => length(t) > 0)
 
+  /** The shared rewrite tail of [[removeRepeatedSpans]] /
+    * [[decontaminateSpans]]: `__toks` + a nullable `__cuts` (array of span
+    * start positions) → the rewritten text. Documents with NO cuts pass
+    * through with their ORIGINAL text — newlines, tabs, and indentation
+    * intact (a corpus-wide single-space re-join would structurally damage
+    * every code/markdown document to cut a span from a few); only documents
+    * that actually lose a span are token-rejoined. The per-row kernel is the
+    * native sorted-cuts coverage sweep
+    * ([[graft.expressions.SpanCutRewrite]]), O(tokens + cuts·log cuts)
+    * instead of the O(tokens × cuts) `exists` scan it replaces.
+    */
+  private def rewriteWithCuts(textCol: String, window: Int): org.apache.spark.sql.Column = {
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    when(col("__cuts").isNull, col(textCol))
+      .otherwise(br.column(graft.expressions.SpanCutRewrite(
+        br.expression(col("__toks")), br.expression(col("__cuts")), window)))
+  }
+
   /** Stride-1 span fingerprints `(idCol, pos, span_fp)` — the shared
     * generator behind [[repeatedSpans]] and [[decontaminateSpans]] (one
     * definition, so tokenizer/fingerprint changes cannot silently diverge
@@ -600,14 +632,9 @@ object TrainingData {
       .filter(!(col(idCol) === col("__first.__fid") && col("pos") === col("__first.__fpos")))
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("__cuts"))
-    df.select(col(idCol), rawToks(col(textCol)).as("__toks"))
+    df.select(col(idCol), col(textCol), rawToks(col(textCol)).as("__toks"))
       .join(cuts, Seq(idCol), "left")
-      .select(col(idCol),
-        array_join(
-          filter(col("__toks"), (t, i) =>
-            col("__cuts").isNull ||
-              !exists(col("__cuts"), p => i >= p && i < p + window)),
-          " ").as(textCol))
+      .select(col(idCol), rewriteWithCuts(textCol, window).as(textCol))
   }
 
   /** Hashed-bigram LM perplexity scoring (the CCNet-style quality signal,
@@ -629,14 +656,34 @@ object TrainingData {
     */
   def perplexityScore(df: DataFrame, target: DataFrame, idCol: String,
                       textCol: String, buckets: Int = 16384): DataFrame = {
+    val (lnBi, lnCtx) = bigramLmTables(target, textCol, buckets)
+    df.select(col(idCol), round(nllOf(textCol, lnBi, lnCtx, buckets), 6).as("nll"))
+  }
+
+  private def lowerToks(text: org.apache.spark.sql.Column) =
+    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+
+  private def nllOf(textCol: String, lnBi: Array[Double], lnCtx: Array[Double],
+                    buckets: Int): org.apache.spark.sql.Column = {
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    br.column(graft.expressions.BigramNll(
+      br.expression(lowerToks(col(textCol))), lnBi, lnCtx, buckets))
+  }
+
+  /** The smoothed log tables `(ln(c_bigram + 1), ln(c_context + B))` of the
+    * hashed-bigram LM estimated from `target` — the shared model build of
+    * [[perplexityScore]] and [[perplexityGate]] (one definition, so the
+    * batch scorer and the streaming gate cannot silently diverge on
+    * tokenizer, hash, or smoothing).
+    */
+  private def bigramLmTables(target: DataFrame, textCol: String,
+                             buckets: Int): (Array[Double], Array[Double]) = {
     require(buckets > 0, "buckets must be positive")
-    def toksOf(text: org.apache.spark.sql.Column) =
-      filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
     def ctxBucket(tok: org.apache.spark.sql.Column) =
       pmod(TextFunctions.fnv1a64(tok), lit(buckets.toLong))
     def biBucket(prev: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
       pmod(TextFunctions.fnv1a64(concat_ws(" ", prev, tok)), lit(buckets.toLong))
-    val tt = target.select(toksOf(col(textCol)).as("__t")).filter(size(col("__t")) >= 2)
+    val tt = target.select(lowerToks(col(textCol)).as("__t")).filter(size(col("__t")) >= 2)
     def hist(pairs: DataFrame, bucket: org.apache.spark.sql.Column): Array[Long] = {
       val rows = pairs.groupBy(bucket.as("b")).agg(count(lit(1)).as("c")).collect()
       val arr = new Array[Long](buckets)
@@ -657,12 +704,31 @@ object TrainingData {
     // precomputed log tables: the scoring loop (native BigramNll — the HOF
     // formulation was CodegenFallback-interpreted, 8.4 s at sf0.1) does
     // pure lookups; identical doubles to computing ln per row
-    val lnBi = cBi.map(c => math.log(c + 1.0))
-    val lnCtx = cCtx.map(c => math.log(c + buckets.toDouble))
-    val br = org.apache.spark.sql.graft.ColumnBridge
-    val nll = br.column(graft.expressions.BigramNll(
-      br.expression(toksOf(col(textCol))), lnBi, lnCtx, buckets))
-    df.select(col(idCol), round(nll, 6).as("nll"))
+    (cBi.map(c => math.log(c + 1.0)), cCtx.map(c => math.log(c + buckets.toDouble)))
+  }
+
+  /** The gate form of [[perplexityScore]] for STREAMING curation (the CCNet
+    * band-pass): the bigram LM is estimated ONCE from a static `target`
+    * corpus at construction; the returned transform keeps rows whose
+    * `round(nll, 6)` lies in `[minNll, maxNll]` — a stateless codegen'd
+    * filter (weight tables ride as array-literal reference objects), so the
+    * same keep rule runs verbatim in a live stream or a batch experiment,
+    * like [[mixFilter]] and [[decontaminateSpansGate]]. Degenerate docs
+    * (< 2 tokens) score exactly 0.0: at the default `minNll = 0.0` they
+    * PASS — raise `minNll` above 0 to drop them (any real-text nll is > 0
+    * in practice; CCNet's head/middle band is two-sided anyway). Null-text
+    * rows DROP (a null never passes a filter), matching [[mixFilter]]'s
+    * null-key behavior.
+    */
+  def perplexityGate(target: DataFrame, textCol: String, maxNll: Double,
+                     minNll: Double = 0.0,
+                     buckets: Int = 16384): DataFrame => DataFrame = {
+    require(maxNll >= minNll, s"maxNll $maxNll < minNll $minNll")
+    val (lnBi, lnCtx) = bigramLmTables(target, textCol, buckets)
+    df => {
+      val nll = round(nllOf(textCol, lnBi, lnCtx, buckets), 6)
+      df.filter(nll >= minNll && nll <= maxNll)
+    }
   }
 
   /** Surgical span-level decontamination: rewrites TRAINING documents with
@@ -696,14 +762,9 @@ object TrainingData {
       .join(bcast(benchFps), "span_fp")
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("__cuts"))
-    train.select(col(idCol), rawToks(col(textCol)).as("__toks"))
+    train.select(col(idCol), col(textCol), rawToks(col(textCol)).as("__toks"))
       .join(cuts, Seq(idCol), "left")
-      .select(col(idCol),
-        array_join(
-          filter(col("__toks"), (t, i) =>
-            col("__cuts").isNull ||
-              !exists(col("__cuts"), p => i >= p && i < p + window)),
-          " ").as(textCol))
+      .select(col(idCol), rewriteWithCuts(textCol, window).as(textCol))
   }
 
   /** The gate form of [[decontaminateSpans]] for STREAMING curation: the
@@ -719,31 +780,50 @@ object TrainingData {
     */
   def decontaminateSpansGate(bench: DataFrame, idCol: String, textCol: String,
                              window: Int = 16,
-                             fpp: Double = 1e-4): DataFrame => DataFrame = {
-    import graft.expressions.{BloomMightContain, BloomUtil}
-    val benchFps = bench.select(rawToks(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) >= window)
-      .select(explode(sequence(lit(0), size(col("__toks")) - window)).as("start"),
-        col("__toks"))
-      .select(lower(array_join(slice(col("__toks"), col("start") + 1, lit(window)), " ")).as("g"))
-      .distinct().collect().map(_.getString(0))
-    val (m, k) = BloomUtil.sized(math.max(1L, benchFps.length.toLong), fpp)
+                             fpp: Double = 1e-4,
+                             maxFingerprints: Long = 10000000L): DataFrame => DataFrame = {
+    import graft.expressions.{BloomMightContainLong, BloomUtil}
+    require(maxFingerprints > 0 && maxFingerprints < Int.MaxValue.toLong,
+      s"maxFingerprints out of (0, 2^31): $maxFingerprints")
+    // collect the 8-byte span FINGERPRINTS, not the span strings: the same
+    // spanFingerprints generator as the batch path (one tokenizer, one hash —
+    // the two can't diverge), ~12× less driver traffic than ~100-byte span
+    // text, and `limit(max+1)` bounds the collect BEFORE it happens. The
+    // guard is a hard error, not a degrade: a streaming gate has no shuffle
+    // fallback (the bitmap must ride into every task's codegen), so an
+    // over-budget benchmark belongs on the batch [[decontaminateSpans]]
+    // path, or the caller raises the cap deliberately.
+    val fps: Array[Long] = spanFingerprints(bench, idCol, textCol, window)
+      .select(col("span_fp")).distinct()
+      .limit(maxFingerprints.toInt + 1)
+      .collect().map(_.getLong(0))
+    require(fps.length.toLong <= maxFingerprints,
+      s"decontaminateSpansGate: benchmark exceeds $maxFingerprints distinct span " +
+        "fingerprints — a streaming gate ships its Bloom bitmap to every task and has " +
+        "no shuffle fallback; decontaminate a corpus this size with the batch " +
+        "decontaminateSpans, or raise maxFingerprints deliberately")
+    val (m, k) = BloomUtil.sized(math.max(1L, fps.length.toLong), fpp)
     val bits = new Array[Long]((m >>> 6).toInt)
-    benchFps.foreach(s =>
-      BloomUtil.add(org.apache.spark.unsafe.types.UTF8String.fromString(s), bits, k, m))
+    fps.foreach(BloomUtil.addLong(_, bits, k, m))
+    val br = org.apache.spark.sql.graft.ColumnBridge
     def mightContain(c: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.graft.ColumnBridge.column(BloomMightContain(
-        org.apache.spark.sql.graft.ColumnBridge.expression(c), bits, k, m))
+      br.column(BloomMightContainLong(br.expression(c), bits, k, m))
     df => {
       val tk = rawToks(col(textCol))
-      // per-row cut starts: window positions whose lowered text probes the
-      // bloom; the rewrite reassembles the RAW tokens (user casing intact)
+      // per-row cut starts: window positions whose lowered-text fingerprint
+      // probes the bloom; the rewrite reassembles the RAW tokens via the
+      // shared coverage-mask kernel. Rows with no cuts (including every doc
+      // shorter than the window) keep their ORIGINAL text — same
+      // whitespace-preservation contract as the batch path.
       val cutStarts = filter(sequence(lit(0), size(tk) - window),
-        s => mightContain(lower(array_join(slice(tk, s + 1, lit(window)), " "))))
-      val rewritten = when(size(tk) < window, array_join(tk, " "))
-        .otherwise(array_join(
-          filter(tk, (t, i) => !exists(cutStarts, p => i >= p && i < p + window)),
-          " "))
+        s => mightContain(TextFunctions.fnv1a64(
+          lower(array_join(slice(tk, s + 1, lit(window)), " ")))))
+      val rewritten = when(size(tk) < window, col(textCol))
+        .otherwise(when(size(cutStarts) === 0, col(textCol))
+          .otherwise(br.column(graft.expressions.SpanCutRewrite(
+            br.expression(tk),
+            br.expression(cutStarts.cast("array<bigint>")),
+            window))))
       df.withColumn(textCol, rewritten)
     }
   }
@@ -794,7 +874,10 @@ object TrainingData {
     * matched delta ids. A delta is NOT small by premise the way a benchmark
     * is, so the inherited `broadcastMaxRows` gate matters here: a bulk
     * backfill delta above the gate falls back to shuffle joins instead of
-    * broadcasting GBs to every executor.
+    * broadcasting GBs to every executor. `freshN`, when passed, is the
+    * delta's estimated exploded broadcast volume
+    * (`max(docs × bands, total tokens)` — see [[fuzzyDecontaminate]]), not
+    * its doc count.
     */
   def dedupAgainst(fresh: DataFrame, corpus: DataFrame, idCol: String,
                    textCol: String, n: Int = 5, threshold: Double = 0.8,

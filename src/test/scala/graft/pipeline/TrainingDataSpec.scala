@@ -156,7 +156,8 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(removed(1L).get === ("w " * 40).trim)
     assert(removed(2L).isEmpty)          // null text stays null
-    assert(removed(3L).get === "" && removed(4L).get === "")
+    // no cuts -> ORIGINAL text passes through, whitespace and all
+    assert(removed(3L).get === "" && removed(4L).get === "   ")
     val decon = TrainingData.decontaminateSpans(
       dirty, dirty.filter(col("doc_id") === 1L), "doc_id", "text")
     assert(decon.count() === 5)
@@ -243,6 +244,58 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(dedup(10L) === other)
     assert(dedup(11L) === "") // every token covered by some repeated window
+  }
+
+  test("span rewrites: untouched docs byte-identical (whitespace intact); all-repeats doc is linear") {
+    val quote = (1 to 16).map(i => s"q$i").mkString(" ")
+    // a code-shaped doc with newlines/tabs and no repeated span must come
+    // back BYTE-identical — a corpus-wide single-space re-join would destroy
+    // the structure of every code/markdown doc to cut spans from a few
+    val code = "def f(x):\n\treturn x + 1\n\n# " + (1 to 12).map(i => s"u$i").mkString("\n")
+    val df = Seq(
+      (1L, quote + " " + (1 to 20).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 7).map(i => s"b$i").mkString(" ") + " " + quote),
+      (3L, code)).toDF("doc_id", "text")
+    val out = TrainingData.removeRepeatedSpans(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(3L) === code)
+    val bench = Seq((100L, quote)).toDF("doc_id", "text")
+    val dOut = TrainingData.decontaminateSpans(df, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dOut(3L) === code)
+    assert(dOut(2L) === (1 to 7).map(i => s"b$i").mkString(" ")) // quote cut, prefix kept
+    // the streaming gate shares the contract: clean docs pass through untouched
+    val gated = TrainingData.decontaminateSpansGate(bench, "doc_id", "text")(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(gated(3L) === code)
+    assert(gated(2L) === (1 to 7).map(i => s"b$i").mkString(" "))
+    // pathological all-repeats shape (cuts ≈ tokens — the quadratic worst
+    // case of the old per-token exists scan): a full duplicate of a 4000-token
+    // doc. The copy collapses to ''; the original is untouched.
+    val big = (1 to 4000).map(i => s"t${i % 97}x$i").mkString(" ")
+    val dd = TrainingData.removeRepeatedSpans(
+        Seq((10L, big), (11L, big)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dd(10L) === big && dd(11L) === "")
+  }
+
+  test("decontaminateSpansGate: fingerprint-count guard trips above maxFingerprints") {
+    val bench = Seq(
+      (1L, (1 to 40).map(i => s"g$i").mkString(" ")),
+      (2L, (100 to 140).map(i => s"g$i").mkString(" "))).toDF("doc_id", "text")
+    // 25 + 26 stride-1 windows = 51 distinct fingerprints: over a cap of 10
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.decontaminateSpansGate(bench, "doc_id", "text",
+        maxFingerprints = 10L)
+    }
+    assert(e.getMessage.contains("no shuffle fallback"))
+    // at a sufficient cap the same benchmark builds fine
+    val gate = TrainingData.decontaminateSpansGate(bench, "doc_id", "text",
+      maxFingerprints = 100L)
+    val out = gate(Seq((5L, (1 to 16).map(i => s"g$i").mkString(" ") + " tail"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(5L) === "tail")
   }
 
   test("leakFreeSplit: no near-dup pair straddles a split; singletons hash-split by own id (sf0.01)") {

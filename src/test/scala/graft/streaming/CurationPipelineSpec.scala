@@ -197,6 +197,58 @@ class CurationPipelineSpec extends SparkSpec {
     assert(streamed(2L) === (1 to 30).map(i => s"c$i").mkString(" "))
   }
 
+  test("streaming perplexity gate: same keeps in live stream and batch experiment") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq(
+      (100L, "the quantum state collapses when the quantum state is measured"),
+      (101L, "quantum computing uses the quantum state of qubits")).toDF("doc_id", "text")
+    val incoming = Seq(
+      RawDoc(1, t("2024-01-01 00:00:01"),
+        "the quantum state of qubits collapses when measured"),   // target-like
+      RawDoc(2, t("2024-01-01 00:00:02"),
+        "football referee penalty offside corner goalkeeper"),     // off-domain
+      RawDoc(3, t("2024-01-01 00:00:03"), "single"))               // degenerate -> nll 0
+    // threshold between the two real docs' scores: doc 1 passes, doc 2 drops
+    val scores = graft.pipeline.TrainingData.perplexityScore(
+        incoming.toDF(), target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) < scores(2L))
+    val maxNll = (scores(1L) + scores(2L)) / 2
+    val gate = graft.pipeline.TrainingData.perplexityGate(target, "text", maxNll)
+    val topo = Topology(
+      entities = Map(
+        "raw-docs" -> Topic("raw-docs"),
+        "ppl"      -> Stream("ppl", gate),
+        "kept"     -> Topic("kept")),
+      workflow = Seq("raw-docs" -> "ppl", "ppl" -> "kept"))
+    val in = MemoryStream[RawDoc]
+    in.addData(incoming: _*)
+    val engine = StreamRunner.start(
+      topo, Map("raw-docs" -> in.toDF()),
+      (sink, df) => df.writeStream.format("memory")
+        .queryName("t_ppl").trigger(Trigger.AvailableNow()).start())
+    engine.processAllAvailable()
+    engine.stop()
+    val streamed = spark.table("t_ppl").select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = topo.experiment(Map("raw-docs" -> incoming.toDF()))("kept")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed === batch)
+    // target-like passes, off-domain drops, degenerate (nll = 0) passes at minNll = 0
+    assert(streamed === Set(1L, 3L))
+    // raising minNll above zero drops the degenerate doc in both contexts
+    val strict = graft.pipeline.TrainingData.perplexityGate(
+      target, "text", maxNll, minNll = 1e-6)
+    val strictBatch = Topology(
+      entities = Map(
+        "raw-docs" -> Topic("raw-docs"),
+        "ppl"      -> Stream("ppl", strict),
+        "kept"     -> Topic("kept")),
+      workflow = Seq("raw-docs" -> "ppl", "ppl" -> "kept"))
+      .experiment(Map("raw-docs" -> incoming.toDF()))("kept")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(strictBatch === Set(1L))
+  }
+
   test("streaming decontamination filter: same drops in live stream and batch experiment") {
     implicit val sqlCtx = spark.sqlContext
     // benchmark corpus = doc 1's text: docs 1 and 2 share 5-grams with it
