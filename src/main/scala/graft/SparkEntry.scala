@@ -961,6 +961,26 @@ object SparkEntry {
     d.select(col("doc_id"), raw.as("raw"), TF.redactPii(raw).as("redacted"))
   }
 
+  /** Boilerplate line removal over deterministically synthesized multi-line
+    * docs (the corpus text itself is single-line): every doc except the
+    * `doc_id % 10 == 7` slice gets a per-source header, a blank separator
+    * line, and a corpus-wide footer wrapped around its text. The header
+    * (~1/5 of docs each) and footer (~9/10 of docs) cross `minDocs = 30`;
+    * the body lines don't. Expected: wrapped docs keep `"\n" + body` (the
+    * blank line survives — only NON-blank repeated lines are boilerplate),
+    * and the `% 10 == 7` slice passes through byte-identically.
+    */
+  private def removeBoilerplateQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val raw = when(col("doc_id") % 10 === 7, col("text"))
+      .otherwise(concat(
+        lit("NOTICE: auto-generated export from "), col("source"), lit("\n\n"),
+        col("text"),
+        lit("\ncontact support at example dot org")))
+    TrainingData.removeBoilerplate(
+      d.select(col("doc_id"), raw.as("text")), "doc_id", "text", minDocs = 30)
+  }
+
   /** Token-budget sequence packing: 2000-token packs in doc_id order. */
   private def packBudgetedQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.packBudgeted(t(s, dir, "documents"), "doc_id", "text", budget = 2000)
@@ -1188,7 +1208,8 @@ object SparkEntry {
     "q_ivf_quantized"       -> (ivfQuantizedQ(_, _)),
     "q_chunk_dedup"         -> (chunkDedupQ(_, _)),
     "q_curate_corpus_v2"    -> (curateCorpusV2Q(_, _)),
-    "q_redact_pii"          -> (redactPiiQ(_, _)))
+    "q_redact_pii"          -> (redactPiiQ(_, _)),
+    "q_remove_boilerplate"  -> (removeBoilerplateQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -2119,6 +2140,43 @@ object SparkEntry {
          |SELECT CAST(FLOOR((cum_after - n_tokens) / 2000.0) AS BIGINT) AS pack_id,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM pc GROUP BY 1""".stripMargin,
+    // boilerplate-line replay: same synthesized wrapper, line census by
+    // trimmed-lowered FNV fingerprint over non-blank lines, drop lines in
+    // >= 30 distinct docs, re-join kept lines (blank ones included) with
+    // newlines; docs losing no line pass through byte-identically
+    "q_remove_boilerplate" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 = 7 THEN text
+         |         ELSE 'NOTICE: auto-generated export from ' || source || chr(10) || chr(10)
+         |           || text || chr(10) || 'contact support at example dot org' END AS raw
+         |  FROM documents
+         |), lpos AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ln[i] AS line
+         |  FROM (SELECT doc_id, string_split(raw, chr(10)) AS ln FROM p),
+         |    unnest(range(1, len(ln) + 1)) AS u(i)
+         |), nb0 AS (
+         |  SELECT doc_id, pos, lower(trim(line)) AS nline FROM lpos WHERE len(trim(line)) > 0
+         |), nb1 AS (
+         |  SELECT doc_id, pos, ${duckFnvU("nline")} AS hu FROM nb0
+         |), nb AS (
+         |  SELECT doc_id, pos, ${duckU2S("hu")} AS line_fp FROM nb1
+         |), boiler AS (
+         |  SELECT line_fp FROM nb GROUP BY line_fp HAVING count(DISTINCT doc_id) >= 30
+         |), cut AS (
+         |  SELECT nb.doc_id, nb.pos FROM nb JOIN boiler USING (line_fp)
+         |), kept AS (
+         |  SELECT l.doc_id, l.pos, l.line FROM lpos l
+         |  WHERE l.doc_id IN (SELECT doc_id FROM cut)
+         |    AND NOT EXISTS (SELECT 1 FROM cut c
+         |      WHERE c.doc_id = l.doc_id AND c.pos = l.pos)
+         |), agg AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2 FROM kept GROUP BY doc_id
+         |)
+         |SELECT p.doc_id,
+         |  CASE WHEN p.doc_id IN (SELECT doc_id FROM cut)
+         |       THEN COALESCE(a.t2, '') ELSE p.raw END AS text
+         |FROM p LEFT JOIN agg a ON a.doc_id = p.doc_id""".stripMargin,
     // the synthesized PII column is a pure function of doc_id (string
     // concat + lpad — identical builtins on both engines) and the redaction
     // chain is TF.redactPii's exact regexes with 'g' — RE2-compatible by

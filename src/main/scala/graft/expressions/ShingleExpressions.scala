@@ -134,7 +134,8 @@ object ShingleUtil {
     * per-token `exists(cuts, …)` HOF formulation this replaces (which also
     * interpreted two lambdas per token).
     */
-  def spanCutRewrite(tokens: ArrayData, cuts: ArrayData, window: Int): UTF8String = {
+  def spanCutRewrite(tokens: ArrayData, cuts: ArrayData, window: Int,
+                     sep: UTF8String): UTF8String = {
     val n = tokens.numElements()
     val m = cuts.numElements()
     val starts = new Array[Long](m)
@@ -155,8 +156,41 @@ object ShingleUtil {
       if (i >= coveredUntil) { kept(k) = tokens.getUTF8String(i); k += 1 }
       i += 1
     }
-    UTF8String.concatWs(space,
+    UTF8String.concatWs(sep,
       (if (k == n) kept else java.util.Arrays.copyOfRange(kept, 0, k)): _*)
+  }
+
+  /** Stride-1 span fingerprints: FNV-1a over each `window`-token run's
+    * LOWERED space-joined text, one long per start position. Byte-identical
+    * to `fnv1a64(lower(array_join(slice(toks, s+1, window), ' ')))` per
+    * position, but each token is lowercased ONCE (not once per covering
+    * window) and the hash runs straight over token bytes with a literal
+    * space between — no slice array, no joined string, no lowered copy per
+    * window. The HOF chain allocated ~3 objects × ~100 B per position;
+    * this allocates one long array per row.
+    */
+  def spanFingerprints(tokens: ArrayData, window: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < window) return new GenericArrayData(Array.empty[Long])
+    val low = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { low(i) = tokens.getUTF8String(i).toLowerCase.getBytes; i += 1 }
+    val out = new Array[Long](n - window + 1)
+    var s = 0
+    while (s <= n - window) {
+      var h = Fnv1a.Offset
+      var j = 0
+      while (j < window) {
+        if (j > 0) { h ^= (' ' & 0xffL); h *= Fnv1a.Prime }
+        val b = low(s + j)
+        var k = 0
+        while (k < b.length) { h ^= (b(k) & 0xffL); h *= Fnv1a.Prime; k += 1 }
+        j += 1
+      }
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Random-hyperplane bucket ids, one per table. `planes` is laid out flat
@@ -359,6 +393,37 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** Stride-1 span fingerprints over an `array<string>` token column — the
+  * generator behind `TrainingData.spanFingerprints` (batch census +
+  * decontamination) and the streaming span gate's per-row probe. Native for
+  * the same reason as [[WordShingles]]: the HOF formulation
+  * (`transform(sequence, s -> fnv1a64(lower(array_join(slice(...)))))`)
+  * interprets a lambda and allocates slice + joined-string + lowered-copy
+  * per position; this is one primitive loop per row.
+  */
+case class SpanFingerprints(child: Expression, window: Int) extends UnaryExpression {
+  require(window >= 1, "window must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "span_fingerprints"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.spanFingerprints(input.asInstanceOf[ArrayData], window)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ShingleUtil.spanFingerprints($c, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Coverage-mask span rewrite over `(tokens array<string>, cut starts
   * array<bigint>)` — the ONE rewrite kernel shared by
   * [[graft.pipeline.TrainingData.removeRepeatedSpans]],
@@ -370,9 +435,14 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
   * for — and because one definition keeps the three call sites from
   * diverging (they were three verbatim copies of the lambda tree).
   */
-case class SpanCutRewrite(left: Expression, right: Expression, window: Int)
+case class SpanCutRewrite(left: Expression, right: Expression, window: Int,
+                          sep: String = " ")
     extends BinaryExpression {
   require(window > 0, "window must be positive")
+
+  // the joiner is a parameter so the SAME kernel serves token-level span
+  // removal (space) and line-level boilerplate removal (newline)
+  private lazy val sepU = UTF8String.fromString(sep)
 
   override def dataType: DataType = StringType
   override def prettyName: String = "span_cut_rewrite"
@@ -388,11 +458,14 @@ case class SpanCutRewrite(left: Expression, right: Expression, window: Int)
 
   override def nullSafeEval(toks: Any, cuts: Any): Any =
     ShingleUtil.spanCutRewrite(
-      toks.asInstanceOf[ArrayData], cuts.asInstanceOf[ArrayData], window)
+      toks.asInstanceOf[ArrayData], cuts.asInstanceOf[ArrayData], window, sepU)
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("cutSep", sepU,
+      "org.apache.spark.unsafe.types.UTF8String")
     nullSafeCodeGen(ctx, ev, (t, c) =>
-      s"${ev.value} = graft.expressions.ShingleUtil.spanCutRewrite($t, $c, $window);")
+      s"${ev.value} = graft.expressions.ShingleUtil.spanCutRewrite($t, $c, $window, $sepRef);")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

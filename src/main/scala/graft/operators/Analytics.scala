@@ -170,8 +170,10 @@ object Analytics {
     // blocks: driver-side metadata on the scale of a table-statistics cache.
     val canon = slim.queryExecution.optimizedPlan.canonicalized
     val filesFp = Analytics.leafFilesFingerprint(slim)
-    val cacheKey = (canon.semanticHash(), nShards, partCols.toList, filesFp)
-    val cached = Analytics.prefixCache.get(cacheKey)
+    val cacheKey = (canon.semanticHash(), nShards, partCols.toList, filesFp.getOrElse(0))
+    // an unfingerprintable leaf (None) means the cache CANNOT prove the data
+    // unchanged — skip it entirely rather than risk serving stale offsets
+    val cached = filesFp.flatMap(_ => Analytics.prefixCache.get(cacheKey))
       .filter(_.plan.sameResult(canon))
     val (bounds, outRows, prefixSchema) = cached match {
       case Some(e) => (e.bounds, e.rows, e.schema)
@@ -201,9 +203,11 @@ object Analytics {
             countDf.schema.fields.dropRight(1) ++
               Seq(StructField("__prefix", LongType, nullable = false),
                 StructField("__total", LongType, nullable = false)))
-          if (Analytics.prefixCache.size >= 64) Analytics.prefixCache.clear()
-          Analytics.prefixCache.put(cacheKey,
-            Analytics.PrefixEntry(canon, bs, rows, schema))
+          if (filesFp.isDefined) {
+            if (Analytics.prefixCache.size >= 64) Analytics.prefixCache.clear()
+            Analytics.prefixCache.put(cacheKey,
+              Analytics.PrefixEntry(canon, bs, rows, schema))
+          }
           (bs, rows, schema)
         } finally p.unpersist(false)
         // the final job recomputes the slim projection once post-unpersist —
@@ -234,19 +238,34 @@ object Analytics {
     * total size. Plan canonicalization compares file scans by root PATH, so
     * a cache keyed on the plan alone would survive an overwrite/append of
     * the same location; file names (part-UUIDs) and sizes change on any
-    * rewrite, so hashing the listing catches it. Non-file leaves (local
-    * data, RDDs) carry their data in the canonical plan already.
+    * rewrite, so hashing the listing catches it. V1 (`HadoopFsRelation`)
+    * and DSv2 (`DataSourceV2ScanRelation` over a `FileScan`) leaves are
+    * both fingerprinted by listing; local/in-memory leaves carry their data
+    * in the canonical plan already. Returns None when ANY leaf is a type
+    * this cannot prove unchanged (an unrecognized DSv2 scan, say) — the
+    * caller must then SKIP the cache, because a class-name stand-in would
+    * satisfy sameResult across an overwrite and serve stale offsets.
     */
-  private[graft] def leafFilesFingerprint(df: DataFrame): Int =
-    df.queryExecution.optimizedPlan.collectLeaves().map {
+  private[graft] def leafFilesFingerprint(df: DataFrame): Option[Int] = {
+    val fps = df.queryExecution.optimizedPlan.collectLeaves().map {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            (fs.location.inputFiles.toSeq.sorted, fs.sizeInBytes).hashCode()
-          case other => other.hashCode()
+            Some((fs.location.inputFiles.toSeq.sorted, fs.sizeInBytes).hashCode())
+          case _ => None
         }
-      case other => other.getClass.getName.hashCode
-    }.hashCode()
+      case v2: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        v2.scan match {
+          case fs: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+            Some(fs.fileIndex.inputFiles.toSeq.sorted.hashCode())
+          case _ => None
+        }
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => Some(0)
+      case _: org.apache.spark.sql.execution.LogicalRDD => Some(1)
+      case _ => None
+    }
+    if (fps.forall(_.isDefined)) Some(fps.map(_.get).hashCode()) else None
+  }
 
   /** `percent_rank` from a total-order row number: (rn−1)/(n−1), 0 for a
     * single-row partition — the same double arithmetic every SQL engine uses.

@@ -565,11 +565,47 @@ object TrainingData {
     * ([[graft.expressions.SpanCutRewrite]]), O(tokens + cuts·log cuts)
     * instead of the O(tokens × cuts) `exists` scan it replaces.
     */
-  private def rewriteWithCuts(textCol: String, window: Int): org.apache.spark.sql.Column = {
+  private def rewriteWithCuts(textCol: String, window: Int,
+                              sep: String = " "): org.apache.spark.sql.Column = {
     val br = org.apache.spark.sql.graft.ColumnBridge
     when(col("__cuts").isNull, col(textCol))
       .otherwise(br.column(graft.expressions.SpanCutRewrite(
-        br.expression(col("__toks")), br.expression(col("__cuts")), window)))
+        br.expression(col("__toks")), br.expression(col("__cuts")), window, sep)))
+  }
+
+  /** CCNet/RefinedWeb-style boilerplate LINE removal: drops every non-blank
+    * line whose normalized (trimmed, lowered) fingerprint appears in at
+    * least `minDocs` DISTINCT documents — shared headers, footers, nav
+    * chrome, cookie banners — while keeping each document's remaining line
+    * structure (blank lines included) intact. Documents losing no line pass
+    * through byte-identically, the same contract as
+    * [[removeRepeatedSpans]].
+    *
+    * Scale shape: the line census is one partial-aggregated shuffle of
+    * 8-byte line fingerprints (line text never shuffles); the boilerplate
+    * set is the output of that shuffle, so AQE sizes its join back against
+    * the line stream from runtime facts; per-doc cut lists exist only for
+    * docs that contain boilerplate, and the rewrite is the
+    * [[graft.expressions.SpanCutRewrite]] coverage kernel with window = 1
+    * and a newline joiner.
+    */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        minDocs: Int = 10): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2")
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        TextFunctions.fnv1a64(lower(trim(col("line")))).as("line_fp"))
+    val boiler = lines.groupBy(col("line_fp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("line_fp")
+    val cuts = lines.join(boiler, "line_fp")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__cuts"))
+    df.select(col(idCol), col(textCol), split(col(textCol), "\n", -1).as("__toks"))
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol), rewriteWithCuts(textCol, 1, "\n").as(textCol))
   }
 
   /** Stride-1 span fingerprints `(idCol, pos, span_fp)` — the shared
@@ -577,21 +613,24 @@ object TrainingData {
     * definition, so tokenizer/fingerprint changes cannot silently diverge
     * the census from the decontaminator). Fingerprints are over the
     * LOWERED window (case-insensitive matching); positions index the raw
-    * token array.
+    * token array. The per-row generator is the native
+    * [[graft.expressions.SpanFingerprints]] kernel — fingerprint-identical
+    * to the `fnv1a64(lower(array_join(slice(...))))` chain it replaced
+    * (pinned by spec), without the three per-position allocations.
     */
+  private def spanFpsCol(toks: org.apache.spark.sql.Column, window: Int) = {
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    br.column(graft.expressions.SpanFingerprints(br.expression(toks), window))
+  }
+
   private def spanFingerprints(df: DataFrame, idCol: String, textCol: String,
                                window: Int): DataFrame = {
     require(window > 0, "window must be positive")
     df.select(col(idCol), rawToks(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) >= window)
       .select(col(idCol),
-        posexplode(sequence(lit(0), size(col("__toks")) - window))
-          .as(Seq("pos", "start")),
-        col("__toks"))
-      .select(col(idCol), col("pos").cast("long").as("pos"),
-        TextFunctions.fnv1a64(
-          lower(array_join(slice(col("__toks"), col("start") + 1, lit(window)), " ")))
-          .as("span_fp"))
+        posexplode(spanFpsCol(col("__toks"), window)).as(Seq("pos", "span_fp")))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("span_fp"))
   }
 
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
@@ -809,22 +848,26 @@ object TrainingData {
     def mightContain(c: org.apache.spark.sql.Column) =
       br.column(BloomMightContainLong(br.expression(c), bits, k, m))
     df => {
-      val tk = rawToks(col(textCol))
       // per-row cut starts: window positions whose lowered-text fingerprint
       // probes the bloom; the rewrite reassembles the RAW tokens via the
       // shared coverage-mask kernel. Rows with no cuts (including every doc
       // shorter than the window) keep their ORIGINAL text — same
-      // whitespace-preservation contract as the batch path.
-      val cutStarts = filter(sequence(lit(0), size(tk) - window),
-        s => mightContain(TextFunctions.fnv1a64(
-          lower(array_join(slice(tk, s + 1, lit(window)), " ")))))
-      val rewritten = when(size(tk) < window, col(textCol))
+      // whitespace-preservation contract as the batch path. Tokens and
+      // fingerprints are staged as real columns so the probe lambda reads
+      // an attribute — embedding the generator expression inside the lambda
+      // would re-run it once PER POSITION (ArrayFilter evaluates its
+      // function tree per element).
+      val staged = df.withColumn("__tk", rawToks(col(textCol)))
+        .withColumn("__fps", spanFpsCol(col("__tk"), window))
+      val cutStarts = filter(sequence(lit(0), size(col("__fps")) - 1),
+        s => mightContain(element_at(col("__fps"), s + 1)))
+      val rewritten = when(size(col("__tk")) < window, col(textCol))
         .otherwise(when(size(cutStarts) === 0, col(textCol))
           .otherwise(br.column(graft.expressions.SpanCutRewrite(
-            br.expression(tk),
+            br.expression(col("__tk")),
             br.expression(cutStarts.cast("array<bigint>")),
             window))))
-      df.withColumn(textCol, rewritten)
+      staged.withColumn(textCol, rewritten).drop("__tk", "__fps")
     }
   }
 

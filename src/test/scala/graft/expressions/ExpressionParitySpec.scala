@@ -59,6 +59,45 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("SpanFingerprints matches the fnv1a64(lower(array_join(slice))) chain; SpanCutRewrite matches the exists mask") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val texts = Seq(
+      "The Quick Brown Fox Jumps Over The Lazy Dog Again And Again",
+      "a b c d e",                            // exactly window tokens at w=5
+      "one two three",                        // < window → empty fps
+      "  MIXED   Case  Tokens   with   Runs   of   whitespace  here  now ",
+      "")
+    val w = 5
+    val df = texts.toDF("text")
+    val toks = filter(split(trim(col("text")), "\\s+"), t => length(t) > 0)
+    def fpsNative(c: org.apache.spark.sql.Column) =
+      ColumnBridge.column(SpanFingerprints(ColumnBridge.expression(c), w))
+    val hof = when(size(toks) >= w,
+      transform(sequence(lit(0), size(toks) - w),
+        s => graft.functions.TextFunctions.fnv1a64(
+          lower(array_join(slice(toks, s + 1, lit(w)), " ")))))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(fpsNative(toks).as("native"), hof.as("hof")).collect().foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+    // SpanCutRewrite == the per-token exists() coverage mask it replaced,
+    // including unsorted/overlapping/duplicate cuts
+    val cutCases = Seq(
+      (Seq("t1","t2","t3","t4","t5","t6","t7","t8"), Seq(4L, 0L, 4L)), // dup + overlap, unsorted
+      (Seq("a","b","c"), Seq(0L)),                                      // full coverage
+      (Seq("x","y","z"), Seq.empty[Long]))                              // no cuts
+    val cw = 3
+    val cdf = cutCases.toDF("toks", "cuts")
+    def rwNative = ColumnBridge.column(SpanCutRewrite(
+      ColumnBridge.expression(col("toks")), ColumnBridge.expression(col("cuts")), cw))
+    val rwHof = array_join(
+      filter(col("toks"), (t, i) =>
+        !exists(col("cuts"), p => i >= p && i < p + cw)), " ")
+    cdf.select(rwNative.as("native"), rwHof.as("hof")).collect().foreach { r =>
+      assert(r.getString(0) === r.getString(1))
+    }
+  }
+
   test("MinHashSignature matches the affine-min HOF formulation") {
     val params = Dedup.MinHashParams(numHashes = 16, bands = 8)
     val df = Seq(

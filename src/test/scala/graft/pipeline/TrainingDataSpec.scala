@@ -279,6 +279,32 @@ class TrainingDataSpec extends SparkSpec {
     assert(dd(10L) === big && dd(11L) === "")
   }
 
+  test("removeBoilerplate: repeated non-blank lines cut, blank lines and clean docs byte-intact") {
+    val header = "SITE NAV | home | products | about"
+    val footer = "(c) example industries - all rights reserved"
+    val docs = (1L to 5L).map { i =>
+      (i, s"$header\n\nunique body line $i\nmore body $i\n$footer")
+    } :+ (6L, "totally clean doc\nwith its own\nlines") :+
+      (7L, null.asInstanceOf[String])
+    val out = TrainingData.removeBoilerplate(
+        docs.toDF("doc_id", "text"), "doc_id", "text", minDocs = 4)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // header+footer appear in 5 >= 4 docs -> cut; blank line + bodies stay
+    (1L to 5L).foreach { i =>
+      assert(out(i).get === s"\nunique body line $i\nmore body $i")
+    }
+    assert(out(6L).get === "totally clean doc\nwith its own\nlines") // untouched
+    assert(out(7L).isEmpty)                                          // null stays null
+    // normalization: case/padding variants of the same line still censused together
+    val variants = (10L to 13L).map(i => (i, s"  ${header.toUpperCase}  \nbody $i"))
+    val vOut = TrainingData.removeBoilerplate(
+        (docs ++ variants).toDF("doc_id", "text"), "doc_id", "text", minDocs = 8)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // header now hits 9 docs (5 exact + 4 shouted) >= 8; footer only 5 -> kept
+    assert(vOut(10L).get === "body 10")
+    assert(vOut(1L).get === s"\nunique body line 1\nmore body 1\n$footer")
+  }
+
   test("decontaminateSpansGate: fingerprint-count guard trips above maxFingerprints") {
     val bench = Seq(
       (1L, (1 to 40).map(i => s"g$i").mkString(" ")),
