@@ -149,6 +149,21 @@ object ScaleProbe {
           Map(langs(0) -> 0.7, langs(1) -> 0.3)).count() }
       timeM("leak-free split") {
         graft.pipeline.TrainingData.leakFreeSplit(d, "doc_id", "text").count() }
+      // round-7 operators: boilerplate removal over wrapped docs (the
+      // blown-up corpus has no newlines of its own — wrap each doc in a
+      // per-lang header + global footer, the realistic chrome shape) and
+      // epoch upsampling (census + pure scan-side generator: the shuffle
+      // column should read ~|strata| rows)
+      timeM("boilerplate removal") {
+        val wrapped = d.select(col("doc_id"),
+          concat(lit("SECTION "), col("lang"), lit("\n"), col("text"),
+            lit("\n(c) corpus footer line")).as("text"))
+        graft.pipeline.TrainingData.removeBoilerplate(
+          wrapped, "doc_id", "text", minDocs = 1000).count() }
+      timeM("epoch upsampling (f=2)") {
+        graft.pipeline.TrainingData.upsampleToTargets(
+          d, "lang", "doc_id", "text",
+          Map(langs(0) -> 0.5, langs(1) -> 0.5), factor = 2.0).count() }
     }
     // Skewed-key grouped top-k sweep: 10M ~170-byte rows (the "top documents
     // per stratum" shape), hot-key fraction f ∈ {uniform, 50%, 90%}. The

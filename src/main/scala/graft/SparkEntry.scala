@@ -830,6 +830,18 @@ object SparkEntry {
         sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
   }
 
+  /** Epoch upsampling: en and zh weighted 50/50 at twice the measured
+    * (en+zh) token budget. zh is the smaller stratum, so its multiplicity
+    * crosses 1 (real replication: copy indices ≥ 1 appear); en sits near
+    * or below it. The oracle replays the census, the float multiplicity
+    * arithmetic in the same op order, and the per-(row, fractional-copy)
+    * FNV draw — the full deterministic draw, row for row.
+    */
+  private def upsampleEpochsQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.upsampleToTargets(t(s, dir, "documents"), "lang", "doc_id",
+        "text", Map("en" -> 0.5, "zh" -> 0.5), factor = 2.0)
+      .select(col("doc_id"), col("lang"), col("copy"))
+
   /** Bloom-prefiltered decontamination — output identical to
     * [[decontaminateQ]] by construction (bloom false positives are removed
     * by the exact join), so it shares the oracle; what it adds is the
@@ -1209,7 +1221,8 @@ object SparkEntry {
     "q_chunk_dedup"         -> (chunkDedupQ(_, _)),
     "q_curate_corpus_v2"    -> (curateCorpusV2Q(_, _)),
     "q_redact_pii"          -> (redactPiiQ(_, _)),
-    "q_remove_boilerplate"  -> (removeBoilerplateQ(_, _)))
+    "q_remove_boilerplate"  -> (removeBoilerplateQ(_, _)),
+    "q_upsample_epochs"     -> (upsampleEpochsQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -2140,6 +2153,38 @@ object SparkEntry {
          |SELECT CAST(FLOOR((cum_after - n_tokens) / 2000.0) AS BIGINT) AS pack_id,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM pc GROUP BY 1""".stripMargin,
+    // epoch-upsampling replay: census over the targeted strata, multiplicity
+    // r = share * factor * T / t in the engine's exact float op order,
+    // floor(r) full copies via unnest(range), the fractional copy by the
+    // same FNV(doc_id) mod-resolution rule as q_mix_corpus
+    "q_upsample_epochs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, len($duckToks) AS nt FROM documents
+         |  WHERE lang IN ('en','zh')
+         |), census AS (
+         |  SELECT lang, sum(nt) AS t FROM tok GROUP BY lang
+         |), tt AS (
+         |  SELECT sum(t) AS tot FROM census
+         |), rr AS (
+         |  SELECT lang,
+         |    CAST(0.5 AS DOUBLE) * CAST(2.0 AS DOUBLE) * CAST(tt.tot AS DOUBLE) / CAST(t AS DOUBLE) AS r
+         |  FROM census, tt
+         |), par AS (
+         |  SELECT lang, CAST(floor(r) AS BIGINT) AS nfull,
+         |    CAST(round((r - floor(r)) * 1000000, 0) AS BIGINT) AS th
+         |  FROM rr
+         |), hh AS (
+         |  SELECT k.doc_id, k.lang, par.nfull, par.th,
+         |    ${duckFnvU("CAST(k.doc_id AS VARCHAR)")} AS hu
+         |  FROM tok k JOIN par ON par.lang = k.lang
+         |), nn AS (
+         |  SELECT doc_id, lang,
+         |    nfull + CASE WHEN ((hsv % 1000000) + 1000000) % 1000000 < th
+         |                 THEN 1 ELSE 0 END AS n
+         |  FROM (SELECT doc_id, lang, nfull, th, ${duckU2S("hu")} AS hsv FROM hh)
+         |)
+         |SELECT doc_id, lang, CAST(u.c AS BIGINT) AS copy
+         |FROM nn, unnest(range(0, n)) AS u(c)""".stripMargin,
     // boilerplate-line replay: same synthesized wrapper, line census by
     // trimmed-lowered FNV fingerprint over non-blank lines, drop lines in
     // >= 30 distinct docs, re-join kept lines (blank ones included) with

@@ -351,6 +351,76 @@ object TrainingData {
       lit(resolution.toLong)) < thr)
   }
 
+  /** Mixture WITH REPLACEMENT (epoch upsampling — the DoReMi / domain-
+    * weights shape): meets target token shares even for UNDER-represented
+    * strata by deterministically REPLICATING rows, where [[mixToTargets]]
+    * can only throw data away. Stratum s's required multiplicity is
+    * `r_s = p_s · factor · T / t_s` (p = normalized target shares, t_s =
+    * measured stratum tokens, T = total measured tokens over the targeted
+    * strata, factor = output token budget as a multiple of T). Every row
+    * emits `floor(r_s)` full copies plus ONE extra copy kept iff
+    * `fnv1a64(key) mod resolution < round(frac(r_s) · resolution)` — the
+    * same content-hash rule as [[mixFilter]], so the draw is deterministic,
+    * layout-independent, and engine-replayable; over-represented strata get
+    * r_s < 1 (copy 0 itself is hash-gated), so one rule covers up- and
+    * down-sampling. Returns the input columns plus `copy` (0-based replica
+    * index) so downstream packing can keep replicas identifiable; rows in
+    * non-targeted strata emit nothing.
+    *
+    * Scale shape: one partial-aggregated census shuffle of |strata| rows
+    * collected driver-side, then a pure scan-side generator (explode over a
+    * per-row bounded sequence whose bounds ride as literal maps) — the
+    * corpus never shuffles. The gate form is stateless, so the identical
+    * closure runs in a live stream or a batch experiment, like
+    * [[mixFilter]].
+    */
+  def upsampleFilter(census: DataFrame, strataCol: String, keyCol: String,
+                     textCol: String, targets: Map[String, Double],
+                     factor: Double = 1.0,
+                     resolution: Int = 1000000): DataFrame => DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0.0),
+      "targets must be non-empty positive shares")
+    require(factor > 0.0, s"factor must be positive: $factor")
+    val pTot = targets.values.sum
+    val p = targets.map { case (k, v) => k -> v / pTot }
+    val strata = col(strataCol).cast("string")
+    val counts = census
+      .filter(strata.isin(targets.keys.toSeq: _*))
+      .groupBy(strata.as("__s"))
+      .agg(sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    def rOf(s: String): Double = {
+      val t = counts.getOrElse(s, 0L)
+      if (t == 0L) 0.0 else p(s) * factor * total / t
+    }
+    val full = p.keys.map(s => s -> math.floor(rOf(s)).toLong).toMap
+    val thr = p.keys.map { s =>
+      val r = rOf(s)
+      s -> math.round((r - math.floor(r)) * resolution).toInt
+    }.toMap
+    df => {
+      val sc = col(strataCol).cast("string")
+      val fullC = coalesce(element_at(typedlit(full), sc), lit(0L))
+      val thrC = coalesce(element_at(typedlit(thr), sc), lit(0))
+      val extra = when(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")),
+        lit(resolution.toLong)) < thrC, 1L).otherwise(0L)
+      df.withColumn("__n", fullC + extra)
+        .filter(col("__n") > 0)
+        .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+        .drop("__n")
+    }
+  }
+
+  /** Batch form of [[upsampleFilter]]: census and corpus are the same
+    * DataFrame.
+    */
+  def upsampleToTargets(df: DataFrame, strataCol: String, keyCol: String,
+                        textCol: String, targets: Map[String, Double],
+                        factor: Double = 1.0,
+                        resolution: Int = 1000000): DataFrame =
+    upsampleFilter(df, strataCol, keyCol, textCol, targets, factor, resolution)(df)
+
   /** Fuzzy benchmark decontamination: training documents whose n-gram
     * Jaccard similarity with ANY benchmark document reaches `threshold` —
     * the near-duplicate analog of [[contaminationReport]] (which requires a

@@ -186,6 +186,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p2.contains("TakeOrderedAndProject"), p2)
   }
 
+  test("q_remove_boilerplate: census exchanges never carry line text") {
+    // the line census partial-aggregates on the 8-byte line fingerprint;
+    // the raw `line` string must be projected away before any exchange
+    // (the only corpus-sized shuffle allowed is the final id-keyed rejoin,
+    // which carries text by necessity)
+    val p = plan("q_remove_boilerplate")
+    assert(p.contains("partial_count"), p) // map-side combine on the fp census
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    exchangeSections.foreach { s =>
+      val cols = s.takeWhile(_ != '(')
+      assert(!cols.contains("line#") && !cols.contains("line,"), p)
+    }
+  }
+
+  test("q_upsample_epochs: one census collected at build — the returned plan is scan + generate, no join, no exchange") {
+    // multiplicities ride as literal maps; replication is a per-row bounded
+    // generator. Any join or exchange here would mean the corpus shuffles
+    // to be replicated — the exact thing the design avoids
+    val p = plan("q_upsample_epochs")
+    assert(!p.contains("Join"), p)
+    assert(exchanges(p) === 0, p)
+    assert(p.contains("Generate"), p) // the explode(sequence(...)) replicator
+  }
+
   test("q_pack_budgeted / q_curate_corpus: no partition-less (one-reducer) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("q_pack_budgeted", "q_curate_corpus")) {

@@ -174,6 +174,16 @@ class TrainingDataSpec extends SparkSpec {
     assert(ppl(1L).isDefined)
     assert(ppl(2L).isEmpty)
     assert(ppl(3L) === Some(0.0) && ppl(4L) === Some(0.0))
+    // the gate form: null text DROPS (null never passes a filter);
+    // degenerate 0.0 scores pass at the default minNll = 0
+    val gated = TrainingData.perplexityGate(
+        dirty.filter(col("doc_id") === 1L), "text", maxNll = 100.0)(dirty)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gated === Set(1L, 3L, 4L, 5L))
+    // boilerplate removal on the same dirty rows: never throws, null stays null
+    val bp = TrainingData.removeBoilerplate(dirty, "doc_id", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(bp(2L).isEmpty && bp(1L).isDefined)
   }
 
   test("perplexityScore: target-like docs score lower nll; degenerate docs score 0") {
@@ -277,6 +287,42 @@ class TrainingDataSpec extends SparkSpec {
         Seq((10L, big), (11L, big)).toDF("doc_id", "text"), "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(dd(10L) === big && dd(11L) === "")
+  }
+
+  test("upsampleToTargets: exact integer multiplicity replicates, fractional is hash-gated, deterministic") {
+    // aa: 10 docs x 10 tokens = 100; bb: 90 docs x 10 tokens = 900.
+    // targets 50/50 at factor 1.0 -> T = 1000, r_aa = 500/100 = 5.0 exactly
+    // (5 full copies, no fractional), r_bb = 500/900 ~ 0.5556 (hash-gated
+    // single copies at thr ~ 555556)
+    val rows = (1L to 10L).map(i => (i, "aa", ("w " * 10).trim)) ++
+      (11L to 100L).map(i => (i, "bb", ("w " * 10).trim))
+    val df = rows.toDF("doc_id", "lang", "text")
+    val out = TrainingData.upsampleToTargets(df, "lang", "doc_id", "text",
+        Map("aa" -> 0.5, "bb" -> 0.5), factor = 1.0)
+      .select(col("doc_id"), col("lang"), col("copy"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // every aa doc appears exactly 5 times, copies 0..4
+    (1L to 10L).foreach(i => assert(byDoc(i) === Seq(0L, 1L, 2L, 3L, 4L)))
+    // bb docs appear 0 or 1 times; the kept fraction tracks 5/9
+    val bbKept = (11L to 100L).count(byDoc.contains)
+    assert((11L to 100L).forall(i => byDoc.getOrElse(i, Seq()).size <= 1))
+    assert(bbKept > 30 && bbKept < 70, s"bb kept $bbKept of 90, expected ~50")
+    // aa + bb token budgets land near 500 each (the 50/50 target)
+    assert(out.count(_._2 == "aa") === 50)
+    // fully deterministic: a second run is row-identical
+    val again = TrainingData.upsampleToTargets(df, "lang", "doc_id", "text",
+        Map("aa" -> 0.5, "bb" -> 0.5), factor = 1.0)
+      .select(col("doc_id"), col("lang"), col("copy"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+    // non-targeted strata emit nothing; null strata emit nothing
+    val extra = (Seq((200L, "cc", "w w"), (201L, null.asInstanceOf[String], "w w")) ++ rows)
+      .toDF("doc_id", "lang", "text")
+    val ids = TrainingData.upsampleToTargets(extra, "lang", "doc_id", "text",
+        Map("aa" -> 0.5, "bb" -> 0.5), factor = 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(200L) && !ids.contains(201L))
   }
 
   test("removeBoilerplate: repeated non-blank lines cut, blank lines and clean docs byte-intact") {

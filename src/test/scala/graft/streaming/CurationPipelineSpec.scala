@@ -197,6 +197,43 @@ class CurationPipelineSpec extends SparkSpec {
     assert(streamed(2L) === (1 to 30).map(i => s"c$i").mkString(" "))
   }
 
+  test("streaming epoch upsampling: same replicas in live stream and batch experiment") {
+    implicit val sqlCtx = spark.sqlContext
+    // census corpus: aa 100 tokens, bb 900 tokens -> r_aa = 5.0 exactly,
+    // r_bb ~ 0.556 (same arithmetic as the batch spec)
+    val censusRows = (1L to 10L).map(i => (i, "aa", ("w " * 10).trim)) ++
+      (11L to 100L).map(i => (i, "bb", ("w " * 10).trim))
+    val gate = graft.pipeline.TrainingData.upsampleFilter(
+      censusRows.toDF("doc_id", "lang", "text"), "lang", "doc_id", "text",
+      Map("aa" -> 0.5, "bb" -> 0.5), factor = 1.0)
+    val incoming = Seq(
+      LangDoc(101, t("2024-01-01 00:00:01"), "aa", ("x " * 10).trim),
+      LangDoc(102, t("2024-01-01 00:00:02"), "bb", ("y " * 10).trim),
+      LangDoc(103, t("2024-01-01 00:00:03"), "cc", ("z " * 10).trim))
+    val topo = Topology(
+      entities = Map(
+        "raw-docs" -> Topic("raw-docs"),
+        "up"       -> Stream("up", gate),
+        "epochs"   -> Topic("epochs")),
+      workflow = Seq("raw-docs" -> "up", "up" -> "epochs"))
+    val in = MemoryStream[LangDoc]
+    in.addData(incoming: _*)
+    val engine = StreamRunner.start(
+      topo, Map("raw-docs" -> in.toDF()),
+      (sink, df) => df.writeStream.format("memory")
+        .queryName("t_up").trigger(Trigger.AvailableNow()).start())
+    engine.processAllAvailable()
+    engine.stop()
+    val streamed = spark.table("t_up").select("doc_id", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val batch = topo.experiment(Map("raw-docs" -> incoming.toDF()))("epochs")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"))).sorted
+    assert(streamed === batch)
+    // the aa arrival replicates exactly 5x; cc (untargeted) emits nothing
+    assert(streamed.filter(_._1 == 101L).map(_._2) === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(!streamed.exists(_._1 == 103L))
+  }
+
   test("streaming perplexity gate: same keeps in live stream and batch experiment") {
     implicit val sqlCtx = spark.sqlContext
     val target = Seq(
