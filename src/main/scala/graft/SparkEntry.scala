@@ -830,6 +830,46 @@ object SparkEntry {
         sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
   }
 
+  /** Heavy hitters over a deterministically synthesized Zipf-ish token
+    * stream (the corpus's own vocabulary is near-uniform — no true heavy
+    * hitter exists in it to find): position hashes map to 15 tokens with
+    * shares 50/25/12.5/…%, the Misra-Gries sketch runs k = 8 < vocabulary,
+    * and the query then JOINS its own output against the exact census and
+    * EMITS the error contract: for every item with exact count > n/(k+1),
+    * (a) the inner join finds it in the summary (completeness — a miss
+    * drops the row and fails the row-count compare), (b) est ≤ exact,
+    * (c) exact − est ≤ n/(k+1). The raw estimates are merge-order-dependent
+    * and never surface; the flags are guarantees, stable under any
+    * partitioning — the same oracle pattern as the HLL/percentile sketch
+    * gates.
+    */
+  private def heavyHittersQ(s: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val d = t(s, dir, "documents")
+    val stream = d
+      .select(col("doc_id"), TF.tokenCount(col("text")).cast("int").as("nt"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), explode(sequence(lit(0), col("nt") - 1)).as("i"))
+    val m = pmod(TF.fnv1a64(concat(col("doc_id").cast("string"), lit("#"),
+      col("i").cast("string"))), lit(1024L))
+    val tok = when(m < 512, lit("t0")).when(m < 768, lit("t1"))
+      .when(m < 896, lit("t2")).when(m < 960, lit("t3"))
+      .when(m < 992, lit("t4")).when(m < 1008, lit("t5"))
+      .when(m < 1016, lit("t6"))
+      .otherwise(concat(lit("cold"), (m - 1016).cast("string")))
+    val toks = stream.select(tok.as("item"))
+    val sk = toks
+      .agg(TF.freqItems(col("item"), k).as("hh"), count(lit(1)).as("n"))
+      .select(explode(col("hh")).as("e"), col("n"))
+      .select(col("e.item").as("item"), col("e.est").as("est"), col("n"))
+    toks.groupBy(col("item")).agg(count(lit(1)).as("exact_count"))
+      .join(sk, "item")
+      .filter(col("exact_count") * (k + 1) > col("n"))
+      .select(col("item"), col("exact_count"),
+        (col("est") <= col("exact_count")).as("under_ok"),
+        ((col("exact_count") - col("est")) * (k + 1) <= col("n")).as("band_ok"))
+  }
+
   /** Epoch upsampling: en and zh weighted 50/50 at twice the measured
     * (en+zh) token budget. zh is the smaller stratum, so its multiplicity
     * crosses 1 (real replication: copy indices ≥ 1 appear); en sits near
@@ -1222,7 +1262,8 @@ object SparkEntry {
     "q_curate_corpus_v2"    -> (curateCorpusV2Q(_, _)),
     "q_redact_pii"          -> (redactPiiQ(_, _)),
     "q_remove_boilerplate"  -> (removeBoilerplateQ(_, _)),
-    "q_upsample_epochs"     -> (upsampleEpochsQ(_, _)))
+    "q_upsample_epochs"     -> (upsampleEpochsQ(_, _)),
+    "q_heavy_hitters"       -> (heavyHittersQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -2153,6 +2194,29 @@ object SparkEntry {
          |SELECT CAST(FLOOR((cum_after - n_tokens) / 2000.0) AS BIGINT) AS pack_id,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM pc GROUP BY 1""".stripMargin,
+    // heavy-hitters contract replay: the synthesized Zipf stream is a pure
+    // function of (doc_id, position) — DuckDB rebuilds it, takes the EXACT
+    // census, and expects exactly the guaranteed-heavy rows with both
+    // contract flags true (pmod == unsigned % for the 2^10 modulus)
+    "q_heavy_hitters" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, len($duckToks) AS nt FROM documents
+         |), st AS (
+         |  SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(i AS VARCHAR) AS hk
+         |  FROM d, unnest(range(0, nt)) AS u(i) WHERE nt > 0
+         |), hm AS (
+         |  SELECT CAST(${duckFnvU("hk")} % 1024 AS BIGINT) AS m FROM st
+         |), tk AS (
+         |  SELECT CASE WHEN m < 512 THEN 't0' WHEN m < 768 THEN 't1'
+         |              WHEN m < 896 THEN 't2' WHEN m < 960 THEN 't3'
+         |              WHEN m < 992 THEN 't4' WHEN m < 1008 THEN 't5'
+         |              WHEN m < 1016 THEN 't6'
+         |              ELSE 'cold' || CAST(m - 1016 AS VARCHAR) END AS item
+         |  FROM hm
+         |), nn AS (SELECT count(*) AS n FROM tk),
+         |ex AS (SELECT item, count(*) AS exact_count FROM tk GROUP BY item)
+         |SELECT item, exact_count, true AS under_ok, true AS band_ok
+         |FROM ex, nn WHERE exact_count * 9 > nn.n""".stripMargin,
     // epoch-upsampling replay: census over the targeted strata, multiplicity
     // r = share * factor * T / t in the engine's exact float op order,
     // floor(r) full copies via unnest(range), the fractional copy by the

@@ -152,6 +152,18 @@ object TextFunctions {
         "https?://[^\\s]+", "<URL>"),
       "\\+?([0-9][()\\-\\. ]*){6,}[0-9]", "<PHONE>")
 
+  /** Space-bounded frequent-items aggregate (Misra-Gries, ≤ `k` counters
+    * per partial buffer — each mapper ships at most k (item, count) pairs
+    * into the shuffle regardless of vocabulary size; see
+    * [[graft.expressions.FreqItemsAgg]] for the guarantees). Returns
+    * `array<struct<item, est>>`.
+    */
+  def freqItems(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.FreqItemsAgg(
+        org.apache.spark.sql.graft.ColumnBridge.expression(c), k)
+        .toAggregateExpression())
+
   /** FNV-1a 64-bit hash of a string column — a native codegen'd expression
     * ([[graft.expressions.Fnv1a64]]). Public-domain algorithm simple enough
     * for any engine to recompute (the DuckDB oracle replicates it in HUGEINT
