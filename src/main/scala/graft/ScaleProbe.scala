@@ -14,9 +14,13 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: blow-up factor (default 10× → 50k docs / 20k vectors;
     // pass 50 for the 100k-vector crossover demonstration)
-    val nCopies = if (args.nonEmpty && args(0) != "skew") args(0).toInt else 10
-    // `runMain graft.ScaleProbe skew` runs ONLY the skewed top-k probe
+    val nCopies = args.find(a => a != "skew" && a != "ops").map(_.toInt).getOrElse(10)
+    // `runMain graft.ScaleProbe skew` runs ONLY the skewed top-k probe;
+    // `runMain graft.ScaleProbe ops` runs ONLY the metered operator probes
+    // (census / split / boilerplate / upsampling) — the quick re-measure
+    // mode when one of them changes
     val skewOnly = args.contains("skew")
+    val opsOnly = args.contains("ops")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -74,7 +78,7 @@ object ScaleProbe {
     }
     // doc pipelines only at the default factor — the big-factor runs target
     // the embedding crossover and 250k-doc all-pairs baselines take minutes
-    if (!skewOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && nCopies <= 10) {
       time("exact dedup") { graft.dedup.Dedup.exact(d, "text", "doc_id").count() }
       time("minhash+lsh pairs") {
         graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", 5, 0.8).count() }
@@ -87,11 +91,11 @@ object ScaleProbe {
     // (factor 50) the quadratic runs exceeded 30 minutes on local[32] before
     // being killed — which IS the datapoint: past ~10^5 rows only the
     // sub-quadratic path is viable, whatever its constants.
-    if (!skewOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && nCopies <= 10) {
       time("embed near-dup exact") {
         graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.45).count() }
     }
-    if (!skewOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && nCopies <= 10) {
       // Forced-LSH at τ=0.45 only at the default factor: at 100k vectors the
       // 99.9%-recall config is ~2.6e9 candidate dots + a 213M-row probe
       // shuffle — the cost model prices it ≈ exact, so the DISPATCHER would
@@ -103,13 +107,13 @@ object ScaleProbe {
     // far more selective per bit and few tables hold high recall — this is
     // where hyperplane LSH decisively beats exact (low thresholds pay the
     // recall tax in candidates; see Dedup.embeddingNearDupLsh docs).
-    if (!skewOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && nCopies <= 10) {
       time("embed near-dup exact @0.7") {
         graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.7).count() }
     }
-    if (!skewOnly) time("embed near-dup lsh  @0.7") {
+    if (!skewOnly && !opsOnly) time("embed near-dup lsh  @0.7") {
       graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.7).count() }
-    if (!skewOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && nCopies <= 10) {
       // the round-5 operators on the same blown-up corpus
       time("semantic dedup (k=64)") {
         val model = graft.similarity.KMeans.fit(v, "embedding", "vec_id", k = 64, maxIter = 5)
@@ -131,6 +135,8 @@ object ScaleProbe {
           .select(graft.functions.VectorFunctions.toDouble(col("embedding")))
           .head().getSeq[Double](0).toIndexedSeq
         graft.similarity.Ann.quantizedTopK(v, "embedding", "vec_id", q, 20).count() }
+    }
+    if (!skewOnly && nCopies <= 10) {
       // round-6 operators with an unprobed shuffle surface, metered: the
       // mixture census shuffles |strata| partial rows keyed by a LOW-
       // CARDINALITY stratum (worst case: one reducer per language takes the
@@ -154,16 +160,23 @@ object ScaleProbe {
       // per-lang header + global footer, the realistic chrome shape) and
       // epoch upsampling (census + pure scan-side generator: the shuffle
       // column should read ~|strata| rows)
+      // toRdd.count(), not count(): the boilerplate rewrite ends in a LEFT
+      // join whose right side is unique-keyed, so a bare count() lets the
+      // optimizer ELIMINATE the join (and the whole census subtree with
+      // it) — the first probe run timed 0.12 s of nothing. Full-plan
+      // execution computes every rewritten string, like a real writer.
       timeM("boilerplate removal") {
         val wrapped = d.select(col("doc_id"),
           concat(lit("SECTION "), col("lang"), lit("\n"), col("text"),
             lit("\n(c) corpus footer line")).as("text"))
         graft.pipeline.TrainingData.removeBoilerplate(
-          wrapped, "doc_id", "text", minDocs = 1000).count() }
+          wrapped, "doc_id", "text", minDocs = 1000)
+          .queryExecution.toRdd.count() }
       timeM("epoch upsampling (f=2)") {
         graft.pipeline.TrainingData.upsampleToTargets(
           d, "lang", "doc_id", "text",
-          Map(langs(0) -> 0.5, langs(1) -> 0.5), factor = 2.0).count() }
+          Map(langs(0) -> 0.5, langs(1) -> 0.5), factor = 2.0)
+          .queryExecution.toRdd.count() }
     }
     // Skewed-key grouped top-k sweep: 10M ~170-byte rows (the "top documents
     // per stratum" shape), hot-key fraction f ∈ {uniform, 50%, 90%}. The
@@ -176,7 +189,7 @@ object ScaleProbe {
     // with f; the agg's partials stay balanced at any f). toRdd.count()
     // executes the FULL plan — a bare count() would let Catalyst prune the
     // payload column off the window side, deflating its shuffle.
-    if (nCopies <= 10) {
+    if (nCopies <= 10 && !opsOnly) {
       for (hotPct <- Seq(0, 50, 90)) {
         val skewed = spark.range(10L * 1000 * 1000).select(
           when(col("id") % 100 < hotPct, lit(0L)).otherwise(col("id") % 1000).as("k"),

@@ -870,6 +870,31 @@ object SparkEntry {
         ((col("exact_count") - col("est")) * (k + 1) <= col("n")).as("band_ok"))
   }
 
+  /** CCNet's final move (Wenzek et al. §4.3): bucket the corpus into
+    * head / middle / tail by LM-perplexity TERCILES — the quality bands
+    * CCNet publishes. The tercile comes from the closed-form [[Analytics
+    * .ntileOf]] over the range-sharded global rank (no one-reducer window),
+    * the nll from the oracle-proven hashed-bigram LM. Output: per bucket,
+    * document and token counts — the mixture table a trainer reads.
+    */
+  private def ccnetBucketsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val scored = TrainingData.perplexityScore(
+        d, d.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+      .join(d.select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("nt")), "doc_id")
+    val ranked = graft.operators.Analytics.rangedRank(
+      scored, Seq(), Seq(col("nll"), col("doc_id")))
+    ranked
+      .withColumn("tile",
+        graft.operators.Analytics.ntileOf(col("rn"), col("n_part"), 3))
+      .withColumn("bucket", when(col("tile") === 1, "head")
+        .when(col("tile") === 2, "middle").otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).cast("long").as("n_tokens"))
+  }
+
   /** Epoch upsampling: en and zh weighted 50/50 at twice the measured
     * (en+zh) token budget. zh is the smaller stratum, so its multiplicity
     * crosses 1 (real replication: copy indices ≥ 1 appear); en sits near
@@ -1263,7 +1288,8 @@ object SparkEntry {
     "q_redact_pii"          -> (redactPiiQ(_, _)),
     "q_remove_boilerplate"  -> (removeBoilerplateQ(_, _)),
     "q_upsample_epochs"     -> (upsampleEpochsQ(_, _)),
-    "q_heavy_hitters"       -> (heavyHittersQ(_, _)))
+    "q_heavy_hitters"       -> (heavyHittersQ(_, _)),
+    "q_ccnet_buckets"       -> (ccnetBucketsQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -2194,6 +2220,47 @@ object SparkEntry {
          |SELECT CAST(FLOOR((cum_after - n_tokens) / 2000.0) AS BIGINT) AS pack_id,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM pc GROUP BY 1""".stripMargin,
+    // CCNet tercile buckets: the q_perplexity nll chain verbatim, then
+    // NTILE(3) over (nll, doc_id) — Spark's closed-form ntileOf replays SQL
+    // NTILE exactly (proven by q_ntile) — and the per-bucket census
+    "q_ccnet_buckets" ->
+      s"""WITH toksrc AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), pos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS ord,
+         |    w[i - 1] AS prev, w[i] AS tok, len(w) - 1 AS npos
+         |  FROM toksrc, unnest(range(2, len(w) + 1)) AS u(i) WHERE len(w) >= 2
+         |), pb AS (
+         |  SELECT doc_id, ord, npos, prev || ' ' || tok AS bg, prev FROM pos
+         |), pk AS (
+         |  SELECT doc_id, ord, npos,
+         |    CAST(${duckFnvU("bg")} % 16384 AS BIGINT) AS b2,
+         |    CAST(${duckFnvU("prev")} % 16384 AS BIGINT) AS b1
+         |  FROM pb
+         |), cb AS (
+         |  SELECT b2 AS b, count(*) AS c FROM pk WHERE doc_id % 5 = 0 GROUP BY 1
+         |), cc AS (
+         |  SELECT b1 AS b, count(*) AS c FROM pk WHERE doc_id % 5 = 0 GROUP BY 1
+         |), term AS (
+         |  SELECT pk.doc_id, pk.ord, pk.npos,
+         |    ln(coalesce(cb.c, 0) + 1.0) - ln(coalesce(cc.c, 0) + 16384.0) AS t
+         |  FROM pk LEFT JOIN cb ON cb.b = pk.b2 LEFT JOIN cc ON cc.b = pk.b1
+         |), docs AS (
+         |  SELECT doc_id, round((-(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(t ORDER BY ord)), (a, x) -> a + x))) / npos, 6) AS nll
+         |  FROM term GROUP BY doc_id, npos
+         |), sc AS (
+         |  SELECT d.doc_id, coalesce(s.nll, 0.0) AS nll, len($duckToks) AS nt
+         |  FROM documents d LEFT JOIN docs s ON s.doc_id = d.doc_id
+         |), tl AS (
+         |  SELECT doc_id, nt,
+         |    CAST(NTILE(3) OVER (ORDER BY nll, doc_id) AS BIGINT) AS tile
+         |  FROM sc
+         |)
+         |SELECT CASE WHEN tile = 1 THEN 'head' WHEN tile = 2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket,
+         |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+         |FROM tl GROUP BY 1""".stripMargin,
     // heavy-hitters contract replay: the synthesized Zipf stream is a pure
     // function of (doc_id, position) — DuckDB rebuilds it, takes the EXACT
     // census, and expects exactly the guaranteed-heavy rows with both
