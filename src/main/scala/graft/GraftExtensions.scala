@@ -100,5 +100,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "quality_score_raw takes 1 argument")
         QualityScoreRaw(args.head, graft.functions.TextFunctions.stopwords("en"))
       })
+    register(ext, "span_fingerprints",
+      "span_fingerprints(tokens, w) - FNV-1a fingerprints of every stride-1 w-token window (lowered), one per start",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "span_fingerprints takes 2 arguments")
+        val w = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"span_fingerprints w must be an integer literal, got $other")
+        }
+        graft.expressions.SpanFingerprints(args.head, w)
+      })
+    register(ext, "span_cut_rewrite",
+      "span_cut_rewrite(tokens, cuts, w) - tokens not covered by any [cut, cut+w) window, space-joined",
+      { args: Seq[Expression] =>
+        require(args.length == 3, "span_cut_rewrite takes 3 arguments")
+        val w = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"span_cut_rewrite w must be an integer literal, got $other")
+        }
+        graft.expressions.SpanCutRewrite(args.head, args(1), w)
+      })
+    register(ext, "freq_items_mg",
+      "freq_items_mg(item, k) - Misra-Gries heavy-hitters aggregate: <= k (item, est) counters, undercount <= n/(k+1)",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "freq_items_mg takes 2 arguments")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"freq_items_mg k must be an integer literal, got $other")
+        }
+        graft.expressions.FreqItemsAgg(args.head, k)
+      })
   }
 }

@@ -61,6 +61,22 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(tkNull === Seq(3L, 1L)) // id=2's null payload skipped; next best admitted
       val q = s.sql("SELECT round(quality_score_raw('the cat sat on the mat.'), 6) AS q").head.getDouble(0)
       assert(q > 0.0 && q <= 1.0)
+      // span_fingerprints == fnv of the lowered joined window
+      val sf = s.sql("SELECT span_fingerprints(array('A','b','C'), 2) AS f").head.getSeq[Long](0)
+      assert(sf === Seq(
+        graft.expressions.Fnv1a.hash("a b".getBytes("UTF-8")),
+        graft.expressions.Fnv1a.hash("b c".getBytes("UTF-8"))))
+      // span_cut_rewrite drops the covered window
+      val sr = s.sql(
+        "SELECT span_cut_rewrite(array('a','b','c','d'), array(1L), 2) AS t").head.getString(0)
+      assert(sr === "a d")
+      // freq_items_mg: exact when vocabulary <= k, sorted (est desc, item asc)
+      val fi = s.sql(
+        """SELECT freq_items_mg(item, 4) AS hh FROM VALUES
+          |  ('x'), ('x'), ('y') AS v(item)""".stripMargin)
+        .head.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getString(0), r.getLong(1)))
+      assert(fi === Seq(("x", 2L), ("y", 1L)))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

@@ -210,6 +210,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the explode(sequence(...)) replicator
   }
 
+  test("q_heavy_hitters: the sketch partial-aggregates map-side (<= k counters per mapper into the shuffle)") {
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("partial_freq_items_mg"), p)
+  }
+
   test("q_pack_budgeted / q_curate_corpus: no partition-less (one-reducer) window") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     for (q <- Seq("q_pack_budgeted", "q_curate_corpus")) {

@@ -96,6 +96,17 @@ class ExpressionParitySpec extends SparkSpec {
     cdf.select(rwNative.as("native"), rwHof.as("hof")).collect().foreach { r =>
       assert(r.getString(0) === r.getString(1))
     }
+    // interpreted eval path (nullSafeEval), bypassing codegen entirely
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+    val litToks = Literal.create(Seq("Aa", "Bb", "Cc"), ArrayType(StringType))
+    val evalFps = SpanFingerprints(litToks, 2).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(evalFps.toSeq === Seq(
+      Fnv1a.hash("aa bb".getBytes("UTF-8")), Fnv1a.hash("bb cc".getBytes("UTF-8"))))
+    val evalRw = SpanCutRewrite(litToks,
+      Literal.create(Seq(0L), ArrayType(LongType)), 2).eval(null).toString
+    assert(evalRw === "Cc")
   }
 
   test("MinHashSignature matches the affine-min HOF formulation") {

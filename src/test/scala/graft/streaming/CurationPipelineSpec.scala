@@ -197,6 +197,41 @@ class CurationPipelineSpec extends SparkSpec {
     assert(streamed(2L) === (1 to 30).map(i => s"c$i").mkString(" "))
   }
 
+  test("streaming windowed heavy hitters: Misra-Gries aggregate state survives the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    // per-lang item streams with vocabulary <= k, so the sketch is exact and
+    // the live result must EQUAL the batch aggregate (the general-case
+    // guarantee contract is FreqItemsAggSpec's; this proves the buffer
+    // serializes through the streaming state store across triggers)
+    val batch1 = Seq(
+      LangDoc(1, t("2024-01-01 00:00:01"), "aa", "x"),
+      LangDoc(2, t("2024-01-01 00:00:02"), "aa", "x"),
+      LangDoc(3, t("2024-01-01 00:00:03"), "bb", "y"))
+    val batch2 = Seq(
+      LangDoc(4, t("2024-01-01 00:00:04"), "aa", "z"),
+      LangDoc(5, t("2024-01-01 00:00:05"), "aa", "x"),
+      LangDoc(6, t("2024-01-01 00:00:06"), "bb", "y"))
+    val in = MemoryStream[LangDoc]
+    val agged = in.toDF().groupBy(col("lang"))
+      .agg(TF.freqItems(col("text"), 4).as("hh"))
+    val q = agged.writeStream.format("memory").queryName("t_hh")
+      .outputMode("complete").start()
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable() // second trigger merges restored state
+    } finally q.stop()
+    val streamed = spark.table("t_hh").collect().map(r =>
+      r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getString(0), e.getLong(1)))).toMap
+    val expected = (batch1 ++ batch2).toDF()
+      .groupBy(col("lang")).agg(TF.freqItems(col("text"), 4).as("hh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(e => (e.getString(0), e.getLong(1)))).toMap
+    assert(streamed === expected)
+    assert(streamed("aa") === Seq(("x", 3L), ("z", 1L)))
+    assert(streamed("bb") === Seq(("y", 2L)))
+  }
+
   test("streaming epoch upsampling: same replicas in live stream and batch experiment") {
     implicit val sqlCtx = spark.sqlContext
     // census corpus: aa 100 tokens, bb 900 tokens -> r_aa = 5.0 exactly,
