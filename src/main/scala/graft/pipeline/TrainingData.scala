@@ -377,7 +377,8 @@ object TrainingData {
   def upsampleFilter(census: DataFrame, strataCol: String, keyCol: String,
                      textCol: String, targets: Map[String, Double],
                      factor: Double = 1.0,
-                     resolution: Int = 1000000): DataFrame => DataFrame = {
+                     resolution: Int = 1000000,
+                     maxMultiplicity: Double = 1000.0): DataFrame => DataFrame = {
     require(targets.nonEmpty && targets.values.forall(_ > 0.0),
       "targets must be non-empty positive shares")
     require(factor > 0.0, s"factor must be positive: $factor")
@@ -393,6 +394,20 @@ object TrainingData {
     def rOf(s: String): Double = {
       val t = counts.getOrElse(s, 0L)
       if (t == 0L) 0.0 else p(s) * factor * total / t
+    }
+    // multiplicity guard: a near-empty stratum given a real share makes r
+    // explode (10 measured tokens against a 10^12-token budget is r = 10^11
+    // copies PER ROW — a runaway generator, and almost certainly a
+    // mis-specified target rather than an intent to train 10^11 epochs on
+    // one document). Hard error, like the broadcast gates: the caller
+    // either fixes the targets or raises the cap deliberately.
+    p.keys.foreach { s =>
+      val r = rOf(s)
+      require(r <= maxMultiplicity,
+        f"upsampleFilter: stratum '$s' needs multiplicity $r%.1f > " +
+          f"maxMultiplicity $maxMultiplicity%.1f (measured ${counts.getOrElse(s, 0L)} " +
+          "tokens against its target share) — a mis-specified mixture replicates " +
+          "rows without bound; fix the targets or raise maxMultiplicity deliberately")
     }
     val full = p.keys.map(s => s -> math.floor(rOf(s)).toLong).toMap
     val thr = p.keys.map { s =>
@@ -418,8 +433,10 @@ object TrainingData {
   def upsampleToTargets(df: DataFrame, strataCol: String, keyCol: String,
                         textCol: String, targets: Map[String, Double],
                         factor: Double = 1.0,
-                        resolution: Int = 1000000): DataFrame =
-    upsampleFilter(df, strataCol, keyCol, textCol, targets, factor, resolution)(df)
+                        resolution: Int = 1000000,
+                        maxMultiplicity: Double = 1000.0): DataFrame =
+    upsampleFilter(df, strataCol, keyCol, textCol, targets, factor, resolution,
+      maxMultiplicity)(df)
 
   /** Fuzzy benchmark decontamination: training documents whose n-gram
     * Jaccard similarity with ANY benchmark document reaches `threshold` —

@@ -289,6 +289,24 @@ class TrainingDataSpec extends SparkSpec {
     assert(dd(10L) === big && dd(11L) === "")
   }
 
+  test("mixing and sampling accept non-string strata (cast to string against the targets' keys)") {
+    // an int region code as the stratum: targets are keyed by its string
+    // form; gate construction must not ClassCastException on getString
+    val df = Seq((1L, 7, "w w w w"), (2L, 7, "w w"), (3L, 9, "w w w"),
+      (4L, 9, "w"), (5L, 3, "w w")).toDF("doc_id", "region", "text")
+    val mixed = TrainingData.mixToTargets(df, "region", "doc_id", "text",
+      Map("7" -> 0.5, "9" -> 0.5))
+    assert(mixed.select("doc_id").collect().map(_.getLong(0)).toSet
+      .subsetOf(Set(1L, 2L, 3L, 4L)))                       // region 3 untargeted
+    val sampled = TrainingData.hashStratifiedSample(df, "region", "doc_id",
+      Map("7" -> 1.0), resolution = 1000)
+    assert(sampled.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    val up = TrainingData.upsampleToTargets(df, "region", "doc_id", "text",
+      Map("7" -> 0.5, "9" -> 0.5), factor = 1.0)
+    assert(up.select("doc_id").collect().map(_.getLong(0)).toSet
+      .subsetOf(Set(1L, 2L, 3L, 4L)))
+  }
+
   test("upsampleToTargets: exact integer multiplicity replicates, fractional is hash-gated, deterministic") {
     // aa: 10 docs x 10 tokens = 100; bb: 90 docs x 10 tokens = 900.
     // targets 50/50 at factor 1.0 -> T = 1000, r_aa = 500/100 = 5.0 exactly
@@ -323,6 +341,15 @@ class TrainingDataSpec extends SparkSpec {
         Map("aa" -> 0.5, "bb" -> 0.5), factor = 1.0)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!ids.contains(200L) && !ids.contains(201L))
+    // multiplicity guard: a 2-token stratum given a 50% share of a
+    // 902-token total needs r ~ 225 copies — over an explicit cap of 100
+    val lop = (Seq((300L, "cc", "w w")) ++ (11L to 100L).map(i =>
+      (i, "bb", ("w " * 10).trim))).toDF("doc_id", "lang", "text")
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.upsampleToTargets(lop, "lang", "doc_id", "text",
+        Map("cc" -> 0.5, "bb" -> 0.5), factor = 1.0, maxMultiplicity = 100.0)
+    }
+    assert(e.getMessage.contains("maxMultiplicity"))
   }
 
   test("removeBoilerplate: repeated non-blank lines cut, blank lines and clean docs byte-intact") {
