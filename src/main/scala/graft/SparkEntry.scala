@@ -690,6 +690,19 @@ object SparkEntry {
       probeLists = Seq(lbl), k = 20)
   }
 
+  /** Two-stage PQ search (m=8 subspaces × k=16 centroids): ADC over 8-byte
+    * code rows shortlists 40 candidates, exact cosine re-scores only those.
+    * Codebooks are the deterministic first-16-vectors scheme so the oracle
+    * replays encode, the query LUT, the left-to-right ADC sum, the
+    * shortlist boundary, and the re-scored final 10 bit-for-bit.
+    */
+  private def pqTopkQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val model = Ann.pqCodebook(emb, "embedding", "vec_id", m = 8, k = 16)
+    Ann.pqTopK(emb, "embedding", "vec_id", model, queryVec(s, dir),
+      k = 10, shortlist = 40)
+  }
+
   /** Gopher quality rules as flat boolean flags + the AND-composite keep. */
   private def gopherFilterQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1066,6 +1079,27 @@ object SparkEntry {
       d.select(col("doc_id"), raw.as("text")), "doc_id", "text", minDocs = 30)
   }
 
+  /** Paragraph-level exact dedup on a synthesized newline corpus: a header
+    * line shared per source, an optional promo line on 1/4 of docs, and a
+    * footer shared by every doc — the global first occurrence of each
+    * repeated line survives, every other occurrence is cut, untouched docs
+    * pass byte-identically. (The base corpus has no newlines, so the line
+    * structure is synthesized deterministically — the q_remove_boilerplate
+    * pattern; dedup here KEEPS one copy where boilerplate removal would
+    * drop all of a frequent line.)
+    */
+  private def paragraphDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val raw = concat(
+      lit("From the "), col("source"), lit(" collection\n"),
+      col("text"),
+      when(col("doc_id") % 4 === 0,
+        lit("\nSubscribe for updates at example dot org")).otherwise(lit("")),
+      lit("\nAll rights reserved"))
+    TrainingData.dedupParagraphs(
+      d.select(col("doc_id"), raw.as("text")), "doc_id", "text")
+  }
+
   /** Packing in DETERMINISTIC-SHUFFLE order: trainers don't consume a
     * corpus in ingestion order — they shuffle it first, and at 100 TB the
     * shuffle must be a pure function (`fnv1a64(seed # id)`), not an RNG
@@ -1211,6 +1245,26 @@ object SparkEntry {
     f.select(cols: _*)
   }
 
+  /** Perceptual image dedup: every synthetic PNG is decoded, dHashed
+    * ([[Multimodal.dHashes]] — 9×8 pooled BT.601 luminance, adjacent-block
+    * comparisons, 64 bits), and mapped to its canonical asset (smallest
+    * media_id sharing the hash). The synthetic pixel formula repeats
+    * whenever the three channel offsets all wrap (doc_id ≡ mod 256), so the
+    * corpus genuinely contains pixel-identical images and the clusters are
+    * non-trivial; the DuckDB oracle replays pixels → pooling →
+    * cross-multiplied comparisons → bit packing with integer arithmetic
+    * only. Near-dup (Hamming ≤ d) pairing is spec'd on perturbed rasters
+    * (`MultimodalSpec`) — the banding machinery is [[Dedup.simhashPairs]]'.
+    */
+  private def imageDhashQ(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id", 24, 16)
+    val hashes = Multimodal.dHashes(media).toDF()
+    val canon = hashes.groupBy(col("dhash")).agg(min(col("media_id")).as("canonical_id"))
+    hashes.join(canon, "dhash")
+      .select(col("media_id").as("doc_id"), col("dhash"), col("canonical_id"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1313,7 +1367,10 @@ object SparkEntry {
     "q_upsample_epochs"     -> (upsampleEpochsQ(_, _)),
     "q_heavy_hitters"       -> (heavyHittersQ(_, _)),
     "q_ccnet_buckets"       -> (ccnetBucketsQ(_, _)),
-    "q_pack_shuffled"       -> (packShuffledQ(_, _)))
+    "q_pack_shuffled"       -> (packShuffledQ(_, _)),
+    "q_paragraph_dedup"     -> (paragraphDedupQ(_, _)),
+    "q_image_dhash"         -> (imageDhashQ(_, _)),
+    "q_pq_topk"             -> (pqTopkQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -2675,5 +2732,119 @@ object SparkEntry {
         |  CAST(640 + ((hsv % 1280) + 1280) % 1280 AS INT) AS width,
         |  CAST(360 + (hu // 4294967296) % 720 AS INT) AS height,
         |  CAST(nb AS BIGINT) AS n_bytes, hsv AS sha_like
-        |FROM hs""".stripMargin)
+        |FROM hs""".stripMargin,
+    // paragraph dedup: the q_remove_boilerplate line chain (synthesize →
+    // split → fingerprint non-blank lines) but with the FIRST-KEEPER rule —
+    // row_number over (line_fp ORDER BY doc_id, pos) replays Spark's
+    // min(struct(doc_id, pos)) exactly; docs with no cut pass through raw
+    "q_paragraph_dedup" ->
+      s"""WITH p AS (
+         |  SELECT doc_id,
+         |    'From the ' || source || ' collection' || chr(10) || text ||
+         |    CASE WHEN doc_id % 4 = 0 THEN chr(10) || 'Subscribe for updates at example dot org' ELSE '' END ||
+         |    chr(10) || 'All rights reserved' AS raw
+         |  FROM documents
+         |), lpos AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ln[i] AS line
+         |  FROM (SELECT doc_id, string_split(raw, chr(10)) AS ln FROM p),
+         |    unnest(range(1, len(ln) + 1)) AS u(i)
+         |), nb0 AS (
+         |  SELECT doc_id, pos, lower(trim(line)) AS nline FROM lpos WHERE len(trim(line)) > 0
+         |), nb1 AS (
+         |  SELECT doc_id, pos, ${duckFnvU("nline")} AS hu FROM nb0
+         |), nb AS (
+         |  SELECT doc_id, pos, ${duckU2S("hu")} AS line_fp FROM nb1
+         |), rk AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY line_fp ORDER BY doc_id, pos) AS rn,
+         |    count(*) OVER (PARTITION BY line_fp) AS cnt
+         |  FROM nb
+         |), cut AS (
+         |  SELECT doc_id, pos FROM rk WHERE cnt >= 2 AND rn > 1
+         |), kept AS (
+         |  SELECT l.doc_id, l.pos, l.line FROM lpos l
+         |  WHERE l.doc_id IN (SELECT doc_id FROM cut)
+         |    AND NOT EXISTS (SELECT 1 FROM cut c
+         |      WHERE c.doc_id = l.doc_id AND c.pos = l.pos)
+         |), agg AS (
+         |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2 FROM kept GROUP BY doc_id
+         |)
+         |SELECT p.doc_id,
+         |  CASE WHEN p.doc_id IN (SELECT doc_id FROM cut)
+         |       THEN COALESCE(a.t2, '') ELSE p.raw END AS text
+         |FROM p LEFT JOIN agg a ON a.doc_id = p.doc_id""".stripMargin,
+    // dHash replayed with INTEGER arithmetic only: the q_image_features
+    // pixel generator, per-pixel BT.601 luminance, 9x8 block pooling by
+    // floor mapping, adjacent-column comparison by cross-multiplying sums
+    // against counts (no division), bits packed via two BIGINT halves into
+    // one unsigned HUGEINT, reduced to Spark's signed BIGINT
+    "q_image_dhash" ->
+      s"""WITH px AS (
+         |  SELECT d.doc_id, x.x, y.y,
+         |    (CAST((d.doc_id*31 + x.x*7 + y.y*13) % 256 AS BIGINT)*299 +
+         |     CAST((d.doc_id*17 + x.x*11 + y.y*5) % 256 AS BIGINT)*587 +
+         |     CAST((d.doc_id*29 + x.x*3 + y.y*19) % 256 AS BIGINT)*114) // 1000 AS lum
+         |  FROM documents d,
+         |       (SELECT unnest(range(24)) AS x) x,
+         |       (SELECT unnest(range(16)) AS y) y
+         |), blk AS (
+         |  SELECT doc_id, (x*9)//24 AS gx, (y*8)//16 AS gy,
+         |    SUM(lum) AS s, COUNT(*) AS c
+         |  FROM px GROUP BY 1, 2, 3
+         |), bits AS (
+         |  SELECT a.doc_id, CAST(a.gy*8 + a.gx AS BIGINT) AS bitpos
+         |  FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+         |  WHERE a.gx < 8 AND b.s * a.c > a.s * b.c
+         |), hv AS (
+         |  SELECT d.doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN bitpos >= 32 THEN CAST(1 AS BIGINT) << (bitpos - 32) END), 0) AS HUGEINT)
+         |      * 4294967296 +
+         |    CAST(COALESCE(SUM(CASE WHEN bitpos < 32 THEN CAST(1 AS BIGINT) << bitpos END), 0) AS HUGEINT) AS hu
+         |  FROM (SELECT DISTINCT doc_id FROM px) d
+         |  LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id
+         |), h AS (
+         |  SELECT doc_id, ${duckU2S("hu")} AS dhash FROM hv
+         |)
+         |SELECT doc_id, dhash,
+         |  MIN(doc_id) OVER (PARTITION BY dhash) AS canonical_id
+         |FROM h""".stripMargin,
+    // PQ replayed end to end: fixed codebooks (first 16 vectors, sliced
+    // into 8 subspaces), encode = per-subspace argmin of the same
+    // -2·dot + |c|² expansion (list_sum == Spark's l-t-r dot, proven by
+    // q_kmeans_assign), query LUT = exact per-subspace squared distances,
+    // ADC = ordered left-fold over the 8 looked-up entries, shortlist 40
+    // by (adc, vec_id), exact-cosine re-score of only those, final 10
+    "q_pq_topk" ->
+      s"""WITH x AS (SELECT * FROM embeddings WHERE vec_id = 0),
+         |cb AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
+         |  FROM embeddings WHERE vec_id < 16
+         |), sub AS (SELECT unnest(range(8)) AS j),
+         |enc0 AS (
+         |  SELECT e.vec_id, s.j, c.cidx,
+         |    list_sum([CAST(e.embedding[s.j*8+i] AS DOUBLE) * CAST(c.ce[s.j*8+i] AS DOUBLE) FOR i IN range(1, 9)]) * -2.0
+         |    + list_sum([CAST(c.ce[s.j*8+i] AS DOUBLE) * CAST(c.ce[s.j*8+i] AS DOUBLE) FOR i IN range(1, 9)]) AS d
+         |  FROM embeddings e CROSS JOIN sub s CROSS JOIN cb c
+         |), enc AS (
+         |  SELECT vec_id, j, cidx FROM (
+         |    SELECT vec_id, j, cidx,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cidx) AS rn
+         |    FROM enc0) WHERE rn = 1
+         |), lut AS (
+         |  SELECT s.j, c.cidx,
+         |    list_sum([(CAST(x.embedding[s.j*8+i] AS DOUBLE) - CAST(c.ce[s.j*8+i] AS DOUBLE))
+         |            * (CAST(x.embedding[s.j*8+i] AS DOUBLE) - CAST(c.ce[s.j*8+i] AS DOUBLE)) FOR i IN range(1, 9)]) AS ld
+         |  FROM x CROSS JOIN sub s CROSS JOIN cb c
+         |), adcv AS (
+         |  SELECT e.vec_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.ld ORDER BY e.j)), (a, b) -> a + b) AS adc
+         |  FROM enc e JOIN lut l ON l.j = e.j AND l.cidx = e.cidx
+         |  GROUP BY e.vec_id
+         |), short AS (
+         |  SELECT vec_id, adc FROM adcv ORDER BY adc, vec_id LIMIT 40
+         |)
+         |SELECT y.vec_id AS vec_id, round(s.adc, 6) AS adc, round($duckCos, 6) AS cos
+         |FROM short s, x, embeddings y
+         |WHERE y.vec_id = s.vec_id
+         |ORDER BY cos DESC, y.vec_id LIMIT 10""".stripMargin)
 }

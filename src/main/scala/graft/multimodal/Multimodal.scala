@@ -15,6 +15,8 @@ final case class ImageMeta(media_id: Long, mime: String, width: Int, height: Int
 
 final case class FrameSample(media_id: Long, frame_index: Int, feature: Array[Float])
 
+final case class ImageHash(media_id: Long, dhash: Long)
+
 /** Multimodal column plumbing (north-star). Image *decode* is real for the
   * container formats the JDK ships readers for (PNG/JPEG/GIF/BMP via
   * `javax.imageio` — header-only dimension reads, full decode for resize,
@@ -191,6 +193,77 @@ object Multimodal {
               .map(pixelFeature(_, dim))
           } catch { case scala.util.control.NonFatal(_) => None }
         FrameSample(m.media_id, 0, real.getOrElse(hashFeature(m.content, dim)))
+      }
+    }
+  }
+
+  /** 64-bit difference hash (dHash) of a decoded raster: BT.601 integer
+    * luminance pooled onto a 9×8 grid (block (i,j) covers pixels with
+    * `floor(x·9/w) = i`, `floor(y·8/h) = j`), then bit (j·8+i) is set iff
+    * block (i+1,j)'s mean luminance exceeds block (i,j)'s. The mean
+    * comparison is done by CROSS-MULTIPLYING integer block sums against
+    * block pixel counts — no division, so the hash is bit-identical on any
+    * JVM and replayable by any engine with integer arithmetic (the DuckDB
+    * oracle reproduces it from the [[syntheticMedia]] pixel formula).
+    * Perceptual, not cryptographic: near-identical images (resize, small
+    * edits, recompression) land within a few bits — Hamming distance is
+    * the image near-dup metric, the visual analog of SimHash on text.
+    */
+  private def dHashBits(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](72) // 9 cols x 8 rows, index gx*8 + gy
+    val cnts = new Array[Long](72)
+    var x = 0
+    while (x < w) {
+      val gx = x * 9 / w
+      var y = 0
+      while (y < h) {
+        val gy = y * 8 / h
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sums(gx * 8 + gy) += (r * 299 + g * 587 + b * 114) / 1000
+        cnts(gx * 8 + gy) += 1
+        y += 1
+      }
+      x += 1
+    }
+    var bits = 0L
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (sums((i + 1) * 8 + j) * cnts(i * 8 + j) > sums(i * 8 + j) * cnts((i + 1) * 8 + j))
+          bits |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    bits
+  }
+
+  /** Perceptual hash per asset, batched per partition: real [[dHashBits]]
+    * for any payload the JDK decodes with a raster of at least 9×8 (smaller
+    * rasters would leave pooling blocks empty); deterministic payload-hash
+    * fallback otherwise, so a mixed corpus flows through total. The output
+    * is 8 bytes per asset — the image-dedup index at 100 TB is built from
+    * THIS column (exact-match groupBy for identical images, SimHash-style
+    * pigeonhole banding for Hamming-near pairs), never from payload bytes.
+    */
+  def dHashes(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      javax.imageio.ImageIO.setUseCache(false)
+      batch.map { m =>
+        val real: Option[Long] =
+          if (!decodableRaster(m.content)) None
+          else try {
+            Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
+              .filter(img => img.getWidth >= 9 && img.getHeight >= 8)
+              .map(dHashBits)
+          } catch { case scala.util.control.NonFatal(_) => None }
+        ImageHash(m.media_id, real.getOrElse(fnv1a(m.content)))
       }
     }
   }

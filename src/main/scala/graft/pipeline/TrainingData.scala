@@ -511,6 +511,75 @@ object TrainingData {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The gate form of [[fuzzyDecontaminate]]: the benchmark's LSH band-
+    * bucket keys are collected ONCE into a Bloom bitmap and the returned
+    * transform drops any document sharing a band bucket with the benchmark
+    * — a stateless codegen'd filter (no join, no state store) that runs
+    * verbatim in a live stream or a batch experiment, like
+    * [[decontaminateSpansGate]]. Candidate-level semantics by design: a
+    * gate cannot run the exact-Jaccard verification step (that needs the
+    * benchmark shingle SETS joined per candidate), so it drops every LSH
+    * CANDIDATE — a superset of the batch path's verified drops. That is
+    * the right polarity for online curation (decontamination false
+    * positives cost a training document; false negatives leak a benchmark)
+    * and the recall math is the batch path's: a benchmark near-copy at
+    * Jaccard j escapes all `bands` bands with probability
+    * (1 − j^rowsPerBand)^bands.
+    *
+    * The Bloom is sized from the DISTINCT band-key count with `limit(max+1)`
+    * bounding the collect before it happens; the guard is a hard error —
+    * a streaming gate has no shuffle fallback (the bitmap rides into every
+    * task's codegen), so an over-budget benchmark belongs on the batch
+    * path. Documents with fewer than `n` tokens have no shingles and are
+    * always kept, matching the batch candidate generator.
+    */
+  def fuzzyDecontaminateGate(bench: DataFrame, idCol: String, textCol: String,
+                             n: Int = 5,
+                             params: Dedup.MinHashParams = Dedup.MinHashParams(),
+                             fpp: Double = 1e-4,
+                             maxBuckets: Long = 10000000L): DataFrame => DataFrame = {
+    import graft.expressions.{BloomMightContainLong, BloomUtil}
+    require(maxBuckets > 0 && maxBuckets < Int.MaxValue.toLong,
+      s"maxBuckets out of (0, 2^31): $maxBuckets")
+    val r = params.rowsPerBand
+    // band keys per row: hash (band index, band signature) to one long —
+    // the exact key the batch candidate generator shuffles on, so gate
+    // drops == batch candidates (pinned by spec). The signature is staged
+    // as a real column: embedding the MinHash generator inside the
+    // transform lambda would re-run it once per band.
+    def bandKeys(sig: org.apache.spark.sql.Column) =
+      transform(sequence(lit(0), lit(params.bands - 1)),
+        i => xxhash64(i, slice(sig, i * r + 1, lit(r))))
+    val keys: Array[Long] = bench
+      .select(Dedup.wordShingles(col(textCol), n).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(Dedup.minhashSignature(col("__sh"), params).as("__sig"))
+      .select(explode(bandKeys(col("__sig"))).as("bk"))
+      .distinct()
+      .limit(maxBuckets.toInt + 1)
+      .collect().map(_.getLong(0))
+    require(keys.length.toLong <= maxBuckets,
+      s"fuzzyDecontaminateGate: benchmark exceeds $maxBuckets distinct band buckets — " +
+        "a streaming gate ships its Bloom bitmap to every task and has no shuffle " +
+        "fallback; decontaminate against a corpus this size with the batch " +
+        "fuzzyDecontaminate, or raise maxBuckets deliberately")
+    val (m, k) = BloomUtil.sized(math.max(1L, keys.length.toLong), fpp)
+    val bits = new Array[Long]((m >>> 6).toInt)
+    keys.foreach(BloomUtil.addLong(_, bits, k, m))
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    def mightContain(c: org.apache.spark.sql.Column) =
+      br.column(BloomMightContainLong(br.expression(c), bits, k, m))
+    df => {
+      val staged = df
+        .withColumn("__sh", Dedup.wordShingles(col(textCol), n))
+        .withColumn("__sig", when(size(col("__sh")) > 0,
+          Dedup.minhashSignature(col("__sh"), params)))
+      val hit = col("__sig").isNotNull &&
+        exists(bandKeys(col("__sig")), mightContain)
+      staged.filter(!hit).drop("__sh", "__sig")
+    }
+  }
+
 
   /** DSIR-style data-selection scores (Xie et al. 2023, arXiv:2302.03169):
     * per-document log-likelihood ratio between hashed-unigram language
@@ -689,6 +758,44 @@ object TrainingData {
       .filter(col("n_docs") >= minDocs)
       .select("line_fp")
     val cuts = lines.join(boiler, "line_fp")
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__cuts"))
+    df.select(col(idCol), col(textCol), split(col(textCol), "\n", -1).as("__toks"))
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol), rewriteWithCuts(textCol, 1, "\n").as(textCol))
+  }
+
+  /** Paragraph-level exact deduplication (the RefinedWeb/Dolma line-dedup
+    * pass): every NON-FIRST occurrence of a repeated non-blank line is cut
+    * corpus-wide, where "first" is the globally smallest (doc, pos) — the
+    * same deterministic keep rule as [[removeRepeatedSpans]], applied at
+    * line granularity. Complements [[removeBoilerplate]]: boilerplate
+    * removal drops EVERY occurrence of a line frequent enough to be chrome
+    * (≥ minDocs), paragraph dedup keeps exactly ONE occurrence of every
+    * repeated line, however rare. Matching is on the trimmed, lowered line;
+    * blank lines are never cut; documents losing no line pass through
+    * byte-identically.
+    *
+    * Scale shape: the line census is one partial-aggregated shuffle of
+    * 8-byte fingerprints (line text never shuffles); `min(struct)` picks
+    * the keeper without a per-fingerprint sort window, so a line repeated
+    * in a million documents costs what any fingerprint costs; singleton
+    * fingerprints are dropped from the keeper table before the join back,
+    * so the join is duplication-sized, and untouched documents stream
+    * through the left join with a null cut list and zero rewrite work.
+    */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+      .select(col(idCol), col("pos").cast("long").as("pos"),
+        TextFunctions.fnv1a64(lower(trim(col("line")))).as("line_fp"))
+    val firsts = lines.groupBy(col("line_fp"))
+      .agg(min(struct(col(idCol).as("__fid"), col("pos").as("__fpos"))).as("__first"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col("line_fp"), col("__first"))
+    val cuts = lines.join(firsts, "line_fp")
+      .filter(!(col(idCol) === col("__first.__fid") && col("pos") === col("__first.__fpos")))
       .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__cuts"))
     df.select(col(idCol), col(textCol), split(col(textCol), "\n", -1).as("__toks"))
       .join(cuts, Seq(idCol), "left")

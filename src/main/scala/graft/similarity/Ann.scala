@@ -302,4 +302,105 @@ object Ann {
                        k: Int): DataFrame =
     quantizedTopK(df.filter(col(listCol).isInCollection(probeLists)),
       vecCol, idCol, query, k)
+
+  /** Product quantization (Jégou et al., TPAMI 2011): each vector is split
+    * into `m` subspaces of `dsub` dims and every subvector quantized to one
+    * of `k` per-subspace centroids, so the stored representation is `m`
+    * small code integers. This is the resident-store lever PAST int8: a
+    * 10⁹ × 64-dim float64 corpus is 512 GB, int8 codes 64 GB, PQ at
+    * m=8/k=16 → 4 GB of codes — pinnable in executor memory — and ADC
+    * query scoring touches NO vector data: one table lookup per subspace
+    * against a per-query LUT of m·k precomputed squared distances.
+    *
+    * Codebooks here are fixed deterministically (subvectors of the first
+    * `k` corpus vectors in id order — the q_kmeans_assign scheme), so the
+    * oracle replays encode + ADC bit-for-bit; a production build trains
+    * each subspace with [[KMeans.fit]] on a sample and ships the same
+    * Model shape — either way the codebook rides into codegen as literals
+    * (m·k·dsub doubles — tiny).
+    */
+  final case class PqModel(codebooks: Array[Array[Array[Double]]]) {
+    val m: Int = codebooks.length
+    val k: Int = codebooks.head.length
+    val dsub: Int = codebooks.head.head.length
+
+    /** Per-subspace nearest-centroid codes as one `array<int>` column — the
+      * `-2·v·c + |c|²` expansion of [[KMeans.Model.assignCol]] applied to
+      * each subvector slice, all m·k scorings fused in whole-stage codegen.
+      */
+    def encodeCol(vec: Column): Column = {
+      val v = toDouble(vec)
+      array((0 until m).map { j =>
+        val sub = slice(v, j * dsub + 1, dsub)
+        val scored = codebooks(j).zipWithIndex.map { case (c, i) =>
+          val cNormSq = c.map(x => x * x).sum
+          struct((dot(sub, vecLit(c.toSeq)) * -2.0 + cNormSq).as("d"),
+            lit(i).as("i"))
+        }
+        array_min(array(scored.toIndexedSeq: _*)).getField("i")
+      }: _*)
+    }
+
+    /** Asymmetric Distance Computation: the per-query LUT of exact
+      * per-subspace squared distances is computed driver-side (m·k doubles)
+      * and rides into codegen as one array literal; the per-row score is
+      * `m` lookups summed left-to-right — no per-row vector arithmetic.
+      */
+    def adcCol(codes: Column, query: Seq[Double]): Column = {
+      require(query.length == m * dsub,
+        s"query dim ${query.length} != m·dsub = ${m * dsub}")
+      val lut: Seq[Double] = for (j <- 0 until m; c <- codebooks(j).toSeq) yield {
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = query(j * dsub + i) - c(i)
+          s += d * d
+          i += 1
+        }
+        s
+      }
+      (0 until m).map(j =>
+        element_at(vecLit(lut), lit(j * k) + element_at(codes, j + 1) + 1))
+        .reduce(_ + _)
+    }
+  }
+
+  /** Deterministic PQ codebook from the corpus' first `k` vectors in
+    * `idCol` order — engine-replayable; production swaps in per-subspace
+    * [[KMeans.fit]] over a sample, same [[PqModel]] shape.
+    */
+  def pqCodebook(df: DataFrame, vecCol: String, idCol: String,
+                 m: Int, k: Int): PqModel = {
+    val rows = df.orderBy(col(idCol)).limit(k)
+      .select(toDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.length == k, s"corpus has only ${rows.length} < k=$k vectors")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    PqModel(Array.tabulate(m, k)((j, c) => rows(c).slice(j * dsub, j * dsub + dsub)))
+  }
+
+  /** Two-stage PQ search: ADC over the code column shortlists `shortlist`
+    * candidates (TakeOrderedAndProject over codes — the float vectors are
+    * never read in this stage), then ONLY the shortlist is re-scored
+    * exactly against the original vectors (a ≤ `shortlist`-row broadcast
+    * join), removing most of the quantization error. Returns the final `k`
+    * by exact cosine. At 100 TB the code table is what lives hot; the
+    * vector table is touched `shortlist` rows per query.
+    */
+  def pqTopK(df: DataFrame, vecCol: String, idCol: String, model: PqModel,
+             query: Seq[Double], k: Int, shortlist: Int = 40): DataFrame = {
+    val short = df
+      .select(col(idCol).as("vec_id"), model.encodeCol(col(vecCol)).as("codes"))
+      .select(col("vec_id"), model.adcCol(col("codes"), query).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id"))
+      .limit(shortlist)
+    df.select(col(idCol).as("vec_id"), col(vecCol))
+      .join(broadcast(short), "vec_id")
+      .select(col("vec_id"), round(col("adc"), 6).as("adc"),
+        round(cosine(toDouble(col(vecCol)), vecLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -158,6 +158,57 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_index).sorted.toSeq === Seq(0, 2, 4))
   }
 
+  /** Gradient fixture for the perceptual-hash tests: lum(x) = f(x), flat in
+    * y, so the dHash is fully determined by the horizontal block ordering.
+    */
+  private def gradientPng(w: Int, h: Int, f: Int => Int,
+                          hot: Set[(Int, Int)] = Set.empty): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val v = if (hot((x, y))) 255 else f(x) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHashes: perceptual — identical pixels equal, SCALE-INVARIANT on the same gradient, small edit = small Hamming, inverted = far") {
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = gradientPng(24, 16, x => x * 10)
+    val h = Multimodal.dHashes(media(
+        (1L, "image/png", base),
+        (2L, "image/png", gradientPng(24, 16, x => x * 10)),       // same pixels, re-encoded
+        (3L, "image/png", gradientPng(48, 32, x => x * 5)),        // SAME gradient at 2x size
+        (4L, "image/png", gradientPng(24, 16, x => (23 - x) * 10)), // inverted gradient
+        // block (0,0) (x 0-2, y 0-1) blasted to 255 — exactly one comparison flips
+        (5L, "image/png", gradientPng(24, 16, x => x * 10,
+          hot = (for (x <- 0 to 2; y <- 0 to 1) yield (x, y)).toSet)),
+        (6L, "text/plain", "not an image at all".getBytes("UTF-8")),
+        (7L, "image/png", encodedImage(4, 4, "png")))              // raster below the 9x8 grid
+      ).collect().map(r => r.media_id -> r.dhash).toMap
+    assert(h(1L) === h(2L))
+    // a strictly increasing gradient sets every comparison bit; halving the
+    // resolution of the same gradient pools to the same ordering — the
+    // resize robustness exact hashing cannot give
+    assert(h(1L) === h(3L))
+    assert(h(1L) === -1L) // all 64 bits set
+    assert(ham(h(1L), h(4L)) === 64) // inverted: every comparison flips
+    assert(ham(h(1L), h(5L)) === 1)  // local edit: one block comparison flips
+    // non-decodable and sub-grid payloads take the deterministic fallback
+    val again = Multimodal.dHashes(media(
+        (6L, "text/plain", "not an image at all".getBytes("UTF-8")),
+        (7L, "image/png", encodedImage(4, 4, "png"))))
+      .collect().map(r => r.media_id -> r.dhash).toMap
+    assert(again(6L) === h(6L) && again(7L) === h(7L))
+  }
+
   test("resize: deterministic fake payload sized from target dims, metadata preserved") {
     val resized = Multimodal.resize(Multimodal.asMedia(docs, "doc_id", "text"), 64, 64)
       .collect().map(m => m.media_id -> m).toMap

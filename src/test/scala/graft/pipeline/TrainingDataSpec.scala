@@ -352,6 +352,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(e.getMessage.contains("maxMultiplicity"))
   }
 
+  test("dedupParagraphs: global first keeper, later occurrences cut, case-insensitive, untouched docs byte-intact") {
+    val df = Seq(
+      (1L, "shared header\nunique body one\nshared footer"),
+      (2L, "shared header\nunique body two\n\nshared footer"),
+      (3L, "totally original\n\twith   odd whitespace"),
+      (4L, "repeat me\nrepeat me\nother"),
+      (5L, "SHARED HEADER\nmine"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TrainingData.dedupParagraphs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // doc 1 holds the first occurrence of header and footer — untouched
+    assert(out(1L).get === "shared header\nunique body one\nshared footer")
+    // doc 2 loses both; its blank line survives (never censused)
+    assert(out(2L).get === "unique body two\n")
+    // no repeated line at all — byte-identical, tabs and spacing intact
+    assert(out(3L).get === "totally original\n\twith   odd whitespace")
+    // WITHIN-document repeat: first kept, second cut
+    assert(out(4L).get === "repeat me\nother")
+    // matching is trim+lower — the shouted copy is a duplicate of doc 1's
+    assert(out(5L).get === "mine")
+    assert(out(6L).isEmpty) // null stays null
+  }
+
   test("removeBoilerplate: repeated non-blank lines cut, blank lines and clean docs byte-intact") {
     val header = "SITE NAV | home | products | about"
     val footer = "(c) example industries - all rights reserved"

@@ -179,4 +179,59 @@ class AnnSpec extends SparkSpec {
     // tail may swap, the head must hold
     assert((exact & quant).size >= 18, s"recall ${(exact & quant).size}/20")
   }
+
+  /** Clustered fixture for the PQ tests: the first `k` vectors are exact
+    * cluster seeds (near-orthogonal two-hot axes), every later vector is a
+    * seed plus a small deterministic perturbation — so the fixed
+    * first-k-vectors codebook IS the true cluster structure and PQ recall
+    * is provable, not probabilistic.
+    */
+  private def clusteredVecs(n: Int, dim: Int, k: Int): Seq[(Long, Seq[Float])] =
+    (0L until n.toLong).map { i =>
+      val c = (i % k).toInt
+      val base = Seq.tabulate(dim)(d => if (d == c || d == c + k) 1.0f else 0.0f)
+      val v =
+        if (i < k) base
+        else base.zipWithIndex.map { case (x, d) =>
+          x + (((i * 31 + d * 7) % 11) - 5).toFloat * 0.002f
+        }
+      (i, v)
+    }
+
+  test("pqTopK: two-stage ADC + exact re-score recovers the exact brute-force top-k on clustered data") {
+    val data = clusteredVecs(100, 16, 8)
+    val df = data.toDF("vec_id", "embedding")
+    val model = Ann.pqCodebook(df, "embedding", "vec_id", m = 4, k = 8)
+    assert((model.m, model.k, model.dsub) === ((4, 8, 4)))
+    val q = data.head._2.map(_.toDouble)
+    val out = Ann.pqTopK(df, "embedding", "vec_id", model, q, k = 10, shortlist = 40)
+      .collect()
+    // vec 0 is codebook centroid 0 in every subspace: its code reconstructs
+    // it exactly, so its ADC distance to its own query is exactly 0 and its
+    // exact cosine exactly 1
+    assert(out.head.getLong(0) === 0L)
+    assert(out.head.getDouble(1) === 0.0)
+    assert(out.head.getDouble(2) === 1.0)
+    // re-scored ordering is by exact cosine, descending
+    val cos = out.map(_.getDouble(2)).toSeq
+    assert(cos === cos.sorted.reverse)
+    // the 40-wide ADC shortlist holds every cluster-0 member (their codes
+    // reconstruct their own seed; inter-seed distances dwarf the noise), so
+    // the re-scored final 10 equals the exact brute-force top 10
+    val exact = Ann.bruteForceTopK(df, "embedding", "vec_id", q, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out.map(_.getLong(0)).toSeq === exact)
+  }
+
+  test("pqCodebook: dimension and corpus-size guards") {
+    val df = clusteredVecs(20, 16, 8).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.pqCodebook(df, "embedding", "vec_id", m = 5, k = 8) // 16 % 5 != 0
+    }
+    assert(e.getMessage.contains("not divisible"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.pqCodebook(df, "embedding", "vec_id", m = 4, k = 64) // only 20 vectors
+    }
+    assert(e2.getMessage.contains("< k"))
+  }
 }

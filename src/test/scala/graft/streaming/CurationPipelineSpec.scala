@@ -352,4 +352,54 @@ class CurationPipelineSpec extends SparkSpec {
     assert(streamed === batch)
     assert(streamed === Set(3L, 4L)) // 1 and 2 are contaminated; 3 clean; 4 unshingleable
   }
+
+  test("streaming fuzzy decontamination gate: drops exactly the batch LSH candidate set") {
+    implicit val sqlCtx = spark.sqlContext
+    // bench = doc 1's text. Doc 2 is a light edit (most 5-grams shared →
+    // minhash bands collide), doc 3 is unrelated, doc 4 too short to shingle.
+    val bench = Seq((100L, docs.head.text)).toDF("doc_id", "text")
+    val gate = graft.pipeline.TrainingData.fuzzyDecontaminateGate(
+      bench, "doc_id", "text", n = 5)
+    val topo = Topology(
+      entities = Map(
+        "raw-docs" -> Topic("raw-docs"),
+        "fuzzy"    -> Stream("fuzzy", gate),
+        "clean"    -> Topic("clean")),
+      workflow = Seq("raw-docs" -> "fuzzy", "fuzzy" -> "clean"))
+
+    val in = MemoryStream[RawDoc]
+    in.addData(docs: _*)
+    val engine = StreamRunner.start(
+      topo, Map("raw-docs" -> in.toDF()),
+      (sink, df) => df.writeStream.format("memory")
+        .queryName("t_fuzzy").trigger(Trigger.AvailableNow()).start())
+    engine.processAllAvailable()
+    engine.stop()
+    val streamed = spark.table("t_fuzzy").select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // live == batch experiment over the same rows
+    val batch = topo.experiment(Map("raw-docs" -> docs.toDF()))("clean")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed === batch)
+
+    // candidate-level parity with the batch path: threshold 0 makes
+    // fuzzyDecontaminate emit every verified LSH candidate — the gate must
+    // drop exactly those documents (same shingles, same signature, same
+    // band keys on both sides)
+    val candidates = graft.pipeline.TrainingData.fuzzyDecontaminate(
+        docs.toDF(), bench, "doc_id", "text", n = 5, threshold = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val dropped = docs.map(_.doc_id).toSet -- streamed
+    assert(dropped === candidates)
+    assert(streamed === Set(3L, 4L)) // 1 exact, 2 near-copy; 3 clean; 4 unshingleable
+  }
+
+  test("fuzzyDecontaminateGate: band-bucket guard trips on an over-budget benchmark") {
+    val bench = Seq((100L, docs.head.text)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.TrainingData.fuzzyDecontaminateGate(
+        bench, "doc_id", "text", n = 5, maxBuckets = 3)
+    }
+    assert(e.getMessage.contains("maxBuckets"))
+  }
 }
