@@ -703,6 +703,34 @@ object SparkEntry {
       k = 10, shortlist = 40)
   }
 
+  /** IVF + PQ — the canonical billion-scale ANN composition (FAISS's
+    * IVFPQ shape): the coarse quantizer (the q_kmeans_assign fixed-centroid
+    * model) restricts the scan to the query's 3 nearest inverted lists,
+    * then the two-stage PQ search (ADC shortlist → exact re-score) runs
+    * over only those lists. At 100 TB the list column is the partition key,
+    * so stage 1 reads `nprobe/k` of the code table and nothing else.
+    */
+  private def ivfPqQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 10).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val km = graft.similarity.KMeans.Model(cents)
+    val q = queryVec(s, dir)
+    val pq = Ann.pqCodebook(emb, "embedding", "vec_id", m = 8, k = 16)
+    Ann.pqTopK(
+      km.assign(emb, "embedding")
+        .filter(col("list").isInCollection(km.probeLists(q, nprobe = 3))),
+      "embedding", "vec_id", pq, q, k = 10, shortlist = 40)
+  }
+
+  /** BM25 topical retrieval over the corpus (k1 = 1.5 / b = 0.75: exact
+    * binary doubles, so every constant replays bit-identically in SQL).
+    */
+  private def bm25Q(s: SparkSession, dir: String): DataFrame =
+    Analytics.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("spark", "join", "window"), k = 20, k1 = 1.5, b = 0.75)
+
   /** Gopher quality rules as flat boolean flags + the AND-composite keep. */
   private def gopherFilterQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1370,7 +1398,9 @@ object SparkEntry {
     "q_pack_shuffled"       -> (packShuffledQ(_, _)),
     "q_paragraph_dedup"     -> (paragraphDedupQ(_, _)),
     "q_image_dhash"         -> (imageDhashQ(_, _)),
-    "q_pq_topk"             -> (pqTopkQ(_, _)))
+    "q_pq_topk"             -> (pqTopkQ(_, _)),
+    "q_ivf_pq"              -> (ivfPqQ(_, _)),
+    "q_bm25_topk"           -> (bm25Q(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -2814,37 +2844,110 @@ object SparkEntry {
     // q_kmeans_assign), query LUT = exact per-subspace squared distances,
     // ADC = ordered left-fold over the 8 looked-up entries, shortlist 40
     // by (adc, vec_id), exact-cosine re-score of only those, final 10
-    "q_pq_topk" ->
-      s"""WITH x AS (SELECT * FROM embeddings WHERE vec_id = 0),
-         |cb AS (
-         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
-         |  FROM embeddings WHERE vec_id < 16
-         |), sub AS (SELECT unnest(range(8)) AS j),
-         |enc0 AS (
-         |  SELECT e.vec_id, s.j, c.cidx,
-         |    list_sum([CAST(e.embedding[s.j*8+i] AS DOUBLE) * CAST(c.ce[s.j*8+i] AS DOUBLE) FOR i IN range(1, 9)]) * -2.0
-         |    + list_sum([CAST(c.ce[s.j*8+i] AS DOUBLE) * CAST(c.ce[s.j*8+i] AS DOUBLE) FOR i IN range(1, 9)]) AS d
-         |  FROM embeddings e CROSS JOIN sub s CROSS JOIN cb c
-         |), enc AS (
-         |  SELECT vec_id, j, cidx FROM (
-         |    SELECT vec_id, j, cidx,
-         |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cidx) AS rn
-         |    FROM enc0) WHERE rn = 1
-         |), lut AS (
-         |  SELECT s.j, c.cidx,
-         |    list_sum([(CAST(x.embedding[s.j*8+i] AS DOUBLE) - CAST(c.ce[s.j*8+i] AS DOUBLE))
-         |            * (CAST(x.embedding[s.j*8+i] AS DOUBLE) - CAST(c.ce[s.j*8+i] AS DOUBLE)) FOR i IN range(1, 9)]) AS ld
-         |  FROM x CROSS JOIN sub s CROSS JOIN cb c
-         |), adcv AS (
-         |  SELECT e.vec_id,
-         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.ld ORDER BY e.j)), (a, b) -> a + b) AS adc
-         |  FROM enc e JOIN lut l ON l.j = e.j AND l.cidx = e.cidx
-         |  GROUP BY e.vec_id
-         |), short AS (
-         |  SELECT vec_id, adc FROM adcv ORDER BY adc, vec_id LIMIT 40
+    "q_pq_topk" -> duckPqSql("", "embeddings"),
+    // IVF + PQ: the q_kmeans_assign chain restricts the corpus to the
+    // query's 3 nearest coarse lists (assignment d = -2·dot + |c|², probe
+    // ranking = full |c − q|² — each replayed in its exact arithmetic
+    // shape), then the identical PQ chain runs over the restricted set
+    "q_ivf_pq" -> duckPqSql(
+      s"""kc AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS kcidx, embedding AS kce
+         |  FROM embeddings WHERE vec_id < 10
+         |), xq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |asg0 AS (
+         |  SELECT e.vec_id, k.kcidx,
+         |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(k.kce[i] AS DOUBLE) FOR i IN range(1, 65)]) * -2.0
+         |    + list_sum([CAST(k.kce[i] AS DOUBLE) * CAST(k.kce[i] AS DOUBLE) FOR i IN range(1, 65)]) AS d
+         |  FROM embeddings e CROSS JOIN kc k
+         |), asg AS (
+         |  SELECT vec_id, kcidx AS list FROM (
+         |    SELECT vec_id, kcidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, kcidx) AS rn
+         |    FROM asg0) WHERE rn = 1
+         |), pl AS (
+         |  SELECT kcidx FROM (
+         |    SELECT k.kcidx,
+         |      list_sum([(CAST(k.kce[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE))
+         |              * (CAST(k.kce[i] AS DOUBLE) - CAST(q.qe[i] AS DOUBLE)) FOR i IN range(1, 65)]) AS pd
+         |    FROM kc k, xq q) ORDER BY pd, kcidx LIMIT 3
+         |), restricted AS (
+         |  SELECT e.* FROM embeddings e JOIN asg a ON a.vec_id = e.vec_id
+         |  WHERE a.list IN (SELECT kcidx FROM pl)
+         |),
+         |""".stripMargin, "restricted"),
+    // BM25 with exact-binary constants (k1 = 1.5, b = 0.75 → 2.5, 0.25,
+    // 0.75 all exact doubles, so the SQL literals equal the Scala ones
+    // bit-for-bit); Σ|d| is censused as a BIGINT (order-independent), idf
+    // arguments are integer-derived, and the three per-term scores sum
+    // left-to-right on both engines
+    "q_bm25_topk" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), st AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+         |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+         |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+         |  FROM toks
+         |), g AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM st
+         |), c AS (
+         |  SELECT nd, avgdl,
+         |    ln((nd - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf0,
+         |    ln((nd - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf1,
+         |    ln((nd - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf2
+         |  FROM g
+         |), sc AS (
+         |  SELECT s.doc_id,
+         |    c.idf0 * (s.tf0 * CAST(2.5 AS DOUBLE)) / (s.tf0 + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * s.dl / c.avgdl)) +
+         |    c.idf1 * (s.tf1 * CAST(2.5 AS DOUBLE)) / (s.tf1 + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * s.dl / c.avgdl)) +
+         |    c.idf2 * (s.tf2 * CAST(2.5 AS DOUBLE)) / (s.tf2 + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * s.dl / c.avgdl)) AS raw
+         |  FROM st s, c
          |)
-         |SELECT y.vec_id AS vec_id, round(s.adc, 6) AS adc, round($duckCos, 6) AS cos
-         |FROM short s, x, embeddings y
-         |WHERE y.vec_id = s.vec_id
-         |ORDER BY cos DESC, y.vec_id LIMIT 10""".stripMargin)
+         |SELECT doc_id, round(raw, 6) AS score FROM sc
+         |ORDER BY raw DESC, doc_id LIMIT 20""".stripMargin)
+
+  /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
+    * parameterized by the source relation the codes are built over (the
+    * full corpus for q_pq_topk, the IVF-restricted subset for q_ivf_pq;
+    * `extraCtes` prepends the restriction chain). Codebook and query CTEs
+    * always read the UNRESTRICTED corpus, mirroring the Spark side.
+    */
+  private def duckPqSql(extraCtes: String, src: String): String =
+    s"""WITH ${extraCtes}x AS (SELECT * FROM embeddings WHERE vec_id = 0),
+       |cb AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS ce
+       |  FROM embeddings WHERE vec_id < 16
+       |), sub AS (SELECT unnest(range(8)) AS j),
+       |enc0 AS (
+       |  SELECT e.vec_id, s.j, c.cidx,
+       |    list_sum([CAST(e.embedding[s.j*8+i] AS DOUBLE) * CAST(c.ce[s.j*8+i] AS DOUBLE) FOR i IN range(1, 9)]) * -2.0
+       |    + list_sum([CAST(c.ce[s.j*8+i] AS DOUBLE) * CAST(c.ce[s.j*8+i] AS DOUBLE) FOR i IN range(1, 9)]) AS d
+       |  FROM $src e CROSS JOIN sub s CROSS JOIN cb c
+       |), enc AS (
+       |  SELECT vec_id, j, cidx FROM (
+       |    SELECT vec_id, j, cidx,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d, cidx) AS rn
+       |    FROM enc0) WHERE rn = 1
+       |), lut AS (
+       |  SELECT s.j, c.cidx,
+       |    list_sum([(CAST(x.embedding[s.j*8+i] AS DOUBLE) - CAST(c.ce[s.j*8+i] AS DOUBLE))
+       |            * (CAST(x.embedding[s.j*8+i] AS DOUBLE) - CAST(c.ce[s.j*8+i] AS DOUBLE)) FOR i IN range(1, 9)]) AS ld
+       |  FROM x CROSS JOIN sub s CROSS JOIN cb c
+       |), adcv AS (
+       |  SELECT e.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(l.ld ORDER BY e.j)), (a, b) -> a + b) AS adc
+       |  FROM enc e JOIN lut l ON l.j = e.j AND l.cidx = e.cidx
+       |  GROUP BY e.vec_id
+       |), short AS (
+       |  SELECT vec_id, adc FROM adcv ORDER BY adc, vec_id LIMIT 40
+       |)
+       |SELECT y.vec_id AS vec_id, round(s.adc, 6) AS adc, round($duckCos, 6) AS cos
+       |FROM short s, x, embeddings y
+       |WHERE y.vec_id = s.vec_id
+       |ORDER BY cos DESC, y.vec_id LIMIT 10""".stripMargin
 }

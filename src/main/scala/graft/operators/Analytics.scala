@@ -307,4 +307,61 @@ object Analytics {
       (levelNames.map(n => coalesce(col(n).cast("string"), lit(allLabel)).as(n)) ++
         aggNames.map(col)): _*)
   }
+
+  /** BM25 ranked retrieval (Robertson et al.; the Okapi/Lucene form with the
+    * non-negative idf): `score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 −
+    * b + b·|d|/avgdl))` with `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)`.
+    * The operator a training-data pipeline uses to pull topical slices out
+    * of a web corpus — the retrieval analog of DSIR's importance weighting
+    * (scores from corpus statistics, not a learned model).
+    *
+    * Scale shape: ONE partial-aggregated stats pass over the corpus (N,
+    * Σ|d| as an exact LONG — a float sum would be partition-order-dependent
+    * — and per-term document frequencies as conditional sums; |terms|+2
+    * values collected driver-side), then scoring is a pure scan with
+    * idf/avgdl riding into codegen as literals, finished by
+    * TakeOrderedAndProject. No shuffle of the corpus, no inverted-index
+    * build for an ad-hoc query — the census IS the index; a standing
+    * inverted index is a storage-layout concern, not this operator's.
+    * Per-term tf reads the staged token-array attribute (never re-running
+    * the tokenizer per term — CollapseProject keeps multiply-referenced
+    * non-cheap projections staged).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.map(_.toLowerCase).distinct.size == terms.size,
+      "terms must be distinct after lowering (duplicates double-count)")
+    val lowered = terms.map(_.toLowerCase)
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val staged = df
+      .select(col(idCol), toks.as("__toks"))
+      .select(Seq(col(idCol), size(col("__toks")).cast("long").as("__len")) ++
+        lowered.zipWithIndex.map { case (t, i) =>
+          size(filter(col("__toks"), x => x === lit(t))).cast("double").as(s"__tf$i")
+        }: _*)
+    val stats = staged.agg(count(lit(1)).as("n"),
+      (coalesce(sum(col("__len")), lit(0L)).as("sumlen") +:
+        lowered.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))): _*)
+      .head()
+    val n = stats.getLong(0).toDouble
+    require(n > 0, "bm25TopK: empty corpus")
+    val avgdl = stats.getLong(1).toDouble / n
+    val idf = lowered.indices.map { i =>
+      val dfT = stats.getLong(2 + i).toDouble
+      math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    }
+    val raw = lowered.indices.map { i =>
+      val tf = col(s"__tf$i")
+      lit(idf(i)) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__len") / lit(avgdl)))
+    }.reduce(_ + _)
+    staged.select(col(idCol), round(raw, 6).as("score"), raw.as("__raw"))
+      .orderBy(col("__raw").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
 }

@@ -219,4 +219,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(("ALL", "ALL")) === 35.0)
     assert(out.size === 6) // 3 leaves + 2 region subtotals + 1 grand total
   }
+
+  test("bm25TopK matches the closed-form score and ranks rare-term matches first") {
+    val df = Seq(
+      (1L, "spark spark spark filler filler filler filler filler"),
+      (2L, "spark join filler filler"),
+      (3L, "join filler filler filler filler filler filler filler"),
+      (4L, "filler filler filler filler"),
+      (5L, "SPARK and nothing else here")).toDF("doc_id", "text")
+    val out = Analytics.bm25TopK(df, "doc_id", "text",
+        terms = Seq("spark", "join"), k = 5, k1 = 1.5, b = 0.75)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // replay the formula by hand: N=5, avgdl=(8+4+8+4+5)/5=5.8,
+    // df(spark)=3 (docs 1,2,5 — tokenizer lowers), df(join)=2
+    val n = 5.0; val avgdl = 29.0 / 5.0
+    def idf(dfT: Double) = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    def part(tf: Double, dl: Double, i: Double) =
+      i * (tf * 2.5) / (tf + 1.5 * (0.25 + 0.75 * dl / avgdl))
+    def score(tfS: Double, tfJ: Double, dl: Double) =
+      part(tfS, dl, idf(3.0)) + part(tfJ, dl, idf(2.0))
+    val expect = Map(
+      1L -> score(3, 0, 8), 2L -> score(1, 1, 4), 3L -> score(0, 1, 8),
+      4L -> score(0, 0, 4), 5L -> score(1, 0, 5))
+    out.foreach { case (id, s) =>
+      assert(math.abs(s - expect(id)) < 1e-6, s"doc $id: $s vs ${expect(id)}")
+    }
+    // doc 2 (both terms, short) outranks the single-term docs; no-term doc last
+    assert(out.head._1 === 2L)
+    assert(out.last._1 === 4L && out.last._2 === 0.0)
+    // descending by score
+    val scores = out.map(_._2).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
 }
