@@ -731,6 +731,78 @@ object SparkEntry {
     Analytics.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
       terms = Seq("spark", "join", "window"), k = 20, k1 = 1.5, b = 0.75)
 
+  /** Bounded-posting inverted index over the whole corpus vocabulary (the
+    * 31-term synthetic vocab makes EVERY term a hot key — exactly the skew
+    * the bounded aggregate is for).
+    */
+  private def invertedIndexQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.invertedIndex(t(s, dir, "documents"), "doc_id", "text",
+      maxPostings = 15)
+
+  /** α-temperature (α = 1/2) mixture over the five-language corpus —
+    * shares derived from the census itself, not supplied.
+    */
+  private def temperatureMixQ(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "fr", "es", "zh", "de")
+    val docs = t(s, dir, "documents").filter(col("lang").isin(langs: _*))
+    TrainingData.temperatureMix(docs, "lang", "doc_id", "text", langs)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+  }
+
+  /** MMR-diversified top-10 from the exact-cosine top-40 shortlist (λ =
+    * 1/2, an exact binary double; the query vector itself is excluded —
+    * retrieving the query is not a result, and its redundancy term
+    * degenerates to `rel` exactly).
+    */
+  private def mmrQ(s: SparkSession, dir: String): DataFrame =
+    Ann.mmrRerank(t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+      "embedding", "vec_id", queryVec(s, dir),
+      k = 10, shortlist = 40, lambda = 0.5)
+
+  /** Greedy token-budget selection by quality: the budget admits the
+    * highest-quality prefix; wholly-out shards are pruned before any sort
+    * (quality is the 6dp-rounded score, so the priority key is bit-portable;
+    * doc_id breaks ties totally).
+    */
+  private def budgetSelectQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.budgetSelect(
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+      orderCols = Seq(negate(col("quality")), col("doc_id")),
+      tokens = col("n_tokens"), budget = 15000L)
+
+  /** Exact k-NN graph of a 200-vector query slice against the corpus —
+    * the bounded-aggregate graph-build shape (a full self-graph swaps the
+    * pair source for LSH/IVF candidates, same aggregate).
+    */
+  private def knnGraphQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.knnGraph(emb.filter(col("vec_id") < 200), emb, "vec_id", "embedding",
+      k = 5)
+  }
+
+  /** Corpus datasheet: per source × lang rollup with exact counts and
+    * integer-derived averages (float sums across partitions are order-
+    * dependent — avg_chars divides two EXACT longs; quality spread uses
+    * min/max, which commute).
+    */
+  private def corpusDatasheetQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("source"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("__nt"),
+        length(col("text")).cast("long").as("__nc"),
+        TF.qualityScore(col("text")).as("__q"))
+    Analytics.rollupAgg(d, Seq(col("source"), col("lang")),
+      Seq(count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        round(sum(col("__nc")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+        min(col("__q")).as("min_quality"),
+        max(col("__q")).as("max_quality")))
+  }
+
   /** Gopher quality rules as flat boolean flags + the AND-composite keep. */
   private def gopherFilterQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1400,7 +1472,13 @@ object SparkEntry {
     "q_image_dhash"         -> (imageDhashQ(_, _)),
     "q_pq_topk"             -> (pqTopkQ(_, _)),
     "q_ivf_pq"              -> (ivfPqQ(_, _)),
-    "q_bm25_topk"           -> (bm25Q(_, _)))
+    "q_bm25_topk"           -> (bm25Q(_, _)),
+    "q_inverted_index"      -> (invertedIndexQ(_, _)),
+    "q_temperature_mix"     -> (temperatureMixQ(_, _)),
+    "q_mmr_rerank"          -> (mmrQ(_, _)),
+    "q_budget_select"       -> (budgetSelectQ(_, _)),
+    "q_knn_graph"           -> (knnGraphQ(_, _)),
+    "q_corpus_datasheet"    -> (corpusDatasheetQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -2909,7 +2987,143 @@ object SparkEntry {
          |  FROM st s, c
          |)
          |SELECT doc_id, round(raw, 6) AS score FROM sc
-         |ORDER BY raw DESC, doc_id LIMIT 20""".stripMargin)
+         |ORDER BY raw DESC, doc_id LIMIT 20""".stripMargin,
+    // Inverted index: exact df/cf per term; postings replayed as the
+    // row_number-by-doc_id prefix — the bounded aggregate keeps the k
+    // SMALLEST (doc_id) structs, i.e. exactly rn <= k
+    "q_inverted_index" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($duckToks) AS term FROM documents
+         |), tf AS (
+         |  SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+         |), agg AS (
+         |  SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+         |  FROM tf GROUP BY term
+         |), post AS (
+         |  SELECT term, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS pos
+         |  FROM tf
+         |)
+         |SELECT a.term, a.df, a.cf, p.pos, p.doc_id
+         |FROM agg a JOIN post p USING (term)
+         |WHERE p.pos <= 15""".stripMargin,
+    // α-temperature mixture, α = 1/2: shares w = sqrt(census tokens)
+    // (sqrt is IEEE-correctly-rounded — engine-portable where pow is not),
+    // normalizer Σw as the l-t-r fold in sorted stratum order, then the
+    // q_mix_corpus binding-stratum + integer-threshold + FNV keep rule
+    "q_temperature_mix" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, len($duckToks) AS nt FROM documents
+         |  WHERE lang IN ('de','en','es','fr','zh')
+         |), census AS (
+         |  SELECT lang, CAST(sum(nt) AS BIGINT) AS t FROM tok GROUP BY lang
+         |), wv AS (
+         |  SELECT lang, t, sqrt(CAST(t AS DOUBLE)) AS w FROM census
+         |), wt AS (
+         |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |    list(w ORDER BY lang)), (a, b) -> a + b) AS wt FROM wv
+         |), pv AS (
+         |  SELECT lang, t, w / wt.wt AS p FROM wv, wt
+         |), mm AS (
+         |  SELECT min(CAST(t AS DOUBLE) / p) AS m FROM pv
+         |), thr AS (
+         |  SELECT lang, CAST(round(p * mm.m / CAST(t AS DOUBLE) * 1000000, 0) AS BIGINT) AS th
+         |  FROM pv, mm
+         |), hh AS (
+         |  SELECT k.doc_id, k.lang, k.nt, thr.th,
+         |    ${duckFnvU("CAST(k.doc_id AS VARCHAR)")} AS hu
+         |  FROM tok k JOIN thr ON thr.lang = k.lang
+         |), keepd AS (
+         |  SELECT lang, nt FROM (SELECT lang, nt, th, ${duckU2S("hu")} AS hsv FROM hh)
+         |  WHERE ((hsv % 1000000) + 1000000) % 1000000 < th
+         |)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM keepd GROUP BY lang""".stripMargin,
+    // MMR: candidates = exact-cosine top-40 (query row excluded), then the
+    // greedy argmax replayed as a recursive CTE — the selected-id list is
+    // the recursion state, each step's marginal score = λ·rel − (1−λ)·
+    // max-pair-cosine against the selection (pair dots via list_zip:
+    // comprehensions cannot capture correlated columns), ties to smallest
+    // id via ORDER BY ... LIMIT 1
+    "q_mmr_rerank" ->
+      s"""WITH RECURSIVE xq AS (
+         |  SELECT [CAST(x.embedding[i] AS DOUBLE) FOR i IN range(1, 65)] AS qv
+         |  FROM embeddings x WHERE x.vec_id = 0
+         |), cand AS (
+         |  SELECT *, sqrt(list_sum(list_transform(vec, v -> v * v))) AS nrm FROM (
+         |    SELECT e.vec_id AS id,
+         |      [CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, 65)] AS vec,
+         |      list_sum([CAST(e.embedding[i] AS DOUBLE) * q.qv[i] FOR i IN range(1, 65)]) /
+         |      (sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])) *
+         |       sqrt(list_sum([q.qv[i] * q.qv[i] FOR i IN range(1, 65)]))) AS rel
+         |    FROM embeddings e, xq q WHERE e.vec_id != 0)
+         |  ORDER BY rel DESC, id LIMIT 40
+         |), sel(step, id, mmr, ids) AS (
+         |  SELECT 1, w.id, w.mmr, [w.id] FROM (
+         |    SELECT id, CAST(0.5 AS DOUBLE) * rel - CAST(0.5 AS DOUBLE) * CAST(0 AS DOUBLE) AS mmr
+         |    FROM cand ORDER BY mmr DESC, id LIMIT 1) w
+         |  UNION ALL
+         |  SELECT s.step + 1, w.id, w.mmr, list_append(s.ids, w.id)
+         |  FROM sel s, LATERAL (
+         |    SELECT c.id,
+         |      CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * (
+         |        SELECT max(list_sum(list_transform(list_zip(c.vec, p.vec),
+         |            z -> z[1] * z[2])) / (c.nrm * p.nrm))
+         |        FROM cand p WHERE list_contains(s.ids, p.id)) AS mmr
+         |    FROM cand c WHERE NOT list_contains(s.ids, c.id)
+         |    ORDER BY mmr DESC, c.id LIMIT 1) w
+         |  WHERE s.step < 10
+         |)
+         |SELECT step, id AS vec_id, round(mmr, 6) AS mmr FROM sel""".stripMargin,
+    // Budget selection: the greedy quality-priority prefix replayed as ONE
+    // global cumulative window (the oracle may single-thread; the operator
+    // must not) — priority = 6dp quality DESC ≡ the Spark side's negated
+    // ascending key, inclusive running total, strict <= budget cut
+    "q_budget_select" ->
+      s"""WITH dq AS ($duckQualitySql),
+         |tok AS (SELECT doc_id, len($duckToks) AS nt FROM documents),
+         |j AS (
+         |  SELECT d.doc_id, d.quality, CAST(t.nt AS BIGINT) AS n_tokens
+         |  FROM dq d JOIN tok t USING (doc_id)
+         |), c AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM j
+         |)
+         |SELECT doc_id, quality, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= 15000""".stripMargin,
+    // k-NN graph: the bounded aggregate's rows are exactly the
+    // row_number-over-cosine prefix per source vector
+    "q_knn_graph" ->
+      s"""WITH p AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < 200 AND y.vec_id != x.vec_id
+         |), r AS (
+         |  SELECT src, dst, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM p
+         |)
+         |SELECT src, dst, round(cos, 6) AS cos, rn FROM r WHERE rn <= 5""".stripMargin,
+    // Datasheet rollup: exact integer census per (source, lang) grouping
+    // set; averages divide two exact BIGINTs, quality spread via min/max —
+    // no float aggregate whose value depends on partition order
+    "q_corpus_datasheet" ->
+      s"""WITH dq AS ($duckQualitySql),
+         |base AS (
+         |  SELECT d.source, d.lang, len($duckToks) AS nt, len(d.text) AS nc, q.quality
+         |  FROM documents d JOIN dq q USING (doc_id)
+         |)
+         |SELECT COALESCE(CAST(source AS VARCHAR), 'ALL') AS source,
+         |  COALESCE(CAST(lang AS VARCHAR), 'ALL') AS lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  round(CAST(CAST(sum(nc) AS BIGINT) AS DOUBLE) / count(*), 6) AS avg_chars,
+         |  min(quality) AS min_quality,
+         |  max(quality) AS max_quality
+         |FROM base
+         |GROUP BY ROLLUP(source, lang)""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

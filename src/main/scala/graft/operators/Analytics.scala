@@ -364,4 +364,114 @@ object Analytics {
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  /** Inverted-index build — the standing-retrieval layout [[bm25TopK]]
+    * deliberately leaves to storage: per term, exact document frequency
+    * `df`, exact collection frequency `cf`, and a BOUNDED posting list (the
+    * `maxPostings` smallest doc ids), exploded to flat `(term, df, cf, pos,
+    * id)` rows ready to be written bucketed by term.
+    *
+    * Scale shape: at web scale a stopword's posting list is ~the whole
+    * corpus — the classic build-killer where one reducer owns 'the'.
+    * Postings go through [[graft.expressions.TopKStructsAgg]], so every
+    * term ships AT MOST `maxPostings` rows per mapper into the term
+    * shuffle and hot terms cost the same as rare ones, while df/cf stay
+    * exact through ordinary partial-aggregated counts in the SAME groupBy
+    * (one shuffle total after the per-(term, doc) tf combine). Full
+    * postings for hot terms are a segmented/delta-encoded storage concern,
+    * not a single-shuffle build's.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int, minDf: Long = 1L): DataFrame = {
+    require(maxPostings > 0, "maxPostings must be positive")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"),
+      t => length(t) > 0)
+    val tf = df.select(col(idCol).as("__id"), explode(toks).as("term"))
+      .groupBy(col("term"), col("__id"))
+      .agg(count(lit(1)).as("__tf"))
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    val topk = br.column(graft.expressions.TopKStructsAgg(
+        br.expression(struct(col("__id"))),
+        br.expression(struct(col("__id").as("id"))), maxPostings)
+      .toAggregateExpression())
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__tf")).as("cf"), topk.as("__p"))
+      .filter(col("df") >= minDf)
+      .select(col("term"), col("df"), col("cf"),
+        posexplode(col("__p")).as(Seq("__pos", "__row")))
+      .select(col("term"), col("df"), col("cf"),
+        (col("__pos") + 1).as("pos"), col("__row.id").as(idCol))
+  }
+
+  /** Greedy token-budget selection: keep rows in `orderCols` priority order
+    * while the running token total stays ≤ `budget` — "fill the training
+    * budget with the best documents first" (the data-pruning selection rule;
+    * a row that would cross the budget is dropped, as is everything after
+    * it). Output: the input columns plus the inclusive running total
+    * `cumCol`.
+    *
+    * The naive formulation is a GLOBAL cumulative-sum window — one task
+    * sorts the whole corpus. Here the [[rangedRank]] move applies to a
+    * prefix SUM instead of a row count:
+    *
+    *  1. sample shard boundaries of the sort key once ([[RangeShard]] — the
+    *     shard is a pure function of row content);
+    *  2. census `sum(tokens)` per shard (one partial-aggregated pass,
+    *     `shards` rows to the driver) and prefix-scan driver-side;
+    *  3. every shard whose token offset already exceeds the budget is
+    *     dropped WHOLE, before any sort — at 1% selectivity, 99% of a
+    *     100 TB corpus is eliminated by a literal `__shard <= cut`
+    *     predicate on the scan;
+    *  4. surviving shards run PARALLEL per-shard cumsum windows; each
+    *     shard's driver-computed offset rides in as a literal map, and the
+    *     exact global running total is `offset + local cumsum`.
+    *
+    * `orderCols` must be plain ascending expressions ending in a unique
+    * tiebreaker (negate a numeric for descending priority), exactly as in
+    * [[rangedRank]]; token counts must be non-negative.
+    */
+  def budgetSelect(df: DataFrame, orderCols: Seq[Column], tokens: Column,
+                   budget: Long, shards: Int = 0,
+                   cumCol: String = "cum_tokens"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.SortOrder
+    require(budget >= 0L, s"budget must be non-negative: $budget")
+    orderCols.foreach { c =>
+      require(!org.apache.spark.sql.graft.ColumnBridge.expression(c).isInstanceOf[SortOrder],
+        "budgetSelect orderCols must be plain ascending expressions (no .asc/.desc)")
+    }
+    val spark = df.sparkSession
+    val nShards = if (shards > 0) shards
+      else spark.sessionState.conf.numShufflePartitions
+    val oNames = orderCols.indices.map(i => s"__o$i")
+    val slim = df.select(orderCols.zip(oNames).map { case (c, nm) => c.as(nm) } :+
+      tokens.cast("long").as("__t"): _*)
+    val keyTypes = oNames.map(nm => slim.schema(nm).dataType)
+    val p = slim.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (bounds, offsets) =
+      try {
+        val bs = RangeShard.boundaries(p, oNames, nShards)
+        val census = p
+          .withColumn("__shard", RangeShard.shardOf(oNames.map(col), bs, keyTypes))
+          .groupBy(col("__shard")).agg(sum(col("__t")).as("t"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
+          .sortBy(_._1)
+        val offs = census.map(_._1)
+          .zip(census.map(_._2).scanLeft(0L)(_ + _))
+          .toMap
+        (bs, offs)
+      } finally p.unpersist(false)
+    // the cut shard: the last one whose offset leaves budget headroom —
+    // offsets are monotone in shard order, so the keep set is a prefix
+    val kept = offsets.filter(_._2 < budget).keys
+    if (kept.isEmpty) return df.withColumn(cumCol, lit(0L)).limit(0)
+    val cut = kept.max
+    val w = Window.partitionBy(col("__shard")).orderBy(orderCols.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__shard", RangeShard.shardOf(orderCols, bounds, keyTypes))
+      .filter(col("__shard") <= cut)
+      .withColumn(cumCol, sum(tokens.cast("long")).over(w) +
+        coalesce(element_at(typedlit(offsets), col("__shard")), lit(0L)))
+      .filter(col(cumCol) <= budget)
+      .drop("__shard")
+  }
 }

@@ -351,6 +351,59 @@ object TrainingData {
       lit(resolution.toLong)) < thr)
   }
 
+  /** α-temperature mixture (the multilingual sampling rule of XLM-R / mC4,
+    * Conneau et al. 2020 §3.1): stratum target shares are `p_s ∝ n_s^α`
+    * with α ∈ (0,1) flattening the natural token distribution — high-
+    * resource strata down-weighted, low-resource ones relatively up-
+    * weighted, never re-ordered. Where [[mixFilter]] takes shares as given,
+    * this derives them from the census itself. α is FIXED at 1/2: the
+    * share computation is then `sqrt`, which IEEE-754 requires to be
+    * correctly rounded, so census → shares → thresholds replays bit-for-bit
+    * on any engine (`pow`'s last ulp is libm-specific, and a keep/drop
+    * boundary must not depend on the libm that computed it). The share
+    * normalizer Σ√n_s is a left-to-right fold in SORTED stratum order for
+    * the same reason.
+    *
+    * Keep rule and scale shape are [[mixFilter]]'s: one |strata|-row token
+    * census collected driver-side, thresholds ride as codegen literals, and
+    * the returned filter is a stateless content-hash gate that runs
+    * verbatim in a live stream or a batch experiment — the corpus never
+    * joins or shuffles.
+    */
+  def temperatureMixFilter(census: DataFrame, strataCol: String, keyCol: String,
+                           textCol: String, strata: Seq[String],
+                           resolution: Int = 1000000): DataFrame => DataFrame = {
+    require(strata.nonEmpty && strata.distinct.size == strata.size,
+      "strata must be non-empty and distinct")
+    val sorted = strata.sorted
+    val sc = col(strataCol).cast("string")
+    val counts = census
+      .filter(sc.isin(sorted: _*))
+      .groupBy(sc.as("__s"))
+      .agg(sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sorted.foreach(s => require(counts.getOrElse(s, 0L) > 0L,
+      s"temperatureMixFilter: stratum '$s' has no measured tokens — a zero-" +
+        "token stratum cannot receive a temperature share; drop it from strata"))
+    val w = sorted.map(s => s -> math.sqrt(counts(s).toDouble))
+    val wTot = w.foldLeft(0.0)(_ + _._2)
+    val p = w.map { case (s, v) => s -> v / wTot }.toMap
+    // binding stratum + integer thresholds: the mixFilter rule verbatim
+    val m = sorted.map(s => counts(s) / p(s)).min
+    val thresholds = sorted.map { s =>
+      s -> math.round(p(s) * m / counts(s) * resolution).toInt
+    }.toMap
+    val thr = coalesce(element_at(typedlit(thresholds), col(strataCol).cast("string")), lit(0))
+    df => df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")),
+      lit(resolution.toLong)) < thr)
+  }
+
+  /** Batch form of [[temperatureMixFilter]]: the corpus is its own census. */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
+                     textCol: String, strata: Seq[String],
+                     resolution: Int = 1000000): DataFrame =
+    temperatureMixFilter(df, strataCol, keyCol, textCol, strata, resolution)(df)
+
   /** Mixture WITH REPLACEMENT (epoch upsampling — the DoReMi / domain-
     * weights shape): meets target token shares even for UNDER-represented
     * strata by deterministically REPLICATING rows, where [[mixToTargets]]

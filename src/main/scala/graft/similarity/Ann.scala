@@ -171,6 +171,112 @@ object Ann {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein, SIGIR'98):
+    * greedily pick `k` results maximizing `λ·cos(q, c) − (1−λ)·max_{s∈S}
+    * cos(c, s)` — relevance traded against redundancy to the picks so far.
+    * The diversification a curation pipeline runs on retrieval output
+    * before spending a selection budget: a plain top-k over a corpus with
+    * near-duplicates returns the same document k times (the retrieval-time
+    * cousin of SemDeDup). Output: `(step, id, mmr)` — pick order, id, and
+    * the marginal score at pick time (rounded 6dp; step 1's redundancy
+    * term is 0).
+    *
+    * Scale shape: stage 1 is the distributed retrieval — here exact-cosine
+    * top-`shortlist` via TakeOrderedAndProject; any ANN tier (LSH / IVF /
+    * PQ) slots in front unchanged. The greedy stage is INHERENTLY
+    * sequential (pick i conditions on picks 1..i-1), so it runs on the
+    * collected shortlist driver-side: ≤ `shortlist` rows and k·shortlist
+    * dot products — the same bounded-small-side argument as the k-means
+    * centroids. Pairwise cosines use the identical left-to-right double
+    * accumulation as [[graft.functions.VectorFunctions.cosine]], so every
+    * score replays engine-exactly. Ties (exactly equal marginal scores)
+    * break to the smallest id.
+    */
+  def mmrRerank(df: DataFrame, vecCol: String, idCol: String,
+                query: Seq[Double], k: Int, shortlist: Int,
+                lambda: Double = 0.5): DataFrame = {
+    require(k > 0 && shortlist >= k, "need shortlist >= k > 0")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = toDouble(col(vecCol))
+    // candidates ascending by id so the strict-> argmax ties to smallest id
+    val cand = df
+      .select(col(idCol).cast("long").as("__id"), v.as("__vec"),
+        cosine(v, vecLit(query)).as("__rel"))
+      .orderBy(col("__rel").desc, col("__id"))
+      .limit(shortlist)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val nn = math.sqrt(na) * math.sqrt(nb)
+      if (nn > 0) d / nn else 0.0
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    val used = scala.collection.mutable.HashSet.empty[Long]
+    var step = 1
+    while (step <= k && used.size < cand.length) {
+      var bestId = 0L; var bestVec: Array[Double] = null
+      var best = Double.NegativeInfinity
+      cand.foreach { case (id, vec, rel) =>
+        if (!used(id)) {
+          val red =
+            if (chosen.isEmpty) 0.0
+            else {
+              var mx = Double.NegativeInfinity
+              chosen.foreach { s => val c = cos(vec, s._2); if (c > mx) mx = c }
+              mx
+            }
+          val sc = lambda * rel - (1.0 - lambda) * red
+          if (sc > best) { best = sc; bestId = id; bestVec = vec }
+        }
+      }
+      out += ((step, bestId, best)); chosen += ((bestId, bestVec)); used += bestId
+      step += 1
+    }
+    out.toSeq.toDF("step", "__mid", "__mmr")
+      .select(col("step"), col("__mid").as(idCol), round(col("__mmr"), 6).as("mmr"))
+  }
+
+  /** Exact k-NN graph: for every `src` row, its `k` nearest `corpus` rows by
+    * cosine (self-pairs excluded). Output `(src, dst, cos, rn)`, rn = 1..k
+    * by descending cosine, ties to the smaller dst id.
+    *
+    * The quadratic step is dots only: norms are computed ONCE per row on the
+    * linear-size inputs ([[graft.functions.VectorFunctions.cosinePrenormed]]),
+    * the src side is fanned out so the pair loop parallelizes, and the
+    * per-src result is bounded by [[graft.operators.Analytics.topPerKeyAgg]]
+    * — ≤ k rows per (mapper, src) into the shuffle, no hot-key sort. This
+    * tier is for a query SLICE against a corpus (n·|src| dots — the
+    * per-batch analog of [[bruteForceTopK]]); a full self-graph at corpus
+    * scale generates candidate pairs from LSH buckets or IVF lists first
+    * (the [[graft.dedup.Dedup.embeddingNearDupLsh]] machinery) and feeds
+    * the SAME bounded aggregate — recall then follows the table/probe
+    * sizing, see [[expectedRecall]].
+    */
+  def knnGraph(src: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    def prep(d: DataFrame, p: String): DataFrame =
+      d.select(col(idCol).as(s"${p}id"), toDouble(col(vecCol)).as(s"${p}v"))
+        .withColumn(s"${p}n", norm(col(s"${p}v")))
+    val a = graft.operators.Par.fanOut(prep(src, "s"))
+    val b = prep(corpus, "d")
+    val pairs = a.join(b, col("sid") =!= col("did"))
+      .select(col("sid").as("src"), col("did").as("dst"),
+        cosinePrenormed(dot(col("sv"), col("dv")), col("sn"), col("dn")).as("cos"))
+    graft.operators.Analytics.topPerKeyAgg(pairs, "src",
+        Seq(negate(col("cos")), col("dst")),
+        Seq("dst" -> col("dst"), "cos" -> col("cos")), k)
+      .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
   /** LSH index parameters: `tables` independent signatures of `bits`
     * hyperplanes each. Recall for cosine ≥ c grows with tables and shrinks
     * with bits; bits controls bucket selectivity (≈ n/2^bits rows probed per

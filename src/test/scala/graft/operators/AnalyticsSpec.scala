@@ -251,4 +251,58 @@ class AnalyticsSpec extends SparkSpec {
     val scores = out.map(_._2).toSeq
     assert(scores === scores.sorted.reverse)
   }
+
+  test("invertedIndex: exact df/cf, postings bounded to the k smallest doc ids") {
+    val docs = Seq(
+      (10L, "the cat sat"),
+      (7L, "The the dog"),
+      (3L, "a cat"),
+      (5L, "the end")).toDF("doc_id", "text")
+    val out = Analytics.invertedIndex(docs, "doc_id", "text", maxPostings = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    val byTerm = out.groupBy(_._1)
+    // 'the': df = 3 (docs 10, 7, 5), cf = 4 (doc 7 twice, case-folded);
+    // postings capped at the 2 smallest ids — doc 10 never ships
+    assert(byTerm("the").map(t => (t._2, t._3)).toSet === Set((3L, 4L)))
+    assert(byTerm("the").sortBy(_._4).map(x => (x._4, x._5)).toSeq ===
+      Seq((1, 5L), (2, 7L)))
+    assert(byTerm("cat").sortBy(_._4).map(x => (x._4, x._5)).toSeq ===
+      Seq((1, 3L), (2, 10L)))
+    // a singleton term keeps df = cf = 1 and its one posting
+    assert(byTerm("dog").map(x => (x._2, x._3, x._4, x._5)).toSeq ===
+      Seq((1L, 1L, 1, 7L)))
+    // minDf prunes the tail vocabulary
+    val pruned = Analytics.invertedIndex(docs, "doc_id", "text",
+        maxPostings = 2, minDf = 2L)
+      .select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(pruned === Set("the", "cat"))
+  }
+
+  test("budgetSelect: greedy priority prefix, straddler dropped, shard-count invariant") {
+    // priority = score desc (negated asc), tokens chosen so the cut is
+    // mid-corpus: scores 100..1, tokens 10 each -> budget 35 keeps the top
+    // 3 (cum 10, 20, 30); the 4th would hit 40 > 35 and is dropped
+    val docs = (1 to 100).map(i => (i.toLong, (101 - i).toDouble, 10L))
+      .toDF("id", "score", "toks")
+    def run(shards: Int) = Analytics.budgetSelect(docs,
+        Seq(negate(col("score")), col("id")), col("toks"),
+        budget = 35L, shards = shards)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    val out = run(5)
+    assert(out.toSeq === Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // the sharded two-pass layout must not change the answer
+    assert(run(1).toSeq === out.toSeq)
+    assert(run(32).toSeq === out.toSeq)
+    // budget larger than the corpus keeps everything with exact totals
+    val all = Analytics.budgetSelect(docs,
+        Seq(negate(col("score")), col("id")), col("toks"),
+        budget = 100000L, shards = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(all.length === 100)
+    assert(all.toMap.apply(100L) === 1000L) // lowest priority lands last
+    // zero budget keeps nothing (and returns the extended schema)
+    assert(Analytics.budgetSelect(docs, Seq(negate(col("score")), col("id")),
+      col("toks"), budget = 0L).count() === 0)
+  }
 }

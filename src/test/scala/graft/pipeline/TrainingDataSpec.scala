@@ -478,6 +478,37 @@ class TrainingDataSpec extends SparkSpec {
     assert(again === kept.map(_._1).toSet)
   }
 
+  test("temperatureMix: sqrt-derived shares and keep set equal the plain-Scala replay") {
+    // token census: a = 100, b = 400 -> w = (10, 20), p = (1/3, 2/3);
+    // t/p: a = 300, b = 600 -> a binds (keeps everything), b thins to ~1/2
+    val docs = ((1 to 10).map(i => (i.toLong, "a", ("w " * 10).trim)) ++
+      (11 to 50).map(i => (i.toLong, "b", ("w " * 10).trim))).toDF("doc_id", "lang", "text")
+    // strata deliberately passed unsorted: the normalizer must fold in
+    // SORTED order regardless
+    val kept = TrainingData.temperatureMix(docs, "lang", "doc_id", "text", Seq("b", "a"))
+      .select("doc_id", "lang").collect().map(r => r.getLong(0) -> r.getString(1))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLang.getOrElse("a", Set.empty) === (1L to 10L).toSet)
+    // exact replay: sqrt shares, sorted-order normalizer, binding-stratum
+    // thresholds, FNV hash gate
+    val wA = math.sqrt(100.0); val wB = math.sqrt(400.0)
+    val wTot = 0.0 + wA + wB
+    val pA = wA / wTot; val pB = wB / wTot
+    val m = math.min(100L / pA, 400L / pB)
+    val thrB = math.round(pB * m / 400L * 1000000).toInt
+    assert(math.round(pA * m / 100L * 1000000).toInt === 1000000)
+    def keepOf(id: Long, thr: Int): Boolean = {
+      val h = graft.expressions.Fnv1a.hash(id.toString.getBytes("UTF-8"))
+      (((h % 1000000L) + 1000000L) % 1000000L) < thr
+    }
+    assert(byLang.getOrElse("b", Set.empty) ===
+      (11L to 50L).filter(keepOf(_, thrB)).toSet)
+    // a stratum with no measured tokens is a hard error, not a silent 0-share
+    intercept[IllegalArgumentException] {
+      TrainingData.temperatureMixFilter(docs, "lang", "doc_id", "text", Seq("a", "nope"))
+    }
+  }
+
   test("fuzzyDecontaminate above the broadcast gate: shuffle-join fallback is row-identical") {
     // broadcastMaxRows = 0 forces the fallback path (plain joins, no
     // broadcast hints) that a too-large delta/bench side takes at scale —

@@ -234,4 +234,58 @@ class AnnSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("< k"))
   }
+
+  test("mmrRerank passes over a near-duplicate in favor of a diverse pick") {
+    // q = e_x. id 3 is MORE relevant than id 2 but nearly duplicates id 1;
+    // id 4 is weakly relevant and orthogonal-ish to everything.
+    val df = Seq(
+      (1L, Seq(0.9, 0.4359, 0.0, 0.0)),
+      (2L, Seq(0.88, -0.475, 0.0, 0.0)),
+      (3L, Seq(0.898, 0.44, 0.0, 0.0)),
+      (4L, Seq(0.5, 0.0, 0.866, 0.0))).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val out = Ann.mmrRerank(df, "embedding", "vec_id", q, k = 3, shortlist = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    // relevance order is (1, 3, 2, 4); MMR picks (1, 2, 4) — the near-dup
+    // id 3 never makes the cut despite out-ranking both 2 and 4 on rel
+    assert(out.map(x => (x._1, x._2)).toSeq === Seq((1, 1L), (2, 2L), (3, 4L)))
+    // step 1 is pure relevance halved (λ = 0.5, zero redundancy term)
+    val rel1 = 0.9 / math.sqrt(0.9 * 0.9 + 0.4359 * 0.4359)
+    assert(math.abs(out.head._3 - 0.5 * rel1) < 1e-6)
+  }
+
+  test("mmrRerank at λ = 1 is exactly relevance order; k caps at the candidate count") {
+    val data = vecs(30, 8)
+    val df = data.toDF("vec_id", "embedding")
+    val q = data.head._2.map(_.toDouble)
+    val mmr = Ann.mmrRerank(df, "embedding", "vec_id", q, k = 10, shortlist = 20,
+        lambda = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    val brute = Ann.bruteForceTopK(df, "embedding", "vec_id", q, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(mmr === brute) // redundancy term weighted 0 -> pure top-k
+    // fewer candidates than k: emit them all, once each
+    val tiny = Ann.mmrRerank(df.filter(col("vec_id") <= 3), "embedding", "vec_id",
+        q, k = 10, shortlist = 20)
+      .collect().map(_.getLong(1)).toSeq
+    assert(tiny.length === 3 && tiny.distinct.length === 3)
+  }
+
+  test("knnGraph matches per-source bruteForceTopK; no self-pairs; k-bounded") {
+    val data = vecs(40, 8)
+    val df = data.toDF("vec_id", "embedding")
+    val src = df.filter(col("vec_id") <= 5)
+    val out = Ann.knnGraph(src, df, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.length === 5 * 3)
+    assert(out.forall { case (s, d, _, _) => s != d })
+    // each source's neighbor list equals its own bruteForceTopK (minus self)
+    (1L to 5L).foreach { s =>
+      val mine = out.filter(_._1 == s).sortBy(_._4).map(x => (x._2, x._3)).toSeq
+      val ref = Ann.bruteForceTopK(df.filter(col("vec_id") =!= s), "embedding",
+          "vec_id", data(s.toInt - 1)._2.map(_.toDouble), k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mine === ref, s"src $s")
+    }
+  }
 }

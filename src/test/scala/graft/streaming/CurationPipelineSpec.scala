@@ -402,4 +402,41 @@ class CurationPipelineSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxBuckets"))
   }
+
+  test("streaming temperature-mix gate: census-derived sqrt shares apply verbatim live") {
+    implicit val sqlCtx = spark.sqlContext
+    // census: 'aa' 100 tokens, 'bb' 400 -> sqrt shares (1/3, 2/3); aa binds
+    // (keeps all), bb hash-thins to ~1/2 — same replay as the batch spec
+    val census = ((1 to 10).map(i => (i.toLong, "aa", ("w " * 10).trim)) ++
+      (11 to 50).map(i => (i.toLong, "bb", ("w " * 10).trim)))
+      .toDF("doc_id", "lang", "text")
+    val gate = graft.pipeline.TrainingData.temperatureMixFilter(
+      census, "lang", "doc_id", "text", Seq("aa", "bb"))
+    val incoming = ((101 to 110).map(i => LangDoc(i.toLong, t("2024-01-01 00:00:01"), "aa", "fresh doc")) ++
+      (111 to 160).map(i => LangDoc(i.toLong, t("2024-01-01 00:00:02"), "bb", "fresh doc"))).toSeq
+    val topo = Topology(
+      entities = Map(
+        "raw-docs" -> Topic("raw-docs"),
+        "tmix"     -> Stream("tmix", gate),
+        "mixed"    -> Topic("mixed")),
+      workflow = Seq("raw-docs" -> "tmix", "tmix" -> "mixed"))
+    val in = MemoryStream[LangDoc]
+    in.addData(incoming: _*)
+    val engine = StreamRunner.start(
+      topo, Map("raw-docs" -> in.toDF()),
+      (sink, df) => df.writeStream.format("memory")
+        .queryName("t_tmix").trigger(Trigger.AvailableNow()).start())
+    engine.processAllAvailable()
+    engine.stop()
+    val streamed = spark.table("t_tmix").select("doc_id").collect().map(_.getLong(0)).toSet
+    // live == batch experiment over the same rows: the gate is stateless
+    val batch = topo.experiment(Map("raw-docs" -> incoming.toDF()))("mixed")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamed === batch)
+    // binding stratum passes everything; bb is thinned but not emptied
+    val aaIds = (101L to 110L).toSet
+    assert(aaIds.subsetOf(streamed))
+    val bbKept = streamed -- aaIds
+    assert(bbKept.nonEmpty && bbKept.size < 40, s"bb kept ${bbKept.size}")
+  }
 }
