@@ -177,6 +177,32 @@ object ScaleProbe {
           d, "lang", "doc_id", "text",
           Map(langs(0) -> 0.5, langs(1) -> 0.5), factor = 2.0)
           .queryExecution.toRdd.count() }
+      // budget selection at 1% selectivity: the sharded form prunes ~99% of
+      // shards before any sort (census + literal predicate), vs the naive
+      // single-task global cumsum window — compare max-task and shuffle.
+      // The scored input is CACHED for both paths so the compare isolates
+      // the structural difference (passes + sort shape), not how many times
+      // each path re-evaluates the quality expression — at corpus scale the
+      // score is a materialized column either way, and budgetSelect's doc
+      // says to pass precomputed columns.
+      val scored = d.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val budget = scored.agg(sum(col("nt"))).head().getLong(0) / 100
+      timeM("budget select 1% (sharded)") {
+        graft.operators.Analytics.budgetSelect(scored,
+          Seq(negate(col("q")), col("doc_id")), col("nt"), budget)
+          .queryExecution.toRdd.count() }
+      timeM("budget select 1% (global win)") {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(negate(col("q")).asc, col("doc_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        scored.withColumn("cum", sum(col("nt")).over(w))
+          .filter(col("cum") <= budget)
+          .queryExecution.toRdd.count() }
+      scored.unpersist(false)
     }
     // Skewed-key grouped top-k sweep: 10M ~170-byte rows (the "top documents
     // per stratum" shape), hot-key fraction f ∈ {uniform, 50%, 90%}. The

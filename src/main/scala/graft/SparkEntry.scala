@@ -784,6 +784,27 @@ object SparkEntry {
       k = 5)
   }
 
+  /** Per-label embedding outliers: the least prototypical members of every
+    * label by distance to the 6dp-quantized label centroid.
+    */
+  private def embedOutliersQ(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.KMeans.labelOutliers(t(s, dir, "embeddings"),
+      "label", "vec_id", "embedding", k = 5)
+
+  /** Per-source rank calibration of the quality score: raw quality is not
+    * comparable across domains (a median news article outscores a great
+    * forum post), so each document gets its within-source percent rank —
+    * computed by the range-sharded [[Analytics.rangedRank]], never a
+    * |sources|-task window.
+    */
+  private def qualityCalibratedQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TF.qualityScore(col("text")).as("quality"))
+    Analytics.rangedRank(d, Seq("source"), Seq(col("quality"), col("doc_id")))
+      .select(col("doc_id"), col("source"), col("quality"),
+        round(Analytics.percentRankOf(col("rn"), col("n_part")), 6).as("q_rank"))
+  }
+
   /** Corpus datasheet: per source × lang rollup with exact counts and
     * integer-derived averages (float sums across partitions are order-
     * dependent — avg_chars divides two EXACT longs; quality spread uses
@@ -1478,7 +1499,9 @@ object SparkEntry {
     "q_mmr_rerank"          -> (mmrQ(_, _)),
     "q_budget_select"       -> (budgetSelectQ(_, _)),
     "q_knn_graph"           -> (knnGraphQ(_, _)),
-    "q_corpus_datasheet"    -> (corpusDatasheetQ(_, _)))
+    "q_corpus_datasheet"    -> (corpusDatasheetQ(_, _)),
+    "q_embed_outliers"      -> (embedOutliersQ(_, _)),
+    "q_quality_calibrated"  -> (qualityCalibratedQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -3123,7 +3146,41 @@ object SparkEntry {
          |  min(quality) AS min_quality,
          |  max(quality) AS max_quality
          |FROM base
-         |GROUP BY ROLLUP(source, lang)""".stripMargin)
+         |GROUP BY ROLLUP(source, lang)""".stripMargin,
+    // Outliers: centroid = round(sum/count, 6) per dim (the operator's
+    // quantization contract — exact parity then follows for every distance
+    // because both engines square-difference IDENTICAL inputs l-t-r),
+    // ranked by raw d2 desc with id tiebreak
+    "q_embed_outliers" ->
+      """WITH c AS (
+        |  SELECT label, i, round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cd
+        |  FROM embeddings, generate_series(1, 64) AS g(i)
+        |  GROUP BY label, i
+        |), cent AS (
+        |  SELECT label, list(cd ORDER BY i) AS cv FROM c GROUP BY label
+        |), d AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum([ (CAST(e.embedding[i] AS DOUBLE) - cent.cv[i])
+        |             * (CAST(e.embedding[i] AS DOUBLE) - cent.cv[i]) FOR i IN range(1, 65)]) AS d2
+        |  FROM embeddings e JOIN cent USING (label)
+        |), r AS (
+        |  SELECT label, vec_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id) AS rn
+        |  FROM d
+        |)
+        |SELECT label, vec_id, round(d2, 6) AS d2, rn FROM r WHERE rn <= 5""".stripMargin,
+    // Rank calibration: percent_rank is (rn−1)/(n−1) of the global row
+    // number — identical closed form on both engines (q_percent_rank
+    // precedent), partitioned by source over the (quality, doc_id) total order
+    "q_quality_calibrated" ->
+      s"""WITH dq AS ($duckQualitySql),
+         |j AS (
+         |  SELECT d.doc_id, d.source, q.quality
+         |  FROM documents d JOIN dq q USING (doc_id)
+         |)
+         |SELECT doc_id, source, quality,
+         |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS q_rank
+         |FROM j""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

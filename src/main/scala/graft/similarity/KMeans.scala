@@ -96,4 +96,42 @@ object KMeans {
     }
     Model(centroids)
   }
+
+  /** Per-group outliers by squared L2 distance to the group centroid — the
+    * prototypicality signal of Sorscher et al. (NeurIPS'22 "Beyond neural
+    * scaling laws"): the FARTHEST members of each cluster/label are the
+    * least prototypical examples (prune them for a cleaner corpus, or keep
+    * exactly them when diversity is the goal). Output `(groupCol, idCol,
+    * d2, rn)`, rn = 1..k by descending distance, ties to the smaller id.
+    *
+    * Centroids are 6dp-QUANTIZED by contract: the mean's last float ulps
+    * depend on aggregation order (engine/partition-layout specific), so
+    * quantizing makes every downstream distance — and therefore the
+    * keep/prune boundary — reproducible across engines and runs; sub-1e-6
+    * centroid precision is noise for an outlier ranking. Scale shape: one
+    * partial-aggregated vector-sum pass ([[graft.expressions.VectorSumAgg]])
+    * → |groups|·dim centroid literals broadcast back → distance scan →
+    * bounded per-group top-k ([[graft.operators.Analytics.topPerKeyAgg]],
+    * ≤ k rows per mapper per group).
+    */
+  def labelOutliers(df: DataFrame, groupCol: String, idCol: String,
+                    vecCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.functions._
+    val v = graft.functions.VectorFunctions.toDouble(col(vecCol))
+    val cents = df.groupBy(col(groupCol))
+      .agg(graft.functions.VectorFunctions.vecSum(v).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col(groupCol),
+        transform(col("__s"), x => round(x / col("__n"), 6)).as("__cv"))
+    val scored = df
+      .join(broadcast(cents), groupCol)
+      .select(col(groupCol), col(idCol),
+        graft.functions.VectorFunctions.l2Sq(v, col("__cv")).as("__d2"))
+    graft.operators.Analytics.topPerKeyAgg(scored, groupCol,
+        Seq(negate(col("__d2")), col(idCol)),
+        Seq("id" -> col(idCol), "d2" -> col("__d2")), k)
+      .select(col(groupCol), col("id").as(idCol),
+        round(col("d2"), 6).as("d2"), col("rn"))
+  }
 }

@@ -225,4 +225,52 @@ class PlanAuditSpec extends SparkSpec {
         s"$q: global window (single-partition sort at scale): $w"))
     }
   }
+
+  test("q_inverted_index: bounded postings partial-aggregate; term shuffles never carry text") {
+    val p = plan("q_inverted_index")
+    assert(p.contains("partial_top_k_rows"), p) // <= maxPostings rows/term/mapper
+    assert(!p.contains("Window"), p)
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    exchangeSections.foreach { s =>
+      val cols = s.takeWhile(_ != '(')
+      assert(!cols.contains("text"), p) // tokenizer output projected away pre-shuffle
+    }
+  }
+
+  test("q_temperature_mix: keep decision is a literal-threshold filter — corpus never joins") {
+    // like q_mix_corpus: the census collects at build time; the returned
+    // plan is scan → hash-gate filter → summary agg
+    val p = plan("q_temperature_mix")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q_bm25_topk: census collected at build — scoring is one scan + TakeOrdered, no join") {
+    val p = plan("q_bm25_topk")
+    assert(!p.contains("Join"), p) // idf/avgdl ride as codegen literals
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q_budget_select / q_quality_calibrated: every window is shard-partitioned") {
+    // the rangedRank/budgetSelect move: global order is recovered from
+    // boundary-sampled shards + driver offsets, so no window may sort in a
+    // single partition
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q_budget_select", "q_quality_calibrated")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, s"$q: expected the sharded window")
+      windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q: global window (single-partition sort at scale): $w"))
+    }
+  }
+
+  test("q_knn_graph / q_embed_outliers: bounded per-group top-k, no sort-merge join, no window") {
+    for (q <- Seq("q_knn_graph", "q_embed_outliers")) {
+      val p = plan(q)
+      assert(p.contains("partial_top_k_rows"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(!p.contains("Window"), s"$q:\n$p")
+    }
+  }
 }

@@ -43,4 +43,31 @@ class KMeansSpec extends SparkSpec {
     assert(model.k === 2)
     assert(model.centroids.forall(_.forall(x => !x.isNaN)))
   }
+
+  test("labelOutliers ranks the farthest member first against the quantized centroid") {
+    // label 0: three points near the origin plus one far outlier; label 1:
+    // a tight pair plus a moderate outlier — hand-checkable distances
+    val df = Seq(
+      (1L, Seq(0.0f, 0.0f), 0), (2L, Seq(0.1f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.1f), 0), (4L, Seq(9.0f, 9.0f), 0),
+      (10L, Seq(5.0f, 5.0f), 1), (11L, Seq(5.0f, 5.2f), 1),
+      (12L, Seq(7.0f, 5.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = KMeans.labelOutliers(df, "label", "vec_id", "embedding", k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byLabel = out.groupBy(_._1)
+    // centroid ≈ (2.275, 2.275): the origin point (id 1, d² ≈ 10.35) is
+    // farther than id 2 (d² ≈ 9.91) — the outlier is 4, then 1
+    assert(byLabel(0).sortBy(_._4).map(_._2).toSeq === Seq(4L, 1L))
+    assert(byLabel(1).sortBy(_._4).map(_._2).toSeq === Seq(12L, 11L))
+    // replay label 0's top distance against the 6dp-quantized centroid
+    val c = Seq((0.0 + 0.1 + 0.0 + 9.0) / 4, (0.0 + 0.0 + 0.1 + 9.0) / 4)
+      .map(x => math.rint(x * 1e6) / 1e6)
+    val d4 = (9.0 - c(0)) * (9.0 - c(0)) + (9.0 - c(1)) * (9.0 - c(1))
+    val got = byLabel(0).find(_._2 == 4L).get._3
+    assert(math.abs(got - d4) < 1e-6, s"$got vs $d4")
+    // k larger than the group emits the whole group once
+    val all = KMeans.labelOutliers(df, "label", "vec_id", "embedding", k = 10)
+      .collect()
+    assert(all.length === 7)
+  }
 }
