@@ -784,6 +784,17 @@ object SparkEntry {
       k = 5)
   }
 
+  /** Training sequences of 512 tokens across document boundaries, documents
+    * laid end-to-end in doc_id order — every number in the output is pure
+    * integer arithmetic on the exact sharded global prefix sum.
+    */
+  private def seqWindowsQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.seqWindows(
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+      Seq(col("doc_id")), col("n_tokens"), seqLen = 512L)
+      .select(col("seq_id"), col("doc_id"), col("doc_off"), col("n_toks"))
+
   /** Per-label embedding outliers: the least prototypical members of every
     * label by distance to the 6dp-quantized label centroid.
     */
@@ -1501,7 +1512,8 @@ object SparkEntry {
     "q_knn_graph"           -> (knnGraphQ(_, _)),
     "q_corpus_datasheet"    -> (corpusDatasheetQ(_, _)),
     "q_embed_outliers"      -> (embedOutliersQ(_, _)),
-    "q_quality_calibrated"  -> (qualityCalibratedQ(_, _)))
+    "q_quality_calibrated"  -> (qualityCalibratedQ(_, _)),
+    "q_seq_windows"         -> (seqWindowsQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -3180,7 +3192,29 @@ object SparkEntry {
          |)
          |SELECT doc_id, source, quality,
          |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS q_rank
-         |FROM j""".stripMargin)
+         |FROM j""".stripMargin,
+    // Sequence windows: global inclusive prefix sum in doc_id order, then
+    // each doc emits one row per overlapped 512-token window — all-integer
+    // arithmetic, floor-division == `//` on non-negative BIGINTs
+    "q_seq_windows" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS nt FROM documents
+         |), c AS (
+         |  SELECT doc_id, nt,
+         |    CAST(SUM(nt) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM tok
+         |), s AS (
+         |  SELECT doc_id, nt, cum, cum - nt AS strt FROM c WHERE nt > 0
+         |), e AS (
+         |  SELECT doc_id, nt, cum, strt,
+         |    unnest(range(strt // 512, (cum - 1) // 512 + 1)) AS seq_id
+         |  FROM s
+         |)
+         |SELECT seq_id, doc_id,
+         |  greatest(CAST(0 AS BIGINT), strt - seq_id * 512) AS doc_off,
+         |  least(cum, (seq_id + 1) * 512) - greatest(strt, seq_id * 512) AS n_toks
+         |FROM e""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

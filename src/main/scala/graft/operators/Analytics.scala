@@ -403,41 +403,35 @@ object Analytics {
         (col("__pos") + 1).as("pos"), col("__row.id").as(idCol))
   }
 
-  /** Greedy token-budget selection: keep rows in `orderCols` priority order
-    * while the running token total stays ≤ `budget` — "fill the training
-    * budget with the best documents first" (the data-pruning selection rule;
-    * a row that would cross the budget is dropped, as is everything after
-    * it). Output: the input columns plus the inclusive running total
-    * `cumCol`.
-    *
-    * The naive formulation is a GLOBAL cumulative-sum window — one task
-    * sorts the whole corpus. Here the [[rangedRank]] move applies to a
-    * prefix SUM instead of a row count:
+  /** Exact GLOBAL running total (inclusive prefix sum) of `tokens` in
+    * `orderCols` order, without a single-task window — the [[rangedRank]]
+    * move applied to a SUM instead of a row count:
     *
     *  1. sample shard boundaries of the sort key once ([[RangeShard]] — the
     *     shard is a pure function of row content);
     *  2. census `sum(tokens)` per shard (one partial-aggregated pass,
     *     `shards` rows to the driver) and prefix-scan driver-side;
-    *  3. every shard whose token offset already exceeds the budget is
-    *     dropped WHOLE, before any sort — at 1% selectivity, 99% of a
-    *     100 TB corpus is eliminated by a literal `__shard <= cut`
-    *     predicate on the scan;
-    *  4. surviving shards run PARALLEL per-shard cumsum windows; each
-    *     shard's driver-computed offset rides in as a literal map, and the
-    *     exact global running total is `offset + local cumsum`.
+    *  3. PARALLEL per-shard cumsum windows; each shard's driver-computed
+    *     offset rides in as a literal map, and the exact global running
+    *     total is `offset + local cumsum`.
     *
-    * `orderCols` must be plain ascending expressions ending in a unique
-    * tiebreaker (negate a numeric for descending priority), exactly as in
-    * [[rangedRank]]; token counts must be non-negative.
+    * `pruneAbove`: shards whose offset already reaches the bound are
+    * dropped WHOLE by a literal `__shard <= cut` predicate BEFORE any sort
+    * (rows past the cut shard cannot satisfy `cum <= bound` — their prefix
+    * alone exceeds it); at 1% selectivity that eliminates 99% of a 100 TB
+    * corpus at the scan. `orderCols` must be plain ascending expressions
+    * ending in a unique tiebreaker (negate a numeric for descending),
+    * exactly as in [[rangedRank]]; tokens must be non-negative. Pass
+    * precomputed (or cheap) order/token columns — the machinery evaluates
+    * them in the census pass and again in the final pass.
     */
-  def budgetSelect(df: DataFrame, orderCols: Seq[Column], tokens: Column,
-                   budget: Long, shards: Int = 0,
-                   cumCol: String = "cum_tokens"): DataFrame = {
+  def prefixSum(df: DataFrame, orderCols: Seq[Column], tokens: Column,
+                cumCol: String, shards: Int = 0,
+                pruneAbove: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.SortOrder
-    require(budget >= 0L, s"budget must be non-negative: $budget")
     orderCols.foreach { c =>
       require(!org.apache.spark.sql.graft.ColumnBridge.expression(c).isInstanceOf[SortOrder],
-        "budgetSelect orderCols must be plain ascending expressions (no .asc/.desc)")
+        "prefixSum orderCols must be plain ascending expressions (no .asc/.desc)")
     }
     val spark = df.sparkSession
     val nShards = if (shards > 0) shards
@@ -460,9 +454,10 @@ object Analytics {
           .toMap
         (bs, offs)
       } finally p.unpersist(false)
-    // the cut shard: the last one whose offset leaves budget headroom —
-    // offsets are monotone in shard order, so the keep set is a prefix
-    val kept = offsets.filter(_._2 < budget).keys
+    val kept = pruneAbove match {
+      case Some(b) => offsets.filter(_._2 < b).keys
+      case None    => offsets.keys
+    }
     if (kept.isEmpty) return df.withColumn(cumCol, lit(0L)).limit(0)
     val cut = kept.max
     val w = Window.partitionBy(col("__shard")).orderBy(orderCols.map(_.asc): _*)
@@ -471,7 +466,22 @@ object Analytics {
       .filter(col("__shard") <= cut)
       .withColumn(cumCol, sum(tokens.cast("long")).over(w) +
         coalesce(element_at(typedlit(offsets), col("__shard")), lit(0L)))
-      .filter(col(cumCol) <= budget)
       .drop("__shard")
+  }
+
+  /** Greedy token-budget selection: keep rows in `orderCols` priority order
+    * while the running token total stays ≤ `budget` — "fill the training
+    * budget with the best documents first" (the data-pruning selection
+    * rule; a row that would cross the budget is dropped, as is everything
+    * after it). [[prefixSum]] with the budget as the shard-pruning bound,
+    * then the literal cut. Output: the input columns plus the inclusive
+    * running total `cumCol`.
+    */
+  def budgetSelect(df: DataFrame, orderCols: Seq[Column], tokens: Column,
+                   budget: Long, shards: Int = 0,
+                   cumCol: String = "cum_tokens"): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative: $budget")
+    prefixSum(df, orderCols, tokens, cumCol, shards, pruneAbove = Some(budget))
+      .filter(col(cumCol) <= budget)
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
@@ -403,6 +403,43 @@ object TrainingData {
                      textCol: String, strata: Seq[String],
                      resolution: Int = 1000000): DataFrame =
     temperatureMixFilter(df, strataCol, keyCol, textCol, strata, resolution)(df)
+
+  /** Fixed-length training sequences across document boundaries — the
+    * GPT-style data-prep layout: documents laid end-to-end in `orderCols`
+    * order, the concatenated token stream cut every `seqLen` tokens, each
+    * output row mapping one document to one sequence it overlaps:
+    * `(seq_id, doc_off, n_toks)` + the input columns, where `doc_off` is
+    * the document's token offset within the sequence and `n_toks` how many
+    * of its tokens land there (the trailing sequence may be short; zero-
+    * token documents vanish). Everything derives from the document's exact
+    * GLOBAL token offset, so the layout is reproducible from any partition
+    * layout — computed by [[graft.operators.Analytics.prefixSum]] (sharded
+    * parallel windows + driver offsets, never a one-task scan), then a
+    * per-row bounded generator (`explode(sequence(first, last))`, ≤
+    * `tokens/seqLen + 1` rows per document) with pure integer arithmetic.
+    * `orderCols`: plain ascending with a unique tiebreaker, as in
+    * [[graft.operators.Analytics.rangedRank]].
+    */
+  def seqWindows(df: DataFrame, orderCols: Seq[Column], tokens: Column,
+                 seqLen: Long, shards: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive: $seqLen")
+    val nt = tokens.cast("long")
+    val L = lit(seqLen)
+    graft.operators.Analytics.prefixSum(df, orderCols, tokens, "__cum", shards)
+      .filter(nt > 0)
+      .withColumn("__start", col("__cum") - nt)
+      // first/last overlapped sequence: floor-division via double `/` is
+      // exact here (token totals are far below 2^53) and floor == integer
+      // division for the non-negative operands on both engines
+      .withColumn("seq_id",
+        explode(sequence(floor(col("__start") / L).cast("long"),
+          floor((col("__cum") - 1) / L).cast("long"))))
+      .withColumn("doc_off", greatest(lit(0L), col("__start") - col("seq_id") * L))
+      .withColumn("n_toks",
+        least(col("__cum"), (col("seq_id") + 1) * L) -
+          greatest(col("__start"), col("seq_id") * L))
+      .drop("__cum", "__start")
+  }
 
   /** Mixture WITH REPLACEMENT (epoch upsampling — the DoReMi / domain-
     * weights shape): meets target token shares even for UNDER-represented

@@ -273,4 +273,16 @@ class PlanAuditSpec extends SparkSpec {
       assert(!p.contains("Window"), s"$q:\n$p")
     }
   }
+
+  test("q_seq_windows: shard-partitioned prefix windows + a bounded generator, no join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_seq_windows")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the sharded prefix-sum window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window (single-partition sort at scale): $w"))
+    val p = plan("q_seq_windows")
+    assert(p.contains("Generate"), p) // explode(sequence(first, last))
+    assert(!p.contains("Join"), p)    // shard offsets ride as a literal map
+  }
 }

@@ -305,4 +305,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.budgetSelect(docs, Seq(negate(col("score")), col("id")),
       col("toks"), budget = 0L).count() === 0)
   }
+
+  test("seqWindows: exact cross-document 512-token layout, shard invariant") {
+    // doc 1: 700 tokens -> seqs 0 (512) + 1 (188); doc 2: 200 -> seq 1
+    // (188..388); doc 3: 0 -> vanishes; doc 4: 1000 -> seq 1 (tail 124),
+    // seqs 2, 3 (full+partial)
+    val docs = Seq((1L, 700L), (2L, 200L), (3L, 0L), (4L, 1000L))
+      .toDF("doc_id", "nt")
+    def run(shards: Int) = graft.pipeline.TrainingData.seqWindows(docs,
+        Seq(col("doc_id")), col("nt"), seqLen = 512L, shards = shards)
+      .select("seq_id", "doc_id", "doc_off", "n_toks")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val out = run(4)
+    assert(out === Seq(
+      (0L, 1L, 0L, 512L),
+      (1L, 1L, 0L, 188L), (1L, 2L, 188L, 200L), (1L, 4L, 388L, 124L),
+      (2L, 4L, 0L, 512L),
+      (3L, 4L, 0L, 364L)))
+    // invariants: every sequence is gapless from offset 0, full seqs are
+    // exactly 512, token mass is conserved, zero-token docs are gone
+    val bySeq = out.groupBy(_._1)
+    bySeq.foreach { case (seq, rows) =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"seq $seq starts at 0")
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._4 === b._3, s"seq $seq gapless")
+        case _ =>
+      }
+    }
+    assert(out.map(_._4).sum === 1900L)
+    // the sharded prefix sum must not change the layout
+    assert(run(1) === out)
+    assert(run(32) === out)
+  }
 }
