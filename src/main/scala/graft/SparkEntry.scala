@@ -128,6 +128,30 @@ object SparkEntry {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
 
+  /** Hopping (overlapping) event-time windows — the Kafka-Streams window
+    * kind the tumbling q_window_hourly doesn't cover: 2-hour windows every
+    * 30 minutes, so each event lands in size/slide = 4 windows. Spark's
+    * `window()` explodes the bounded per-event window list scan-side (a
+    * generator, no self-join), then one partial-aggregated shuffle on
+    * (window, type). Sums in DECIMAL — exact at any partition order.
+    */
+  private def windowHoppingQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** KTable materialization (changelog compaction): each user's single
+    * latest event by (ts, event_id) — the bounded aggregate at k = 1.
+    */
+  private def latestByKeyQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.latestByKey(t(s, dir, "events"), "user_id",
+      unix_micros(col("ts")), col("event_id"),
+      Seq("ts" -> col("ts"), "event_id" -> col("event_id"),
+        "event_type" -> col("event_type"), "value" -> col("value")))
+
   /** Window-function sessionization over the events stream (30-min gap). */
   private def sessionizeQ(s: SparkSession, dir: String): DataFrame =
     Analytics.sessionize(t(s, dir, "events"), "ts", "user_id", gapSeconds = 1800,
@@ -1513,7 +1537,9 @@ object SparkEntry {
     "q_corpus_datasheet"    -> (corpusDatasheetQ(_, _)),
     "q_embed_outliers"      -> (embedOutliersQ(_, _)),
     "q_quality_calibrated"  -> (qualityCalibratedQ(_, _)),
-    "q_seq_windows"         -> (seqWindowsQ(_, _)))
+    "q_seq_windows"         -> (seqWindowsQ(_, _)),
+    "q_window_hopping"      -> (windowHoppingQ(_, _)),
+    "q_latest_by_key"       -> (latestByKeyQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -3214,7 +3240,32 @@ object SparkEntry {
          |SELECT seq_id, doc_id,
          |  greatest(CAST(0 AS BIGINT), strt - seq_id * 512) AS doc_off,
          |  least(cum, (seq_id + 1) * 512) - greatest(strt, seq_id * 512) AS n_toks
-         |FROM e""".stripMargin)
+         |FROM e""".stripMargin,
+    // Hopping windows: an event at epoch-micros e lands in every window
+    // whose slide-aligned start s satisfies e − size < s <= e — replayed as
+    // an integer range over window indices (epochs positive, so floor
+    // division == `//`)
+    "q_window_hopping" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) AS eu, event_type, value FROM events
+        |), w AS (
+        |  SELECT event_type, value,
+        |    unnest(range((eu - 7200000000) // 1800000000 + 1,
+        |                 eu // 1800000000 + 1)) AS k
+        |  FROM ev
+        |)
+        |SELECT make_timestamp(k * 1800000000) AS win_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    // KTable compaction: the single latest record per key, ties to the
+    // larger event_id (the log-offset rule)
+    "q_latest_by_key" ->
+      """SELECT user_id, ts, event_id, event_type, value FROM (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

@@ -469,6 +469,18 @@ object Analytics {
       .drop("__shard")
   }
 
+  /** Changelog compaction — a Kafka-Streams KTable materialized as a batch
+    * view: the single LATEST record per key by `(tsCol, seqCol)` (seq
+    * breaks same-timestamp ties, like a log offset). k = 1 through the
+    * bounded aggregate: ONE record per (mapper, key) into the shuffle and
+    * no per-key sort — compacting a 100 TB changelog shuffles exactly one
+    * payload per key per mapper, not the log.
+    */
+  def latestByKey(df: DataFrame, keyCol: String, tsCol: Column, seqCol: Column,
+                  payload: Seq[(String, Column)]): DataFrame =
+    topPerKeyAgg(df, keyCol, Seq(negate(tsCol), negate(seqCol)), payload, k = 1)
+      .drop("rn")
+
   /** Greedy token-budget selection: keep rows in `orderCols` priority order
     * while the running token total stays ≤ `budget` — "fill the training
     * budget with the best documents first" (the data-pruning selection

@@ -339,4 +339,57 @@ class AnalyticsSpec extends SparkSpec {
     assert(run(1) === out)
     assert(run(32) === out)
   }
+
+  test("latestByKey keeps the single newest record per key, ties to the larger seq") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1, "a", 1.0),
+      (1L, ts("2024-01-01 12:00:00"), 2, "b", 2.0),   // newest for key 1
+      (2L, ts("2024-01-01 10:00:00"), 3, "c", 3.0),
+      (2L, ts("2024-01-01 10:00:00"), 4, "d", 4.0),   // same ts → larger id wins
+      (3L, ts("2024-01-01 09:00:00"), 5, "e", 5.0)    // singleton key
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Analytics.latestByKey(events.repartition(7), "user_id",
+        unix_micros(col("ts")), col("event_id"),
+        Seq("event_id" -> col("event_id"), "event_type" -> col("event_type")))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out === Map(1L -> (2, "b"), 2L -> (4, "d"), 3L -> (5, "e")))
+  }
+
+  test("latestByKey matches the window formulation on the sf0.001 events stream") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = Analytics.latestByKey(events, "user_id",
+        unix_micros(col("ts")), col("event_id"),
+        Seq("event_id" -> col("event_id"), "value" -> col("value")))
+      .select("user_id", "event_id", "value")
+    val win = events.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).select("user_id", "event_id", "value")
+    assert(agg.except(win).isEmpty && win.except(agg).isEmpty)
+    assert(agg.count() === events.select("user_id").distinct().count())
+  }
+
+  test("hopping window() lands each event in exactly size/slide windows") {
+    val events = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:35:00"), "click", 2.0),
+      (ts("2024-01-01 23:59:00"), "view", 3.0)
+    ).toDF("ts", "event_type", "value")
+    val out = events
+      .groupBy(window(col("ts"), "2 hours", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("s"), col("event_type"), col("n"))
+      .collect()
+    // each event → 4 windows; the two clicks co-occur in 3 of them
+    assert(out.map(_.getLong(2)).sum === 12L)
+    val clickWins = out.filter(_.getString(1) == "click")
+    assert(clickWins.count(_.getLong(2) == 2L) === 3)
+    assert(clickWins.length === 5) // 4 + 4 − 3 overlapping
+    // window starts are slide-aligned and cover (event − size, event]
+    val starts = clickWins.map(r => r.getTimestamp(0).getTime).sorted
+    assert(starts.head === ts("2024-01-01 08:30:00").getTime)
+    assert(starts.last === ts("2024-01-01 10:30:00").getTime)
+  }
 }
