@@ -152,6 +152,145 @@ object SparkEntry {
       Seq("ts" -> col("ts"), "event_id" -> col("event_id"),
         "event_type" -> col("event_type"), "value" -> col("value")))
 
+  /** KTable history as an SCD-2 temporal table: each event version's
+    * validity interval per user ([[Analytics.scd2]]); `valid_to` is null on
+    * the current version — the compacted view [[latestByKeyQ]] is exactly
+    * the `valid_to IS NULL` slice.
+    */
+  private def scd2Q(s: SparkSession, dir: String): DataFrame =
+    Analytics.scd2(t(s, dir, "events"), "user_id", col("ts"), col("event_id"))
+      .select("user_id", "event_id", "event_type", "valid_from", "valid_to")
+
+  /** BPE tokenizer-training round one: corpus-wide adjacent character-pair
+    * frequencies over the aggregated word table ([[TrainingData.bpePairStats]]).
+    */
+  private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.bpePairStats(t(s, dir, "documents"), "text", topPairs = 50)
+
+  /** TPC-H Q5 shape (local-supplier volume): the 6-table star join with
+    * region/nation broadcast onto the fact-side shuffle join, revenue in
+    * exact decimal partial aggregation. The canonical "did the optimizer
+    * pick broadcast for the dims and shuffle only the facts" query.
+    */
+  private def sqlQ5(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc)
+
+  /** Cross-source shingle-overlap matrix over the documents corpus
+    * ([[TrainingData.crossSourceOverlap]]).
+    */
+  private def crossSourceOverlapQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.crossSourceOverlap(t(s, dir, "documents"), "source", "text", n = 5)
+
+  /** PageRank over the customer→supplier trade graph (3 power iterations,
+    * d = 0.85) — iterative graph centrality with decimal-exact contribution
+    * sums ([[graft.operators.Graph.pageRank]]); top-100 nodes. Customer ids
+    * are offset by 10^9 so the two key spaces cannot collide.
+    */
+  private def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders")
+      .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") + lit(1000000000L)).as("src"), col("l_suppkey").as("dst"))
+    graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+      .select(col("id"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("id").asc)
+      .limit(100)
+  }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis race,
+    * [[graft.operators.Graph.weightedSample]]): 200 documents drawn with
+    * probability proportional to length, deterministically from the id
+    * hash.
+    */
+  private def weightedSampleQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.weightedSample(
+      t(s, dir, "documents"), "doc_id", col("n_chars"), k = 200)
+
+  /** Native `session_window` aggregation — the streaming-capable
+    * SessionWindows analog (Kafka Streams `SessionWindows.with(gap)`):
+    * Spark's dedicated session-merge aggregate (sort-per-key, then merge
+    * runs whose gap < 30 min), not a window function. Note the boundary
+    * differs from [[sessionizeQ]] by design: `session_window` starts a new
+    * session at gap >= 30 min (windows [ts, ts+gap) that merely touch do
+    * NOT merge), the window-function islands at gap > 30 min.
+    */
+  private def sessionAggQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total"))
+
+  /** Stream-stream windowed join: for each purchase, the views by the same
+    * user in the preceding hour (inclusive), aggregated per purchase —
+    * the KStream⋈KStream JoinWindows shape over the banded equi-join
+    * ([[Analytics.intervalJoin]]), never a key-only join with a range
+    * post-filter.
+    */
+  private def intervalJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    Analytics.intervalJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", "ts",
+        beforeUs = 3600L * 1000000L, afterUs = 0L,
+        rightCols = Seq("value" -> "view_value"))
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(col("view_value").cast("decimal(18,2)")).cast("double").as("view_total"))
+  }
+
+  /** SlidingWindows analog ([[Analytics.slidingAgg]]): per event, the same
+    * user's event count and value total over the trailing 10 minutes
+    * (both bounds inclusive) — the fourth member of the windowing quartet
+    * (tumbling [[windowHourlyQ]], hopping [[windowHoppingQ]], session
+    * [[sessionAggQ]], sliding here).
+    */
+  private def windowSlidingQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.slidingAgg(
+        t(s, dir, "events")
+          .select("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", sizeSeconds = 600L,
+        Seq("n_window" -> count(lit(1)),
+          "total_dec" -> sum(col("value").cast("decimal(18,2)"))))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_window"),
+        col("total_dec").cast("double").as("total"))
+
+  /** KTable⋈KTable full-outer join: each user's CURRENT purchase state
+    * joined with their CURRENT view state — two changelog compactions
+    * ([[Analytics.latestByKey]], partial-aggregating min-struct, never a
+    * per-key sort of history) meeting in a key-equi join. Both compactions
+    * hash-partition on `user_id`, so their output partitioning feeds the
+    * join without a further exchange.
+    */
+  private def tableJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def latest(tpe: String, prefix: String) =
+      Analytics.latestByKey(ev.filter(col("event_type") === tpe), "user_id",
+        unix_micros(col("ts")), col("event_id"),
+        Seq(s"${prefix}_id" -> col("event_id"), s"${prefix}_ts" -> col("ts"),
+          s"${prefix}_value" -> col("value")))
+    latest("purchase", "purchase").join(latest("view", "view"),
+      Seq("user_id"), "full_outer")
+  }
+
   /** Window-function sessionization over the events stream (30-min gap). */
   private def sessionizeQ(s: SparkSession, dir: String): DataFrame =
     Analytics.sessionize(t(s, dir, "events"), "ts", "user_id", gapSeconds = 1800,
@@ -1539,7 +1678,17 @@ object SparkEntry {
     "q_quality_calibrated"  -> (qualityCalibratedQ(_, _)),
     "q_seq_windows"         -> (seqWindowsQ(_, _)),
     "q_window_hopping"      -> (windowHoppingQ(_, _)),
-    "q_latest_by_key"       -> (latestByKeyQ(_, _)))
+    "q_latest_by_key"       -> (latestByKeyQ(_, _)),
+    "q_session_agg"         -> (sessionAggQ(_, _)),
+    "q_window_sliding"      -> (windowSlidingQ(_, _)),
+    "q_table_join"          -> (tableJoinQ(_, _)),
+    "q_interval_join"       -> (intervalJoinQ(_, _)),
+    "q_scd2"                -> (scd2Q(_, _)),
+    "q_bpe_pairs"           -> (bpePairsQ(_, _)),
+    "q_pagerank"            -> (pageRankQ(_, _)),
+    "q_weighted_sample"     -> (weightedSampleQ(_, _)),
+    "q_sql_q5"              -> (sqlQ5(_, _)),
+    "q_cross_source_overlap" -> (crossSourceOverlapQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -3265,7 +3414,144 @@ object SparkEntry {
         |  SELECT user_id, ts, event_id, event_type, value,
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1""".stripMargin)
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    // session_window islands: a new session starts at gap >= 30 min
+    // (touching [ts, ts+gap) windows do NOT merge — note >=, where the
+    // window-function sessionize uses >); end = last event + gap
+    "q_session_agg" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    // trailing RANGE frame, both bounds inclusive — DuckDB's timestamp
+    // RANGE frame and Spark's epoch-micros RANGE frame admit identical sets
+    "q_window_sliding" ->
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS n_window,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS total
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)""".stripMargin,
+    // two rn=1 compactions FULL JOINed; ties broken by (ts, event_id) desc
+    "q_table_join" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+        |    value AS purchase_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, event_id AS view_id, ts AS view_ts,
+        |    value AS view_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events WHERE event_type = 'view'
+        |)
+        |SELECT user_id, purchase_id, purchase_ts, purchase_value,
+        |  view_id, view_ts, view_value
+        |FROM (SELECT * EXCLUDE rn FROM p WHERE rn = 1)
+        |  FULL JOIN (SELECT * EXCLUDE rn FROM v WHERE rn = 1) USING (user_id)""".stripMargin,
+    // JoinWindows [purchase − 1h, purchase], both bounds inclusive
+    "q_interval_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS lt
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, epoch_us(ts) AS rt, value
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, COUNT(*) AS n_views,
+        |  CAST(SUM(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE) AS view_total
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.rt >= p.lt - 3600000000 AND v.rt <= p.lt
+        |GROUP BY 1, 2""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM events""".stripMargin,
+    // words aggregated first, then pairs exploded per distinct word —
+    // range(1, len) is [1, len), matching Spark's inclusive sequence(1, len−1)
+    "q_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT w, COUNT(*) AS wc FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents)
+        |  WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY w
+        |), p AS (
+        |  SELECT substring(w, CAST(i AS INT), 2) AS pair, wc
+        |  FROM w, unnest(range(1, len(w))) AS t(i)
+        |)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // 3 unrolled power iterations; contributions summed in DECIMAL(38,18)
+    // (associative-exact), so ranks replay bit-identically
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey + 1000000000 AS src, l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM n),
+        |c1 AS (SELECT e.dst, SUM(CAST(r0.rank / deg.outdeg AS DECIMAL(38,18))) AS s
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * COALESCE(CAST(c1.s AS DOUBLE), 0.0) AS rank
+        |       FROM n LEFT JOIN c1 ON c1.dst = n.id),
+        |c2 AS (SELECT e.dst, SUM(CAST(r1.rank / deg.outdeg AS DECIMAL(38,18))) AS s
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * COALESCE(CAST(c2.s AS DOUBLE), 0.0) AS rank
+        |       FROM n LEFT JOIN c2 ON c2.dst = n.id),
+        |c3 AS (SELECT e.dst, SUM(CAST(r2.rank / deg.outdeg AS DECIMAL(38,18))) AS s
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.id, (1.0 - 0.85) + 0.85 * COALESCE(CAST(c3.s AS DOUBLE), 0.0) AS rank
+        |       FROM n LEFT JOIN c3 ON c3.dst = n.id)
+        |SELECT id, round(rank, 6) AS rank FROM r3
+        |ORDER BY rank DESC, id LIMIT 100""".stripMargin,
+    // Efraimidis–Spirakis race: u is the FNV bucket center (exact dyadic
+    // double), key = −ln(u)/w — selection replayed on the unrounded key
+    "q_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    ${duckFnvU("('ws|' || CAST(doc_id AS VARCHAR))")} AS hu
+         |  FROM documents
+         |), k AS (
+         |  SELECT doc_id,
+         |    GREATEST(CAST(n_chars AS DOUBLE), 1e-12) AS weight,
+         |    -ln((CAST(hu % 16777216 AS DOUBLE) + 0.5) / 16777216.0)
+         |      / GREATEST(CAST(n_chars AS DOUBLE), 1e-12) AS rk
+         |  FROM h)
+         |SELECT doc_id, weight, round(rk, 6) AS race_key FROM k
+         |ORDER BY rk ASC, doc_id ASC LIMIT 200""".stripMargin,
+    "q_sql_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC""".stripMargin,
+    "q_cross_source_overlap" ->
+      s"""WITH toksrc AS (
+         |  SELECT source, $duckToks AS w FROM documents
+         |), sh AS (
+         |  SELECT source, unnest(list_distinct([array_to_string(w[i:i+4], ' ') FOR i IN range(1, len(w)-3)])) AS s
+         |  FROM toksrc WHERE len(w) >= 5
+         |), inv AS (SELECT DISTINCT source, s FROM sh),
+         |tot AS (SELECT source, COUNT(*) AS n FROM inv GROUP BY source),
+         |p AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared
+         |      FROM inv a JOIN inv b ON a.s = b.s AND a.source < b.source GROUP BY 1, 2)
+         |SELECT p.source_a, p.source_b, p.shared,
+         |  round(CAST(p.shared AS DOUBLE) / (ta.n + tb.n - p.shared), 6) AS jaccard
+         |FROM p JOIN tot ta ON ta.source = p.source_a
+         |       JOIN tot tb ON tb.source = p.source_b""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

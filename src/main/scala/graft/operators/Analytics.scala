@@ -481,6 +481,95 @@ object Analytics {
     topPerKeyAgg(df, keyCol, Seq(negate(tsCol), negate(seqCol)), payload, k = 1)
       .drop("rn")
 
+  /** Changelog → SCD-2 temporal table: every VERSION of each key with its
+    * validity interval — the full KTable history, where [[latestByKey]] is
+    * only the head. `valid_from` is the record's own timestamp; `valid_to`
+    * is the next version's (null while current — filter `valid_to IS NULL`
+    * to recover the compacted view). One shuffle on the key and one
+    * per-key sort shared by `lead`; linear in the changelog.
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: Column, seqCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(tsCol.asc, seqCol.asc)
+    df.withColumn("valid_from", tsCol)
+      .withColumn("valid_to", lead(tsCol, 1).over(w))
+  }
+
+  /** Stream-stream windowed join (the Kafka-Streams `KStream ⋈ KStream` with
+    * `JoinWindows`, reference core.clj's topology joins its streams this
+    * way): emit every (left, right) pair of the same key whose timestamps
+    * satisfy `leftTs − before <= rightTs <= leftTs + after` (both bounds
+    * inclusive, matching JoinWindows). Batch formulation as a BANDED
+    * equi-join: with band width W = before + after, each right row carries
+    * bucket `rightTs div W` and each left row probes the ≤ 2 buckets its
+    * window spans, so the join keys are (key, bucket) and pair enumeration
+    * only ever touches events within one window width of each other. A
+    * plain key-equality join with the range as a post-filter sort-merges
+    * entire key groups — quadratic in a hot key; banding caps the group at
+    * one band. Each (left, right) pair shares exactly one of the probed
+    * buckets (the right row's own), so no pair is emitted twice.
+    *
+    * Returns the left columns plus `rightCols` (renamed via the
+    * (name → alias) pairs; aliases must not collide with left columns).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTs: String, rightTs: String,
+                   beforeUs: Long, afterUs: Long,
+                   rightCols: Seq[(String, String)]): DataFrame = {
+    require(beforeUs >= 0 && afterUs >= 0 && beforeUs + afterUs > 0,
+      s"window must be non-empty: before=$beforeUs after=$afterUs")
+    val wUs = beforeUs + afterUs
+    val leftCols = left.columns.toSeq
+    // `div` (integral) not `/` (fractional): epoch micros are exact longs
+    val l2 = left
+      .withColumn("__lt", unix_micros(col(leftTs)))
+      .withColumn("__bkt", explode(array_distinct(array(
+        expr(s"(__lt - ${beforeUs}L) div ${wUs}L"),
+        expr(s"(__lt + ${afterUs}L) div ${wUs}L")))))
+    val r2 = right.select(
+      col(keyCol).as("__rkey") +: unix_micros(col(rightTs)).as("__rt") +:
+        rightCols.map { case (c, a) => col(c).as(a) }: _*)
+      .withColumn("__rbkt", expr(s"__rt div ${wUs}L"))
+    l2.join(r2,
+        l2(keyCol) === r2("__rkey") && l2("__bkt") === r2("__rbkt") &&
+          col("__rt") >= col("__lt") - beforeUs &&
+          col("__rt") <= col("__lt") + afterUs)
+      .select(leftCols.map(col) ++ rightCols.map { case (_, a) => col(a) }: _*)
+  }
+
+  /** Per-record trailing sliding-window aggregate — the record-level view of
+    * Kafka Streams `SlidingWindows.ofTimeDifference` (reference
+    * `core.clj:150`-era windowing trio: tumbling [[graft.SparkEntry]]
+    * `q_window_hourly`, hopping `q_window_hopping`, session
+    * [[sessionize]]/`q_session_agg`, sliding here): for every event, each
+    * agg in `aggs` is evaluated over the same key's events in
+    * `[ts − sizeSeconds, ts]`, both bounds inclusive — exactly the window
+    * set SlidingWindows materializes, keyed by its closing record.
+    *
+    * Scale shape: one shuffle on the key and one per-key sort shared by
+    * every agg (a single `WindowExec`); the RANGE frame's bounds advance
+    * monotonically with the sorted stream, so each row enters and leaves
+    * the frame buffer exactly once, and evaluation cost is rows × frame
+    * occupancy — bounded by how many events fit in `sizeSeconds`, never by
+    * the key's whole partition (Spark re-evaluates the aggregate over the
+    * buffered frame rather than retracting, so a frame that holds the hot
+    * key's entire history would be the quadratic shape to avoid — size the
+    * window to the time scale, not the data). Ties in `tsCol` share a
+    * frame (RANGE, not ROWS), keeping output independent of partitioning
+    * order.
+    *
+    * Each `aggs` value must be a BARE aggregate function — the frame is
+    * applied to it directly (`agg.over(frame)`), so post-processing (casts,
+    * arithmetic) belongs on the returned column, not around the aggregate.
+    */
+  def slidingAgg(df: DataFrame, keyCol: String, tsCol: String,
+                 sizeSeconds: Long, aggs: Seq[(String, Column)]): DataFrame = {
+    require(sizeSeconds > 0, s"window size must be positive: $sizeSeconds")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-sizeSeconds * 1000000L, Window.currentRow)
+    aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
+  }
+
   /** Greedy token-budget selection: keep rows in `orderCols` priority order
     * while the running token total stays ≤ `budget` — "fill the training
     * budget with the best documents first" (the data-pruning selection

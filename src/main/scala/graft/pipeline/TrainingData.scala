@@ -1216,4 +1216,66 @@ object TrainingData {
       .select(col("bench_id").as(idCol)).distinct()
     fresh.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** Cross-source contamination matrix: for every pair of corpus sources,
+    * the number of distinct word `n`-gram shingles they share and the
+    * shingle-set Jaccard — the "which crawls/dumps overlap" axis of a
+    * corpus datasheet (per-source shingle sets are the same machinery as
+    * [[Dedup.wordShingles]], so the numbers are comparable with the dedup
+    * reports).
+    *
+    * Scale shape: the corpus collapses FIRST to distinct (source, shingle)
+    * rows (one partial-aggregated shuffle); the self-join is then keyed on
+    * the shingle, where each shingle carries at most |sources| rows — pair
+    * fan-out is bounded by sources² per shingle regardless of document
+    * count, so no hot-shingle cap is needed. Source totals (|sources| rows)
+    * broadcast onto the pair counts.
+    */
+  def crossSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                         n: Int = 5): DataFrame = {
+    val inv = docs
+      .select(col(srcCol).as("source"),
+        explode(Dedup.wordShingles(col(textCol), n)).as("s"))
+      .distinct()
+    val tot = inv.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val shared = inv.select(col("source").as("source_a"), col("s"))
+      .join(inv.select(col("source").as("source_b"), col("s")), Seq("s"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(broadcast(tot.select(col("source").as("source_a"), col("n_sh").as("__na"))), "source_a")
+      .join(broadcast(tot.select(col("source").as("source_b"), col("n_sh").as("__nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("__na") + col("__nb") - col("shared")), 6).as("jaccard"))
+  }
+
+  /** BPE merge-pair statistics — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al., ACL'16 §3.2): the corpus-wide
+    * frequency of every adjacent symbol pair, from which training greedily
+    * merges the top pair. This computes round one (symbols = characters) at
+    * the 100 TB-correct shape: words are AGGREGATED FIRST (one map-side-
+    * combined shuffle collapses the corpus to its distinct-word/count
+    * table, which is vocabulary-sized, not corpus-sized), and only then are
+    * pairs exploded — per distinct word, weighted by its count — and
+    * re-aggregated. Pair enumeration work is O(vocab × word length)
+    * regardless of corpus size. Restricted to all-letter lowercase words of
+    * length ≥ 2 (BPE is per-word; punctuation splits are the tokenizer's
+    * pre-segmentation concern).
+    *
+    * Returns the `topPairs` most frequent pairs (`pair`, `n`), ties broken
+    * lexicographically.
+    */
+  def bpePairStats(docs: DataFrame, textCol: String, topPairs: Int = 50): DataFrame = {
+    val words = docs
+      .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"), explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(topPairs)
+  }
 }

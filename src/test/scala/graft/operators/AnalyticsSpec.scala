@@ -371,6 +371,92 @@ class AnalyticsSpec extends SparkSpec {
     assert(agg.count() === events.select("user_id").distinct().count())
   }
 
+  test("intervalJoin: inclusive bounds, band-straddling pairs, no duplicates") {
+    // band width W = before + after = 60 s; buckets are minute-aligned
+    val left = Seq(
+      (1L, ts("2024-01-01 10:01:00"), 10),
+      (2L, ts("2024-01-01 10:01:00"), 20)
+    ).toDF("user_id", "ts", "l_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100), // exactly lt − before → kept (inclusive)
+      (1L, ts("2024-01-01 10:00:30"), 101), // previous bucket, in window
+      (1L, ts("2024-01-01 10:01:00"), 102), // exactly lt → kept (after = 0)
+      (1L, ts("2024-01-01 10:01:01"), 103), // future → dropped
+      (1L, ts("2024-01-01 09:59:59"), 104), // 61 s before → dropped
+      (2L, ts("2024-01-01 10:00:30"), 200)  // other key
+    ).toDF("user_id", "ts", "r_id")
+    val out = Analytics.intervalJoin(left, right, "user_id", "ts", "ts",
+        beforeUs = 60L * 1000000L, afterUs = 0L, rightCols = Seq("r_id" -> "r_id"))
+      .select("l_id", "r_id").collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    assert(out === Seq((10, 100), (10, 101), (10, 102), (20, 200)))
+  }
+
+  test("intervalJoin matches the naive range join on sf0.001 and stays an equi-join") {
+    val ev = sfEvents()
+    val p = ev.filter(col("event_type") === "purchase").select(
+      col("event_id").as("l_id"), col("user_id"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+    val banded = Analytics.intervalJoin(p, v, "user_id", "ts", "ts",
+        beforeUs = 3600L * 1000000L, afterUs = 600L * 1000000L,
+        rightCols = Seq("event_id" -> "r_id"))
+      .select("l_id", "r_id")
+    val naive = p.join(v.select(col("user_id").as("vu"), col("ts").as("vts"),
+        col("event_id").as("r_id")),
+        col("user_id") === col("vu") &&
+          unix_micros(col("vts")) >= unix_micros(col("ts")) - 3600L * 1000000L &&
+          unix_micros(col("vts")) <= unix_micros(col("ts")) + 600L * 1000000L)
+      .select("l_id", "r_id")
+    assert(banded.except(naive).isEmpty && naive.except(banded).isEmpty)
+    assert(banded.count() === banded.distinct().count()) // no duplicate pairs
+    val phys = banded.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") && !phys.contains("CartesianProduct"),
+      s"banded join degraded to a non-equi join:\n$phys")
+  }
+
+  test("native session_window agrees with sessionize islands on sf0.001") {
+    val ev = sfEvents()
+    val native = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").as("s"), col("n"))
+    val islands = Analytics.sessionize(ev, "ts", "user_id", gapSeconds = 1800,
+        orderCols = Seq(col("event_id")))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("s"), count(lit(1)).as("n"))
+      .select("user_id", "s", "n")
+    // no exact-30-min gaps in the random-micros stream, so the >= / >
+    // boundary difference cannot bite and the two formulations coincide
+    assert(native.except(islands).isEmpty && islands.except(native).isEmpty)
+  }
+
+  test("scd2 chains validity intervals; the null-valid_to slice is latestByKey") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1, "a"),
+      (1L, ts("2024-01-01 11:00:00"), 2, "b"),
+      (1L, ts("2024-01-01 11:00:00"), 3, "c"),  // same ts → event_id orders versions
+      (2L, ts("2024-01-01 09:00:00"), 4, "d")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val hist = Analytics.scd2(events.repartition(5), "user_id", col("ts"), col("event_id"))
+    val byId = hist.collect().map(r =>
+      r.getInt(2) -> (r.getTimestamp(4), Option(r.getTimestamp(5)))).toMap
+    assert(byId(1) === (ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 11:00:00"))))
+    assert(byId(2) === (ts("2024-01-01 11:00:00"), Some(ts("2024-01-01 11:00:00"))))
+    assert(byId(3) === (ts("2024-01-01 11:00:00"), None))
+    assert(byId(4) === (ts("2024-01-01 09:00:00"), None))
+    // compacted view: the current slice equals latestByKey's survivors
+    val current = hist.filter(col("valid_to").isNull)
+      .select("user_id", "event_id", "event_type")
+    val latest = Analytics.latestByKey(events, "user_id",
+      unix_micros(col("ts")), col("event_id"),
+      Seq("event_id" -> col("event_id"), "event_type" -> col("event_type")))
+    assert(current.except(latest).isEmpty && latest.except(current).isEmpty)
+  }
+
+  private def sfEvents() = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   test("hopping window() lands each event in exactly size/slide windows") {
     val events = Seq(
       (ts("2024-01-01 10:05:00"), "click", 1.0),
@@ -391,5 +477,24 @@ class AnalyticsSpec extends SparkSpec {
     val starts = clickWins.map(r => r.getTimestamp(0).getTime).sorted
     assert(starts.head === ts("2024-01-01 08:30:00").getTime)
     assert(starts.last === ts("2024-01-01 10:30:00").getTime)
+  }
+
+  test("slidingAgg: inclusive trailing frame, tie rows share a frame, keys independent") {
+    val events = Seq(
+      (1, 1L, ts("2024-01-01 10:00:00"), 10.0),
+      (2, 1L, ts("2024-01-01 10:10:00"), 20.0), // exactly size back from e3 → included
+      (3, 1L, ts("2024-01-01 10:20:00"), 30.0),
+      (4, 1L, ts("2024-01-01 10:20:00"), 40.0), // tie with e3: same frame both ways
+      (5, 2L, ts("2024-01-01 10:20:00"), 50.0)  // other key independent
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = Analytics.slidingAgg(events, "user_id", "ts", sizeSeconds = 600L,
+        Seq("n" -> count(lit(1)), "total" -> sum(col("value"))))
+      .select("event_id", "n", "total")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1) === ((1L, 10.0)))
+    assert(out(2) === ((2L, 30.0)))   // [10:00, 10:10] inclusive lower bound
+    assert(out(3) === ((3L, 90.0)))   // e2, e3, e4 (tie included) — not e1
+    assert(out(4) === out(3))          // RANGE: tie rows see identical frames
+    assert(out(5) === ((1L, 50.0)))
   }
 }

@@ -694,4 +694,40 @@ class TrainingDataSpec extends SparkSpec {
       assert(math.abs(got - f) < 0.22, s"$lang sampled $got vs requested $f")
     }
   }
+
+  test("crossSourceOverlap: distinct shared shingles per pair, within-source dups collapse") {
+    val docs = Seq(
+      (1L, "A", "a b c d e f"),   // shingles: abcde, bcdef
+      (2L, "A", "a b c d e x"),   // abcde again (collapses within A), bcdex
+      (3L, "B", "a b c d e f"),   // same two as doc 1
+      (4L, "C", "z z z z z")      // disjoint
+    ).toDF("doc_id", "source", "text")
+    val out = TrainingData.crossSourceOverlap(docs, "source", "text", n = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // A = {abcde, bcdef, bcdex} (3), B = {abcde, bcdef} (2): shared 2,
+    // jaccard 2/(3+2−2); C overlaps nothing → no row
+    assert(out === Array(("A", "B", 2L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
+  }
+
+  test("bpePairStats counts word-weighted adjacent pairs, ties lexicographic") {
+    val docs = Seq(
+      (1L, "aba aba cd"),        // aba ×2 here
+      (2L, "aba Xy 42 b"),       // Xy lowercased in; 42/b filtered (digits, length)
+      (3L, "cd cd")
+    ).toDF("doc_id", "text")
+    val out = TrainingData.bpePairStats(docs, "text", topPairs = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // aba ×3 → ab:3, ba:3; cd ×3 → cd:3; ties lexicographic, then xy:1
+    assert(out === Seq("ab" -> 3L, "ba" -> 3L, "cd" -> 3L, "xy" -> 1L))
+  }
+
+  test("bpePairStats explodes pairs on the distinct-word table, not the corpus") {
+    val docs = (1L to 200L).map(i => (i, "hello world hello")).toDF("doc_id", "text")
+    val out = TrainingData.bpePairStats(docs, "text", topPairs = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // word counts (hello 400, world 200), NOT doc counts — pair totals are
+    // word-weighted: hello contributes he/el/ll/lo, world wo/or/rl/ld
+    assert(out("he") === 400L && out("lo") === 400L && out("wo") === 200L)
+    assert(out.size === 8)
+  }
 }

@@ -169,6 +169,79 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
     assert(got === Set((1L, "adA", 50.0), (3L, "adC", 90.0)))
   }
+  test("stream-stream join emits exactly the batch intervalJoin pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val clickRows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "adA"),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), 2L, "adB"),
+      (Timestamp.valueOf("2024-01-01 09:00:00"), 3L, "adC"),
+      (Timestamp.valueOf("2024-01-01 09:59:30"), 4L, "adD"))
+    val buyRows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, 50.0),
+      (Timestamp.valueOf("2024-01-01 11:30:00"), 2L, 70.0),   // outside window
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 3L, 90.0),   // boundary, inclusive
+      (Timestamp.valueOf("2024-01-01 10:59:30"), 4L, 40.0))   // exactly +1h
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    clicks.addData(clickRows: _*); buys.addData(buyRows: _*)
+    val joined = clicks.toDF().toDF("click_ts", "user", "ad")
+      .withWatermark("click_ts", "1 minute")
+      .join(buys.toDF().toDF("p_ts", "p_user", "amount").withWatermark("p_ts", "1 minute"),
+        expr("user = p_user AND p_ts BETWEEN click_ts AND click_ts + INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("t_ssjoin_eq")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val live = spark.table("t_ssjoin_eq").select("user", "ad", "amount")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    // the SAME window as a batch banded interval join: before = 0, after = 1h
+    val batch = graft.operators.Analytics.intervalJoin(
+        clickRows.toDF("click_ts", "user", "ad"),
+        buyRows.toDF("p_ts", "p_user", "amount")
+          .withColumnRenamed("p_user", "user"), // key name must match
+        "user", "click_ts", "p_ts",
+        beforeUs = 0L, afterUs = 3600L * 1000000L,
+        rightCols = Seq("amount" -> "amount"))
+      .select("user", "ad", "amount")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(live === batch)
+    assert(batch === Set((1L, "adA", 50.0), (3L, "adC", 90.0), (4L, "adD", 40.0)))
+  }
+
+  test("streaming session_window aggregation equals the batch formulation") {
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, 1.0),
+      (Timestamp.valueOf("2024-01-01 10:10:00"), 1L, 2.0),   // same session
+      (Timestamp.valueOf("2024-01-01 11:00:00"), 1L, 3.0),   // 50-min gap → new session
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 2L, 4.0))
+    // a far-future sentinel pushes the watermark past every real session end
+    // (append mode only emits CLOSED sessions)
+    val sentinel = (Timestamp.valueOf("2024-01-02 00:00:00"), 99L, 0.0)
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    in.addData(rows :+ sentinel: _*)
+    val agg = in.toDF().toDF("ts", "user", "v")
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .select(col("user"), col("session_window.start").as("s"),
+        col("session_window.end").as("e"), col("n"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("t_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val live = spark.table("t_sessions").filter(col("user") =!= 99L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val batch = rows.toDF("ts", "user", "v")
+      .groupBy(col("user"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .select(col("user"), col("session_window.start"), col("session_window.end"),
+        col("n"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(live === batch)
+    assert(live.size === 3) // user 1 splits at the 50-min gap; user 2 single
+  }
+
   test("stream-static enrichment join broadcasts the dimension per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
