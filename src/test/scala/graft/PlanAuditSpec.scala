@@ -285,4 +285,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // explode(sequence(first, last))
     assert(!p.contains("Join"), p)    // shard offsets ride as a literal map
   }
+
+  test("q_table_join: compactions feed the join without a third exchange") {
+    val p = plan("q_table_join")
+    // one exchange per latestByKey side; the full-outer join runs on the
+    // aggregates' output partitioning — a third exchange would mean the
+    // compaction shuffle is being repeated for the join
+    assert(exchanges(p) === 2, p)
+    assert(p.contains("FullOuter"), p)
+  }
+
+  test("q_window_sliding: one key-partitioned window, one exchange, no range shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_window_sliding")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window (single-partition sort at scale): $w"))
+    val p = plan("q_window_sliding")
+    assert(exchanges(p) === 1, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
+  test("q_interval_join: banded composite-key equi-join, never nested-loop") {
+    val p = plan("q_interval_join")
+    // the band key is part of the join key, so the range predicates ride
+    // as conditions on a hash equi-join — never a nested-loop/cartesian
+    // plan (which a pure range predicate would force). Which hash join the
+    // planner picks is size-driven (broadcast at sf0.001, shuffle at
+    // scale); the audit pins the shape, not the size decision.
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_sql_q5: every join is a hash equi-join; region/nation broadcast") {
+    val p = plan("q_sql_q5")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p) // nation, region
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
 }
