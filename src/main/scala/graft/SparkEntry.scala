@@ -291,6 +291,50 @@ object SparkEntry {
       Seq("user_id"), "full_outer")
   }
 
+  /** Cohort retention matrix: users bucketed by first-seen day, activity
+    * counted per (cohort, age-in-days). Both aggregations and the join key
+    * on `user_id`, so the first-seen census meets the activity set without
+    * an exchange beyond the aggregates' own; the census side is
+    * |users|-sized and broadcasts whenever it fits.
+    */
+  private def cohortRetentionQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = d.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    d.join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      // DATE surfaces differently per engine (date32 vs datetime64) —
+      // ship bars/cohorts at midnight TIMESTAMP for a type-stable contract
+      .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
+  }
+
+  /** Ordered signup → view → purchase funnel ([[Analytics.funnel]]): per
+    * user, the first completion time of each stage strictly after the
+    * previous one — one key shuffle, no per-key sort at any stage.
+    */
+  private def funnelQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.funnel(
+      t(s, dir, "events").select("user_id", "ts", "event_type"),
+      "user_id", "ts",
+      Seq("t_signup" -> (col("event_type") === "signup"),
+        "t_view" -> (col("event_type") === "view"),
+        "t_purchase" -> (col("event_type") === "purchase")))
+
+  /** Daily OHLC bars per event type: open/close by event sequence via the
+    * partial-aggregating `min_by`/`max_by` — bounded state per group, no
+    * window sort anywhere — volume and total exact.
+    */
+  private def ohlcBarsQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).cast("timestamp").as("day"))
+      .agg(min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+
   /** Window-function sessionization over the events stream (30-min gap). */
   private def sessionizeQ(s: SparkSession, dir: String): DataFrame =
     Analytics.sessionize(t(s, dir, "events"), "ts", "user_id", gapSeconds = 1800,
@@ -1682,6 +1726,9 @@ object SparkEntry {
     "q_session_agg"         -> (sessionAggQ(_, _)),
     "q_window_sliding"      -> (windowSlidingQ(_, _)),
     "q_table_join"          -> (tableJoinQ(_, _)),
+    "q_cohort_retention"    -> (cohortRetentionQ(_, _)),
+    "q_funnel"              -> (funnelQ(_, _)),
+    "q_ohlc_bars"           -> (ohlcBarsQ(_, _)),
     "q_interval_join"       -> (intervalJoinQ(_, _)),
     "q_scd2"                -> (scd2Q(_, _)),
     "q_bpe_pairs"           -> (bpePairsQ(_, _)),
@@ -3433,6 +3480,39 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+        |  date_diff('day', cohort_day, day) AS age_days,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM d JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // each stage gates on the previous stage's completion; ts > NULL never
+    // fires, so an incomplete funnel stays null from the broken stage on
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_signup
+        |  FROM events
+        |), s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t_signup
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t_view FROM s1
+        |), s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_view
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t_purchase FROM s2
+        |)
+        |SELECT user_id, MAX(t_signup) AS t_signup, MAX(t_view) AS t_view,
+        |  MAX(t_purchase) AS t_purchase
+        |FROM s3 GROUP BY user_id""".stripMargin,
+    // open/close keyed by the unique event sequence — deterministic arg_min
+    "q_ohlc_bars" ->
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+        |  arg_min(value, event_id) AS open, MAX(value) AS high,
+        |  MIN(value) AS low, arg_max(value, event_id) AS close,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // trailing RANGE frame, both bounds inclusive — DuckDB's timestamp
     // RANGE frame and Spark's epoch-micros RANGE frame admit identical sets
     "q_window_sliding" ->

@@ -570,6 +570,39 @@ object Analytics {
     aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
   }
 
+  /** Ordered-funnel completion: for each key, the first event time at which
+    * each stage predicate fires STRICTLY AFTER the previous stage's
+    * completion time (the first stage counts its first firing ever). A key
+    * that never completes stage i has null from stage i on — later stages
+    * can't fire against a null gate, so out-of-order events (a view before
+    * any signup) never advance the funnel.
+    *
+    * Scale shape: one shuffle on the key; each stage is an unordered
+    * partition-wide `min(when(...))` window — no ORDER BY, so no per-key
+    * sort at any stage — and the final per-key collapse is a partial
+    * aggregate over rows that are constant per key. Stage comparisons are
+    * at the column's native precision (microseconds for timestamps);
+    * same-instant stage transitions do NOT count (strictly after).
+    *
+    * Returns one row per key: `keyCol` plus one completion-time column per
+    * stage, named by the stage's label.
+    */
+  def funnel(df: DataFrame, keyCol: String, tsCol: String,
+             stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(keyCol))
+    val staged = stages.zipWithIndex.foldLeft(df) {
+      case (d, ((name, pred), i)) =>
+        val gate =
+          if (i == 0) pred
+          else pred && col(tsCol) > col(stages(i - 1)._1)
+        d.withColumn(name, min(when(gate, col(tsCol))).over(w))
+    }
+    staged.groupBy(col(keyCol))
+      .agg(max(col(stages.head._1)).as(stages.head._1),
+        stages.tail.map { case (n, _) => max(col(n)).as(n) }: _*)
+  }
+
   /** Greedy token-budget selection: keep rows in `orderCols` priority order
     * while the running token total stays ≤ `budget` — "fill the training
     * budget with the best documents first" (the data-pruning selection

@@ -497,4 +497,39 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(4) === out(3))          // RANGE: tie rows see identical frames
     assert(out(5) === ((1L, 50.0)))
   }
+
+  test("funnel: stages only advance strictly after the previous stage") {
+    val events = Seq(
+      // user 1: clean signup → view → purchase
+      (1L, ts("2024-01-01 10:00:00"), "signup"),
+      (1L, ts("2024-01-01 10:05:00"), "view"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2: view BEFORE signup doesn't count; the later view does
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, ts("2024-01-01 10:00:00"), "signup"),
+      (2L, ts("2024-01-01 11:00:00"), "view"),
+      // user 3: purchase before any view → funnel stops at signup
+      (3L, ts("2024-01-01 10:00:00"), "signup"),
+      (3L, ts("2024-01-01 10:30:00"), "purchase"),
+      // user 4: same-instant signup+view → strictly-after excludes the view
+      (4L, ts("2024-01-01 10:00:00"), "signup"),
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      // user 5: never signs up → all stages null
+      (5L, ts("2024-01-01 10:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Analytics.funnel(events, "user_id", "ts",
+        Seq("t_signup" -> (col("event_type") === "signup"),
+          "t_view" -> (col("event_type") === "view"),
+          "t_purchase" -> (col("event_type") === "purchase")))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+          Option(r.getTimestamp(3))))).toMap
+    assert(out(1L) === ((Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 10:05:00")), Some(ts("2024-01-01 10:10:00")))))
+    assert(out(2L) === ((Some(ts("2024-01-01 10:00:00")),
+      Some(ts("2024-01-01 11:00:00")), None)))
+    assert(out(3L) === ((Some(ts("2024-01-01 10:00:00")), None, None)))
+    assert(out(4L) === ((Some(ts("2024-01-01 10:00:00")), None, None)))
+    assert(out(5L) === ((None, None, None)))
+  }
 }
