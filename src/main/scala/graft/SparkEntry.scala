@@ -1604,6 +1604,38 @@ object SparkEntry {
       .select(col("media_id").as("doc_id"), col("dhash"), col("canonical_id"))
   }
 
+  /** Real audio-container parse: the synthetic WAV corpus
+    * ([[Multimodal.syntheticAudio]]) round-tripped through the JDK's
+    * actual RIFF/WAVE reader ([[Multimodal.audioMeta]]). The oracle states
+    * the generator's closed-form metadata; the engine must recover it by
+    * PARSING the bytes — a malformed container or broken reader fails the
+    * row, not the stub.
+    */
+  private def audioMetaQ(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticAudio(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.audioMeta(media).toDF()
+      .select(col("media_id").as("doc_id"), col("sample_rate"), col("channels"),
+        col("bits_per_sample"), col("n_samples"), col("duration_us"),
+        col("decoded"))
+  }
+
+  /** Real signal statistics over DECODED PCM ([[Multimodal.audioFeatures]]):
+    * peak, zero crossings, RMS, mean from exact integer sums over the
+    * samples read back out of the WAV container. The sawtooth fixture is
+    * lossless, so DuckDB replays the decoded stream arithmetically —
+    * decode + feature extraction verified end to end, the audio analog of
+    * `q_image_features`.
+    */
+  private def audioFeaturesQ(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticAudio(
+      t(s, dir, "documents").select(col("doc_id")), "doc_id")
+    Multimodal.audioFeatures(media).toDF()
+      .select(col("media_id").as("doc_id"), col("n_samples"), col("peak"),
+        col("zero_crossings"), round(col("rms"), 6).as("rms"),
+        round(col("mean"), 6).as("mean"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1674,6 +1706,8 @@ object SparkEntry {
     "q_multimodal_meta"     -> (multimodalMeta(_, _)),
     "q_multimodal_frames"   -> (multimodalFrames(_, _)),
     "q_image_features"      -> (imageFeaturesQ(_, _)),
+    "q_audio_meta"          -> (audioMetaQ(_, _)),
+    "q_audio_features"      -> (audioFeaturesQ(_, _)),
     "q_decontaminate"       -> (decontaminateQ(_, _)),
     "q_bloom_decontaminate" -> (bloomDecontaminateQ(_, _)),
     "q_mix_corpus"          -> (mixCorpusQ(_, _)),
@@ -3046,6 +3080,39 @@ object SparkEntry {
     // SQL regenerates the same grid arithmetically; the REAL cast mirrors
     // the engine's Array[Float] storage (round6 of float-of-double on both
     // sides).
+    // closed-form container constants — the engine must recover them by
+    // actually parsing the RIFF/WAVE bytes it generated
+    "q_audio_meta" ->
+      """SELECT doc_id, 8000 AS sample_rate, 1 AS channels,
+        |  16 AS bits_per_sample, CAST(800 AS BIGINT) AS n_samples,
+        |  CAST(100000 AS BIGINT) AS duration_us, TRUE AS decoded
+        |FROM documents""".stripMargin,
+    // the sawtooth PCM replayed arithmetically: seed from FNV-1a("aud|id"),
+    // s[t] = ((s0 + step*t) mod 2^16) - 2^15; features are exact integer
+    // sums with one IEEE division (+ sqrt) at the end
+    "q_audio_features" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${duckFnvU("('aud|' || CAST(doc_id AS VARCHAR))")} AS seed
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, CAST(seed % 65536 AS BIGINT) AS s0,
+         |    1 + CAST((seed // 65536) % 32749 AS BIGINT) AS step
+         |  FROM h
+         |), s AS (
+         |  SELECT doc_id, t, ((s0 + step * t) % 65536) - 32768 AS v
+         |  FROM p, unnest(range(0, 800)) AS u(t)
+         |), z AS (
+         |  SELECT doc_id, t, v,
+         |    lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv
+         |  FROM s
+         |)
+         |SELECT doc_id, COUNT(*) AS n_samples, MAX(abs(v)) AS peak,
+         |  CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+         |  round(sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)), 6) AS rms,
+         |  round(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean
+         |FROM z GROUP BY doc_id""".stripMargin,
     "q_image_features" ->
       """WITH px AS (
         |  SELECT d.doc_id,

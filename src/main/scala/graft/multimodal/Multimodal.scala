@@ -17,6 +17,13 @@ final case class FrameSample(media_id: Long, frame_index: Int, feature: Array[Fl
 
 final case class ImageHash(media_id: Long, dhash: Long)
 
+final case class AudioMeta(media_id: Long, sample_rate: Int, channels: Int,
+                           bits_per_sample: Int, n_samples: Long,
+                           duration_us: Long, decoded: Boolean)
+
+final case class AudioFeatures(media_id: Long, n_samples: Long, peak: Int,
+                               zero_crossings: Long, rms: Double, mean: Double)
+
 /** Multimodal column plumbing (north-star). Image *decode* is real for the
   * container formats the JDK ships readers for (PNG/JPEG/GIF/BMP via
   * `javax.imageio` — header-only dimension reads, full decode for resize,
@@ -400,4 +407,132 @@ object Multimodal {
     df.select(col(idCol),
       length(encode(col(textCol), "UTF-8")).as("n_bytes"),
       length(col(textCol)).as("n_chars"))
+
+  // ───────────────────────── audio ─────────────────────────
+
+  /** Deterministic synthetic audio corpus: id `i`'s signal is a mod-65536
+    * integer sawtooth — `s[t] = ((s0 + step·t) mod 2^16) − 2^15` with
+    * `s0`/`step` derived from the FNV-1a hash of `"aud|" + id` — written
+    * into a REAL RIFF/WAVE container (PCM16 mono little-endian). Because
+    * PCM is lossless, the decoded stream equals the formula, so an engine
+    * with no audio codec (the DuckDB oracle) replays any decoded-sample
+    * computation arithmetically — the same fixture move as
+    * [[syntheticMedia]]'s PNGs.
+    */
+  def syntheticAudio(df: DataFrame, idCol: String, sampleRate: Int = 8000,
+                     nSamples: Int = 800): Dataset[MediaRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val seed = fnv1a(("aud|" + id).getBytes("UTF-8"))
+      val s0 = (seed & 0xffffL).toInt
+      val step = 1 + ((seed >>> 16) % 32749L).toInt
+      val data = new Array[Byte](nSamples * 2)
+      var t = 0
+      while (t < nSamples) {
+        val s = ((s0 + step.toLong * t) % 65536L).toInt - 32768
+        data(2 * t) = (s & 0xff).toByte
+        data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+        t += 1
+      }
+      MediaRecord(id, "audio/wav", wavBytes(data, sampleRate))
+    }
+  }
+
+  /** Minimal canonical RIFF/WAVE wrapper around PCM16 mono data. */
+  private def wavBytes(data: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)                       // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)     // byte rate
+      .putShort(2).putShort(16)                      // block align, bits
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
+  /** REAL audio container parse via the JDK's shipped readers
+    * (`javax.sound.sampled` handles WAV/AIFF/AU headless — no audio device
+    * involved): sample rate, channels, bit depth, frame count, exact
+    * integer duration. Unrecognized payloads return a zeroed row with
+    * `decoded = false` so a mixed corpus flows through total — the honest
+    * analog of the image path's fallback, minus any fake numbers.
+    */
+  def audioMeta(media: Dataset[MediaRecord]): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        try {
+          val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(m.content))
+          val f = aff.getFormat
+          val sr = f.getSampleRate.toInt
+          val n = aff.getFrameLength.toLong
+          AudioMeta(m.media_id, sr, f.getChannels, f.getSampleSizeInBits, n,
+            if (sr > 0) n * 1000000L / sr else 0L, decoded = true)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            AudioMeta(m.media_id, 0, 0, 0, 0L, 0L, decoded = false)
+        }
+      }
+    }
+  }
+
+  /** Real signal statistics over the DECODED PCM stream (not the generator
+    * formula): the payload goes through `AudioSystem.getAudioInputStream`,
+    * frames are read back as signed 16-bit little-endian samples, and the
+    * features are integer-exact accumulations — peak `max |s|`, sign-change
+    * count, RMS and mean from exact long sums (one IEEE division + sqrt at
+    * the end, so any engine replays them bit-identically). Non-PCM16-mono
+    * payloads are skipped (flatMap) — feature extraction is a decode-only
+    * path by contract.
+    *
+    * Scale shape: per-partition batched decode like every media op here
+    * (one reader init per partition); payload bytes never shuffle — the
+    * output is six small columns keyed by `media_id`.
+    */
+  def audioFeatures(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.content))
+          try {
+            val f = in.getFormat
+            val pcm16Mono =
+              f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian
+            if (!pcm16Mono) None
+            else {
+              val bytes = in.readAllBytes()
+              val n = bytes.length / 2
+              var sum = 0L; var sumSq = 0L; var peak = 0; var zc = 0L
+              var prevNonNeg = true
+              var t = 0
+              while (t < n) {
+                val s = (((bytes(2 * t + 1) & 0xff) << 8) | (bytes(2 * t) & 0xff)).toShort.toInt
+                sum += s
+                sumSq += s.toLong * s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                val nonNeg = s >= 0
+                if (t > 0 && nonNeg != prevNonNeg) zc += 1
+                prevNonNeg = nonNeg
+                t += 1
+              }
+              if (n == 0) None
+              else Some(AudioFeatures(m.media_id, n.toLong, peak, zc,
+                math.sqrt(sumSq.toDouble / n), sum.toDouble / n))
+            }
+          } finally in.close()
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
 }

@@ -218,4 +218,51 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(m => m.media_id -> m.content.toSeq).toMap
     assert(resized(1L).content.toSeq === again(1L))
   }
+
+  test("audioMeta: real RIFF/WAVE parse recovers the container facts; garbage doesn't decode") {
+    val aud = Multimodal.syntheticAudio(docs, "doc_id", sampleRate = 8000, nSamples = 800)
+    val meta = Multimodal.audioMeta(aud).collect().map(m => m.media_id -> m).toMap
+    assert(meta(1L).sample_rate === 8000)
+    assert(meta(1L).channels === 1)
+    assert(meta(1L).bits_per_sample === 16)
+    assert(meta(1L).n_samples === 800L)
+    assert(meta(1L).duration_us === 100000L)
+    assert(meta(1L).decoded)
+    val bad = Multimodal.audioMeta(
+      media((9L, "audio/wav", "not a wav at all".getBytes("UTF-8")))).collect()
+    assert(bad.length === 1 && !bad.head.decoded)
+  }
+
+  test("audioFeatures: decoded-PCM stats equal an independent replay of the sawtooth") {
+    val out = Multimodal.audioFeatures(
+        Multimodal.syntheticAudio(docs, "doc_id", nSamples = 800))
+      .collect().map(f => f.media_id -> f).toMap
+    // independent replay of the generator contract for id 1
+    var h = 0xcbf29ce484222325L
+    "aud|1".getBytes("UTF-8").foreach(b => { h ^= (b & 0xffL); h *= 0x100000001b3L })
+    val s0 = (h & 0xffffL).toInt
+    val step = 1 + ((h >>> 16) % 32749L).toInt
+    val samples = (0 until 800).map(t => ((s0 + step.toLong * t) % 65536L).toInt - 32768)
+    val f = out(1L)
+    assert(f.n_samples === 800L)
+    assert(f.peak === samples.map(math.abs).max)
+    assert(f.zero_crossings ===
+      samples.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0)).toLong)
+    assert(f.rms === math.sqrt(samples.map(s => s.toLong * s).sum.toDouble / 800))
+    assert(f.mean === samples.map(_.toLong).sum.toDouble / 800)
+  }
+
+  test("audioFeatures: reads the payload, not the formula — a tampered sample changes the stats") {
+    val clean = Multimodal.syntheticAudio(docs.filter(col("doc_id") === 1L), "doc_id")
+      .collect().head
+    val tampered = clean.content.clone()
+    tampered(45) = (tampered(45) ^ 0x7f).toByte // high byte of sample 0
+    val both = media((1L, "audio/wav", clean.content), (2L, "audio/wav", tampered))
+    val f = Multimodal.audioFeatures(both).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).rms !== f(2L).rms)
+    // non-PCM16 payloads are skipped, not faked
+    val skipped = Multimodal.audioFeatures(
+      media((3L, "audio/wav", "definitely not audio".getBytes("UTF-8")))).collect()
+    assert(skipped.isEmpty)
+  }
 }
