@@ -177,6 +177,62 @@ object ScaleProbe {
           d, "lang", "doc_id", "text",
           Map(langs(0) -> 0.5, langs(1) -> 0.5), factor = 2.0)
           .queryExecution.toRdd.count() }
+      // Interval join on a hot-key event stream: 200k events over 30 days,
+      // 10% owned by ONE user. The naive formulation (key-equi join, range
+      // as a post-filter) sort-merges the hot user's ENTIRE view history
+      // against each of their purchases — the buffered right group and the
+      // pair count both grow quadratically with the key's share. The banded
+      // join folds floor(ts/window) into the join key, so the hot user
+      // splits across ~720 hour buckets and no task ever holds more than
+      // one band of one key. Same output rows (asserted), different worst
+      // task.
+      locally {
+        val baseUs = 1704067200000000L // 2024-01-01 UTC
+        // every 10th event belongs to ONE hot user (events ~130 s apart —
+        // dozens inside any 1 h window); the rest spread over 200 users
+        // (~43 min apart — a realistic sparse tail). Purchase stride 7 is
+        // coprime with both, so every user has both event types.
+        def evStream(hotTenths: Int) = spark.range(200000).select(
+          col("id").as("event_id"),
+          when(pmod(col("id"), lit(10)) < hotTenths, 1L)
+            .otherwise(pmod(col("id"), lit(200)) + 2).as("user_id"),
+          timestamp_micros(lit(baseUs) + col("id") * 12960000L).as("ts"),
+          when(pmod(col("id"), lit(7)) === 0, "purchase").otherwise("view")
+            .as("event_type"),
+          (pmod(col("id"), lit(1000)) / 10.0).as("value"))
+        // at probe size the purchase side auto-broadcasts, which hides the
+        // shuffle shape being probed — at 100 TB neither side fits, so
+        // force the shuffle plan for the compare
+        val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        for (hotTenths <- Seq(1, 3)) {
+          val ev10 = evStream(hotTenths)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          ev10.count()
+          val p10 = ev10.filter(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts")
+          val v10 = ev10.filter(col("event_type") === "view")
+          var bandedN = 0L; var naiveN = 0L
+          timeM(s"interval join banded  hot=${hotTenths}0%") {
+            bandedN = graft.operators.Analytics.intervalJoin(
+              p10, v10, "user_id", "ts", "ts",
+              beforeUs = 3600L * 1000000L, afterUs = 0L,
+              rightCols = Seq("value" -> "view_value"))
+              .queryExecution.toRdd.count()
+            bandedN }
+          timeM(s"interval join naive   hot=${hotTenths}0%") {
+            val r = v10.select(col("user_id").as("r_user"),
+              unix_micros(col("ts")).as("rt"), col("value").as("view_value"))
+            naiveN = p10.withColumn("lt", unix_micros(col("ts")))
+              .join(r, col("user_id") === col("r_user") &&
+                col("rt") >= col("lt") - 3600L * 1000000L && col("rt") <= col("lt"))
+              .queryExecution.toRdd.count()
+            naiveN }
+          require(bandedN == naiveN, s"banded $bandedN != naive $naiveN")
+          ev10.unpersist(false)
+        }
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      }
       // budget selection at 1% selectivity: the sharded form prunes ~99% of
       // shards before any sort (census + literal predicate), vs the naive
       // single-task global cumsum window — compare max-task and shuffle.
