@@ -13,6 +13,16 @@ final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
 
 private final case class SessionState(n: Long, total: Double, start: Long, last: Long)
 
+/** One input event for [[StatefulOps.streamingFunnel]]. */
+final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+
+/** A user's funnel progress: completion times of the completed stage
+  * PREFIX — the batch operator's null-padded columns minus the nulls
+  * (funnel columns are null only from the first broken stage on, so the
+  * non-null prefix is the whole row).
+  */
+final case class FunnelProgress(user_id: Long, stage_times: Seq[Timestamp])
+
 /** Custom streaming state via `flatMapGroupsWithState` — the arbitrary-state
   * face of the engine (the batch analog is
   * [[graft.operators.Analytics.sessionize]]). Kafka Streams exposes this as
@@ -70,6 +80,49 @@ object StatefulOps {
             }
             closed.reverseIterator
           }
+      }
+  }
+
+  /** Streaming ordered funnel — the live face of
+    * [[graft.operators.Analytics.funnel]]: per user, stage i completes at
+    * the first `stageTypes(i)` event STRICTLY after stage i−1's completion
+    * (microsecond precision, like the batch operator). State is one
+    * bounded record per key (≤ |stages| epoch-micros longs); one
+    * state-store shuffle on the key. Emits the key's full progress row
+    * each micro-batch it receives events (Update-mode semantics).
+    *
+    * Parity contract: with per-key event-time-ordered delivery ACROSS
+    * micro-batches — the Kafka per-partition ordering guarantee this
+    * operator models — the final progress equals the batch operator's row
+    * for every key (spec-asserted). Events INSIDE a micro-batch are sorted
+    * by event time first, so intra-batch disorder is absorbed; a
+    * cross-batch late event for an earlier stage cannot rewind
+    * already-advanced state — the streaming trade, stated.
+    */
+  def streamingFunnel(events: Dataset[FunnelEvent],
+                      stageTypes: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    require(stageTypes.nonEmpty, "funnel needs at least one stage")
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Seq[Long], FunnelProgress](GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[Seq[Long]]) =>
+          var times = state.getOption.getOrElse(Seq.empty[Long])
+          batch.toSeq
+            .map(e => (micros(e.ts), e.event_type))
+            .sortBy(_._1)
+            .foreach { case (us, tpe) =>
+              if (times.length < stageTypes.length &&
+                  tpe == stageTypes(times.length) &&
+                  (times.isEmpty || us > times.last))
+                times = times :+ us
+            }
+          state.update(times)
+          FunnelProgress(userId, times.map { us =>
+            val t = new Timestamp(us / 1000000L * 1000L)
+            t.setNanos((us % 1000000L).toInt * 1000)
+            t
+          })
       }
   }
 }

@@ -69,4 +69,57 @@ class StatefulOpsSpec extends SparkSpec {
 
     assert(streamed === batch)
   }
+
+  test("streamingFunnel live == batch funnel under in-order delivery, disorder absorbed within a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val events = Seq(
+      // user 1: clean 3-stage funnel, split ACROSS micro-batches
+      FunnelEvent(1L, ts("2024-01-01 10:00:00"), "signup"),
+      FunnelEvent(1L, ts("2024-01-01 10:05:00"), "view"),
+      FunnelEvent(1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // user 2: pre-signup view must not count; post-signup one does
+      FunnelEvent(2L, ts("2024-01-01 09:00:00"), "view"),
+      FunnelEvent(2L, ts("2024-01-01 10:00:00"), "signup"),
+      FunnelEvent(2L, ts("2024-01-01 11:00:00"), "view"),
+      // user 3: breaks at view (purchase arrives before any view)
+      FunnelEvent(3L, ts("2024-01-01 10:00:00"), "signup"),
+      FunnelEvent(3L, ts("2024-01-01 10:30:00"), "purchase"),
+      // user 4: never signs up
+      FunnelEvent(4L, ts("2024-01-01 10:00:00"), "view"))
+    val stages = Seq("signup", "view", "purchase")
+
+    val batch = graft.operators.Analytics.funnel(
+        events.toDF(), "user_id", "ts",
+        stages.map(t => s"t_$t" -> (col("event_type") === t)))
+      .collect().map { r =>
+        val prefix = (1 to 3).map(i => Option(r.getTimestamp(i)))
+          .takeWhile(_.isDefined).flatten
+        r.getLong(0) -> prefix
+      }.toMap
+
+    val in = MemoryStream[FunnelEvent]
+    // batch 1 delivered OUT of event-time order within the batch; the
+    // cross-batch split point keeps per-key event-time order
+    in.addData(events.take(5).reverse: _*)
+    in.addData(events.drop(5): _*)
+    val q = StatefulOps.streamingFunnel(in.toDS(), stages)
+      .writeStream.format("memory").queryName("t_funnel")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // Update mode: the LAST progress row per user is the final state
+    val streamed = spark.table("t_funnel")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max_by(
+        col("stage_times"), org.apache.spark.sql.functions.size(col("stage_times")))
+        .as("stage_times"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Timestamp](1).toIndexedSeq).toMap
+
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (u, prefix) =>
+      assert(prefix === batch(u), s"user $u")
+    }
+  }
 }
