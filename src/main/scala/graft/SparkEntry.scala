@@ -335,6 +335,16 @@ object SparkEntry {
         count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
 
+  /** Daily resampling + LOCF gap fill ([[Analytics.resampleDailyLocf]]):
+    * every user × every day of the corpus span, carrying the most recent
+    * daily close (by event sequence) forward across silent days.
+    */
+  private def resampleFfillQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.resampleDailyLocf(t(s, dir, "events"), "user_id", "ts",
+        max_by(col("value"), col("event_id")), "close")
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        col("close"))
+
   /** Window-function sessionization over the events stream (30-min gap). */
   private def sessionizeQ(s: SparkSession, dir: String): DataFrame =
     Analytics.sessionize(t(s, dir, "events"), "ts", "user_id", gapSeconds = 1800,
@@ -1761,6 +1771,7 @@ object SparkEntry {
     "q_window_sliding"      -> (windowSlidingQ(_, _)),
     "q_table_join"          -> (tableJoinQ(_, _)),
     "q_cohort_retention"    -> (cohortRetentionQ(_, _)),
+    "q_resample_ffill"      -> (resampleFfillQ(_, _)),
     "q_funnel"              -> (funnelQ(_, _)),
     "q_ohlc_bars"           -> (ohlcBarsQ(_, _)),
     "q_interval_join"       -> (intervalJoinQ(_, _)),
@@ -3554,6 +3565,23 @@ object SparkEntry {
         |  date_diff('day', cohort_day, day) AS age_days,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM d JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // dense user x day grid over the global span; LOCF via IGNORE NULLS,
+    // null before a user's first observation in both engines
+    "q_resample_ffill" ->
+      """WITH b AS (SELECT CAST(CAST(MIN(ts) AS DATE) AS TIMESTAMP) AS d0,
+        |             CAST(CAST(MAX(ts) AS DATE) AS TIMESTAMP) AS d1 FROM events),
+        |u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT u.user_id,
+        |        CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |      FROM u, b),
+        |dc AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |         arg_max(value, event_id) AS close
+        |       FROM events GROUP BY 1, 2)
+        |SELECT g.user_id, CAST(g.day AS TIMESTAMP) AS day,
+        |  last_value(dc.close IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |  ) AS close
+        |FROM g LEFT JOIN dc USING (user_id, day)""".stripMargin,
     // each stage gates on the previous stage's completion; ts > NULL never
     // fires, so an incomplete funnel stays null from the broken stage on
     "q_funnel" ->

@@ -603,6 +603,35 @@ object Analytics {
         stages.tail.map { case (n, _) => max(col(n)).as(n) }: _*)
   }
 
+  /** Time-series resampling onto a dense daily grid with
+    * last-observation-carried-forward: every key gets one row per day of
+    * the data's global [min, max] day span; days with no observation
+    * inherit the key's most recent `valueAgg` value (null before the
+    * key's first observation — LOCF never invents data).
+    *
+    * Scale shape: the day bounds are ONE collected row (a bounded side
+    * input, like shard boundaries); the grid is a scan-side generator
+    * (|keys| × |days| rows — never a shuffle of the event stream); the
+    * daily closes partial-aggregate; the fill is one key-partitioned
+    * window ordered by day (|days| rows per key — bounded by the span, not
+    * the event count).
+    */
+  def resampleDailyLocf(df: DataFrame, keyCol: String, tsCol: String,
+                        valueAgg: Column, valueName: String): DataFrame = {
+    val bounds = df.agg(min(to_date(col(tsCol))), max(to_date(col(tsCol)))).head()
+    require(!bounds.isNullAt(0), "resampleDailyLocf: no rows / all-null ts")
+    val (d0, d1) = (bounds.getDate(0), bounds.getDate(1))
+    val daily = df.groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(valueAgg.as(valueName))
+    val grid = df.select(col(keyCol)).distinct()
+      .select(col(keyCol),
+        explode(sequence(lit(d0), lit(d1), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn(valueName, last(col(valueName), ignoreNulls = true).over(w))
+  }
+
   /** Greedy token-budget selection: keep rows in `orderCols` priority order
     * while the running token total stays ≤ `budget` — "fill the training
     * budget with the best documents first" (the data-pruning selection

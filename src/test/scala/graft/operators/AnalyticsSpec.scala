@@ -498,6 +498,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(5) === ((1L, 50.0)))
   }
 
+  test("resampleDailyLocf: dense grid, forward fill, null before first observation") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1, 10.0),
+      (1L, ts("2024-01-01 18:00:00"), 2, 11.0), // later same day wins (close)
+      (1L, ts("2024-01-04 10:00:00"), 3, 40.0), // days 2-3 silent → carry 11.0
+      (2L, ts("2024-01-03 10:00:00"), 4, 99.0)  // user 2 silent before day 3
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Analytics.resampleDailyLocf(events, "user_id", "ts",
+        max_by(col("value"), col("event_id")), "close")
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out.size === 8) // 2 users x 4 days
+    assert(out((1L, "2024-01-01")) === Some(11.0))
+    assert(out((1L, "2024-01-02")) === Some(11.0))
+    assert(out((1L, "2024-01-03")) === Some(11.0))
+    assert(out((1L, "2024-01-04")) === Some(40.0))
+    assert(out((2L, "2024-01-01")) === None) // LOCF never invents data
+    assert(out((2L, "2024-01-02")) === None)
+    assert(out((2L, "2024-01-03")) === Some(99.0))
+    assert(out((2L, "2024-01-04")) === Some(99.0))
+  }
+
   test("funnel: stages only advance strictly after the previous stage") {
     val events = Seq(
       // user 1: clean signup → view → purchase
