@@ -1646,6 +1646,38 @@ object SparkEntry {
         round(col("mean"), 6).as("mean"))
   }
 
+  /** Multimodal end-to-end curation: a document survives iff (1) its image
+    * is its dHash cluster's canonical (perceptual image dedup — first
+    * occurrence keeps), (2) its audio RMS sits inside the quality band
+    * (decoded-PCM gate), and (3) its text passes the Gopher A1.1 rules.
+    * Three modality verdicts — each partial-aggregated or per-partition
+    * bounded — meet in `doc_id`-keyed joins; payload bytes (pixels, PCM)
+    * never shuffle, only 8-byte ids, hashes, and one double per doc.
+    */
+  private def curateMultimodalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val dh = Multimodal.dHashes(Multimodal.syntheticMedia(
+      docs.select(col("doc_id")), "doc_id", 24, 16)).toDF()
+    val canon = dh.groupBy(col("dhash")).agg(min(col("media_id")).as("canonical_id"))
+    val imgKeep = dh.join(canon, "dhash")
+      .filter(col("media_id") === col("canonical_id"))
+      .select(col("media_id").as("doc_id"))
+    val aud = Multimodal.audioFeatures(Multimodal.syntheticAudio(
+        docs.select(col("doc_id")), "doc_id")).toDF()
+      .filter(col("rms") >= 18910.0 && col("rms") <= 18930.0)
+      .select(col("media_id").as("doc_id"), col("rms"))
+    // six Gopher flags sans f_stop — the synthetic corpus never carries two
+    // distinct stopwords, so the full `keep` would gate vacuously (same
+    // adaptation as curateCorpusV2Q)
+    val g = TF.gopherFlags(col("text"))
+    docs
+      .join(imgKeep, Seq("doc_id"), "left_semi")
+      .filter(g.getField("f_wc") && g.getField("f_mwl") && g.getField("f_symbol") &&
+        g.getField("f_bullet") && g.getField("f_ellipsis") && g.getField("f_alpha"))
+      .join(aud, "doc_id")
+      .select(col("doc_id"), round(col("rms"), 6).as("rms"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1718,6 +1750,7 @@ object SparkEntry {
     "q_image_features"      -> (imageFeaturesQ(_, _)),
     "q_audio_meta"          -> (audioMetaQ(_, _)),
     "q_audio_features"      -> (audioFeaturesQ(_, _)),
+    "q_curate_multimodal"   -> (curateMultimodalQ(_, _)),
     "q_decontaminate"       -> (decontaminateQ(_, _)),
     "q_bloom_decontaminate" -> (bloomDecontaminateQ(_, _)),
     "q_mix_corpus"          -> (mixCorpusQ(_, _)),
@@ -3091,6 +3124,75 @@ object SparkEntry {
     // SQL regenerates the same grid arithmetically; the REAL cast mirrors
     // the engine's Array[Float] storage (round6 of float-of-double on both
     // sides).
+    // the three modality verdicts composed: dHash canonical (pixels →
+    // pooled luminance → bit pack → min per cluster), decoded-PCM RMS band,
+    // Gopher A1.1 keep — all replayed arithmetically over the lossless
+    // fixtures, then doc_id-joined exactly like the engine
+    "q_curate_multimodal" ->
+      s"""WITH px AS (
+         |  SELECT d.doc_id, x.x, y.y,
+         |    (CAST((d.doc_id*31 + x.x*7 + y.y*13) % 256 AS BIGINT)*299 +
+         |     CAST((d.doc_id*17 + x.x*11 + y.y*5) % 256 AS BIGINT)*587 +
+         |     CAST((d.doc_id*29 + x.x*3 + y.y*19) % 256 AS BIGINT)*114) // 1000 AS lum
+         |  FROM documents d,
+         |       (SELECT unnest(range(24)) AS x) x,
+         |       (SELECT unnest(range(16)) AS y) y
+         |), blk AS (
+         |  SELECT doc_id, (x*9)//24 AS gx, (y*8)//16 AS gy,
+         |    SUM(lum) AS s, COUNT(*) AS c
+         |  FROM px GROUP BY 1, 2, 3
+         |), bits AS (
+         |  SELECT a.doc_id, CAST(a.gy*8 + a.gx AS BIGINT) AS bitpos
+         |  FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND b.gx = a.gx + 1 AND b.gy = a.gy
+         |  WHERE a.gx < 8 AND b.s * a.c > a.s * b.c
+         |), hv AS (
+         |  SELECT d.doc_id,
+         |    CAST(COALESCE(SUM(CASE WHEN bitpos >= 32 THEN CAST(1 AS BIGINT) << (bitpos - 32) END), 0) AS HUGEINT)
+         |      * 4294967296 +
+         |    CAST(COALESCE(SUM(CASE WHEN bitpos < 32 THEN CAST(1 AS BIGINT) << bitpos END), 0) AS HUGEINT) AS hu
+         |  FROM (SELECT DISTINCT doc_id FROM px) d
+         |  LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id
+         |), img AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY hu) AS canon FROM hv)
+         |  WHERE doc_id = canon
+         |), ah AS (
+         |  SELECT doc_id,
+         |    ${duckFnvU("('aud|' || CAST(doc_id AS VARCHAR))")} AS seed
+         |  FROM documents
+         |), ap AS (
+         |  SELECT doc_id, CAST(seed % 65536 AS BIGINT) AS s0,
+         |    1 + CAST((seed // 65536) % 32749 AS BIGINT) AS step
+         |  FROM ah
+         |), asm AS (
+         |  SELECT doc_id, ((s0 + step * t) % 65536) - 32768 AS v
+         |  FROM ap, unnest(range(0, 800)) AS u(t)
+         |), aud AS (
+         |  SELECT doc_id, sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms
+         |  FROM asm GROUP BY doc_id
+         |  HAVING rms >= 18910 AND rms <= 18930
+         |), gt AS (
+         |  SELECT doc_id, text, $duckToks AS w FROM documents
+         |), gm AS (
+         |  SELECT doc_id, len(w) AS words,
+         |    coalesce(list_sum([len(x) FOR x IN w]), 0) AS chars,
+         |    len(text) - len(replace(text, '#', '')) AS hashes,
+         |    (len(text) - len(replace(text, '...', ''))) // 3
+         |      + (len(text) - len(replace(text, '…', ''))) AS dots,
+         |    greatest(len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0]), 1) AS nlines,
+         |    len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0 AND regexp_matches(trim(l), '^[-*•]')]) AS bullets,
+         |    len([l FOR l IN string_split(text, chr(10)) IF len(trim(l)) > 0 AND regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$')]) AS ells,
+         |    len([x FOR x IN w IF regexp_matches(x, '[a-z]')]) AS alphaw
+         |  FROM gt
+         |), gk AS (
+         |  SELECT doc_id FROM gm
+         |  WHERE (words >= 50 AND words <= 100000) AND (chars >= words*3 AND chars <= words*10)
+         |    AND (hashes*10 <= words AND dots*10 <= words)
+         |    AND bullets*10 <= nlines*9 AND ells*10 <= nlines*3
+         |    AND alphaw*5 >= words*4
+         |)
+         |SELECT img.doc_id, round(aud.rms, 6) AS rms
+         |FROM img JOIN aud USING (doc_id) JOIN gk USING (doc_id)""".stripMargin,
     // closed-form container constants — the engine must recover them by
     // actually parsing the RIFF/WAVE bytes it generated
     "q_audio_meta" ->

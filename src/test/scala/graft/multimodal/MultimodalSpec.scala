@@ -265,4 +265,30 @@ class MultimodalSpec extends SparkSpec {
       media((3L, "audio/wav", "definitely not audio".getBytes("UTF-8")))).collect()
     assert(skipped.isEmpty)
   }
+
+  test("q_curate_multimodal: every modality gate genuinely bites (no vacuous pass)") {
+    val dir = "/root/testdata/sf0.001"
+    val total = spark.read.parquet(s"$dir/documents.parquet").count()
+    val kept = graft.SparkEntry.queries("q_curate_multimodal")(spark, dir)
+    val n = kept.count()
+    assert(n > 0 && n < total)
+    // image gate: dHash clustering must actually merge some images
+    val dh = Multimodal.dHashes(Multimodal.syntheticMedia(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")),
+      "doc_id", 24, 16)).toDF()
+    val imgKeeps = dh.select(countDistinct(col("dhash"))).head.getLong(0)
+    assert(imgKeeps < total)
+    // audio gate: the RMS band must reject some decodable clips
+    val audKeeps = Multimodal.audioFeatures(Multimodal.syntheticAudio(
+        spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")), "doc_id")).toDF()
+      .filter(col("rms") >= 18910.0 && col("rms") <= 18930.0).count()
+    assert(audKeeps > 0 && audKeeps < total)
+    // text gate: the six-flag Gopher conjunction must reject some documents
+    val g = graft.functions.TextFunctions.gopherFlags(col("text"))
+    val gopherKeeps = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(g.getField("f_wc") && g.getField("f_mwl") && g.getField("f_symbol") &&
+        g.getField("f_bullet") && g.getField("f_ellipsis") && g.getField("f_alpha"))
+      .count()
+    assert(gopherKeeps > 0 && gopherKeeps < total)
+  }
 }
