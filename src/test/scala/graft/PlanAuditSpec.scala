@@ -323,4 +323,20 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p) // nation, region
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q_curate_multimodal: payload bytes never cross an exchange") {
+    // the three modality verdicts reduce each payload to fixed-size facts
+    // (64-bit dHash, one RMS double) BEFORE their doc_id joins — the binary
+    // `content` column must be projected away before every Exchange, and the
+    // dHash canonical pick must partial-aggregate (map-side min per cluster)
+    val p = plan("q_curate_multimodal")
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    assert(exchangeSections.nonEmpty, p)
+    exchangeSections.foreach { s =>
+      val cols = s.takeWhile(_ != '(')
+      assert(!cols.contains("content"), p)
+    }
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
 }
