@@ -455,7 +455,10 @@ object Analytics {
         (bs, offs)
       } finally p.unpersist(false)
     val kept = pruneAbove match {
-      case Some(b) => offsets.filter(_._2 < b).keys
+      // <= not <: a shard whose exclusive prefix offset EQUALS the bound can
+      // still hold zero-token rows with cum == bound; positive-token rows in
+      // it are removed by the caller's cum filter either way.
+      case Some(b) => offsets.filter(_._2 <= b).keys
       case None    => offsets.keys
     }
     if (kept.isEmpty) return df.withColumn(cumCol, lit(0L)).limit(0)
