@@ -26,14 +26,43 @@ import graft.multimodal.Multimodal
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS) which Spark rejects by default;
-    // read nanos as long, then rebuild a proper timestamp column. Integer
-    // `div` (not floor of a double) — epoch nanos exceed double's 2^53.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+  private[graft] def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    // The driver regenerates testdata between rounds and has shipped `ts` as
+    // both TIMESTAMP(NANOS) (unreadable without the legacy nanos-as-long
+    // conf) and plain timestamp[us]. Our own sessions set the conf at build
+    // time; for a caller-supplied session, only flip it if the nanos footer
+    // actually rejects the read.
+    val df =
+      try s.read.parquet(path)
+      catch {
+        case e: Exception if e.getMessage != null && e.getMessage.contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          s.read.parquet(path)
+      }
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize the `ts` column of an events-shaped frame to session-TZ
+    * TimestampType regardless of how the parquet file stored it. Branches on
+    * the READ schema, not an assumption about the writer:
+    *  - LongType: legacy nanos-as-long read of TIMESTAMP(NANOS) — integer
+    *    `div` (not floor of a double: epoch nanos exceed double's 2^53),
+    *    then rebuild the timestamp from micros;
+    *  - TIMESTAMP_NTZ: timestamp[us] with isAdjustedToUTC=false — cast to
+    *    session-TZ timestamp (session TZ is UTC everywhere here, so the
+    *    stored micros value is preserved and DuckDB's naive read agrees);
+    *  - TimestampType: already what downstream operators expect.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
 
   /** English stopword list shared by Spark and oracle SQL. */

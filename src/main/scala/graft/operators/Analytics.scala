@@ -175,6 +175,8 @@ object Analytics {
     // unchanged — skip it entirely rather than risk serving stale offsets
     val cached = filesFp.flatMap(_ => Analytics.prefixCache.get(cacheKey))
       .filter(_.plan.sameResult(canon))
+    (if (cached.isDefined) Analytics.prefixCacheHits
+     else Analytics.prefixCacheMisses).incrementAndGet()
     val (bounds, outRows, prefixSchema) = cached match {
       case Some(e) => (e.bounds, e.rows, e.schema)
       case None =>
@@ -233,6 +235,10 @@ object Analytics {
   // rather than tracking LRU — a clear costs one re-sample, never correctness
   private[graft] val prefixCache =
     new scala.collection.concurrent.TrieMap[(Int, Int, List[String], Int), PrefixEntry]()
+  // observability only: Bench reports these so "the shared sampling pass was
+  // (not) reused across q_ntile/q_percent_rank" is a logged fact, not a guess
+  private[graft] val prefixCacheHits = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val prefixCacheMisses = new java.util.concurrent.atomic.AtomicLong
 
   /** Content fingerprint of a plan's file-backed leaves: sorted file paths +
     * total size. Plan canonicalization compares file scans by root PATH, so

@@ -306,6 +306,26 @@ class AnalyticsSpec extends SparkSpec {
       col("toks"), budget = 0L).count() === 0)
   }
 
+  test("budgetSelect keeps zero-token rows whose shard offset equals the budget") {
+    // Regression for the < vs <= shard-pruning boundary: ids 1-10 carry 10
+    // tokens each (cum 10..100 = budget), ids 11-100 carry ZERO tokens, so
+    // their cum is exactly 100 == budget and every row must survive. With 90
+    // zero-token rows and up to 32 shards, range boundaries land inside the
+    // zero-token region, producing shards whose exclusive prefix offset is
+    // exactly the budget — the shards the old strict-< prune dropped.
+    val docs = ((1 to 10).map(i => (i.toLong, 10L)) ++
+      (11 to 100).map(i => (i.toLong, 0L))).toDF("id", "toks")
+    def run(shards: Int) = Analytics.budgetSelect(docs,
+        Seq(col("id")), col("toks"), budget = 100L, shards = shards)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    val one = run(1) // single shard = the trivially-correct layout
+    assert(one.length === 100)
+    assert(one.take(10) === (1 to 10).map(i => (i.toLong, i * 10L)))
+    assert(one.drop(10).forall(_._2 === 100L))
+    for (shards <- Seq(2, 5, 16, 32)) assert(run(shards) === one,
+      s"shards=$shards changed the budgetSelect answer")
+  }
+
   test("seqWindows: exact cross-document 512-token layout, shard invariant") {
     // doc 1: 700 tokens -> seqs 0 (512) + 1 (188); doc 2: 200 -> seq 1
     // (188..388); doc 3: 0 -> vanishes; doc 4: 1000 -> seq 1 (tail 124),
@@ -356,9 +376,7 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("latestByKey matches the window formulation on the sf0.001 events stream") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = sfEvents()
     val agg = Analytics.latestByKey(events, "user_id",
         unix_micros(col("ts")), col("event_id"),
         Seq("event_id" -> col("event_id"), "value" -> col("value")))
@@ -451,11 +469,11 @@ class AnalyticsSpec extends SparkSpec {
     assert(current.except(latest).isEmpty && latest.except(current).isEmpty)
   }
 
-  private def sfEvents() = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  // Schema-adaptive shared loader — same code path the driver exercises, so
+  // a testdata regeneration that changes the ts physical type breaks (or
+  // fixes) the specs and the driver queries together, never one without the
+  // other.
+  private def sfEvents() = graft.SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
 
   test("hopping window() lands each event in exactly size/slide windows") {
     val events = Seq(

@@ -135,4 +135,43 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("events loader normalizes ts across nanos-long, timestamp[us] NTZ, and UTC-adjusted fixtures") {
+    // Contract with the driver's regenerated testdata: `ts` has shipped as
+    // TIMESTAMP(NANOS) (read as long under the legacy conf), as timestamp[us]
+    // with isAdjustedToUTC=false (TIMESTAMP_NTZ), and could ship UTC-adjusted.
+    // The SAME loader must hand every downstream operator identical
+    // session-TZ TimestampType values for all three physical encodings —
+    // round 8 lost 23 queries to exactly this drift.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00.123456", 7L, "click", 1.5),
+      (2L, "2024-03-05 23:59:59.000001", 8L, "view", 2.5),
+      (3L, "2024-07-31 00:00:00",        7L, "purchase", 9.0))
+    val base = rows.toDF("event_id", "ts_s", "user_id", "event_type", "value")
+      .withColumn("ts_utc", to_timestamp(col("ts_s"))) // session TZ is UTC
+    def write(tag: String)(tsCol: org.apache.spark.sql.Column): String = {
+      val dir = Files.createTempDirectory(s"graft_ev_$tag").toString
+      base.select(col("event_id"), tsCol.as("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val dirs = Seq(
+      write("nanos")((unix_micros(col("ts_utc")) * 1000)), // legacy: INT64 epoch nanos
+      write("ntz")(col("ts_utc").cast(TimestampNTZType)),  // current driver shape
+      write("utc")(col("ts_utc")))                         // UTC-adjusted timestamp
+    val reads = dirs.map { d =>
+      val df = graft.SparkEntry.t(spark, d, "events")
+      assert(df.schema("ts").dataType === TimestampType,
+        s"$d: loader must always yield session-TZ TimestampType")
+      df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val expected = base.select(col("event_id"), unix_micros(col("ts_utc")).as("us"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dirs.zip(reads).foreach { case (d, m) =>
+      assert(m === expected, s"$d: normalized micros drifted")
+    }
+  }
+
 }
