@@ -19,15 +19,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // One unmissable summary line: in round 8 twenty-three queries failed and
+    // the only trace was 23 scattered per-query stderr lines — the round
+    // shipped red without anyone noticing until the judge counted entries.
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] RED: ${failures.size} queries FAILED: ${failures.mkString(",")}")
+    else
+      System.err.println(s"[verify] all queries written")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -17,8 +17,11 @@ rm -rf /tmp/graft_gate
 sbt -batch "runMain graft.Verify $SF /tmp/graft_gate"
 python3 tools/compare_oracle.py "$SF" /tmp/graft_gate
 python3 - <<'EOF2'
-import json, glob, re, sys
-runs = len(json.load(open('/tmp/graft_gate/oracle_sql.json')))
+import json, glob, os, re, sys
+# count RESULT DIRS, not oracle_sql.json entries: Verify dumps the full
+# oracle map even when a query throws, so only the written outputs tell
+# the truth about what ran
+runs = sum(os.path.isdir(p) for p in glob.glob('/tmp/graft_gate/*'))
 prev_files = sorted(glob.glob('CORRECTNESS_r*.json'),
                     key=lambda p: int(re.search(r'r(\d+)', p).group(1)))
 # compare against the best (max) prior round, not just the last: r8's own
