@@ -977,6 +977,28 @@ object SparkEntry {
     Analytics.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
       terms = Seq("spark", "join", "window"), k = 20, k1 = 1.5, b = 0.75)
 
+  /** Hybrid retrieval: reciprocal-rank fusion of the lexical BM25 top-50
+    * and the dense cosine top-50 (query vector 0, itself excluded), fused
+    * on the doc_id == vec_id identity — the two-tower retrieval combiner.
+    * kRrf = 60 per Cormack et al. 2009.
+    */
+  private def hybridRrfQ(s: SparkSession, dir: String): DataFrame = {
+    val text = Analytics.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "join", "window"), k = 50, k1 = 1.5, b = 0.75)
+      .withColumnRenamed("doc_id", "id")
+    val vec = Ann.bruteForceTopK(t(s, dir, "embeddings").filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", queryVec(s, dir), k = 50)
+      .withColumnRenamed("vec_id", "id").withColumnRenamed("cos", "score")
+    // absent-from-list ranks surface as 0 (ranks are 1-based): a nullable
+    // int column round-trips through parquet→pandas as float64 with NaN,
+    // which the oracle compare cannot equate
+    Analytics.rrfFuse(Seq("text" -> text, "vec" -> vec), "id", "score", k = 10)
+      .select(col("id"),
+        coalesce(col("rank_text"), lit(0)).cast("long").as("rank_text"),
+        coalesce(col("rank_vec"), lit(0)).cast("long").as("rank_vec"),
+        col("rrf"))
+  }
+
   /** Bounded-posting inverted index over the whole corpus vocabulary (the
     * 31-term synthetic vocab makes EVERY term a hot key — exactly the skew
     * the bounded aggregate is for).
@@ -994,6 +1016,25 @@ object SparkEntry {
     TrainingData.temperatureMix(docs, "lang", "doc_id", "text", langs)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+  }
+
+  /** UniMax water-filled mixture over the five-language corpus (Chung et
+    * al. 2023): budget = 1.5× the measured tokens, epoch cap 2 — with this
+    * census the four low-resource languages are capacity-bound (repeated
+    * exactly twice, `n_rows` ≈ 2× their doc count), and the high-resource
+    * one receives the remaining water level (~0.86 epochs), the allocation
+    * shape temperature sampling cannot produce. Both parameters are
+    * short-mantissa doubles so every capacity and cumulative sum is an
+    * exact integer-valued double and the oracle replays bit-for-bit.
+    */
+  private def unimaxMixQ(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "fr", "es", "zh", "de")
+    val docs = t(s, dir, "documents").filter(col("lang").isin(langs: _*))
+    TrainingData.unimaxMix(docs, "lang", "doc_id", "text", langs,
+        budget = 1.5, epochCap = 2.0, budgetIsFraction = true)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
         sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
   }
 
@@ -1818,8 +1859,10 @@ object SparkEntry {
     "q_pq_topk"             -> (pqTopkQ(_, _)),
     "q_ivf_pq"              -> (ivfPqQ(_, _)),
     "q_bm25_topk"           -> (bm25Q(_, _)),
+    "q_hybrid_rrf"          -> (hybridRrfQ(_, _)),
     "q_inverted_index"      -> (invertedIndexQ(_, _)),
     "q_temperature_mix"     -> (temperatureMixQ(_, _)),
+    "q_unimax_mix"          -> (unimaxMixQ(_, _)),
     "q_mmr_rerank"          -> (mmrQ(_, _)),
     "q_budget_select"       -> (budgetSelectQ(_, _)),
     "q_knn_graph"           -> (knnGraphQ(_, _)),
@@ -3454,6 +3497,63 @@ object SparkEntry {
          |)
          |SELECT doc_id, round(raw, 6) AS score FROM sc
          |ORDER BY raw DESC, doc_id LIMIT 20""".stripMargin,
+    // RRF hybrid retrieval: the q_bm25_topk CTEs at k=50 (top-50 selected
+    // by RAW score like the engine, ranks assigned over the ROUNDED
+    // output like rrfFuse), the q_topk_cosine CTE at k=50 with the query
+    // row excluded, then score(d) = 1/(60+rank) summed text-term-first —
+    // the engine's exact left-fold float order; absent ranks surface as 0
+    "q_hybrid_rrf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, $duckToks AS w FROM documents
+         |), st AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         |    CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf0,
+         |    CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf1,
+         |    CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf2
+         |  FROM toks
+         |), g AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+         |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+         |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |  FROM st
+         |), c AS (
+         |  SELECT nd, avgdl,
+         |    ln((nd - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf0,
+         |    ln((nd - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf1,
+         |    ln((nd - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf2
+         |  FROM g
+         |), sc AS (
+         |  SELECT s.doc_id,
+         |    c.idf0 * (s.tf0 * CAST(2.5 AS DOUBLE)) / (s.tf0 + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * s.dl / c.avgdl)) +
+         |    c.idf1 * (s.tf1 * CAST(2.5 AS DOUBLE)) / (s.tf1 + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * s.dl / c.avgdl)) +
+         |    c.idf2 * (s.tf2 * CAST(2.5 AS DOUBLE)) / (s.tf2 + CAST(1.5 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * s.dl / c.avgdl)) AS raw
+         |  FROM st s, c
+         |), bmtop AS (
+         |  SELECT doc_id AS id, round(raw, 6) AS score FROM sc
+         |  ORDER BY raw DESC, doc_id LIMIT 50
+         |), bmrank AS (
+         |  SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rank_text FROM bmtop
+         |), x AS (
+         |  SELECT * FROM embeddings WHERE vec_id = 0
+         |), ctop AS (
+         |  SELECT y.vec_id AS id, round($duckCos, 6) AS cos
+         |  FROM embeddings y, x WHERE y.vec_id <> 0
+         |  ORDER BY cos DESC, y.vec_id LIMIT 50
+         |), crank AS (
+         |  SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank_vec FROM ctop
+         |), fused AS (
+         |  SELECT COALESCE(b.id, v.id) AS id, b.rank_text, v.rank_vec,
+         |    (CASE WHEN b.rank_text IS NULL THEN CAST(0.0 AS DOUBLE)
+         |          ELSE CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(b.rank_text AS DOUBLE)) END)
+         |    + (CASE WHEN v.rank_vec IS NULL THEN CAST(0.0 AS DOUBLE)
+         |            ELSE CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(v.rank_vec AS DOUBLE)) END) AS rrf_raw
+         |  FROM bmrank b FULL OUTER JOIN crank v ON b.id = v.id
+         |)
+         |SELECT id, COALESCE(rank_text, 0) AS rank_text,
+         |  COALESCE(rank_vec, 0) AS rank_vec, round(rrf_raw, 6) AS rrf
+         |FROM fused ORDER BY rrf_raw DESC, id LIMIT 10""".stripMargin,
     // Inverted index: exact df/cf per term; postings replayed as the
     // row_number-by-doc_id prefix — the bounded aggregate keeps the k
     // SMALLEST (doc_id) structs, i.e. exactly rn <= k
@@ -3505,6 +3605,56 @@ object SparkEntry {
          |)
          |SELECT lang, count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
          |FROM keepd GROUP BY lang""".stripMargin,
+    // UniMax water-filling replay: capacities c = 2.0 * census tokens are
+    // exact integer-valued doubles, so the windowed cumulative sum equals
+    // the engine's left-to-right fold regardless of summation order; the
+    // water level is the FIRST (ascending capacity, lang tiebreak)
+    // equal-share candidate (B - cum)/(k - i + 1) that fits under its own
+    // cap (NULL = budget covers total capacity, all capped); per-stratum
+    // epochs r = min(c, theta)/t, then the q_upsample_epochs emission:
+    // floor(r) full copies via unnest(range) + the FNV fractional copy
+    "q_unimax_mix" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, len($duckToks) AS nt FROM documents
+         |  WHERE lang IN ('de','en','es','fr','zh')
+         |), census AS (
+         |  SELECT lang, CAST(sum(nt) AS BIGINT) AS t FROM tok GROUP BY lang
+         |), tt AS (
+         |  SELECT CAST(sum(t) AS BIGINT) AS tot FROM census
+         |), cap AS (
+         |  SELECT lang, t, 2.0 * CAST(t AS DOUBLE) AS c FROM census
+         |), ord AS (
+         |  SELECT lang, t, c,
+         |    row_number() OVER (ORDER BY c, lang) AS i,
+         |    count(*) OVER () AS k,
+         |    COALESCE(sum(c) OVER (ORDER BY c, lang
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cb
+         |  FROM cap
+         |), wl AS (
+         |  SELECT th FROM (
+         |    SELECT i, c, (1.5 * CAST(tt.tot AS DOUBLE) - cb) / (k - i + 1) AS th
+         |    FROM ord, tt
+         |  ) WHERE th <= c ORDER BY i LIMIT 1
+         |), alloc AS (
+         |  SELECT lang, t,
+         |    (CASE WHEN (SELECT th FROM wl) IS NULL THEN c
+         |          ELSE least(c, (SELECT th FROM wl)) END) / CAST(t AS DOUBLE) AS r
+         |  FROM ord
+         |), par AS (
+         |  SELECT lang, CAST(floor(r) AS BIGINT) AS nfull,
+         |    CAST(round((r - floor(r)) * 1000000, 0) AS BIGINT) AS th FROM alloc
+         |), hh AS (
+         |  SELECT d.doc_id, d.lang, d.nt, par.nfull, par.th,
+         |    ${duckFnvU("CAST(d.doc_id AS VARCHAR)")} AS hu
+         |  FROM tok d JOIN par ON par.lang = d.lang
+         |), nn AS (
+         |  SELECT doc_id, lang, nt,
+         |    nfull + CASE WHEN ((hsv % 1000000) + 1000000) % 1000000 < th
+         |                 THEN 1 ELSE 0 END AS n
+         |  FROM (SELECT doc_id, lang, nt, nfull, th, ${duckU2S("hu")} AS hsv FROM hh)
+         |)
+         |SELECT lang, count(*) AS n_rows, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM nn, unnest(range(0, n)) AS u(c) GROUP BY lang""".stripMargin,
     // MMR: candidates = exact-cosine top-40 (query row excluded), then the
     // greedy argmax replayed as a recursive CTE — the selected-id list is
     // the recursion state, each step's marginal score = λ·rel − (1−λ)·

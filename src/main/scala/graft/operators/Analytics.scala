@@ -371,6 +371,61 @@ object Analytics {
       .select(col(idCol), col("score"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): fuse
+    * N ranked retrieval lists into one by `score(d) = Σ_lists 1/(kRrf +
+    * rank_d)` over the lists containing d — the standard hybrid-retrieval
+    * combiner (lexical BM25 ⊕ dense cosine) that needs no score
+    * calibration because only RANKS cross lists. Ranks are recomputed
+    * here from each list's `(scoreCol desc, id)` total order, so callers
+    * pass retrieval output as-is.
+    *
+    * Determinism/replay: each reciprocal term is one correctly-rounded
+    * divide, absent-from-list contributes +0.0, and the terms add in the
+    * given list order (a left fold, not an unordered aggregate) — the
+    * fused doubles replay bit-identically in SQL. Output: id, one
+    * `rank_<name>` per list (null where absent), `rrf` rounded 6dp; top
+    * `k` rows by the RAW fused score with id as tiebreaker.
+    *
+    * Scale shape: inputs are bounded top-k shortlists BY CONSTRUCTION
+    * (that is what retrieval emits — this operator is meaningless over
+    * unranked corpora), so the single-partition rank windows run on ≤
+    * shortlist rows each; fusion itself is a UNION + one hash aggregate
+    * over Σ|list| (id, list, rank) facts — no join anywhere, and the
+    * shape holds for wide ensembles (100 lists fuse in the same single
+    * exchange). The distributed work lives in the upstream retrieval
+    * operators ([[bm25TopK]], the ANN tiers).
+    */
+  def rrfFuse(lists: Seq[(String, DataFrame)], idCol: String,
+              scoreCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(lists.map(_._1).distinct.size == lists.size,
+      "list names must be distinct (they become rank_<name> columns)")
+    require(k > 0 && kRrf > 0, s"k and kRrf must be positive: $k, $kRrf")
+    // union + one hash aggregate, NOT an iterated full-outer join: fusing N
+    // lists is a single exchange of Σ|list| (id, src, rank) facts and scales
+    // to wide ensembles, where a join chain is N-1 joins (and Spark plans
+    // full-outer as sort-merge even for tiny sides)
+    val tagged = lists.map { case (nm, df) =>
+      df.select(col(idCol), lit(nm).as("__src"), row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol))).as("__rank"))
+    }.reduce(_ unionAll _)
+    val pivoted = tagged.groupBy(col(idCol)).agg(
+      max(when(col("__src") === lists.head._1, col("__rank"))).as(s"rank_${lists.head._1}"),
+      lists.tail.map { case (nm, _) =>
+        max(when(col("__src") === nm, col("__rank"))).as(s"rank_$nm")
+      }: _*)
+    val fused = lists.map { case (nm, _) =>
+      when(col(s"rank_$nm").isNotNull,
+        lit(1.0) / (lit(kRrf.toDouble) + col(s"rank_$nm").cast("double")))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    pivoted.withColumn("__rrf", fused)
+      .orderBy(col("__rrf").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol) +: lists.map { case (nm, _) => col(s"rank_$nm") } :+
+        round(col("__rrf"), 6).as("rrf"): _*)
+  }
+
   /** Inverted-index build — the standing-retrieval layout [[bm25TopK]]
     * deliberately leaves to storage: per term, exact document frequency
     * `df`, exact collection frequency `cf`, and a BOUNDED posting list (the

@@ -528,6 +528,107 @@ object TrainingData {
     upsampleFilter(df, strataCol, keyCol, textCol, targets, factor, resolution,
       maxMultiplicity)(df)
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023: "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): distribute a total token budget across strata by
+    * WATER-FILLING under a per-stratum epoch cap. Stratum s with measured
+    * tokens t_s has capacity c_s = epochCap · t_s; the allocation is
+    * a_s = min(c_s, θ) with the water level θ solving Σ a_s = budget
+    * (all-capped when the budget covers total capacity). This is exactly
+    * the paper's greedy smallest-first allocation: head strata never take
+    * more than the common level, tail strata are never repeated past
+    * epochCap — the fairness property temperature sampling lacks.
+    *
+    * θ in closed form: with capacities sorted ascending (stratum name as
+    * tiebreaker) and cum_i = Σ of the first i capacities, θ is the first
+    * candidate (budget − cum_i)/(k − i) that fits under the (i+1)-th cap;
+    * strata before that point are consumed whole, which min(c_s, θ)
+    * expresses uniformly because θ provably exceeds every capped stratum's
+    * capacity.
+    *
+    * Emission: epochs r_s = a_s / t_s materialized exactly like
+    * [[upsampleFilter]] — floor(r_s) full copies plus ONE extra copy kept
+    * iff fnv1a64(key) mod resolution < round(frac(r_s) · resolution);
+    * output adds `copy`, non-targeted strata emit nothing.
+    *
+    * Engine-replayable by construction: token sums are exact longs;
+    * capacities are EXACT doubles whenever epochCap has a short mantissa
+    * (so any summation order gives the identical cumulative capacities —
+    * callers wanting a bit-replayable oracle should pick such a cap, e.g.
+    * 2.0 or 2.5); every subsequent op (subtract, divide, compare, min,
+    * floor, round) is a single correctly-rounded IEEE-754 step in a fixed
+    * order, so DuckDB recomputes bit-identical thresholds.
+    *
+    * `budget` is absolute tokens, or a fraction of the measured total when
+    * `budgetIsFraction` (keeps the whole construction one census pass).
+    *
+    * Scale shape: one |strata|-row partial-aggregated census shuffle
+    * collected driver-side, then a pure scan-side bounded generator with
+    * literal-map thresholds — the corpus never shuffles, and the returned
+    * gate is stateless (runs verbatim in a live stream or a batch
+    * experiment, like [[mixFilter]]).
+    */
+  def unimaxFilter(census: DataFrame, strataCol: String, keyCol: String,
+                   textCol: String, strata: Seq[String],
+                   budget: Double, epochCap: Double = 2.0,
+                   budgetIsFraction: Boolean = false,
+                   resolution: Int = 1000000): DataFrame => DataFrame = {
+    require(strata.nonEmpty && strata.distinct.size == strata.size,
+      "strata must be non-empty and distinct")
+    require(budget > 0.0, s"budget must be positive: $budget")
+    require(epochCap > 0.0, s"epochCap must be positive: $epochCap")
+    val sc0 = col(strataCol).cast("string")
+    val counts = census
+      .filter(sc0.isin(strata: _*))
+      .groupBy(sc0.as("__s"))
+      .agg(sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strata.foreach(s => require(counts.getOrElse(s, 0L) > 0L,
+      s"unimaxFilter: stratum '$s' has no measured tokens — it cannot " +
+        "receive a budget share; drop it from strata"))
+    // integer token total (exact), then the budget in tokens
+    val tot = strata.sorted.foldLeft(0L)(_ + counts(_))
+    val b = if (budgetIsFraction) budget * tot.toDouble else budget
+    // ascending capacity with the stratum name as a total tiebreaker — the
+    // fold order is part of the replay contract
+    val ord = strata.map(s => (s, counts(s), epochCap * counts(s).toDouble))
+      .sortBy { case (s, _, c) => (c, s) }
+    val k = ord.size
+    val cumBefore = ord.scanLeft(0.0)(_ + _._3).init
+    // first equal-share candidate that fits under its stratum's cap; None
+    // means the budget covers total capacity and every stratum is capped
+    val theta: Option[Double] = ord.zip(cumBefore).zipWithIndex.collectFirst {
+      case (((_, _, c), cb), i) if (b - cb) / (k - i) <= c => (b - cb) / (k - i)
+    }
+    val rOf = ord.map { case (s, t, c) =>
+      s -> theta.fold(c)(th => math.min(c, th)) / t.toDouble
+    }.toMap
+    val full = rOf.map { case (s, r) => s -> math.floor(r).toLong }
+    val thr = rOf.map { case (s, r) =>
+      s -> math.round((r - math.floor(r)) * resolution).toInt
+    }
+    df => {
+      val sc = col(strataCol).cast("string")
+      val fullC = coalesce(element_at(typedlit(full), sc), lit(0L))
+      val thrC = coalesce(element_at(typedlit(thr), sc), lit(0))
+      val extra = when(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")),
+        lit(resolution.toLong)) < thrC, 1L).otherwise(0L)
+      df.withColumn("__n", fullC + extra)
+        .filter(col("__n") > 0)
+        .withColumn("copy", explode(sequence(lit(0L), col("__n") - 1)))
+        .drop("__n")
+    }
+  }
+
+  /** Batch form of [[unimaxFilter]]: the corpus is its own census. */
+  def unimaxMix(df: DataFrame, strataCol: String, keyCol: String,
+                textCol: String, strata: Seq[String],
+                budget: Double, epochCap: Double = 2.0,
+                budgetIsFraction: Boolean = false,
+                resolution: Int = 1000000): DataFrame =
+    unimaxFilter(df, strataCol, keyCol, textCol, strata, budget, epochCap,
+      budgetIsFraction, resolution)(df)
+
   /** Fuzzy benchmark decontamination: training documents whose n-gram
     * Jaccard similarity with ANY benchmark document reaches `threshold` —
     * the near-duplicate analog of [[contaminationReport]] (which requires a

@@ -210,6 +210,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the explode(sequence(...)) replicator
   }
 
+  test("q_unimax_mix: water-filled epochs ride as literal maps — scan + generate, no corpus join or exchange before the summary agg") {
+    // the census and the water-filling both happen at build time; like
+    // q_upsample_epochs the replication plan must be a pure scan-side
+    // generator — any join or pre-aggregation exchange means the corpus
+    // shuffled to be allocated
+    val p = plan("q_unimax_mix")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("Generate"), p) // the explode(sequence(...)) replicator
+    // exactly the one exchange of the final per-language summary aggregate
+    assert(exchanges(p) === 1, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
+  test("q_hybrid_rrf: fusion is union + one hash aggregate over the bounded shortlists — no join anywhere") {
+    // rrfFuse's rank windows run on <= 50-row retrieval outputs and the
+    // fusion pivots (id, list, rank) facts through a single hash
+    // aggregate; any Join in this plan means fusion leaked past the
+    // bounded lists
+    val p = plan("q_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"), p) // both retrieval tiers
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_heavy_hitters: the sketch partial-aggregates map-side (<= k counters per mapper into the shuffle)") {
     val p = plan("q_heavy_hitters")
     assert(p.contains("partial_freq_items_mg"), p)

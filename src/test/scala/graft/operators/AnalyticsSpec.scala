@@ -306,6 +306,34 @@ class AnalyticsSpec extends SparkSpec {
       col("toks"), budget = 0L).count() === 0)
   }
 
+  test("rrfFuse: reciprocal-rank fusion matches the closed-form scores, absent = no term") {
+    // text list ranks: (1,2,3) = docs 10, 20, 30; vec list ranks: (1,2,3) =
+    // docs 30, 10, 40. doc 10: 1/61 + 1/62; doc 30: 1/63 + 1/61;
+    // doc 20: 1/62; doc 40: 1/63.
+    val text = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "score")
+    val vec = Seq((30L, 0.99), (10L, 0.5), (40L, 0.4)).toDF("id", "score")
+    val out = Analytics.rrfFuse(Seq("text" -> text, "vec" -> vec),
+        "id", "score", k = 10)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]), r.getDouble(3)))
+    def r6(v: Double) = math.rint(v * 1e6) / 1e6
+    val expect = Seq(
+      (10L, Some(1), Some(2), r6(1.0 / 61 + 1.0 / 62)),
+      (30L, Some(3), Some(1), r6(1.0 / 63 + 1.0 / 61)),
+      (20L, Some(2), None, r6(1.0 / 62)),
+      (40L, None, Some(3), r6(1.0 / 63)))
+    assert(out.toSeq === expect) // fused-score descending, ranks carried
+    // a three-list fusion adds terms in list order; k truncates
+    val extra = Seq((40L, 1.0), (10L, 0.9)).toDF("id", "score")
+    val three = Analytics.rrfFuse(
+        Seq("text" -> text, "vec" -> vec, "x" -> extra), "id", "score", k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(three.length === 2)
+    assert(three.head._1 === 10L) // 1/61 + 1/62 + 1/62 tops the board
+    assert(three.head._2 === r6(1.0 / 61 + 1.0 / 62 + 1.0 / 62))
+  }
+
   test("budgetSelect keeps zero-token rows whose shard offset equals the budget") {
     // Regression for the < vs <= shard-pruning boundary: ids 1-10 carry 10
     // tokens each (cum 10..100 = budget), ids 11-100 carry ZERO tokens, so

@@ -509,6 +509,62 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("unimaxMix: water level caps small strata at epochCap, rest share the remainder") {
+    // census: aa = 100 tokens (10 docs), bb = 500 (50 docs), cc = 1000 (100
+    // docs); epochCap 2 -> capacities (200, 1000, 2000). budget 1400:
+    // theta_0 = 1400/3 > 200 infeasible, theta_1 = (1400-200)/2 = 600 <=
+    // 1000 -> water level 600. aa capped (r = 2.0 exactly: every doc twice,
+    // no fractional gate), bb r = 600/500 = 1.2 (one full copy + 20%
+    // hash-gated second), cc r = 0.6 (hash-gated single copies only).
+    val docs = ((1 to 10).map(i => (i.toLong, "aa", ("w " * 10).trim)) ++
+      (11 to 60).map(i => (i.toLong, "bb", ("w " * 10).trim)) ++
+      (61 to 160).map(i => (i.toLong, "cc", ("w " * 10).trim)) ++
+      Seq((999L, "zz", ("w " * 10).trim))) // stratum outside the mixture
+      .toDF("doc_id", "lang", "text")
+    // strata deliberately unsorted: capacity order, not input order, rules
+    val out = TrainingData.unimaxMix(docs, "lang", "doc_id", "text",
+        Seq("cc", "aa", "bb"), budget = 1400.0, epochCap = 2.0)
+      .select(col("doc_id"), col("lang"), col("copy"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    // capped stratum: exactly 2 copies of every doc
+    (1L to 10L).foreach(i => assert(byDoc(i) === Seq(0L, 1L), s"aa doc $i"))
+    // water-level strata: exact replay of the FNV fractional gate
+    def keepOf(id: Long, thr: Int): Boolean = {
+      val h = graft.expressions.Fnv1a.hash(id.toString.getBytes("UTF-8"))
+      (((h % 1000000L) + 1000000L) % 1000000L) < thr
+    }
+    val thrBb = math.round((1.2 - 1.0) * 1000000).toInt
+    val thrCc = math.round(0.6 * 1000000).toInt
+    (11L to 60L).foreach { i =>
+      val expect = if (keepOf(i, thrBb)) Seq(0L, 1L) else Seq(0L)
+      assert(byDoc(i) === expect, s"bb doc $i")
+    }
+    (61L to 160L).foreach { i =>
+      val expect = if (keepOf(i, thrCc)) Seq(0L) else Seq.empty[Long]
+      assert(byDoc.getOrElse(i, Seq.empty) === expect, s"cc doc $i")
+    }
+    assert(!byDoc.contains(999L)) // untargeted stratum emits nothing
+    // budget >= total capacity: every stratum capped at epochCap exactly
+    val capped = TrainingData.unimaxMix(docs, "lang", "doc_id", "text",
+        Seq("aa", "bb", "cc"), budget = 5000.0, epochCap = 2.0)
+      .groupBy(col("lang")).agg(countDistinct(col("copy")).as("nc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped === Map("aa" -> 2L, "bb" -> 2L, "cc" -> 2L))
+    // fractional budget form: 0.875 of the 1600-token census = 1400 absolute
+    val frac = TrainingData.unimaxMix(docs, "lang", "doc_id", "text",
+        Seq("cc", "aa", "bb"), budget = 0.875, epochCap = 2.0,
+        budgetIsFraction = true)
+      .select(col("doc_id"), col("lang"), col("copy"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(frac.sorted.toSeq === out.sorted.toSeq)
+    // a zero-token stratum is a hard error, not a silent 0-share
+    intercept[IllegalArgumentException] {
+      TrainingData.unimaxFilter(docs, "lang", "doc_id", "text",
+        Seq("aa", "nope"), budget = 100.0)
+    }
+  }
+
   test("fuzzyDecontaminate above the broadcast gate: shuffle-join fallback is row-identical") {
     // broadcastMaxRows = 0 forces the fallback path (plain joins, no
     // broadcast hints) that a too-large delta/bench side takes at scale —
