@@ -1621,6 +1621,33 @@ object SparkEntry {
       .select(col("vec_id"), col("list").cast("long").as("list"))
   }
 
+  /** Cluster-balanced UniMax: the water-filling allocation of
+    * [[unimaxMixQ]] applied to LEARNED strata — each document's k-means
+    * cluster id (fixed first-10 centroids, doc_id == vec_id identity)
+    * instead of its language tag. DoReMi-style domain balancing where the
+    * domains come from the embedding space: every semantic cluster gets
+    * the common token water level, tiny clusters are capped at 2 epochs.
+    * Strata are the clusters actually present (collected from the ≤ k-row
+    * distinct), so a centroid owning no vectors can never trip the
+    * zero-token guard on regenerated data.
+    */
+  private def clusterMixQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 10).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val assigned = graft.similarity.KMeans.Model(cents).assign(emb, "embedding")
+      .select(col("vec_id").as("doc_id"), col("list").cast("string").as("cluster"))
+    val docs = t(s, dir, "documents").join(assigned, "doc_id")
+    val strata = assigned.select("cluster").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    TrainingData.unimaxMix(docs, "cluster", "doc_id", "text", strata,
+        budget = 1.5, epochCap = 2.0, budgetIsFraction = true)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("n_tokens"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   private def multimodalBytes(s: SparkSession, dir: String): DataFrame =
@@ -1863,6 +1890,7 @@ object SparkEntry {
     "q_inverted_index"      -> (invertedIndexQ(_, _)),
     "q_temperature_mix"     -> (temperatureMixQ(_, _)),
     "q_unimax_mix"          -> (unimaxMixQ(_, _)),
+    "q_cluster_mix"         -> (clusterMixQ(_, _)),
     "q_mmr_rerank"          -> (mmrQ(_, _)),
     "q_budget_select"       -> (budgetSelectQ(_, _)),
     "q_knn_graph"           -> (knnGraphQ(_, _)),
@@ -3554,6 +3582,65 @@ object SparkEntry {
          |SELECT id, COALESCE(rank_text, 0) AS rank_text,
          |  COALESCE(rank_vec, 0) AS rank_vec, round(rrf_raw, 6) AS rrf
          |FROM fused ORDER BY rrf_raw DESC, id LIMIT 10""".stripMargin,
+    // cluster-balanced UniMax: the q_kmeans_assign CTE labels each doc with
+    // its nearest fixed centroid, then the q_unimax_mix waterline/emission
+    // runs over cluster strata instead of languages (cluster ids compared
+    // as VARCHAR on both sides; capacity column renamed c2 to dodge the
+    // centroid CTE's name)
+    "q_cluster_mix" ->
+      s"""WITH c AS (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb
+         |  FROM embeddings WHERE vec_id < 10
+         |), s AS (
+         |  SELECT e.vec_id, c.cidx,
+         |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) * -2.0
+         |    + list_sum([CAST(c.cemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) AS d
+         |  FROM embeddings e CROSS JOIN c
+         |), asg AS (
+         |  SELECT vec_id AS doc_id, CAST(cidx AS VARCHAR) AS clus FROM (
+         |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM s
+         |  ) WHERE rn = 1
+         |), tok AS (
+         |  SELECT d.doc_id, a.clus, len($duckToks) AS nt
+         |  FROM documents d JOIN asg a USING (doc_id)
+         |), census AS (
+         |  SELECT clus, CAST(sum(nt) AS BIGINT) AS t FROM tok GROUP BY clus
+         |), tt AS (
+         |  SELECT CAST(sum(t) AS BIGINT) AS tot FROM census
+         |), cap AS (
+         |  SELECT clus, t, 2.0 * CAST(t AS DOUBLE) AS c2 FROM census
+         |), ordx AS (
+         |  SELECT clus, t, c2,
+         |    row_number() OVER (ORDER BY c2, clus) AS i,
+         |    count(*) OVER () AS k,
+         |    COALESCE(sum(c2) OVER (ORDER BY c2, clus
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cb
+         |  FROM cap
+         |), wl AS (
+         |  SELECT th FROM (
+         |    SELECT i, c2, (1.5 * CAST(tt.tot AS DOUBLE) - cb) / (k - i + 1) AS th
+         |    FROM ordx, tt
+         |  ) WHERE th <= c2 ORDER BY i LIMIT 1
+         |), alloc AS (
+         |  SELECT clus, t,
+         |    (CASE WHEN (SELECT th FROM wl) IS NULL THEN c2
+         |          ELSE least(c2, (SELECT th FROM wl)) END) / CAST(t AS DOUBLE) AS r
+         |  FROM ordx
+         |), par AS (
+         |  SELECT clus, CAST(floor(r) AS BIGINT) AS nfull,
+         |    CAST(round((r - floor(r)) * 1000000, 0) AS BIGINT) AS th FROM alloc
+         |), hh AS (
+         |  SELECT d.doc_id, d.clus, d.nt, par.nfull, par.th,
+         |    ${duckFnvU("CAST(d.doc_id AS VARCHAR)")} AS hu
+         |  FROM tok d JOIN par USING (clus)
+         |), nn AS (
+         |  SELECT doc_id, clus, nt,
+         |    nfull + CASE WHEN ((hsv % 1000000) + 1000000) % 1000000 < th
+         |                 THEN 1 ELSE 0 END AS n
+         |  FROM (SELECT doc_id, clus, nt, nfull, th, ${duckU2S("hu")} AS hsv FROM hh)
+         |)
+         |SELECT clus AS cluster, count(*) AS n_rows, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |FROM nn, unnest(range(0, n)) AS u(cp) GROUP BY clus""".stripMargin,
     // Inverted index: exact df/cf per term; postings replayed as the
     // row_number-by-doc_id prefix — the bounded aggregate keeps the k
     // SMALLEST (doc_id) structs, i.e. exactly rn <= k

@@ -233,6 +233,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_cluster_mix: doc-embedding pairing is a hash equi-join; allocation stays scan-side literals + generate") {
+    // the only join allowed is the doc_id == vec_id pairing (co-partitioned
+    // equi-join at scale); the water-filled epochs must still ride as
+    // literal maps into a Generate, never as a second corpus join
+    val p = plan("q_cluster_mix")
+    assert(p.contains("Generate"), p)
+    // any hash/merge EQUI-join is fine (both sides are corpus-scale at
+    // 100 TB); a nested-loop or cartesian means the assignment degenerated
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_heavy_hitters: the sketch partial-aggregates map-side (<= k counters per mapper into the shuffle)") {
     val p = plan("q_heavy_hitters")
     assert(p.contains("partial_freq_items_mg"), p)

@@ -439,4 +439,46 @@ class CurationPipelineSpec extends SparkSpec {
     val bbKept = streamed -- aaIds
     assert(bbKept.nonEmpty && bbKept.size < 40, s"bb kept ${bbKept.size}")
   }
+
+  test("streaming unimax gate: water-filled epoch replication applies verbatim live") {
+    implicit val sqlCtx = spark.sqlContext
+    // census as in the batch spec: aa 100 / bb 500 / cc 1000 tokens, cap 2,
+    // budget 1400 -> aa capped at exactly 2 epochs, bb r = 1.2, cc r = 0.6.
+    // The gate REPLICATES (adds `copy`), so parity is on the multiset.
+    val census = ((1 to 10).map(i => (i.toLong, "aa", ("w " * 10).trim)) ++
+      (11 to 60).map(i => (i.toLong, "bb", ("w " * 10).trim)) ++
+      (61 to 160).map(i => (i.toLong, "cc", ("w " * 10).trim)))
+      .toDF("doc_id", "lang", "text")
+    val gate = graft.pipeline.TrainingData.unimaxFilter(
+      census, "lang", "doc_id", "text", Seq("aa", "bb", "cc"),
+      budget = 1400.0, epochCap = 2.0)
+    val incoming = ((201 to 210).map(i => LangDoc(i.toLong, t("2024-01-01 00:00:01"), "aa", "fresh doc")) ++
+      (211 to 260).map(i => LangDoc(i.toLong, t("2024-01-01 00:00:02"), "cc", "fresh doc"))).toSeq
+    val topo = Topology(
+      entities = Map(
+        "raw-docs" -> Topic("raw-docs"),
+        "unimax"   -> Stream("unimax", gate),
+        "mixed"    -> Topic("mixed")),
+      workflow = Seq("raw-docs" -> "unimax", "unimax" -> "mixed"))
+    val in = MemoryStream[LangDoc]
+    in.addData(incoming: _*)
+    val engine = StreamRunner.start(
+      topo, Map("raw-docs" -> in.toDF()),
+      (sink, df) => df.writeStream.format("memory")
+        .queryName("t_unimax").trigger(Trigger.AvailableNow()).start())
+    engine.processAllAvailable()
+    engine.stop()
+    val streamed = spark.table("t_unimax").select("doc_id", "copy")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // live == batch experiment over the same rows: the gate is stateless
+    val batch = topo.experiment(Map("raw-docs" -> incoming.toDF()))("mixed")
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("copy"))).sorted.toSeq
+    assert(streamed === batch)
+    // capped stratum: every incoming aa doc arrives exactly twice
+    (201L to 210L).foreach(i =>
+      assert(streamed.filter(_._1 == i).map(_._2) === Seq(0L, 1L), s"aa doc $i"))
+    // water-level stratum: cc hash-thins (single copies, some dropped)
+    val ccKept = streamed.map(_._1).filter(_ >= 211L).distinct
+    assert(ccKept.nonEmpty && ccKept.size < 50, s"cc kept ${ccKept.size}")
+  }
 }
