@@ -239,6 +239,22 @@ object SparkEntry {
       .limit(100)
   }
 
+  /** Per-vertex triangle counts on the symmetrized k-NN-5 embedding graph
+    * (the q_knn_graph edge set) — the local-density signal clustering
+    * pipelines read off a neighborhood graph: a vertex on many triangles
+    * sits inside a tight semantic cluster, one on none is a hub or an
+    * outlier. The k-NN build bounds the graph (n·k edges, sparse at any
+    * scale — unlike a co-occurrence projection, which saturates to a
+    * near-clique as SF grows); the count itself is the degree-ordered
+    * wedge join ([[graft.operators.Graph.triangleCounts]]).
+    */
+  private def triangleCountQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val knn = Ann.knnGraph(emb.filter(col("vec_id") < 200), emb, "vec_id",
+      "embedding", k = 5)
+    graft.operators.Graph.triangleCounts(knn, "src", "dst")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis race,
     * [[graft.operators.Graph.weightedSample]]): 200 documents drawn with
     * probability proportional to length, deterministically from the id
@@ -1071,6 +1087,26 @@ object SparkEntry {
       k = 5)
   }
 
+  /** Sketch-merge distinct users: per-(event_type, day) HLL sketches
+    * union-rolled up to event_type ([[graft.operators.Analytics.hllRollup]]
+    * — the materialize-once/merge-many incremental pattern, vs
+    * q_approx_distinct's direct single-pass sketch). The estimate itself is
+    * sketch-impl-specific, so the contract oracle pins the exact count and
+    * the error-band flag (lgK=12 → rse ≈ 1.6%; band = 5σ ≈ 8%).
+    */
+  private def hllRollupQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val est = Analytics.hllRollup(ev,
+      Seq(col("event_type"), date_trunc("day", col("ts")).as("day")),
+      Seq(col("event_type")), col("user_id"), lgK = 12)
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_users_exact"),
+        (abs(col("estimate") - col("n_users_exact")) <=
+          col("n_users_exact") * 0.08).as("hll_merged_in_band"))
+  }
+
   /** Training sequences of 512 tokens across document boundaries, documents
     * laid end-to-end in doc_id order — every number in the output is pure
     * integer arithmetic on the exact sharded global prefix sum.
@@ -1837,6 +1873,7 @@ object SparkEntry {
     "q_repetition"          -> (repetitionQ(_, _)),
     "q_text_stats"          -> (textStatsQ(_, _)),
     "q_approx_distinct"     -> (approxDistinctQ(_, _)),
+    "q_hll_rollup"          -> (hllRollupQ(_, _)),
     "q_approx_percentiles"  -> (approxPercentilesQ(_, _)),
     "q_label_centroids"     -> (labelCentroids(_, _)),
     "q_topk_cosine"         -> (topkCosine(_, _)),
@@ -1911,6 +1948,7 @@ object SparkEntry {
     "q_scd2"                -> (scd2Q(_, _)),
     "q_bpe_pairs"           -> (bpePairsQ(_, _)),
     "q_pagerank"            -> (pageRankQ(_, _)),
+    "q_triangle_count"      -> (triangleCountQ(_, _)),
     "q_weighted_sample"     -> (weightedSampleQ(_, _)),
     "q_sql_q5"              -> (sqlQ5(_, _)),
     "q_cross_source_overlap" -> (crossSourceOverlapQ(_, _)))
@@ -2492,6 +2530,13 @@ object SparkEntry {
          |            WHEN 'es' THEN 250 WHEN 'zh' THEN 250 ELSE 0 END""".stripMargin,
     "q_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, true AS hll_in_band
+        |FROM events GROUP BY event_type""".stripMargin,
+    // sketch-merge contract: the merged-rollup estimate must land in the
+    // 5-sigma band around the exact distinct count (estimate bytes are
+    // DataSketches-internal — the CONTRACT is portable, the registers not)
+    "q_hll_rollup" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
+        |  true AS hll_merged_in_band
         |FROM events GROUP BY event_type""".stripMargin,
     "q_approx_percentiles" ->
       """SELECT event_type, COUNT(*) AS n, true AS p50_in_band, true AS p95_in_band
@@ -4032,6 +4077,31 @@ object SparkEntry {
         |)
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // triangle counts: the q_knn_graph CTE rebuilt exactly, symmetrized to
+    // a<b undirected edges, then the textbook ordered triangle join —
+    // e1(a,b), e2(a,c) b<c, closed by e3(b,c) — counts each triangle once;
+    // corners exploded for per-vertex totals. The engine's degree-ordered
+    // wedge algorithm must reproduce this exact-join answer.
+    "q_triangle_count" ->
+      s"""WITH p AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < 200 AND y.vec_id != x.vec_id
+         |), r AS (
+         |  SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM p
+         |), e AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rn <= 5
+         |), tri AS (
+         |  SELECT e1.a AS p, e1.b AS q, e2.b AS r
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+         |)
+         |SELECT v, CAST(count(*) AS BIGINT) AS triangles
+         |FROM (SELECT unnest([p, q, r]) AS v FROM tri) GROUP BY v""".stripMargin,
     // 3 unrolled power iterations; contributions summed in DECIMAL(38,18)
     // (associative-exact), so ranks replay bit-identically
     "q_pagerank" ->

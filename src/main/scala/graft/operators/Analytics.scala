@@ -371,6 +371,36 @@ object Analytics {
       .select(col(idCol), col("score"))
   }
 
+  /** Mergeable-sketch distinct-count rollup — the incremental pattern a
+    * 100 TB estate uses for distinct counts: HLL sketches (Apache
+    * DataSketches, the `hll_sketch_agg` family) are materialized ONCE at
+    * fine granularity (per day/source/partition) and every coarser rollup
+    * UNIONS the stored sketches without touching raw data again —
+    * register-wise max is associative, commutative, and idempotent, so
+    * the merge is layout-independent and a day's sketch is reusable by
+    * every report that ever needs it. Two partial-aggregated shuffles:
+    * |fine| sketch rows, then |coarse| unions; the raw corpus is scanned
+    * exactly once. lgK = 12 → relative standard error ≈ 1.04/√2¹² ≈ 1.6%.
+    *
+    * Returns one row per coarse key with the merged estimate (a LONG —
+    * `hll_sketch_estimate`'s rounded count). The estimate is sketch-
+    * implementation-specific, so correctness gates pin the EXACT count
+    * and an error-band contract, not the estimate value (the
+    * q_approx_distinct pattern).
+    */
+  def hllRollup(df: DataFrame, fineKeys: Seq[Column], coarseKeys: Seq[Column],
+                value: Column, lgK: Int = 12,
+                estCol: String = "estimate"): DataFrame = {
+    require(fineKeys.nonEmpty && coarseKeys.nonEmpty,
+      "hllRollup needs fine and coarse keys (coarse ⊆ fine's aliases)")
+    require(lgK >= 4 && lgK <= 21, s"lgK out of DataSketches range: $lgK")
+    val fine = df.groupBy(fineKeys: _*)
+      .agg(hll_sketch_agg(value, lgK).as("__sketch"))
+    fine.groupBy(coarseKeys: _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sketch"), lit(false)))
+        .as(estCol))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): fuse
     * N ranked retrieval lists into one by `score(d) = Σ_lists 1/(kRrf +
     * rank_d)` over the lists containing d — the standard hybrid-retrieval

@@ -233,6 +233,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("triangleCounts: wedge/closure joins are hash equi-joins — no cartesian, no nested loop") {
+    // audited on the OPERATOR (q_triangle_count's k-NN input stage is a
+    // deliberate bounded cross-product — brute-force retrieval — so the
+    // whole-query plan legitimately contains one); the wedge join itself
+    // is the skew defense: a BroadcastNestedLoopJoin or CartesianProduct
+    // means an inequality leaked into a join condition and the count
+    // degenerated to all-pairs
+    val edges = spark.range(0, 3000).selectExpr("id % 97 AS ea", "id % 53 AS eb")
+    val p = graft.operators.Graph.triangleCounts(edges, "ea", "eb")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate"), p) // the corner explode
+  }
+
   test("q_cluster_mix: doc-embedding pairing is a hash equi-join; allocation stays scan-side literals + generate") {
     // the only join allowed is the doc_id == vec_id pairing (co-partitioned
     // equi-join at scale); the water-filled epochs must still ride as

@@ -306,6 +306,33 @@ class AnalyticsSpec extends SparkSpec {
       col("toks"), budget = 0L).count() === 0)
   }
 
+  test("hllRollup: merged sketches are layout-independent, in-band, and match the direct sketch") {
+    val ev = sfEvents()
+    val fine = Seq(col("event_type"), date_trunc("day", col("ts")).as("day"))
+    val coarse = Seq(col("event_type"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Analytics.hllRollup(df, fine, coarse, col("user_id"), lgK = 12)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = run(ev)
+    // register-wise max is order/layout-independent: repartitioned input
+    // produces the IDENTICAL estimate, not merely a close one
+    assert(run(ev.repartition(17)) === est)
+    // merging per-day sketches equals sketching the whole stream directly:
+    // union is associative over the same lgK/type registers
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 12)).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est === direct)
+    // and the estimate honors the lgK=12 error contract against exact
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (k, e) =>
+      assert(math.abs(e.toDouble - exact(k)) <= exact(k) * 0.08,
+        s"$k: merged estimate $e vs exact ${exact(k)} outside 8% band")
+    }
+  }
+
   test("rrfFuse: reciprocal-rank fusion matches the closed-form scores, absent = no term") {
     // text list ranks: (1,2,3) = docs 10, 20, 30; vec list ranks: (1,2,3) =
     // docs 30, 10, 40. doc 10: 1/61 + 1/62; doc 30: 1/63 + 1/61;

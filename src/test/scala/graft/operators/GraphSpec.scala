@@ -61,4 +61,35 @@ class GraphSpec extends SparkSpec {
     val byWeight = got.groupBy(id => id % 10 + 1).view.mapValues(_.size).toMap
     assert(byWeight.getOrElse(10L, 0) > byWeight.getOrElse(1L, 0))
   }
+
+  test("triangleCounts: hand graph, direction/dup-invariance, and the naive triple-join parity") {
+    // K4 on {1,2,3,4}: every vertex sits on C(3,2) = 3 triangles; a square
+    // {5,6,7,8} has none; pendant 9-1 adds none. Edges arrive in mixed
+    // direction with duplicates — canonicalization must absorb both.
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 2L),
+      (2L, 4L), (3L, 4L))
+    val square = Seq((5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L))
+    val edges = (k4 ++ square ++ Seq((9L, 1L))).toDF("a", "b")
+    val out = Graph.triangleCounts(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // sf0.001 supplier co-occurrence graph: the wedge algorithm must equal
+    // the naive ordered triple-join on the same canonical edge set
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val co = li.join(li.select(col("l_orderkey"), col("l_suppkey").as("s2")), "l_orderkey")
+      .filter(col("l_suppkey") =!= col("s2"))
+      .select(least(col("l_suppkey"), col("s2")).as("a"),
+        greatest(col("l_suppkey"), col("s2")).as("b")).distinct()
+    val fast = Graph.triangleCounts(co, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = co.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verts = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val naive = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- e; c <- verts if b < c && e((a, c)) && e((b, c))
+    } { naive(a) += 1; naive(b) += 1; naive(c) += 1 }
+    assert(fast === naive.toMap, s"wedge vs naive mismatch on ${e.size} edges")
+    assert(fast.nonEmpty, "expected triangles in the co-occurrence graph")
+  }
 }
