@@ -1107,6 +1107,65 @@ object SparkEntry {
           col("n_users_exact") * 0.08).as("hll_merged_in_band"))
   }
 
+  /** Mergeable-quantile rollup: per-(event_type, day) KLL sketches of
+    * `value` merged to event_type
+    * ([[graft.operators.Analytics.kllRollup]]); KLL compaction is
+    * randomized, so the contract is the rank-error band — merged p50/p95
+    * must land between the exact ±5%-rank percentiles (k = 200 → rank
+    * error ≈ 1.65%, 3× headroom) — mirroring q_approx_percentiles but
+    * exercising the materialize-once/merge-many path.
+    */
+  private def kllRollupQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val merged = Analytics.kllRollup(ev,
+      Seq(col("event_type"), date_trunc("day", col("ts")).as("day")),
+      Seq(col("event_type")), col("value"), k = 200)
+      .select(col("event_type"),
+        kll_sketch_get_quantile_double(col("sketch"), lit(0.5)).as("p50"),
+        kll_sketch_get_quantile_double(col("sketch"), lit(0.95)).as("p95"))
+    val exact = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      expr("percentile(value, 0.45)").as("lo50"),
+      expr("percentile(value, 0.55)").as("hi50"),
+      expr("percentile(value, 0.90)").as("lo95"),
+      max(col("value")).as("hi95"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n"),
+        (col("p50") >= col("lo50") && col("p50") <= col("hi50")).as("p50_in_band"),
+        (col("p95") >= col("lo95") && col("p95") <= col("hi95")).as("p95_in_band"))
+  }
+
+  /** Theta-sketch segment overlap: one distinct-user sketch per
+    * event_type ([[graft.operators.Analytics.thetaSketches]]), then every
+    * pairwise intersection estimated driver-side from the serialized
+    * binaries ([[graft.expressions.ThetaOps.intersect]]) — the set-algebra
+    * question HLL cannot answer. At this corpus's cardinalities the
+    * sketches are in exact mode (≪ 2^12 distinct), so the band is pure
+    * headroom; the contract oracle pins the exact pair counts.
+    */
+  private def thetaIntersectQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sk = Analytics.thetaSketches(ev, col("event_type"), "event_type",
+        col("user_id"), lgK = 12)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).sortBy(_._1)
+    val pairs = for {
+      i <- sk.indices; j <- (i + 1) until sk.length
+    } yield (sk(i)._1, sk(j)._1,
+      graft.expressions.ThetaOps.intersect(Seq(sk(i)._2, sk(j)._2)))
+    import s.implicits._
+    val est = pairs.toDF("type_a", "type_b", "est")
+    val d = ev.select(col("event_type"), col("user_id")).distinct()
+    val exact = d
+      .join(d.select(col("event_type").as("type_b"), col("user_id")), "user_id")
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_exact"))
+    exact.join(est, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.10 + lit(1.0))
+          .as("theta_in_band"))
+  }
+
   /** Training sequences of 512 tokens across document boundaries, documents
     * laid end-to-end in doc_id order — every number in the output is pure
     * integer arithmetic on the exact sharded global prefix sum.
@@ -1874,6 +1933,8 @@ object SparkEntry {
     "q_text_stats"          -> (textStatsQ(_, _)),
     "q_approx_distinct"     -> (approxDistinctQ(_, _)),
     "q_hll_rollup"          -> (hllRollupQ(_, _)),
+    "q_kll_rollup"          -> (kllRollupQ(_, _)),
+    "q_theta_intersect"     -> (thetaIntersectQ(_, _)),
     "q_approx_percentiles"  -> (approxPercentilesQ(_, _)),
     "q_label_centroids"     -> (labelCentroids(_, _)),
     "q_topk_cosine"         -> (topkCosine(_, _)),
@@ -2538,6 +2599,23 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact,
         |  true AS hll_merged_in_band
         |FROM events GROUP BY event_type""".stripMargin,
+    // merged-KLL contract: p50/p95 from the day-sketch union must sit in
+    // the exact ±5%-rank band (KLL compaction is randomized — values are
+    // not portable, the rank contract is)
+    "q_kll_rollup" ->
+      """SELECT event_type, COUNT(*) AS n, true AS p50_in_band,
+        |  true AS p95_in_band
+        |FROM events GROUP BY event_type""".stripMargin,
+    // theta-intersection contract: exact pairwise distinct-user overlap +
+    // the in-band flag (sketch registers are impl-internal; the estimates
+    // are exact-mode at this scale, so the band is headroom)
+    "q_theta_intersect" ->
+      """WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  count(*) AS n_exact, true AS theta_in_band
+        |FROM d a JOIN d b
+        |  ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2""".stripMargin,
     "q_approx_percentiles" ->
       """SELECT event_type, COUNT(*) AS n, true AS p50_in_band, true AS p95_in_band
         |FROM events GROUP BY event_type""".stripMargin,

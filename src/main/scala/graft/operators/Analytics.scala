@@ -401,6 +401,47 @@ object Analytics {
         .as(estCol))
   }
 
+  /** Per-key theta sketches ([[graft.expressions.ThetaSketchAgg]]): one
+    * serialized distinct-SET sketch per key — the materialization step of
+    * the theta workflow. Unlike HLL the stored sketches compose under
+    * intersection/difference driver-side
+    * ([[graft.expressions.ThetaOps]]), answering cross-segment distinct
+    * overlap questions ("users who did A and B") from KB-sized binaries
+    * without ever rescanning or joining the raw data.
+    */
+  def thetaSketches(df: DataFrame, key: Column, keyName: String,
+                    value: Column, lgK: Int = 12): DataFrame = {
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    val agg = br.column(graft.expressions.ThetaSketchAgg(
+      br.expression(value), lgK).toAggregateExpression())
+    df.groupBy(key.as(keyName)).agg(agg.as("sketch"))
+  }
+
+  /** Mergeable-quantile rollup — [[hllRollup]]'s pattern for percentiles:
+    * KLL sketches (Karnin, Lang & Liberty, FOCS 2016; the DataSketches
+    * `kll_*` family) materialized once per fine key, merged up the
+    * hierarchy with `kll_merge_agg_double` — raw data scanned once, any
+    * later report reads quantiles out of the stored day sketches. k = 200
+    * → normalized rank error ≈ 1.65%. Returns one row per coarse key with
+    * the MERGED SKETCH (binary) in `sketchCol`; read values with
+    * `kll_sketch_get_quantile_double(col, q)`.
+    *
+    * NOTE: KLL compaction is randomized (measured: repeated runs on this
+    * box give p50s differing ~0.4%), so gates must be rank-error BANDS
+    * against exact percentiles — never value equality, and never a
+    * repartition-invariance assertion (both would be flaky by design).
+    */
+  def kllRollup(df: DataFrame, fineKeys: Seq[Column], coarseKeys: Seq[Column],
+                value: Column, k: Int = 200,
+                sketchCol: String = "sketch"): DataFrame = {
+    require(fineKeys.nonEmpty && coarseKeys.nonEmpty,
+      "kllRollup needs fine and coarse keys (coarse ⊆ fine's aliases)")
+    val fine = df.groupBy(fineKeys: _*)
+      .agg(kll_sketch_agg_double(value.cast("double"), k).as("__kll"))
+    fine.groupBy(coarseKeys: _*)
+      .agg(kll_merge_agg_double(col("__kll")).as(sketchCol))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009): fuse
     * N ranked retrieval lists into one by `score(d) = Σ_lists 1/(kRrf +
     * rank_d)` over the lists containing d — the standard hybrid-retrieval

@@ -333,6 +333,33 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kllRollup: merged day-sketches honor the rank-error band against exact percentiles") {
+    // KLL compaction is randomized — assert the CONTRACT (merged quantile
+    // within the ±5%-rank exact band, 3x the k=200 rank error), never
+    // value equality or repartition invariance
+    val ev = sfEvents()
+    val merged = Analytics.kllRollup(ev,
+        Seq(col("event_type"), date_trunc("day", col("ts")).as("day")),
+        Seq(col("event_type")), col("value"), k = 200)
+      .select(col("event_type"),
+        kll_sketch_get_quantile_double(col("sketch"), lit(0.5)).as("p50"),
+        kll_sketch_get_quantile_double(col("sketch"), lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.90)").as("lo95"),
+        max(col("value")).as("hi95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(merged.keySet === exact.keySet && merged.nonEmpty)
+    merged.foreach { case (k, (p50, p95)) =>
+      val (lo50, hi50, lo95, hi95) = exact(k)
+      assert(p50 >= lo50 && p50 <= hi50, s"$k: merged p50 $p50 outside [$lo50, $hi50]")
+      assert(p95 >= lo95 && p95 <= hi95, s"$k: merged p95 $p95 outside [$lo95, $hi95]")
+    }
+  }
+
   test("rrfFuse: reciprocal-rank fusion matches the closed-form scores, absent = no term") {
     // text list ranks: (1,2,3) = docs 10, 20, 30; vec list ranks: (1,2,3) =
     // docs 30, 10, 40. doc 10: 1/61 + 1/62; doc 30: 1/63 + 1/61;
