@@ -68,6 +68,16 @@ object SparkEntry {
   /** English stopword list shared by Spark and oracle SQL. */
   private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
+  /** SQL expansion of the [[graft.expressions.InterleaveBits]] Morton key:
+    * one disjoint shift/mask term per bit position of each dimension, summed
+    * (terms never overlap, so + == |). Generated, not hand-typed — the bit
+    * count must match the Spark side's `bits` exactly.
+    */
+  private def duckInterleave(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
   /** Memoized row count per table path — LSH auto-sizing needs the corpus
     * size driver-side; one metadata-only count job per (dir, table), not one
     * per query invocation. The key includes the file's mtime so a table
@@ -449,6 +459,79 @@ object SparkEntry {
       .filter(col("asof_view_value").isNotNull)
       .select(col("event_id"), col("user_id"), col("value"),
         col("asof_view_value").as("prior_view_value"))
+  }
+
+  /** First-order Markov transition matrix over each user's event sequence
+    * ([[Analytics.transitionMatrix]]): count and conditional probability of
+    * every event_type → event_type step, steps ordered by (ts, event_id).
+    * One key shuffle for the lag; the |states|² matrix makes the totals
+    * join a broadcast by construction.
+    */
+  private def eventTransitionsQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.transitionMatrix(
+      t(s, dir, "events").select("user_id", "ts", "event_id", "event_type"),
+      "user_id", "event_type", Seq(col("ts"), col("event_id")))
+
+  /** User-journey trigrams: every 3-step event_type path a user walked,
+    * with counts — the funnel-discovery companion to [[eventTransitionsQ]]
+    * (same single key-partitioned window, two lags instead of one; the
+    * output is ≤ |states|³ rows, aggregated map-side).
+    */
+  private def eventPathsQ(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("s1", lag(col("event_type"), 2).over(w))
+      .withColumn("s2", lag(col("event_type"), 1).over(w))
+      .filter(col("s1").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("event_type").as("s3"))
+      .agg(count(lit(1)).as("n_paths"))
+  }
+
+  /** ROWS-frame rolling aggregates ([[Analytics.rollingAgg]]): 7-event
+    * moving sum and mean of `value` per user. The frame sums DECIMAL so the
+    * result is independent of the engines' frame-evaluation association
+    * order; the mean divides the exact sum once in double.
+    */
+  private def movingAvgQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"),
+      col("value").cast("decimal(18,2)").as("__v"))
+    Analytics.rollingAgg(d, "user_id", Seq(col("ts"), col("event_id")), 7,
+      Seq("__ws" -> sum(col("__v")), "__wn" -> count(lit(1))))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("__ws").cast("double").as("mov_sum"),
+        (col("__ws").cast("double") / col("__wn").cast("double")).as("mov_avg"))
+  }
+
+  /** Z-order data-layout audit: normalize (l_partkey, l_suppkey) to 16-bit
+    * range ids (exact integer min/max scaling — the range-id-then-interleave
+    * construction every production z-order writer uses), interleave with the
+    * native [[graft.expressions.InterleaveBits]] key, cut the curve into 64
+    * equal-height file-sized buckets (global NTILE via the range-sharded
+    * [[Analytics.rangedRank]] — no single-partition window), and report each
+    * bucket's zone map (min/max of BOTH dims). The point of the layout: every
+    * bucket is narrow in both columns at once, so predicates on either
+    * column prune files — `repartitionByRange(64, z)` + sortWithinPartitions
+    * writes exactly this layout at 100 TB. The min/max bounds are ONE
+    * collected aggregate row (a bounded side input, like shard boundaries).
+    */
+  private def zorderLayoutQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (minP, maxP, minS, maxS) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val xn = expr(s"((l_partkey - ${minP}L) * 65536L) div ${maxP - minP + 1}L")
+    val yn = expr(s"((l_suppkey - ${minS}L) * 65536L) div ${maxS - minS + 1}L")
+    val keyed = li.withColumn("__z", graft.functions.LayoutFunctions.zorder2(xn, yn, 16))
+    Analytics.rangedRank(keyed, Seq.empty,
+        Seq(col("__z"), col("l_orderkey"), col("l_linenumber")))
+      .withColumn("zbucket", Analytics.ntileOf(col("rn"), col("n_part"), 64))
+      .groupBy(col("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
   }
 
   /** Salted skew join: orders⋈customer⋈nation revenue with the orders side
@@ -1886,6 +1969,10 @@ object SparkEntry {
     "q_window_hourly"       -> (windowHourly(_, _)),
     "q_topk_orders"         -> (topkOrders(_, _)),
     "q_sessionize"          -> (sessionizeQ(_, _)),
+    "q_event_transitions"   -> (eventTransitionsQ(_, _)),
+    "q_event_paths"         -> (eventPathsQ(_, _)),
+    "q_moving_avg"          -> (movingAvgQ(_, _)),
+    "q_zorder_layout"       -> (zorderLayoutQ(_, _)),
     "q_rank_orders"         -> (rankOrders(_, _)),
     "q_ntile"               -> (ntileQ(_, _)),
     "q_daily_delta"         -> (dailyDeltaQ(_, _)),
@@ -2347,6 +2434,59 @@ object SparkEntry {
         |SELECT user_id, session_seq, COUNT(*) AS n_events,
         |  MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
+    "q_event_transitions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev AS prev_state, event_type AS state, count(*) AS n_transitions
+        |  FROM x WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_state, state, n_transitions,
+        |  round(CAST(n_transitions AS DOUBLE) /
+        |        CAST(SUM(n_transitions) OVER (PARTITION BY prev_state) AS DOUBLE), 6) AS prob
+        |FROM c""".stripMargin,
+    "q_event_paths" ->
+      """WITH x AS (
+        |  SELECT user_id,
+        |    lag(event_type, 2) OVER w AS s1,
+        |    lag(event_type, 1) OVER w AS s2,
+        |    event_type AS s3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT s1, s2, s3, count(*) AS n_paths
+        |FROM x WHERE s1 IS NOT NULL GROUP BY 1, 2, 3""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT user_id, ts, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) /
+        |    CAST(COUNT(*) OVER w AS DOUBLE) AS mov_avg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // z-order twin: identical integer range-id scaling and bit interleave
+    // (expanded to 16 shift/mask terms below), identical 64-way NTILE cut
+    "q_zorder_layout" ->
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+         |         min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+         |  FROM lineitem),
+         |n AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    ((l_partkey - minp) * 65536) // (maxp - minp + 1) AS xn,
+         |    ((l_suppkey - mins) * 65536) // (maxs - mins + 1) AS yn
+         |  FROM lineitem, b),
+         |z AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    ${duckInterleave("xn", "yn", 16)} AS zv
+         |  FROM n),
+         |r AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    CAST(NTILE(64) OVER (ORDER BY zv, l_orderkey, l_linenumber) AS BIGINT) AS zbucket
+         |  FROM z)
+         |SELECT zbucket, count(*) AS n_rows,
+         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         |FROM r GROUP BY zbucket""".stripMargin,
     "q_rank_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

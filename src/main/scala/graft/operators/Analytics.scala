@@ -782,4 +782,49 @@ object Analytics {
     prefixSum(df, orderCols, tokens, cumCol, shards, pruneAbove = Some(budget))
       .filter(col(cumCol) <= budget)
   }
+
+  /** First-order Markov transition matrix over per-key ordered event
+    * streams: the count of each (prev_state → state) step plus the
+    * row-conditional probability P(state | prev_state).
+    *
+    * Scale shape: the lag is one key-partitioned window (one shuffle, the
+    * per-key sort `orderCols` must be total for determinism); the matrix
+    * itself is ≤ |states|² rows after the partial-aggregating count, so the
+    * per-prev-state totals join is a broadcast by construction — the event
+    * stream is never shuffled a second time. The probability divides the
+    * two exact longs in double once, same IEEE result in any engine.
+    */
+  def transitionMatrix(df: DataFrame, keyCol: String, stateCol: String,
+                       orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val steps = df
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_state"), col(stateCol).as("state"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val totals = steps.groupBy(col("prev_state"))
+      .agg(sum(col("n_transitions")).as("__tot"))
+    steps.join(broadcast(totals), "prev_state")
+      .withColumn("prob",
+        round(col("n_transitions").cast("double") / col("__tot").cast("double"), 6))
+      .drop("__tot")
+  }
+
+  /** ROWS-frame rolling aggregates per key: each agg is evaluated over the
+    * last `frameRows` rows up to the current one in `orderCols` order (a
+    * partial leading frame at each partition head, like SQL). One key
+    * shuffle and one per-key sort shared by every frame.
+    *
+    * Feed the aggregates EXACT input types (decimal/long): engines disagree
+    * on the association order of float frame sums (this engine re-scans the
+    * frame in row order; segment-tree implementations sum in tree order),
+    * and only exact types make the result independent of that choice.
+    */
+  def rollingAgg(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                 frameRows: Int, aggs: Seq[(String, Column)]): DataFrame = {
+    require(frameRows >= 1, s"frame must span at least the current row: $frameRows")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+      .rowsBetween(-(frameRows - 1L), Window.currentRow)
+    aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
+  }
 }
