@@ -839,6 +839,30 @@ object SparkEntry {
       .agg(sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"),
         count(lit(1)).as("n_docs"))
 
+  /** Sequence-length bucketing for training-batch construction: assign each
+    * document to the next power-of-2 token-capacity bucket and report, per
+    * bucket, the padding waste a fixed-shape batch of that capacity pays
+    * (padded slots minus real tokens). The bucket is the INTEGER closed form
+    * `1 << length(bin(n-1))` — no float log2, whose boundary rounding
+    * differs across engines. One scan + one tiny aggregate (≤ 64 buckets);
+    * the bucketing column itself is the partition key a batching writer
+    * would `repartitionByRange` on at scale.
+    */
+  private def lengthBucketsQ(s: SparkSession, dir: String): DataFrame = {
+    val padded = col("bucket_cap") * col("n_docs")
+    t(s, dir, "documents")
+      .select(TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket_cap",
+        when(col("n_tokens") <= 1L, lit(1L))
+          .otherwise(expr("CAST(shiftleft(1L, length(bin(n_tokens - 1))) AS BIGINT)")))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .select(col("bucket_cap"), col("n_docs"), col("total_tokens"),
+        (padded - col("total_tokens")).as("padding_waste"),
+        round((padded - col("total_tokens")).cast("double") / padded.cast("double"), 6)
+          .as("waste_frac"))
+  }
+
   private def textQuality(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
     val toks = TF.tokens(lower(col("text")))
@@ -2007,6 +2031,7 @@ object SparkEntry {
     "q_embed_near_dup_lsh"  -> (embedNearDupLsh(_, _)),
     "q_semantic_dedup"      -> (semanticDedupQ(_, _)),
     "q_token_count"         -> (tokenCounts(_, _)),
+    "q_length_buckets"      -> (lengthBucketsQ(_, _)),
     "q_text_quality"        -> (textQuality(_, _)),
     "q_lang_id"             -> (langIdQ(_, _)),
     "q_fingerprint"         -> (fingerprintQ(_, _)),
@@ -2700,6 +2725,19 @@ object SparkEntry {
     "q_token_count" ->
       s"""SELECT lang, CAST(SUM(len($duckToks)) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
          |FROM documents GROUP BY lang""".stripMargin,
+    // integer power-of-2 bucket twin: same 1 << length(bin(n-1)) closed form
+    "q_length_buckets" ->
+      s"""WITH d AS (SELECT CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT n_tokens,
+         |        CASE WHEN n_tokens <= 1 THEN 1
+         |             ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1))) END AS bucket_cap
+         |      FROM d)
+         |SELECT bucket_cap, count(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(bucket_cap * count(*) - SUM(n_tokens) AS BIGINT) AS padding_waste,
+         |  round(CAST(bucket_cap * count(*) - SUM(n_tokens) AS DOUBLE) /
+         |        CAST(bucket_cap * count(*) AS DOUBLE), 6) AS waste_frac
+         |FROM b GROUP BY bucket_cap""".stripMargin,
     "q_text_quality" ->
       s"""SELECT doc_id,
          |CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tokens,
