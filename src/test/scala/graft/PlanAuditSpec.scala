@@ -387,4 +387,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_min"), p)
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q_event_transitions: lag window is key-partitioned; totals join broadcasts") {
+    val p = plan("q_event_transitions")
+    assert(!p.contains("Window [") ||
+      "Window \\[[^\\]]*user_id".r.findFirstIn(p).isDefined, p)
+    assert(p.contains("BroadcastHashJoin"), p) // |states|²-bounded totals side
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)     // matrix counts combine map-side
+  }
+
+  test("q_moving_avg / q_event_paths: one key-partitioned window, no extra exchange") {
+    Seq("q_moving_avg", "q_event_paths").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(user_id"), p) // the single key shuffle
+      assert(!p.contains("SinglePartition"), s"$q has a one-reducer stage:\n$p")
+    }
+  }
+
+  test("q_zorder_layout: windows are shard-partitioned; prefix table broadcasts") {
+    val p = plan("q_zorder_layout")
+    // rangedRank's final window partitions by __shard — a partition-less
+    // window here would be the single-reducer global NTILE this query exists
+    // to avoid
+    assert(p.contains("hashpartitioning(__shard"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // boundary-prefix side input
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_length_buckets: one scan, partial aggregation, single exchange") {
+    val p = plan("q_length_buckets")
+    assert(p.contains("partial_count") && p.contains("partial_sum"), p)
+    assert(exchanges(p) === 1, p)
+  }
 }
