@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: AS-OF JOIN logical node → sort-merge exec
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     register(ext, "vec_dot",
       "vec_dot(a, b) - dot product of two array<double> vectors",
       { args: Seq[Expression] =>

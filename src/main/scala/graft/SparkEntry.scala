@@ -454,8 +454,14 @@ object SparkEntry {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
     val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts"), col("value").as("view_value"))
-    Analytics.asofJoin(purchases, views, "user_id", "ts", "ts", Seq("view_value"))
+      .select(col("user_id"), col("ts"), col("value").as("view_value"),
+        col("event_id").as("view_seq"))
+    // the custom whole-operator plan (graft.plans.AsofJoinExec): each side
+    // shuffles its own width, O(1) merge state — spec-pinned equal to the
+    // composed union+LOCF Analytics.asofJoin; view_seq makes equal-ts view
+    // duplicates deterministic should the data ever grow them
+    Analytics.asofJoinMerge(purchases, views, "user_id", "ts", "ts",
+        Seq("view_value"), rightTies = Seq("view_seq"))
       .filter(col("asof_view_value").isNotNull)
       .select(col("event_id"), col("user_id"), col("value"),
         col("asof_view_value").as("prior_view_value"))

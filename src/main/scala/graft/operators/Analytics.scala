@@ -106,6 +106,50 @@ object Analytics {
       .select((leftCols.map(col) ++ valueCols.map(c => col(s"_asof_$c").as(s"asof_$c"))): _*)
   }
 
+  /** AS-OF join through the custom whole-operator plan
+    * ([[graft.plans.AsofJoin]] → [[graft.plans.AsofJoinExec]]): same
+    * semantics and output schema as [[asofJoin]] (spec-pinned equal), but
+    * each side shuffles only its own columns — the union formulation pads
+    * every row to the combined width — and the merge keeps O(1) state
+    * instead of a window frame. Requires the session to carry
+    * [[graft.GraftExtensions]] (Verify/Bench/tests all install it).
+    *
+    * `rightTies` resolves equal right (key, ts) duplicates deterministically
+    * (last in ascending tie order wins), mirroring `asofJoin`'s `tieBreak`.
+    */
+  def asofJoinMerge(left: DataFrame, right: DataFrame, keyCol: String,
+                    leftTs: String, rightTs: String, valueCols: Seq[String],
+                    rightTies: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // Both sides often derive from the SAME source frame, so their attribute
+    // ids collide; the analyzer's DeduplicateRelations re-instances the
+    // right child but cannot know which of a CUSTOM node's expressions bind
+    // right. Route the right side through a RENAME projection: the aliases
+    // mint fresh ids, and because the names differ RemoveRedundantAliases
+    // never strips them — the node's right-side expressions stay anchored to
+    // the right child across analysis and optimization.
+    val rightNames = right.columns.toSeq
+    val rTmp = right.select(rightNames.map(c => right.col(c).as(s"__asof_r_$c")): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = rTmp.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${plan.output.map(_.name).mkString(", ")}"))
+    def rAttr(name: String) = attr(rPlan, s"__asof_r_$name")
+    val values = valueCols.map(rAttr)
+    val asofAttrs = valueCols.zip(values).map { case (c, v) =>
+      org.apache.spark.sql.catalyst.expressions
+        .AttributeReference(s"asof_$c", v.dataType, nullable = true)()
+    }
+    val node = graft.plans.AsofJoin(lPlan, rPlan,
+      attr(lPlan, keyCol), rAttr(keyCol),
+      attr(lPlan, leftTs), rAttr(rightTs),
+      values, asofAttrs, rightTies.map(rAttr))
+    ColumnBridge.ofRows(left.sparkSession, node)
+  }
+
   /** Range-sharded two-pass global ranking — exact `row_number` (plus the
     * per-partition row count) WITHOUT a window whose parallelism is capped by
     * the partition-key cardinality. `Window.partitionBy(status)` over a

@@ -1,0 +1,164 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Expression, GenericInternalRow, JoinedRow, NamedExpression, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN as a first-class operator: logical node → planner strategy →
+  * sort-merge physical operator (the brief's "(c) custom LogicalPlan + Rule/
+  * Strategy + SparkPlan registered via SparkSessionExtensions" tier, used
+  * where it genuinely beats composition).
+  *
+  * Semantics (identical to the composed
+  * [[graft.operators.Analytics.asofJoin]], spec-pinned): for every left row,
+  * the value columns of the LATEST right row of the same key with
+  * `right.ts <= left.ts` — at-or-before, ties among equal right (key, ts)
+  * resolved by the trailing `rightTies` ordering (last wins), null
+  * timestamps ordered NULLS FIRST exactly like the window formulation.
+  *
+  * Why a custom operator instead of the union+LOCF window:
+  *  - the union pads every row to the combined schema (left rows carry null
+  *    value slots, right rows null left columns), so the ONE exchange moves
+  *    |L|·(wL+wV) + |R|·(wL+wV) bytes; here each side shuffles only its own
+  *    width — at 100 TB with a wide left (the fact table), that is close to
+  *    a 2× shuffle-volume cut;
+  *  - the merge keeps O(1) state (the latest right values for the current
+  *    key) and emits left rows as they stream — no window buffer, no
+  *    ignoreNulls frame scan.
+  *
+  * The exec declares `requiredChildDistribution` (co-clustered on the key)
+  * and `requiredChildOrdering` ((key, ts, ties) ascending per side) and lets
+  * `EnsureRequirements` insert the exchanges and sorts — the physical
+  * operator is ONLY the merge loop, exactly how SortMergeJoinExec is built.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    rightValues: Seq[NamedExpression],
+    asofAttrs: Seq[Attribute],
+    rightTies: Seq[Expression]) extends BinaryNode {
+
+  require(rightValues.length == asofAttrs.length, "one output attr per value")
+
+  override def output: Seq[Attribute] = left.output ++ asofAttrs
+
+  // the as-of value attributes are minted BY this operator (CheckAnalysis
+  // would otherwise demand them from the children)
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(asofAttrs)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoin {
+  /** Fresh nullable output attributes for the as-of value columns. */
+  def outputAttrsFor(rightValues: Seq[NamedExpression]): Seq[Attribute] =
+    rightValues.map(v =>
+      AttributeReference(s"asof_${v.name}", v.dataType, nullable = true)())
+}
+
+/** Plans [[AsofJoin]] to [[AsofJoinExec]]. Injected via
+  * `SparkSessionExtensions.injectPlannerStrategy` in
+  * [[graft.GraftExtensions]].
+  */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsofJoin =>
+      AsofJoinExec(planLater(j.left), planLater(j.right), j.leftKey, j.rightKey,
+        j.leftTs, j.rightTs, j.rightValues, j.asofAttrs, j.rightTies) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    rightValues: Seq[NamedExpression],
+    asofAttrs: Seq[Attribute],
+    rightTies: Seq[Expression]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ asofAttrs
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(asofAttrs)
+
+  // co-cluster both sides on the key; EnsureRequirements adds the exchanges
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  // per-partition merge order: (key, ts) on the left; (key, ts, ties) on the
+  // right so equal-(key, ts) right rows resolve deterministically (last wins)
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      rightTies.map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTsTypes = Seq(leftKey.dataType, leftTs.dataType)
+    val valueCount = rightValues.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // (key, ts) projections — comparing via the natural ascending
+      // nulls-first ordering, the SAME total preorder the required
+      // SortOrders impose, so merge advancement agrees with the sorts
+      val lKeyTs = UnsafeProjection.create(Seq(leftKey, leftTs), left.output)
+      val rKeyTs = UnsafeProjection.create(Seq(rightKey, rightTs), right.output)
+      val keyTsOrd = RowOrdering.createNaturalAscendingOrdering(keyTsTypes)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTsTypes.take(1))
+      val rValueProj = UnsafeProjection.create(rightValues, right.output)
+      val resultProj = UnsafeProjection.create(output, left.output ++ asofAttrs)
+      val nullValues: InternalRow = new GenericInternalRow(valueCount)
+      val joined = new JoinedRow
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _            // un-consumed right row
+        private var rHeadKeyTs: InternalRow = _
+        private var lastValues: InternalRow = _       // latest eligible right values
+        private var lastKeyTs: InternalRow = _        // ... and their (key, ts)
+
+        private def advanceRightHead(): Unit = {
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKeyTs = rKeyTs(rHead)
+          } else { rHead = null; rHeadKeyTs = null }
+        }
+        advanceRightHead()
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lkt = lKeyTs(l)
+          // consume every right row at-or-before the left (key, ts); the
+          // LAST consumed row of the left's key is the as-of match
+          while (rHead != null && keyTsOrd.compare(rHeadKeyTs, lkt) <= 0) {
+            lastValues = rValueProj(rHead).copy()
+            lastKeyTs = rHeadKeyTs.copy()
+            advanceRightHead()
+          }
+          val matched = lastKeyTs != null && keyOrd.compare(lastKeyTs, lkt) == 0
+          resultProj(joined(l, if (matched) lastValues else nullValues))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}

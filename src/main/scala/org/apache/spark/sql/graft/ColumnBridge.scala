@@ -14,6 +14,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataFrame from a hand-built logical plan (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4) — the construction path for custom logical
+    * operators like [[graft.plans.AsofJoin]].
+    */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Release the block-manager storage behind a `localCheckpoint`ed Dataset.
     * `Dataset.unpersist` only consults the CacheManager, which never sees
     * checkpoint blocks — they stay pinned until GC (the r4 bench leak:

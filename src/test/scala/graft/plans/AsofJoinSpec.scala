@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.operators.Analytics
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** The custom AS-OF JOIN operator: semantics pinned to the composed
+  * union+LOCF formulation, physical shape pinned to merge-join-style
+  * exchanges+sorts with no window.
+  */
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic interleaved fixture: 12 users; purchases at ts ≡ 1 mod 3,
+  // views at ts ≡ 0 mod 2 — collisions (equal ts within and across sides),
+  // users with no views (id % 5 == 0 filtered), duplicate view (user, ts)
+  // rows distinguished only by view_id
+  private lazy val purchases = (0 until 200).map { i =>
+    (i.toLong % 12, (i * 7 % 60).toLong * 3 + 1, i.toLong, 100.0 + i)
+  }.toDF("user_id", "ts", "purchase_id", "amount")
+  private lazy val views = (0 until 300)
+    .map { i => (i.toLong % 15, (i * 11 % 90).toLong * 2, i.toLong, 0.5 * i) }
+    .filter { case (u, _, _, _) => u % 5 != 0 }
+    .toDF("user_id", "ts", "view_id", "view_value")
+
+  private def collectSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("asofJoinMerge equals the composed union+LOCF asofJoin, ties included") {
+    val composed = Analytics.asofJoin(purchases, views, "user_id", "ts", "ts",
+      Seq("view_value", "view_id"), tieBreak = Seq(col("_v_view_id")))
+    val merged = Analytics.asofJoinMerge(purchases, views, "user_id", "ts", "ts",
+      Seq("view_value", "view_id"), rightTies = Seq("view_id"))
+    assert(merged.columns.toSeq === composed.columns.toSeq)
+    assert(collectSet(merged) === collectSet(composed))
+    // sanity on the fixture: matches AND null (no-view users / too-early) rows
+    val vals = merged.select("asof_view_value").collect().map(r => r.isNullAt(0))
+    assert(vals.contains(true) && vals.contains(false))
+  }
+
+  test("asofJoinMerge: null timestamps order NULLS FIRST like the window form") {
+    val l = Seq((1L, Option(10L), 1L), (1L, Option.empty[Long], 2L), (2L, Option(5L), 3L))
+      .toDF("user_id", "ts", "purchase_id")
+    val r = Seq((1L, Option.empty[Long], 7.0), (1L, Option(4L), 9.0), (2L, Option(6L), 3.0))
+      .toDF("user_id", "ts", "v")
+    val out = Analytics.asofJoinMerge(l, r, "user_id", "ts", "ts", Seq("v"))
+      .collect().map(row => row.getLong(2) -> Option(row.get(3))).toMap
+    assert(out(1L) === Some(9.0))  // latest of {null→7.0, 4→9.0} at ts 10
+    assert(out(2L) === Some(7.0))  // null left ts sees only the null-ts view
+    assert(out(3L) === None)       // right ts 6 is after left ts 5
+  }
+
+  test("AsofJoinExec plans as exchanges + sorts + merge — no window, no union") {
+    val merged = Analytics.asofJoinMerge(purchases, views, "user_id", "ts", "ts",
+      Seq("view_value"))
+    val p = merged.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("AsofJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), p)
+    // each side keeps its own width through its own exchange + sort
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length === 2, p)
+    assert("\\(\\d+\\) Sort".r.findAllIn(p).length === 2, p)
+  }
+
+  test("asofJoinMerge is shuffle-partition-count invariant") {
+    val a = Analytics.asofJoinMerge(purchases.repartition(7), views.repartition(3),
+      "user_id", "ts", "ts", Seq("view_value", "view_id"), rightTies = Seq("view_id"))
+    val b = Analytics.asofJoinMerge(purchases.coalesce(1), views.coalesce(1),
+      "user_id", "ts", "ts", Seq("view_value", "view_id"), rightTies = Seq("view_id"))
+    assert(collectSet(a) === collectSet(b))
+  }
+}
