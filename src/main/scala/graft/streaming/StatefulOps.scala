@@ -23,6 +23,19 @@ final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
   */
 final case class FunnelProgress(user_id: Long, stage_times: Seq[Timestamp])
 
+/** One input event for [[StatefulOps.streamingAsofEnrich]] — a mixed stream
+  * of reference updates and facts on one key, like the events table's
+  * view/purchase interleave.
+  */
+final case class EnrichEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                             event_type: String, value: Double)
+
+/** A fact enriched with the latest at-or-before reference value. */
+final case class EnrichedFact(user_id: Long, event_id: Long, value: Double,
+                              prior_view_value: Double)
+
+private final case class ViewState(tsMicros: Long, seq: Long, value: Double)
+
 /** Custom streaming state via `flatMapGroupsWithState` — the arbitrary-state
   * face of the engine (the batch analog is
   * [[graft.operators.Analytics.sessionize]]). Kafka Streams exposes this as
@@ -123,6 +136,52 @@ object StatefulOps {
             t.setNanos((us % 1000000L).toInt * 1000)
             t
           })
+      }
+  }
+
+  /** Streaming AS-OF enrichment — the live face of the custom batch operator
+    * [[graft.operators.Analytics.asofJoinMerge]] / `q_asof_join`: every
+    * `factType` event is emitted with the value of the key's latest
+    * `refType` event at-or-before it (facts with no prior reference are
+    * dropped, matching the driver query's `isNotNull` filter).
+    *
+    * State is ONE fixed-size record per key — the latest reference
+    * (ts, seq, value) — exactly the O(1) merge state of
+    * [[graft.plans.AsofJoinExec]] kept in the state store instead of a
+    * merge iterator; one state-store shuffle on the key.
+    *
+    * Parity contract (spec-asserted): with per-key event-time-ordered
+    * delivery ACROSS micro-batches — the Kafka per-partition guarantee this
+    * models — the emitted facts equal the batch operator's matched rows.
+    * Events INSIDE a micro-batch are sorted by (ts, seq) first, so
+    * intra-batch disorder is absorbed; a cross-batch late reference cannot
+    * rewind facts already emitted against older state — the streaming
+    * trade, stated.
+    */
+  def streamingAsofEnrich(events: Dataset[EnrichEvent], refType: String,
+                          factType: String): Dataset[EnrichedFact] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ViewState, EnrichedFact](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[ViewState]) =>
+          val out = List.newBuilder[EnrichedFact]
+          var cur = state.getOption
+          batch.toSeq
+            .sortBy(e => (micros(e.ts), e.event_id))
+            .foreach { e =>
+              if (e.event_type == refType) {
+                val m = micros(e.ts)
+                val newer = cur.forall(s =>
+                  s.tsMicros < m || (s.tsMicros == m && s.seq <= e.event_id))
+                if (newer) cur = Some(ViewState(m, e.event_id, e.value))
+              } else if (e.event_type == factType) {
+                cur.foreach(s => out += EnrichedFact(userId, e.event_id, e.value, s.value))
+              }
+            }
+          cur.foreach(state.update)
+          out.result().iterator
       }
   }
 }

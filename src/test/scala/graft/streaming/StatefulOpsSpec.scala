@@ -122,4 +122,51 @@ class StatefulOpsSpec extends SparkSpec {
       assert(prefix === batch(u), s"user $u")
     }
   }
+
+  test("streamingAsofEnrich live == batch asofJoinMerge under in-order delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // interleaved views/purchases; purchases before any view; equal-ts
+    // view+purchase (at-or-before: the view counts); a view between batches
+    val b1 = Seq(
+      EnrichEvent(1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 50.0), // no prior view
+      EnrichEvent(1L, ts("2024-01-01 10:01:00"), 2L, "view", 1.0),
+      EnrichEvent(1L, ts("2024-01-01 10:02:00"), 3L, "purchase", 60.0),
+      EnrichEvent(2L, ts("2024-01-01 10:00:00"), 4L, "view", 9.0),
+      EnrichEvent(2L, ts("2024-01-01 10:00:00"), 5L, "purchase", 70.0)) // same ts as its view
+    val b2 = Seq(
+      EnrichEvent(1L, ts("2024-01-01 10:05:00"), 6L, "view", 2.0),
+      EnrichEvent(1L, ts("2024-01-01 10:06:00"), 7L, "purchase", 80.0),
+      EnrichEvent(3L, ts("2024-01-01 10:00:00"), 8L, "purchase", 90.0)) // never any view
+    val all = b1 ++ b2
+
+    // batch path: the custom-exec as-of join, matched rows only (q_asof_join shape)
+    val df = all.toDF()
+    val purchases = df.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = df.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"),
+        col("event_id").as("view_seq"))
+    val batch = graft.operators.Analytics.asofJoinMerge(
+        purchases, views, "user_id", "ts", "ts", Seq("view_value"),
+        rightTies = Seq("view_seq"))
+      .filter(col("asof_view_value").isNotNull)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(3), r.getDouble(4))).toSet
+
+    // streaming path: same events in two ts-ordered micro-batches
+    val in = MemoryStream[EnrichEvent]
+    in.addData(b1: _*)
+    in.addData(b2: _*)
+    val enriched = StatefulOps.streamingAsofEnrich(in.toDS(), "view", "purchase")
+    val q = enriched.writeStream.format("memory").queryName("t_asof_enrich")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("t_asof_enrich").as[EnrichedFact].collect()
+      .map(e => (e.user_id, e.event_id, e.value, e.prior_view_value)).toSet
+
+    assert(streamed === batch)
+    assert(streamed.contains((2L, 5L, 70.0, 9.0)))  // same-instant view counts
+    assert(!streamed.exists(_._2 == 1L) && !streamed.exists(_._1 == 3L)) // unmatched dropped
+  }
 }
