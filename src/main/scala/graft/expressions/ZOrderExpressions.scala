@@ -17,7 +17,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   *
   * Interleaving is a per-row bit shuffle with no data dependence, so it
   * stays inside whole-stage codegen as a tight loop; 2·bits ≤ 64 keeps the
-  * result a single long.
+  * result a single long. [[graft.sources.Tables.zorder2]] is the fused
+  * shift/mask-ladder formulation of the SAME key fixed at 32 bits
+  * (spec-pinned equal); this expression adds the parametric bit count the
+  * range-id construction wants and a single scalar node that boundary-shard
+  * comparisons can reference.
   */
 case class InterleaveBits(left: Expression, right: Expression, bits: Int)
     extends BinaryExpression {

@@ -77,6 +77,19 @@ class SequenceLayoutSpec extends SparkSpec {
     assert(ref(65535L, 65535L, 16) === (1L << 32) - 1)
   }
 
+  test("InterleaveBits(32) equals the Tables.zorder2 shift/mask ladder") {
+    // two formulations of the same Morton key: the parametric native
+    // expression and the fused bitwise-builtin ladder — pinned equal so
+    // layouts written by either prune identically
+    val cases = (0 until 500).map(i => ((i * 2654435761L) & 0xFFFFFFFFL, (i * 40503L) & 0xFFFFFFFFL))
+    val df = cases.toDF("a", "b")
+    val both = df.select(
+      LayoutFunctions.zorder2(col("a"), col("b"), 32).as("nat"),
+      graft.sources.Tables.zorder2(col("a"), col("b")).as("ladder"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("z-order buckets bound BOTH dimensions; a linear sort bounds only one") {
     // 64×64 deterministic grid. 16 equal-height buckets on the z curve must
     // give every bucket a rectangle ≈ 1/4 × 1/4 of each dim; the same cut on

@@ -63,6 +63,20 @@ class AsofJoinSpec extends SparkSpec {
     assert("\\(\\d+\\) Sort".r.findAllIn(p).length === 2, p)
   }
 
+  test("asofJoinMerge: empty sides and single-row extremes") {
+    val l0 = Seq.empty[(Long, Long, Long)].toDF("user_id", "ts", "purchase_id")
+    val r0 = Seq.empty[(Long, Long, Double)].toDF("user_id", "ts", "v")
+    val l1 = Seq((1L, 10L, 1L)).toDF("user_id", "ts", "purchase_id")
+    val r1 = Seq((1L, 10L, 5.0)).toDF("user_id", "ts", "v")
+    // empty left → empty out; empty right → all-null asof values
+    assert(Analytics.asofJoinMerge(l0, r1, "user_id", "ts", "ts", Seq("v")).count() === 0)
+    val nullOut = Analytics.asofJoinMerge(l1, r0, "user_id", "ts", "ts", Seq("v")).collect()
+    assert(nullOut.length === 1 && nullOut.head.isNullAt(3))
+    // exact same instant matches (at-or-before is inclusive)
+    val eq = Analytics.asofJoinMerge(l1, r1, "user_id", "ts", "ts", Seq("v")).collect()
+    assert(eq.head.getDouble(3) === 5.0)
+  }
+
   test("asofJoinMerge is shuffle-partition-count invariant") {
     val a = Analytics.asofJoinMerge(purchases.repartition(7), views.repartition(3),
       "user_id", "ts", "ts", Seq("view_value", "view_id"), rightTies = Seq("view_id"))
