@@ -540,6 +540,30 @@ object SparkEntry {
         min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
   }
 
+  /** RFM customer segmentation: per user, recency (days since last event,
+    * against the corpus max day — ONE collected bound), frequency, and
+    * decimal-exact monetary total, each cut into quartiles by the
+    * range-sharded global NTILE ([[Analytics.rangedRank]] — the per-user
+    * aggregate can be billions of rows at corpus scale, so no
+    * single-reducer window anywhere), composed into the classic
+    * three-digit segment code.
+    */
+  private def rfmSegmentsQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val maxDay = ev.agg(max(to_date(col("ts")))).head().getDate(0)
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(datediff(lit(maxDay), max(to_date(col("ts")))).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("monetary"))
+    def quartile(df: DataFrame, metric: String, out: String): DataFrame =
+      Analytics.rangedRank(df, Seq.empty, Seq(col(metric), col("user_id")))
+        .withColumn(out, Analytics.ntileOf(col("rn"), col("n_part"), 4))
+        .drop("rn", "n_part")
+    quartile(quartile(quartile(perUser, "recency_days", "r"), "frequency", "f"),
+        "monetary", "m")
+      .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
+  }
+
   /** Salted skew join: orders⋈customer⋈nation revenue with the orders side
     * salt-sharded 8 ways and the dimension replicated per salt — the static
     * hot-key defense when AQE skew splitting isn't enough. Oracle = the
@@ -2000,6 +2024,7 @@ object SparkEntry {
     "q_topk_orders"         -> (topkOrders(_, _)),
     "q_sessionize"          -> (sessionizeQ(_, _)),
     "q_event_transitions"   -> (eventTransitionsQ(_, _)),
+    "q_rfm_segments"        -> (rfmSegmentsQ(_, _)),
     "q_event_paths"         -> (eventPathsQ(_, _)),
     "q_moving_avg"          -> (movingAvgQ(_, _)),
     "q_zorder_layout"       -> (zorderLayoutQ(_, _)),
@@ -2477,6 +2502,21 @@ object SparkEntry {
         |  round(CAST(n_transitions AS DOUBLE) /
         |        CAST(SUM(n_transitions) OVER (PARTITION BY prev_state) AS DOUBLE), 6) AS prob
         |FROM c""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM events),
+        |u AS (SELECT user_id,
+        |        CAST(date_diff('day', max(CAST(ts AS DATE)), maxd) AS BIGINT) AS recency_days,
+        |        count(*) AS frequency,
+        |        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |      FROM events, mx GROUP BY user_id, maxd),
+        |sc AS (SELECT user_id, recency_days, frequency, monetary,
+        |        CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r,
+        |        CAST(NTILE(4) OVER (ORDER BY frequency, user_id) AS BIGINT) AS f,
+        |        CAST(NTILE(4) OVER (ORDER BY monetary, user_id) AS BIGINT) AS m
+        |       FROM u)
+        |SELECT user_id, recency_days, frequency, monetary, r, f, m,
+        |  r * 100 + f * 10 + m AS segment
+        |FROM sc""".stripMargin,
     "q_event_paths" ->
       """WITH x AS (
         |  SELECT user_id,

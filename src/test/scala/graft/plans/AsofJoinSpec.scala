@@ -77,6 +77,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(eq.head.getDouble(3) === 5.0)
   }
 
+  test("asofJoinMerge == composed asofJoin on the real events table (sf0.001)") {
+    val ev = graft.SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"))
+    val composed = Analytics.asofJoin(purchases, views, "user_id", "ts", "ts",
+      Seq("view_value"))
+    val merged = Analytics.asofJoinMerge(purchases, views, "user_id", "ts", "ts",
+      Seq("view_value"))
+    assert(collectSet(merged) === collectSet(composed))
+    assert(merged.count() === purchases.count()) // left-outer row preservation
+  }
+
   test("asofJoinMerge is shuffle-partition-count invariant") {
     val a = Analytics.asofJoinMerge(purchases.repartition(7), views.repartition(3),
       "user_id", "ts", "ts", Seq("view_value", "view_id"), rightTies = Seq("view_id"))
