@@ -24,8 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // whole-operator extension: AS-OF JOIN logical node → sort-merge exec
+    // whole-operator extension: AS-OF JOIN logical node → sort-merge exec,
+    // plus the pruning rule Catalyst cannot apply to a node it doesn't know
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsofJoinColumnPruning)
     register(ext, "vec_dot",
       "vec_dot(a, b) - dot product of two array<double> vectors",
       { args: Seq[Expression] =>

@@ -19,15 +19,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * resolved by the trailing `rightTies` ordering (last wins), null
   * timestamps ordered NULLS FIRST exactly like the window formulation.
   *
-  * Why a custom operator instead of the union+LOCF window:
-  *  - the union pads every row to the combined schema (left rows carry null
-  *    value slots, right rows null left columns), so the ONE exchange moves
-  *    |L|·(wL+wV) + |R|·(wL+wV) bytes; here each side shuffles only its own
-  *    width — at 100 TB with a wide left (the fact table), that is close to
-  *    a 2× shuffle-volume cut;
+  * Why a custom operator instead of the union+LOCF window (measured, not
+  * asserted — the AsofJoinSpec shuffle probe):
+  *  - each side shuffles and SORTS only its own rows at its own width; the
+  *    union form sorts |L|+|R| padded rows in one window pass. Measured
+  *    shuffle bytes: ~21% less on matched narrow sides, only ~3% less when
+  *    a wide left dominates — UnsafeRow null slots + lz4 make the union's
+  *    padding cheaper than the naive width arithmetic suggests, so the
+  *    byte win is real but modest; the structural win is the smaller
+  *    separate sorts and the streaming emit;
   *  - the merge keeps O(1) state (the latest right values for the current
   *    key) and emits left rows as they stream — no window buffer, no
-  *    ignoreNulls frame scan.
+  *    ignoreNulls frame scan (q_asof_join: 0.48 s vs 0.55 s warm at sf0.1).
   *
   * The exec declares `requiredChildDistribution` (co-clustered on the key)
   * and `requiredChildOrdering` ((key, ts, ties) ascending per side) and lets
@@ -64,6 +67,34 @@ object AsofJoin {
   def outputAttrsFor(rightValues: Seq[NamedExpression]): Seq[Attribute] =
     rightValues.map(v =>
       AttributeReference(s"asof_${v.name}", v.dataType, nullable = true)())
+}
+
+/** Column pruning THROUGH the custom node: Catalyst's `ColumnPruning` only
+  * descends into operators it knows, so without this rule a
+  * `select(few)`/`count()` above an [[AsofJoin]] scans and shuffles every
+  * input column (observed: a pruned-to-nothing count() still shuffled the
+  * full left width). Pushes a Project into each child keeping the columns
+  * the parent references plus the node's own key/ts/value/tie inputs —
+  * `output` recomputes from the pruned left, so the parent stays resolved.
+  * Fixed-point safe: fires only when a child's output actually shrinks.
+  * Injected via `injectOptimizerRule` (the operator-optimization batch).
+  */
+object AsofJoinColumnPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(_, j: AsofJoin) =>
+      val needed = AttributeSet(p.projectList.flatMap(_.references)) ++ j.references
+      val keepL = j.left.output.filter(needed.contains)
+      val keepR = j.right.output.filter(needed.contains)
+      if (keepL.length < j.left.output.length || keepR.length < j.right.output.length) {
+        val newLeft = if (keepL.length < j.left.output.length) Project(keepL, j.left) else j.left
+        val newRight = if (keepR.length < j.right.output.length) Project(keepR, j.right) else j.right
+        p.copy(child = j.copy(left = newLeft, right = newRight))
+      } else p
+  }
 }
 
 /** Plans [[AsofJoin]] to [[AsofJoinExec]]. Injected via

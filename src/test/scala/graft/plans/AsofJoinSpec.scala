@@ -91,6 +91,66 @@ class AsofJoinSpec extends SparkSpec {
     assert(merged.count() === purchases.count()) // left-outer row preservation
   }
 
+  test("asofJoinMerge shuffles fewer bytes than the union+LOCF form (measured)") {
+    // the operator's byte claim, measured on full materialization
+    // (toRdd.count — a bare count() lets Catalyst prune the projection):
+    // each side shuffles at its own width, the union form pads rows to the
+    // combined schema. UnsafeRow null slots + lz4 keep the padding modest
+    // (measured ~21% on matched narrow sides, ~3% under a dominant wide
+    // left) — this asserts the strict direction, not a fantasy factor.
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleW = new AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          shuffleW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+        }
+    }
+    val left = spark.range(20000).select(col("id") % 50 as "user_id",
+      col("id") % 977 as "ts", col("id") as "purchase_id")
+    val right = spark.range(20000).select(col("id") % 50 as "user_id",
+      col("id") % 991 as "ts", (col("id") % 100).cast("double").as("v"))
+    def measure(df: org.apache.spark.sql.DataFrame): Long = {
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+      spark.sparkContext.addSparkListener(listener)
+      shuffleW.set(0)
+      try {
+        df.queryExecution.toRdd.count()
+        org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(listener)
+      shuffleW.get
+    }
+    val composedBytes = measure(
+      Analytics.asofJoin(left, right, "user_id", "ts", "ts", Seq("v")))
+    val mergedBytes = measure(
+      Analytics.asofJoinMerge(left, right, "user_id", "ts", "ts", Seq("v")))
+    assert(mergedBytes > 0 && composedBytes > 0)
+    assert(mergedBytes < composedBytes,
+      s"merge shuffled $mergedBytes vs composed $composedBytes")
+  }
+
+  test("AsofJoinColumnPruning prunes unreferenced columns through the custom node") {
+    // without the injected rule, a narrow select above the node scans and
+    // shuffles every left column (Catalyst's ColumnPruning cannot descend
+    // into an operator it doesn't know)
+    val wideLeft = spark.range(5000).select(col("id") % 50 as "user_id",
+      col("id") % 977 as "ts", col("id") as "purchase_id",
+      sha2(col("id").cast("string"), 256).as("p1"),
+      sha2((col("id") + 1).cast("string"), 256).as("p2"))
+    val right = spark.range(5000).select(col("id") % 50 as "user_id",
+      col("id") % 991 as "ts", (col("id") % 100).cast("double").as("v"),
+      sha2(col("id").cast("string"), 256).as("unused_r"))
+    val narrow = Analytics.asofJoinMerge(wideLeft, right, "user_id", "ts", "ts", Seq("v"))
+      .select("user_id", "asof_v")
+    val opt = narrow.queryExecution.optimizedPlan.treeString
+    assert(!opt.contains("p1") && !opt.contains("p2"), opt)     // left payload pruned
+    assert(!opt.contains("unused_r"), opt)                      // right extras pruned
+    // and the pruned plan still computes the right answer
+    val composed = Analytics.asofJoin(wideLeft, right, "user_id", "ts", "ts", Seq("v"))
+      .select("user_id", "asof_v")
+    assert(collectSet(narrow) === collectSet(composed))
+  }
+
   test("asofJoinMerge is shuffle-partition-count invariant") {
     val a = Analytics.asofJoinMerge(purchases.repartition(7), views.repartition(3),
       "user_id", "ts", "ts", Seq("view_value", "view_id"), rightTies = Seq("view_id"))
