@@ -73,6 +73,36 @@ object SparkEntry {
     * (terms never overlap, so + == |). Generated, not hand-typed — the bit
     * count must match the Spark side's `bits` exactly.
     */
+  /** SQL twin of one [[graft.operators.Analytics.corrPairs]] output row:
+    * Pearson r from the exact decimal moment sums of CTE `m`, with the
+    * identical left-to-right double arithmetic as the Spark side.
+    */
+  private def duckCorrArm(x: String, y: String): String =
+    s"""SELECT '$x' AS x_col, '$y' AS y_col,
+       |  round((CAST(n AS DOUBLE)*CAST(p_${x}__$y AS DOUBLE) - CAST(s_$x AS DOUBLE)*CAST(s_$y AS DOUBLE)) /
+       |    sqrt((CAST(n AS DOUBLE)*CAST(q_$x AS DOUBLE) - CAST(s_$x AS DOUBLE)*CAST(s_$x AS DOUBLE)) *
+       |         (CAST(n AS DOUBLE)*CAST(q_$y AS DOUBLE) - CAST(s_$y AS DOUBLE)*CAST(s_$y AS DOUBLE))), 6) AS corr_v
+       |FROM m""".stripMargin
+
+  /** SQL twins of [[graft.operators.Analytics.emaTrunc]]'s numerator and
+    * denominator: the same exact-decimal weight literals ((1−α)ᵏ
+    * terminates), one lag() term per depth step over the shared window `w`.
+    */
+  private def duckEmaW(k: Int, ratio: BigDecimal): String =
+    (ratio.pow(k) * BigDecimal(10).pow(19)).toBigInt.toString
+
+  private def duckEmaNum(depth: Int, ratio: BigDecimal): String =
+    (0 until depth).map { k =>
+      val x = if (k == 0) "xv" else s"lag(xv, $k) OVER w"
+      s"COALESCE(($x) * CAST('${duckEmaW(k, ratio)}' AS DECIMAL(20,0)), CAST(0 AS DECIMAL(35,0)))"
+    }.mkString(" + ")
+
+  private def duckEmaDen(depth: Int, ratio: BigDecimal): String =
+    (0 until depth).map { k =>
+      val x = if (k == 0) "xv" else s"lag(xv, $k) OVER w"
+      s"CASE WHEN ($x) IS NOT NULL THEN CAST('${duckEmaW(k, ratio)}' AS DECIMAL(20,0)) ELSE CAST(0 AS DECIMAL(20,0)) END"
+    }.mkString(" + ")
+
   private def duckInterleave(x: String, y: String, bits: Int): String =
     (0 until bits).map { i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
@@ -2007,6 +2037,73 @@ object SparkEntry {
       .select(col("doc_id"), round(col("rms"), 6).as("rms"))
   }
 
+  /** Per-segment OLS revenue trend ([[Analytics.olsTrend]]): o_totalprice
+    * regressed on days-since-epoch of o_orderdate, customer segment joined
+    * in by broadcast (the dimension is tiny next to orders at any scale —
+    * at 100 TB the fact side streams through one partial-aggregating pass
+    * and only |segments| moment rows shuffle).
+    */
+  private def regrTrendQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    Analytics.olsTrend(joined, Seq(col("c_mktsegment")),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))),
+      col("o_totalprice"))
+  }
+
+  /** Pairwise Pearson matrix over four lineitem measures
+    * ([[Analytics.corrPairs]]): all six correlations from ONE
+    * partial-aggregated scan (exact decimal moments, no per-pair rescans,
+    * no float merge-order nondeterminism).
+    */
+  private def corrMatrixQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.corrPairs(t(s, dir, "lineitem"), Seq(
+      "l_discount" -> col("l_discount"),
+      "l_extendedprice" -> col("l_extendedprice"),
+      "l_quantity" -> col("l_quantity"),
+      "l_tax" -> col("l_tax")))
+
+  /** U-shape position attribution over each user's event journey
+    * ([[Analytics.positionAttribution]]): 40/20/40 credit split across
+    * ordered touches, summed per event type in exact decimal.
+    */
+  private def attributionQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.positionAttribution(t(s, dir, "events"), "user_id",
+      Seq(col("ts"), col("event_id")), "event_type")
+
+  /** Deterministic per-user modal event type ([[Analytics.modePerKey]]):
+    * most frequent, smallest-value tie-break (the builtin `mode` leaves
+    * ties unspecified — unusable against an oracle).
+    */
+  private def modeEventQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.modePerKey(t(s, dir, "events"), "user_id", "event_type")
+
+  /** Truncated 20-deep EMA (α = 0.1) of `value` per user
+    * ([[Analytics.emaTrunc]]): exact decimal weights over one shared
+    * per-key sort.
+    */
+  private def emaQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.emaTrunc(
+      t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      "user_id", Seq(col("ts"), col("event_id")), col("value"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("ema"))
+
+  /** Zero-filled per-user daily activity spine ([[Analytics.gapFillDaily]]).
+    * `day` goes out as midnight TIMESTAMP — parquet date32 and DuckDB DATE
+    * hash differently in the driver compare (same trick as
+    * q_resample_ffill).
+    */
+  private def gapfillQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.gapFillDaily(t(s, dir, "events"), "user_id", "ts")
+      .withColumn("day", col("day").cast("timestamp"))
+
+  /** Robust per-type outlier profile ([[Analytics.madOutliers]]):
+    * median / MAD / 3σ-equivalent outlier counts of `value`.
+    */
+  private def anomalyMadQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.madOutliers(t(s, dir, "events"), "event_type", col("value"))
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2025,6 +2122,13 @@ object SparkEntry {
     "q_sessionize"          -> (sessionizeQ(_, _)),
     "q_event_transitions"   -> (eventTransitionsQ(_, _)),
     "q_rfm_segments"        -> (rfmSegmentsQ(_, _)),
+    "q_regr_trend"          -> (regrTrendQ(_, _)),
+    "q_corr_matrix"         -> (corrMatrixQ(_, _)),
+    "q_attribution"         -> (attributionQ(_, _)),
+    "q_mode_event"          -> (modeEventQ(_, _)),
+    "q_ema"                 -> (emaQ(_, _)),
+    "q_gapfill"             -> (gapfillQ(_, _)),
+    "q_anomaly_mad"         -> (anomalyMadQ(_, _)),
     "q_event_paths"         -> (eventPathsQ(_, _)),
     "q_moving_avg"          -> (movingAvgQ(_, _)),
     "q_zorder_layout"       -> (zorderLayoutQ(_, _)),
@@ -2517,6 +2621,113 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary, r, f, m,
         |  r * 100 + f * 10 + m AS segment
         |FROM sc""".stripMargin,
+    // exact decimal/long moment sums on both sides; closed forms divide
+    // doubles of exact sums once — no regr_* builtins (float merge order)
+    "q_regr_trend" ->
+      """WITH j AS (
+        |  SELECT c_mktsegment,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+        |    CAST(o_totalprice AS DECIMAL(19,4)) AS y
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |m AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |    sum(x) AS sx, sum(x*x) AS sxx,
+        |    sum(y) AS sy, sum(y*y) AS syy, sum(y*x) AS sxy
+        |  FROM j GROUP BY 1),
+        |e AS (
+        |  SELECT c_mktsegment, n,
+        |    CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS dx,
+        |    CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS dy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT c_mktsegment, n AS n_obs,
+        |  round(num / dx, 6) AS slope,
+        |  round((syd - (num / dx) * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
+        |  round(num * num / (dx * dy), 6) AS r2
+        |FROM e""".stripMargin,
+    "q_corr_matrix" ->
+      s"""WITH d AS (
+         |  SELECT CAST(l_discount AS DECIMAL(19,6)) AS a,
+         |         CAST(l_extendedprice AS DECIMAL(19,6)) AS b,
+         |         CAST(l_quantity AS DECIMAL(19,6)) AS c,
+         |         CAST(l_tax AS DECIMAL(19,6)) AS e
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT count(*) AS n,
+         |    sum(a) AS s_l_discount, sum(b) AS s_l_extendedprice,
+         |    sum(c) AS s_l_quantity, sum(e) AS s_l_tax,
+         |    sum(a*a) AS q_l_discount, sum(b*b) AS q_l_extendedprice,
+         |    sum(c*c) AS q_l_quantity, sum(e*e) AS q_l_tax,
+         |    sum(a*b) AS p_l_discount__l_extendedprice,
+         |    sum(a*c) AS p_l_discount__l_quantity,
+         |    sum(a*e) AS p_l_discount__l_tax,
+         |    sum(b*c) AS p_l_extendedprice__l_quantity,
+         |    sum(b*e) AS p_l_extendedprice__l_tax,
+         |    sum(c*e) AS p_l_quantity__l_tax
+         |  FROM d)
+         |${Seq(("l_discount", "l_extendedprice"), ("l_discount", "l_quantity"),
+                ("l_discount", "l_tax"), ("l_extendedprice", "l_quantity"),
+                ("l_extendedprice", "l_tax"), ("l_quantity", "l_tax"))
+               .map { case (x, y) => duckCorrArm(x, y) }.mkString("\nUNION ALL\n")}""".stripMargin,
+    // integer picocredits: truncating integer division is identical in
+    // every engine; decimal-exact sums divide by 1e12 once in double
+    "q_attribution" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |    row_number() OVER w AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type,
+        |  round(CAST(sum(CASE WHEN n = 1 THEN 1000000000000
+        |                      WHEN n = 2 THEN 500000000000
+        |                      WHEN rn = 1 OR rn = n THEN 400000000000
+        |                      ELSE 200000000000 // (n - 2) END) AS DOUBLE) / 1e12, 6) AS credit,
+        |  count(*) AS n_touches
+        |FROM x GROUP BY 1""".stripMargin,
+    "q_mode_event" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, event_type, cnt,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_val, cnt AS mode_n FROM r WHERE rn = 1""".stripMargin,
+    // all-integer EMA: cents × (0.9^k·10^19) integer weights, identical
+    // lag-term expansion on both sides, two IEEE divisions at the end
+    "q_ema" ->
+      s"""WITH b AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DECIMAL(14,0)) AS xv
+         |  FROM events)
+         |SELECT user_id, ts, event_id,
+         |  round(CAST(${duckEmaNum(20, BigDecimal("0.9"))} AS DOUBLE) /
+         |        CAST(${duckEmaDen(20, BigDecimal("0.9"))} AS DOUBLE) / 100.0, 6) AS ema
+         |FROM b
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+    "q_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM daily GROUP BY user_id)
+        |SELECT s.user_id, CAST(s.day AS TIMESTAMP) AS day, coalesce(d.n, 0) AS n_ev
+        |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day""".stripMargin,
+    "q_anomaly_mad" ->
+      """WITH m AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
+        |SELECT d.event_type,
+        |  round(min(d.med), 6) AS med,
+        |  round(min(md.mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * md.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n_total
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1""".stripMargin,
     "q_event_paths" ->
       """WITH x AS (
         |  SELECT user_id,

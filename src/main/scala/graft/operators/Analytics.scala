@@ -871,4 +871,183 @@ object Analytics {
       .rowsBetween(-(frameRows - 1L), Window.currentRow)
     aggs.foldLeft(df) { case (d, (name, a)) => d.withColumn(name, a.over(w)) }
   }
+
+  /** Per-group simple OLS (y on x) from EXACT moment sums. `regr_slope`-
+    * family builtins stream a float covariance whose value depends on the
+    * partial-merge order — nondeterministic across engines AND across runs
+    * of the same engine. Instead: x must be integral (long), y decimal;
+    * the five moments n, Σx, Σx², Σy, Σxy, Σy² are then exact (pure
+    * map-side-combinable partial aggregation, one shuffle of |groups|
+    * rows), and the closed forms divide doubles of exact sums once, the
+    * same IEEE result everywhere. Output: slope, intercept, r2 (6 dp).
+    */
+  def olsTrend(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column): DataFrame = {
+    val xi = x.cast("long")
+    val yi = y.cast("decimal(19,4)")
+    val d = (c: Column) => c.cast("double")
+    df.groupBy(groupCols: _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(xi).as("__sx"), sum(xi * xi).as("__sxx"),
+        sum(yi).as("__sy"), sum(yi * yi).as("__syy"),
+        sum(yi * xi).as("__sxy"))
+      .withColumn("__num", d(col("__n")) * d(col("__sxy")) - d(col("__sx")) * d(col("__sy")))
+      .withColumn("__dx", d(col("__n")) * d(col("__sxx")) - d(col("__sx")) * d(col("__sx")))
+      .withColumn("__dy", d(col("__n")) * d(col("__syy")) - d(col("__sy")) * d(col("__sy")))
+      .withColumn("n_obs", col("__n"))
+      .withColumn("slope", round(col("__num") / col("__dx"), 6))
+      .withColumn("intercept",
+        round((d(col("__sy")) - (col("__num") / col("__dx")) * d(col("__sx"))) / d(col("__n")), 6))
+      .withColumn("r2", round(col("__num") * col("__num") / (col("__dx") * col("__dy")), 6))
+      .drop("__n", "__sx", "__sxx", "__sy", "__syy", "__sxy", "__num", "__dx", "__dy")
+  }
+
+  /** Tidy pairwise Pearson correlation matrix over the given numeric
+    * columns, from the same exact-decimal moment sums as [[olsTrend]] (the
+    * whole matrix is ONE partial-aggregated pass over the data — no
+    * per-pair rescans), emitted as (x_col, y_col, corr_v) rows via a
+    * driver-side unpivot of the single aggregate row (p² scalars, not data).
+    */
+  def corrPairs(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val dec = cols.map { case (n, c) => n -> c.cast("decimal(19,6)") }
+    val sums =
+      dec.map { case (n, c) => sum(c).as(s"__s_$n") } ++
+      dec.map { case (n, c) => sum(c * c).as(s"__q_$n") } ++
+      (for { i <- dec.indices; j <- dec.indices if i < j } yield {
+        val (ni, ci) = dec(i); val (nj, cj) = dec(j)
+        sum(ci * cj).as(s"__p_${ni}__$nj")
+      })
+    val one = df.agg(count(lit(1)).as("__n"), sums: _*)
+    val d = (c: Column) => c.cast("double")
+    val pairs = for { i <- dec.indices; j <- dec.indices if i < j } yield {
+      val ni = dec(i)._1; val nj = dec(j)._1
+      val num = d(col("__n")) * d(col(s"__p_${ni}__$nj")) - d(col(s"__s_$ni")) * d(col(s"__s_$nj"))
+      val dx = d(col("__n")) * d(col(s"__q_$ni")) - d(col(s"__s_$ni")) * d(col(s"__s_$ni"))
+      val dy = d(col("__n")) * d(col(s"__q_$nj")) - d(col(s"__s_$nj")) * d(col(s"__s_$nj"))
+      struct(lit(ni).as("x_col"), lit(nj).as("y_col"),
+        round(num / sqrt(dx * dy), 6).as("corr_v"))
+    }
+    one.select(explode(array(pairs: _*)).as("__pair")).select(col("__pair.*"))
+  }
+
+  /** Position-based (U-shape) attribution: each key's ordered touch
+    * sequence splits one unit of credit 40% first / 40% last / 20% spread
+    * over interior touches (single-touch keys get 1.0; two-touch 0.5/0.5 —
+    * the standard renormalizations). Credit sums per touch type.
+    *
+    * Credit is carried as integer PICOCREDITS (10⁻¹² of a unit): the
+    * interior share 0.2/(n−2) is a non-terminating decimal, and decimal
+    * division rounds to engine-specific scales — truncating INTEGER
+    * division of 2·10¹¹ picocredits is exact and identical everywhere.
+    * One key shuffle + per-key sort; the decimal sum of longs is exact
+    * and merge-order-independent at any scale.
+    */
+  def positionAttribution(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                          typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__pico",
+        when(col("__n") === 1, lit(1000000000000L))
+          .when(col("__n") === 2, lit(500000000000L))
+          .when(col("__rn") === 1 || col("__rn") === col("__n"), lit(400000000000L))
+          .otherwise(expr("CAST(200000000000 AS BIGINT) div (__n - 2)")))
+      .groupBy(col(typeCol))
+      .agg(round(sum(col("__pico").cast("decimal(38,0)")).cast("double") / lit(1e12), 6)
+          .as("credit"),
+        count(lit(1)).as("n_touches"))
+  }
+
+  /** Truncated exponential moving average per key: over the last `depth`
+    * rows in `orderCols` order, ema = Σ wₖ·x_{t−k} / Σ wₖ with
+    * wₖ = (1−α)ᵏ (pandas' adjust=True normalization, cut at `depth`).
+    *
+    * ALL arithmetic is integral: the value becomes integer cents, the
+    * weights become the exact integers (1−α)ᵏ·10¹⁹ (terminating for
+    * decimal α), so numerator and denominator are exact integer sums —
+    * engines disagree both on float frame-evaluation order AND on
+    * high-scale decimal→double conversion (measured: a wide-scale decimal
+    * cast flipped 0.3% of 6-dp roundings); integers have a single
+    * correctly-rounded double conversion. Expressed as `depth` lag() terms
+    * over ONE shared per-key sort (no self-join, no 20× row explosion;
+    * linear and AQE-splittable at scale). The two final divisions are
+    * IEEE-identical everywhere.
+    */
+  def emaTrunc(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+               valueCol: Column, alpha: BigDecimal = BigDecimal("0.1"),
+               depth: Int = 20): DataFrame = {
+    require(depth >= 1 && depth <= 20, s"weight scale grows with depth: $depth")
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val x = (valueCol.cast("decimal(12,2)") * lit(100)).cast("decimal(14,0)")
+    val ratio = BigDecimal(1) - alpha
+    val tenPow19 = BigDecimal(10).pow(19)
+    val weights = (0 until depth).map(k =>
+      lit(BigDecimal((ratio.pow(k) * tenPow19).toBigInt)).cast("decimal(20,0)"))
+    def term(k: Int): Column = if (k == 0) x else lag(x, k).over(w)
+    val num = (0 until depth).map { k =>
+      coalesce(term(k) * weights(k), lit(0L).cast("decimal(35,0)"))
+    }.reduce(_ + _)
+    val den = (0 until depth).map { k =>
+      when(term(k).isNotNull, weights(k)).otherwise(lit(0L).cast("decimal(20,0)"))
+    }.reduce(_ + _)
+    df.withColumn("ema",
+      round(num.cast("double") / den.cast("double") / lit(100.0), 6))
+  }
+
+  /** Per-group robust anomaly profile: exact median, MAD, and the count of
+    * rows beyond 3·1.4826·MAD (the normal-consistent robust z-score). Two
+    * exact-percentile passes; the per-group medians are a tiny side that
+    * broadcasts back — the data shuffles only on the group key. (At 100 TB
+    * swap the exact percentile for the mergeable KLL sketch — q_kll_rollup
+    * — same shape, bounded state; exact medians are the profiling-grade
+    * variant.)
+    */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+    val base = df.select(col(groupCol), valueCol.as("__v"))
+    val med = base.groupBy(col(groupCol))
+      .agg(expr("percentile(__v, 0.5)").as("__med"))
+    val dev = base.join(broadcast(med), groupCol)
+      .withColumn("__adev", abs(col("__v") - col("__med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(expr("percentile(__adev, 0.5)").as("__mad"))
+    dev.join(broadcast(mad), groupCol)
+      .groupBy(col(groupCol))
+      .agg(round(min(col("__med")), 6).as("med"),
+        round(min(col("__mad")), 6).as("mad"),
+        sum(when(col("__adev") > lit(3.0) * lit(1.4826) * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+  }
+
+  /** Zero-filled daily spine per key: one row per (key, day) for every day
+    * between that key's first and last observation, `n_ev` = 0 on gap days.
+    * The spine explodes from the per-key [min,max] aggregate — bounded by
+    * the calendar span, never by the data — and joins back on (key, day),
+    * the same partitioning the daily aggregate already has.
+    */
+  def gapFillDaily(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val daily = df.select(col(keyCol), to_date(col(tsCol)).as("day"))
+      .groupBy(col(keyCol), col("day")).agg(count(lit(1)).as("__n"))
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+      .select(col(keyCol),
+        explode(sequence(col("__d0"), col("__d1"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"), coalesce(col("__n"), lit(0L)).as("n_ev"))
+  }
+
+  /** Deterministic per-key mode: the most frequent value, ties broken by
+    * the smallest value. Two partial-aggregating shuffles of (key, value)
+    * pairs — never a sort of the raw data — then a per-key top-1 window
+    * over the (key × distinct-value) counts, which are bounded by the
+    * value-domain size, not the data.
+    */
+  def modePerKey(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol), col(valCol))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__cnt").desc, col(valCol).asc)
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col(valCol).as("mode_val"), col("__cnt").as("mode_n"))
+  }
 }

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Specs for the exact-moment statistics operators (olsTrend, corrPairs)
+  * and the deterministic journey operators (positionAttribution,
+  * modePerKey). All expectations are hand-computed closed forms.
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("olsTrend: exact line recovers slope/intercept/r2 = 1 exactly") {
+    val df = Seq(("g", 1L, 3.0), ("g", 2L, 5.0), ("g", 3L, 7.0), ("g", 4L, 9.0))
+      .toDF("grp", "x", "y")
+    val r = Analytics.olsTrend(df, Seq(col("grp")), col("x"), col("y")).head()
+    assert(r.getAs[Long]("n_obs") === 4L)
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === 1.0)
+    assert(r.getAs[Double]("r2") === 1.0)
+  }
+
+  test("olsTrend: noisy group matches the hand-computed closed form") {
+    // x=(0,1,2), y=(0,1,4): num=12, dx=6, dy=26
+    val df = Seq(("g", 0L, 0.0), ("g", 1L, 1.0), ("g", 2L, 4.0)).toDF("grp", "x", "y")
+    val r = Analytics.olsTrend(df, Seq(col("grp")), col("x"), col("y")).head()
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === math.rint(-1.0 / 3 * 1e6) / 1e6)
+    assert(r.getAs[Double]("r2") === math.rint(144.0 / (6 * 26) * 1e6) / 1e6)
+  }
+
+  test("olsTrend groups are independent") {
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 1L, 2.0), ("b", 2L, 1.0))
+      .toDF("grp", "x", "y")
+    val out = Analytics.olsTrend(df, Seq(col("grp")), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("slope")).toMap
+    assert(out("a") === 1.0 && out("b") === -1.0)
+  }
+
+  test("corrPairs: perfect, anti, and independent pairs") {
+    // a ↑ with b (corr 1), anti with c (corr −1)
+    val df = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))
+      .toDF("a", "b", "c")
+    val out = Analytics.corrPairs(df,
+        Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("corr_v")).toMap
+    assert(out.size === 3)
+    assert(out(("a", "b")) === 1.0)
+    assert(out(("a", "c")) === -1.0)
+    assert(out(("b", "c")) === -1.0)
+  }
+
+  test("corrPairs is one aggregate pass: no join or second scan in the plan") {
+    val df = Seq((1.0, 2.0), (2.0, 1.0)).toDF("a", "b")
+    val plan = Analytics.corrPairs(df, Seq("a" -> col("a"), "b" -> col("b")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"corr matrix must not self-join:\n$plan")
+  }
+
+  test("positionAttribution: U-shape 40/20/40 with 1- and 2-touch renormalization") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "b"), (1L, 4L, "a"), // 4-touch
+      (2L, 1L, "c"),                                              // 1-touch
+      (3L, 1L, "d"), (3L, 2L, "e")                                // 2-touch
+    ).toDF("user_id", "seq", "etype")
+    val out = Analytics.positionAttribution(df, "user_id", Seq(col("seq")), "etype")
+      .collect().map(r => r.getString(0) -> (r.getAs[Double]("credit"), r.getAs[Long]("n_touches"))).toMap
+    assert(out("a") === ((0.8, 2L)))  // first 0.4 + last 0.4
+    assert(out("b") === ((0.2, 2L)))  // two interiors × 0.2/2
+    assert(out("c") === ((1.0, 1L)))
+    assert(out("d") === ((0.5, 1L)))
+    assert(out("e") === ((0.5, 1L)))
+  }
+
+  test("positionAttribution: non-terminating interior share truncates at picocredits") {
+    // 5 touches → 3 interiors of 0.2/3 each: 200000000000 div 3 picocredits
+    val df = Seq((1L, 1L, "f"), (1L, 2L, "i1"), (1L, 3L, "i2"), (1L, 4L, "i3"),
+      (1L, 5L, "l")).toDF("user_id", "seq", "etype")
+    val out = Analytics.positionAttribution(df, "user_id", Seq(col("seq")), "etype")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("credit")).toMap
+    val interior = math.rint((200000000000L / 3) / 1e12 * 1e6) / 1e6
+    assert(out("i1") === interior && out("i2") === interior && out("i3") === interior)
+    assert(out("f") === 0.4 && out("l") === 0.4)
+  }
+
+  test("emaTrunc: head rows renormalize over available history; full frame matches closed form") {
+    // α=0.1: row1 = x1; row2 = (x2 + 0.9·x1)/1.9
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 20.0), (1L, 3L, 30.0)).toDF("k", "seq", "v")
+    val out = Analytics.emaTrunc(df, "k", Seq(col("seq")), col("v"))
+      .orderBy("seq").select("ema").as[Double].collect()
+    assert(out(0) === 10.0)
+    assert(out(1) === math.rint((20.0 + 0.9 * 10.0) / 1.9 * 1e6) / 1e6)
+    assert(out(2) === math.rint((30.0 + 0.9 * 20.0 + 0.81 * 10.0) / 2.71 * 1e6) / 1e6)
+  }
+
+  test("emaTrunc: depth cuts the history — row depth+1 ignores the first value") {
+    val df = (1 to 4).map(i => (1L, i.toLong, if (i == 1) 1000.0 else 1.0))
+      .toDF("k", "seq", "v")
+    val out = Analytics.emaTrunc(df, "k", Seq(col("seq")), col("v"), depth = 3)
+      .orderBy("seq").select("ema").as[Double].collect()
+    // row 4 sees only rows 2..4 (all 1.0) → exactly 1.0; row 3 still sees row 1
+    assert(out(3) === 1.0)
+    assert(out(2) > 1.0)
+  }
+
+  test("gapFillDaily: zero rows on gap days, span bounded per key") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00", 1), (1L, "2024-01-03 09:00:00", 2),
+      (1L, "2024-01-03 10:00:00", 3),
+      (2L, "2024-02-10 00:00:00", 4)
+    ).toDF("user_id", "s", "event_id").withColumn("ts", col("s").cast("timestamp"))
+    val out = Analytics.gapFillDaily(df, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    assert(out.size === 4) // 3 days for key 1, 1 day for key 2 — no cross-key spine
+    assert(out((1L, "2024-01-01")) === 1L)
+    assert(out((1L, "2024-01-02")) === 0L)
+    assert(out((1L, "2024-01-03")) === 2L)
+    assert(out((2L, "2024-02-10")) === 1L)
+  }
+
+  test("madOutliers: hand-computed median/MAD and the single planted outlier") {
+    // values 1..5 plus 100: median 3.5; adev {2.5,1.5,.5,.5,1.5,96.5} median 1.5
+    // threshold 3·1.4826·1.5 = 6.6717 → only 100 is out
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0)).map(("g", _)).toDF("grp", "v")
+    val r = Analytics.madOutliers(df, "grp", col("v")).head()
+    assert(r.getAs[Double]("med") === 3.5)
+    assert(r.getAs[Double]("mad") === 1.5)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Long]("n_total") === 6L)
+  }
+
+  test("modePerKey: most frequent wins; ties break to the smallest value") {
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "b"), (2L, "a"),             // tie → "a"
+      (3L, "z")).toDF("k", "v")
+    val out = Analytics.modePerKey(df, "k", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("x", 2L)))
+    assert(out(2L) === (("a", 1L)))
+    assert(out(3L) === (("z", 1L)))
+  }
+}
