@@ -2104,6 +2104,76 @@ object SparkEntry {
   private def anomalyMadQ(s: SparkSession, dir: String): DataFrame =
     Analytics.madOutliers(t(s, dir, "events"), "event_type", col("value"))
 
+  /** Frequently-bought-together part pairs ([[Analytics.marketBasket]]):
+    * in-basket pair generation, exact-count lift, deterministic top 50.
+    */
+  private def marketBasketQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.marketBasket(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+
+  /** Pareto frontier of orders ([[Analytics.paretoFrontierByDate]]):
+    * earliest-date / highest-value skyline via the per-date running max.
+    */
+  private def skylineQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.paretoFrontierByDate(
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice")),
+      "o_orderdate", "o_totalprice")
+
+  /** Blocked edit-distance near-dup pairs ([[Dedup.editDistancePairs]]):
+    * length-bucket × source blocking, Levenshtein ≤ 15 on 120-char
+    * prefixes.
+    */
+  private def levPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.editDistancePairs(t(s, dir, "documents"), "doc_id", "text",
+      Seq(col("source"), expr("n_chars div 64")), prefixLen = 120, maxDist = 15)
+
+  /** 3-hop BFS reach over the co-purchase part graph
+    * ([[graft.operators.Graph.bfsHops]]): edges are part pairs sharing ≥ 2
+    * orders, seeded at the best-connected part (max degree, smallest-key
+    * tie-break) so the walk explores the graph's densest component.
+    */
+  private def bfsReachQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val items = li.distinct()
+    val edges = items.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("__arr"))
+      .select(explode(expr(
+        """flatten(transform(__arr, (x, i) ->
+          |  transform(slice(__arr, i + 2, size(__arr)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("__pr"))
+      .select(col("__pr.p1").as("p1"), col("__pr.p2").as("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("p1"), col("p2"))
+    val seeds = edges.select(col("p1").as("node"))
+      .union(edges.select(col("p2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__deg"))
+      .orderBy(col("__deg").desc, col("node")).limit(1)
+      .select(col("node"))
+    graft.operators.Graph.bfsHops(edges, "p1", "p2", seeds, "node", maxHops = 3)
+  }
+
+  /** Benford first-digit profile of order totals: observed share per
+    * leading digit next to the theoretical log₁₀(1+1/d). The expectation
+    * constants are one Scala-computed literal table shared verbatim with
+    * the oracle — engines' libm log10 need not agree.
+    */
+  private val benfordExp: Seq[(String, Double)] =
+    (1 to 9).map(d => d.toString -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
+
+  private def benfordQ(s: SparkSession, dir: String): DataFrame = {
+    val digits = t(s, dir, "orders")
+      .select(substring(col("o_totalprice").cast("long").cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_orders"))
+    val total = digits.agg(sum(col("n_orders")).as("__tot"))
+    val expCol = benfordExp.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("__tot").cast("double"), 6).as("obs_pct"),
+        expCol.as("exp_pct"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2129,6 +2199,11 @@ object SparkEntry {
     "q_ema"                 -> (emaQ(_, _)),
     "q_gapfill"             -> (gapfillQ(_, _)),
     "q_anomaly_mad"         -> (anomalyMadQ(_, _)),
+    "q_market_basket"       -> (marketBasketQ(_, _)),
+    "q_skyline"             -> (skylineQ(_, _)),
+    "q_lev_pairs"           -> (levPairsQ(_, _)),
+    "q_bfs_reach"           -> (bfsReachQ(_, _)),
+    "q_benford"             -> (benfordQ(_, _)),
     "q_event_paths"         -> (eventPathsQ(_, _)),
     "q_moving_avg"          -> (movingAvgQ(_, _)),
     "q_zorder_layout"       -> (zorderLayoutQ(_, _)),
@@ -2728,6 +2803,62 @@ object SparkEntry {
         |  count(*) AS n_total
         |FROM d JOIN md USING (event_type)
         |GROUP BY 1""".stripMargin,
+    "q_market_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS nb FROM li),
+        |pc AS (SELECT l_partkey, count(*) AS np FROM li GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p1, p2, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(nb AS DOUBLE) /
+        |        (CAST(c1.np AS DOUBLE) * CAST(c2.np AS DOUBLE)), 6) AS lift
+        |FROM pairs, n
+        |JOIN pc c1 ON p1 = c1.l_partkey
+        |JOIN pc c2 ON p2 = c2.l_partkey
+        |ORDER BY lift DESC, p1, p2 LIMIT 50""".stripMargin,
+    "q_skyline" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, max(o_totalprice) AS dmax
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT day, dmax,
+        |    max(dmax) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max
+        |  FROM daily)
+        |SELECT o_orderkey, o_orderdate, o_totalprice
+        |FROM orders JOIN p ON CAST(o_orderdate AS DATE) = p.day
+        |WHERE o_totalprice = p.dmax AND (p.prior_max IS NULL OR o_totalprice > p.prior_max)""".stripMargin,
+    "q_lev_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id, substring(text, 1, 120) AS t, source, n_chars // 64 AS lb
+        |  FROM documents)
+        |SELECT x.doc_id AS a, y.doc_id AS b, levenshtein(x.t, y.t) AS edit_dist
+        |FROM b x JOIN b y ON x.source = y.source AND x.lb = y.lb AND x.doc_id < y.doc_id
+        |WHERE levenshtein(x.t, y.t) <= 15""".stripMargin,
+    "q_bfs_reach" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT a.l_partkey AS s, b.l_partkey AS d
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        |walk(node, hops) AS (
+        |  (SELECT s, 0 FROM e GROUP BY s ORDER BY count(*) DESC, s LIMIT 1)
+        |  UNION
+        |  SELECT e.d, w.hops + 1 FROM walk w JOIN e ON e.s = w.node WHERE w.hops < 3)
+        |SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY 1""".stripMargin,
+    "q_benford" ->
+      s"""WITH d AS (
+         |  SELECT substring(CAST(CAST(TRUNC(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+         |  FROM orders),
+         |c AS (SELECT digit, count(*) AS n_orders FROM d GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS tot FROM c)
+         |SELECT digit, n_orders,
+         |  round(CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS obs_pct,
+         |  CASE digit ${benfordExp.map { case (d, e) =>
+              s"WHEN '$d' THEN CAST($e AS DOUBLE)" }.mkString(" ")} END AS exp_pct
+         |FROM c, t""".stripMargin,
     "q_event_paths" ->
       """WITH x AS (
         |  SELECT user_id,

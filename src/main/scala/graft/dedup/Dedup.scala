@@ -109,6 +109,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance near-dup pairs under blocking: documents are compared
+    * only within a (`blockCols`) block, on the first `prefixLen` chars,
+    * keeping pairs with Levenshtein ≤ `maxDist`. The classic
+    * entity-resolution shape: blocking bounds candidates to Σ_b |b|²
+    * (choose keys so blocks are small — here length-bucket × source), the
+    * O(prefixLen²) DP runs only on candidates, and the block join is an
+    * equi-join on the block key (co-partitioned, AQE-skew-splittable).
+    * At corpus scale, swap the grouping keys for SimHash bands
+    * ([[simhashPairs]]) — same pair-in-block contract, tighter blocks.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[Column], prefixLen: Int,
+                        maxDist: Int): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      substring(col(textCol), 1, prefixLen).as("__t"),
+      struct(blockCols: _*).as("__blk"))
+    base.as("x").join(base.as("y"),
+        col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        levenshtein(col("x.__t"), col("y.__t")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   // ----------------------------------------------------------- MinHash+LSH
 
   /** MinHash parameters. `numHashes = bands * rowsPerBand`. With the default

@@ -1035,6 +1035,63 @@ object Analytics {
       .select(col(keyCol), col("day"), coalesce(col("__n"), lit(0L)).as("n_ev"))
   }
 
+  /** Market-basket pair mining: co-occurrence count and lift for every
+    * item pair sharing a basket, top `k` by (lift, pair) deterministic
+    * order. Pairs are generated INSIDE each basket from its sorted
+    * distinct-item array (a nested `transform`/`slice` lambda — no
+    * self-join, one shuffle on the basket key; baskets are bounded, so the
+    * explosion is |basket|², not |data|²). Item totals broadcast back, and
+    * the final top-k is a distributed TakeOrdered, never a full sort.
+    * Lift = n_ab·N / (n_a·n_b) from exact longs, divided once in double.
+    */
+  def marketBasket(df: DataFrame, basketCol: String, itemCol: String,
+                   minPairCount: Long = 2, k: Int = 50): DataFrame = {
+    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
+    val nBaskets = items.agg(countDistinct(col("__b")).as("__nb"))
+    val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val pairs = items.groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__arr"))
+      .select(explode(expr(
+        """flatten(transform(__arr, (x, i) ->
+          |  transform(slice(__arr, i + 2, size(__arr)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("__pr"))
+      .select(col("__pr.p1").as("p1"), col("__pr.p2").as("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+    pairs
+      .join(broadcast(itemCounts.withColumnRenamed("__i", "p1").withColumnRenamed("__ni", "__n1")), "p1")
+      .join(broadcast(itemCounts.withColumnRenamed("__i", "p2").withColumnRenamed("__ni", "__n2")), "p2")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("lift", round(
+        col("n_ab").cast("double") * col("__nb").cast("double") /
+          (col("__n1").cast("double") * col("__n2").cast("double")), 6))
+      .select(col("p1"), col("p2"), col("n_ab"), col("lift"))
+      .orderBy(col("lift").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
+  /** 2-D Pareto frontier, maximizing `valueCol` while minimizing the date
+    * of `tsCol`: a row survives iff nothing with an earlier-or-equal date
+    * strictly dominates it — i.e. it holds its date's max value AND beats
+    * every strictly-earlier date's max. The frontier reduces to a per-date
+    * max (one partial-aggregated shuffle; the result is bounded by the
+    * CALENDAR, not the data) plus a running max over those few dates and a
+    * broadcast join back — never the quadratic dominance self-join.
+    */
+  def paretoFrontierByDate(df: DataFrame, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df.groupBy(to_date(col(tsCol)).as("__day"))
+      .agg(max(col(valueCol)).as("__dmax"))
+    // single-partition window is safe HERE: input is the per-day aggregate,
+    // bounded by the calendar span (~10k rows for 30 years)
+    val prior = daily.withColumn("__prior",
+      max(col("__dmax")).over(Window.orderBy(col("__day"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    df.join(broadcast(prior), to_date(col(tsCol)) === col("__day"))
+      .filter(col(valueCol) === col("__dmax") &&
+        (col("__prior").isNull || col(valueCol) > col("__prior")))
+      .drop("__day", "__dmax", "__prior")
+  }
+
   /** Deterministic per-key mode: the most frequent value, ties broken by
     * the smallest value. Two partial-aggregating shuffles of (key, value)
     * pairs — never a sort of the raw data — then a per-key top-1 window

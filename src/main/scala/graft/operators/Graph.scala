@@ -117,4 +117,32 @@ object Graph {
       .limit(k)
       .select(col(idCol), col("weight"), round(col("race_key"), 6).as("race_key"))
   }
+
+  /** Bounded-depth BFS over an UNDIRECTED edge list: minimum hop count from
+    * any seed, up to `maxHops`. Each round is one equi-join of the current
+    * frontier against the (symmetrized, deduplicated) edge table followed
+    * by an anti-join against the visited set and a min-dedup of the new
+    * frontier — the iterative-join BFS shape that scales as
+    * O(maxHops × edge shuffle), with the edge exchange reused across
+    * rounds (same canonical subtree, like [[pageRank]]'s). Frontiers only
+    * shrink relative to the reachable set; nothing is collected to the
+    * driver. Returns (`node`, `hops`) including the seeds at hop 0.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 10, s"bounded-depth BFS only: $maxHops")
+    val sym = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .union(edges.select(col(dstCol).as("__s"), col(srcCol).as("__d")))
+      .distinct()
+    var visited = seeds.select(col(seedCol).as("node"), lit(0).as("hops"))
+    var frontier = visited.select(col("node"))
+    for (h <- 1 to maxHops) {
+      val next = sym.join(frontier.withColumnRenamed("node", "__s"), "__s")
+        .select(col("__d").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+      visited = visited.union(next.select(col("node"), lit(h).as("hops")))
+      frontier = next
+    }
+    visited
+  }
 }

@@ -307,4 +307,19 @@ class DedupSpec extends SparkSpec {
     assert(fast === dist)
     assert(fast === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 5L))
   }
+
+  test("editDistancePairs: only same-block pairs compare; distance gates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "kitten one two three", "a", 1L),
+      (2L, "sitten one two three", "a", 1L),  // dist 1 from doc 1
+      (3L, "totally different txt", "a", 1L), // same block, far
+      (4L, "kitten one two three", "b", 1L)   // identical text, other block
+    ).toDF("doc_id", "text", "source", "lb")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text",
+        Seq(org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("lb")), prefixLen = 50, maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((1L, 2L) -> 1L))
+  }
 }

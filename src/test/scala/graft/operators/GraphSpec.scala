@@ -92,4 +92,23 @@ class GraphSpec extends SparkSpec {
     assert(fast === naive.toMap, s"wedge vs naive mismatch on ${e.size} edges")
     assert(fast.nonEmpty, "expected triangles in the co-occurrence graph")
   }
+
+  test("bfsHops: layered min-hop levels, undirected, depth-bounded") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus a shortcut 1-3; node 9 unreachable
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L), (8L, 9L))
+      .toDF("s", "d")
+    val seeds = Seq(1L).toDF("node")
+    val out = Graph.bfsHops(edges, "s", "d", seeds, "node", maxHops = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("bfsHops: reverse-direction edges walk too (symmetrization)") {
+    import spark.implicits._
+    val edges = Seq((2L, 1L)).toDF("s", "d") // seed appears only as dst
+    val out = Graph.bfsHops(edges, "s", "d", Seq(1L).toDF("node"), "node", 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 2L -> 1))
+  }
 }

@@ -129,6 +129,36 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_total") === 6L)
   }
 
+  test("marketBasket: pair counts, lift, and the support floor") {
+    // baskets: {1,2,3}, {1,2}, {1,2}, {3}; N=4, n1=3, n2=3, n3=2, n12=3, n13=1, n23=1
+    val df = Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 1L), (20L, 2L),
+      (30L, 1L), (30L, 2L), (30L, 2L), (40L, 3L)).toDF("basket", "item")
+    val out = Analytics.marketBasket(df, "basket", "item", minPairCount = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getAs[Double]("lift")))).toMap
+    assert(out.size === 1) // only (1,2) reaches support 2
+    assert(out((1L, 2L)) === ((3L, math.rint(3.0 * 4 / (3.0 * 3) * 1e6) / 1e6)))
+  }
+
+  test("marketBasket: duplicate items in one basket count once") {
+    val df = Seq((1L, 7L), (1L, 7L), (1L, 8L), (2L, 7L), (2L, 8L)).toDF("b", "i")
+    val out = Analytics.marketBasket(df, "b", "i", minPairCount = 2, k = 10).collect()
+    assert(out.length === 1 && out.head.getLong(2) === 2L)
+  }
+
+  test("paretoFrontierByDate: dominated rows drop, same-date max ties both survive") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 10.0),  // frontier (first day max)
+      (2L, "2024-01-01 00:00:00", 10.0),  // tie at the max — also frontier
+      (3L, "2024-01-01 00:00:00", 5.0),   // dominated same-day
+      (4L, "2024-01-02 00:00:00", 10.0),  // equal to prior max, later date → dominated
+      (5L, "2024-01-03 00:00:00", 20.0),  // new max → frontier
+      (6L, "2024-01-04 00:00:00", 15.0)   // below running max → dominated
+    ).toDF("id", "s", "v").withColumn("ts", col("s").cast("timestamp"))
+    val ids = Analytics.paretoFrontierByDate(df, "ts", "v")
+      .select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 5L))
+  }
+
   test("modePerKey: most frequent wins; ties break to the smallest value") {
     val df = Seq((1L, "x"), (1L, "x"), (1L, "y"),
       (2L, "b"), (2L, "a"),             // tie → "a"
