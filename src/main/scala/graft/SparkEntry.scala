@@ -2174,6 +2174,31 @@ object SparkEntry {
         expCol.as("exp_pct"))
   }
 
+  /** Exact 5-gram Jaccard ≥ 0.8 pairs via PPJoin prefix filtering
+    * ([[Dedup.ppjoinPairs]]): the third fuzzy-dedup path — same result set
+    * as the exact inverted index (spec-pinned), candidates from the rare
+    * prefix only.
+    */
+  private def ppjoinQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.ppjoinPairs(t(s, dir, "documents"), "doc_id", "text", n = 5,
+      tNum = 4, tDen = 5)
+
+  /** Top-40 token vocabulary with cumulative corpus coverage
+    * ([[Analytics.vocabCoverage]]) over whitespace tokens of the lowered
+    * document text.
+    */
+  private def vocabCoverageQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.vocabCoverage(
+      t(s, dir, "documents").select(
+        explode(TF.tokens(lower(col("text")))).as("tok")),
+      "tok", k = 40)
+
+  /** Per-event-type ISO day-of-week seasonality
+    * ([[Analytics.dowProfile]]).
+    */
+  private def dowProfileQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.dowProfile(t(s, dir, "events"), "event_type", "ts", col("value"))
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2204,6 +2229,9 @@ object SparkEntry {
     "q_lev_pairs"           -> (levPairsQ(_, _)),
     "q_bfs_reach"           -> (bfsReachQ(_, _)),
     "q_benford"             -> (benfordQ(_, _)),
+    "q_ppjoin"              -> (ppjoinQ(_, _)),
+    "q_vocab_coverage"      -> (vocabCoverageQ(_, _)),
+    "q_dow_profile"         -> (dowProfileQ(_, _)),
     "q_event_paths"         -> (eventPathsQ(_, _)),
     "q_moving_avg"          -> (movingAvgQ(_, _)),
     "q_zorder_layout"       -> (zorderLayoutQ(_, _)),
@@ -2859,6 +2887,32 @@ object SparkEntry {
          |  CASE digit ${benfordExp.map { case (d, e) =>
               s"WHEN '$d' THEN CAST($e AS DOUBLE)" }.mkString(" ")} END AS exp_pct
          |FROM c, t""".stripMargin,
+    // PPJoin is candidate-generation only — the result contract is the
+    // same exact uncapped 5-gram Jaccard the minhash queries verify against
+    "q_ppjoin" -> duckShingleCte,
+    "q_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest($duckToks) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+         |r AS (SELECT tok, n,
+         |        row_number() OVER (ORDER BY n DESC, tok) AS rnk,
+         |        sum(n) OVER (ORDER BY n DESC, tok
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM c)
+         |SELECT tok, n, CAST(rnk AS INT) AS rnk,
+         |  round(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+         |FROM r, t WHERE rnk <= 40""".stripMargin,
+    "q_dow_profile" ->
+      """WITH a AS (
+        |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |    count(*) AS n_ev,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n_ev) AS BIGINT) AS tot FROM a GROUP BY 1)
+        |SELECT a.event_type, dow, n_ev,
+        |  round(sum_v / CAST(n_ev AS DOUBLE), 6) AS avg_v,
+        |  round(CAST(n_ev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        |FROM a JOIN t USING (event_type)""".stripMargin,
     "q_event_paths" ->
       """WITH x AS (
         |  SELECT user_id,

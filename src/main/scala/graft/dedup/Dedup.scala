@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 
@@ -136,6 +137,50 @@ object Dedup {
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
         levenshtein(col("x.__t"), col("y.__t"), maxDist).cast("long").as("edit_dist"))
       .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+  }
+
+  /** Exact set-similarity join via PPJoin-style prefix filtering: the same
+    * pairs ≥ `threshold` as [[ngramJaccardPairs]] with the guard OFF, but
+    * the candidate set comes from a PREFIX inverted index instead of the
+    * full one. Each document keeps only its first
+    * p = n − ⌈τ·n⌉ + 1 shingles under a global (docFreq asc, shingle asc)
+    * order — two sets with Jaccard ≥ τ must share a prefix shingle
+    * (Chaudhuri et al. 2006 prefix-filter lemma), so the join is LOSSLESS
+    * while indexing only the RAREST ~(1−τ) fraction of each set: hot
+    * boilerplate shingles sort last and never enter the index, which kills
+    * the df² blowup [[autoDocFreqCap]] can only truncate (and truncation
+    * under-reports Jaccard; this path is exact). ⌈τ·n⌉ is computed in
+    * integer arithmetic from the rational `tNum/tDen` — a float ceil can
+    * round UP and silently shrink the prefix below the lossless bound.
+    * Candidates verify with one array_intersect over the pair's full
+    * shingle sets. Scale: one df-join + per-doc sort, prefix self-join
+    * Σ_{rare s} df(s)², verification O(|candidates|).
+    */
+  def ppjoinPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                  tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum < tDen, s"threshold in (0,1): $tNum/$tDen")
+    val threshold = tNum.toDouble / tDen
+    val sets = shingleSets(df, idCol, textCol, n).filter(size(col("shingles")) > 0)
+    val inv = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    val pref = inv.join(dfreq, "s")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("s"))))
+      .join(sets.select(col("doc_id"), size(col("shingles")).as("__n")), "doc_id")
+      .filter(col("__rn") <=
+        col("__n") - expr(s"(($tNum * __n) + $tDen - 1) div $tDen") + 1)
+      .select(col("doc_id"), col("s"))
+    val cands = pref.as("x").join(pref.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    cands
+      .join(sets.select(col("doc_id").as("a"), col("shingles").as("__sa")), "a")
+      .join(sets.select(col("doc_id").as("b"), col("shingles").as("__sb")), "b")
+      .select(col("a"), col("b"),
+        round(size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          (size(col("__sa")) + size(col("__sb")) -
+            size(array_intersect(col("__sa"), col("__sb")))), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   // ----------------------------------------------------------- MinHash+LSH

@@ -1092,6 +1092,47 @@ object Analytics {
       .drop("__day", "__dmax", "__prior")
   }
 
+  /** Top-`k` vocabulary with cumulative corpus coverage: token counts (one
+    * partial-aggregated shuffle over the token stream), distributed
+    * TakeOrdered for the top slice, then the running share over just those
+    * `k` rows (single-partition window over a CONSTANT-bounded frame — the
+    * tokenizer-design question "how many vocab entries cover 95% of the
+    * corpus" needs exactly this shape at any scale). Exact long counts;
+    * one double division per row.
+    */
+  def vocabCoverage(tokens: DataFrame, tokCol: String, k: Int): DataFrame = {
+    val counts = tokens.groupBy(col(tokCol).as("tok")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__tot"))
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(k)
+    val w = Window.orderBy(col("n").desc, col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .withColumn("cum_share",
+        round(sum(col("n")).over(w).cast("double") / col("__tot").cast("double"), 6))
+      .select(col("tok"), col("n"), col("rnk"), col("cum_share"))
+  }
+
+  /** Day-of-week seasonality profile per group: event count, exact-decimal
+    * mean of `valueCol`, and the share of the group's events on that
+    * weekday (ISO 1=Monday). One partial-aggregated pass; the per-group
+    * totals join back by broadcast (≤ |groups| rows).
+    */
+  def dowProfile(df: DataFrame, groupCol: String, tsCol: String,
+                 valueCol: Column): DataFrame = {
+    // ISO weekday (1=Mon..7=Sun) from dayofweek (1=Sun..7=Sat): both
+    // engines agree on this arithmetic; DuckDB's isodow is the twin
+    val a = df.groupBy(col(groupCol),
+        (((dayofweek(col(tsCol)) + lit(5)) % lit(7)) + lit(1)).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_ev"),
+        sum(valueCol.cast("decimal(18,2)")).cast("double").as("__sum"))
+    val totals = a.groupBy(col(groupCol)).agg(sum(col("n_ev")).as("__tot"))
+    a.join(broadcast(totals), groupCol)
+      .select(col(groupCol), col("dow"), col("n_ev"),
+        round(col("__sum") / col("n_ev").cast("double"), 6).as("avg_v"),
+        round(col("n_ev").cast("double") / col("__tot").cast("double"), 6).as("share"))
+  }
+
   /** Deterministic per-key mode: the most frequent value, ties broken by
     * the smallest value. Two partial-aggregating shuffles of (key, value)
     * pairs — never a sort of the raw data — then a per-key top-1 window

@@ -322,4 +322,34 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(out === Map((1L, 2L) -> 1L))
   }
+
+  test("ppjoinPairs equals the uncapped exact inverted index on sf0.001 docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.8, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pp = Dedup.ppjoinPairs(docs, "doc_id", "text", n = 5, tNum = 4, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pp === exact)
+    assert(pp.nonEmpty, "expected near-dup pairs in the corpus")
+  }
+
+  test("ppjoinPairs: a corpus-wide hot shingle stays out of the prefix index") {
+    import spark.implicits._
+    // every doc shares the boilerplate head; only docs 1,2 are really similar
+    val boiler = "common header words repeated everywhere in all docs"
+    val docs = Seq(
+      (1L, boiler + " alpha beta gamma delta epsilon zeta"),
+      (2L, boiler + " alpha beta gamma delta epsilon eta"),
+      (3L, boiler + " one two three four five six"),
+      (4L, boiler + " seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val pp = Dedup.ppjoinPairs(docs, "doc_id", "text", n = 5, tNum = 3, tDen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5,
+        threshold = 0.6, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pp === exact)
+    assert(pp.contains((1L, 2L)))
+  }
 }

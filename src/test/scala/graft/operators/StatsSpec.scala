@@ -169,4 +169,30 @@ class StatsSpec extends SparkSpec {
     assert(out(2L) === (("a", 1L)))
     assert(out(3L) === (("z", 1L)))
   }
+
+  test("vocabCoverage: ordered ranks, monotone cumulative share reaching k-coverage") {
+    val toks = Seq("a","a","a","b","b","c","d").map(Tuple1(_)).toDF("tok")
+    val out = Analytics.vocabCoverage(toks, "tok", k = 3)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b", "c"))
+    assert(out.map(_.getLong(1)).toSeq === Seq(3L, 2L, 1L))
+    val shares = out.map(_.getAs[Double]("cum_share")).toSeq
+    assert(shares === Seq(math.rint(3.0/7*1e6)/1e6, math.rint(5.0/7*1e6)/1e6,
+      math.rint(6.0/7*1e6)/1e6))
+  }
+
+  test("dowProfile: ISO weekday, per-group share sums to 1") {
+    val df = Seq(
+      ("x", "2024-01-01 10:00:00", 10.0), // Monday → 1
+      ("x", "2024-01-07 10:00:00", 30.0), // Sunday → 7
+      ("x", "2024-01-08 10:00:00", 50.0), // Monday → 1
+      ("y", "2024-01-06 10:00:00", 7.0)   // Saturday → 6
+    ).toDF("g", "s", "v").withColumn("ts", col("s").cast("timestamp"))
+    val out = Analytics.dowProfile(df, "g", "ts", col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getAs[Double]("avg_v"), r.getAs[Double]("share")))).toMap
+    assert(out(("x", 1L)) === ((2L, 30.0, 0.666667)))
+    assert(out(("x", 7L)) === ((1L, 30.0, 0.333333)))
+    assert(out(("y", 6L)) === ((1L, 7.0, 1.0)))
+  }
 }
