@@ -36,6 +36,10 @@ final case class EnrichedFact(user_id: Long, event_id: Long, value: Double,
 
 private final case class ViewState(tsMicros: Long, seq: Long, value: Double)
 
+final case class EmaEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
+final case class EmaOut(user_id: Long, event_id: Long, ema: Double)
+private final case class EmaState(ema: Double)
+
 /** Custom streaming state via `flatMapGroupsWithState` — the arbitrary-state
   * face of the engine (the batch analog is
   * [[graft.operators.Analytics.sessionize]]). Kafka Streams exposes this as
@@ -182,6 +186,44 @@ object StatefulOps {
             }
           cur.foreach(state.update)
           out.result().iterator
+      }
+  }
+
+  /** Streaming recursive EMA — the live counterpart of the batch
+    * [[graft.operators.Analytics.emaTrunc]] family: per key,
+    * `ema ← α·x + (1−α)·ema` (pandas adjust=False; the first event seeds
+    * `ema = x`), one smoothed row emitted per event. This is the filter
+    * form a stream processor actually runs: O(1) state per key (a single
+    * double — no window, no history), one state-store shuffle.
+    *
+    * Parity contract (spec-asserted): with per-key event-time-ordered
+    * delivery across micro-batches, the emitted series equals the batch
+    * recursive fold exactly — the arithmetic is a deterministic
+    * left-to-right IEEE recurrence in both. Events inside a micro-batch
+    * are sorted by (ts, event_id) first, so intra-batch disorder is
+    * absorbed.
+    */
+  def streamingEma(events: Dataset[EmaEvent], alpha: Double): Dataset[EmaOut] = {
+    import events.sparkSession.implicits._
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EmaState, EmaOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[EmaState]) =>
+          var cur = state.getOption
+          val out = batch.toSeq
+            .sortBy(e => (micros(e.ts), e.event_id))
+            .map { e =>
+              val next = cur match {
+                case Some(s) => alpha * e.value + (1 - alpha) * s.ema
+                case None    => e.value
+              }
+              cur = Some(EmaState(next))
+              EmaOut(userId, e.event_id, next)
+            }
+          cur.foreach(state.update)
+          out.iterator
       }
   }
 }

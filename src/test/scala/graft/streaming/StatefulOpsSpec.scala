@@ -169,4 +169,40 @@ class StatefulOpsSpec extends SparkSpec {
     assert(streamed.contains((2L, 5L, 70.0, 9.0)))  // same-instant view counts
     assert(!streamed.exists(_._2 == 1L) && !streamed.exists(_._1 == 3L)) // unmatched dropped
   }
+
+  test("streamingEma equals the batch recursive fold under ordered cross-batch delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val alpha = 0.1
+    val events = Seq(
+      EmaEvent(1L, ts("2024-01-01 10:00:00"), 1L, 10.0),
+      EmaEvent(1L, ts("2024-01-01 10:01:00"), 2L, 20.0),
+      EmaEvent(1L, ts("2024-01-01 10:02:00"), 3L, 30.0),
+      EmaEvent(2L, ts("2024-01-01 10:00:00"), 4L, 5.0),
+      EmaEvent(2L, ts("2024-01-01 10:03:00"), 5L, 6.0))
+    // split across micro-batches, per-key order preserved; batch 2 also
+    // arrives intra-batch DISORDERED to exercise the sort
+    val in = MemoryStream[EmaEvent]
+    in.addData(events(0), events(3))
+    in.addData(events(2), events(1), events(4))
+
+    val q = StatefulOps.streamingEma(in.toDS(), alpha)
+      .writeStream.format("memory").queryName("t_ema")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // last emitted row per event_id is the final smoothed value
+    val live = spark.table("t_ema").as[EmaOut].collect()
+      .map(o => o.event_id -> o.ema).toMap
+
+    val expected = events.groupBy(_.user_id).values.flatMap { es =>
+      var ema = Option.empty[Double]
+      es.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        val next = ema.map(s => alpha * e.value + (1 - alpha) * s).getOrElse(e.value)
+        ema = Some(next)
+        e.event_id -> next
+      }
+    }.toMap
+    assert(live === expected)
+    assert(live(3L) === alpha * 30.0 + (1 - alpha) * (alpha * 20.0 + (1 - alpha) * 10.0))
+  }
 }
