@@ -420,4 +420,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") && p.contains("partial_sum"), p)
     assert(exchanges(p) === 1, p)
   }
+
+  test("q_regr_trend / q_corr_matrix: one partial-aggregated pass, dimension broadcast") {
+    val pr = plan("q_regr_trend")
+    // customer joins orders by broadcast; the fact table never sort-merges
+    assert(pr.contains("BroadcastHashJoin"), pr)
+    assert(!pr.contains("SortMergeJoin"), pr)
+    val pc = plan("q_corr_matrix")
+    // the whole matrix is one aggregate over one scan: no join at all
+    assert(!pc.contains("Join"), pc)
+    assert(pc.contains("HashAggregate"), pc)
+  }
+
+  test("q_market_basket: in-basket pair generation, broadcast totals, TakeOrdered top-k") {
+    val p = plan("q_market_basket")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // pairs come from the per-basket array lambda, not a fact self-join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_dow_profile / q_mode_event: partial aggregation before the key exchange") {
+    val pd = plan("q_dow_profile")
+    assert(pd.contains("BroadcastHashJoin") && !pd.contains("SortMergeJoin"), pd)
+    val pm = plan("q_mode_event")
+    // counts shuffle once on (key, value); no raw-data window sort
+    assert("Exchange hashpartitioning".r.findAllIn(pm).length <= 2, pm)
+  }
+
+  test("q_skyline: the dominance check is a broadcast join back, not a self-join") {
+    val p = plan("q_skyline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q_ema: twenty lag terms share ONE window (one shuffle, one sort)") {
+    val p = plan("q_ema")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length === 1, p)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length === 1, p)
+    assert("\\(\\d+\\) Sort".r.findAllIn(p).length === 1, p)
+  }
+
+  test("q_lev_pairs: banded levenshtein and the length guard sit in the join condition") {
+    val p = plan("q_lev_pairs")
+    assert(p.contains("levenshtein"), p)
+    // block key equi-join, not a cartesian compare
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
