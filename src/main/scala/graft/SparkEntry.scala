@@ -2199,6 +2199,39 @@ object SparkEntry {
   private def dowProfileQ(s: SparkSession, dir: String): DataFrame =
     Analytics.dowProfile(t(s, dir, "events"), "event_type", "ts", col("value"))
 
+  /** TPC-H Q6 shape (forecasting revenue change): a pure scan-side
+    * aggregate whose THREE predicates all push into the parquet scan
+    * (date band, discount band, quantity cap) — the canonical pushdown
+    * benchmark. Revenue sums exact decimal products.
+    */
+  private def sqlQ6(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(4,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q10 shape (returned-item reporting): customer×orders×lineitem
+    * star with the nation dim broadcast, one quarter of returned items,
+    * top 20 customers by exact-decimal revenue (distributed TakeOrdered).
+    */
+  private def sqlQ10(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("l_returnflag") === "R" &&
+        col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(4,2)"))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2230,6 +2263,8 @@ object SparkEntry {
     "q_bfs_reach"           -> (bfsReachQ(_, _)),
     "q_benford"             -> (benfordQ(_, _)),
     "q_ppjoin"              -> (ppjoinQ(_, _)),
+    "q_sql_q6"              -> (sqlQ6(_, _)),
+    "q_sql_q10"             -> (sqlQ10(_, _)),
     "q_vocab_coverage"      -> (vocabCoverageQ(_, _)),
     "q_dow_profile"         -> (dowProfileQ(_, _)),
     "q_event_paths"         -> (eventPathsQ(_, _)),
@@ -3004,6 +3039,23 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view"
         |FROM events GROUP BY 1""".stripMargin,
     "q_sql_q3" -> sqlQ3Text,
+    "q_sql_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_sql_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |AND o_orderdate >= TIMESTAMP '1995-10-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
         |COUNT(CAST(props->>'k' AS BIGINT)) AS n_k

@@ -461,6 +461,21 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\(\\d+\\) Sort".r.findAllIn(p).length === 1, p)
   }
 
+  test("q_sql_q6: all three predicate bands push into the parquet scan") {
+    val p = plan("q_sql_q6")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24"), p)
+    assert(p.contains("l_shipdate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q_sql_q10: nation broadcasts; top-20 is TakeOrderedAndProject") {
+    val p = plan("q_sql_q10")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("EqualTo(l_returnflag,R)"), p)
+  }
+
   test("q_lev_pairs: banded levenshtein and the length guard sit in the join condition") {
     val p = plan("q_lev_pairs")
     assert(p.contains("levenshtein"), p)
