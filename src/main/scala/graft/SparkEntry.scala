@@ -2232,6 +2232,35 @@ object SparkEntry {
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
 
+  /** Consecutive same-event runs per user ([[Analytics.runs]]):
+    * gaps-and-islands from one lag + running sum over a single window.
+    */
+  private def runsQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.runs(t(s, dir, "events"), "user_id",
+      Seq(col("ts"), col("event_id")), "event_type")
+
+  /** Supplier concentration per part brand ([[Analytics.hhi]]): HHI from
+    * exact integer share sums, the part dim broadcast onto the fact scan.
+    */
+  private def hhiQ(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+    Analytics.hhi(li.join(broadcast(p), col("l_partkey") === col("p_partkey")),
+      "p_brand", "l_suppkey")
+  }
+
+  /** Even/odd-cohort heavy-purchaser (≥ 15 purchase events) z-test
+    * ([[Analytics.twoProportionZ]]): one unit row per user, pooled
+    * two-proportion z from exact counts.
+    */
+  private def abTestQ(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 15, 1L)
+        .otherwise(0L).as("conv"))
+    Analytics.twoProportionZ(perUser, pmod(col("user_id"), lit(2)), col("conv"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2264,6 +2293,9 @@ object SparkEntry {
     "q_benford"             -> (benfordQ(_, _)),
     "q_ppjoin"              -> (ppjoinQ(_, _)),
     "q_sql_q6"              -> (sqlQ6(_, _)),
+    "q_runs"                -> (runsQ(_, _)),
+    "q_hhi"                 -> (hhiQ(_, _)),
+    "q_ab_test"             -> (abTestQ(_, _)),
     "q_sql_q10"             -> (sqlQ10(_, _)),
     "q_vocab_coverage"      -> (vocabCoverageQ(_, _)),
     "q_dow_profile"         -> (dowProfileQ(_, _)),
@@ -3039,6 +3071,56 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view"
         |FROM events GROUP BY 1""".stripMargin,
     "q_sql_q3" -> sqlQ3Text,
+    "q_runs" ->
+      """WITH x AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER w AS rn,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, event_type, rn,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM x)
+        |SELECT user_id, event_type, count(*) AS run_len,
+        |  CAST(min(rn) AS BIGINT) AS start_pos
+        |FROM y GROUP BY user_id, event_type, run""".stripMargin,
+    "q_hhi" ->
+      """WITH j AS (
+        |  SELECT p_brand, l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |c AS (SELECT p_brand, l_suppkey, count(*) AS n FROM j GROUP BY 1, 2),
+        |a AS (SELECT p_brand, count(*) AS n_members,
+        |        CAST(sum(n) AS BIGINT) AS tot, CAST(sum(n*n) AS BIGINT) AS sq
+        |      FROM c GROUP BY 1)
+        |SELECT p_brand, n_members,
+        |  round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi
+        |FROM a""".stripMargin,
+    "q_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 15
+        |         THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+        | FROM u),
+        |e AS (SELECT n_a, c_a, n_b, c_b,
+        |  CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |  CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |  (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE)) /
+        |    (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pool
+        | FROM g)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        |  round((pa - pb) / sqrt(pool * (1.0 - pool) *
+        |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z,
+        |  abs((pa - pb) / sqrt(pool * (1.0 - pool) *
+        |    (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) > 1.96 AS significant
+        |FROM e""".stripMargin,
     "q_sql_q6" ->
       """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n_lines

@@ -1133,6 +1133,72 @@ object Analytics {
         round(col("n_ev").cast("double") / col("__tot").cast("double"), 6).as("share"))
   }
 
+  /** Gaps-and-islands: collapse each key's consecutive identical `stateCol`
+    * values (in `orderCols` order) into runs. The run id is the running sum
+    * of change-points from ONE lag over ONE window — a single key shuffle
+    * and sort shared by the lag, the running sum, and the position counter
+    * (the classic rn−rn_by_state island trick needs a second shuffle on
+    * (key, state); this form doesn't). Output: key, state, `run_len`,
+    * `start_pos` (1-based position of the run's first event in the key's
+    * stream).
+    */
+  def runs(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+           stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(orderCols: _*)
+    val brk = when(lag(col(stateCol), 1).over(w).isNull ||
+      lag(col(stateCol), 1).over(w) =!= col(stateCol), 1L).otherwise(0L)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__run",
+        sum(brk).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col(stateCol), col("__run"))
+      .agg(count(lit(1)).as("run_len"), min(col("__rn")).cast("long").as("start_pos"))
+      .drop("__run")
+  }
+
+  /** Herfindahl–Hirschman concentration index per group: HHI =
+    * Σᵢ (nᵢ/N)² over the members' shares — computed as Σnᵢ² / N² from
+    * EXACT longs (two partial-aggregated shuffles, one double division),
+    * so there is no float-merge-order nondeterminism and no per-member
+    * double summation. 1/|members| = perfectly even … 1.0 = monopoly.
+    */
+  def hhi(df: DataFrame, groupCol: String, memberCol: String): DataFrame =
+    df.groupBy(col(groupCol), col(memberCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__n")).as("__tot"),
+        sum(col("__n") * col("__n")).as("__sq"))
+      .select(col(groupCol), col("n_members"),
+        round(col("__sq").cast("double") /
+          (col("__tot").cast("double") * col("__tot").cast("double")), 6).as("hhi"))
+
+  /** Two-proportion pooled z-test between cohort 0 and cohort 1:
+    * z = (p₀ − p₁) / √(p̄(1−p̄)(1/n₀ + 1/n₁)). Counts are exact longs from
+    * one partial-aggregated pass; the z formula is a fixed chain of IEEE
+    * ops on doubles of exact sums — deterministic in any engine.
+    * `cohortCol` must be 0/1, `successCol` 0/1 per row (one row per unit).
+    */
+  def twoProportionZ(df: DataFrame, cohortCol: Column, successCol: Column): DataFrame = {
+    val d = (c: Column) => c.cast("double")
+    val agg = df.agg(
+      sum(when(cohortCol === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(cohortCol === 0, successCol).otherwise(lit(0L))).as("c_a"),
+      sum(when(cohortCol === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(cohortCol === 1, successCol).otherwise(lit(0L))).as("c_b"))
+    val pa = d(col("c_a")) / d(col("n_a"))
+    val pb = d(col("c_b")) / d(col("n_b"))
+    val pool = (d(col("c_a")) + d(col("c_b"))) / (d(col("n_a")) + d(col("n_b")))
+    // degenerate pools (0% or 100% conversion overall) have zero pooled
+    // variance: the z statistic is undefined, not infinite — emit NULL
+    // (ANSI mode would otherwise raise DIVIDE_BY_ZERO)
+    val se = sqrt(pool * (lit(1.0) - pool) *
+      (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    val z = when(se > 0, (pa - pb) / se).otherwise(lit(null).cast("double"))
+    agg.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(z, 6).as("z"), (abs(z) > lit(1.96)).as("significant"))
+  }
+
   /** Deterministic per-key mode: the most frequent value, ties broken by
     * the smallest value. Two partial-aggregating shuffles of (key, value)
     * pairs — never a sort of the raw data — then a per-key top-1 window

@@ -195,4 +195,50 @@ class StatsSpec extends SparkSpec {
     assert(out(("x", 7L)) === ((1L, 30.0, 0.333333)))
     assert(out(("y", 6L)) === ((1L, 7.0, 1.0)))
   }
+
+  test("runs: islands split on state change, positions 1-based, keys independent") {
+    val df = Seq(
+      (1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "a"),
+      (2L, 1L, "a")
+    ).toDF("user_id", "seq", "st")
+    val out = Analytics.runs(df, "user_id", Seq(col("seq")), "st")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)) -> r.getLong(2)).toMap
+    // key 1: [a,a] start 1, [b] start 3, [a] start 4; key 2: [a] start 1
+    assert(out === Map((1L, "a", 1L) -> 2L, (1L, "b", 3L) -> 1L,
+      (1L, "a", 4L) -> 1L, (2L, "a", 1L) -> 1L))
+  }
+
+  test("hhi: monopoly is 1, an even n-way split is 1/n") {
+    val df = Seq(("m", 1L), ("m", 1L), ("m", 1L),
+      ("e", 1L), ("e", 2L), ("e", 3L), ("e", 4L)).toDF("g", "member")
+    val out = Analytics.hhi(df, "g", "member")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getAs[Double]("hhi")))).toMap
+    assert(out("m") === ((1L, 1.0)))
+    assert(out("e") === ((4L, 0.25)))
+  }
+
+  test("hhi weights members by row count, not presence") {
+    // shares 3/4 and 1/4 → 9/16 + 1/16 = 0.625
+    val df = Seq(("g", 1L), ("g", 1L), ("g", 1L), ("g", 2L)).toDF("g", "member")
+    val r = Analytics.hhi(df, "g", "member").head()
+    assert(r.getAs[Double]("hhi") === 0.625)
+  }
+
+  test("twoProportionZ: hand-computed z and the degenerate-pool NULL") {
+    val units = (1 to 100).map(i => (i.toLong % 2, if (i % 2 == 0) (if (i <= 60) 1L else 0L)
+      else (if (i <= 20) 1L else 0L)))
+      .toDF("cohort", "success")
+    val r = Analytics.twoProportionZ(units, col("cohort"), col("success")).head()
+    val (na, ca, nb, cb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(na === 50L && nb === 50L)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pool = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    assert(r.getAs[Double]("z") === math.rint(z * 1e6) / 1e6)
+    assert(r.getAs[Boolean]("significant") === (math.abs(z) > 1.96))
+    // all-success pool: variance 0 → z is NULL, not an error
+    val degen = Seq((0L, 1L), (1L, 1L)).toDF("cohort", "success")
+    val dr = Analytics.twoProportionZ(degen, col("cohort"), col("success")).head()
+    assert(dr.isNullAt(dr.fieldIndex("z")))
+  }
 }
