@@ -2261,6 +2261,80 @@ object SparkEntry {
     Analytics.twoProportionZ(perUser, pmod(col("user_id"), lit(2)), col("conv"))
   }
 
+  /** Wide→long unpivot (melt) of the four lineitem measures via `stack`,
+    * aggregated per measure in exact decimal. stack() is a generator on
+    * the scan side — no shuffle until the 4-group aggregate.
+    */
+  private def unpivotQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(expr(
+        """stack(4,
+          |  'l_quantity', l_quantity,
+          |  'l_extendedprice', l_extendedprice,
+          |  'l_discount', l_discount,
+          |  'l_tax', l_tax) AS (measure, v)""".stripMargin))
+      .groupBy(col("measure"))
+      .agg(sum(col("v").cast("decimal(19,4)")).cast("double").as("total"),
+        count(lit(1)).as("n"))
+
+  /** Percentile-band corpus trim: per source, how many documents fall in
+    * the global [p5, p95] length band. The two exact-percentile bounds are
+    * ONE collected row (a bounded side input, like shard boundaries);
+    * the corpus itself is a single partial-aggregated pass.
+    */
+  private def lengthTrimQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("source"), col("n_chars"))
+    val b = docs.agg(expr("percentile(n_chars, 0.05)"), expr("percentile(n_chars, 0.95)")).head()
+    val (lo, hi) = (b.getDouble(0), b.getDouble(1))
+    docs.groupBy(col("source"))
+      .agg(sum(when(col("n_chars") >= lo && col("n_chars") <= hi, 1L).otherwise(0L)).as("kept"),
+        count(lit(1)).as("total"))
+      .withColumn("kept_frac",
+        round(col("kept").cast("double") / col("total").cast("double"), 6))
+  }
+
+  /** Full-outer reconciliation summary between the orders header and the
+    * per-order lineitem rollup: missing-side orphans plus a price
+    * match/mismatch split (decimal-exact lineitem totals). The classic
+    * "do the two pipelines agree" audit — one full-outer equi-join on the
+    * shared key, output bounded by the status domain.
+    */
+  private def reconcileQ(s: SparkSession, dir: String): DataFrame = {
+    val la = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("li_total"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+    o.join(la, col("o_orderkey") === col("l_orderkey"), "full_outer")
+      .select(when(col("o_orderkey").isNull, "orphan_lineitem")
+        .when(col("l_orderkey").isNull, "no_lineitems")
+        .when(abs(col("o_totalprice") - col("li_total")) <= 0.01, "price_match")
+        .otherwise("price_mismatch").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Upsert (MERGE-style latest-wins) of a derived change batch into the
+    * orders base: updates carry sequence 1, base 0, and
+    * [[Analytics.latestByKey]] keeps the winner per key — the general
+    * mechanism; the oracle is the closed form of this particular batch.
+    */
+  private def upsertMergeQ(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        lit(0L).as("__seq"))
+    val updates = base.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+      .select(col("o_orderkey"),
+        // price bump in EXACT decimal: round(double*1.1, 2) hits half-way
+        // ties where Spark rounds the shortest decimal repr and DuckDB the
+        // exact binary (measured: 2 of 2143 updates flipped a cent)
+        (col("o_totalprice").cast("decimal(18,2)") + lit(BigDecimal("10.00")))
+          .cast("double").as("o_totalprice"),
+        lit("U").as("o_orderstatus"), lit(1L).as("__seq"))
+    Analytics.latestByKey(base.unionByName(updates), "o_orderkey",
+        col("__seq"), col("o_orderkey"),
+        Seq("o_totalprice" -> col("o_totalprice"),
+          "o_orderstatus" -> col("o_orderstatus")))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2294,6 +2368,10 @@ object SparkEntry {
     "q_ppjoin"              -> (ppjoinQ(_, _)),
     "q_sql_q6"              -> (sqlQ6(_, _)),
     "q_runs"                -> (runsQ(_, _)),
+    "q_unpivot"             -> (unpivotQ(_, _)),
+    "q_length_trim"         -> (lengthTrimQ(_, _)),
+    "q_reconcile"           -> (reconcileQ(_, _)),
+    "q_upsert_merge"        -> (upsertMergeQ(_, _)),
     "q_hhi"                 -> (hhiQ(_, _)),
     "q_ab_test"             -> (abTestQ(_, _)),
     "q_sql_q10"             -> (sqlQ10(_, _)),
@@ -3071,6 +3149,43 @@ object SparkEntry {
         |CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS "view"
         |FROM events GROUP BY 1""".stripMargin,
     "q_sql_q3" -> sqlQ3Text,
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT measure, CAST(sum(CAST(v AS DECIMAL(19,4))) AS DOUBLE) AS total,
+        |  count(*) AS n
+        |FROM u GROUP BY 1""".stripMargin,
+    "q_length_trim" ->
+      """WITH b AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+        |                  quantile_cont(n_chars, 0.95) AS hi FROM documents)
+        |SELECT source,
+        |  CAST(sum(CASE WHEN n_chars >= lo AND n_chars <= hi THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  count(*) AS total,
+        |  round(CAST(sum(CASE WHEN n_chars >= lo AND n_chars <= hi THEN 1 ELSE 0 END) AS DOUBLE) /
+        |        CAST(count(*) AS DOUBLE), 6) AS kept_frac
+        |FROM documents, b GROUP BY source""".stripMargin,
+    "q_reconcile" ->
+      """WITH la AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS li_total
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CASE WHEN o_orderkey IS NULL THEN 'orphan_lineitem'
+        |            WHEN l_orderkey IS NULL THEN 'no_lineitems'
+        |            WHEN abs(o_totalprice - li_total) <= 0.01 THEN 'price_match'
+        |            ELSE 'price_mismatch' END AS status,
+        |  count(*) AS n
+        |FROM orders FULL OUTER JOIN la ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "q_upsert_merge" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 7 = 0
+        |       THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10.00 AS DOUBLE)
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders""".stripMargin,
     "q_runs" ->
       """WITH x AS (
         |  SELECT user_id, event_type,
