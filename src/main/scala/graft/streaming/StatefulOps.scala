@@ -40,6 +40,10 @@ final case class EmaEvent(user_id: Long, ts: Timestamp, event_id: Long, value: D
 final case class EmaOut(user_id: Long, event_id: Long, ema: Double)
 private final case class EmaState(ema: Double)
 
+final case class AnomalyOut(user_id: Long, event_id: Long, value: Double,
+                            z: Double, anomaly: Boolean)
+private final case class WelfordState(n: Long, mean: Double, m2: Double)
+
 /** Custom streaming state via `flatMapGroupsWithState` — the arbitrary-state
   * face of the engine (the batch analog is
   * [[graft.operators.Analytics.sessionize]]). Kafka Streams exposes this as
@@ -223,6 +227,48 @@ object StatefulOps {
               EmaOut(userId, e.event_id, next)
             }
           cur.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Streaming per-key anomaly gate: each event is z-scored against the
+    * key's RUNNING history (Welford's online mean/variance — O(1) state:
+    * three numbers per key) BEFORE being folded in, and flagged when
+    * |z| > `zMax` with at least `minN` prior observations. The filter
+    * form of the batch [[graft.operators.Analytics.madOutliers]] idea:
+    * a stream processor cannot see the future corpus, so the robust
+    * batch median becomes the online running moments — the standard
+    * monitoring trade, stated.
+    *
+    * Parity contract (spec-asserted): with per-key event-time-ordered
+    * delivery across micro-batches, the emitted (z, anomaly) series
+    * equals the same Welford fold run in batch — the recurrence is a
+    * deterministic chain of IEEE ops in both.
+    */
+  def streamingAnomaly(events: Dataset[EmaEvent], zMax: Double,
+                       minN: Long = 5L): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[WelfordState, AnomalyOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[WelfordState]) =>
+          var cur = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = batch.toSeq
+            .sortBy(e => (micros(e.ts), e.event_id))
+            .map { e =>
+              val z =
+                if (cur.n >= minN && cur.m2 > 0.0)
+                  (e.value - cur.mean) / math.sqrt(cur.m2 / (cur.n - 1))
+                else 0.0
+              val n1 = cur.n + 1
+              val d1 = e.value - cur.mean
+              val mean1 = cur.mean + d1 / n1
+              cur = WelfordState(n1, mean1, cur.m2 + d1 * (e.value - mean1))
+              AnomalyOut(userId, e.event_id, e.value, z,
+                cur.n - 1 >= minN && math.abs(z) > zMax)
+            }
+          state.update(cur)
           out.iterator
       }
   }

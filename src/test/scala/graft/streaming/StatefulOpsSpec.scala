@@ -205,4 +205,33 @@ class StatefulOpsSpec extends SparkSpec {
     assert(live === expected)
     assert(live(3L) === alpha * 30.0 + (1 - alpha) * (alpha * 20.0 + (1 - alpha) * 10.0))
   }
+
+  test("streamingAnomaly equals the batch Welford fold; spike flags after warmup") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = (1 to 8).map(i => EmaEvent(1L, ts(f"2024-01-01 10:00:$i%02d"), i.toLong,
+      if (i % 2 == 0) 11.0 else 9.0))
+    val spike = EmaEvent(1L, ts("2024-01-01 10:01:00"), 99L, 100.0)
+    val in = MemoryStream[EmaEvent]
+    in.addData(base.take(5): _*)
+    in.addData((base.drop(5) :+ spike): _*)
+
+    val q = StatefulOps.streamingAnomaly(in.toDS(), zMax = 3.0, minN = 5L)
+      .writeStream.format("memory").queryName("t_anom")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val live = spark.table("t_anom").as[AnomalyOut].collect()
+      .map(o => o.event_id -> ((o.z, o.anomaly))).toMap
+
+    // batch Welford fold over the same ordered series
+    var (n, mean, m2) = (0L, 0.0, 0.0)
+    val expected = (base :+ spike).sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+      val z = if (n >= 5 && m2 > 0.0) (e.value - mean) / math.sqrt(m2 / (n - 1)) else 0.0
+      val n1 = n + 1; val d = e.value - mean; val mean1 = mean + d / n1
+      m2 = m2 + d * (e.value - mean1); n = n1; mean = mean1
+      e.event_id -> ((z, n - 1 >= 5 && math.abs(z) > 3.0))
+    }.toMap
+    assert(live === expected)
+    assert(live(99L)._2, "the spike must be flagged")
+    assert(live(3L)._1 === 0.0, "pre-warmup events carry z = 0")
+  }
 }
