@@ -2335,6 +2335,14 @@ object SparkEntry {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
   }
 
+  /** Blocked Jaro–Winkler near-dup pairs ([[Dedup.jaroWinklerPairs]]):
+    * the native bit-exact scorer against DuckDB's own
+    * jaro_winkler_similarity as the oracle.
+    */
+  private def jaroPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaroWinklerPairs(t(s, dir, "documents"), "doc_id", "text",
+      Seq(col("source"), expr("n_chars div 64")), prefixLen = 80, minSim = 0.85)
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2363,6 +2371,7 @@ object SparkEntry {
     "q_market_basket"       -> (marketBasketQ(_, _)),
     "q_skyline"             -> (skylineQ(_, _)),
     "q_lev_pairs"           -> (levPairsQ(_, _)),
+    "q_jaro_pairs"          -> (jaroPairsQ(_, _)),
     "q_bfs_reach"           -> (bfsReachQ(_, _)),
     "q_benford"             -> (benfordQ(_, _)),
     "q_ppjoin"              -> (ppjoinQ(_, _)),
@@ -3002,6 +3011,14 @@ object SparkEntry {
         |SELECT o_orderkey, o_orderdate, o_totalprice
         |FROM orders JOIN p ON CAST(o_orderdate AS DATE) = p.day
         |WHERE o_totalprice = p.dmax AND (p.prior_max IS NULL OR o_totalprice > p.prior_max)""".stripMargin,
+    "q_jaro_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id, substring(text, 1, 80) AS t, source, n_chars // 64 AS lb
+        |  FROM documents)
+        |SELECT x.doc_id AS a, y.doc_id AS b,
+        |  round(jaro_winkler_similarity(x.t, y.t), 6) AS jw
+        |FROM b x JOIN b y ON x.source = y.source AND x.lb = y.lb AND x.doc_id < y.doc_id
+        |WHERE jaro_winkler_similarity(x.t, y.t) >= 0.85""".stripMargin,
     "q_lev_pairs" ->
       """WITH b AS (
         |  SELECT doc_id, substring(text, 1, 120) AS t, source, n_chars // 64 AS lb

@@ -183,6 +183,27 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Jaro–Winkler near-dup pairs under the same blocking contract as
+    * [[editDistancePairs]]: compare only within a block, on `prefixLen`-char
+    * prefixes, keep pairs at similarity ≥ `minSim`. The JW scorer is the
+    * native [[graft.expressions.JaroWinkler]] (codegen'd, DuckDB-bit-exact)
+    * — the name-matching workhorse of entity resolution, where edit
+    * distance over-penalizes transpositions.
+    */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[Column], prefixLen: Int,
+                       minSim: Double): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+      substring(col(textCol), 1, prefixLen).as("__t"),
+      struct(blockCols: _*).as("__blk"))
+    base.as("x").join(base.as("y"),
+        col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a"), col("y.__id").as("b"),
+        graft.functions.TextFunctions.jaroWinkler(col("x.__t"), col("y.__t")).as("__jw"))
+      .filter(col("__jw") >= minSim)
+      .select(col("a"), col("b"), round(col("__jw"), 6).as("jw"))
+  }
+
   // ----------------------------------------------------------- MinHash+LSH
 
   /** MinHash parameters. `numHashes = bands * rowsPerBand`. With the default

@@ -175,6 +175,15 @@ object TextFunctions {
       graft.expressions.Fnv1a64(
         org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
+  /** DuckDB-bit-exact Jaro–Winkler similarity
+    * ([[graft.expressions.JaroWinkler]] — codegen'd, no UDF boxing).
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.JaroWinkler(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Rolling-hash fingerprint reduced mod 1e9+7 at every step, so the
     * accumulator stays below 2^30 and the arithmetic never overflows — the
     * variant that is exactly reproducible in any ANSI-SQL engine with strict

@@ -300,4 +300,32 @@ class ExpressionParitySpec extends SparkSpec {
     val e2 = CosineByIds(Literal(1L), Literal(2L), ids2, flat2, norms2, dim)
     assert(e1 == e2 && e1.hashCode == e2.hashCode)
   }
+
+  test("JaroWinkler: literature values, boost threshold, window clamp, nulls") {
+    import graft.functions.{TextFunctions => TF}
+    val cases = Seq(
+      ("martha", "marhta", (0.9444444444444445 + 3 * 0.1 * (1.0 - 0.9444444444444445))),
+      ("dixon", "dicksonx", (0.7666666666666666 + 2 * 0.1 * (1.0 - 0.7666666666666666))),
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no shared prefix
+      ("crate", "trace", 0.7333333333333334),          // J > 0.7 but prefix 0
+      ("aaxxxxxxxx", "aayyyyyyyy", 0.4666666666666666),// J <= 0.7: no boost
+      ("b", "b", 1.0),                                  // window clamp case
+      ("ab", "ba", 0.0),
+      ("", "abc", 0.0))
+    val out = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(TF.jaroWinkler(col("a"), col("b"))).as[Double].collect()
+    out.zip(cases).foreach { case (got, (a, b, want)) =>
+      assert(got === want, s"jw($a, $b)")
+    }
+    // interpreted eval path agrees with the codegen'd column path
+    import org.apache.spark.unsafe.types.UTF8String
+    cases.foreach { case (a, b, want) =>
+      assert(StringSimUtil.jaroWinkler(
+        UTF8String.fromString(a), UTF8String.fromString(b)) === want)
+    }
+    // null safety
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(TF.jaroWinkler(col("a"), col("b"))).collect()
+    assert(n.head.isNullAt(0))
+  }
 }
