@@ -86,6 +86,8 @@ object ScaleProbe {
         graft.dedup.Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.8, maxDocFreq = 1000).count() }
       time("simhash pairs") {
         graft.dedup.Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3).count() }
+      time("ppjoin prefix-filter pairs") {
+        graft.dedup.Dedup.ppjoinPairs(d, "doc_id", "text", 5, 4, 5).count() }
     }
     // exact all-pairs baselines only at the default factor: at 100k vectors
     // (factor 50) the quadratic runs exceeded 30 minutes on local[32] before
