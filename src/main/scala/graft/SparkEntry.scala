@@ -2343,6 +2343,66 @@ object SparkEntry {
     Dedup.jaroWinklerPairs(t(s, dir, "documents"), "doc_id", "text",
       Seq(col("source"), expr("n_chars div 64")), prefixLen = 80, minSim = 0.85)
 
+  /** One-pass table profile of orders ([[Analytics.profileTable]]):
+    * count / nulls / distinct / min / max per column, numerics formatted
+    * through exact decimals so both engines print identical strings.
+    */
+  private def profileQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.profileTable(t(s, dir, "orders"), Seq(
+      "o_orderkey" -> col("o_orderkey"),
+      "o_custkey" -> col("o_custkey"),
+      "o_orderstatus" -> col("o_orderstatus"),
+      "o_totalprice" -> col("o_totalprice").cast("decimal(18,2)"),
+      "o_orderpriority" -> col("o_orderpriority")))
+
+  /** Deequ-style data-quality checks over orders⊕lineitem: uniqueness,
+    * completeness, domain membership, range, and referential integrity —
+    * one row per check with the exact violation count. The orders-side
+    * checks share ONE aggregate pass; referential integrity is a
+    * left-anti join counted. A constraint suite, not a metric sample:
+    * violations are exact longs at any scale.
+    */
+  private def dqChecksQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"))
+    val a = o.agg(
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("__dup"),
+      (count(lit(1)) - count(col("o_custkey"))).as("__nullck"),
+      sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("__dom"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("__price"),
+      sum(when(col("o_orderdate") < lit("1990-01-01").cast("timestamp") ||
+        col("o_orderdate") >= lit("2010-01-01").cast("timestamp"), 1L).otherwise(0L))
+        .as("__range"))
+    val orphans = li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("__v"))
+      .select(lit("lineitem_ref_integrity").as("check_name"), col("__v").as("violations"))
+    val checks = Seq(
+      "orderkey_unique" -> "__dup", "custkey_complete" -> "__nullck",
+      "status_domain" -> "__dom", "totalprice_positive" -> "__price",
+      "orderdate_range" -> "__range")
+    a.select(explode(array(checks.map { case (n, c) =>
+        struct(lit(n).as("check_name"), col(c).as("violations")) }: _*)).as("__r"))
+      .select(col("__r.*"))
+      .unionByName(orphans)
+      .withColumn("passed", col("violations") === 0)
+  }
+
+  /** TPC-H Q18 shape (large-volume customers): orders whose total lineitem
+    * quantity exceeds 250, joined back to customer — the group-filter-
+    * join-back pattern with the quantity aggregate reused for output.
+    */
+  private def sqlQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"))
+      .filter(col("qty") > 250)
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("qty"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2384,6 +2444,9 @@ object SparkEntry {
     "q_hhi"                 -> (hhiQ(_, _)),
     "q_ab_test"             -> (abTestQ(_, _)),
     "q_sql_q10"             -> (sqlQ10(_, _)),
+    "q_sql_q18"             -> (sqlQ18(_, _)),
+    "q_profile"             -> (profileQ(_, _)),
+    "q_dq_checks"           -> (dqChecksQ(_, _)),
     "q_vocab_coverage"      -> (vocabCoverageQ(_, _)),
     "q_dow_profile"         -> (dowProfileQ(_, _)),
     "q_event_paths"         -> (eventPathsQ(_, _)),
@@ -3203,6 +3266,61 @@ object SparkEntry {
         |       ELSE o_totalprice END AS o_totalprice,
         |  CASE WHEN o_orderkey % 7 = 0 THEN 'U' ELSE o_orderstatus END AS o_orderstatus
         |FROM orders""".stripMargin,
+    "q_sql_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_profile" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+        |             o_orderpriority FROM orders)
+        |SELECT 'o_orderkey' AS col_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s
+        |FROM b
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM b
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM b
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM b
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR) FROM b""".stripMargin,
+    "q_dq_checks" ->
+      """WITH a AS (
+        |  SELECT
+        |    count(*) - count(DISTINCT o_orderkey) AS dup,
+        |    count(*) - count(o_custkey) AS nullck,
+        |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS dom,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price,
+        |    CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+        |              OR o_orderdate >= TIMESTAMP '2010-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS rng
+        |  FROM orders),
+        |orphans AS (
+        |  SELECT count(*) AS v FROM lineitem
+        |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+        |c AS (
+        |  SELECT 'orderkey_unique' AS check_name, dup AS violations FROM a
+        |  UNION ALL SELECT 'custkey_complete', nullck FROM a
+        |  UNION ALL SELECT 'status_domain', dom FROM a
+        |  UNION ALL SELECT 'totalprice_positive', price FROM a
+        |  UNION ALL SELECT 'orderdate_range', rng FROM a
+        |  UNION ALL SELECT 'lineitem_ref_integrity', v FROM orphans)
+        |SELECT check_name, violations, violations = 0 AS passed FROM c""".stripMargin,
     "q_runs" ->
       """WITH x AS (
         |  SELECT user_id, event_type,

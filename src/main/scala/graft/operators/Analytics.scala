@@ -1199,6 +1199,33 @@ object Analytics {
       round(z, 6).as("z"), (abs(z) > lit(1.96)).as("significant"))
   }
 
+  /** One-pass table profile: per requested column — row count, null count,
+    * distinct count, and min/max (as strings via caller-supplied exact
+    * formatting, so one tidy schema covers mixed types). ALL columns
+    * profile in a SINGLE aggregate over one scan (multiple distinct
+    * aggregates expand the input once per column inside the same
+    * stage — still one pass over the parquet); the per-column rows unpivot
+    * from the single aggregate row. The Deequ-style profiling shape.
+    */
+  def profileTable(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    val aggs = cols.flatMap { case (n, c) =>
+      // min/max in the NATIVE type (string min is lexicographic — wrong
+      // for numerics), formatted to string after
+      Seq(count(c).as(s"__nn_$n"),
+        countDistinct(c).as(s"__nd_$n"),
+        min(c).cast("string").as(s"__mn_$n"),
+        max(c).cast("string").as(s"__mx_$n"))
+    }
+    val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = cols.map { case (n, _) =>
+      struct(lit(n).as("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$n")).as("n_nulls"),
+        col(s"__nd_$n").as("n_distinct"),
+        col(s"__mn_$n").as("min_s"), col(s"__mx_$n").as("max_s"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
   /** Deterministic per-key mode: the most frequent value, ties broken by
     * the smallest value. Two partial-aggregating shuffles of (key, value)
     * pairs — never a sort of the raw data — then a per-key top-1 window

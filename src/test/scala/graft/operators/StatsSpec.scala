@@ -241,4 +241,20 @@ class StatsSpec extends SparkSpec {
     val dr = Analytics.twoProportionZ(degen, col("cohort"), col("success")).head()
     assert(dr.isNullAt(dr.fieldIndex("z")))
   }
+
+  test("profileTable: nulls, distincts, native-type min/max, one scan") {
+    val df = Seq((1L, Some("b"), Some(10.0)), (2L, Some("a"), None),
+      (3L, None, Some(2.0)), (3L, Some("a"), Some(100.0)))
+      .toDF("id", "s", "v")
+    val prof = Analytics.profileTable(df, Seq(
+      "id" -> col("id"), "s" -> col("s"), "v" -> col("v").cast("decimal(6,1)")))
+    val out = prof.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    assert(out("id") === ((4L, 0L, 3L, "1", "3")))
+    assert(out("s") === ((4L, 1L, 2L, "a", "b")))
+    // numeric min/max, NOT lexicographic: 2.0 < 10.0 < 100.0
+    assert(out("v") === ((4L, 1L, 3L, "2.0", "100.0")))
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"profile must be one pass:\n$plan")
+  }
 }
