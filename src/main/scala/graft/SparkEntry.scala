@@ -2403,6 +2403,27 @@ object SparkEntry {
         col("o_orderdate"), col("o_totalprice"), col("qty"))
   }
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * aggregate subquery `l_quantity < 0.2·avg(quantity per part)`
+    * DECORRELATED into a per-part aggregate joined back — what Catalyst's
+    * subquery rewrite produces, written directly. The per-part side is
+    * |parts| rows, a broadcast at dimension scale; the brand filter pushes
+    * into the part scan.
+    */
+  private def sqlQ17(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQ = li.groupBy(col("l_partkey")).agg(avg(col("l_quantity")).as("__aq"))
+    val brand = t(s, dir, "part").filter(col("p_brand") === "Brand#11")
+      .select(col("p_partkey"))
+    li.join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .join(avgQ, "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("__aq"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / lit(7.0))
+          .as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2445,6 +2466,7 @@ object SparkEntry {
     "q_ab_test"             -> (abTestQ(_, _)),
     "q_sql_q10"             -> (sqlQ10(_, _)),
     "q_sql_q18"             -> (sqlQ18(_, _)),
+    "q_sql_q17"             -> (sqlQ17(_, _)),
     "q_profile"             -> (profileQ(_, _)),
     "q_dq_checks"           -> (dqChecksQ(_, _)),
     "q_vocab_coverage"      -> (vocabCoverageQ(_, _)),
@@ -3275,6 +3297,14 @@ object SparkEntry {
         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_sql_q17" ->
+      """WITH a AS (SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN a ON l.l_partkey = a.l_partkey
+        |WHERE p.p_brand = 'Brand#11' AND l.l_quantity < 0.2 * a.aq""".stripMargin,
     "q_profile" ->
       """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,

@@ -476,6 +476,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(l_returnflag,R)"), p)
   }
 
+  test("q_sql_q17: brand filter pushes into the part scan; dim side broadcasts") {
+    val p = plan("q_sql_q17")
+    assert(p.contains("EqualTo(p_brand,Brand#11)"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_profile / q_dq_checks / q_corr_matrix: profiling is aggregate-only over one scan") {
+    val pp = plan("q_profile")
+    assert(!pp.contains("Join"), pp)
+    // the six orders-side checks share one aggregate; only the referential
+    // check joins (left-anti on the key)
+    val pd = plan("q_dq_checks")
+    assert(pd.contains("LeftAnti"), pd)
+    assert("\\(\\d+\\) (Broadcast|Shuffled)?Hash?Join".r.findAllIn(pd).length === 1, pd)
+  }
+
   test("q_lev_pairs: banded levenshtein and the length guard sit in the join condition") {
     val p = plan("q_lev_pairs")
     assert(p.contains("levenshtein"), p)
