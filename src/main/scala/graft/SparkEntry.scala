@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Topology
 import graft.operators.{Analytics, ReferenceOps}
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
@@ -2424,6 +2425,28 @@ object SparkEntry {
         count(lit(1)).as("n_lines"))
   }
 
+  /** Per-user time-weighted average of `value` (TWAP): each observation is
+    * held until the next one; weight = microseconds held (exact longs ×
+    * exact decimal values — both sums exact), one division per user. The
+    * last observation per user carries no weight; single-event users have
+    * no span (dropped by both sides).
+    */
+  private def twapQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.twap(t(s, dir, "events"), "user_id", "ts",
+      Seq(col("event_id")), col("value"))
+
+  /** Peak concurrent sessions ([[Analytics.peakConcurrency]]): 30-minute
+    * session windows swept as +1/−1 deltas through the range-sharded
+    * global prefix sum.
+    */
+  private def peakConcurrencyQ(s: SparkSession, dir: String): DataFrame = {
+    val sess = t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("session_window.start").as("st"), col("session_window.end").as("en"))
+    Analytics.peakConcurrency(sess, col("st"), col("en"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2467,6 +2490,8 @@ object SparkEntry {
     "q_sql_q10"             -> (sqlQ10(_, _)),
     "q_sql_q18"             -> (sqlQ18(_, _)),
     "q_sql_q17"             -> (sqlQ17(_, _)),
+    "q_twap"                -> (twapQ(_, _)),
+    "q_peak_concurrency"    -> (peakConcurrencyQ(_, _)),
     "q_profile"             -> (profileQ(_, _)),
     "q_dq_checks"           -> (dqChecksQ(_, _)),
     "q_vocab_coverage"      -> (vocabCoverageQ(_, _)),
@@ -3297,6 +3322,40 @@ object SparkEntry {
         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_twap" ->
+      """WITH x AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
+        |    lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id,
+        |  CAST(sum(dt) AS BIGINT) AS span_micros,
+        |  CASE WHEN sum(dt) > 0
+        |    THEN round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6)
+        |    ELSE NULL END AS twap
+        |FROM x WHERE dt IS NOT NULL GROUP BY 1""".stripMargin,
+    "q_peak_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), se AS (
+        |  SELECT user_id, ts,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM x
+        |), iv AS (
+        |  SELECT epoch_us(MIN(ts)) AS st,
+        |    epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS en
+        |  FROM se GROUP BY user_id, session_seq
+        |), d AS (
+        |  SELECT st AS t, 1 AS delta FROM iv
+        |  UNION ALL SELECT en, -1 FROM iv
+        |), c AS (
+        |  SELECT t, sum(delta) OVER (ORDER BY t, delta ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |), m AS (SELECT max(cum) AS peak FROM c)
+        |SELECT CAST(min(m.peak) AS BIGINT) AS peak, make_timestamp(min(c.t)) AS peak_at
+        |FROM c, m WHERE c.cum = m.peak""".stripMargin,
     "q_sql_q17" ->
       """WITH a AS (SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY 1)
         |SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,

@@ -1226,6 +1226,49 @@ object Analytics {
     one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
   }
 
+  /** Per-key time-weighted average: each observation's weight is the
+    * microseconds until the key's next observation (exact long), the value
+    * is an exact decimal — numerator and denominator are exact sums, one
+    * guarded division per key. The last observation carries no weight;
+    * single-observation keys drop (no span). One key shuffle + sort.
+    */
+  def twap(df: DataFrame, keyCol: String, tsCol: String,
+           orderTieBreak: Seq[Column], valueCol: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol) +: orderTieBreak: _*)
+    df.select(col(keyCol) +: col(tsCol) +:
+        (orderTieBreak :+ valueCol.cast("decimal(12,2)").as("__v")): _*)
+      .withColumn("__dt",
+        lead(unix_micros(col(tsCol)), 1).over(w) - unix_micros(col(tsCol)))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(sum(col("__dt")).as("span_micros"),
+        sum(col("__v") * col("__dt")).as("__num"))
+      .select(col(keyCol), col("span_micros"),
+        when(col("span_micros") > 0,
+          round(col("__num").cast("double") / col("span_micros").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("twap"))
+  }
+
+  /** Peak concurrency over half-open [start, end) intervals: the classic
+    * sweep — +1/−1 deltas in global (time, delta) order, running sum, max.
+    * The global prefix sum is the range-sharded [[prefixSum]] (per-shard
+    * windows + a collected shard-offset census) — never a single-reducer
+    * window, so the sweep holds at any interval count. Ends sort before
+    * starts at the same instant (−1 < +1), so back-to-back intervals don't
+    * overlap. Returns one row: the peak and the first instant it is
+    * reached.
+    */
+  def peakConcurrency(intervals: DataFrame, startCol: Column, endCol: Column): DataFrame = {
+    val deltas = intervals.select(unix_micros(startCol).as("t"), lit(1L).as("delta"))
+      .unionByName(intervals.select(unix_micros(endCol).as("t"), lit(-1L).as("delta")))
+    val cum = prefixSum(deltas, Seq(col("t"), col("delta")), col("delta"), "cum")
+    val mx = cum.agg(max(col("cum")).as("peak"))
+    cum.join(broadcast(mx), col("cum") === col("peak"))
+      .agg(min(col("peak")).as("peak"),
+        timestamp_micros(min(col("t"))).as("peak_at"))
+  }
+
   /** Deterministic per-key mode: the most frequent value, ties broken by
     * the smallest value. Two partial-aggregating shuffles of (key, value)
     * pairs — never a sort of the raw data — then a per-key top-1 window

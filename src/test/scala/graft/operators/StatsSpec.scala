@@ -257,4 +257,34 @@ class StatsSpec extends SparkSpec {
     val plan = prof.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"profile must be one pass:\n$plan")
   }
+
+  test("peakConcurrency: overlapping intervals, half-open ends, first peak instant") {
+    // [0,10) [5,15) [5,8) overlap 3-deep on [5,8); [15,20) touches (not concurrent)
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val iv = Seq((0L, 10L), (5L, 15L), (5L, 8L), (15L, 20L))
+      .map { case (a, b) => (ts(a * 1000000), ts(b * 1000000)) }
+      .toDF("st", "en")
+    val r = Analytics.peakConcurrency(iv, col("st"), col("en")).head()
+    assert(r.getLong(0) === 3L)
+    assert(r.getTimestamp(1).getTime === 5000000L / 1000)
+  }
+
+  test("peakConcurrency: back-to-back intervals never overlap (end releases first)") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val iv = Seq((ts(0), ts(10)), (ts(10), ts(20))).toDF("st", "en")
+    assert(Analytics.peakConcurrency(iv, col("st"), col("en")).head().getLong(0) === 1L)
+  }
+
+  test("twap holds each value until the next observation") {
+    // user 1: 10.0 held 3s, 40.0 held 1s → (10·3 + 40·1)/4 = 17.5
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 10.0),
+      (1L, "2024-01-01 00:00:03", 2L, 40.0),
+      (1L, "2024-01-01 00:00:04", 3L, 7.0)
+    ).toDF("user_id", "s", "event_id", "value").withColumn("ts", col("s").cast("timestamp"))
+    val out = Analytics.twap(df, "user_id", "ts", Seq(col("event_id")), col("value"))
+    val r = out.head()
+    assert(r.getLong(1) === 4000000L)
+    assert(r.getAs[Double]("twap") === 17.5)
+  }
 }
