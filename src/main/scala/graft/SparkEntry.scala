@@ -2447,6 +2447,50 @@ object SparkEntry {
     Analytics.peakConcurrency(sess, col("st"), col("en"))
   }
 
+  /** CUSUM changepoint per event type: the day where the cumulative
+    * deviation of daily value-sums from the type's mean peaks. Raw events
+    * aggregate to CALENDAR grain first (one partial-aggregated shuffle),
+    * so the sequential CUSUM scan runs over ≤ |days| rows per type —
+    * bounded by the calendar at any data scale. The statistic
+    * |n·cumₖ − k·S| is pure exact-decimal/long arithmetic, so the argmax
+    * (ties → earliest day) is deterministic; it divides by n once for
+    * display.
+    */
+  private def cusumShiftQ(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("s")).as("__tot"), count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val c = daily
+      .withColumn("__cum", sum(col("s")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__k", row_number().over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("__stat", abs(col("__n").cast("decimal(10,0)") * col("__cum") -
+        col("__k").cast("decimal(10,0)") * col("__tot")))
+    c.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("__stat").desc, col("day"))))
+      .filter(col("__rn") === 1)
+      .select(col("event_type"), col("day").cast("timestamp").as("shift_day"),
+        round(col("__stat").cast("double") / col("__n").cast("double"), 6).as("cusum_stat"))
+  }
+
+  /** Lag-1 autocorrelation of daily total revenue: consecutive-day pairs
+    * from one lead() over the calendar-bounded daily aggregate, correlated
+    * by the exact-moment machinery ([[Analytics.corrPairs]]).
+    */
+  private def autocorrQ(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val pairs = daily
+      .withColumn("rev_next", lead(col("rev"), 1).over(Window.orderBy(col("day"))))
+      .filter(col("rev_next").isNotNull)
+    Analytics.corrPairs(pairs, Seq("rev" -> col("rev"), "rev_next" -> col("rev_next")))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2491,6 +2535,8 @@ object SparkEntry {
     "q_sql_q18"             -> (sqlQ18(_, _)),
     "q_sql_q17"             -> (sqlQ17(_, _)),
     "q_twap"                -> (twapQ(_, _)),
+    "q_cusum_shift"         -> (cusumShiftQ(_, _)),
+    "q_autocorr"            -> (autocorrQ(_, _)),
     "q_peak_concurrency"    -> (peakConcurrencyQ(_, _)),
     "q_profile"             -> (profileQ(_, _)),
     "q_dq_checks"           -> (dqChecksQ(_, _)),
@@ -3322,6 +3368,37 @@ object SparkEntry {
         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_cusum_shift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS s
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, sum(s) AS tot_s, count(*) AS n FROM daily GROUP BY 1),
+        |c AS (SELECT event_type, day,
+        |    sum(s) OVER (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS k
+        |  FROM daily),
+        |j AS (SELECT c.event_type, day,
+        |    abs(CAST(n AS DECIMAL(10,0)) * CAST(cum AS DECIMAL(28,2)) -
+        |        CAST(k AS DECIMAL(10,0)) * CAST(tot_s AS DECIMAL(28,2))) AS stat, n
+        |  FROM c JOIN tot USING (event_type)),
+        |r AS (SELECT event_type, day, stat, n,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY stat DESC, day) AS rn
+        |  FROM j)
+        |SELECT event_type, CAST(day AS TIMESTAMP) AS shift_day,
+        |  round(CAST(stat AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum_stat
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q_autocorr" ->
+      s"""WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |p0 AS (SELECT day, rev, lead(rev) OVER (ORDER BY day) AS rev_next FROM daily),
+        |d AS (SELECT CAST(rev AS DECIMAL(19,6)) AS a, CAST(rev_next AS DECIMAL(19,6)) AS b
+        |      FROM p0 WHERE rev_next IS NOT NULL),
+        |m AS (SELECT count(*) AS n, sum(a) AS s_rev, sum(b) AS s_rev_next,
+        |  sum(a*a) AS q_rev, sum(b*b) AS q_rev_next, sum(a*b) AS p_rev__rev_next FROM d)
+        |${duckCorrArm("rev", "rev_next")}""".stripMargin,
     "q_twap" ->
       """WITH x AS (
         |  SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
