@@ -498,4 +498,10 @@ class PlanAuditSpec extends SparkSpec {
     // block key equi-join, not a cartesian compare
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_twap: the lead window's key partitioning is reused by the aggregate (one exchange)") {
+    val p = plan("q_twap")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).length === 1, p)
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length === 1, p)
+  }
 }

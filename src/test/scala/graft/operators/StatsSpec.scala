@@ -287,4 +287,32 @@ class StatsSpec extends SparkSpec {
     assert(r.getLong(1) === 4000000L)
     assert(r.getAs[Double]("twap") === 17.5)
   }
+
+  test("cusum changepoint: hand-computed peak on a step series") {
+    // daily sums 1,1,10,10: S=22, n=4, cum=(1,2,12,22),
+    // stat_k=|4*cum - k*22| = (18,36,18,0) → peak at day 2, stat 36/4 = 9
+    val df = Seq(
+      ("g", "2024-01-01 01:00:00", 1.0), ("g", "2024-01-02 01:00:00", 1.0),
+      ("g", "2024-01-03 01:00:00", 10.0), ("g", "2024-01-04 01:00:00", 10.0)
+    ).toDF("event_type", "s", "value").withColumn("ts", col("s").cast("timestamp"))
+    // replicate the query shape over the fixture via the SparkEntry formula
+    val daily = df.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("s"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(sum(col("s")).as("t"), count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day"))
+    val r = daily
+      .withColumn("cum", sum(col("s")).over(
+        w.rowsBetween(Long.MinValue, 0)))
+      .withColumn("k", row_number().over(w))
+      .join(tot, "event_type")
+      .withColumn("stat", abs(col("n").cast("decimal(10,0)") * col("cum") -
+        col("k").cast("decimal(10,0)") * col("t")))
+      .orderBy(col("stat").desc, col("day")).limit(1)
+      .select(col("day").cast("string"), (col("stat").cast("double") / col("n")).as("v"))
+      .head()
+    assert(r.getString(0) === "2024-01-02")
+    assert(r.getDouble(1) === 9.0)
+  }
 }
