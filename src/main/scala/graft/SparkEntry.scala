@@ -2491,6 +2491,77 @@ object SparkEntry {
     Analytics.corrPairs(pairs, Seq("rev" -> col("rev"), "rev_next" -> col("rev_next")))
   }
 
+  /** Funnel conversion summary: per stage — users reached, conversion from
+    * the previous stage, and the median seconds from stage 1 (exact micros
+    * into one interpolated percentile; the single division to seconds and
+    * the conversion ratio are one IEEE op each). One aggregate over the
+    * funnel table; rows unpivot from the single aggregate row.
+    */
+  private def funnelStatsQ(s: SparkSession, dir: String): DataFrame = {
+    val f = funnelQ(s, dir)
+    val a = f.agg(
+      count(col("t_signup")).as("__n1"),
+      count(col("t_view")).as("__n2"),
+      count(col("t_purchase")).as("__n3"),
+      expr("percentile(unix_micros(t_view) - unix_micros(t_signup), 0.5)").as("__m2"),
+      expr("percentile(unix_micros(t_purchase) - unix_micros(t_signup), 0.5)").as("__m3"))
+    val d = (c: Column) => c.cast("double")
+    a.select(explode(array(
+        struct(lit("signup").as("stage"), col("__n1").as("n_reached"),
+          lit(null).cast("double").as("conv_from_prev"), lit(0.0).as("med_secs_from_first")),
+        struct(lit("view").as("stage"), col("__n2").as("n_reached"),
+          round(d(col("__n2")) / d(col("__n1")), 6).as("conv_from_prev"),
+          round(col("__m2") / lit(1e6), 6).as("med_secs_from_first")),
+        struct(lit("purchase").as("stage"), col("__n3").as("n_reached"),
+          round(d(col("__n3")) / d(col("__n2")), 6).as("conv_from_prev"),
+          round(col("__m3") / lit(1e6), 6).as("med_secs_from_first")))).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  /** Month-over-month and year-over-year revenue growth: exact-decimal
+    * monthly sums, two lags over the CALENDAR-bounded month table, one
+    * guarded division each.
+    */
+  private def growthRatesQ(s: SparkSession, dir: String): DataFrame = {
+    val m = t(s, dir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("__rev"))
+    val w = Window.orderBy(col("month"))
+    def growth(lagN: Int): Column = {
+      val prev = lag(col("__rev"), lagN).over(w)
+      when(prev.isNotNull && prev > 0,
+        round((col("__rev").cast("double") - prev.cast("double")) / prev.cast("double"), 6))
+        .otherwise(lit(null).cast("double"))
+    }
+    m.select(col("month"), col("__rev").cast("double").as("revenue"),
+      growth(1).as("mom"), growth(12).as("yoy"))
+  }
+
+  /** 7-day trailing correlation between daily revenue and daily order
+    * count: exact-decimal frame sums (ROWS 6 PRECEDING — engines'
+    * frame-evaluation association is irrelevant for exact types), the
+    * Pearson closed form per row, NULL where a window side is constant.
+    * The input is the calendar-bounded daily aggregate.
+    */
+  private def rollingCorrQ(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(19,4)").as("__x"),
+        count(lit(1)).cast("decimal(19,4)").as("__y"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, Window.currentRow)
+    val d = (c: Column) => c.cast("double")
+    val (n, sx, sy, sxy, sxx, syy) = (
+      count(lit(1)).over(w), sum(col("__x")).over(w), sum(col("__y")).over(w),
+      sum(col("__x") * col("__y")).over(w), sum(col("__x") * col("__x")).over(w),
+      sum(col("__y") * col("__y")).over(w))
+    val num = d(n) * d(sxy) - d(sx) * d(sy)
+    val dx = d(n) * d(sxx) - d(sx) * d(sx)
+    val dy = d(n) * d(syy) - d(sy) * d(sy)
+    daily.select(col("day").cast("timestamp").as("day"),
+      when(dx > 0 && dy > 0, round(num / sqrt(dx * dy), 6))
+        .otherwise(lit(null).cast("double")).as("roll_corr"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2536,6 +2607,9 @@ object SparkEntry {
     "q_sql_q17"             -> (sqlQ17(_, _)),
     "q_twap"                -> (twapQ(_, _)),
     "q_cusum_shift"         -> (cusumShiftQ(_, _)),
+    "q_funnel_stats"        -> (funnelStatsQ(_, _)),
+    "q_growth_rates"        -> (growthRatesQ(_, _)),
+    "q_rolling_corr"        -> (rollingCorrQ(_, _)),
     "q_autocorr"            -> (autocorrQ(_, _)),
     "q_peak_concurrency"    -> (peakConcurrencyQ(_, _)),
     "q_profile"             -> (profileQ(_, _)),
@@ -3368,6 +3442,69 @@ object SparkEntry {
         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_funnel_stats" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_signup
+        |  FROM events
+        |), s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t_signup
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t_view FROM s1
+        |), s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_view
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t_purchase FROM s2
+        |), f AS (
+        |  SELECT user_id, MAX(t_signup) AS t_signup, MAX(t_view) AS t_view,
+        |    MAX(t_purchase) AS t_purchase
+        |  FROM s3 GROUP BY user_id
+        |), a AS (
+        |  SELECT count(t_signup) AS n1, count(t_view) AS n2, count(t_purchase) AS n3,
+        |    median(epoch_us(t_view) - epoch_us(t_signup)) AS m2,
+        |    median(epoch_us(t_purchase) - epoch_us(t_signup)) AS m3
+        |  FROM f)
+        |SELECT 'signup' AS stage, n1 AS n_reached,
+        |  CAST(NULL AS DOUBLE) AS conv_from_prev, 0.0 AS med_secs_from_first FROM a
+        |UNION ALL
+        |SELECT 'view', n2, round(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6),
+        |  round(m2 / 1e6, 6) FROM a
+        |UNION ALL
+        |SELECT 'purchase', n3, round(CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE), 6),
+        |  round(m3 / 1e6, 6) FROM a""".stripMargin,
+    "q_growth_rates" ->
+      """WITH m AS (
+        |  SELECT date_trunc('month', o_orderdate) AS month,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+        |  CASE WHEN lag(rev) OVER w IS NOT NULL AND lag(rev) OVER w > 0
+        |    THEN round((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER w AS DOUBLE)) /
+        |               CAST(lag(rev) OVER w AS DOUBLE), 6) END AS mom,
+        |  CASE WHEN lag(rev, 12) OVER w IS NOT NULL AND lag(rev, 12) OVER w > 0
+        |    THEN round((CAST(rev AS DOUBLE) - CAST(lag(rev, 12) OVER w AS DOUBLE)) /
+        |               CAST(lag(rev, 12) OVER w AS DOUBLE), 6) END AS yoy
+        |FROM m WINDOW w AS (ORDER BY month)""".stripMargin,
+    "q_rolling_corr" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(19,4)) AS x,
+        |    CAST(count(*) AS DECIMAL(19,4)) AS y
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT day,
+        |    count(*) OVER w AS n, sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x*y) OVER w AS sxy, sum(x*x) OVER w AS sxx, sum(y*y) OVER w AS syy
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+        |e AS (
+        |  SELECT day,
+        |    CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+        |    CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS dx,
+        |    CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS dy
+        |  FROM c)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CASE WHEN dx > 0 AND dy > 0 THEN round(num / sqrt(dx * dy), 6) END AS roll_corr
+        |FROM e""".stripMargin,
     "q_cusum_shift" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
