@@ -2562,6 +2562,63 @@ object SparkEntry {
         .otherwise(lit(null).cast("double")).as("roll_corr"))
   }
 
+  /** Revenue-concentration deciles (the 80/20 curve): users ranked by
+    * exact-decimal monetary total through the range-sharded global NTILE
+    * (no single-reducer window at any user count), then per-decile sums
+    * and the cumulative share over the 10-row decile table.
+    */
+  private def powerUsersQ(s: SparkSession, dir: String): DataFrame = {
+    val monetary = t(s, dir, "events").groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("__m"))
+    val ranked = Analytics.rangedRank(monetary, Seq.empty,
+        Seq(negate(col("__m")), col("user_id")))
+      .withColumn("decile", Analytics.ntileOf(col("rn"), col("n_part"), 10))
+    val d = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__m")).as("__dm"))
+    val tot = d.agg(sum(col("__dm")).as("__t"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"),
+        col("__dm").cast("double").as("decile_revenue"),
+        round(sum(col("__dm")).over(w).cast("double") / col("__t").cast("double"), 6)
+          .as("cum_share"))
+  }
+
+  /** Daily new-vs-returning unique users: each user's first-seen day is a
+    * per-user aggregate joined back on the same key partitioning.
+    */
+  private def newVsReturningQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val first = d.groupBy(col("user_id")).agg(min(col("day")).as("__d0"))
+    d.join(first, "user_id")
+      .groupBy(col("day").cast("timestamp").as("day"))
+      .agg(sum(when(col("day") === col("__d0"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") > col("__d0"), 1L).otherwise(0L)).as("returning_users"))
+  }
+
+  /** Cohort LTV curves: per signup-day cohort, the cumulative
+    * exact-decimal revenue per user at each age. The running sum windows
+    * over the (cohort × age) matrix — bounded by the calendar squared,
+    * never the data.
+    */
+  private def ltvCohortQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val cohorts = ev.groupBy(col("user_id")).agg(min(to_date(col("ts"))).as("__cohort"))
+    val sz = cohorts.groupBy(col("__cohort")).agg(count(lit(1)).as("__n"))
+    val r = ev.join(cohorts, "user_id")
+      .groupBy(col("__cohort"),
+        datediff(to_date(col("ts")), col("__cohort")).cast("long").as("age"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("__rev"))
+    val w = Window.partitionBy(col("__cohort")).orderBy(col("age"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.join(broadcast(sz), "__cohort")
+      .select(col("__cohort").cast("timestamp").as("cohort_day"), col("age"),
+        round(sum(col("__rev")).over(w).cast("double") / col("__n").cast("double"), 6)
+          .as("ltv_per_user"))
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2608,6 +2665,9 @@ object SparkEntry {
     "q_twap"                -> (twapQ(_, _)),
     "q_cusum_shift"         -> (cusumShiftQ(_, _)),
     "q_funnel_stats"        -> (funnelStatsQ(_, _)),
+    "q_power_users"         -> (powerUsersQ(_, _)),
+    "q_new_vs_returning"    -> (newVsReturningQ(_, _)),
+    "q_ltv_cohort"          -> (ltvCohortQ(_, _)),
     "q_growth_rates"        -> (growthRatesQ(_, _)),
     "q_rolling_corr"        -> (rollingCorrQ(_, _)),
     "q_autocorr"            -> (autocorrQ(_, _)),
@@ -3442,6 +3502,38 @@ object SparkEntry {
         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_power_users" ->
+      """WITH u AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS m
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT user_id, m,
+        |        CAST(NTILE(10) OVER (ORDER BY m DESC, user_id) AS BIGINT) AS decile
+        |      FROM u),
+        |d AS (SELECT decile, count(*) AS n_users, sum(m) AS dm FROM r GROUP BY 1),
+        |t AS (SELECT sum(dm) AS tt FROM d)
+        |SELECT decile, n_users, CAST(dm AS DOUBLE) AS decile_revenue,
+        |  round(CAST(sum(dm) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |        CAST(tt AS DOUBLE), 6) AS cum_share
+        |FROM d, t""".stripMargin,
+    "q_new_vs_returning" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS d0 FROM d GROUP BY 1)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CAST(sum(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN day > d0 THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        |FROM d JOIN f USING (user_id) GROUP BY 1""".stripMargin,
+    "q_ltv_cohort" ->
+      """WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1),
+        |sz AS (SELECT cohort, count(*) AS n FROM c GROUP BY 1),
+        |r AS (SELECT c.cohort,
+        |        CAST(date_diff('day', c.cohort, CAST(e.ts AS DATE)) AS BIGINT) AS age,
+        |        sum(CAST(e.value AS DECIMAL(18,2))) AS rev
+        |      FROM events e JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT CAST(r.cohort AS TIMESTAMP) AS cohort_day, age,
+        |  round(CAST(sum(rev) OVER (PARTITION BY r.cohort ORDER BY age
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |        CAST(n AS DOUBLE), 6) AS ltv_per_user
+        |FROM r JOIN sz ON r.cohort = sz.cohort""".stripMargin,
     "q_funnel_stats" ->
       """WITH s1 AS (
         |  SELECT user_id, ts, event_type,
