@@ -2619,6 +2619,24 @@ object SparkEntry {
           .as("ltv_per_user"))
   }
 
+  /** Embedding-norm profile per label: count and the min / median / max
+    * L2 norm. Per-row norms use the native dot (left-to-right fold, the
+    * [[graft.expressions.DotProduct]] ↔ list_sum parity every vector
+    * oracle relies on) rounded at 6 dp; the cross-row aggregates are all
+    * SELECTION-based (min/max/interpolated median) — no float summation
+    * across rows anywhere, so no merge-order nondeterminism.
+    */
+  private def normProfileQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"),
+        round(sqrt(VF.dot(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))), 6).as("__nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("__nrm")).as("min_norm"),
+        expr("percentile(__nrm, 0.5)").as("p50_norm"),
+        max(col("__nrm")).as("max_norm"))
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2666,6 +2684,7 @@ object SparkEntry {
     "q_cusum_shift"         -> (cusumShiftQ(_, _)),
     "q_funnel_stats"        -> (funnelStatsQ(_, _)),
     "q_power_users"         -> (powerUsersQ(_, _)),
+    "q_norm_profile"        -> (normProfileQ(_, _)),
     "q_new_vs_returning"    -> (newVsReturningQ(_, _)),
     "q_ltv_cohort"          -> (ltvCohortQ(_, _)),
     "q_growth_rates"        -> (growthRatesQ(_, _)),
@@ -3502,6 +3521,15 @@ object SparkEntry {
         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_norm_profile" ->
+      """WITH b AS (
+        |  SELECT label,
+        |    round(sqrt(list_sum([CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |      FOR i IN range(1, 65)])), 6) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  min(nrm) AS min_norm, median(nrm) AS p50_norm, max(nrm) AS max_norm
+        |FROM b GROUP BY 1""".stripMargin,
     "q_power_users" ->
       """WITH u AS (
         |  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS m
