@@ -1263,10 +1263,12 @@ object Analytics {
     val deltas = intervals.select(unix_micros(startCol).as("t"), lit(1L).as("delta"))
       .unionByName(intervals.select(unix_micros(endCol).as("t"), lit(-1L).as("delta")))
     val cum = prefixSum(deltas, Seq(col("t"), col("delta")), col("delta"), "cum")
-    val mx = cum.agg(max(col("cum")).as("peak"))
-    cum.join(broadcast(mx), col("cum") === col("peak"))
-      .agg(min(col("peak")).as("peak"),
-        timestamp_micros(min(col("t"))).as("peak_at"))
+    // ONE aggregate finds both answers: max over (cum, −t) structs is the
+    // highest concurrency and, among its ties, the earliest instant — no
+    // max-broadcast-join back, so the sweep's plan runs once, not twice
+    cum.agg(max(struct(col("cum"), (-col("t")).as("__negt"))).as("__s"))
+      .select(col("__s.cum").as("peak"),
+        timestamp_micros(-col("__s.__negt")).as("peak_at"))
   }
 
   /** Deterministic per-key mode: the most frequent value, ties broken by
