@@ -2637,6 +2637,51 @@ object SparkEntry {
         expr("percentile(__nrm, 0.5)").as("p50_norm"),
         max(col("__nrm")).as("max_norm"))
 
+  /** Weekend-vs-weekday order value: Welch's t from EXACT decimal moments
+    * (one conditional-sum pass; variance closed forms divide doubles of
+    * exact sums — the same no-float-merge discipline as
+    * [[Analytics.olsTrend]]), with the Welch–Satterthwaite dof.
+    */
+  private def weekendEffectQ(s: SparkSession, dir: String): DataFrame = {
+    val isW = (((dayofweek(col("o_orderdate")) + lit(5)) % lit(7)) + lit(1)) >= 6
+    val y = col("o_totalprice").cast("decimal(19,4)")
+    val a = t(s, dir, "orders").agg(
+      sum(when(isW, 1L).otherwise(0L)).as("n_wknd"),
+      sum(when(isW, y)).as("__s1"), sum(when(isW, y * y)).as("__q1"),
+      sum(when(!isW, 1L).otherwise(0L)).as("n_wkday"),
+      sum(when(!isW, y)).as("__s2"), sum(when(!isW, y * y)).as("__q2"))
+    val d = (c: Column) => c.cast("double")
+    def varOf(n: Column, sy: Column, syy: Column): Column =
+      (d(n) * d(syy) - d(sy) * d(sy)) / (d(n) * (d(n) - lit(1.0)))
+    val (n1, n2) = (col("n_wknd"), col("n_wkday"))
+    val v1 = varOf(n1, col("__s1"), col("__q1"))
+    val v2 = varOf(n2, col("__s2"), col("__q2"))
+    val se2 = v1 / d(n1) + v2 / d(n2)
+    a.select(n1, n2,
+      round(d(col("__s1")) / d(n1), 6).as("mean_wknd"),
+      round(d(col("__s2")) / d(n2), 6).as("mean_wkday"),
+      round((d(col("__s1")) / d(n1) - d(col("__s2")) / d(n2)) / sqrt(se2), 6).as("t_stat"),
+      round(se2 * se2 / ((v1 / d(n1)) * (v1 / d(n1)) / (d(n1) - lit(1.0)) +
+        (v2 / d(n2)) * (v2 / d(n2)) / (d(n2) - lit(1.0))), 6).as("dof"))
+  }
+
+  /** Fuzzy-dedup cluster-size histogram: how many near-dup components
+    * exist at each multiplicity, singletons included — the dedup REPORT
+    * (savings breakdown) on top of the resolved component table. Sizes
+    * and the singleton remainder are two partial aggregates over the
+    * (bounded) resolution output; the corpus count is the shared census
+    * helper.
+    */
+  private def dupSizesQ(s: SparkSession, dir: String): DataFrame = {
+    val comp = dedupResolve(s, dir)
+      .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+    val hist = comp.groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    val singles = comp.agg(coalesce(sum(col("cluster_size")), lit(0L)).as("__p"))
+      .select(lit(1L).as("cluster_size"),
+        (lit(tableCount(s, dir, "documents")) - col("__p")).as("n_clusters"))
+    hist.unionByName(singles)
+  }
+
   // ------------------------------------------------------------- contract
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -2685,6 +2730,8 @@ object SparkEntry {
     "q_funnel_stats"        -> (funnelStatsQ(_, _)),
     "q_power_users"         -> (powerUsersQ(_, _)),
     "q_norm_profile"        -> (normProfileQ(_, _)),
+    "q_weekend_effect"      -> (weekendEffectQ(_, _)),
+    "q_dup_sizes"           -> (dupSizesQ(_, _)),
     "q_new_vs_returning"    -> (newVsReturningQ(_, _)),
     "q_ltv_cohort"          -> (ltvCohortQ(_, _)),
     "q_growth_rates"        -> (growthRatesQ(_, _)),
@@ -3521,6 +3568,48 @@ object SparkEntry {
         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty
         |FROM orders JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_weekend_effect" ->
+      """WITH b AS (
+        |  SELECT CAST(o_totalprice AS DECIMAL(19,4)) AS y,
+        |    isodow(CAST(o_orderdate AS DATE)) >= 6 AS w
+        |  FROM orders),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  sum(CASE WHEN w THEN y END) AS s1, sum(CASE WHEN w THEN y*y END) AS q1,
+        |  CAST(sum(CASE WHEN NOT w THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  sum(CASE WHEN NOT w THEN y END) AS s2, sum(CASE WHEN NOT w THEN y*y END) AS q2
+        | FROM b),
+        |e AS (SELECT n1, n2,
+        |  CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |  (CAST(n1 AS DOUBLE)*CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)) /
+        |    (CAST(n1 AS DOUBLE)*(CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+        |  (CAST(n2 AS DOUBLE)*CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE)*CAST(s2 AS DOUBLE)) /
+        |    (CAST(n2 AS DOUBLE)*(CAST(n2 AS DOUBLE) - 1.0)) AS v2
+        | FROM m),
+        |f AS (SELECT n1, n2, m1, m2, v1, v2,
+        |  v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+        | FROM e)
+        |SELECT n1 AS n_wknd, n2 AS n_wkday,
+        |  round(m1, 6) AS mean_wknd, round(m2, 6) AS mean_wkday,
+        |  round((m1 - m2) / sqrt(se2), 6) AS t_stat,
+        |  round(se2 * se2 / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) +
+        |    (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)), 6) AS dof
+        |FROM f""".stripMargin,
+    "q_dup_sizes" ->
+      s"""WITH RECURSIVE $duckShingleCtes,
+         |edges AS (SELECT a AS u, b AS v FROM jpairs UNION SELECT b, a FROM jpairs),
+         |walk(id, lbl) AS (
+         |  SELECT u, u FROM edges
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON e.v = w.id),
+         |r AS (SELECT id, MIN(lbl) AS keep_id FROM walk GROUP BY id),
+         |cs AS (SELECT keep_id, count(*) AS cluster_size FROM r GROUP BY 1),
+         |h AS (SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY 1),
+         |p AS (SELECT CAST(coalesce(sum(cluster_size), 0) AS BIGINT) AS np FROM cs),
+         |t AS (SELECT count(*) AS nd FROM documents)
+         |SELECT cluster_size, n_clusters FROM h
+         |UNION ALL SELECT CAST(1 AS BIGINT), nd - np FROM p, t""".stripMargin,
     "q_norm_profile" ->
       """WITH b AS (
         |  SELECT label,
