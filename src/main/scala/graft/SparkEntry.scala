@@ -69,11 +69,6 @@ object SparkEntry {
   /** English stopword list shared by Spark and oracle SQL. */
   private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("[", ",", "]")
 
-  /** SQL expansion of the [[graft.expressions.InterleaveBits]] Morton key:
-    * one disjoint shift/mask term per bit position of each dimension, summed
-    * (terms never overlap, so + == |). Generated, not hand-typed — the bit
-    * count must match the Spark side's `bits` exactly.
-    */
   /** SQL twin of one [[graft.operators.Analytics.corrPairs]] output row:
     * Pearson r from the exact decimal moment sums of CTE `m`, with the
     * identical left-to-right double arithmetic as the Spark side.
@@ -104,6 +99,11 @@ object SparkEntry {
       s"CASE WHEN ($x) IS NOT NULL THEN CAST('${duckEmaW(k, ratio)}' AS DECIMAL(20,0)) ELSE CAST(0 AS DECIMAL(20,0)) END"
     }.mkString(" + ")
 
+  /** SQL expansion of the [[graft.expressions.InterleaveBits]] Morton key:
+    * one disjoint shift/mask term per bit position of each dimension, summed
+    * (terms never overlap, so + == |). Generated, not hand-typed — the bit
+    * count must match the Spark side's `bits` exactly.
+    */
   private def duckInterleave(x: String, y: String, bits: Int): String =
     (0 until bits).map { i =>
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
@@ -177,9 +177,15 @@ object SparkEntry {
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
         count(lit(1)).as("n"))
 
+  /** orders ⋈ customer ⋈ nation revenue rollup. `customer` is a
+    * FACT-SIZED dimension (10⁹ rows at 100 TB TPC-H scale, ~16 GB for the
+    * two joined columns alone) so it carries NO broadcast hint — the
+    * planner broadcasts it below `autoBroadcastJoinThreshold` (it does at
+    * every test SF) and falls back to a key-partitioned shuffle join at
+    * scale. `nation` is a 25-row constant table: hint kept. */
   private def joinAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
-      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -2039,15 +2045,18 @@ object SparkEntry {
   }
 
   /** Per-segment OLS revenue trend ([[Analytics.olsTrend]]): o_totalprice
-    * regressed on days-since-epoch of o_orderdate, customer segment joined
-    * in by broadcast (the dimension is tiny next to orders at any scale —
-    * at 100 TB the fact side streams through one partial-aggregating pass
-    * and only |segments| moment rows shuffle).
+    * regressed on days-since-epoch of o_orderdate. The customer join is
+    * UNHINTED: customer scales with the fact tables (10⁹ rows at 100 TB —
+    * the (custkey, segment) projection alone is ~16 GB, not
+    * broadcastable), so the planner broadcasts it below
+    * `autoBroadcastJoinThreshold` and shuffle-joins co-partitioned on the
+    * custkey above. Either way the trend itself is one
+    * partial-aggregating pass — only |segments| moment rows shuffle.
     */
   private def regrTrendQ(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
     val c = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
-    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val joined = o.join(c, col("o_custkey") === col("c_custkey"))
     Analytics.olsTrend(joined, Seq(col("c_mktsegment")),
       datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))),
       col("o_totalprice"))
@@ -2100,16 +2109,28 @@ object SparkEntry {
       .withColumn("day", col("day").cast("timestamp"))
 
   /** Robust per-type outlier profile ([[Analytics.madOutliers]]):
-    * median / MAD / 3σ-equivalent outlier counts of `value`.
+    * median / MAD / 3σ-equivalent outlier counts of `value`. The group
+    * key is the closed `event_type` vocabulary, so the broadcast gate is
+    * fed a cheap exact census (one tiny agg job at plan-build time) — the
+    * operator default (unknown count → AQE decides) stays scale-safe for
+    * per-user-style callers.
     */
-  private def anomalyMadQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.madOutliers(t(s, dir, "events"), "event_type", col("value"))
+  private def anomalyMadQ(s: SparkSession, dir: String): DataFrame = {
+    val nTypes = t(s, dir, "events").select(col("event_type")).distinct().count()
+    Analytics.madOutliers(t(s, dir, "events"), "event_type", col("value"),
+      nGroups = nTypes)
+  }
 
   /** Frequently-bought-together part pairs ([[Analytics.marketBasket]]):
     * in-basket pair generation, exact-count lift, deterministic top 50.
+    * The item space is `l_partkey ⊆ part`, so the part-table row count
+    * (a footer-statistics count, no data scan) feeds the broadcast gate;
+    * a web-scale caller with an unbounded catalog leaves the default -1
+    * and AQE sizes the aggregated item-count side at runtime.
     */
   private def marketBasketQ(s: SparkSession, dir: String): DataFrame =
-    Analytics.marketBasket(t(s, dir, "lineitem"), "l_orderkey", "l_partkey")
+    Analytics.marketBasket(t(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+      distinctItems = t(s, dir, "part").count())
 
   /** Pareto frontier of orders ([[Analytics.paretoFrontierByDate]]):
     * earliest-date / highest-value skyline via the per-date running max.
@@ -3255,9 +3276,9 @@ object SparkEntry {
         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
         |  FROM m)
         |SELECT c_mktsegment, n AS n_obs,
-        |  round(num / dx, 6) AS slope,
-        |  round((syd - (num / dx) * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
-        |  round(num * num / (dx * dy), 6) AS r2
+        |  round(num / NULLIF(dx, 0), 6) AS slope,
+        |  round((syd - (num / NULLIF(dx, 0)) * sxd) / CAST(n AS DOUBLE), 6) AS intercept,
+        |  round(num * num / NULLIF(dx * dy, 0), 6) AS r2
         |FROM e""".stripMargin,
     "q_corr_matrix" ->
       s"""WITH d AS (

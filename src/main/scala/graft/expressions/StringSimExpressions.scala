@@ -14,6 +14,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Winkler boost only when J > 0.7: J + ℓ·0.1·(1−J), prefix ℓ ≤ 4.
   * Byte-wise comparison is exact for 1-byte (ASCII) text; multi-byte
   * UTF-8 compares as byte sequences, which also matches DuckDB.
+  * Empty inputs: ANY empty side — including both-empty — scores 0.0,
+  * matching DuckDB 1.0.0 (`jaro_winkler_similarity('','') = 0.0`,
+  * verified against the oracle binary; rapidfuzz's 1.0 convention for
+  * both-empty is NOT what DuckDB ships). Pinned in ExpressionParitySpec.
   */
 object StringSimUtil {
 

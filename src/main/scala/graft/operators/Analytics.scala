@@ -880,11 +880,20 @@ object Analytics {
     * map-side-combinable partial aggregation, one shuffle of |groups|
     * rows), and the closed forms divide doubles of exact sums once, the
     * same IEEE result everywhere. Output: slope, intercept, r2 (6 dp).
+    *
+    * The x moments sum as DECIMAL, not bigint: Spark's non-ANSI bigint sum
+    * WRAPS silently at extreme row×magnitude products while the DuckDB
+    * oracle promotes to HUGEINT — decimal(38,0) keeps both engines exact
+    * (and a true overflow turns into a visible null, never a wrong
+    * number). Degenerate groups (constant x → dx=0, constant y → dy=0)
+    * emit NULL slope/intercept/r2 instead of ±Inf/NaN, mirroring
+    * `twoProportionZ`'s degenerate-pool handling.
     */
   def olsTrend(df: DataFrame, groupCols: Seq[Column], x: Column, y: Column): DataFrame = {
-    val xi = x.cast("long")
+    val xi = x.cast("long").cast("decimal(20,0)")
     val yi = y.cast("decimal(19,4)")
     val d = (c: Column) => c.cast("double")
+    val safe = (den: Column, v: Column) => when(den =!= lit(0.0), v)
     df.groupBy(groupCols: _*)
       .agg(count(lit(1)).as("__n"),
         sum(xi).as("__sx"), sum(xi * xi).as("__sxx"),
@@ -894,10 +903,11 @@ object Analytics {
       .withColumn("__dx", d(col("__n")) * d(col("__sxx")) - d(col("__sx")) * d(col("__sx")))
       .withColumn("__dy", d(col("__n")) * d(col("__syy")) - d(col("__sy")) * d(col("__sy")))
       .withColumn("n_obs", col("__n"))
-      .withColumn("slope", round(col("__num") / col("__dx"), 6))
-      .withColumn("intercept",
-        round((d(col("__sy")) - (col("__num") / col("__dx")) * d(col("__sx"))) / d(col("__n")), 6))
-      .withColumn("r2", round(col("__num") * col("__num") / (col("__dx") * col("__dy")), 6))
+      .withColumn("slope", safe(col("__dx"), round(col("__num") / col("__dx"), 6)))
+      .withColumn("intercept", safe(col("__dx"),
+        round((d(col("__sy")) - (col("__num") / col("__dx")) * d(col("__sx"))) / d(col("__n")), 6)))
+      .withColumn("r2", safe(col("__dx") * col("__dy"),
+        round(col("__num") * col("__num") / (col("__dx") * col("__dy")), 6)))
       .drop("__n", "__sx", "__sxx", "__sy", "__syy", "__sxy", "__num", "__dx", "__dy")
   }
 
@@ -995,21 +1005,32 @@ object Analytics {
 
   /** Per-group robust anomaly profile: exact median, MAD, and the count of
     * rows beyond 3·1.4826·MAD (the normal-consistent robust z-score). Two
-    * exact-percentile passes; the per-group medians are a tiny side that
-    * broadcasts back — the data shuffles only on the group key. (At 100 TB
-    * swap the exact percentile for the mergeable KLL sketch — q_kll_rollup
-    * — same shape, bounded state; exact medians are the profiling-grade
-    * variant.)
+    * exact-percentile passes; the per-group medians join back and the data
+    * shuffles only on the group key. (At 100 TB swap the exact percentile
+    * for the mergeable KLL sketch — q_kll_rollup — same shape, bounded
+    * state; exact medians are the profiling-grade variant.)
+    *
+    * The median/MAD sides are |groups| rows, so their broadcast is GATED
+    * on a caller-known group cardinality (`nGroups`, the
+    * [[graft.dedup.Dedup]] `corpusN` pattern): known and ≤
+    * `broadcastMaxGroups` → hint (calendar/enum groupings); unknown (-1)
+    * or above (per-user keys) → unhinted, AQE decides from the measured
+    * post-aggregation size and the high-cardinality case falls back to a
+    * shuffle join co-partitioned with the main groupBy key.
     */
-  def madOutliers(df: DataFrame, groupCol: String, valueCol: Column): DataFrame = {
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: Column,
+                  nGroups: Long = -1L,
+                  broadcastMaxGroups: Long = 4000000L): DataFrame = {
+    val bcast: DataFrame => DataFrame =
+      if (nGroups >= 0 && nGroups <= broadcastMaxGroups) broadcast(_) else identity
     val base = df.select(col(groupCol), valueCol.as("__v"))
     val med = base.groupBy(col(groupCol))
       .agg(expr("percentile(__v, 0.5)").as("__med"))
-    val dev = base.join(broadcast(med), groupCol)
+    val dev = base.join(bcast(med), groupCol)
       .withColumn("__adev", abs(col("__v") - col("__med")))
     val mad = dev.groupBy(col(groupCol))
       .agg(expr("percentile(__adev, 0.5)").as("__mad"))
-    dev.join(broadcast(mad), groupCol)
+    dev.join(bcast(mad), groupCol)
       .groupBy(col(groupCol))
       .agg(round(min(col("__med")), 6).as("med"),
         round(min(col("__mad")), 6).as("mad"),
@@ -1040,15 +1061,29 @@ object Analytics {
     * order. Pairs are generated INSIDE each basket from its sorted
     * distinct-item array (a nested `transform`/`slice` lambda — no
     * self-join, one shuffle on the basket key; baskets are bounded, so the
-    * explosion is |basket|², not |data|²). Item totals broadcast back, and
+    * explosion is |basket|², not |data|²). Item totals join back, and
     * the final top-k is a distributed TakeOrdered, never a full sort.
     * Lift = n_ab·N / (n_a·n_b) from exact longs, divided once in double.
+    *
+    * The item-count side is |distinct items| — a parts catalog at TPC-H
+    * scale, but potentially 10⁸–10⁹ at a web-scale item space, so the
+    * broadcast is GATED on a caller-known cardinality (`distinctItems`,
+    * the [[graft.dedup.Dedup]] `corpusN` pattern): known and ≤
+    * `broadcastMaxItems` → hint; unknown (-1) or above → unhinted, AQE
+    * sizes the post-aggregation side at runtime and broadcasts only when
+    * it measured small. The basket-count side is a single-row aggregate —
+    * always broadcast-safe.
     */
   def marketBasket(df: DataFrame, basketCol: String, itemCol: String,
-                   minPairCount: Long = 2, k: Int = 50): DataFrame = {
+                   minPairCount: Long = 2, k: Int = 50,
+                   distinctItems: Long = -1L,
+                   broadcastMaxItems: Long = 4000000L): DataFrame = {
     val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
     val nBaskets = items.agg(countDistinct(col("__b")).as("__nb"))
     val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val bcast: DataFrame => DataFrame =
+      if (distinctItems >= 0 && distinctItems <= broadcastMaxItems) broadcast(_)
+      else identity
     val pairs = items.groupBy(col("__b"))
       .agg(sort_array(collect_set(col("__i"))).as("__arr"))
       .select(explode(expr(
@@ -1059,8 +1094,8 @@ object Analytics {
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
     pairs
-      .join(broadcast(itemCounts.withColumnRenamed("__i", "p1").withColumnRenamed("__ni", "__n1")), "p1")
-      .join(broadcast(itemCounts.withColumnRenamed("__i", "p2").withColumnRenamed("__ni", "__n2")), "p2")
+      .join(bcast(itemCounts.withColumnRenamed("__i", "p1").withColumnRenamed("__ni", "__n1")), "p1")
+      .join(bcast(itemCounts.withColumnRenamed("__i", "p2").withColumnRenamed("__ni", "__n2")), "p2")
       .crossJoin(broadcast(nBaskets))
       .withColumn("lift", round(
         col("n_ab").cast("double") * col("__nb").cast("double") /

@@ -49,6 +49,15 @@ case class AsofJoin(
     rightTies: Seq[Expression]) extends BinaryNode {
 
   require(rightValues.length == asofAttrs.length, "one output attr per value")
+  // the exec builds its merge comparators from the LEFT side's types and
+  // applies them to rows of BOTH sides — mismatched key/ts types would
+  // silently corrupt ordering (or CCE at runtime), so reject at analysis
+  require(!(leftKey.resolved && rightKey.resolved) ||
+    leftKey.dataType == rightKey.dataType,
+    s"as-of join key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(!(leftTs.resolved && rightTs.resolved) ||
+    leftTs.dataType == rightTs.dataType,
+    s"as-of join ts types must match: ${leftTs.dataType} vs ${rightTs.dataType}")
 
   override def output: Seq[Attribute] = left.output ++ asofAttrs
 

@@ -38,6 +38,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("partial_sum"), p) // map-side combine before the exchange
+    // customer is fact-sized at 100 TB: its broadcast must be the PLANNER's
+    // size-driven choice (below autoBroadcastJoinThreshold here), never a
+    // forced hint that would OOM at scale. nation (25 rows) keeps its hint.
+    val logical = SparkEntry.queries("q_join_agg")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert("(?i)hint".r.findAllIn(logical).length === 1, logical)
   }
 
   // formatted mode prints each operator twice (tree + numbered detail
@@ -423,9 +429,14 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q_regr_trend / q_corr_matrix: one partial-aggregated pass, dimension broadcast") {
     val pr = plan("q_regr_trend")
-    // customer joins orders by broadcast; the fact table never sort-merges
+    // customer joins orders by broadcast BELOW the size threshold only —
+    // the join is unhinted (customer is fact-sized at 100 TB), so this
+    // broadcast is the planner's own size-driven pick at sf0.001
     assert(pr.contains("BroadcastHashJoin"), pr)
     assert(!pr.contains("SortMergeJoin"), pr)
+    val logical = SparkEntry.queries("q_regr_trend")(spark, dir)
+      .queryExecution.analyzed.toString
+    assert(!"(?i)hint".r.findAllIn(logical).hasNext, logical)
     val pc = plan("q_corr_matrix")
     // the whole matrix is one aggregate over one scan: no join at all
     assert(!pc.contains("Join"), pc)
@@ -438,6 +449,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     // pairs come from the per-basket array lambda, not a fact self-join
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("marketBasket / madOutliers: no broadcast hint above the cardinality gate") {
+    import org.apache.spark.sql.functions.col
+    // ABOVE the gate the operators must emit NO hint — the planner (AQE at
+    // runtime) owns the join strategy, so a 10⁹-item catalog or a per-user
+    // group key can never force an executor-OOM broadcast. Mirrors the
+    // q_semantic_dedup gate-audit style.
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val over = operators.Analytics.marketBasket(li, "l_orderkey", "l_partkey",
+      distinctItems = 5000001L, broadcastMaxItems = 5000000L)
+    val lo = over.queryExecution.analyzed.toString
+    // the single-row basket-count side keeps its always-safe hint; the two
+    // item-count joins must be unhinted → exactly one hint in the plan
+    assert("(?i)hint".r.findAllIn(lo).length === 1, lo)
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val mo = operators.Analytics.madOutliers(ev, "event_type", col("value"),
+      nGroups = 5000001L)
+    assert(!"(?i)hint".r.findAllIn(mo.queryExecution.analyzed.toString).hasNext)
+    // BELOW the gate the hints appear (the sf-scale fast path)
+    val under = operators.Analytics.marketBasket(li, "l_orderkey", "l_partkey",
+      distinctItems = 100L)
+    assert("(?i)hint".r.findAllIn(under.queryExecution.analyzed.toString).length === 3)
+    val mu = operators.Analytics.madOutliers(ev, "event_type", col("value"),
+      nGroups = 8L)
+    // med-hint ×2 (the deviation subtree feeds both the MAD agg and the
+    // final join) + mad-hint ×1
+    assert("(?i)hint".r.findAllIn(mu.queryExecution.analyzed.toString).length === 3)
   }
 
   test("q_dow_profile / q_mode_event: partial aggregation before the key exchange") {

@@ -311,7 +311,11 @@ class ExpressionParitySpec extends SparkSpec {
       ("aaxxxxxxxx", "aayyyyyyyy", 0.4666666666666666),// J <= 0.7: no boost
       ("b", "b", 1.0),                                  // window clamp case
       ("ab", "ba", 0.0),
-      ("", "abc", 0.0))
+      ("", "abc", 0.0),
+      // both-empty pins the ORACLE's convention: DuckDB 1.0.0
+      // jaro_winkler_similarity('','') = 0.0 (verified), unlike
+      // rapidfuzz's 1.0 — bit-exactness is to the oracle, not rapidfuzz
+      ("", "", 0.0))
     val out = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
       .select(TF.jaroWinkler(col("a"), col("b"))).as[Double].collect()
     out.zip(cases).foreach { case (got, (a, b, want)) =>

@@ -37,6 +37,22 @@ class StatsSpec extends SparkSpec {
     assert(out("a") === 1.0 && out("b") === -1.0)
   }
 
+  test("olsTrend: degenerate groups yield NULL, not Inf/NaN") {
+    // constant x → dx=0 (vertical line: slope undefined); constant y →
+    // dy=0 (r2 undefined, slope/intercept still exist)
+    val df = Seq(("cx", 5L, 1.0), ("cx", 5L, 2.0),
+                 ("cy", 1L, 3.0), ("cy", 2L, 3.0)).toDF("grp", "x", "y")
+    val rows = Analytics.olsTrend(df, Seq(col("grp")), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val cx = rows("cx")
+    assert(cx.isNullAt(cx.fieldIndex("slope")) &&
+      cx.isNullAt(cx.fieldIndex("intercept")) && cx.isNullAt(cx.fieldIndex("r2")))
+    val cy = rows("cy")
+    assert(cy.getAs[Double]("slope") === 0.0)
+    assert(cy.getAs[Double]("intercept") === 3.0)
+    assert(cy.isNullAt(cy.fieldIndex("r2")))
+  }
+
   test("corrPairs: perfect, anti, and independent pairs") {
     // a ↑ with b (corr 1), anti with c (corr −1)
     val df = Seq((1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0))

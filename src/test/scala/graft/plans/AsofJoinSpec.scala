@@ -77,6 +77,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(eq.head.getDouble(3) === 5.0)
   }
 
+  test("asofJoinMerge rejects mismatched key/ts types at analysis, not runtime") {
+    // the merge comparators are built from the LEFT side's types; an
+    // int-vs-long key would corrupt ordering silently — must throw up front
+    val lInt = Seq((1, 10L, 1L)).toDF("user_id", "ts", "purchase_id")
+    val rLong = Seq((1L, 4L, 9.0)).toDF("user_id", "ts", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Analytics.asofJoinMerge(lInt, rLong, "user_id", "ts", "ts", Seq("v"))
+    }
+    assert(e1.getMessage.contains("key types must match"), e1.getMessage)
+    val lTsInt = Seq((1L, 10, 1L)).toDF("user_id", "ts", "purchase_id")
+    val e2 = intercept[IllegalArgumentException] {
+      Analytics.asofJoinMerge(lTsInt, rLong, "user_id", "ts", "ts", Seq("v"))
+    }
+    assert(e2.getMessage.contains("ts types must match"), e2.getMessage)
+  }
+
   test("asofJoinMerge == composed asofJoin on the real events table (sf0.001)") {
     val ev = graft.SparkEntry.t(spark, "/root/testdata/sf0.001", "events")
     val purchases = ev.filter(col("event_type") === "purchase")
