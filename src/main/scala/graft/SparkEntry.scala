@@ -167,6 +167,72 @@ object SparkEntry {
       .apply("large-transaction-made")
   }
 
+  /** T4 under the driver gate: the DOT rendering of the Part-3 topology
+    * (`wv/view-topology`, reference core.clj:204) as a 1-row literal table.
+    * The oracle pins the exact text — node sort order, shapes, and edge
+    * order are hash-checked every round, not just spec-checked.
+    */
+  private def topologyDotQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(ReferenceOps.transactionTopology.toDot).toDF("dot")
+  }
+
+  /** T3 under the driver gate: the validation walkthrough
+    * (`s/explain ::ws/topology`, reference core.clj:247-252) as data. Runs
+    * the valid topology plus four malformed shapes — including the
+    * reference's own injected-cycle probe (core.clj:249-252) — through
+    * construction-time validation and reduces each outcome to
+    * (probe, ok, err), err being the stable phrase from the validator.
+    */
+  private def topologyValidateQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.{Stream => TStream, Topology => TTopo}
+    val base = ReferenceOps.transactionTopology
+    def probe(name: String)(build: => TTopo): (String, Boolean, String) =
+      try { build; (name, true, "") }
+      catch {
+        case e: IllegalArgumentException =>
+          val kinds = Seq("acyclic", "undeclared", "no input edge", "self-edges")
+          (name, false, kinds.find(e.getMessage.contains).getOrElse("other"))
+      }
+    Seq(
+      probe("valid")(base.copy()),
+      // the reference's exact invalid example: a loop through the sink
+      probe("cycle")(base.copy(workflow =
+        base.workflow :+ ("large-transaction-made" -> "purchase-made"))),
+      probe("undeclared")(base.copy(workflow =
+        base.workflow :+ ("purchase-made" -> "no-such-entity"))),
+      probe("self-edge")(base.copy(workflow =
+        base.workflow :+ ("purchase-made" -> "purchase-made"))),
+      probe("orphan-stream")(base.copy(entities =
+        base.entities + ("dangling-stream" -> TStream("dangling-stream", identity))))
+    ).toDF("probe", "ok", "err")
+  }
+
+  /** The Part-1 REPL walkthrough as an oracle-checked query (reference
+    * core.clj:165-184): four literal purchases of 10/500/50/1000 through
+    * the simple source → filter(≥100) → select-keys → sink topology
+    * (core.clj:77-83); the output topic must hold exactly the 500 and
+    * 1000 transactions.
+    */
+  private def replWalkthroughQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.core.{Stream => TStream, Topic => TTopic, Topology => TTopo}
+    val purchases = Seq(
+      (1L, 10.0, 101L, 1), (2L, 500.0, 102L, 3),
+      (3L, 50.0, 103L, 2), (4L, 1000.0, 104L, 5))
+      .toDF("key", "amount", "user_id", "quantity")
+    val topo = TTopo(
+      entities = Map(
+        "purchase-made" -> TTopic("purchase-made"),
+        "large-purchase-stream" -> TStream("large-purchase-stream", ReferenceOps.largePurchases),
+        "large-transaction-made" -> TTopic("large-transaction-made")),
+      workflow = Seq(
+        "purchase-made" -> "large-purchase-stream",
+        "large-purchase-stream" -> "large-transaction-made"))
+    topo.compile(Map("purchase-made" -> purchases))("large-transaction-made")
+  }
+
   // --------------------------------------------------------- analytic core
 
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
@@ -2714,6 +2780,9 @@ object SparkEntry {
     "q_donation_rescale"    -> (donationRescale(_, _)),
     "q_merge_union"         -> (mergeUnion(_, _)),
     "q_topology_experiment" -> (topologyTransactions(_, _)),
+    "q_topology_dot"        -> (topologyDotQ(_, _)),
+    "q_topology_validate"   -> (topologyValidateQ(_, _)),
+    "q_repl_walkthrough"    -> (replWalkthroughQ(_, _)),
     "q1_agg"                -> (q1Agg(_, _)),
     "q_join_agg"            -> (joinAgg(_, _)),
     "q_window_hourly"       -> (windowHourly(_, _)),
@@ -3190,6 +3259,30 @@ object SparkEntry {
         |UNION ALL
         |SELECT event_id AS key, user_id, CAST(TRUNC((value*100)/100) AS INT) AS amount
         |FROM events WHERE value*100 >= 10000""".stripMargin,
+    // T4: the DOT literal IS the oracle — any drift in node sorting,
+    // shapes, or edge order hash-mismatches at the driver gate
+    "q_topology_dot" ->
+      """SELECT 'digraph topology {
+        |  "humble-donation-made" [shape=cylinder];
+        |  "large-donation-stream" [shape=box];
+        |  "large-purchase-stream" [shape=box];
+        |  "large-transaction-made" [shape=cylinder];
+        |  "purchase-made" [shape=cylinder];
+        |  "purchase-made" -> "large-purchase-stream";
+        |  "humble-donation-made" -> "large-donation-stream";
+        |  "large-purchase-stream" -> "large-transaction-made";
+        |  "large-donation-stream" -> "large-transaction-made";
+        |}' AS dot""".stripMargin,
+    "q_topology_validate" ->
+      """SELECT * FROM (VALUES
+        |  ('valid', true, ''),
+        |  ('cycle', false, 'acyclic'),
+        |  ('undeclared', false, 'undeclared'),
+        |  ('self-edge', false, 'self-edges'),
+        |  ('orphan-stream', false, 'no input edge')) AS t(probe, ok, err)""".stripMargin,
+    "q_repl_walkthrough" ->
+      """SELECT * FROM (VALUES
+        |  (2, 102, 500), (4, 104, 1000)) AS t("key", user_id, amount)""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

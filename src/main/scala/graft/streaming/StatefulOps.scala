@@ -119,31 +119,54 @@ object StatefulOps {
     * by event time first, so intra-batch disorder is absorbed; a
     * cross-batch late event for an earlier stage cannot rewind
     * already-advanced state — the streaming trade, stated.
+    *
+    * State-scale guard: per-key state is O(|stages|), but NOTHING bounds
+    * the KEY space — an unbounded user population grows the store forever.
+    * `stateTtlMs > 0` turns on watermark-based expiry (the input must
+    * carry `withWatermark` on `ts`): a key idle past its last event time
+    * + TTL emits one final progress row and is evicted; a later event for
+    * it starts a fresh funnel. The default (0) keeps the unbounded
+    * behavior for bounded key spaces and the batch-parity specs.
     */
   def streamingFunnel(events: Dataset[FunnelEvent],
-                      stageTypes: Seq[String]): Dataset[FunnelProgress] = {
+                      stageTypes: Seq[String],
+                      stateTtlMs: Long = 0L): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._
     require(stageTypes.nonEmpty, "funnel needs at least one stage")
     def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+    val timeoutConf = if (stateTtlMs > 0) GroupStateTimeout.EventTimeTimeout()
+                      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[Seq[Long], FunnelProgress](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[Seq[Long], FunnelProgress](timeoutConf) {
         case (userId, batch, state: GroupState[Seq[Long]]) =>
-          var times = state.getOption.getOrElse(Seq.empty[Long])
-          batch.toSeq
-            .map(e => (micros(e.ts), e.event_type))
-            .sortBy(_._1)
-            .foreach { case (us, tpe) =>
+          if (state.hasTimedOut) {
+            // eviction flush: emit the final progress, then forget the key
+            val times = state.getOption.getOrElse(Seq.empty[Long])
+            state.remove()
+            FunnelProgress(userId, times.map(toTs))
+          } else {
+            var times = state.getOption.getOrElse(Seq.empty[Long])
+            val evs = batch.toSeq.map(e => (micros(e.ts), e.event_type)).sortBy(_._1)
+            evs.foreach { case (us, tpe) =>
               if (times.length < stageTypes.length &&
                   tpe == stageTypes(times.length) &&
                   (times.isEmpty || us > times.last))
                 times = times :+ us
             }
-          state.update(times)
-          FunnelProgress(userId, times.map { us =>
-            val t = new Timestamp(us / 1000000L * 1000L)
-            t.setNanos((us % 1000000L).toInt * 1000)
-            t
-          })
+            state.update(times)
+            if (stateTtlMs > 0 && evs.nonEmpty)
+              // clamp above the current watermark: a batch of only-late
+              // events must not set an already-expired timeout (throws)
+              state.setTimeoutTimestamp(math.max(
+                evs.last._1 / 1000L + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1L))
+            FunnelProgress(userId, times.map(toTs))
+          }
       }
   }
 
@@ -165,20 +188,33 @@ object StatefulOps {
     * intra-batch disorder is absorbed; a cross-batch late reference cannot
     * rewind facts already emitted against older state — the streaming
     * trade, stated.
+    *
+    * State-scale guard: per-key state is ONE record, but nothing bounds
+    * the key space. `stateTtlMs > 0` enables watermark-based expiry (the
+    * input must carry `withWatermark` on `ts`): a key idle past its last
+    * event time + TTL is evicted silently — a fact arriving after
+    * eviction has no reference and is dropped, exactly like a fact with
+    * no prior reference. Default (0) keeps the unbounded behavior.
     */
   def streamingAsofEnrich(events: Dataset[EnrichEvent], refType: String,
-                          factType: String): Dataset[EnrichedFact] = {
+                          factType: String,
+                          stateTtlMs: Long = 0L): Dataset[EnrichedFact] = {
     import events.sparkSession.implicits._
     def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    val timeoutConf = if (stateTtlMs > 0) GroupStateTimeout.EventTimeTimeout()
+                      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[ViewState, EnrichedFact](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         case (userId, batch, state: GroupState[ViewState]) =>
-          val out = List.newBuilder[EnrichedFact]
-          var cur = state.getOption
-          batch.toSeq
-            .sortBy(e => (micros(e.ts), e.event_id))
-            .foreach { e =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = List.newBuilder[EnrichedFact]
+            var cur = state.getOption
+            val evs = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            evs.foreach { e =>
               if (e.event_type == refType) {
                 val m = micros(e.ts)
                 val newer = cur.forall(s =>
@@ -188,8 +224,13 @@ object StatefulOps {
                 cur.foreach(s => out += EnrichedFact(userId, e.event_id, e.value, s.value))
               }
             }
-          cur.foreach(state.update)
-          out.result().iterator
+            cur.foreach(state.update)
+            if (stateTtlMs > 0 && evs.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                micros(evs.last.ts) / 1000L + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
+          }
       }
   }
 

@@ -451,6 +451,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_asof_join: AsofJoinColumnPruning reaches the scans (unused columns never read)") {
+    import org.apache.spark.sql.functions.col
+    // the driver query pre-selects, so its scans must exclude the wide
+    // `props` string column end to end
+    val p = plan("q_asof_join")
+    assert(p.contains("AsofJoin"), p)
+    assert(!p.contains("props"), p)
+    // the rule itself, at the physical level: WIDE sides with no user
+    // projection below the node — only the injected AsofJoinColumnPruning
+    // can prune through the custom operator (Spark's ColumnPruning stops at
+    // unknown logical nodes). A Spark upgrade that silently drops injected
+    // rules would put `props` (and the left `value`) back into the scans.
+    val ev = SparkEntry.t(spark, dir, "events")
+    val out = operators.Analytics.asofJoinMerge(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"),
+        "user_id", "ts", "ts", Seq("value"))
+      .select(col("event_id"), col("asof_value"))
+    val p2 = out.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p2.contains("AsofJoin"), p2)
+    assert(!p2.contains("props"), p2)
+    // scan schemas == exactly the used columns: the left side never reads
+    // its own `value` (only the right's carried asof_value is referenced)
+    // and the right side never reads `event_id` (no ties requested)
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(p2).toSeq
+    assert(schemas.length === 2, p2)
+    assert(schemas.count(_.contains("value")) === 1, p2)
+    assert(schemas.count(_.contains("event_id")) === 1, p2)
+  }
+
   test("marketBasket / madOutliers: no broadcast hint above the cardinality gate") {
     import org.apache.spark.sql.functions.col
     // ABOVE the gate the operators must emit NO hint — the planner (AQE at

@@ -123,6 +123,67 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("streamingFunnel stateTtlMs evicts idle keys past the watermark and restarts them fresh") {
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("signup", "view", "purchase")
+    // u1 signs up, then goes idle past the 1 h TTL while other keys push
+    // the watermark forward; its post-eviction "view" must NOT advance the
+    // old funnel — the key restarts from stage 0 (where "view" doesn't fit)
+    def run(ttlMs: Long, sink: String): Map[Long, Seq[Int]] = {
+      val in = MemoryStream[FunnelEvent]
+      val q = StatefulOps.streamingFunnel(
+          in.toDS().withWatermark("ts", "0 seconds"), stages, stateTtlMs = ttlMs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").start()
+      // one processAllAvailable per block: DISTINCT micro-batches, so the
+      // watermark actually advances between them (AvailableNow would fold
+      // everything into one batch and no timeout could ever fire)
+      Seq(
+        FunnelEvent(1L, ts("2024-01-01 10:00:00"), "signup"),
+        FunnelEvent(99L, ts("2024-01-01 14:00:00"), "signup"),
+        FunnelEvent(98L, ts("2024-01-01 14:01:00"), "signup"),
+        FunnelEvent(1L, ts("2024-01-01 14:30:00"), "view")
+      ).foreach { e => in.addData(e); q.processAllAvailable() }
+      q.stop()
+      spark.table(sink).as[FunnelProgress].collect().toSeq
+        .groupBy(_.user_id).map { case (u, rows) =>
+          u -> rows.map(_.stage_times.length).sorted
+        }
+    }
+    val evicted = run(ttlMs = 3600 * 1000L, sink = "t_funnel_ttl")
+    // u1: the b1 progress (1 stage), the eviction flush (1 stage), and the
+    // post-eviction restart where "view" matches nothing (0 stages)
+    assert(evicted(1L) === Seq(0, 1, 1), evicted)
+    val kept = run(ttlMs = 0L, sink = "t_funnel_nottl")
+    // without TTL the late view extends the original funnel to 2 stages
+    assert(kept(1L) === Seq(1, 2), kept)
+  }
+
+  test("streamingAsofEnrich stateTtlMs drops the reference after idle expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    def run(ttlMs: Long, sink: String): Set[(Long, Long)] = {
+      val in = MemoryStream[EnrichEvent]
+      val q = StatefulOps.streamingAsofEnrich(
+          in.toDS().withWatermark("ts", "0 seconds"), "view", "purchase",
+          stateTtlMs = ttlMs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      Seq(
+        EnrichEvent(1L, ts("2024-01-01 10:00:00"), 1L, "view", 5.0),
+        EnrichEvent(99L, ts("2024-01-01 14:00:00"), 2L, "view", 1.0),
+        EnrichEvent(98L, ts("2024-01-01 14:01:00"), 3L, "view", 2.0),
+        EnrichEvent(1L, ts("2024-01-01 14:30:00"), 4L, "purchase", 70.0)
+      ).foreach { e => in.addData(e); q.processAllAvailable() }
+      q.stop()
+      spark.table(sink).as[EnrichedFact].collect().map(e => (e.user_id, e.event_id)).toSet
+    }
+    // u1's view is >1 h idle when the purchase arrives: state evicted, the
+    // fact has no reference and is dropped — exactly the no-prior-view path
+    assert(run(3600 * 1000L, "t_enrich_ttl") === Set.empty)
+    // without TTL the stale reference still matches
+    assert(run(0L, "t_enrich_nottl") === Set((1L, 4L)))
+  }
+
   test("streamingAsofEnrich live == batch asofJoinMerge under in-order delivery") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
