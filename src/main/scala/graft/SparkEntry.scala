@@ -1939,6 +1939,14 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25))
       .select(col("doc_id"), col("lang"))
 
+  /** Exact-10-per-language deterministic sample
+    * ([[TrainingData.hashReservoirK]]): the bottom-k of the content hash
+    * per stratum via the bounded-heap aggregate — the oracle replays the
+    * identical hash order, so membership AND rank match row for row.
+    */
+  private def hashReservoirQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.hashReservoirK(t(s, dir, "documents"), "lang", "doc_id", 10)
+
   /** Nearest-centroid assignment with FIXED centroids (the first 10 corpus
     * vectors) — oracle-verifies the k-means/IVF assignment expression: the
     * `-2·v·c + |c|²` score and the (distance, id) argmin tie-break are
@@ -2512,6 +2520,102 @@ object SparkEntry {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q4 shape (order-priority checking): count per priority of 1996
+    * orders with at least one line shipped strictly after the order date.
+    * The EXISTS correlated subquery decorrelates to a LEFT SEMI join on
+    * the order key — never duplicates orders, lineitem enters as a
+    * two-column projection, and the census shuffles |priorities| rows.
+    */
+  private def sqlQ4(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  /** TPC-H Q14 shape (promotion effect): promo share of Q1-1996 revenue as
+    * one conditional aggregation over the part-joined lineitem — exact
+    * decimal revenue, a single double division at the end.
+    */
+  private def sqlQ14(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(4,2)")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev)).cast("double") /
+          sum(rev).cast("double"), 6).as("promo_revenue_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive bands): three
+    * (brand, size band, quantity band) disjuncts evaluated INSIDE the join
+    * condition so non-matching pairs never materialize.
+    */
+  private def sqlQ19(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(4,2)")
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"))
+    val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_size"))
+    li.join(p, col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#33" && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q15 shape (top supplier): per-supplier exact-decimal revenue for
+    * Q1-1996, the max re-joined via a single-row broadcast (the view +
+    * scalar subquery of the original, decorrelated by hand). Ties all
+    * survive, exactly like the reference query; the decimal equality is
+    * exact on both engines, so the tie set is deterministic.
+    */
+  private def sqlQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("__rev"))
+    val top = rev.agg(max(col("__rev")).as("__max"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("__rev") === col("__max"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__rev").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q2 flavor (min-cost supplier per part): the correlated
+    * min-subquery decorrelated into ONE aggregation — min(struct(price,
+    * suppkey)) picks the cheapest line per part with a deterministic
+    * supplier tie-break, no window, no self-join; dims join after the
+    * aggregation so they see |parts| rows, not |lineitem|.
+    */
+  private def minCostSupplierQ(s: SparkSession, dir: String): DataFrame = {
+    val best = t(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(min(struct(col("l_extendedprice"), col("l_suppkey"))).as("__b"))
+      .select(col("l_partkey"),
+        col("__b.l_extendedprice").as("min_price"),
+        col("__b.l_suppkey").as("supp_key"))
+    best
+      .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("supp_key") === col("s_suppkey"))
+      .select(col("l_partkey").as("part_key"), col("p_brand"),
+        col("s_name"), col("min_price"))
+  }
+
   /** Per-user time-weighted average of `value` (TWAP): each observation is
     * held until the next one; weight = microseconds held (exact longs ×
     * exact decimal values — both sums exact), one division per user. The
@@ -2815,6 +2919,11 @@ object SparkEntry {
     "q_sql_q10"             -> (sqlQ10(_, _)),
     "q_sql_q18"             -> (sqlQ18(_, _)),
     "q_sql_q17"             -> (sqlQ17(_, _)),
+    "q_sql_q4"              -> (sqlQ4(_, _)),
+    "q_sql_q14"             -> (sqlQ14(_, _)),
+    "q_sql_q15"             -> (sqlQ15(_, _)),
+    "q_sql_q19"             -> (sqlQ19(_, _)),
+    "q_min_cost_supplier"   -> (minCostSupplierQ(_, _)),
     "q_twap"                -> (twapQ(_, _)),
     "q_cusum_shift"         -> (cusumShiftQ(_, _)),
     "q_funnel_stats"        -> (funnelStatsQ(_, _)),
@@ -2913,6 +3022,7 @@ object SparkEntry {
     "q_pack_budgeted"       -> (packBudgetedQ(_, _)),
     "q_train_split"         -> (trainSplitQ(_, _)),
     "q_stratified_sample"   -> (stratifiedSampleQ(_, _)),
+    "q_hash_reservoir"      -> (hashReservoirQ(_, _)),
     "q_fuzzy_decontaminate" -> (fuzzyDecontaminateQ(_, _)),
     "q_chunk_docs"          -> (chunkDocsQ(_, _)),
     "q_importance_weights"  -> (importanceWeightsQ(_, _)),
@@ -3901,6 +4011,46 @@ object SparkEntry {
         |JOIN part p ON l.l_partkey = p.p_partkey
         |JOIN a ON l.l_partkey = a.l_partkey
         |WHERE p.p_brand = 'Brand#11' AND l.l_quantity < 0.2 * a.aq""".stripMargin,
+    "q_sql_q4" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1""".stripMargin,
+    "q_sql_q14" ->
+      """SELECT round(100.0 *
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2)) END) AS DOUBLE) /
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))) AS DOUBLE), 6)
+        |  AS promo_revenue_pct,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+    "q_sql_q15" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM r JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = (SELECT max(rev) FROM r)""".stripMargin,
+    "q_sql_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_min_cost_supplier" ->
+      """WITH m AS (SELECT l_partkey, min(l_extendedprice) AS min_price FROM lineitem GROUP BY 1),
+        |b AS (SELECT l.l_partkey, m.min_price, min(l.l_suppkey) AS supp_key
+        |      FROM lineitem l JOIN m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+        |      GROUP BY 1, 2)
+        |SELECT b.l_partkey AS part_key, p_brand, s_name, min_price
+        |FROM b JOIN part ON b.l_partkey = p_partkey
+        |JOIN supplier ON b.supp_key = s_suppkey""".stripMargin,
     "q_profile" ->
       """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus,
         |             CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
@@ -4219,6 +4369,16 @@ object SparkEntry {
          |WHERE ((hsv % 1000) + 1000) % 1000 <
          |  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'fr' THEN 250
          |            WHEN 'es' THEN 250 WHEN 'zh' THEN 250 ELSE 0 END""".stripMargin,
+    // bottom-k hash reservoir: the oracle replays the identical signed
+    // fnv1a64 order, so per-stratum membership AND rank hash-match
+    "q_hash_reservoir" ->
+      s"""WITH h AS (
+         |  SELECT lang, doc_id, ${duckU2S(duckFnvU("CAST(doc_id AS VARCHAR)"))} AS hs
+         |  FROM documents),
+         |r AS (SELECT lang, doc_id,
+         |        row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rn
+         |      FROM h)
+         |SELECT lang, doc_id, rn FROM r WHERE rn <= 10""".stripMargin,
     "q_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, true AS hll_in_band
         |FROM events GROUP BY event_type""".stripMargin,

@@ -1293,10 +1293,23 @@ object Analytics {
     * starts at the same instant (−1 < +1), so back-to-back intervals don't
     * overlap. Returns one row: the peak and the first instant it is
     * reached.
+    *
+    * The ±1 deltas come from ONE explode pass over the intervals, not a
+    * self-union: a union scans the interval source twice per job, and when
+    * the source is itself an aggregation (q_peak_concurrency's
+    * session_window rollup) every one of prefixSum's jobs would pay it
+    * twice. Local wall-clock is dominated by the FIXED cost of the five
+    * jobs (count/sample/census/window + the cache fill), ~0.3-0.5 s each
+    * on 191k rows at sf0.1 (measured phase-by-phase in r10) — overhead
+    * that amortizes to nothing at real scale, which is what the sharded
+    * shape is for.
     */
   def peakConcurrency(intervals: DataFrame, startCol: Column, endCol: Column): DataFrame = {
-    val deltas = intervals.select(unix_micros(startCol).as("t"), lit(1L).as("delta"))
-      .unionByName(intervals.select(unix_micros(endCol).as("t"), lit(-1L).as("delta")))
+    val deltas = intervals
+      .select(explode(array(
+        struct(unix_micros(startCol).as("t"), lit(1L).as("delta")),
+        struct(unix_micros(endCol).as("t"), lit(-1L).as("delta")))).as("__d"))
+      .select(col("__d.t").as("t"), col("__d.delta").as("delta"))
     val cum = prefixSum(deltas, Seq(col("t"), col("delta")), col("delta"), "cum")
     // ONE aggregate finds both answers: max over (cum, −t) structs is the
     // highest concurrency and, among its ties, the earliest instant — no

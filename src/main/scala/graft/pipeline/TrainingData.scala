@@ -250,6 +250,32 @@ object TrainingData {
     df.filter(pmod(TextFunctions.fnv1a64(col(keyCol).cast("string")), lit(resolution.toLong)) < thr)
   }
 
+  /** Deterministic EXACT-k per-stratum sample ("hash reservoir" / bottom-k
+    * sketch): the k rows with the smallest `fnv1a64(key)` per stratum.
+    * Bernoulli gates ([[hashStratifiedSample]]) give an exact RATE but an
+    * approximate count; this guarantees the count, stays a pure function
+    * of row content (stable across re-shards, re-ingestion, engines), and
+    * has the classic bottom-k property that growing the corpus only ever
+    * replaces the largest-hash members — bounded sample churn.
+    *
+    * Scale shape: the bounded-heap top-k aggregate
+    * ([[graft.expressions.TopKStructsAgg]]) partial-combines map-side, so
+    * each mapper ships at most k rows per stratum — no window, no sort of
+    * the corpus, one shuffle of ≤ k·|strata| rows per mapper. Output:
+    * (strataCol, keyCol, rn) with rn the 1-based rank within the stratum.
+    */
+  def hashReservoirK(df: DataFrame, strataCol: String, keyCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"sample size must be positive: $k")
+    graft.operators.Analytics.topPerKeyAgg(
+      df.select(col(strataCol), col(keyCol),
+        TextFunctions.fnv1a64(col(keyCol).cast("string")).as("__h")),
+      strataCol,
+      Seq(col("__h"), col(keyCol)),
+      Seq(keyCol -> col(keyCol)),
+      k)
+  }
+
   /** Leakage-free train/val/test split: assigns every document a split such
     * that NO near-duplicate pair ever straddles a split boundary — the
     * eval-integrity property a per-document hash split cannot give (a

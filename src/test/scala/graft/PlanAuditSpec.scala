@@ -545,6 +545,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(l_returnflag,R)"), p)
   }
 
+  test("q_sql_q4 / q_sql_q19 / q_min_cost_supplier: semi-join, disjunctive join, argmin-no-window") {
+    // Q4: EXISTS decorrelates to a LEFT SEMI join — orders are never
+    // duplicated, so no post-join dedup and no window appears anywhere
+    val p4 = plan("q_sql_q4")
+    assert(p4.contains("LeftSemi"), p4)
+    assert(!p4.contains("Window"), p4)
+    assert(p4.contains("partial_count"), p4)
+    // Q19: the three disjunctive bands live in the JOIN condition — a hash
+    // equi-join on the part key, never a cartesian
+    val p19 = plan("q_sql_q19")
+    assert(!p19.contains("CartesianProduct") && !p19.contains("BroadcastNestedLoop"), p19)
+    assert(p19.contains("partial_sum"), p19)
+    // argmin per part is ONE min(struct) aggregation: no window, no
+    // self-join back onto lineitem (exactly two scans of it would be wrong)
+    val pm = plan("q_min_cost_supplier")
+    assert(!pm.contains("Window"), pm)
+    assert(pm.contains("partial_min"), pm)
+    // one lineitem scan (each scan's detail section prints its Location once)
+    assert("lineitem\\.parquet".r.findAllIn(pm).length === 1, pm)
+  }
+
   test("q_sql_q17: brand filter pushes into the part scan; dim side broadcasts") {
     val p = plan("q_sql_q17")
     assert(p.contains("EqualTo(p_brand,Brand#11)"), p)

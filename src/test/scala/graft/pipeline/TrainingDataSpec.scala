@@ -731,6 +731,39 @@ class TrainingDataSpec extends SparkSpec {
     assert(math.abs(en - 0.5) < 0.15 && math.abs(de - 0.25) < 0.15)
   }
 
+  test("hashReservoirK: exact k per stratum, window-equal, bottom-k growth property") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1L to 300L).map(i => (i, if (i % 3 == 0) "en" else "de"))
+    val df = rows.toDF("doc_id", "lang")
+    val out = TrainingData.hashReservoirK(df, "lang", "doc_id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // exact count per stratum (both strata have ≥ 7 members)
+    assert(out.count(_._1 == "en") === 7 && out.count(_._1 == "de") === 7)
+    // equals the window formulation (heap agg == row_number, rank included)
+    val win = df
+      .withColumn("__h", graft.functions.TextFunctions.fnv1a64(col("doc_id").cast("string")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("__h"), col("doc_id"))))
+      .filter(col("rn") <= 7)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3)))
+    assert(out.toSet === win.toSet)
+    // layout-independence: a reshuffled frame yields the identical sample
+    val out2 = TrainingData.hashReservoirK(
+        rows.reverse.toDF("doc_id", "lang").repartition(7), "lang", "doc_id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out2.toSet === out.toSet)
+    // bottom-k growth: extending the corpus can only replace members with
+    // SMALLER-hash newcomers — survivors keep their relative hash order
+    val grown = TrainingData.hashReservoirK(
+        (rows ++ (301L to 400L).map(i => (i, "en"))).toDF("doc_id", "lang"),
+        "lang", "doc_id", 7)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val survivors = grown.filter { case (_, id) => id <= 300L }
+    assert(survivors.subsetOf(out.map(o => (o._1, o._2)).toSet))
+    assert(grown.filter(_._1 == "de") === out.filter(_._1 == "de").map(o => (o._1, o._2)).toSet)
+  }
+
   test("stratifiedSample is seed-deterministic and tracks requested fractions (sf0.01)") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val fr = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.25, "es" -> 0.25, "zh" -> 0.25)
