@@ -37,8 +37,9 @@ object Bench {
         l = load1()
       }
     }
-    // Single-thread CPU fingerprint: a fixed 400M-step xorshift loop, min
-    // of two runs (the second is JIT-steady). The r9 box bisect (PERF.md)
+    // Single-thread CPU fingerprint: a fixed 400M-step xorshift loop — one
+    // discarded JIT-warmup run, then the min of two measured runs (three
+    // loop executions total). The r9 box bisect (PERF.md)
     // needed a manual python loop to prove "the box changed, not the code";
     // emitting a fingerprint with every run makes the next box swap
     // self-diagnosing — the trend report below compares it to the committed

@@ -2184,16 +2184,17 @@ object SparkEntry {
 
   /** Robust per-type outlier profile ([[Analytics.madOutliers]]):
     * median / MAD / 3σ-equivalent outlier counts of `value`. The group
-    * key is the closed `event_type` vocabulary, so the broadcast gate is
-    * fed a cheap exact census (one tiny agg job at plan-build time) — the
-    * operator default (unknown count → AQE decides) stays scale-safe for
-    * per-user-style callers.
+    * key is the closed `event_type` vocabulary — a schema-level enum (5
+    * values in the generator), so the broadcast gate gets a LITERAL bound
+    * with headroom rather than a census job (a distinct-count scan at
+    * plan-build time would run inside every timed bench sample, and at
+    * 100 TB it is a full fact scan per plan build). The operator default
+    * (unknown count → AQE decides) stays the scale-safe path for
+    * open-vocabulary callers.
     */
-  private def anomalyMadQ(s: SparkSession, dir: String): DataFrame = {
-    val nTypes = t(s, dir, "events").select(col("event_type")).distinct().count()
+  private def anomalyMadQ(s: SparkSession, dir: String): DataFrame =
     Analytics.madOutliers(t(s, dir, "events"), "event_type", col("value"),
-      nGroups = nTypes)
-  }
+      nGroups = 16L)
 
   /** Frequently-bought-together part pairs ([[Analytics.marketBasket]]):
     * in-basket pair generation, exact-count lift, deterministic top 50.

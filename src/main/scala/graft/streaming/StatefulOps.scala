@@ -141,16 +141,21 @@ object StatefulOps {
     }
     val timeoutConf = if (stateTtlMs > 0) GroupStateTimeout.EventTimeTimeout()
                       else GroupStateTimeout.NoTimeout
+    // state = (stage times, max event time ever seen). The deadline anchors
+    // on the MONOTONIC max-seen, not the current batch's max: a stray LATE
+    // event must never shorten the key's eviction deadline below
+    // last-event-time + TTL (it would split one funnel into two).
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[Seq[Long], FunnelProgress](timeoutConf) {
-        case (userId, batch, state: GroupState[Seq[Long]]) =>
+      .mapGroupsWithState[(Seq[Long], Long), FunnelProgress](timeoutConf) {
+        case (userId, batch, state: GroupState[(Seq[Long], Long)]) =>
           if (state.hasTimedOut) {
             // eviction flush: emit the final progress, then forget the key
-            val times = state.getOption.getOrElse(Seq.empty[Long])
+            val times = state.getOption.map(_._1).getOrElse(Seq.empty[Long])
             state.remove()
             FunnelProgress(userId, times.map(toTs))
           } else {
-            var times = state.getOption.getOrElse(Seq.empty[Long])
+            var (times, maxSeen) =
+              state.getOption.getOrElse((Seq.empty[Long], Long.MinValue))
             val evs = batch.toSeq.map(e => (micros(e.ts), e.event_type)).sortBy(_._1)
             evs.foreach { case (us, tpe) =>
               if (times.length < stageTypes.length &&
@@ -158,12 +163,13 @@ object StatefulOps {
                   (times.isEmpty || us > times.last))
                 times = times :+ us
             }
-            state.update(times)
-            if (stateTtlMs > 0 && evs.nonEmpty)
+            if (evs.nonEmpty) maxSeen = math.max(maxSeen, evs.last._1)
+            state.update((times, maxSeen))
+            if (stateTtlMs > 0 && maxSeen != Long.MinValue)
               // clamp above the current watermark: a batch of only-late
               // events must not set an already-expired timeout (throws)
               state.setTimeoutTimestamp(math.max(
-                evs.last._1 / 1000L + stateTtlMs,
+                maxSeen / 1000L + stateTtlMs,
                 state.getCurrentWatermarkMs() + 1L))
             FunnelProgress(userId, times.map(toTs))
           }
@@ -203,16 +209,21 @@ object StatefulOps {
     def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
     val timeoutConf = if (stateTtlMs > 0) GroupStateTimeout.EventTimeTimeout()
                       else GroupStateTimeout.NoTimeout
+    // `maxSeen` makes the eviction deadline MONOTONIC: a stray late event
+    // must never shorten it below last-event-time + TTL (that would evict
+    // a live reference early and silently drop its facts). Facts-only keys
+    // write no state, so there is nothing to expire for them.
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[ViewState, EnrichedFact](
+      .flatMapGroupsWithState[(ViewState, Long), EnrichedFact](
         OutputMode.Append(), timeoutConf) {
-        case (userId, batch, state: GroupState[ViewState]) =>
+        case (userId, batch, state: GroupState[(ViewState, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val out = List.newBuilder[EnrichedFact]
-            var cur = state.getOption
+            var cur = state.getOption.map(_._1)
+            var maxSeen = state.getOption.map(_._2).getOrElse(Long.MinValue)
             val evs = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             evs.foreach { e =>
               if (e.event_type == refType) {
@@ -224,11 +235,14 @@ object StatefulOps {
                 cur.foreach(s => out += EnrichedFact(userId, e.event_id, e.value, s.value))
               }
             }
-            cur.foreach(state.update)
-            if (stateTtlMs > 0 && evs.nonEmpty)
-              state.setTimeoutTimestamp(math.max(
-                micros(evs.last.ts) / 1000L + stateTtlMs,
-                state.getCurrentWatermarkMs() + 1L))
+            if (evs.nonEmpty) maxSeen = math.max(maxSeen, micros(evs.last.ts))
+            cur.foreach { s =>
+              state.update((s, maxSeen))
+              if (stateTtlMs > 0)
+                state.setTimeoutTimestamp(math.max(
+                  maxSeen / 1000L + stateTtlMs,
+                  state.getCurrentWatermarkMs() + 1L))
+            }
             out.result().iterator
           }
       }

@@ -126,6 +126,49 @@ object StreamRunner {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** STREAM-STREAM interval join — the live face of
+    * [[graft.operators.Analytics.intervalJoin]] (KStream⋈KStream
+    * JoinWindows): each left event pairs with every right event of the
+    * same key inside `[leftTs − beforeUs, leftTs + afterUs]`. Both inputs
+    * MUST carry `withWatermark` on their timestamp columns — the watermark
+    * plus the explicit time-range condition is what lets Structured
+    * Streaming bound the join state (a side's buffered rows are evicted
+    * once the other side's watermark passes their last possible match), so
+    * state is O(events within the window per key), never the whole stream.
+    * Output schema mirrors the batch operator: all left columns + the
+    * aliased right columns. Parity is spec-asserted (live == batch on the
+    * same events; inclusive bounds both sides).
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                         leftTs: String, rightTs: String,
+                         beforeUs: Long, afterUs: Long,
+                         rightCols: Seq[(String, String)]): DataFrame = {
+    require(beforeUs >= 0 && afterUs >= 0 && beforeUs + afterUs > 0,
+      s"window must be non-empty: before=$beforeUs after=$afterUs")
+    // fail FAST on the two silent-misuse paths: a streaming side without a
+    // watermark is accepted by Spark but buffers join state forever (OOM in
+    // production, nothing locally); an alias collision surfaces later as an
+    // unhelpful ambiguous-reference error
+    import org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+    def watermarked(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.exists(_.isInstanceOf[EventTimeWatermark])
+    require(!left.isStreaming || watermarked(left),
+      "streaming left side must carry withWatermark — unbounded join state otherwise")
+    require(!right.isStreaming || watermarked(right),
+      "streaming right side must carry withWatermark — unbounded join state otherwise")
+    val leftCols = left.columns.toSeq
+    val clash = rightCols.map(_._2).toSet intersect leftCols.toSet
+    require(clash.isEmpty, s"right aliases collide with left columns: ${clash.mkString(", ")}")
+    val r2 = right.select(
+      col(keyCol).as("__rkey") +: col(rightTs).as("__rts") +:
+        rightCols.map { case (c, a) => col(c).as(a) }: _*)
+    left.join(r2,
+        col(keyCol) === col("__rkey") &&
+          col("__rts") >= col(leftTs) - expr(s"INTERVAL $beforeUs MICROSECOND") &&
+          col("__rts") <= col(leftTs) + expr(s"INTERVAL $afterUs MICROSECOND"))
+      .select(leftCols.map(col) ++ rightCols.map { case (_, a) => col(a) }: _*)
+  }
+
   /** Stream-static enrichment join: every micro-batch hash-joins against the
     * static dimension (re-resolved per batch, so a refreshed dim table is
     * picked up). Broadcast by default — the dim is the small side in the

@@ -159,6 +159,35 @@ class StatefulOpsSpec extends SparkSpec {
     assert(kept(1L) === Seq(1, 2), kept)
   }
 
+  test("streamingFunnel TTL deadline is monotonic: a late event cannot shorten it") {
+    implicit val sqlCtx = spark.sqlContext
+    val stages = Seq("signup", "view", "purchase")
+    // u1 signs up at 14:00 (deadline 15:00 with a 1 h TTL). A stray LATE
+    // event (ts 10:00, below the key's max-seen) arrives next batch; if the
+    // deadline were re-anchored on the BATCH max it would collapse to
+    // ~wm+1ms and u1 would be evicted while still live — its in-window
+    // "view" at 14:45 would then restart a fresh funnel at stage 0 instead
+    // of advancing to stage 2.
+    val in = MemoryStream[FunnelEvent]
+    val q = StatefulOps.streamingFunnel(
+        in.toDS().withWatermark("ts", "0 seconds"), stages, stateTtlMs = 3600 * 1000L)
+      .writeStream.format("memory").queryName("t_funnel_late")
+      .outputMode("update").start()
+    Seq(
+      FunnelEvent(1L, ts("2024-01-01 14:00:00"), "signup"),
+      FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),   // LATE (ignored by stages too)
+      FunnelEvent(99L, ts("2024-01-01 14:30:00"), "signup"),// advances the watermark
+      FunnelEvent(1L, ts("2024-01-01 14:45:00"), "view")    // in-window stage 2
+    ).foreach { e => in.addData(e); q.processAllAvailable() }
+    q.stop()
+    val u1 = spark.table("t_funnel_late").as[FunnelProgress].collect()
+      .filter(_.user_id == 1L).map(_.stage_times.length)
+    // the funnel reaches 2 stages and is NEVER evicted-and-restarted (no
+    // 0-stage row may exist for u1)
+    assert(u1.max === 2, u1.toSeq)
+    assert(!u1.contains(0), u1.toSeq)
+  }
+
   test("streamingAsofEnrich stateTtlMs drops the reference after idle expiry") {
     implicit val sqlCtx = spark.sqlContext
     def run(ttlMs: Long, sink: String): Set[(Long, Long)] = {

@@ -207,6 +207,75 @@ class StreamingSpec extends SparkSpec {
     assert(batch === Set((1L, "adA", 50.0), (3L, "adC", 90.0), (4L, "adD", 40.0)))
   }
 
+  test("StreamRunner.streamIntervalJoin == batch intervalJoin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // the NAMED operator (live face of Analytics.intervalJoin), driven as
+    // TWO genuine micro-batches (per-block processAllAvailable — an
+    // AvailableNow trigger would fold every addData into one batch and the
+    // buffered-state path would never run). u4's click arrives in batch 1
+    // and its +1h-boundary purchase in batch 2, so the match can ONLY come
+    // from buffered join state; fixtures stay inside the watermark
+    // (batch-2 events all post-date batch 1's global watermark).
+    val clicksB1 = Seq(
+      (Timestamp.valueOf("2024-01-01 09:00:00"), 3L, "adC"),
+      (Timestamp.valueOf("2024-01-01 09:59:30"), 4L, "adD"))
+    val clicksB2 = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "adA"),
+      (Timestamp.valueOf("2024-01-01 10:20:00"), 2L, "adB"))
+    val buysB1 = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 3L, 90.0))   // click+1h boundary, inclusive
+    val buysB2 = Seq(
+      (Timestamp.valueOf("2024-01-01 10:05:00"), 1L, 50.0),
+      (Timestamp.valueOf("2024-01-01 10:59:30"), 4L, 40.0),   // exactly +1h, CROSS-batch
+      (Timestamp.valueOf("2024-01-01 11:30:00"), 2L, 70.0))   // outside window
+    val clicks = MemoryStream[(Timestamp, Long, String)]
+    val buys = MemoryStream[(Timestamp, Long, Double)]
+    val live = StreamRunner.streamIntervalJoin(
+      clicks.toDF().toDF("click_ts", "user", "ad").withWatermark("click_ts", "1 minute"),
+      buys.toDF().toDF("p_ts", "p_user", "amount").withWatermark("p_ts", "1 minute")
+        .withColumnRenamed("p_user", "user"),
+      "user", "click_ts", "p_ts",
+      beforeUs = 0L, afterUs = 3600L * 1000000L,
+      rightCols = Seq("amount" -> "amount"))
+    val q = live.writeStream.format("memory").queryName("t_ssjoin_op").start()
+    clicks.addData(clicksB1: _*); buys.addData(buysB1: _*)
+    q.processAllAvailable()
+    clicks.addData(clicksB2: _*); buys.addData(buysB2: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("t_ssjoin_op").select("user", "ad", "amount")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val batch = graft.operators.Analytics.intervalJoin(
+        (clicksB1 ++ clicksB2).toDF("click_ts", "user", "ad"),
+        (buysB1 ++ buysB2).toDF("p_ts", "p_user", "amount").withColumnRenamed("p_user", "user"),
+        "user", "click_ts", "p_ts",
+        beforeUs = 0L, afterUs = 3600L * 1000000L,
+        rightCols = Seq("amount" -> "amount"))
+      .select("user", "ad", "amount")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === batch)
+    // u4 is the cross-batch pair — present only if batch-1 state survived
+    assert(batch === Set((1L, "adA", 50.0), (3L, "adC", 90.0), (4L, "adD", 40.0)))
+
+    // misuse fails fast, not as unbounded state / late ambiguity errors
+    val noWm = intercept[IllegalArgumentException] {
+      StreamRunner.streamIntervalJoin(
+        clicks.toDF().toDF("click_ts", "user", "ad"),
+        buys.toDF().toDF("p_ts", "p_user", "amount").withColumnRenamed("p_user", "user")
+          .withWatermark("p_ts", "1 minute"),
+        "user", "click_ts", "p_ts", 0L, 3600L * 1000000L, Seq("amount" -> "amount"))
+    }
+    assert(noWm.getMessage.contains("withWatermark"), noWm.getMessage)
+    val clash = intercept[IllegalArgumentException] {
+      StreamRunner.streamIntervalJoin(
+        clicks.toDF().toDF("click_ts", "user", "ad").withWatermark("click_ts", "1 minute"),
+        buys.toDF().toDF("p_ts", "p_user", "amount").withColumnRenamed("p_user", "user")
+          .withWatermark("p_ts", "1 minute"),
+        "user", "click_ts", "p_ts", 0L, 3600L * 1000000L, Seq("amount" -> "ad"))
+    }
+    assert(clash.getMessage.contains("collide"), clash.getMessage)
+  }
+
   test("streaming session_window aggregation equals the batch formulation") {
     implicit val sqlCtx = spark.sqlContext
     val rows = Seq(
