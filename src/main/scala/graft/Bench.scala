@@ -189,12 +189,23 @@ object Bench {
     // either direction, on stderr so the driver's bounded stdout tail never
     // loses the metric line; informational, never fatal (one-shot timing on
     // this box is ±2x — hence the settle guard and median-of-3 above).
+    val measure = "plan_exec_median3warm_noisefloor"
     val trendBase = sys.env.getOrElse("SPARK_GRAFT_TREND_BASE", "bench_out.json")
     try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(trendBase)), "UTF-8")
       val body = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
       val baseSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      // methodology-change annotation: if the baseline was recorded under a
+      // different "measure" (e.g. pre-noisefloor raw warm medians), the
+      // ratio table mixes methodology change with performance change —
+      // label it like the box-fingerprint case so nobody chases phantoms
+      val baseMeasure = """"measure":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      baseMeasure.filter(_ != measure).foreach { m =>
+        System.err.println(s"BENCH TREND: MEASURE CHANGED — baseline recorded as " +
+          s""""$m", this run is "$measure"; per-query ratios below are """ +
+          "measure-confounded, re-base the baseline")
+      }
       // box-change annotation: a fingerprint delta >25% means the ratio
       // table below is box-confounded — label it so nobody chases phantom
       // regressions (the r8 lesson, and the reverse in r10)
@@ -231,7 +242,7 @@ object Bench {
         System.err.println(s"BENCH TREND: failed (${e.getMessage}) — skipped")
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"failed":$failedJson,"measure":"plan_exec_median3warm_noisefloor","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"failed":$failedJson,"measure":"$measure","sf":"$sfDir"}"""
     println(line)
     // The driver parses the metric line out of a BOUNDED log tail. With 79+
     // queries the per-query map outgrew that window in round 5 and the line's
@@ -239,7 +250,7 @@ object Bench {
     // keeps the END of the log, so emit a compact totals-only line LAST —
     // this one always survives truncation; the per-query breakdown lives in
     // the full line above and in the SPARK_GRAFT_OUT file.
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_total":${r3(coldTotal)},"n_queries":${results.size},"failed":$failedJson,"measure":"plan_exec_median3warm_noisefloor","sf":"$sfDir","detail":"$outPath"}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","cold_total":${r3(coldTotal)},"n_queries":${results.size},"failed":$failedJson,"measure":"$measure","sf":"$sfDir","detail":"$outPath"}"""
     println(summary)
     // flagged queries keep all three numbers in the file: the raw (noisy)
     // warm median, the cold run, and the min() that entered the totals
@@ -247,7 +258,7 @@ object Bench {
       s""""$k":{"raw_warm":${r3(w)},"cold":${r3(c)},"used":${r3(math.min(w, c))}}"""
     }.mkString("{", ",", "}")
     val stealTotal = stealJiffies() - stealStart
-    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"measure":"plan_exec_median3warm_noisefloor","sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"measure":"$measure","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

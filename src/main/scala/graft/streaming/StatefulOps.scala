@@ -127,6 +127,12 @@ object StatefulOps {
     * + TTL emits one final progress row and is evicted; a later event for
     * it starts a fresh funnel. The default (0) keeps the unbounded
     * behavior for bounded key spaces and the batch-parity specs.
+    *
+    * CHECKPOINT COMPATIBILITY: adding the TTL widened the state encoding
+    * from `Seq[Long]` to `(Seq[Long], Long)` — a streaming query
+    * checkpointed under the old encoding cannot be restored by this
+    * version (the state deserializer fails); restart from a fresh
+    * checkpoint after upgrading.
     */
   def streamingFunnel(events: Dataset[FunnelEvent],
                       stageTypes: Seq[String],
@@ -201,6 +207,11 @@ object StatefulOps {
     * event time + TTL is evicted silently — a fact arriving after
     * eviction has no reference and is dropped, exactly like a fact with
     * no prior reference. Default (0) keeps the unbounded behavior.
+    *
+    * CHECKPOINT COMPATIBILITY: adding the TTL widened the state encoding
+    * from `ViewState` to `(ViewState, Long)` — a streaming query
+    * checkpointed under the old encoding cannot be restored by this
+    * version; restart from a fresh checkpoint after upgrading.
     */
   def streamingAsofEnrich(events: Dataset[EnrichEvent], refType: String,
                           factType: String,

@@ -159,6 +159,13 @@ object StreamRunner {
     val leftCols = left.columns.toSeq
     val clash = rightCols.map(_._2).toSet intersect leftCols.toSet
     require(clash.isEmpty, s"right aliases collide with left columns: ${clash.mkString(", ")}")
+    // "__rkey"/"__rts" are this operator's internal key/timestamp columns —
+    // a caller column or alias by either name would surface later as an
+    // ambiguous-reference (or silently wrong-column) error, so reject it here
+    val reserved = Set("__rkey", "__rts")
+    val reservedHit = (rightCols.map(_._2) ++ leftCols).filter(reserved)
+    require(reservedHit.isEmpty,
+      s"column names ${reservedHit.distinct.mkString(", ")} are reserved by streamIntervalJoin")
     val r2 = right.select(
       col(keyCol).as("__rkey") +: col(rightTs).as("__rts") +:
         rightCols.map { case (c, a) => col(c).as(a) }: _*)

@@ -20,6 +20,15 @@ class PlanAuditSpec extends SparkSpec {
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
   }
 
+  // Counts actual hint NODES in the analyzed plan (ResolvedHint after
+  // analysis, UnresolvedHint if one survives), not the substring "hint" —
+  // a column name or literal containing "hint" must not move these audits.
+  private def hintNodes(df: DataFrame): Int =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      case h: org.apache.spark.sql.catalyst.plans.logical.UnresolvedHint => h
+    }.length
+
   test("q_filter_project: predicate and projection reach the parquet scan") {
     val p = plan("q_filter_project")
     assert(p.contains("PushedFilters") &&
@@ -41,9 +50,8 @@ class PlanAuditSpec extends SparkSpec {
     // customer is fact-sized at 100 TB: its broadcast must be the PLANNER's
     // size-driven choice (below autoBroadcastJoinThreshold here), never a
     // forced hint that would OOM at scale. nation (25 rows) keeps its hint.
-    val logical = SparkEntry.queries("q_join_agg")(spark, dir)
-      .queryExecution.analyzed.toString
-    assert("(?i)hint".r.findAllIn(logical).length === 1, logical)
+    val df = SparkEntry.queries("q_join_agg")(spark, dir)
+    assert(hintNodes(df) === 1, df.queryExecution.analyzed.toString)
   }
 
   // formatted mode prints each operator twice (tree + numbered detail
@@ -434,9 +442,8 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast is the planner's own size-driven pick at sf0.001
     assert(pr.contains("BroadcastHashJoin"), pr)
     assert(!pr.contains("SortMergeJoin"), pr)
-    val logical = SparkEntry.queries("q_regr_trend")(spark, dir)
-      .queryExecution.analyzed.toString
-    assert(!"(?i)hint".r.findAllIn(logical).hasNext, logical)
+    val df = SparkEntry.queries("q_regr_trend")(spark, dir)
+    assert(hintNodes(df) === 0, df.queryExecution.analyzed.toString)
     val pc = plan("q_corr_matrix")
     // the whole matrix is one aggregate over one scan: no join at all
     assert(!pc.contains("Join"), pc)
@@ -490,23 +497,22 @@ class PlanAuditSpec extends SparkSpec {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val over = operators.Analytics.marketBasket(li, "l_orderkey", "l_partkey",
       distinctItems = 5000001L, broadcastMaxItems = 5000000L)
-    val lo = over.queryExecution.analyzed.toString
     // the single-row basket-count side keeps its always-safe hint; the two
-    // item-count joins must be unhinted → exactly one hint in the plan
-    assert("(?i)hint".r.findAllIn(lo).length === 1, lo)
+    // item-count joins must be unhinted → exactly one hint node in the plan
+    assert(hintNodes(over) === 1, over.queryExecution.analyzed.toString)
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val mo = operators.Analytics.madOutliers(ev, "event_type", col("value"),
       nGroups = 5000001L)
-    assert(!"(?i)hint".r.findAllIn(mo.queryExecution.analyzed.toString).hasNext)
+    assert(hintNodes(mo) === 0)
     // BELOW the gate the hints appear (the sf-scale fast path)
     val under = operators.Analytics.marketBasket(li, "l_orderkey", "l_partkey",
       distinctItems = 100L)
-    assert("(?i)hint".r.findAllIn(under.queryExecution.analyzed.toString).length === 3)
+    assert(hintNodes(under) === 3)
     val mu = operators.Analytics.madOutliers(ev, "event_type", col("value"),
       nGroups = 8L)
     // med-hint ×2 (the deviation subtree feeds both the MAD agg and the
     // final join) + mad-hint ×1
-    assert("(?i)hint".r.findAllIn(mu.queryExecution.analyzed.toString).length === 3)
+    assert(hintNodes(mu) === 3)
   }
 
   test("q_dow_profile / q_mode_event: partial aggregation before the key exchange") {

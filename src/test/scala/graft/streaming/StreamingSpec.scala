@@ -274,6 +274,17 @@ class StreamingSpec extends SparkSpec {
         "user", "click_ts", "p_ts", 0L, 3600L * 1000000L, Seq("amount" -> "ad"))
     }
     assert(clash.getMessage.contains("collide"), clash.getMessage)
+    // the operator's internal "__rkey"/"__rts" names are reserved — an
+    // alias (or left column) by either name must fail fast here, not as a
+    // downstream ambiguous-reference error
+    val reserved = intercept[IllegalArgumentException] {
+      StreamRunner.streamIntervalJoin(
+        clicks.toDF().toDF("click_ts", "user", "ad").withWatermark("click_ts", "1 minute"),
+        buys.toDF().toDF("p_ts", "p_user", "amount").withColumnRenamed("p_user", "user")
+          .withWatermark("p_ts", "1 minute"),
+        "user", "click_ts", "p_ts", 0L, 3600L * 1000000L, Seq("amount" -> "__rts"))
+    }
+    assert(reserved.getMessage.contains("reserved"), reserved.getMessage)
   }
 
   test("streaming session_window aggregation equals the batch formulation") {
