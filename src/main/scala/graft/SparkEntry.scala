@@ -2595,6 +2595,276 @@ object SparkEntry {
         col("__rev").cast("double").as("total_revenue"))
   }
 
+  /** TPC-H Q7 shape (volume shipping): bilateral trade between two nations
+    * — supplier's nation on one side, customer's on the other, both
+    * directions, revenue per (supp_nation, cust_nation, year). The two
+    * nation legs are separate broadcast joins of a 25-row table filtered
+    * to the pair; the pair-exclusion predicate sits after both joins so
+    * only the two qualifying name combinations aggregate.
+    */
+  private def sqlQ7(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(4,2)")
+    val pair = Seq("NATION_18", "NATION_19")
+    val n1 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("__sn"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("__cn"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"), rev.as("__rev"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("__sn"))
+      .join(broadcast(n2), col("c_nationkey") === col("__cn"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("__rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q8 shape (national market share): NATION_3's share of 1996-1997
+    * PROMO-part revenue sold into EUROPE, per year — the CASE-inside-SUM
+    * share aggregation. Share numerator and denominator are the same exact
+    * decimal sum; one double division (6-dp round) at the very end.
+    */
+  private def sqlQ8(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(4,2)")
+    val euroCust = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("__cn"), col("n_regionkey"))),
+        col("c_nationkey") === col("__cn"))
+      .join(broadcast(t(s, dir, "region").filter(col("r_name") === "EUROPE")
+          .select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("__sn"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("__sn"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), rev.as("__rev"))
+      .join(broadcast(t(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(euroCust, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("o_year"))
+      .agg(round(sum(when(col("supp_nation") === "NATION_3", col("__rev"))).cast("double") /
+          sum(col("__rev")).cast("double"), 6).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q9 shape (product-type profit): profit per (supplier nation,
+    * year) over 'widget' parts. This dataset carries no partsupp table, so
+    * the supply-cost term is the documented proxy `0.5 * p_retailprice *
+    * l_quantity`; to keep the arithmetic EXACT across engines the halving
+    * happens once, in double, after the decimal sum: sum(2*rev - cost)/2.
+    */
+  private def sqlQ9(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(4,2)")
+    val cost = col("p_retailprice").cast("decimal(18,2)") *
+      col("l_quantity").cast("decimal(18,2)")
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg((sum(lit(2) * rev - cost).cast("double") / lit(2.0)).as("sum_profit"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q11 shape (important stock): parts whose traded value through
+    * suppliers of three nations exceeds 1/1000 of the total — the
+    * scalar-subquery threshold. The threshold compare is kept in EXACT
+    * decimal by cross-multiplying (1000*val > total) instead of
+    * materializing a fractional threshold; the one-row total broadcasts.
+    */
+  private def sqlQ11(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_1", "NATION_2", "NATION_3")
+    val supp = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(t(s, dir, "nation").filter(col("n_name").isin(nations: _*))
+          .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"))
+    val value = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)")).as("__v"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey")).agg(sum(col("__v")).as("__val"))
+    val total = value.agg(sum(col("__val")).as("__total"))
+    value.crossJoin(broadcast(total))
+      .filter(col("__val") * lit(1000) > col("__total"))
+      .select(col("l_partkey").as("part_key"),
+        col("__val").cast("double").as("value"))
+  }
+
+  /** TPC-H Q12 shape (shipping bands vs priority): this dataset has no
+    * l_shipmode/commitdate/receiptdate, so the band is lateness itself —
+    * shipped more than 60 days after the order date — and the measure is
+    * the priority-conditional line counts of the original.
+    */
+  private def sqlQ12(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "LATE").otherwise("ONTIME").as("ship_band"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    * with the filter INSIDE the join condition (customers with zero
+    * qualifying orders must survive with count 0), then the
+    * count-of-counts second aggregation.
+    */
+  private def sqlQ13(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority")),
+        col("c_custkey") === col("o_custkey") &&
+          col("o_orderpriority") =!= "4-NOT SPECIFIED", "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q16 shape (supplier count by part attributes): distinct
+    * suppliers per (brand, type, size) over a NOT-IN-excluded supplier
+    * set. The NOT IN decorrelates to a LEFT ANTI join — never a filter on
+    * a collected list — and the exclusion subquery side stays unhinted so
+    * the planner sizes it (supplier is 10^5·SF rows at TPC-H scale).
+    */
+  private def sqlQ16(s: SparkSession, dir: String): DataFrame = {
+    val excluded = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 2000.0).select(col("s_suppkey"))
+    t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#11" && !col("p_type").like("MEDIUM%") &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q20 shape (part-promotion suppliers): suppliers that shipped
+    * MORE than half of their all-time volume of 'small…' parts during 1996
+    * — the original's availqty-vs-half-of-shipped threshold re-expressed
+    * on shipment history (no partsupp table here). The nested subquery
+    * chain decorrelates to one conditional aggregation per
+    * (supplier, part) and a LEFT SEMI join into supplier; the half
+    * threshold is the exact-decimal cross-multiply 2*q96 > qall.
+    */
+  private def sqlQ20(s: SparkSession, dir: String): DataFrame = {
+    val in96 = col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+    val qualifying = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_quantity").cast("decimal(18,2)").as("__q"))
+      .join(broadcast(t(s, dir, "part").filter(col("p_name").like("small%"))
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(when(in96, col("__q"))).as("__q96"), sum(col("__q")).as("__qall"))
+      .filter(col("__q96") * lit(2) > col("__qall"))
+      .select(col("l_suppkey"))
+    t(s, dir, "supplier")
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the sole late
+    * shipper on a multi-supplier finished order. The EXISTS / NOT EXISTS
+    * pair over lineitem decorrelates into ONE per-order aggregate —
+    * distinct suppliers and distinct LATE suppliers — joined back to the
+    * late lines; "late" is shipped >90 days after the order date (no
+    * receipt/commit dates in this dataset). No self-join of lineitem
+    * against itself: the order-scoped census replaces both subqueries.
+    */
+  private def sqlQ21(s: SparkSession, dir: String): DataFrame = {
+    val lo = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("__late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    val perOrder = lo.groupBy(col("l_orderkey").as("__ok"))
+      .agg(countDistinct(col("l_suppkey")).as("__n_supp"),
+        countDistinct(when(col("__late"), col("l_suppkey"))).as("__n_late"))
+      .filter(col("__n_supp") >= 2 && col("__n_late") === 1)
+      .select(col("__ok"))
+    lo.filter(col("__late"))
+      .join(perOrder, col("l_orderkey") === col("__ok"), "left_semi")
+      .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): wealthy customers with no
+    * RECENT orders (none since 1999 — every customer here has some order,
+    * so the lapse cutoff keeps the anti join meaningful), bucketed by a
+    * synthetic country code (c_custkey mod 7 — the dataset has no phone
+    * column). The scalar-subquery average threshold
+    * is applied by exact cross-multiplication (bal*n > sum) so no
+    * engine-specific double averaging can flip a boundary customer, and
+    * the NOT EXISTS decorrelates to a LEFT ANTI join against orders.
+    */
+  private def sqlQ22(s: SparkSession, dir: String): DataFrame = {
+    val codes = Seq(1, 2, 4)
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), (col("c_custkey") % 7).as("cntrycode"),
+        col("c_acctbal").cast("decimal(18,2)").as("__bal"))
+      .filter(col("cntrycode").isin(codes: _*))
+    val stats = cust.filter(col("__bal") > 0)
+      .agg(sum(col("__bal")).as("__s"), count(lit(1)).as("__n"))
+    cust
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .filter(col("__bal") * col("__n") > col("__s"))
+      .groupBy(col("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("__bal")).cast("double").as("totacctbal"))
+  }
+
   /** TPC-H Q2 flavor (min-cost supplier per part): the correlated
     * min-subquery decorrelated into ONE aggregation — min(struct(price,
     * suppkey)) picks the cheapest line per part with a deterministic
@@ -2924,6 +3194,16 @@ object SparkEntry {
     "q_sql_q14"             -> (sqlQ14(_, _)),
     "q_sql_q15"             -> (sqlQ15(_, _)),
     "q_sql_q19"             -> (sqlQ19(_, _)),
+    "q_sql_q7"              -> (sqlQ7(_, _)),
+    "q_sql_q8"              -> (sqlQ8(_, _)),
+    "q_sql_q9"              -> (sqlQ9(_, _)),
+    "q_sql_q11"             -> (sqlQ11(_, _)),
+    "q_sql_q12"             -> (sqlQ12(_, _)),
+    "q_sql_q13"             -> (sqlQ13(_, _)),
+    "q_sql_q16"             -> (sqlQ16(_, _)),
+    "q_sql_q20"             -> (sqlQ20(_, _)),
+    "q_sql_q21"             -> (sqlQ21(_, _)),
+    "q_sql_q22"             -> (sqlQ22(_, _)),
     "q_min_cost_supplier"   -> (minCostSupplierQ(_, _)),
     "q_twap"                -> (twapQ(_, _)),
     "q_cusum_shift"         -> (cusumShiftQ(_, _)),
@@ -4044,6 +4324,118 @@ object SparkEntry {
         |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q_sql_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  EXTRACT(year FROM l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_sql_q8" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+        |  round(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2)) END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))) AS DOUBLE), 6)
+        |    AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM customer c
+        |              JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |              JOIN region ON n2.n_regionkey = r_regionkey
+        |              WHERE c.c_custkey = o_custkey AND r_name = 'EUROPE')
+        |GROUP BY 1""".stripMargin,
+    "q_sql_q9" ->
+      """SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+        |  CAST(SUM(2 * CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))
+        |         - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / 2.0
+        |    AS sum_profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
+    "q_sql_q11" ->
+      """WITH v AS (
+        |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS val
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_name IN ('NATION_1','NATION_2','NATION_3'))
+        |  GROUP BY 1)
+        |SELECT l_partkey AS part_key, CAST(val AS DOUBLE) AS value
+        |FROM v WHERE val * 1000 > (SELECT SUM(val) FROM v)""".stripMargin,
+    "q_sql_q12" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 'LATE' ELSE 'ONTIME' END AS ship_band,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q_sql_q13" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY 1""".stripMargin,
+    "q_sql_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#11' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000.0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_sql_q20" ->
+      """WITH agg AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS q96,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qall
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM agg WHERE q96 * 2 > qall)""".stripMargin,
+    "q_sql_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin,
+    "q_sql_q22" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_custkey % 7 AS cntrycode, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+        |  FROM customer WHERE c_custkey % 7 IN (1, 2, 4)),
+        |stats AS (SELECT SUM(bal) AS s, count(*) AS n FROM cust WHERE bal > 0)
+        |SELECT cntrycode, count(*) AS numcust, CAST(SUM(bal) AS DOUBLE) AS totacctbal
+        |FROM cust, stats
+        |WHERE bal * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1""".stripMargin,
     "q_min_cost_supplier" ->
       """WITH m AS (SELECT l_partkey, min(l_extendedprice) AS min_price FROM lineitem GROUP BY 1),
         |b AS (SELECT l.l_partkey, m.min_price, min(l.l_suppkey) AS supp_key

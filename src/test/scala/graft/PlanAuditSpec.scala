@@ -572,6 +572,59 @@ class PlanAuditSpec extends SparkSpec {
     assert("lineitem\\.parquet".r.findAllIn(pm).length === 1, pm)
   }
 
+  test("q_sql_q7/q8/q9/q12/q13: join-heavy shapes stay hash equi-joins with pushed dims") {
+    // Q7: both nation legs broadcast; the pair filter never degrades the
+    // join graph to a cartesian
+    val p7 = plan("q_sql_q7")
+    assert(p7.contains("BroadcastHashJoin"), p7)
+    assert(!p7.contains("CartesianProduct") && !p7.contains("BroadcastNestedLoop"), p7)
+    // Q8: the EUROPE-customer EXISTS is a LEFT SEMI join, never a dedup
+    val p8 = plan("q_sql_q8")
+    assert(p8.contains("LeftSemi"), p8)
+    assert(!p8.contains("Window"), p8)
+    // Q9: the part-name LIKE pushes into the part scan as a Contains filter
+    val p9 = plan("q_sql_q9")
+    assert(p9.contains("Contains(p_name,widget)"), p9)
+    // Q12: one join, one aggregation — the band key is computed, so the
+    // final agg shuffles |bands| groups after a map-side partial
+    val p12 = plan("q_sql_q12")
+    assert(p12.contains("partial_sum"), p12)
+    // Q13: the priority predicate lives INSIDE the left-outer join
+    // condition — Catalyst pushes it onto the ORDERS side (one Filter,
+    // below the join); a filter above the join would drop the zero-order
+    // customers and is structurally absent
+    val p13 = plan("q_sql_q13")
+    assert(p13.contains("LeftOuter"), p13)
+    assert("Filter \\(".r.findAllIn(p13).length === 1 &&
+      p13.contains("4-NOT SPECIFIED"), p13)
+  }
+
+  test("q_sql_q11/q16/q20/q21/q22: decorrelated subqueries — semi/anti joins, no self-join blowup") {
+    // Q11: supplier-nation restriction is a semi join; the scalar-subquery
+    // threshold compares exact decimals (cross-multiplied), never doubles
+    val p11 = plan("q_sql_q11")
+    assert(p11.contains("LeftSemi"), p11)
+    assert(!p11.contains("Window"), p11)
+    // Q16: the NOT IN excluded-supplier set is a LEFT ANTI join
+    val p16 = plan("q_sql_q16")
+    assert(p16.contains("LeftAnti"), p16)
+    // Q20: nested subquery chain = one conditional agg + semi join into
+    // supplier; the name prefix pushes into the part scan
+    val p20 = plan("q_sql_q20")
+    assert(p20.contains("LeftSemi"), p20)
+    assert(p20.contains("StartsWith(p_name,small)"), p20)
+    // Q21: EXISTS + NOT EXISTS fold into ONE per-order census — lineitem is
+    // scanned exactly twice (late lines + census), never three times as the
+    // naive double self-join would
+    val p21 = plan("q_sql_q21")
+    assert("lineitem\\.parquet".r.findAllIn(p21).length <= 2, p21)
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoop"), p21)
+    // Q22: NOT EXISTS is a LEFT ANTI join; the average threshold arrives as
+    // a single-row broadcast, not a per-row subquery
+    val p22 = plan("q_sql_q22")
+    assert(p22.contains("LeftAnti"), p22)
+  }
+
   test("q_sql_q17: brand filter pushes into the part scan; dim side broadcasts") {
     val p = plan("q_sql_q17")
     assert(p.contains("EqualTo(p_brand,Brand#11)"), p)
