@@ -898,6 +898,72 @@ object SparkEntry {
     Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8,
       corpusN = tableCount(s, dir, "documents"))
 
+  /** Fuzzy-dedup threshold sweep: pair counts at four Jaccard cutoffs from
+    * ONE pass over the exact pair set ([[Dedup.ngramJaccardPairs]] at the
+    * loosest threshold, conditional counts above it). The inverted-index
+    * join — the expensive part — is threshold-independent, so sweeping
+    * costs the same as a single-threshold run; this is how you pick the
+    * dedup threshold for a corpus without re-running the candidate join
+    * per candidate value.
+    */
+  private def jaccardSweepQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 5,
+        threshold = 0.5, corpusN = tableCount(s, dir, "documents"))
+      .agg(count(when(col("jaccard") >= 0.5, 1)).as("n_ge_50"),
+        count(when(col("jaccard") >= 0.6, 1)).as("n_ge_60"),
+        count(when(col("jaccard") >= 0.7, 1)).as("n_ge_70"),
+        count(when(col("jaccard") >= 0.8, 1)).as("n_ge_80"))
+
+  /** Language-ID confusion matrix: declared `lang` vs the n-gram
+    * heuristic's prediction, with each cell's share of its true-language
+    * row — the corpus-scale evaluation of the classifier the curation
+    * pipeline gates on. Two aggregates; the per-language totals side is
+    * |langs| rows, so the join back is planner-broadcast.
+    */
+  private def langConfusionQ(s: SparkSession, dir: String): DataFrame = {
+    val conf = t(s, dir, "documents")
+      .select(col("lang"), TF.langId(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+    val tot = conf.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
+    conf.join(tot, "lang")
+      .select(col("lang"), col("lang_guess"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"), 6).as("frac"))
+  }
+
+  /** k-anonymity audit over the release quasi-identifiers (lang, source):
+    * any combination shared by fewer than k=5 documents re-identifies its
+    * members and must be suppressed or generalized before release. One
+    * partial-aggregated census — the standard privacy gate shape.
+    */
+  private def kAnonymityQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < 5)
+
+  /** IVF index balance audit: per-list vector counts under the fixed
+    * first-10 coarse quantizer plus the skew ratio max/avg — list sizes ARE
+    * the partition sizes at serving time, so imbalance here is executor
+    * skew at 100 TB (the fix being more lists or k-means re-training).
+    * One aggregation + a single-row broadcast for the global ratios.
+    */
+  private def ivfBalanceQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 10).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val sizes = graft.similarity.KMeans.Model(cents).assign(emb, "embedding")
+      .groupBy(col("list").cast("long").as("list"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val g = sizes.agg(sum(col("n_vecs")).as("__tot"), max(col("n_vecs")).as("__max"))
+    sizes.crossJoin(broadcast(g))
+      .select(col("list"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("__tot").cast("double"), 6).as("frac"),
+        round((col("__max") * lit(cents.length)).cast("double") /
+          col("__tot").cast("double"), 6).as("imbalance"))
+  }
+
   private def minhashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text", n = 5, threshold = 0.8,
       corpusN = tableCount(s, dir, "documents"))
@@ -3251,6 +3317,10 @@ object SparkEntry {
     "q_part_brands"         -> (partBrandsQ(_, _)),
     "q_dedup_exact"         -> (dedupExact(_, _)),
     "q_ngram_jaccard"       -> (ngramJaccard(_, _)),
+    "q_jaccard_sweep"       -> (jaccardSweepQ(_, _)),
+    "q_lang_confusion"      -> (langConfusionQ(_, _)),
+    "q_k_anonymity"         -> (kAnonymityQ(_, _)),
+    "q_ivf_balance"         -> (ivfBalanceQ(_, _)),
     "q_minhash_lsh"         -> (minhashLsh(_, _)),
     "q_dedup_resolve"       -> (dedupResolve(_, _)),
     "q_simhash_pairs"       -> (simhashPairs(_, _)),
@@ -3389,7 +3459,9 @@ object SparkEntry {
     * resolve queries, whose banding handles hot shingles by bucket caps
     * instead of dropping them).
     */
-  private val duckCappedJaccardSql =
+  // shared pair-set CTE (hot-shingle-capped exact Jaccard, no threshold) —
+  // the single-threshold oracle and the sweep oracle read the same jp set
+  private val duckJaccardPairsCte =
     s"""WITH toksrc AS (
        |  SELECT doc_id, $duckToks AS w FROM documents
        |), sh AS (
@@ -3402,12 +3474,22 @@ object SparkEntry {
        |pairs AS (
        |  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
        |  FROM inv x JOIN inv y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2
-       |)
-       |SELECT a, b, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
-       |FROM pairs
-       |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON a = sa.doc_id
-       |JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON b = sb.doc_id
-       |WHERE round(inter / (sa.n + sb.n - inter), 6) >= 0.8""".stripMargin
+       |), jp AS (
+       |  SELECT a, b, round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+       |  FROM pairs
+       |  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON a = sa.doc_id
+       |  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON b = sb.doc_id
+       |)""".stripMargin
+  private val duckCappedJaccardSql =
+    duckJaccardPairsCte + "\nSELECT a, b, jaccard FROM jp WHERE jaccard >= 0.8"
+  private val duckJaccardSweepSql =
+    duckJaccardPairsCte +
+      """
+        |SELECT count(*) FILTER (WHERE jaccard >= 0.5) AS n_ge_50,
+        |  count(*) FILTER (WHERE jaccard >= 0.6) AS n_ge_60,
+        |  count(*) FILTER (WHERE jaccard >= 0.7) AS n_ge_70,
+        |  count(*) FILTER (WHERE jaccard >= 0.8) AS n_ge_80
+        |FROM jp""".stripMargin
   /** Connected components over the exact-Jaccard pair graph (min label per
     * component) — the oracle for [[dedupResolve]]. Valid because the minhash
     * pair set is itself oracle-verified equal to the exact pair set
@@ -3629,6 +3711,36 @@ object SparkEntry {
     }.mkString(", ")
     s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS toks FROM documents)
        |SELECT doc_id, (list_sort([$cases])[-1]).l AS lang_guess FROM t""".stripMargin
+  }
+
+  // fixed first-10-centroid nearest-centroid assignment (identical
+  // left-to-right double arithmetic to KMeans.Model.assign) ending in CTE
+  // `a(vec_id, list)` — shared by q_kmeans_assign and q_ivf_balance
+  private val duckKmeansAssignCte =
+    """WITH c AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (
+      |  SELECT e.vec_id, c.cidx,
+      |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) * -2.0
+      |    + list_sum([CAST(c.cemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) AS d
+      |  FROM embeddings e CROSS JOIN c
+      |),
+      |a AS (
+      |  SELECT vec_id, CAST(cidx AS BIGINT) AS list FROM (
+      |    SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM s
+      |  ) WHERE rn = 1)""".stripMargin
+
+  private val duckLangConfusion = {
+    val cases = TF.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      s"{'s': len(list_intersect(toks, ${sqlList(words)})) / ${words.size}.0, 'l': '$lang'}"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT lang, list_distinct($duckToks) AS toks FROM documents),
+       |p AS (SELECT lang, (list_sort([$cases])[-1]).l AS lang_guess FROM t),
+       |conf AS (SELECT lang, lang_guess, count(*) AS n FROM p GROUP BY 1, 2),
+       |tot AS (SELECT lang, sum(n) AS t FROM conf GROUP BY 1)
+       |SELECT conf.lang, lang_guess, n, round(CAST(n AS DOUBLE) / t, 6) AS frac
+       |FROM conf JOIN tot ON conf.lang = tot.lang""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -4664,6 +4776,11 @@ object SparkEntry {
          |  round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac
          |FROM c GROUP BY doc_id""".stripMargin,
     "q_ngram_jaccard" -> duckCappedJaccardSql,
+    "q_jaccard_sweep" -> duckJaccardSweepSql,
+    "q_lang_confusion" -> duckLangConfusion,
+    "q_k_anonymity" ->
+      """SELECT lang, source, count(*) AS n, count(*) < 5 AS at_risk
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     "q_minhash_lsh"   -> duckShingleCte,
     "q_dedup_resolve" -> duckResolveCte,
     // same recursive components; the survivor is the quality-DESC, id-ASC
@@ -5322,18 +5439,16 @@ object SparkEntry {
         |    '\+?([0-9][()\-\. ]*){6,}[0-9]', '<PHONE>', 'g') AS redacted
         |FROM p""".stripMargin,
     "q_kmeans_assign" ->
-      """WITH c AS (
-        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb
-        |  FROM embeddings WHERE vec_id < 10),
-        |s AS (
-        |  SELECT e.vec_id, c.cidx,
-        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) * -2.0
-        |    + list_sum([CAST(c.cemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) AS d
-        |  FROM embeddings e CROSS JOIN c
-        |)
-        |SELECT vec_id, CAST(cidx AS BIGINT) AS list FROM (
-        |  SELECT vec_id, cidx, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn FROM s
-        |) WHERE rn = 1""".stripMargin,
+      (duckKmeansAssignCte + "\nSELECT vec_id, list FROM a"),
+    "q_ivf_balance" ->
+      (duckKmeansAssignCte +
+        """,
+          |sz AS (SELECT list, count(*) AS n_vecs FROM a GROUP BY 1),
+          |g AS (SELECT sum(n_vecs) AS tot, max(n_vecs) AS mx FROM sz)
+          |SELECT list, n_vecs,
+          |  round(CAST(n_vecs AS DOUBLE) / tot, 6) AS frac,
+          |  round(CAST(mx * 10 AS DOUBLE) / tot, 6) AS imbalance
+          |FROM sz, g""".stripMargin),
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id,
         |CAST(unnest([i FOR i IN range(0, octet_length(encode(text)) // 1024 + 1, 3)]) AS BIGINT) AS frame_index

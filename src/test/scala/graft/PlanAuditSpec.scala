@@ -625,6 +625,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p22.contains("LeftAnti"), p22)
   }
 
+  test("q_k_anonymity / q_ivf_balance / q_lang_confusion: census shapes stay one partial-aggregated pass") {
+    // k-anonymity is a single partial+final aggregate over one scan
+    val pk = plan("q_k_anonymity")
+    assert(!pk.contains("Join"), pk)
+    assert(pk.contains("partial_count"), pk)
+    // IVF balance: one aggregation over the assignment, the global ratio
+    // arrives as a single-row broadcast (nested-loop on one row is fine),
+    // and no window touches the corpus
+    val pb = plan("q_ivf_balance")
+    assert(!pb.contains("Window"), pb)
+    assert(pb.contains("BroadcastNestedLoopJoin") || pb.contains("BroadcastHashJoin"), pb)
+    // confusion matrix: totals side is |langs| rows — the join back must be
+    // a broadcast, never a sort-merge over the corpus
+    val pc = plan("q_lang_confusion")
+    assert(pc.contains("BroadcastHashJoin"), pc)
+    assert(!pc.contains("SortMergeJoin"), pc)
+  }
+
   test("q_sql_q17: brand filter pushes into the part scan; dim side broadcasts") {
     val p = plan("q_sql_q17")
     assert(p.contains("EqualTo(p_brand,Brand#11)"), p)
