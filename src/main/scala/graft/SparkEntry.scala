@@ -570,6 +570,29 @@ object SparkEntry {
         col("asof_view_value").as("prior_view_value"))
   }
 
+  /** [[asofJoinQ]] with a max-staleness bound: a prior view only counts if
+    * it happened within 24 h of the purchase (`toleranceUs`) — the
+    * merge operator masks the match when its closest-at-or-before row is
+    * staler than the bound, so no second pass or post-join ts plumbing is
+    * needed. Oracle: DuckDB ASOF JOIN post-filtered on the gap (the
+    * closest match is the only candidate, so the filter IS tolerance
+    * semantics for the inner form).
+    */
+  private def asofToleranceQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value").as("view_value"),
+        col("event_id").as("view_seq"))
+    Analytics.asofJoinMerge(purchases, views, "user_id", "ts", "ts",
+        Seq("view_value"), rightTies = Seq("view_seq"),
+        toleranceUs = 24L * 3600L * 1000000L)
+      .filter(col("asof_view_value").isNotNull)
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("asof_view_value").as("prior_view_value"))
+  }
+
   /** First-order Markov transition matrix over each user's event sequence
     * ([[Analytics.transitionMatrix]]): count and conditional probability of
     * every event_type → event_type step, steps ordered by (ts, event_id).
@@ -3302,6 +3325,7 @@ object SparkEntry {
     "q_semi_join"           -> (semiJoin(_, _)),
     "q_salted_join"         -> (saltedJoinQ(_, _)),
     "q_asof_join"           -> (asofJoinQ(_, _)),
+    "q_asof_tolerance"      -> (asofToleranceQ(_, _)),
     "q_pivot"               -> (pivotQ(_, _)),
     "q_json_extract"        -> (jsonExtractQ(_, _)),
     "q_sql_q3"              -> (sqlQ3(_, _)),
@@ -4130,6 +4154,12 @@ object SparkEntry {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
         |  ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT p.event_id, p.user_id, p.value, v.value AS prior_view_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id AND p.ts >= v.ts
+        |WHERE p.ts - v.ts <= INTERVAL 24 HOUR""".stripMargin,
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS INT) AS user_bucket,
         |CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,

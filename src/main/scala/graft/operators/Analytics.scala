@@ -81,7 +81,8 @@ object Analytics {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String, leftTs: String,
                rightTs: String, valueCols: Seq[String],
-               tieBreak: Seq[Column] = Nil): DataFrame = {
+               tieBreak: Seq[Column] = Nil,
+               toleranceUs: Long = -1L): DataFrame = {
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("_ts", col(leftTs))
@@ -102,8 +103,25 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.foldLeft(unioned)((d, c) =>
       d.withColumn(s"_asof_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w)))
-    carried.filter(col("_tag") === 1)
-      .select((leftCols.map(col) ++ valueCols.map(c => col(s"_asof_$c").as(s"asof_$c"))): _*)
+    if (toleranceUs < 0L)
+      carried.filter(col("_tag") === 1)
+        .select((leftCols.map(col) ++ valueCols.map(c => col(s"_asof_$c").as(s"asof_$c"))): _*)
+    else {
+      // max-staleness bound: carry the ts of the latest right row alongside
+      // the values and null the match where the gap exceeds the tolerance —
+      // identical to the merge operator's closest-match reasoning
+      def micros(c: Column): Column = left.schema(leftTs).dataType match {
+        case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+        case _ => c.cast("long")
+      }
+      val withTs = carried.withColumn("_asof_ts",
+        last(when(col("_tag") === 0, col("_ts")), ignoreNulls = true).over(w))
+      val fresh = col("_asof_ts").isNotNull && col("_ts").isNotNull &&
+        micros(col("_ts")) - micros(col("_asof_ts")) <= toleranceUs
+      withTs.filter(col("_tag") === 1)
+        .select((leftCols.map(col) ++ valueCols.map(c =>
+          when(fresh, col(s"_asof_$c")).as(s"asof_$c"))): _*)
+    }
   }
 
   /** AS-OF join through the custom whole-operator plan
@@ -119,7 +137,8 @@ object Analytics {
     */
   def asofJoinMerge(left: DataFrame, right: DataFrame, keyCol: String,
                     leftTs: String, rightTs: String, valueCols: Seq[String],
-                    rightTies: Seq[String] = Nil): DataFrame = {
+                    rightTies: Seq[String] = Nil,
+                    toleranceUs: Long = -1L): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     // Both sides often derive from the SAME source frame, so their attribute
     // ids collide; the analyzer's DeduplicateRelations re-instances the
@@ -146,7 +165,7 @@ object Analytics {
     val node = graft.plans.AsofJoin(lPlan, rPlan,
       attr(lPlan, keyCol), rAttr(keyCol),
       attr(lPlan, leftTs), rAttr(rightTs),
-      values, asofAttrs, rightTies.map(rAttr))
+      values, asofAttrs, rightTies.map(rAttr), toleranceUs)
     ColumnBridge.ofRows(left.sparkSession, node)
   }
 

@@ -46,9 +46,16 @@ case class AsofJoin(
     rightTs: Expression,
     rightValues: Seq[NamedExpression],
     asofAttrs: Seq[Attribute],
-    rightTies: Seq[Expression]) extends BinaryNode {
+    rightTies: Seq[Expression],
+    toleranceUs: Long = -1L) extends BinaryNode {
 
   require(rightValues.length == asofAttrs.length, "one output attr per value")
+  // tolerance subtracts raw ts values in the merge — only physical-long ts
+  // types (timestamp micros, bigint) make that subtraction meaningful
+  require(toleranceUs < 0L || !leftTs.resolved ||
+    leftTs.dataType == org.apache.spark.sql.types.TimestampType ||
+    leftTs.dataType == org.apache.spark.sql.types.LongType,
+    s"as-of tolerance needs a timestamp/long ts, got ${leftTs.dataType}")
   // the exec builds its merge comparators from the LEFT side's types and
   // applies them to rows of BOTH sides — mismatched key/ts types would
   // silently corrupt ordering (or CCE at runtime), so reject at analysis
@@ -114,7 +121,8 @@ object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsofJoin =>
       AsofJoinExec(planLater(j.left), planLater(j.right), j.leftKey, j.rightKey,
-        j.leftTs, j.rightTs, j.rightValues, j.asofAttrs, j.rightTies) :: Nil
+        j.leftTs, j.rightTs, j.rightValues, j.asofAttrs, j.rightTies,
+        j.toleranceUs) :: Nil
     case _ => Nil
   }
 }
@@ -128,7 +136,8 @@ case class AsofJoinExec(
     rightTs: Expression,
     rightValues: Seq[NamedExpression],
     asofAttrs: Seq[Attribute],
-    rightTies: Seq[Expression]) extends BinaryExecNode {
+    rightTies: Seq[Expression],
+    toleranceUs: Long = -1L) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ asofAttrs
 
@@ -191,7 +200,12 @@ case class AsofJoinExec(
             lastKeyTs = rHeadKeyTs.copy()
             advanceRightHead()
           }
-          val matched = lastKeyTs != null && keyOrd.compare(lastKeyTs, lkt) == 0
+          // tolerance: the retained right row is the CLOSEST at-or-before
+          // match, so if it is staler than the bound, no right row
+          // qualifies; null timestamps never satisfy a bound
+          val matched = lastKeyTs != null && keyOrd.compare(lastKeyTs, lkt) == 0 &&
+            (toleranceUs < 0L || (!lkt.isNullAt(1) && !lastKeyTs.isNullAt(1) &&
+              lkt.getLong(1) - lastKeyTs.getLong(1) <= toleranceUs))
           resultProj(joined(l, if (matched) lastValues else nullValues))
         }
       }

@@ -51,6 +51,51 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(3L) === None)       // right ts 6 is after left ts 5
   }
 
+  test("tolerance: merge == window form, bound is inclusive, stale matches masked") {
+    import spark.implicits._
+    val tol = 10L
+    val composed = Analytics.asofJoin(purchases, views, "user_id", "ts", "ts",
+      Seq("view_value", "view_id"), tieBreak = Seq(col("_v_view_id")), toleranceUs = tol)
+    val merged = Analytics.asofJoinMerge(purchases, views, "user_id", "ts", "ts",
+      Seq("view_value", "view_id"), rightTies = Seq("view_id"), toleranceUs = tol)
+    assert(collectSet(merged) === collectSet(composed))
+    // the bound actually bites on this fixture: strictly more masked rows
+    // than the unbounded join, strictly fewer than everything
+    val unbounded = Analytics.asofJoinMerge(purchases, views, "user_id", "ts", "ts",
+      Seq("view_value"), rightTies = Seq("view_id"))
+    def nulls(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("asof_view_value").isNull).count()
+    assert(nulls(merged) > nulls(unbounded))
+    assert(nulls(merged) < merged.count())
+    // hand fixture: gap == tol matches (inclusive), gap == tol+1 masks
+    val l = Seq((1L, 100L, 1L), (1L, 101L, 2L)).toDF("user_id", "ts", "purchase_id")
+    val r = Seq((1L, 90L, 5.0)).toDF("user_id", "ts", "v")
+    val out = Analytics.asofJoinMerge(l, r, "user_id", "ts", "ts", Seq("v"),
+        toleranceUs = 10L)
+      .collect().map(row => row.getLong(2) -> Option(row.get(3))).toMap
+    assert(out(1L) === Some(5.0))
+    assert(out(2L) === None)
+    // null timestamps never satisfy a bound (either side)
+    val ln = Seq((1L, Option.empty[Long], 1L), (1L, Option(100L), 2L))
+      .toDF("user_id", "ts", "purchase_id")
+    val rn = Seq((1L, Option.empty[Long], 7.0)).toDF("user_id", "ts", "v")
+    val outN = Analytics.asofJoinMerge(ln, rn, "user_id", "ts", "ts", Seq("v"),
+        toleranceUs = 1000L)
+      .collect().map(row => row.getLong(2) -> Option(row.get(3))).toMap
+    assert(outN(1L) === None && outN(2L) === None)
+  }
+
+  test("tolerance rejects a non-subtractable ts type at analysis") {
+    import spark.implicits._
+    val l = Seq((1L, 1.5, 1L)).toDF("user_id", "ts", "purchase_id")
+    val r = Seq((1L, 1.0, 7.0)).toDF("user_id", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.asofJoinMerge(l, r, "user_id", "ts", "ts", Seq("v"),
+        toleranceUs = 10L).collect()
+    }
+    assert(e.getMessage.contains("tolerance"), e.getMessage)
+  }
+
   test("AsofJoinExec plans as exchanges + sorts + merge — no window, no union") {
     val merged = Analytics.asofJoinMerge(purchases, views, "user_id", "ts", "ts",
       Seq("view_value"))
