@@ -38,6 +38,19 @@ private final case class ViewState(tsMicros: Long, seq: Long, value: Double)
 
 final case class EmaEvent(user_id: Long, ts: Timestamp, event_id: Long, value: Double)
 final case class EmaOut(user_id: Long, event_id: Long, ema: Double)
+
+/** One input item for [[StatefulOps.streamingHeavyHitters]]; `seq` fixes
+  * the processing order inside a micro-batch (Misra-Gries estimates are
+  * order-dependent in their non-guaranteed tail; the CONTRACT holds for
+  * any order).
+  */
+final case class HHEvent(group: String, seq: Long, item: String)
+
+/** One counter of the current Misra-Gries summary for `group`: estimate
+  * `est` after `n` items total — `n` identifies the snapshot (the final
+  * rows per group are those with the maximum n).
+  */
+final case class HHSnapshot(group: String, item: String, est: Long, n: Long)
 private final case class EmaState(ema: Double)
 
 final case class AnomalyOut(user_id: Long, event_id: Long, value: Double,
@@ -311,6 +324,49 @@ object StatefulOps {
     * equals the same Welford fold run in batch — the recurrence is a
     * deterministic chain of IEEE ops in both.
     */
+  /** Continuous heavy hitters: the live face of the batch Misra-Gries
+    * aggregate ([[graft.expressions.FreqItemsAgg]]) — per group, at most
+    * `k` counters EVER (state is O(k·|groups|), independent of stream
+    * length and vocabulary), emitting the full summary after every
+    * micro-batch. Same update rule as the batch expression (present → +1;
+    * room → insert at 1; full → decrement all, drop zeros), so a
+    * single-partition ordered replay matches the batch aggregate row for
+    * row (spec-pinned), and the mergeable-summaries contract — every item
+    * with true frequency > n/(k+1) present, estimates undercounting by at
+    * most n/(k+1) — holds across any batch split.
+    *
+    * No timeout: a group's summary is k counters forever, which is the
+    * point — for unbounded GROUP spaces, fold the group into the item (one
+    * global summary) or wrap with the TTL pattern of [[streamingFunnel]].
+    */
+  def streamingHeavyHitters(events: Dataset[HHEvent], k: Int): Dataset[HHSnapshot] = {
+    import events.sparkSession.implicits._
+    require(k > 0, s"k must be positive: $k")
+    events.groupByKey(_.group)
+      .flatMapGroupsWithState[(Map[String, Long], Long), HHSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (group, batch, state: GroupState[(Map[String, Long], Long)]) =>
+          val (m0, n0) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
+          val counts = scala.collection.mutable.Map[String, Long](m0.toSeq: _*)
+          var n = n0
+          batch.toSeq.sortBy(_.seq).foreach { e =>
+            n += 1
+            counts.get(e.item) match {
+              case Some(c) => counts(e.item) = c + 1
+              case None if counts.size < k => counts(e.item) = 1L
+              case None =>
+                counts.keys.toSeq.foreach { i =>
+                  val d = counts(i) - 1
+                  if (d <= 0) counts.remove(i) else counts(i) = d
+                }
+            }
+          }
+          state.update((counts.toMap, n))
+          counts.toSeq.sortBy { case (i, c) => (-c, i) }
+            .map { case (i, c) => HHSnapshot(group, i, c, n) }.iterator
+      }
+  }
+
   def streamingAnomaly(events: Dataset[EmaEvent], zMax: Double,
                        minN: Long = 5L): Dataset[AnomalyOut] = {
     import events.sparkSession.implicits._

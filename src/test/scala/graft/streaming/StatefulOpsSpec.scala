@@ -296,6 +296,48 @@ class StatefulOpsSpec extends SparkSpec {
     assert(live(3L) === alpha * 30.0 + (1 - alpha) * (alpha * 20.0 + (1 - alpha) * 10.0))
   }
 
+  test("streamingHeavyHitters: cross-batch summary == one-pass batch MG; contract holds") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, explode}
+    val k = 4
+    // skewed fixture: "hot" 40%, "warm" 20%, 30 rotating cold items (the
+    // cold tail forces decrement events, the interesting MG path)
+    val events = (0 until 300).map { i =>
+      val item = if (i % 5 < 2) "hot" else if (i % 5 == 2) "warm" else s"cold${i % 30}"
+      HHEvent("g", i.toLong, item)
+    }
+    val in = MemoryStream[HHEvent]
+    val q = StatefulOps.streamingHeavyHitters(in.toDS(), k)
+      .writeStream.format("memory").queryName("t_hh").outputMode("update").start()
+    events.grouped(100).foreach { block =>   // three genuine micro-batches
+      in.addData(block: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val snaps = spark.table("t_hh").as[HHSnapshot].collect()
+    assert(snaps.map(_.n).max === 300L, "final snapshot covers all items")
+    val live = snaps.filter(_.n == 300L).map(s => s.item -> s.est).toMap
+
+    // batch: the SAME ordered single-partition pass through FreqItemsAgg —
+    // cross-batch state continuation must be literally the same fold
+    val batch = events.toDF("group", "seq", "item")
+      .repartition(1).sortWithinPartitions("seq")
+      .agg(graft.functions.TextFunctions.freqItems(col("item"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est")).as[(String, Long)].collect().toMap
+    assert(live === batch)
+
+    // mergeable-summaries contract regardless of batching: guaranteed
+    // presence above n/(k+1), undercount bounded by n/(k+1)
+    val exact = events.groupBy(_.item).view.mapValues(_.size.toLong).toMap
+    val bar = 300.0 / (k + 1)
+    exact.filter(_._2 > bar).keys.foreach { i => assert(live.contains(i), i) }
+    live.foreach { case (i, est) =>
+      assert(est <= exact(i) && exact(i) - est <= bar, s"$i: $est vs ${exact(i)}")
+    }
+    // state is bounded: never more than k counters in any snapshot
+    snaps.groupBy(_.n).foreach { case (_, rows) => assert(rows.length <= k) }
+  }
+
   test("streamingAnomaly equals the batch Welford fold; spike flags after warmup") {
     implicit val sqlCtx = spark.sqlContext
     val base = (1 to 8).map(i => EmaEvent(1L, ts(f"2024-01-01 10:00:$i%02d"), i.toLong,
