@@ -201,7 +201,11 @@ object Bench {
       // ratio table mixes methodology change with performance change —
       // label it like the box-fingerprint case so nobody chases phantoms
       val baseMeasure = """"measure":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      baseMeasure.filter(_ != measure).foreach { m =>
+      if (!baseMeasure.contains(measure)) {
+        // a baseline with NO measure field predates the field and is by
+        // definition measure-confounded — warn for it too, not just for a
+        // differing string
+        val m = baseMeasure.getOrElse("unrecorded (pre-measure baseline)")
         System.err.println(s"BENCH TREND: MEASURE CHANGED — baseline recorded as " +
           s""""$m", this run is "$measure"; per-query ratios below are """ +
           "measure-confounded, re-base the baseline")

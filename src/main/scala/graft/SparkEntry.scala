@@ -3729,13 +3729,16 @@ object SparkEntry {
        |  round(CAST(n_shared AS DOUBLE) / n_shingles, 6) AS containment
        |FROM hits""".stripMargin
 
-  private val duckLangId = {
-    val cases = TF.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+  // the classifier expression, shared by duckLangId and duckLangConfusion —
+  // one definition so a heuristic change can never silently diverge the two
+  private val duckLangCases = TF.stopwords.toSeq.sortBy(_._1).map {
+    case (lang, words) =>
       s"{'s': len(list_intersect(toks, ${sqlList(words)})) / ${words.size}.0, 'l': '$lang'}"
-    }.mkString(", ")
+  }.mkString(", ")
+
+  private val duckLangId =
     s"""WITH t AS (SELECT doc_id, list_distinct($duckToks) AS toks FROM documents)
-       |SELECT doc_id, (list_sort([$cases])[-1]).l AS lang_guess FROM t""".stripMargin
-  }
+       |SELECT doc_id, (list_sort([$duckLangCases])[-1]).l AS lang_guess FROM t""".stripMargin
 
   // fixed first-10-centroid nearest-centroid assignment (identical
   // left-to-right double arithmetic to KMeans.Model.assign) ending in CTE
@@ -3756,11 +3759,8 @@ object SparkEntry {
       |  ) WHERE rn = 1)""".stripMargin
 
   private val duckLangConfusion = {
-    val cases = TF.stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      s"{'s': len(list_intersect(toks, ${sqlList(words)})) / ${words.size}.0, 'l': '$lang'}"
-    }.mkString(", ")
     s"""WITH t AS (SELECT lang, list_distinct($duckToks) AS toks FROM documents),
-       |p AS (SELECT lang, (list_sort([$cases])[-1]).l AS lang_guess FROM t),
+       |p AS (SELECT lang, (list_sort([$duckLangCases])[-1]).l AS lang_guess FROM t),
        |conf AS (SELECT lang, lang_guess, count(*) AS n FROM p GROUP BY 1, 2),
        |tot AS (SELECT lang, sum(n) AS t FROM conf GROUP BY 1)
        |SELECT conf.lang, lang_guess, n, round(CAST(n AS DOUBLE) / t, 6) AS frac
@@ -5474,10 +5474,11 @@ object SparkEntry {
       (duckKmeansAssignCte +
         """,
           |sz AS (SELECT list, count(*) AS n_vecs FROM a GROUP BY 1),
-          |g AS (SELECT sum(n_vecs) AS tot, max(n_vecs) AS mx FROM sz)
+          |g AS (SELECT sum(n_vecs) AS tot, max(n_vecs) AS mx,
+          |        (SELECT count(*) FROM c) AS k FROM sz)
           |SELECT list, n_vecs,
           |  round(CAST(n_vecs AS DOUBLE) / tot, 6) AS frac,
-          |  round(CAST(mx * 10 AS DOUBLE) / tot, 6) AS imbalance
+          |  round(CAST(mx * k AS DOUBLE) / tot, 6) AS imbalance
           |FROM sz, g""".stripMargin),
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id,

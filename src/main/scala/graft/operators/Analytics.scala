@@ -70,8 +70,10 @@ object Analytics {
     * Implemented as the union-and-carry-forward trick — one shuffle on the
     * key, one sort, zero range explosion:
     * tag right rows 0 and left rows 1, sort by (key, ts, tag), then
-    * `last(right_value, ignoreNulls)` over the preceding frame carries the
-    * most recent right value onto every left row. An equi-join with a range
+    * `last(struct(right_row), ignoreNulls)` over the preceding frame carries
+    * the most recent right ROW (as one struct, so a null value column in
+    * the latest row stays null rather than resurrecting an older non-null)
+    * onto every left row. An equi-join with a range
     * condition would rescan right rows per left row (quadratic in hot keys);
     * this is linear after the sort and AQE-skew-splittable.
     *
@@ -98,29 +100,38 @@ object Analytics {
         (leftCols.filterNot(_ == keyCol).map(col) ++ valueCols.map(c => col(s"_v_$c")))): _*)
       .unionByName(rAligned.select((col(keyCol) +: col("_ts") +: col("_tag") +:
         (leftCols.filterNot(_ == keyCol).map(col) ++ valueCols.map(c => col(s"_v_$c")))): _*))
+    require(!valueCols.contains("__asof_ts"), "__asof_ts is reserved")
+    require(toleranceUs < 0L ||
+      left.schema(leftTs).dataType == org.apache.spark.sql.types.TimestampType ||
+      left.schema(leftTs).dataType == org.apache.spark.sql.types.LongType,
+      s"as-of tolerance needs a timestamp/long ts, got ${left.schema(leftTs).dataType}")
     val w = Window.partitionBy(col(keyCol))
       .orderBy((col("_ts") +: col("_tag") +: tieBreak): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(unioned)((d, c) =>
-      d.withColumn(s"_asof_$c", last(col(s"_v_$c"), ignoreNulls = true).over(w)))
+    // carry the latest right ROW as one struct — per-column last(_v_c,
+    // ignoreNulls) would pair a fresh row's timestamp with an OLDER row's
+    // value whenever the latest right row holds a null (diverging from the
+    // merge operator, which retains the whole closest row)
+    val rowPayload = when(col("_tag") === 0,
+      struct(col("_ts").as("__asof_ts") +: valueCols.map(c => col(s"_v_$c").as(c)): _*))
+    val carried = unioned.withColumn("_asof_row",
+      last(rowPayload, ignoreNulls = true).over(w))
     if (toleranceUs < 0L)
       carried.filter(col("_tag") === 1)
-        .select((leftCols.map(col) ++ valueCols.map(c => col(s"_asof_$c").as(s"asof_$c"))): _*)
+        .select((leftCols.map(col) ++ valueCols.map(c =>
+          col(s"_asof_row.$c").as(s"asof_$c"))): _*)
     else {
-      // max-staleness bound: carry the ts of the latest right row alongside
-      // the values and null the match where the gap exceeds the tolerance —
-      // identical to the merge operator's closest-match reasoning
+      // max-staleness bound: null the match where the carried row's ts gap
+      // exceeds the tolerance — the merge operator's closest-match reasoning
       def micros(c: Column): Column = left.schema(leftTs).dataType match {
         case org.apache.spark.sql.types.TimestampType => unix_micros(c)
         case _ => c.cast("long")
       }
-      val withTs = carried.withColumn("_asof_ts",
-        last(when(col("_tag") === 0, col("_ts")), ignoreNulls = true).over(w))
-      val fresh = col("_asof_ts").isNotNull && col("_ts").isNotNull &&
-        micros(col("_ts")) - micros(col("_asof_ts")) <= toleranceUs
-      withTs.filter(col("_tag") === 1)
+      val fresh = col("_asof_row.__asof_ts").isNotNull && col("_ts").isNotNull &&
+        micros(col("_ts")) - micros(col("_asof_row.__asof_ts")) <= toleranceUs
+      carried.filter(col("_tag") === 1)
         .select((leftCols.map(col) ++ valueCols.map(c =>
-          when(fresh, col(s"_asof_$c")).as(s"asof_$c"))): _*)
+          when(fresh, col(s"_asof_row.$c")).as(s"asof_$c"))): _*)
     }
   }
 

@@ -349,7 +349,9 @@ object StatefulOps {
           val (m0, n0) = state.getOption.getOrElse((Map.empty[String, Long], 0L))
           val counts = scala.collection.mutable.Map[String, Long](m0.toSeq: _*)
           var n = n0
-          batch.toSeq.sortBy(_.seq).foreach { e =>
+          // null items are skipped entirely (no n increment), exactly like
+          // the batch FreqItemsAgg — the row-for-row parity depends on it
+          batch.toSeq.sortBy(_.seq).filter(_.item != null).foreach { e =>
             n += 1
             counts.get(e.item) match {
               case Some(c) => counts(e.item) = c + 1

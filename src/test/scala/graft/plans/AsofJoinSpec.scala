@@ -85,7 +85,7 @@ class AsofJoinSpec extends SparkSpec {
     assert(outN(1L) === None && outN(2L) === None)
   }
 
-  test("tolerance rejects a non-subtractable ts type at analysis") {
+  test("tolerance rejects a non-subtractable ts type at analysis — both forms") {
     import spark.implicits._
     val l = Seq((1L, 1.5, 1L)).toDF("user_id", "ts", "purchase_id")
     val r = Seq((1L, 1.0, 7.0)).toDF("user_id", "ts", "v")
@@ -94,6 +94,36 @@ class AsofJoinSpec extends SparkSpec {
         toleranceUs = 10L).collect()
     }
     assert(e.getMessage.contains("tolerance"), e.getMessage)
+    // the window form must not silently truncate a double ts to long
+    val ew = intercept[IllegalArgumentException] {
+      Analytics.asofJoin(l, r, "user_id", "ts", "ts", Seq("v"),
+        toleranceUs = 10L).collect()
+    }
+    assert(ew.getMessage.contains("tolerance"), ew.getMessage)
+  }
+
+  test("a null value in the LATEST right row stays null — merge == window, no resurrection") {
+    import spark.implicits._
+    // right rows: (ts=1, v=5.0) then (ts=100, v=null); the as-of match for
+    // a left row at ts>=100 is the ts=100 ROW — its null value must come
+    // through, not the older 5.0 (per-column ignoreNulls carry would
+    // resurrect it, and under a tolerance could certify freshness with one
+    // row while emitting another's value)
+    val l = Seq((1L, 105L, 1L)).toDF("user_id", "ts", "purchase_id")
+    val r = Seq((1L, 1L, Option(5.0)), (1L, 100L, Option.empty[Double]))
+      .toDF("user_id", "ts", "v")
+    val merged = Analytics.asofJoinMerge(l, r, "user_id", "ts", "ts", Seq("v"))
+    val windowed = Analytics.asofJoin(l, r, "user_id", "ts", "ts", Seq("v"))
+    assert(collectSet(merged) === collectSet(windowed))
+    assert(merged.collect().head.isNullAt(3))
+    // and with a tolerance that the ts=100 row satisfies but ts=1 does not,
+    // both forms still agree (null match, never the stale 5.0)
+    val mT = Analytics.asofJoinMerge(l, r, "user_id", "ts", "ts", Seq("v"),
+      toleranceUs = 10L)
+    val wT = Analytics.asofJoin(l, r, "user_id", "ts", "ts", Seq("v"),
+      toleranceUs = 10L)
+    assert(collectSet(mT) === collectSet(wT))
+    assert(mT.collect().head.isNullAt(3))
   }
 
   test("AsofJoinExec plans as exchanges + sorts + merge — no window, no union") {

@@ -309,7 +309,10 @@ class StatefulOpsSpec extends SparkSpec {
     val in = MemoryStream[HHEvent]
     val q = StatefulOps.streamingHeavyHitters(in.toDS(), k)
       .writeStream.format("memory").queryName("t_hh").outputMode("update").start()
-    events.grouped(100).foreach { block =>   // three genuine micro-batches
+    // a null item rides along in the first block: skipped entirely (no n
+    // increment, no counter) exactly like the batch FreqItemsAgg
+    val withNull = HHEvent("g", -1L, null) +: events
+    withNull.grouped(101).foreach { block =>   // three genuine micro-batches
       in.addData(block: _*); q.processAllAvailable()
     }
     q.stop()
