@@ -690,6 +690,37 @@ object SparkEntry {
       .withColumn("segment", col("r") * 100 + col("f") * 10 + col("m"))
   }
 
+  /** Join-skew diagnosis: the top-10 hottest join keys on the fact side
+    * with their share of all rows and the self-join row amplification n² —
+    * the report you run BEFORE deciding between AQE skew splitting and
+    * static salting ([[saltedJoinQ]]). One census aggregate, top-k via
+    * orderBy+limit (TakeOrderedAndProject — no global sort), the total as
+    * a single-row broadcast.
+    */
+  private def skewReportQ(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("__tot"))
+    counts.orderBy(col("n_rows").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(total))
+      .select(col("user_id"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__tot").cast("double"), 6).as("frac"),
+        (col("n_rows") * col("n_rows")).as("self_join_rows"))
+  }
+
+  /** Partition-layout planner: per output partition (lang, source), the
+    * byte volume (n_chars as the proxy) and the file count that keeps each
+    * file under the 16 KiB target — integer ceiling division, exact on
+    * both engines. The spill-aware sizing question ("does this partition
+    * fit an executor?") answered as a query; at 100 TB the same census
+    * drives spark.sql.files.maxPartitionBytes and writer bucketing.
+    */
+  private def partitionPlanQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .withColumn("files", expr("(total_chars + 16383) DIV 16384"))
+
   /** Salted skew join: orders⋈customer⋈nation revenue with the orders side
     * salt-sharded 8 ways and the dimension replicated per salt — the static
     * hot-key defense when AQE skew splitting isn't enough. Oracle = the
@@ -3324,6 +3355,8 @@ object SparkEntry {
     "q_anti_join"           -> (antiJoin(_, _)),
     "q_semi_join"           -> (semiJoin(_, _)),
     "q_salted_join"         -> (saltedJoinQ(_, _)),
+    "q_skew_report"         -> (skewReportQ(_, _)),
+    "q_partition_plan"      -> (partitionPlanQ(_, _)),
     "q_asof_join"           -> (asofJoinQ(_, _)),
     "q_asof_tolerance"      -> (asofToleranceQ(_, _)),
     "q_pivot"               -> (pivotQ(_, _)),
@@ -4810,6 +4843,18 @@ object SparkEntry {
     "q_lang_confusion" -> duckLangConfusion,
     "q_k_anonymity" ->
       """SELECT lang, source, count(*) AS n, count(*) < 5 AS at_risk
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+        |g AS (SELECT sum(n_rows) AS tot FROM c)
+        |SELECT user_id, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / tot, 6) AS frac,
+        |  n_rows * n_rows AS self_join_rows
+        |FROM c, g ORDER BY n_rows DESC, user_id LIMIT 10""".stripMargin,
+    "q_partition_plan" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST((sum(n_chars) + 16383) // 16384 AS BIGINT) AS files
         |FROM documents GROUP BY 1, 2""".stripMargin,
     "q_minhash_lsh"   -> duckShingleCte,
     "q_dedup_resolve" -> duckResolveCte,
