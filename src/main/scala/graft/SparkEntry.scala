@@ -1757,6 +1757,30 @@ object SparkEntry {
         ((col("exact_count") - col("est")) * (k + 1) <= col("n")).as("band_ok"))
   }
 
+  /** Count-Min point-frequency audit ([[TF.cmSketch]]): ONE 4×64 sketch
+    * over the events user stream (deliberately tiny so collisions are
+    * real), probed for the 20 hottest users and checked against the exact
+    * census. Unlike the sketch-contract gates (HLL/KLL/theta), Count-Min
+    * is fully DETERMINISTIC given the hash family — the oracle replays
+    * the ENTIRE sketch (every occurrence's d bucket increments, then the
+    * min-over-rows probe) in unsigned HUGEINT arithmetic and matches the
+    * estimates VALUE-exactly, not just in-band. Power-of-two moduli make
+    * unsigned-mod == signed floorMod ([[graft.expressions.CountMin]]).
+    * Scale shape: the sketch is one 80 KB-max partial-aggregated row; the
+    * census exists only because the audit needs ground truth.
+    */
+  private def countMinQ(s: SparkSession, dir: String): DataFrame = {
+    val (d, w) = (4, 64)
+    val ev = t(s, dir, "events").select(col("user_id").cast("string").as("item"))
+    val sk = ev.agg(TF.cmSketch(col("item"), d, w).as("cm"))
+    ev.groupBy(col("item")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("item")).limit(20)
+      .crossJoin(broadcast(sk))
+      .select(col("item").as("user_id"), col("n_exact"),
+        TF.cmEstimate(col("cm"), col("item"), d, w).as("cm_est"))
+      .withColumn("over_ok", col("cm_est") >= col("n_exact"))
+  }
+
   /** CCNet's final move (Wenzek et al. §4.3): bucket the corpus into
     * head / middle / tail by LM-perplexity TERCILES — the quality bands
     * CCNet publishes. The tercile comes from the closed-form [[Analytics
@@ -3445,6 +3469,7 @@ object SparkEntry {
     "q_remove_boilerplate"  -> (removeBoilerplateQ(_, _)),
     "q_upsample_epochs"     -> (upsampleEpochsQ(_, _)),
     "q_heavy_hitters"       -> (heavyHittersQ(_, _)),
+    "q_countmin"            -> (countMinQ(_, _)),
     "q_ccnet_buckets"       -> (ccnetBucketsQ(_, _)),
     "q_pack_shuffled"       -> (packShuffledQ(_, _)),
     "q_paragraph_dedup"     -> (paragraphDedupQ(_, _)),
@@ -5400,6 +5425,29 @@ object SparkEntry {
          |            ELSE 'tail' END AS bucket,
          |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
          |FROM tl GROUP BY 1""".stripMargin,
+    // count-min FULL replay: DuckDB rebuilds the 4×64 sketch from every
+    // occurrence (d bucket increments each, double-hashed with power-of-two
+    // moduli so unsigned % == floorMod) and probes min-over-rows — the
+    // estimates match VALUE-exactly, a strictly stronger gate than the
+    // in-band sketch contracts
+    "q_countmin" ->
+      s"""WITH it AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+         |hs AS (SELECT item,
+         |         CAST(${duckFnvU("item")} % 64 AS BIGINT) AS b1,
+         |         1 + 2 * CAST(${duckFnvU("(item || '#cm2')")} % 32 AS BIGINT) AS b2
+         |       FROM it),
+         |pr AS (SELECT item, i, (b1 + i * b2) % 64 AS bucket
+         |       FROM hs, range(0, 4) AS r(i)),
+         |cells AS (SELECT i, bucket, count(*) AS c FROM pr GROUP BY 1, 2),
+         |est AS (SELECT p.item, min(c.c) AS cm_est
+         |        FROM (SELECT DISTINCT item, i, bucket FROM pr) p
+         |        JOIN cells c ON c.i = p.i AND c.bucket = p.bucket
+         |        GROUP BY 1),
+         |ex AS (SELECT item, count(*) AS n_exact FROM it GROUP BY 1),
+         |top AS (SELECT item, n_exact FROM ex ORDER BY n_exact DESC, item LIMIT 20)
+         |SELECT t.item AS user_id, t.n_exact, e.cm_est,
+         |  e.cm_est >= t.n_exact AS over_ok
+         |FROM top t JOIN est e ON e.item = t.item""".stripMargin,
     // heavy-hitters contract replay: the synthesized Zipf stream is a pure
     // function of (doc_id, position) — DuckDB rebuilds it, takes the EXACT
     // census, and expects exactly the guaranteed-heavy rows with both

@@ -309,4 +309,36 @@ object TextFunctions {
     struct(f2.as("f_top2"), f3.as("f_top3"), f4.as("f_top4"),
       (f2 && f3 && f4).as("keep"))
   }
+
+  /** Count-Min sketch aggregate ([[graft.expressions.CountMinAgg]]):
+    * `depth × width` counters answering later point-frequency queries for
+    * ANY key — est ≥ exact always, est ≤ exact + ε·n w.h.p. Returns
+    * `struct<n, table>`; probe with [[cmEstimate]].
+    */
+  def cmSketch(item: Column, depth: Int = 5, width: Int = 2048): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.CountMinAgg(
+        org.apache.spark.sql.graft.ColumnBridge.expression(item), depth, width)
+        .toAggregateExpression())
+
+  /** Point estimate from a [[cmSketch]] result: min over the d probed
+    * counters. Replays [[graft.expressions.CountMin.seeds]]'s double
+    * hashing with stock codegen'd expressions (`fnv1a64` + `pmod` +
+    * `element_at`) — every intermediate stays < depth·width², so the
+    * arithmetic is ANSI-overflow-free. `depth`/`width` MUST match the
+    * sketch's build parameters.
+    */
+  def cmEstimate(sketch: Column, item: Column,
+                 depth: Int = 5, width: Int = 2048): Column = {
+    val b1 = pmod(fnv1a64(item), lit(width.toLong))
+    val b2 = lit(1L) + lit(2L) * pmod(
+      fnv1a64(concat(item, lit(graft.expressions.CountMin.Salt))),
+      lit(width.toLong / 2L))
+    val probes = (0 until depth).map { i =>
+      element_at(sketch.getField("table"),
+        (pmod(b1 + lit(i.toLong) * b2, lit(width.toLong))
+          + lit(i.toLong * width) + lit(1L)).cast("int"))
+    }
+    probes.reduceLeft((a, b) => least(a, b))
+  }
 }
