@@ -938,10 +938,102 @@ object SparkEntry {
       probeLists = Seq(lbl), k = 20)
   }
 
+  /** ANN recall audit: recall@20 of the IVF tier (nprobe = 1, own list
+    * only) against the exact cosine top-20, per probe query — the accuracy
+    * report you run before trusting an ANN tier at scale. Both the ANN
+    * answer and the truth are DETERMINISTIC here, so the oracle replays
+    * recall VALUE-exactly (no contract band): exact = all-pairs rank,
+    * IVF = the same rank restricted to the probe's inverted list.
+    * Per-probe top-20 via the bounded-heap aggregate (no global window);
+    * the all-pairs truth side is |probes|·|corpus| — an audit over a
+    * probe SAMPLE by construction (at 100 TB you sample probes, never
+    * pair up the corpus).
+    */
+  private def annRecallQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), VF.toDouble(col("embedding")).as("qv"),
+        col("label").as("qlab"))
+    val corpus = emb.select(col("vec_id").as("did"),
+      VF.toDouble(col("embedding")).as("dv"), col("label").as("dlab"))
+    def top20(pairs: DataFrame): DataFrame =
+      Analytics.topPerKeyAgg(
+        pairs.select(col("qid"), col("did"),
+          VF.cosine(col("qv"), col("dv")).as("cos")),
+        "qid", Seq(negate(col("cos")), col("did")), Seq("did" -> col("did")), 20)
+    val exact = top20(probes.join(corpus, col("did") =!= col("qid")))
+    val ivf = top20(probes.join(corpus,
+      col("did") =!= col("qid") && col("dlab") === col("qlab")))
+    // both rank sets are ≤ |probes|·20 rows BY CONSTRUCTION (top-k output),
+    // so these broadcasts are size-bounded at any corpus scale
+    val hits = exact.select("qid", "did")
+      .join(broadcast(ivf.select("qid", "did")), Seq("qid", "did"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    probes.select("qid").join(broadcast(hits), Seq("qid"), "left")
+      .select(col("qid"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") / 20.0, 6))
+  }
+
   // ------------------------------------------------------------------ dedup
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+
+  /** Cross-document duplicated-span detection by winnowing-style tiling:
+    * non-overlapping 32-char tiles fingerprinted (fnv1a64), inverted
+    * postings self-joined on fingerprint, pairs sharing ≥ 2 distinct
+    * tiles reported with the shared count — the copy-detection primitive
+    * between exact dedup (whole doc) and MinHash (bag similarity): it
+    * localizes HOW MUCH verbatim text two documents share and survives
+    * content moved around a document. Scale posture: postings are 8-byte
+    * fingerprints (text never shuffles past the tiling scan); boilerplate
+    * tiles shared by > 50 docs are dropped BEFORE the self-join (the
+    * hot-shingle cap — quadratic pair blowup capped at 50² per tile, the
+    * Dedup.autoDocFreqCap pattern); the cap is part of the documented
+    * semantics and the oracle replays it.
+    */
+  private def tileDupesQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(length(col("text")) >= 32)
+    val tiles = docs.select(col("doc_id"),
+        explode(expr("transform(sequence(1, length(text) div 32), " +
+          "k -> substring(text, (k-1)*32 + 1, 32))")).as("tile"))
+      .select(col("doc_id"), TF.fnv1a64(col("tile")).as("fp"))
+      .distinct()
+    val ok = tiles.groupBy(col("fp")).agg(count(lit(1)).as("m"))
+      .filter(col("m") >= 2 && col("m") <= 50)
+      .select("fp")
+    val p = tiles.join(ok, "fp")
+    p.as("a").join(p.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+  }
+
+  /** Group-leakage-free train/val/test split (GroupShuffleSplit): the
+    * split is a pure function of the GROUP key (user), not the row, so
+    * all of a user's events land in one split — the guard against
+    * near-duplicate leakage across splits that a row-hash split cannot
+    * give. Deterministic content hash (fnv1a64, power-of-two modulus →
+    * engine-portable), 12/2/2 sixteenths = 75/12.5/12.5. The audit column
+    * re-derives the invariant from the DATA (max distinct splits per
+    * user == 1) rather than trusting the construction. One census
+    * aggregate + one 1-row broadcast; the corpus never shuffles.
+    */
+  private def leakageSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val b = pmod(TF.fnv1a64(concat(lit("split#"), col("user_id").cast("string"))),
+      lit(16L))
+    val split = when(b < 12, "train").when(b < 14, "val").otherwise("test")
+    val tagged = t(s, dir, "events").select(col("user_id"), split.as("split"))
+    val audit = tagged.groupBy(col("user_id"))
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k")).as("mx"))
+    tagged.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(broadcast(audit))
+      .withColumn("leak_free", col("mx") === 1L)
+      .drop("mx")
+  }
 
   /** Exact 5-gram Jaccard with the default hot-shingle guard ON (df cap
     * `max(64, n/100)` — Dedup.autoDocFreqCap): one boilerplate shingle must
@@ -3394,9 +3486,11 @@ object SparkEntry {
     "q_except"              -> (exceptQ(_, _)),
     "q_intersect"           -> (intersectQ(_, _)),
     "q_ivf_topk"            -> (ivfTopkQ(_, _)),
+    "q_ann_recall"          -> (annRecallQ(_, _)),
     "q_kmeans_assign"       -> (kmeansAssignQ(_, _)),
     "q_part_brands"         -> (partBrandsQ(_, _)),
     "q_dedup_exact"         -> (dedupExact(_, _)),
+    "q_tile_dupes"          -> (tileDupesQ(_, _)),
     "q_ngram_jaccard"       -> (ngramJaccard(_, _)),
     "q_jaccard_sweep"       -> (jaccardSweepQ(_, _)),
     "q_lang_confusion"      -> (langConfusionQ(_, _)),
@@ -3440,6 +3534,7 @@ object SparkEntry {
     "q_decontaminate"       -> (decontaminateQ(_, _)),
     "q_bloom_decontaminate" -> (bloomDecontaminateQ(_, _)),
     "q_mix_corpus"          -> (mixCorpusQ(_, _)),
+    "q_leakage_split"       -> (leakageSplitQ(_, _)),
     "q_leakfree_split"      -> (leakFreeSplitQ(_, _)),
     "q_repetition_gopher"   -> (repetitionGopherQ(_, _)),
     "q_repeated_spans"      -> (repeatedSpansQ(_, _)),
@@ -5024,6 +5119,58 @@ object SparkEntry {
          |SELECT y.vec_id AS vec_id, round($duckCos, 6) AS cos
          |FROM embeddings y, x WHERE y.label = x.label
          |ORDER BY cos DESC, y.vec_id LIMIT 20""".stripMargin,
+    // ANN recall replayed value-exactly: exact top-20 = all-pairs cosine
+    // rank, IVF top-20 = the same rank restricted to the probe's list;
+    // recall = |intersection| / 20 (cosines replay bit-identically — the
+    // q_topk_cosine precedent — so the rank sets match row-for-row)
+    "q_ann_recall" ->
+      s"""WITH x AS (SELECT vec_id AS qid, embedding, label FROM embeddings
+         |           WHERE vec_id < 10),
+         |ex AS (SELECT x.qid, y.vec_id AS did,
+         |         row_number() OVER (PARTITION BY x.qid
+         |           ORDER BY ($duckCos) DESC, y.vec_id) AS rn
+         |       FROM x, embeddings y WHERE y.vec_id <> x.qid),
+         |iv AS (SELECT x.qid, y.vec_id AS did,
+         |         row_number() OVER (PARTITION BY x.qid
+         |           ORDER BY ($duckCos) DESC, y.vec_id) AS rn
+         |       FROM x, embeddings y
+         |       WHERE y.vec_id <> x.qid AND y.label = x.label),
+         |h AS (SELECT e.qid, count(*) AS n_hit
+         |      FROM (SELECT qid, did FROM ex WHERE rn <= 20) e
+         |      JOIN (SELECT qid, did FROM iv WHERE rn <= 20) i
+         |        ON i.qid = e.qid AND i.did = e.did
+         |      GROUP BY 1)
+         |SELECT x.qid, COALESCE(h.n_hit, 0) AS n_hit,
+         |  round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 20.0, 6) AS recall
+         |FROM x LEFT JOIN h ON h.qid = x.qid""".stripMargin,
+    // tile postings replay: identical 32-char non-overlapping tiling,
+    // identical FNV fingerprints, identical [2, 50] document-frequency cap
+    "q_tile_dupes" ->
+      s"""WITH tl AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${duckFnvU("substr(text, CAST((k-1)*32 + 1 AS BIGINT), 32)")} AS fp
+         |  FROM documents, unnest(range(1, len(text) // 32 + 1)) AS u(k)
+         |  WHERE len(text) >= 32),
+         |ok AS (SELECT fp FROM tl GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+         |p AS (SELECT doc_id, tl.fp FROM tl JOIN ok ON ok.fp = tl.fp)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // group-hash split replay: same fnv('split#' || user) % 16 buckets,
+    // same 12/2/2 carve, same data-derived leak audit
+    "q_leakage_split" ->
+      s"""WITH tg AS (
+         |  SELECT user_id,
+         |    CASE WHEN m < 12 THEN 'train' WHEN m < 14 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT user_id,
+         |          CAST(${duckFnvU("('split#' || CAST(user_id AS VARCHAR))")} % 16 AS BIGINT) AS m
+         |        FROM events)),
+         |a AS (SELECT max(k) AS mx FROM
+         |        (SELECT user_id, count(DISTINCT split) AS k FROM tg GROUP BY 1))
+         |SELECT split, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+         |  (SELECT mx FROM a) = 1 AS leak_free
+         |FROM tg GROUP BY 1""".stripMargin,
     "q_multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |CAST(len(text) AS BIGINT) AS n_chars

@@ -671,4 +671,41 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\(\\d+\\) Exchange".r.findAllIn(p).length === 1, p)
     assert("\\(\\d+\\) Window".r.findAllIn(p).length === 1, p)
   }
+
+  test("q_countmin: the sketch partial-aggregates map-side; top-20 is TakeOrdered") {
+    val p = plan("q_countmin")
+    assert(p.contains("partial_countmin_sketch"), p) // one 80KB buffer/mapper
+    assert(p.contains("TakeOrderedAndProject"), p)   // census top-k, no global sort
+  }
+
+  test("q_tile_dupes: hash equi-joins on 8-byte fingerprints — text never shuffles") {
+    val p = plan("q_tile_dupes")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    exchangeSections.foreach { s =>
+      val cols = s.takeWhile(_ != '(')
+      assert(!cols.contains("text") && !cols.contains("tile"), p)
+    }
+  }
+
+  test("q_ann_recall / q_leakage_split: bounded-heap top-k, tiny sides broadcast, no global window") {
+    val pa = plan("q_ann_recall")
+    assert(pa.contains("partial_top_k_rows"), pa) // per-probe 20-row heaps
+    assert(!pa.contains("Window"), pa)
+    assert(!pa.contains("SortMergeJoin"), pa) // probe side is broadcast-small
+    val pl = plan("q_leakage_split")
+    assert(pl.contains("BroadcastNestedLoopJoin") ||
+      pl.contains("BroadcastExchange"), pl) // the 1-row audit side
+    assert(!pl.contains("SortMergeJoin"), pl)
+  }
+
+  test("q_skew_report / q_partition_plan: census top-k is TakeOrdered; partial aggregation map-side") {
+    val p = plan("q_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    val pp = plan("q_partition_plan")
+    assert(pp.contains("partial_count"), pp)
+    assert("\\(\\d+\\) Exchange".r.findAllIn(pp).length === 1, pp)
+  }
 }
