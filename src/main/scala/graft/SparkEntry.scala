@@ -1849,6 +1849,45 @@ object SparkEntry {
         ((col("exact_count") - col("est")) * (k + 1) <= col("n")).as("band_ok"))
   }
 
+  /** Per-language Shannon entropy of the token distribution — the
+    * diversity number a mixture designer reads next to raw token counts
+    * (low entropy = repetitive/boilerplate-heavy slice; entropy near
+    * ln(vocab) = flat distribution). Computed as `H = ln N − Σ c·ln c / N`
+    * over the exact integer census, so the only floating point is the
+    * final ln/divide (rounded 6dp on both engines). Scale shape: one
+    * (lang, token) partial-aggregated census, then |vocab| rows reduce to
+    * |langs| — no joins, no windows.
+    */
+  private def tokenEntropyQ(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("lang"), explode(TF.tokens(lower(col("text")))).as("tok"))
+    toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        round(log(sum(col("c")).cast("double"))
+          - sum(col("c").cast("double") * log(col("c").cast("double")))
+            / sum(col("c")).cast("double"), 6).as("entropy_nats"))
+  }
+
+  /** Vocabulary-growth (Heaps'-law) audit: distinct-token count after the
+    * first 100/200/…/500 documents — the curve that says whether a corpus
+    * keeps contributing new vocabulary or has gone asymptotic (the
+    * data-collection stopping signal). One pass: per-token FIRST document
+    * (min doc_id), then five conditional sums unpivoted — no joins, no
+    * windows, and the prefix thresholds are literals so the plan is two
+    * partial-aggregated censuses at any scale.
+    */
+  private def vocabGrowthQ(s: SparkSession, dir: String): DataFrame = {
+    val fs = t(s, dir, "documents")
+      .select(col("doc_id"), explode(TF.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+    val sums = (1 to 5).map(k =>
+      sum(when(col("fd") < k * 100, 1L).otherwise(0L)).as(s"v$k"))
+    fs.agg(sums.head, sums.tail: _*)
+      .select(expr("stack(5, 100L, v1, 200L, v2, 300L, v3, 400L, v4, 500L, v5) " +
+        "AS (prefix_docs, vocab)"))
+  }
+
   /** Count-Min point-frequency audit ([[TF.cmSketch]]): ONE 4×64 sketch
     * over the events user stream (deliberately tiny so collisions are
     * real), probed for the 20 hottest users and checked against the exact
@@ -3565,6 +3604,8 @@ object SparkEntry {
     "q_upsample_epochs"     -> (upsampleEpochsQ(_, _)),
     "q_heavy_hitters"       -> (heavyHittersQ(_, _)),
     "q_countmin"            -> (countMinQ(_, _)),
+    "q_token_entropy"       -> (tokenEntropyQ(_, _)),
+    "q_vocab_growth"        -> (vocabGrowthQ(_, _)),
     "q_ccnet_buckets"       -> (ccnetBucketsQ(_, _)),
     "q_pack_shuffled"       -> (packShuffledQ(_, _)),
     "q_paragraph_dedup"     -> (paragraphDedupQ(_, _)),
@@ -5572,6 +5613,22 @@ object SparkEntry {
          |            ELSE 'tail' END AS bucket,
          |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
          |FROM tl GROUP BY 1""".stripMargin,
+    // exact integer census, float only at the surface: H = ln N - Σ c·ln c / N
+    "q_token_entropy" ->
+      s"""WITH tok AS (SELECT lang, unnest($duckToks) AS tok FROM documents),
+         |c AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+         |  round(ln(CAST(sum(c) AS DOUBLE))
+         |    - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+         |      / CAST(sum(c) AS DOUBLE), 6) AS entropy_nats
+         |FROM c GROUP BY 1""".stripMargin,
+    "q_vocab_growth" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($duckToks) AS tok FROM documents),
+         |fs AS (SELECT tok, min(doc_id) AS fd FROM tok GROUP BY 1)
+         |SELECT CAST(th AS BIGINT) AS prefix_docs,
+         |  CAST(sum(CASE WHEN fd < th THEN 1 ELSE 0 END) AS BIGINT) AS vocab
+         |FROM fs, unnest([100, 200, 300, 400, 500]) AS u(th)
+         |GROUP BY 1""".stripMargin,
     // count-min FULL replay: DuckDB rebuilds the 4×64 sketch from every
     // occurrence (d bucket increments each, double-hashed with power-of-two
     // moduli so unsigned % == floorMod) and probes min-over-rows — the

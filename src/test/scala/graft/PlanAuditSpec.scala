@@ -650,8 +650,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_profile / q_dq_checks / q_corr_matrix: profiling is aggregate-only over one scan") {
+    // distincts are per-column hash censuses (no multi-distinct Expand,
+    // which sorted |cols|·n expanded rows — PERF.md r11); the only joins
+    // are the 1-row reassembly broadcasts
     val pp = plan("q_profile")
-    assert(!pp.contains("Join"), pp)
+    assert(!pp.contains("Expand"), pp)
+    assert(!pp.contains("SortMergeJoin") && !pp.contains("ShuffledHashJoin"), pp)
     // the six orders-side checks share one aggregate; only the referential
     // check joins (left-anti on the key)
     val pd = plan("q_dq_checks")

@@ -64,4 +64,27 @@ class CountMinAggSpec extends SparkSpec {
         4, 100)
     }
   }
+
+  test("countmin: streaming complete-mode snapshot == batch sketch (safe accumulator)") {
+    // exact merge-order invariance means the sketch works unchanged as a
+    // streaming aggregate: after any batch split, the snapshot table must
+    // be BIT-identical to the one-shot batch aggregate over the union
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("item")
+      .agg(TF.cmSketch(col("item"), 4, 64).as("cm"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cm_stream").start()
+    try {
+      val (b1, b2) = (items.take(400), items.drop(400))
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val live = spark.table("cm_stream").head().getStruct(0)
+      val batch = items.toDF("item")
+        .agg(TF.cmSketch(col("item"), 4, 64).as("cm")).head().getStruct(0)
+      assert(live.getLong(0) === batch.getLong(0))
+      assert(live.getSeq[Long](1) === batch.getSeq[Long](1))
+    } finally q.stop()
+  }
 }

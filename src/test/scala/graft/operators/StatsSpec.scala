@@ -271,7 +271,12 @@ class StatsSpec extends SparkSpec {
     // numeric min/max, NOT lexicographic: 2.0 < 10.0 < 100.0
     assert(out("v") === ((4L, 1L, 3L, "2.0", "100.0")))
     val plan = prof.queryExecution.executedPlan.toString
-    assert(!plan.contains("Join"), s"profile must be one pass:\n$plan")
+    // distincts are per-column HASH censuses: no Expand (the multi-distinct
+    // plan that sorted |cols|·n expanded rows through keyed SortAggregates),
+    // and the only joins are the 1-row broadcast reassembly crossjoins
+    assert(!plan.contains("Expand"), s"multi-distinct Expand is back:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"reassembly must be 1-row broadcasts:\n$plan")
   }
 
   test("peakConcurrency: overlapping intervals, half-open ends, first peak instant") {
