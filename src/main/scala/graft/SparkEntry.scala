@@ -1912,6 +1912,68 @@ object SparkEntry {
       .withColumn("over_ok", col("cm_est") >= col("n_exact"))
   }
 
+  /** Join-size estimation from sketches (the Count-Min inner product,
+    * Cormode & Muthukrishnan §4.2): |A ⋈ B| on the join key = Σ_k
+    * cnt_A(k)·cnt_B(k), estimated as min_i Σ_b tableA[i,b]·tableB[i,b]
+    * from two already-built CM sketches — overcounting always (collision
+    * products only add), within ε·N_A·N_B w.h.p. The shuffle-planning
+    * question at 100 TB ("should this join be salted? pre-aggregated?")
+    * answered from two 80 KB summaries WITHOUT running the join — and the
+    * sketches compose: per-partition sketches sum element-wise first.
+    * Here: view-events ⋈ purchase-events on user, checked against the
+    * exact inner product; the oracle replays both sketches and the
+    * estimate VALUE-exactly (the q_countmin full-replay machinery).
+    */
+  private def joinSizeEstQ(s: SparkSession, dir: String): DataFrame = {
+    val (d, w) = (4, 64)
+    val ev = t(s, dir, "events")
+    def sk(typ: String, as: String) = ev.filter(col("event_type") === typ)
+      .select(col("user_id").cast("string").as("item"))
+      .agg(TF.cmSketch(col("item"), d, w).as(as))
+    def census(typ: String, as: String) = ev.filter(col("event_type") === typ)
+      .groupBy(col("user_id")).agg(count(lit(1)).as(as))
+    val exact = census("view", "nv").join(census("purchase", "np"), "user_id")
+      .agg(coalesce(sum(col("nv") * col("np")), lit(0L)).as("n_exact"))
+    val prods = expr(s"transform(sequence(0, ${d - 1}), i -> " +
+      s"aggregate(zip_with(slice(a.table, i * $w + 1, $w), " +
+      s"slice(b.table, i * $w + 1, $w), (x, y) -> x * y), 0L, (acc, v) -> acc + v))")
+    exact.crossJoin(broadcast(sk("view", "a")))
+      .crossJoin(broadcast(sk("purchase", "b")))
+      .select(col("n_exact"), array_min(prods).as("cm_est"))
+      .withColumn("over_ok", col("cm_est") >= col("n_exact"))
+  }
+
+  /** Simplified (centroid) silhouette per cluster — the clustering-quality
+    * audit over the fixed-centroid k-means scheme of [[kmeansAssignQ]]:
+    * a = distance to the own centroid, b = distance to the nearest OTHER
+    * centroid, s = (b − a)/max(a, b), averaged per cluster. Distances
+    * replay engine-exactly (same |v|² − 2·v·c + |c|² expansion and fold
+    * order as the assignment; sqrt is IEEE-correctly-rounded on both).
+    * Scale shape: k centroid literals folded into codegen — one scan, one
+    * |k|-group aggregate, no joins; the full-pairwise silhouette (O(n²))
+    * is exactly what this variant avoids at corpus scale.
+    */
+  private def silhouetteQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 10).orderBy(col("vec_id"))
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val v = VF.toDouble(col("embedding"))
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val cn = c.map(x => x * x).sum
+      struct((VF.normSq(v) + VF.dot(v, VF.vecLit(c.toSeq)) * -2.0 + cn).as("d"),
+        lit(i.toLong).as("i"))
+    }
+    val sorted = array_sort(array(scored.toIndexedSeq: _*))
+    val a = sqrt(greatest(element_at(sorted, 1).getField("d"), lit(0.0)))
+    val b = sqrt(greatest(element_at(sorted, 2).getField("d"), lit(0.0)))
+    val sil = when(greatest(a, b) === 0.0, lit(0.0))
+      .otherwise((b - a) / greatest(a, b))
+    emb.select(element_at(sorted, 1).getField("i").as("list"), sil.as("__s"))
+      .groupBy(col("list"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("__s")), 6).as("mean_silhouette"))
+  }
+
   /** CCNet's final move (Wenzek et al. §4.3): bucket the corpus into
     * head / middle / tail by LM-perplexity TERCILES — the quality bands
     * CCNet publishes. The tercile comes from the closed-form [[Analytics
@@ -3606,6 +3668,8 @@ object SparkEntry {
     "q_countmin"            -> (countMinQ(_, _)),
     "q_token_entropy"       -> (tokenEntropyQ(_, _)),
     "q_vocab_growth"        -> (vocabGrowthQ(_, _)),
+    "q_join_size_est"       -> (joinSizeEstQ(_, _)),
+    "q_silhouette"          -> (silhouetteQ(_, _)),
     "q_ccnet_buckets"       -> (ccnetBucketsQ(_, _)),
     "q_pack_shuffled"       -> (packShuffledQ(_, _)),
     "q_paragraph_dedup"     -> (paragraphDedupQ(_, _)),
@@ -5629,6 +5693,58 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN fd < th THEN 1 ELSE 0 END) AS BIGINT) AS vocab
          |FROM fs, unnest([100, 200, 300, 400, 500]) AS u(th)
          |GROUP BY 1""".stripMargin,
+    // CM inner-product replay: both sketches rebuilt cell-by-cell, the
+    // row-wise dot products and their min matched value-exactly, next to
+    // the exact Σ cnt_v·cnt_p inner product
+    "q_join_size_est" ->
+      s"""WITH it AS (SELECT CAST(user_id AS VARCHAR) AS item, event_type
+         |            FROM events WHERE event_type IN ('view', 'purchase')),
+         |hs AS (SELECT item, event_type,
+         |         CAST(${duckFnvU("item")} % 64 AS BIGINT) AS b1,
+         |         1 + 2 * CAST(${duckFnvU("(item || '#cm2')")} % 32 AS BIGINT) AS b2
+         |       FROM it),
+         |pr AS (SELECT event_type, i, (b1 + i * b2) % 64 AS bucket
+         |       FROM hs, range(0, 4) AS r(i)),
+         |cells AS (SELECT event_type, i, bucket, count(*) AS c
+         |          FROM pr GROUP BY 1, 2, 3),
+         |dot AS (SELECT a.i, sum(a.c * b.c) AS p
+         |        FROM cells a JOIN cells b
+         |          ON a.i = b.i AND a.bucket = b.bucket
+         |         AND a.event_type = 'view' AND b.event_type = 'purchase'
+         |        GROUP BY 1),
+         |est AS (SELECT CAST(min(p) AS BIGINT) AS cm_est FROM dot),
+         |ex AS (SELECT CAST(COALESCE(sum(v.c * p.c), 0) AS BIGINT) AS n_exact
+         |       FROM (SELECT item, count(*) AS c FROM it
+         |             WHERE event_type = 'view' GROUP BY 1) v
+         |       JOIN (SELECT item, count(*) AS c FROM it
+         |             WHERE event_type = 'purchase' GROUP BY 1) p
+         |         ON p.item = v.item)
+         |SELECT ex.n_exact, est.cm_est, est.cm_est >= ex.n_exact AS over_ok
+         |FROM ex, est""".stripMargin,
+    // centroid-silhouette replay: same |v|²−2vc+|c|² expansion, same
+    // (d, cidx) tie-break, same sqrt/ratio — per-cluster means to 6dp
+    "q_silhouette" ->
+      """WITH c AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT e.vec_id, c.cidx,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])
+        |    + list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) * -2.0
+        |    + list_sum([CAST(c.cemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) AS d
+        |  FROM embeddings e CROSS JOIN c),
+        |r AS (SELECT vec_id, cidx, d,
+        |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn
+        |      FROM s),
+        |ab AS (SELECT vec_id,
+        |         max(CASE WHEN rn = 1 THEN cidx END) AS list,
+        |         sqrt(greatest(max(CASE WHEN rn = 1 THEN d END), 0)) AS a,
+        |         sqrt(greatest(max(CASE WHEN rn = 2 THEN d END), 0)) AS b
+        |       FROM r WHERE rn <= 2 GROUP BY 1)
+        |SELECT CAST(list AS BIGINT) AS list, count(*) AS n_vecs,
+        |  round(avg(CASE WHEN greatest(a, b) = 0 THEN 0.0
+        |                 ELSE (b - a) / greatest(a, b) END), 6) AS mean_silhouette
+        |FROM ab GROUP BY 1""".stripMargin,
     // count-min FULL replay: DuckDB rebuilds the 4×64 sketch from every
     // occurrence (d bucket increments each, double-hashed with power-of-two
     // moduli so unsigned % == floorMod) and probes min-over-rows — the

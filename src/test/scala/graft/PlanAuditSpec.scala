@@ -704,6 +704,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pl.contains("SortMergeJoin"), pl)
   }
 
+  test("q_silhouette: centroid literals fold into one scan — no corpus join, one exchange") {
+    val p = plan("q_silhouette")
+    assert(!p.contains("Join"), p)
+    assert(exchanges(p) === 1, p) // the |k|-group aggregate only
+  }
+
+  test("q_join_size_est: both sketches partial-aggregate; sketch sides are 1-row broadcasts") {
+    val p = plan("q_join_size_est")
+    assert(p.contains("partial_countmin_sketch"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_skew_report / q_partition_plan: census top-k is TakeOrdered; partial aggregation map-side") {
     val p = plan("q_skew_report")
     assert(p.contains("TakeOrderedAndProject"), p)
