@@ -705,7 +705,11 @@ object SparkEntry {
       .crossJoin(broadcast(total))
       .select(col("user_id"), col("n_rows"),
         round(col("n_rows").cast("double") / col("__tot").cast("double"), 6).as("frac"),
-        (col("n_rows") * col("n_rows")).as("self_join_rows"))
+        // double, not long×long: a hot key above ~3.04e9 rows would
+        // ANSI-overflow the bigint square — exactly the scale this report
+        // exists to diagnose (IEEE multiply is engine-identical)
+        (col("n_rows").cast("double") * col("n_rows").cast("double"))
+          .as("self_join_rows"))
   }
 
   /** Partition-layout planner: per output partition (lang, source), the
@@ -1946,12 +1950,16 @@ object SparkEntry {
   /** Simplified (centroid) silhouette per cluster — the clustering-quality
     * audit over the fixed-centroid k-means scheme of [[kmeansAssignQ]]:
     * a = distance to the own centroid, b = distance to the nearest OTHER
-    * centroid, s = (b − a)/max(a, b), averaged per cluster. Distances
-    * replay engine-exactly (same |v|² − 2·v·c + |c|² expansion and fold
-    * order as the assignment; sqrt is IEEE-correctly-rounded on both).
-    * Scale shape: k centroid literals folded into codegen — one scan, one
-    * |k|-group aggregate, no joins; the full-pairwise silhouette (O(n²))
-    * is exactly what this variant avoids at corpus scale.
+    * centroid, s = (b − a)/max(a, b), averaged per cluster. Centroids
+    * rank by the IDENTICAL −2·v·c + |c|² score (and tie-break) as
+    * [[graft.similarity.KMeans.Model.assignCol]] — the constant |v|² term
+    * joins only AFTER selection (monotone, so the order is unchanged but
+    * the float score bits match the assignment exactly: a near-tie can
+    * never assign a vector differently in the two audits). sqrt is
+    * IEEE-correctly-rounded on both engines. Scale shape: k centroid
+    * literals folded into codegen — one scan, one |k|-group aggregate, no
+    * joins; the full-pairwise silhouette (O(n²)) is exactly what this
+    * variant avoids at corpus scale.
     */
   private def silhouetteQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
@@ -1959,14 +1967,15 @@ object SparkEntry {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val v = VF.toDouble(col("embedding"))
+    val vn = VF.normSq(v)
     val scored = cents.zipWithIndex.map { case (c, i) =>
       val cn = c.map(x => x * x).sum
-      struct((VF.normSq(v) + VF.dot(v, VF.vecLit(c.toSeq)) * -2.0 + cn).as("d"),
+      struct((VF.dot(v, VF.vecLit(c.toSeq)) * -2.0 + cn).as("d"),
         lit(i.toLong).as("i"))
     }
     val sorted = array_sort(array(scored.toIndexedSeq: _*))
-    val a = sqrt(greatest(element_at(sorted, 1).getField("d"), lit(0.0)))
-    val b = sqrt(greatest(element_at(sorted, 2).getField("d"), lit(0.0)))
+    val a = sqrt(greatest(vn + element_at(sorted, 1).getField("d"), lit(0.0)))
+    val b = sqrt(greatest(vn + element_at(sorted, 2).getField("d"), lit(0.0)))
     val sil = when(greatest(a, b) === 0.0, lit(0.0))
       .otherwise((b - a) / greatest(a, b))
     emb.select(element_at(sorted, 1).getField("i").as("list"), sil.as("__s"))
@@ -5074,7 +5083,7 @@ object SparkEntry {
         |g AS (SELECT sum(n_rows) AS tot FROM c)
         |SELECT user_id, n_rows,
         |  round(CAST(n_rows AS DOUBLE) / tot, 6) AS frac,
-        |  n_rows * n_rows AS self_join_rows
+        |  CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) AS self_join_rows
         |FROM c, g ORDER BY n_rows DESC, user_id LIMIT 10""".stripMargin,
     "q_partition_plan" ->
       """SELECT lang, source, count(*) AS n_docs,
@@ -5712,7 +5721,12 @@ object SparkEntry {
          |          ON a.i = b.i AND a.bucket = b.bucket
          |         AND a.event_type = 'view' AND b.event_type = 'purchase'
          |        GROUP BY 1),
-         |est AS (SELECT CAST(min(p) AS BIGINT) AS cm_est FROM dot),
+         |-- every sketch row participates in the min: a row whose bucket
+         |-- sets are disjoint (or an empty side) has product 0, as in the
+         |-- array arithmetic — without this the min skips absent rows
+         |alld AS (SELECT r.i, COALESCE(d.p, 0) AS p
+         |         FROM range(0, 4) AS r(i) LEFT JOIN dot d ON d.i = r.i),
+         |est AS (SELECT CAST(min(p) AS BIGINT) AS cm_est FROM alld),
          |ex AS (SELECT CAST(COALESCE(sum(v.c * p.c), 0) AS BIGINT) AS n_exact
          |       FROM (SELECT item, count(*) AS c FROM it
          |             WHERE event_type = 'view' GROUP BY 1) v
@@ -5721,25 +5735,27 @@ object SparkEntry {
          |         ON p.item = v.item)
          |SELECT ex.n_exact, est.cm_est, est.cm_est >= ex.n_exact AS over_ok
          |FROM ex, est""".stripMargin,
-    // centroid-silhouette replay: same |v|²−2vc+|c|² expansion, same
-    // (d, cidx) tie-break, same sqrt/ratio — per-cluster means to 6dp
+    // centroid-silhouette replay: centroids rank by the ASSIGNMENT's exact
+    // −2vc+|c|² score (same tie-break); the constant |v|² joins only after
+    // selection, same grouping as the Spark expression — then sqrt/ratio,
+    // per-cluster means to 6dp
     "q_silhouette" ->
       """WITH c AS (
         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx, embedding AS cemb
         |  FROM embeddings WHERE vec_id < 10),
         |s AS (
         |  SELECT e.vec_id, c.cidx,
-        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])
-        |    + list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) * -2.0
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE) FOR i IN range(1, 65)]) AS vn,
+        |    list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) * -2.0
         |    + list_sum([CAST(c.cemb[i] AS DOUBLE) * CAST(c.cemb[i] AS DOUBLE) FOR i IN range(1, 65)]) AS d
         |  FROM embeddings e CROSS JOIN c),
-        |r AS (SELECT vec_id, cidx, d,
+        |r AS (SELECT vec_id, cidx, vn, d,
         |        row_number() OVER (PARTITION BY vec_id ORDER BY d, cidx) AS rn
         |      FROM s),
         |ab AS (SELECT vec_id,
         |         max(CASE WHEN rn = 1 THEN cidx END) AS list,
-        |         sqrt(greatest(max(CASE WHEN rn = 1 THEN d END), 0)) AS a,
-        |         sqrt(greatest(max(CASE WHEN rn = 2 THEN d END), 0)) AS b
+        |         sqrt(greatest(max(CASE WHEN rn = 1 THEN vn + d END), 0)) AS a,
+        |         sqrt(greatest(max(CASE WHEN rn = 2 THEN vn + d END), 0)) AS b
         |       FROM r WHERE rn <= 2 GROUP BY 1)
         |SELECT CAST(list AS BIGINT) AS list, count(*) AS n_vecs,
         |  round(avg(CASE WHEN greatest(a, b) = 0 THEN 0.0

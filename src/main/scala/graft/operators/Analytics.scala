@@ -1264,13 +1264,15 @@ object Analytics {
       round(z, 6).as("z"), (abs(z) > lit(1.96)).as("significant"))
   }
 
-  /** One-pass table profile: per requested column — row count, null count,
-    * distinct count, and min/max (as strings via caller-supplied exact
-    * formatting, so one tidy schema covers mixed types). ALL columns
-    * profile in a SINGLE aggregate over one scan (multiple distinct
-    * aggregates expand the input once per column inside the same
-    * stage — still one pass over the parquet); the per-column rows unpivot
-    * from the single aggregate row. The Deequ-style profiling shape.
+  /** Table profile: per requested column — row count, null count, distinct
+    * count, and min/max (as strings via caller-supplied exact formatting,
+    * so one tidy schema covers mixed types). Counts and min/max come from
+    * ONE grouping-free pass; each exact distinct count is its own
+    * per-column hash census (a narrow single-column parquet read under
+    * column pruning) reduced to one long — 1 + |cols| scans total, but no
+    * Expand and no keyed SortAggregate (see the body comment and PERF.md
+    * r11). The per-column rows unpivot from the reassembled single row.
+    * The Deequ-style profiling shape.
     */
   def profileTable(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     val aggs = cols.flatMap { case (n, c) =>
@@ -1291,7 +1293,9 @@ object Analytics {
     // rows shuffled each) and reduce to one long before the reassembly
     // crossJoins (1-row broadcasts): 2.45 → 1.2 s, identical output.
     val nds = cols.map { case (n, c) =>
-      df.select(c.as("__v")).na.drop().distinct()
+      // isNotNull, NOT na.drop(): na.drop also drops NaN, but countDistinct
+      // treated NaN as a distinct non-null value — preserve that
+      df.select(c.as("__v")).filter(col("__v").isNotNull).distinct()
         .agg(count(lit(1)).as(s"__nd_$n"))
     }
     val joined = nds.foldLeft(one)((acc, d) => acc.crossJoin(broadcast(d)))

@@ -258,7 +258,7 @@ class StatsSpec extends SparkSpec {
     assert(dr.isNullAt(dr.fieldIndex("z")))
   }
 
-  test("profileTable: nulls, distincts, native-type min/max, one scan") {
+  test("profileTable: nulls, distincts, native-type min/max, no Expand") {
     val df = Seq((1L, Some("b"), Some(10.0)), (2L, Some("a"), None),
       (3L, None, Some(2.0)), (3L, Some("a"), Some(100.0)))
       .toDF("id", "s", "v")
@@ -277,6 +277,15 @@ class StatsSpec extends SparkSpec {
     assert(!plan.contains("Expand"), s"multi-distinct Expand is back:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"reassembly must be 1-row broadcasts:\n$plan")
+  }
+
+  test("profileTable: NaN is a distinct non-null value (countDistinct semantics)") {
+    // the census filters isNotNull, NOT na.drop() — na.drop would silently
+    // drop NaN, undercounting n_distinct vs the countDistinct it replaced
+    val df = Seq(Some(1.0), Some(Double.NaN), None, Some(1.0)).toDF("x")
+    val p = Analytics.profileTable(df, Seq("x" -> col("x"))).head()
+    assert(p.getLong(1) === 4L && p.getLong(2) === 1L) // n_rows, n_nulls
+    assert(p.getLong(3) === 2L, "1.0 and NaN are two distinct values")
   }
 
   test("peakConcurrency: overlapping intervals, half-open ends, first peak instant") {
