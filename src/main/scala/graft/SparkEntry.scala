@@ -309,6 +309,16 @@ object SparkEntry {
   private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.bpePairStats(t(s, dir, "documents"), "text", topPairs = 50)
 
+  /** BPE tokenizer TRAINING ([[graft.pipeline.BpeTrainer.train]]): 8 merge
+    * rounds over the word-frequency census. The oracle replays the entire
+    * training loop — census, per-round pair argmax (lexicographic
+    * tie-break), and the greedy leftmost merge fold — as a statically
+    * unrolled CTE chain, so every learned rule AND its selection-time count
+    * must match value-exactly.
+    */
+  private def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.BpeTrainer.train(t(s, dir, "documents"), "text", rounds = 8)
+
   /** TPC-H Q5 shape (local-supplier volume): the 6-table star join with
     * region/nation broadcast onto the fact-side shuffle join, revenue in
     * exact decimal partial aggregation. The canonical "did the optimizer
@@ -725,6 +735,37 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .withColumn("files", expr("(total_chars + 16383) DIV 16384"))
 
+  /** Zone-map pruning audit ([[graft.sources.Tables.zoneMapAudit]]): would
+    * a Q1 1998 ship-date predicate prune files under (a) the as-ingested
+    * layout (file = orderkey mod 64 — every file spans the whole date
+    * domain) vs (b) a date-clustered layout (file = calendar month)? The
+    * measured answer at sf0.01 is the whole layout argument in two rows:
+    * arrival scans 64/64 files, date_sorted scans 6/83.
+    */
+  private def zoneMapQ(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.zoneMapAudit(
+      t(s, dir, "lineitem"),
+      layouts = Seq(
+        "arrival" -> pmod(col("l_orderkey"), lit(64)),
+        "date_sorted" -> (year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)),
+      statCol = col("l_shipdate"),
+      lo = lit("1998-01-01").cast("timestamp"),
+      hi = lit("1998-07-01").cast("timestamp"))
+
+  /** Local-DP randomized response ([[Analytics.randomizedResponse]]) over
+    * the purchase bit, cohorts = user_id mod 10. The flip coin is a
+    * deterministic integer hash of the event id (Knuth multiplicative mod
+    * 1e9+7, then mod 4) so the whole mechanism — flips included — replays
+    * exactly in the oracle, and the debiased estimate can be checked
+    * against the true count it is never allowed to see in production.
+    */
+  private def randomizedResponseQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.randomizedResponse(
+      t(s, dir, "events"),
+      cohortCol = pmod(col("user_id"), lit(10)),
+      bitCol = when(col("event_type") === "purchase", 1L).otherwise(0L),
+      coinCol = pmod(pmod(col("event_id"), lit(1000000007L)) * lit(2654435761L), lit(1000000007L)) % 4)
+
   /** Salted skew join: orders⋈customer⋈nation revenue with the orders side
     * salt-sharded 8 ways and the dimension replicated per salt — the static
     * hot-key defense when AQE skew splitting isn't enough. Oracle = the
@@ -1063,6 +1104,16 @@ object SparkEntry {
         count(when(col("jaccard") >= 0.6, 1)).as("n_ge_60"),
         count(when(col("jaccard") >= 0.7, 1)).as("n_ge_70"),
         count(when(col("jaccard") >= 0.8, 1)).as("n_ge_80"))
+
+  /** Directed n-gram containment pairs ([[Dedup.containmentPairs]]): the
+    * quote/excerpt detector — C(A→B)=|A∩B|/|A| flags a document pasted
+    * inside a larger one where Jaccard stays near zero. Same hot-capped
+    * inverted index as the Jaccard pass, so a corpus pays one candidate
+    * join for both resemblance and containment.
+    */
+  private def docContainmentQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text", n = 5,
+      threshold = 0.5, corpusN = tableCount(s, dir, "documents"))
 
   /** Language-ID confusion matrix: declared `lang` vs the n-gram
     * heuristic's prediction, with each cell's share of its true-language
@@ -3678,6 +3729,9 @@ object SparkEntry {
     "q_token_entropy"       -> (tokenEntropyQ(_, _)),
     "q_vocab_growth"        -> (vocabGrowthQ(_, _)),
     "q_join_size_est"       -> (joinSizeEstQ(_, _)),
+    "q_zone_map"            -> (zoneMapQ(_, _)),
+    "q_randomized_response" -> (randomizedResponseQ(_, _)),
+    "q_doc_containment"     -> (docContainmentQ(_, _)),
     "q_silhouette"          -> (silhouetteQ(_, _)),
     "q_ccnet_buckets"       -> (ccnetBucketsQ(_, _)),
     "q_pack_shuffled"       -> (packShuffledQ(_, _)),
@@ -3710,6 +3764,7 @@ object SparkEntry {
     "q_interval_join"       -> (intervalJoinQ(_, _)),
     "q_scd2"                -> (scd2Q(_, _)),
     "q_bpe_pairs"           -> (bpePairsQ(_, _)),
+    "q_bpe_train"           -> (bpeTrainQ(_, _)),
     "q_pagerank"            -> (pageRankQ(_, _)),
     "q_triangle_count"      -> (triangleCountQ(_, _)),
     "q_weighted_sample"     -> (weightedSampleQ(_, _)),
@@ -3719,6 +3774,45 @@ object SparkEntry {
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
     "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> len(x) > 0)"
+  /** Full-replay oracle for [[graft.pipeline.BpeTrainer.train]]: the
+    * training loop statically unrolled as a CTE chain — round r's pair
+    * census `p{r}` over the evolving symbol table `r{r-1}`, the argmax
+    * `best{r}` (count desc, then lexicographic — the trainer's exact
+    * tie-break), and the merged table `r{r}` via the IDENTICAL greedy
+    * leftmost string fold (`list_reduce` ↔ Spark's `aggregate` HOF). The
+    * learned rules and their selection-time counts must match value-exactly
+    * — a strictly stronger gate than checking the final vocabulary, since
+    * one divergent round would cascade into every later pick.
+    */
+  private def duckBpeTrainSql(rounds: Int): String = {
+    val head =
+      """census AS (
+        |  SELECT w AS word, count(*) AS freq
+        |  FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0)) AS w FROM documents)
+        |  GROUP BY 1),
+        |r0 AS (SELECT word, freq, [word[i] FOR i IN range(1, len(word)+1)] AS syms FROM census)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT freq, unnest([struct_pack(a := syms[i], b := syms[i+1]) FOR i IN range(1, len(syms))]) AS pr
+         |  FROM r${r - 1}),
+         |best$r AS (
+         |  SELECT pr.a AS a, pr.b AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM p$r GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 1),
+         |r$r AS (
+         |  SELECT s.word, s.freq,
+         |    CASE WHEN len(s.syms) <= 1 THEN s.syms
+         |    ELSE string_split(list_reduce(s.syms, (acc, x) ->
+         |      CASE WHEN regexp_extract(acc, '[^ ]*$$') = B.a AND x = B.b
+         |           THEN acc || x ELSE acc || ' ' || x END), ' ')
+         |    END AS syms
+         |  FROM r${r - 1} s, best$r B)""".stripMargin
+    }
+    val sel = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM best$r"
+    }.mkString("\nUNION ALL\n")
+    "WITH " + (head +: roundCtes).mkString(",\n") + "\n" + sel
+  }
+
   /** CTE chain producing exact 5-gram Jaccard pairs ≥ 0.8 as `jpairs(a, b,
     * jaccard)` — shared by the jaccard/minhash oracles and (wrapped in a
     * recursive CTE) the connected-components oracle.
@@ -3773,6 +3867,22 @@ object SparkEntry {
        |)""".stripMargin
   private val duckCappedJaccardSql =
     duckJaccardPairsCte + "\nSELECT a, b, jaccard FROM jp WHERE jaccard >= 0.8"
+  /** Directed containment over the same hot-capped pair set — oracle for
+    * q_doc_containment ([[graft.dedup.Dedup.containmentPairs]]).
+    */
+  private val duckContainmentSql =
+    duckJaccardPairsCte +
+      """, cp AS (
+        |  SELECT a, b,
+        |    round(inter / sa.n, 6) AS contain_ab,
+        |    round(inter / sb.n, 6) AS contain_ba,
+        |    round(inter / (sa.n + sb.n - inter), 6) AS jaccard
+        |  FROM pairs
+        |  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sa ON a = sa.doc_id
+        |  JOIN (SELECT doc_id, len(shingles) AS n FROM sh) sb ON b = sb.doc_id
+        |)
+        |SELECT a, b, contain_ab, contain_ba, jaccard FROM cp
+        |WHERE greatest(contain_ab, contain_ba) >= 0.5""".stripMargin
   private val duckJaccardSweepSql =
     duckJaccardPairsCte +
       """
@@ -5735,6 +5845,48 @@ object SparkEntry {
          |         ON p.item = v.item)
          |SELECT ex.n_exact, est.cm_est, est.cm_est >= ex.n_exact AS over_ok
          |FROM ex, est""".stripMargin,
+    "q_zone_map" ->
+      """WITH assign AS (
+        |  SELECT l_shipdate,
+        |    CAST(l_orderkey % 64 AS BIGINT) AS f_arrival,
+        |    CAST(year(l_shipdate)*12 + month(l_shipdate) - 1 AS BIGINT) AS f_date,
+        |    CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+        |          AND l_shipdate <  TIMESTAMP '1998-07-01' THEN 1 ELSE 0 END AS hit
+        |  FROM lineitem
+        |), fanned AS (
+        |  SELECT 'arrival' AS layout, f_arrival AS file_id, l_shipdate AS v, hit FROM assign
+        |  UNION ALL
+        |  SELECT 'date_sorted', f_date, l_shipdate, hit FROM assign
+        |), files AS (
+        |  SELECT layout, file_id, count(*) AS rows_in_file,
+        |    min(v) AS mn, max(v) AS mx, sum(hit) AS hits
+        |  FROM fanned GROUP BY 1, 2
+        |)
+        |SELECT layout, count(*) AS n_files,
+        |  count(*) FILTER (WHERE mx >= TIMESTAMP '1998-01-01'
+        |                     AND mn <  TIMESTAMP '1998-07-01') AS files_scanned,
+        |  CAST(COALESCE(sum(rows_in_file) FILTER (WHERE mx >= TIMESTAMP '1998-01-01'
+        |                     AND mn <  TIMESTAMP '1998-07-01'), 0) AS BIGINT) AS rows_scanned,
+        |  CAST(sum(hits) AS BIGINT) AS selected_rows,
+        |  round(CAST(count(*) FILTER (WHERE mx >= TIMESTAMP '1998-01-01'
+        |                     AND mn <  TIMESTAMP '1998-07-01') AS DOUBLE) / count(*), 6) AS scan_frac
+        |FROM files GROUP BY 1""".stripMargin,
+    "q_randomized_response" ->
+      """WITH f AS (
+        |  SELECT (user_id % 10) AS cohort,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS bit,
+        |    ((event_id % 1000000007) * 2654435761) % 1000000007 % 4 AS coin
+        |  FROM events
+        |), rr AS (
+        |  SELECT cohort, bit,
+        |    CASE WHEN coin = 0 THEN 1 - bit ELSE bit END AS reported FROM f
+        |)
+        |SELECT cohort, count(*) AS n,
+        |  CAST(sum(bit) AS BIGINT) AS true_positives,
+        |  CAST(sum(reported) AS BIGINT) AS reported_positives,
+        |  CAST(4*sum(reported) - count(*) AS DOUBLE) / 2 AS debiased_estimate
+        |FROM rr GROUP BY 1""".stripMargin,
+    "q_doc_containment" -> duckContainmentSql,
     // centroid-silhouette replay: centroids rank by the ASSIGNMENT's exact
     // −2vc+|c|² score (same tie-break); the constant |v|² joins only after
     // selection, same grouping as the Spark expression — then sqrt/ratio,
@@ -6913,6 +7065,7 @@ object SparkEntry {
         |)
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    "q_bpe_train" -> duckBpeTrainSql(8),
     // triangle counts: the q_knn_graph CTE rebuilt exactly, symmetrized to
     // a<b undirected edges, then the textbook ordered triangle join —
     // e1(a,b), e2(a,c) b<c, closed by e3(b,c) — counts each triangle once;

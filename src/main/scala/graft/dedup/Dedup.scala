@@ -110,6 +110,46 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Directed n-gram containment pairs (Broder's *containment*, the
+    * asymmetric cousin of resemblance): C(A→B) = |A∩B| / |A| — near 1.0
+    * when A's shingles are mostly inside B even if B is much larger, which
+    * Jaccard (|A∩B|/|A∪B|) suppresses. This is the quote / excerpt /
+    * doc-inside-doc detector a dedup pass needs alongside near-dup pairs:
+    * a 200-word article pasted into a 20k-word page has Jaccard ≈ 0.01 but
+    * containment ≈ 1.0.
+    *
+    * Same scale posture as [[ngramJaccardPairs]]: candidates come from the
+    * hot-capped inverted index (Σ_s df(s)² bounded by the doc-frequency
+    * cap), intersection counts are one partial-aggregated shuffle on the
+    * (a, b) pair key, and set sizes join back on the narrow doc-id. Emits
+    * both directions plus the Jaccard so the asymmetry is visible; filter
+    * is on max(contain_ab, contain_ba) ≥ `threshold`.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double, maxDocFreq: Int = -1,
+                       corpusN: Long = -1L): DataFrame = {
+    val cap =
+      if (maxDocFreq >= 0) maxDocFreq
+      else autoDocFreqCap(if (corpusN >= 0) corpusN else df.count())
+    val sets = shingleSets(df, idCol, textCol, n)
+    val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val inv = if (cap > 0) {
+      val hot = inv0.groupBy("s").count().filter(col("count") > cap).select("s")
+      inv0.join(hot, Seq("s"), "left_anti")
+    } else inv0
+    val pairs = inv.as("x").join(inv.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sets.select(col("doc_id").as("a"), size(col("shingles")).as("na")), "a")
+      .join(sets.select(col("doc_id").as("b"), size(col("shingles")).as("nb")), "b")
+      .select(col("a"), col("b"),
+        round(col("inter").cast("double") / col("na"), 6).as("contain_ab"),
+        round(col("inter").cast("double") / col("nb"), 6).as("contain_ba"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .filter(greatest(col("contain_ab"), col("contain_ba")) >= threshold)
+  }
+
   /** Edit-distance near-dup pairs under blocking: documents are compared
     * only within a (`blockCols`) block, on the first `prefixLen` chars,
     * keeping pairs with Levenshtein ≤ `maxDist`. The classic

@@ -1381,4 +1381,32 @@ object Analytics {
       .filter(col("__rn") === 1)
       .select(col(keyCol), col(valCol).as("mode_val"), col("__cnt").as("mode_n"))
   }
+
+  /** Local-DP randomized response (Warner 1965; ε = ln 3 at flip probability
+    * 1/4): each row's sensitive bit is flipped when its deterministic
+    * `coinCol` ∈ {0,1,2,3} lands on 0, and the per-cohort rate is recovered
+    * by the unbiased estimator p̂·n = (4·observed − n) / 2. The privacy tier's
+    * aggregate face — k-anonymity audits groups, PII redaction rewrites
+    * rows, this releases *counts* under plausible deniability.
+    *
+    * Everything is integer arithmetic until the final halving (exact in
+    * IEEE — a power-of-two divide only decrements the exponent), so the
+    * estimate replays bit-identically on any engine. One partial-aggregated
+    * shuffle on the cohort key; the flip is a codegen'd branch, no UDF.
+    * `trueBits` is emitted for calibration audits at test scale — a real
+    * release would drop that column (the mechanism never needs it).
+    */
+  def randomizedResponse(df: DataFrame, cohortCol: Column, bitCol: Column,
+                         coinCol: Column): DataFrame = {
+    val reported = when(coinCol === 0, lit(1L) - bitCol.cast("long"))
+      .otherwise(bitCol.cast("long"))
+    df.select(cohortCol.as("cohort"), bitCol.cast("long").as("__bit"),
+        reported.as("__rep"))
+      .groupBy(col("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__bit")).as("true_positives"),
+        sum(col("__rep")).as("reported_positives"))
+      .withColumn("debiased_estimate",
+        (lit(4L) * col("reported_positives") - col("n")).cast("double") / 2.0)
+  }
 }

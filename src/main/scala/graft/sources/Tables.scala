@@ -128,4 +128,44 @@ object Tables {
       .drop(zc)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Zone-map (file min/max footer stats) pruning audit: for each candidate
+    * layout — a `(name, fileIdColumn)` assignment of rows to files — compute
+    * per-file min/max of `statCol` and report how many files a half-open
+    * range predicate `[lo, hi)` on `statCol` would actually have to scan,
+    * plus the read amplification in rows. This is the question that decides
+    * a 100 TB table's layout: the same predicate against an
+    * insertion-ordered layout touches every file (each spans the full
+    * domain) while a range/Z-ordered layout touches only the overlapping
+    * slice — measured here as `scan_frac` BEFORE committing to a rewrite.
+    *
+    * One scan of the input: layouts fan out via a per-row explode (k small
+    * structs per row, codegen'd), per-(layout, file) stats are one
+    * partial-aggregated shuffle whose key space is Σ files — thousands of
+    * rows, not the data — and the final per-layout rollup is a second
+    * shuffle over that census.
+    */
+  def zoneMapAudit(df: DataFrame, layouts: Seq[(String, org.apache.spark.sql.Column)],
+                   statCol: org.apache.spark.sql.Column,
+                   lo: org.apache.spark.sql.Column,
+                   hi: org.apache.spark.sql.Column): DataFrame = {
+    val hit = when(statCol >= lo && statCol < hi, 1L).otherwise(0L)
+    val fanned = df.select(explode(array(layouts.map { case (name, fid) =>
+        struct(lit(name).as("layout"), fid.cast("long").as("file_id"))
+      }: _*)).as("__l"), statCol.as("__v"), hit.as("__hit"), lo.as("__lo"), hi.as("__hi"))
+    val files = fanned
+      .groupBy(col("__l.layout").as("layout"), col("__l.file_id").as("file_id"))
+      .agg(count(lit(1)).as("rows_in_file"),
+        min(col("__v")).as("mn"), max(col("__v")).as("mx"),
+        sum(col("__hit")).as("hits"),
+        first(col("__lo")).as("__lo"), first(col("__hi")).as("__hi"))
+    val scanned = col("mx") >= col("__lo") && col("mn") < col("__hi")
+    files.groupBy(col("layout"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(scanned, 1L).otherwise(0L)).as("files_scanned"),
+        coalesce(sum(when(scanned, col("rows_in_file"))), lit(0L)).as("rows_scanned"),
+        sum(col("hits")).as("selected_rows"))
+      .withColumn("scan_frac",
+        round(col("files_scanned").cast("double") / col("n_files").cast("double"), 6))
+  }
 }

@@ -43,6 +43,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("containmentPairs flags a doc pasted inside a larger one where Jaccard stays low") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi"
+    val corpus = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    val rows = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet === Set((1L, 2L)))
+    val (cab, cba, jac) = rows((1L, 2L))
+    assert(cab === 1.0)   // every shingle of the small doc is inside the big one
+    assert(cba < 0.5)     // but the big doc is mostly NOT the small one
+    assert(jac < 0.5)     // and resemblance alone would have missed the pair
+  }
+
   test("minhashPairs reproduces the exact n-gram Jaccard result") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet

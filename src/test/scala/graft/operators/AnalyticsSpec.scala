@@ -655,4 +655,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(4L) === ((Some(ts("2024-01-01 10:00:00")), None, None)))
     assert(out(5L) === ((None, None, None)))
   }
+
+  test("randomizedResponse: coin 0 flips, debias is (4·obs − n)/2 exactly") {
+    val s = spark
+    import s.implicits._
+    // cohort 0: bits 1,0,1,1 with coins 1,2,3,0 → reported 1,0,1,0
+    // cohort 1: bits 1,1   with coins 0,0     → reported 0,0 (all flipped)
+    val df = Seq((0L, 1L, 1L), (0L, 0L, 2L), (0L, 1L, 3L), (0L, 1L, 0L),
+      (1L, 1L, 0L), (1L, 1L, 0L)).toDF("cohort", "bit", "coin")
+    val out = Analytics.randomizedResponse(df, col("cohort"), col("bit"), col("coin"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(0L) === ((4L, 3L, 2L, 2.0)))  // (4·2 − 4)/2 = 2.0
+    assert(out(1L) === ((2L, 2L, 0L, -1.0))) // all-flipped cohort goes negative — unbiased, not clamped
+  }
 }

@@ -174,4 +174,20 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("zoneMapAudit: range-clustered layout prunes, scrambled layout scans everything") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(v => Tuple1(v)).toDF("v")
+    val out = Tables.zoneMapAudit(df,
+        layouts = Seq("sorted" -> (col("v") / 10).cast("int"),
+          "scrambled" -> pmod(col("v"), lit(10))),
+        statCol = col("v"), lo = lit(0), hi = lit(10))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // sorted: only file 0 (values 0..9) overlaps [0, 10) → 10 of 100 rows read
+    assert(out("sorted") === ((10L, 1L, 10L, 10L, 0.1)))
+    // scrambled: every file spans ~[k, 90+k] → all 10 files, all 100 rows read
+    assert(out("scrambled") === ((10L, 10L, 100L, 10L, 1.0)))
+  }
+
 }
