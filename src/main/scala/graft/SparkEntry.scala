@@ -319,6 +319,58 @@ object SparkEntry {
   private def bpeTrainQ(s: SparkSession, dir: String): DataFrame =
     graft.pipeline.BpeTrainer.train(t(s, dir, "documents"), "text", rounds = 8)
 
+  /** Tokenizer fertility (subwords per word — the standard tokenizer-eval
+    * metric) per language, for the 8-merge BPE vocabulary trained on this
+    * corpus. Encoding goes through [[graft.pipeline.BpeTrainer.vocab]] —
+    * tokens equi-join the vocab-bounded symbol table (the lookup-table
+    * shape a real tokenizer uses for seen words; planner picks
+    * broadcast vs shuffle by the vocab's actual size).
+    */
+  private def bpeFertilityQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val rules = graft.pipeline.BpeTrainer.train(docs, "text", rounds = 8)
+      .orderBy(col("merge_round"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = graft.pipeline.BpeTrainer.vocab(docs, "text", rules)
+      .select(col("word"), size(col("syms")).as("__ns"))
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"), x => length(x) > 0)
+    docs.select(col("lang"), explode(toks).as("word"))
+      .join(vocab, "word")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__ns")).as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_tokens").cast("double"), 6))
+  }
+
+  /** Mutual information between the corpus's two categorical axes (lang,
+    * source), plus each marginal entropy — the redundancy number a corpus
+    * datasheet reports ("does source already determine language?"). One
+    * corpus scan builds the |langs|×|sources| cell census; margins and the
+    * MI sum are censuses-of-the-census, so cost is independent of corpus
+    * size beyond the first aggregate.
+    */
+  private def mutualInfoQ(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("cxy"))
+    val mx = cells.groupBy(col("lang")).agg(sum(col("cxy")).as("cx"))
+    val my = cells.groupBy(col("source")).agg(sum(col("cxy")).as("cy"))
+    val n = cells.agg(sum(col("cxy")).as("n"))
+    val joined = cells.join(mx, "lang").join(my, "source").crossJoin(n)
+    joined.agg(
+        max(col("n")).as("n_docs"),
+        round(sum(col("cxy").cast("double") / col("n").cast("double")
+          * log(col("cxy").cast("double") * col("n").cast("double")
+            / (col("cx").cast("double") * col("cy").cast("double")))), 6).as("mi_nats"))
+      .crossJoin(
+        mx.crossJoin(n).agg(round(log(max(col("n")).cast("double"))
+          - sum(col("cx").cast("double") * log(col("cx").cast("double")))
+            / max(col("n")).cast("double"), 6).as("h_lang")))
+      .crossJoin(
+        my.crossJoin(n).agg(round(log(max(col("n")).cast("double"))
+          - sum(col("cy").cast("double") * log(col("cy").cast("double")))
+            / max(col("n")).cast("double"), 6).as("h_source")))
+  }
+
   /** TPC-H Q5 shape (local-supplier volume): the 6-table star join with
     * region/nation broadcast onto the fact-side shuffle join, revenue in
     * exact decimal partial aggregation. The canonical "did the optimizer
@@ -3765,6 +3817,8 @@ object SparkEntry {
     "q_scd2"                -> (scd2Q(_, _)),
     "q_bpe_pairs"           -> (bpePairsQ(_, _)),
     "q_bpe_train"           -> (bpeTrainQ(_, _)),
+    "q_bpe_fertility"       -> (bpeFertilityQ(_, _)),
+    "q_mutual_info"         -> (mutualInfoQ(_, _)),
     "q_pagerank"            -> (pageRankQ(_, _)),
     "q_triangle_count"      -> (triangleCountQ(_, _)),
     "q_weighted_sample"     -> (weightedSampleQ(_, _)),
@@ -3784,7 +3838,16 @@ object SparkEntry {
     * — a strictly stronger gate than checking the final vocabulary, since
     * one divergent round would cascade into every later pick.
     */
-  private def duckBpeTrainSql(rounds: Int): String = {
+  private def duckBpeTrainSql(rounds: Int): String =
+    "WITH " + duckBpeCtes(rounds) + "\n" + (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM best$r"
+    }.mkString("\nUNION ALL\n")
+
+  /** The unrolled-training CTE chain alone (census, r0..r{rounds},
+    * p{r}/best{r} per round) — shared by the train oracle and the fertility
+    * oracle, which reads the final symbol table `r{rounds}`.
+    */
+  private def duckBpeCtes(rounds: Int): String = {
     val head =
       """census AS (
         |  SELECT w AS word, count(*) AS freq
@@ -3807,10 +3870,7 @@ object SparkEntry {
          |    END AS syms
          |  FROM r${r - 1} s, best$r B)""".stripMargin
     }
-    val sel = (1 to rounds).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS merge_round, a AS left_sym, b AS right_sym, cnt AS pair_count FROM best$r"
-    }.mkString("\nUNION ALL\n")
-    "WITH " + (head +: roundCtes).mkString(",\n") + "\n" + sel
+    (head +: roundCtes).mkString(",\n")
   }
 
   /** CTE chain producing exact 5-gram Jaccard pairs ≥ 0.8 as `jpairs(a, b,
@@ -7066,6 +7126,33 @@ object SparkEntry {
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "q_bpe_train" -> duckBpeTrainSql(8),
+    // fertility reads the unrolled chain's FINAL symbol table r8: every doc
+    // token is in the census by construction, so encode(word) == r8.syms
+    "q_bpe_fertility" ->
+      s"""WITH ${duckBpeCtes(8)},
+         |dtok AS (SELECT lang, unnest($duckToks) AS w FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(len(r8.syms)) AS BIGINT) AS n_subwords,
+         |  round(CAST(sum(len(r8.syms)) AS DOUBLE) / count(*), 6) AS fertility
+         |FROM dtok JOIN r8 ON dtok.w = r8.word GROUP BY 1""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS cxy FROM documents GROUP BY 1, 2),
+        |mx AS (SELECT lang, sum(cxy) AS cx FROM cells GROUP BY 1),
+        |my AS (SELECT source, sum(cxy) AS cy FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(cxy) AS n FROM cells),
+        |mi AS (
+        |  SELECT CAST(max(n) AS BIGINT) AS n_docs,
+        |    round(sum(CAST(cxy AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+        |        / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))), 6) AS mi_nats
+        |  FROM cells JOIN mx USING (lang) JOIN my USING (source), tot),
+        |hx AS (SELECT round(ln(CAST(max(n) AS DOUBLE))
+        |    - sum(CAST(cx AS DOUBLE) * ln(CAST(cx AS DOUBLE))) / CAST(max(n) AS DOUBLE), 6) AS h_lang
+        |  FROM mx, tot),
+        |hy AS (SELECT round(ln(CAST(max(n) AS DOUBLE))
+        |    - sum(CAST(cy AS DOUBLE) * ln(CAST(cy AS DOUBLE))) / CAST(max(n) AS DOUBLE), 6) AS h_source
+        |  FROM my, tot)
+        |SELECT n_docs, mi_nats, h_lang, h_source FROM mi, hx, hy""".stripMargin,
     // triangle counts: the q_knn_graph CTE rebuilt exactly, symmetrized to
     // a<b undirected edges, then the textbook ordered triangle join —
     // e1(a,b), e2(a,c) b<c, closed by e3(b,c) — counts each triangle once;

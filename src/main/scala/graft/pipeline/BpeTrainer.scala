@@ -61,6 +61,11 @@ object BpeTrainer {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    // the grand-parent round: kept cached until the CURRENT round's argmax
+    // job has materialized `state` (one fold from the cached parent), so no
+    // round ever recomputes more than one fold and no extra job is spent
+    // materializing caches
+    var grandParent: DataFrame = null
     var r = 1
     var done = false
     while (r <= rounds && !done) {
@@ -76,28 +81,34 @@ object BpeTrainer {
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect()
+      // the argmax job just materialized `state`; its parent is now safe to evict
+      if (grandParent != null) grandParent.unpersist(false)
       if (best.isEmpty) done = true
       else {
         val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((r.toLong, a, b, cnt))
-        val next = state.withColumn("syms", mergeFold(col("syms"), a, b))
+        grandParent = state
+        state = state.withColumn("syms", mergeFold(col("syms"), a, b))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before dropping the parent from cache
-        state.unpersist(false)
-        state = next
         r += 1
       }
     }
+    if (grandParent != null) grandParent.unpersist(false)
     state.unpersist(false)
     import spark.implicits._
     merges.toSeq.toDF("merge_round", "left_sym", "right_sym", "pair_count")
   }
 
-  /** Apply a learned merge table to text: per word, replay the merges in
-    * order and emit the final subword symbols — the ENCODE half of the
-    * tokenizer, as a plain column expression chain (one fold per merge
-    * rule; rule count is a constant of the trained vocabulary, not the
-    * data). Returns (word, freq agnostic) exploded symbols per input row id.
+  /** Apply a learned merge table to text inline: per word, replay the
+    * merges in order and emit the final subword symbols — the ENCODE half
+    * of the tokenizer as a single column expression.
+    *
+    * ONLY for small rule sets: each chained fold embeds the previous one
+    * ~5 times (the accumulator appears in the guard, init, and both
+    * branches), so the Catalyst tree grows ~5× PER RULE — at 8 rules
+    * that is ~10⁵ nodes and analysis itself OOMs. For a real vocabulary
+    * use [[vocab]] and join tokens against the materialized symbol table
+    * (linear plan, and the lookup-table shape a tokenizer wants anyway).
     */
   def encode(textCol: String,
              merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
@@ -107,5 +118,24 @@ object BpeTrainer {
       merges.foldLeft(init) { case (s, (a, b)) => mergeFold(s, a, b) }
     }
     flatten(transform(toks, perWord))
+  }
+
+  /** The trained symbol table: (word, syms) after replaying `merges` in
+    * order over the word census — the ENCODE path for corpus-scale work.
+    * Each round is its own projection over the previous round's OUTPUT
+    * ATTRIBUTE, so the plan grows linearly in rule count (unlike [[encode]]'s
+    * nested expression); encoding a corpus is then one equi-join of
+    * exploded tokens against this vocab-bounded table.
+    */
+  def vocab(docs: DataFrame, textCol: String,
+            merges: Seq[(String, String)]): DataFrame = {
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
+    val census = docs.select(explode(toks).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val init = census.withColumn("syms",
+      transform(sequence(lit(1), length(col("word"))), i => col("word").substr(i, lit(1))))
+    merges.foldLeft(init) { case (d, (a, b)) =>
+      d.withColumn("syms", mergeFold(col("syms"), a, b))
+    }
   }
 }

@@ -54,4 +54,18 @@ class BpeTrainerSpec extends SparkSpec {
     // "we" → w e → we
     assert(enc === Seq("lo", "we", "s", "t", "we"))
   }
+
+  test("vocab table agrees with inline encode for every census word") {
+    val docs = Seq("low low low lower lower newest newest newest newest widest")
+      .toDF("text")
+    val rules = merges(BpeTrainer.train(docs, "text", rounds = 2)).map(m => (m._2, m._3))
+    val fromVocab = BpeTrainer.vocab(docs, "text", rules)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    val inline = Seq("low", "lower", "newest", "widest").map { w =>
+      w -> Seq(w).toDF("text").select(BpeTrainer.encode("text", rules))
+        .head.getSeq[String](0)
+    }.toMap
+    assert(fromVocab === inline)
+    assert(fromVocab("lower") === Seq("lo", "we", "r"))
+  }
 }
