@@ -1646,6 +1646,18 @@ object SparkEntry {
       k = 5)
   }
 
+  /** Hard-negative mining ([[Ann.hardNegatives]]): per anchor, the 3
+    * highest-cosine embeddings of a DIFFERENT label — the contrastive
+    * training negatives. The label inequality is in the join condition, so
+    * same-label (false-negative) pairs never reach the bounded top-k
+    * aggregate.
+    */
+  private def hardNegativesQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.hardNegatives(emb.filter(col("vec_id") < 100), emb, "vec_id",
+      "embedding", "label", k = 3)
+  }
+
   /** Sketch-merge distinct users: per-(event_type, day) HLL sketches
     * union-rolled up to event_type ([[graft.operators.Analytics.hllRollup]]
     * — the materialize-once/merge-many incremental pattern, vs
@@ -3800,6 +3812,7 @@ object SparkEntry {
     "q_mmr_rerank"          -> (mmrQ(_, _)),
     "q_budget_select"       -> (budgetSelectQ(_, _)),
     "q_knn_graph"           -> (knnGraphQ(_, _)),
+    "q_hard_negatives"      -> (hardNegativesQ(_, _)),
     "q_corpus_datasheet"    -> (corpusDatasheetQ(_, _)),
     "q_embed_outliers"      -> (embedOutliersQ(_, _)),
     "q_quality_calibrated"  -> (qualityCalibratedQ(_, _)),
@@ -6902,6 +6915,19 @@ object SparkEntry {
          |  FROM p
          |)
          |SELECT src, dst, round(cos, 6) AS cos, rn FROM r WHERE rn <= 5""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH p AS (
+         |  SELECT x.vec_id AS src, x.label AS src_label,
+         |    y.vec_id AS neg, y.label AS neg_label, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < 100 AND y.vec_id != x.vec_id AND y.label != x.label
+         |), r AS (
+         |  SELECT src, src_label, neg, neg_label, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, neg) AS rn
+         |  FROM p
+         |)
+         |SELECT src, src_label, neg, neg_label, round(cos, 6) AS cos, rn
+         |FROM r WHERE rn <= 3""".stripMargin,
     // Datasheet rollup: exact integer census per (source, lang) grouping
     // set; averages divide two exact BIGINTs, quality spread via min/max —
     // no float aggregate whose value depends on partition order

@@ -277,6 +277,41 @@ object Ann {
       .select(col("src"), col("dst"), round(col("cos"), 6).as("cos"), col("rn"))
   }
 
+  /** Hard-negative mining for contrastive training: for every `src` anchor,
+    * its `k` most-similar corpus rows with a DIFFERENT label — the
+    * highest-cosine wrong-class examples, which is exactly what embedding/
+    * reranker training wants as negatives (easy negatives teach nothing;
+    * same-label neighbors are false negatives and are excluded here by
+    * construction, not by a post-filter that would shrink k).
+    *
+    * Same scale shape as [[knnGraph]]: prenormed dots, fanned-out anchor
+    * slice, and the per-anchor bounded top-k aggregate (≤ k rows per
+    * (mapper, src) into the shuffle). The label inequality lives in the
+    * JOIN condition, so same-label pairs never reach the aggregate. At
+    * corpus scale, swap the all-pairs candidate join for the LSH/IVF
+    * candidate machinery exactly as knnGraph's scaladoc describes.
+    */
+  def hardNegatives(src: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    def prep(d: DataFrame, p: String): DataFrame =
+      d.select(col(idCol).as(s"${p}id"), col(labelCol).as(s"${p}lbl"),
+        toDouble(col(vecCol)).as(s"${p}v"))
+        .withColumn(s"${p}n", norm(col(s"${p}v")))
+    val a = graft.operators.Par.fanOut(prep(src, "s"))
+    val b = prep(corpus, "d")
+    val pairs = a.join(b, col("sid") =!= col("did") && col("slbl") =!= col("dlbl"))
+      .select(col("sid").as("src"), col("slbl").as("src_label"),
+        col("did").as("neg"), col("dlbl").as("neg_label"),
+        cosinePrenormed(dot(col("sv"), col("dv")), col("sn"), col("dn")).as("cos"))
+    graft.operators.Analytics.topPerKeyAgg(pairs, "src",
+        Seq(negate(col("cos")), col("neg")),
+        Seq("src_label" -> col("src_label"), "neg" -> col("neg"),
+          "neg_label" -> col("neg_label"), "cos" -> col("cos")), k)
+      .select(col("src"), col("src_label"), col("neg"), col("neg_label"),
+        round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
   /** LSH index parameters: `tables` independent signatures of `bits`
     * hyperplanes each. Recall for cosine ≥ c grows with tables and shrinks
     * with bits; bits controls bucket selectivity (≈ n/2^bits rows probed per

@@ -23,6 +23,25 @@ class AnnSpec extends SparkSpec {
     assert(cosines === cosines.sorted.reverse)
   }
 
+  test("hardNegatives: top-k other-label only, full k even when same-label dominates") {
+    val data = vecs(40, 8).map { case (i, v) => (i, v, (i % 2).toInt) }
+    val df = data.toDF("vec_id", "embedding", "label")
+    val out = Ann.hardNegatives(df.filter(col("vec_id") <= 5), df,
+      "vec_id", "embedding", "label", k = 4).collect()
+    assert(out.length === 5 * 4) // full k per anchor: same-label never crowds out
+    out.foreach { r =>
+      assert(r.getInt(1) !== r.getInt(3), s"same-label negative leaked: $r")
+      assert(r.getLong(0) !== r.getLong(2))
+    }
+    // per anchor: descending cosine, rn 1..4
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(5))
+      assert(sorted.map(_.getInt(5)).toSeq === Seq(1, 2, 3, 4))
+      val cs = sorted.map(_.getDouble(4)).toSeq
+      assert(cs === cs.sorted.reverse)
+    }
+  }
+
   test("bitsFor/tablesFor sizing math") {
     assert(Ann.bitsFor(20000) === 9)          // ceil(log2(20000/64))
     assert(Ann.bitsFor(10) === 2)             // clamp floor
