@@ -1132,6 +1132,36 @@ object SparkEntry {
       .drop("mx")
   }
 
+  /** Walk-forward time split with a purge embargo (the leakage-safe CV for
+    * temporal data: train strictly precedes validation, and the 6 h before
+    * each validation window is EMBARGOED from train so look-ahead features
+    * computed near the boundary cannot leak). Three equal time slices from
+    * the observed [min, max] span — fold 1 trains on slice 0 and validates
+    * on slice 1, fold 2 trains on slices 0-1 and validates on slice 2.
+    * One corpus scan: the span bounds are a 1-row broadcast, fold
+    * boundaries are integer-micros arithmetic, and all six counts come from
+    * conditional sums in a single aggregate, unpivoted to one row per fold.
+    */
+  private def timeSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val embargoUs = 21600000000L // 6 hours
+    val ev = t(s, dir, "events").select(unix_micros(col("ts")).as("us"))
+    val bounds = ev.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+    val withB = ev.crossJoin(broadcast(bounds))
+      .withColumn("b1", expr("mn + (mx - mn + 1) div 3"))       // integer div:
+      .withColumn("b2", expr("mn + ((mx - mn + 1) * 2) div 3")) // `/` would go double
+    val agg = withB.agg(
+      sum(when(col("us") < col("b1") - embargoUs, 1L).otherwise(0L)).as("t1"),
+      sum(when(col("us") >= col("b1") - embargoUs && col("us") < col("b1"), 1L).otherwise(0L)).as("e1"),
+      sum(when(col("us") >= col("b1") && col("us") < col("b2"), 1L).otherwise(0L)).as("v1"),
+      sum(when(col("us") < col("b2") - embargoUs, 1L).otherwise(0L)).as("t2"),
+      sum(when(col("us") >= col("b2") - embargoUs && col("us") < col("b2"), 1L).otherwise(0L)).as("e2"),
+      sum(when(col("us") >= col("b2"), 1L).otherwise(0L)).as("v2"))
+    agg.select(expr(
+      """stack(2,
+        |  CAST(1 AS BIGINT), t1, e1, v1,
+        |  CAST(2 AS BIGINT), t2, e2, v2) AS (fold, train_rows, embargoed_rows, val_rows)""".stripMargin))
+  }
+
   /** Exact 5-gram Jaccard with the default hot-shingle guard ON (df cap
     * `max(64, n/100)` — Dedup.autoDocFreqCap): one boilerplate shingle must
     * not quadratically explode the inverted-index self-join. The oracle
@@ -3760,6 +3790,7 @@ object SparkEntry {
     "q_bloom_decontaminate" -> (bloomDecontaminateQ(_, _)),
     "q_mix_corpus"          -> (mixCorpusQ(_, _)),
     "q_leakage_split"       -> (leakageSplitQ(_, _)),
+    "q_time_split"          -> (timeSplitQ(_, _)),
     "q_leakfree_split"      -> (leakFreeSplitQ(_, _)),
     "q_repetition_gopher"   -> (repetitionGopherQ(_, _)),
     "q_repeated_spans"      -> (repeatedSpansQ(_, _)),
@@ -5960,6 +5991,25 @@ object SparkEntry {
         |  CAST(4*sum(reported) - count(*) AS DOUBLE) / 2 AS debiased_estimate
         |FROM rr GROUP BY 1""".stripMargin,
     "q_doc_containment" -> duckContainmentSql,
+    "q_time_split" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+        |b AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+        |w AS (SELECT us, mn + (mx - mn + 1) // 3 AS b1,
+        |        mn + ((mx - mn + 1) * 2) // 3 AS b2
+        |      FROM e, b),
+        |a AS (SELECT
+        |  sum(CASE WHEN us < b1 - 21600000000 THEN 1 ELSE 0 END) AS t1,
+        |  sum(CASE WHEN us >= b1 - 21600000000 AND us < b1 THEN 1 ELSE 0 END) AS e1,
+        |  sum(CASE WHEN us >= b1 AND us < b2 THEN 1 ELSE 0 END) AS v1,
+        |  sum(CASE WHEN us < b2 - 21600000000 THEN 1 ELSE 0 END) AS t2,
+        |  sum(CASE WHEN us >= b2 - 21600000000 AND us < b2 THEN 1 ELSE 0 END) AS e2,
+        |  sum(CASE WHEN us >= b2 THEN 1 ELSE 0 END) AS v2
+        |FROM w)
+        |SELECT CAST(1 AS BIGINT) AS fold, CAST(t1 AS BIGINT) AS train_rows,
+        |  CAST(e1 AS BIGINT) AS embargoed_rows, CAST(v1 AS BIGINT) AS val_rows FROM a
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(t2 AS BIGINT), CAST(e2 AS BIGINT),
+        |  CAST(v2 AS BIGINT) FROM a""".stripMargin,
     // centroid-silhouette replay: centroids rank by the ASSIGNMENT's exact
     // −2vc+|c|² score (same tie-break); the constant |v|² joins only after
     // selection, same grouping as the Spark expression — then sqrt/ratio,
