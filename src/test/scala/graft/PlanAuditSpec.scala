@@ -724,4 +724,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(pp.contains("partial_count"), pp)
     assert("\\(\\d+\\) Exchange".r.findAllIn(pp).length === 1, pp)
   }
+
+  test("q_zone_map: one corpus scan, census-sized shuffles only, no joins") {
+    val p = plan("q_zone_map")
+    assert(!p.contains("Join"), p)
+    // file census + per-layout rollup: exactly two exchanges, both keyed on
+    // (layout[, file_id]) — row volume is Σ files, never the corpus
+    assert(exchanges(p) === 2, p)
+    assert(p.contains("partial_count"), p) // map-side combine before both
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length === 1, p)
+  }
+
+  test("q_randomized_response: stateless codegen flip, one cohort exchange, no UDF") {
+    val p = plan("q_randomized_response")
+    assert(!p.contains("Join") && !p.contains("BatchEvalPython"), p)
+    assert(exchanges(p) === 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q_time_split: single corpus scan into one global aggregate; bounds broadcast") {
+    val p = plan("q_time_split")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"), p) // the 1-row bounds side
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+    // events scanned twice total (bounds + counts) but never shuffled wide:
+    // the only row exchanges are the two single-partition global aggregates
+    assert(p.contains("partial_min") && p.contains("partial_sum"), p)
+  }
+
+  test("q_doc_containment: candidate join on shingle hash equi-keys — no cartesian") {
+    val p = plan("q_doc_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p) // per-pair intersection map-side
+  }
+
+  test("q_bpe_fertility: encode is a vocab-table equi-join, not a nested fold") {
+    val p = plan("q_bpe_fertility")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the vocab side is census-bounded: planner picks a hash join strategy
+    assert(p.contains("HashJoin"), p)
+    assert(hintNodes(SparkEntry.queries("q_bpe_fertility")(spark, dir)) === 0, p)
+  }
 }
