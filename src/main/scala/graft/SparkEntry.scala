@@ -834,6 +834,21 @@ object SparkEntry {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
         count(lit(1)).as("n_orders"))
 
+  /** Bloom semi-join reduction ([[graft.operators.Skew.bloomReducedJoin]]):
+    * orders ⋈ high-balance customers with the dim keys' Bloom pushed onto
+    * the fact scan — only ~(matching + fpp) fact rows enter the shuffle.
+    * Oracle = the PLAIN join SQL: the reduction must be result-invariant
+    * (false positives are dropped by the exact join condition).
+    */
+  private def bloomJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    graft.operators.Skew.bloomReducedJoin(t(s, dir, "orders"), dim, "o_custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
   /** TPC-H Q3-shaped revenue query executed through `spark.sql` over temp
     * views — the SAME SQL text serves as its own oracle (the engine's SQL
     * surface is ANSI-compatible for this query class). Revenue goes through
@@ -3726,6 +3741,7 @@ object SparkEntry {
     "q_anti_join"           -> (antiJoin(_, _)),
     "q_semi_join"           -> (semiJoin(_, _)),
     "q_salted_join"         -> (saltedJoinQ(_, _)),
+    "q_bloom_join"          -> (bloomJoinQ(_, _)),
     "q_skew_report"         -> (skewReportQ(_, _)),
     "q_partition_plan"      -> (partitionPlanQ(_, _)),
     "q_asof_join"           -> (asofJoinQ(_, _)),
@@ -4303,6 +4319,11 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
     // the salted join must be result-invariant — same oracle as q_join_agg
+    "q_bloom_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey AND c_acctbal > 9000
+        |GROUP BY 1""".stripMargin,
     "q_salted_join" ->
       """SELECT n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |COUNT(*) AS n_orders

@@ -29,4 +29,48 @@ object Skew {
       explode(sequence(lit(0), lit(salt - 1))))
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Semi-join reduction: inner equi-join `fact ⋈ dim` with a Bloom filter
+    * of the dim side's keys pushed onto the fact SCAN, so fact rows that
+    * cannot match never enter the shuffle. At 100 TB this is the join-volume
+    * defense that complements [[saltedJoin]]'s distribution defense: a
+    * selective dim (a filtered dimension, an entity slice) typically matches
+    * well under 1% of the fact — without the pre-filter the full fact
+    * shuffles; with it only ~(matching + fpp) rows do.
+    *
+    * Correctness is unconditional: Bloom false positives admit extra rows
+    * into the join, where the exact equi-condition drops them — the result
+    * is the plain join's, bit for bit. The bitmap is built from the dim
+    * keys driver-side ([[graft.expressions.BloomUtil]], same machinery as
+    * the decontamination gates) and rides into the fact scan's codegen as
+    * a constant — no extra job on the fact. `maxBuildKeys` bounds the
+    * driver build; a dim above it returns the PLAIN join (at that size the
+    * dim is no longer selective enough for the reduction to pay anyway).
+    */
+  def bloomReducedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                       fpp: Double = 0.01, maxBuildKeys: Int = 4000000): DataFrame =
+    bloomKeyFilter(dim, key, fpp, maxBuildKeys) match {
+      case Some(mightContain) => fact.filter(mightContain).join(dim, key)
+      case None               => fact.join(dim, key)
+    }
+
+  /** The Bloom membership predicate over `dim`'s distinct `key`s, or None
+    * when the build exceeds `maxBuildKeys`. Exposed so callers can push the
+    * same predicate onto several fact inputs of one dim.
+    */
+  def bloomKeyFilter(dim: DataFrame, key: String, fpp: Double = 0.01,
+                     maxBuildKeys: Int = 4000000): Option[org.apache.spark.sql.Column] = {
+    import graft.expressions.{BloomMightContain, BloomUtil}
+    val keys = dim.select(col(key).cast("string")).distinct()
+      .limit(maxBuildKeys + 1).collect().map(_.getString(0))
+    if (keys.length > maxBuildKeys) return None
+    val (m, k) = BloomUtil.sized(math.max(1L, keys.length.toLong), fpp)
+    val bits = new Array[Long]((m >>> 6).toInt)
+    keys.foreach(s =>
+      BloomUtil.add(org.apache.spark.unsafe.types.UTF8String.fromString(s), bits, k, m))
+    Some(org.apache.spark.sql.graft.ColumnBridge.column(
+      BloomMightContain(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col(key).cast("string")),
+        bits, k, m)))
+  }
 }

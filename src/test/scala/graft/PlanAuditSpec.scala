@@ -759,6 +759,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count"), p) // per-pair intersection map-side
   }
 
+  test("q_bloom_join: the dim-key Bloom filters the fact before the join") {
+    val p = plan("q_bloom_join")
+    assert(p.contains("bloom_might_contain"), p)
+    // the reduction must not change the join's strategy space: equi-join,
+    // no cartesian
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_bpe_fertility: encode is a vocab-table equi-join, not a nested fold") {
     val p = plan("q_bpe_fertility")
     assert(!p.contains("CartesianProduct") &&
