@@ -309,6 +309,15 @@ object SparkEntry {
   private def bpePairsQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.bpePairStats(t(s, dir, "documents"), "text", topPairs = 50)
 
+  /** T5-style span corruption ([[TrainingData.spanCorrupt]]): deterministic
+    * block-confined mask spans, numbered sentinels in the input, masked
+    * tokens in the target. The oracle rebuilds every corrupted and target
+    * STRING value-exactly (sentinels, span contents, whitespace), so a
+    * one-token drift anywhere in the mask arithmetic fails the gate.
+    */
+  private def spanCorruptQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.spanCorrupt(t(s, dir, "documents"), "doc_id", "text")
+
   /** BPE tokenizer TRAINING ([[graft.pipeline.BpeTrainer.train]]): 8 merge
     * rounds over the word-frequency census. The oracle replays the entire
     * training loop — census, per-round pair argmax (lexicographic
@@ -3879,6 +3888,7 @@ object SparkEntry {
     "q_bpe_train"           -> (bpeTrainQ(_, _)),
     "q_bpe_fertility"       -> (bpeFertilityQ(_, _)),
     "q_mutual_info"         -> (mutualInfoQ(_, _)),
+    "q_span_corruption"     -> (spanCorruptQ(_, _)),
     "q_pagerank"            -> (pageRankQ(_, _)),
     "q_triangle_count"      -> (triangleCountQ(_, _)),
     "q_weighted_sample"     -> (weightedSampleQ(_, _)),
@@ -7223,6 +7233,34 @@ object SparkEntry {
         |SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin,
     "q_bpe_train" -> duckBpeTrainSql(8),
+    // full string replay of the block-confined span corruption: per-block
+    // FNV starts, mask arithmetic, sentinel numbering, and target spans —
+    // DuckDB list slices w[a:b] are INCLUSIVE (a 3-span is [p : p+2])
+    "q_span_corruption" ->
+      s"""WITH tok AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |base AS (SELECT doc_id, w, len(w) AS n FROM tok),
+         |stt AS (SELECT doc_id, w, n,
+         |  [CAST(${duckFnvU("(CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR))")} % 8 AS BIGINT)
+         |   FOR j IN range(0, CASE WHEN n > 0 THEN (n-1)//10 + 1 ELSE 0 END)] AS sts
+         |  FROM base)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CAST(len([ii FOR ii IN range(1, n+1)
+         |    IF ((ii-1)//10)*10 + sts[(ii-1)//10 + 1] + 3 <= n
+         |       AND (ii-1)%10 >= sts[(ii-1)//10 + 1]
+         |       AND (ii-1)%10 < sts[(ii-1)//10 + 1] + 3]) AS BIGINT) AS n_masked,
+         |  array_to_string(list_filter([
+         |    CASE WHEN NOT (((ii-1)//10)*10 + sts[(ii-1)//10 + 1] + 3 <= n
+         |                   AND (ii-1)%10 >= sts[(ii-1)//10 + 1]
+         |                   AND (ii-1)%10 < sts[(ii-1)//10 + 1] + 3)
+         |         THEN w[ii]
+         |         WHEN (ii-1)%10 = sts[(ii-1)//10 + 1]
+         |         THEN '<extra_id_' || CAST((ii-1)//10 AS VARCHAR) || '>'
+         |         ELSE NULL END
+         |    FOR ii IN range(1, n+1)], x -> x IS NOT NULL), ' ') AS corrupted,
+         |  array_to_string(['<extra_id_' || CAST(j AS VARCHAR) || '> ' ||
+         |      array_to_string(w[j*10 + sts[j+1] + 1 : j*10 + sts[j+1] + 3], ' ')
+         |    FOR j IN range(0, len(sts)) IF j*10 + sts[j+1] + 3 <= n], ' ') AS targets
+         |FROM stt""".stripMargin,
     // fertility reads the unrolled chain's FINAL symbol table r8: every doc
     // token is in the census by construction, so encode(word) == r8.syms
     "q_bpe_fertility" ->

@@ -1405,4 +1405,67 @@ object TrainingData {
       .orderBy(col("n").desc, col("pair").asc)
       .limit(topPairs)
   }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): mask short token
+    * spans, replace each with a numbered sentinel in the input and emit the
+    * masked tokens after the same sentinel in the target — the
+    * seq-to-seq denoising objective's data-prep step.
+    *
+    * Span placement is DETERMINISTIC and block-confined: the token stream
+    * is cut into fixed `block`-token blocks, and block j masks the `span`
+    * tokens starting at offset fnv1a64("{id}#{j}") mod (block − span + 1)
+    * — if the span fits inside the document. Confinement to blocks means
+    * spans can never overlap, so the whole transform is per-index
+    * arithmetic (no sequential greedy scan): one codegen'd projection per
+    * row, zero shuffles, and the identical arithmetic replays in plain SQL
+    * (the oracle rebuilds every sentinel and target string value-exactly).
+    * Block-hash seeding also makes the corruption STABLE under corpus
+    * repartitioning and across epochs-by-reshuffle — the mask depends only
+    * on (id, position), never on row order.
+    */
+  def spanCorrupt(docs: DataFrame, idCol: String, textCol: String,
+                  block: Int = 10, span: Int = 3): DataFrame = {
+    require(block > span && span > 0, "need block > span > 0")
+    val toks = filter(split(trim(lower(col(textCol))), "\\s+"), t => length(t) > 0)
+    val starts = lit(block - span + 1)
+    // start offset of block j's span, 0-based within the block
+    def startOf(j: Column) = pmod(
+      TextFunctions.fnv1a64(concat(col(idCol).cast("string"), lit("#"), j.cast("string"))),
+      starts.cast("long"))
+    // does block j's span fit inside the document?
+    def fits(j: Column, n: Column) = j * block + startOf(j) + span <= n
+    val withToks = docs.select(col(idCol), toks.as("__w"))
+      .withColumn("__n", size(col("__w")))
+      // token indices 1..n and block indices 0..n/block — both guarded for
+      // n = 0, where sequence(1, 0) would DESCEND instead of being empty
+      .withColumn("__idx", when(col("__n") > 0, sequence(lit(1), col("__n")))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("__blocks", when(col("__n") > 0,
+          sequence(lit(0), floor((col("__n") - 1) / block).cast("int")))
+        .otherwise(array().cast("array<int>")))
+    // ints stay well under 2^53, so floor of the double division is exact
+    def blockOf(i: Column) = floor((i - 1) / block).cast("long")
+    def offOf(i: Column) = pmod(i - 1, lit(block)).cast("long")
+    def maskedAt(i: Column) = {
+      val st = startOf(blockOf(i))
+      fits(blockOf(i), col("__n")) && offOf(i) >= st && offOf(i) < st + span
+    }
+    val corrupted = array_join(filter(transform(col("__idx"), i => {
+      val st = startOf(blockOf(i))
+      when(!maskedAt(i), element_at(col("__w"), i))
+        .when(offOf(i) === st,
+          concat(lit("<extra_id_"), blockOf(i).cast("string"), lit(">")))
+        .otherwise(lit(null).cast("string"))
+    }), x => x.isNotNull), " ")
+    val targets = array_join(filter(transform(col("__blocks"), j =>
+      when(fits(j.cast("long"), col("__n")),
+        concat(lit("<extra_id_"), j.cast("string"), lit("> "),
+          array_join(slice(col("__w"),
+            (j * block + startOf(j.cast("long")) + 1).cast("int"), lit(span)), " ")))
+        .otherwise(lit(null).cast("string"))), x => x.isNotNull), " ")
+    withToks.select(col(idCol), col("__n").cast("long").as("n_tokens"),
+      size(filter(transform(col("__idx"), i => maskedAt(i)), m => m))
+        .cast("long").as("n_masked"),
+      corrupted.as("corrupted"), targets.as("targets"))
+  }
 }

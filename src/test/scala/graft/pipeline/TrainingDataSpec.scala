@@ -11,6 +11,36 @@ class TrainingDataSpec extends SparkSpec {
 
   private val phrase = "the quick brown fox jumps over the lazy dog tonight"
 
+  test("spanCorrupt: substituting each sentinel's target span reconstructs the document") {
+    val docs = Seq(
+      (1L, (1 to 37).map(i => s"tok$i").mkString(" ")),
+      (2L, "short doc"),                   // shorter than one block
+      (3L, ""))                            // empty: must not crash
+      .toDF("doc_id", "text")
+    val out = TrainingData.spanCorrupt(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    val (n1, m1, corr1, targ1) = out(1L)
+    assert(n1 === 37L && m1 > 0L && m1 % 3 === 0L)
+    // parse targets into sentinel -> span tokens
+    val spans = targ1.split("<extra_id_").drop(1).map { part =>
+      val Array(id, rest) = part.split(">", 2)
+      id.toInt -> rest.trim.split(" ").toSeq
+    }.toMap
+    spans.values.foreach(s => assert(s.length === 3))
+    // substitute back and compare with the original token stream
+    val rebuilt = corr1.split(" ").flatMap { tok =>
+      if (tok.startsWith("<extra_id_"))
+        spans(tok.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+      else Seq(tok)
+    }.toSeq
+    assert(rebuilt === (1 to 37).map(i => s"tok$i"))
+    assert(m1 === spans.size * 3L)
+    // a 2-token doc can never fit a 3-span; empty doc yields empty strings
+    assert(out(2L) === ((2L, 0L, "short doc", "")))
+    assert(out(3L) === ((0L, 0L, "", "")))
+  }
+
   test("contaminationReport flags exactly the train docs sharing an n-gram with bench") {
     val train = Seq(
       (1L, phrase),                                                   // contaminated: contains bench 5-grams
