@@ -2905,6 +2905,40 @@ object SparkEntry {
         round(col("kept").cast("double") / col("total").cast("double"), 6))
   }
 
+  /** Per-source winsorized length statistics ([[Analytics.winsorizedStats]]):
+    * each source's n_chars clipped to its own discrete [p10, p90] before the
+    * mean — the robust profile that survives a handful of pathological
+    * crawl records. All integer until the final exact-int divisions.
+    */
+  private def winsorizeQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.winsorizedStats(t(s, dir, "documents"),
+        col("source"), col("n_chars"), col("doc_id"), 100, 900)
+      .withColumn("raw_mean", round(col("raw_mean"), 6))
+      .withColumn("win_mean", round(col("win_mean"), 6))
+
+  /** Per-source nucleus (top-p = 0.9) vocabulary ([[Analytics.nucleusVocab]]):
+    * how many distinct tokens carry 90% of each source's token mass — the
+    * concentration signal that separates boilerplate-heavy sources (tiny
+    * nucleus) from diverse prose.
+    */
+  private def topPVocabQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.nucleusVocab(t(s, dir, "documents"), col("source"), col("text"), 900)
+
+  /** Embedding-table per-dimension health audit ([[Analytics.embedDimStats]]):
+    * min/max/zero/negative tallies per vector position (order-independent
+    * statistics only — a distributed float SUM is summation-order-dependent
+    * and can never replay across engines).
+    */
+  private def embedDimStatsQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.embedDimStats(t(s, dir, "embeddings"), col("embedding"))
+
+  /** Word-trigram novelty curve over 8 ingestion batches
+    * ([[Analytics.ngramNovelty]]): distinct trigrams first seen per batch —
+    * the marginal-value measurement that says when a crawl stops paying.
+    */
+  private def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.ngramNovelty(t(s, dir, "documents"), col("doc_id"), col("text"), 3, 8)
+
   /** Full-outer reconciliation summary between the orders header and the
     * per-order lineitem rollup: missing-side orphans plus a price
     * match/mismatch split (decimal-exact lineitem totals). The classic
@@ -3893,7 +3927,11 @@ object SparkEntry {
     "q_triangle_count"      -> (triangleCountQ(_, _)),
     "q_weighted_sample"     -> (weightedSampleQ(_, _)),
     "q_sql_q5"              -> (sqlQ5(_, _)),
-    "q_cross_source_overlap" -> (crossSourceOverlapQ(_, _)))
+    "q_cross_source_overlap" -> (crossSourceOverlapQ(_, _)),
+    "q_winsorize"           -> (winsorizeQ(_, _)),
+    "q_top_p_vocab"         -> (topPVocabQ(_, _)),
+    "q_embed_dim_stats"     -> (embedDimStatsQ(_, _)),
+    "q_ngram_novelty"       -> (ngramNoveltyQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -7375,7 +7413,72 @@ object SparkEntry {
          |SELECT p.source_a, p.source_b, p.shared,
          |  round(CAST(p.shared AS DOUBLE) / (ta.n + tb.n - p.shared), 6) AS jaccard
          |FROM p JOIN tot ta ON ta.source = p.source_a
-         |       JOIN tot tb ON tb.source = p.source_b""".stripMargin)
+         |       JOIN tot tb ON tb.source = p.source_b""".stripMargin,
+    // rank band (rn−1)·1000 < n·p ≤ rn·1000 ⇔ rn = ceil(n·p/1000): the same
+    // cross-multiplied integer arithmetic as winsorizedStats — no float ceil
+    "q_winsorize" ->
+      """WITH r AS (
+        |  SELECT source AS grp, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT grp,
+        |    min(CASE WHEN (rn-1)*1000 < n*100 AND n*100 <= rn*1000 THEN v END) AS lo,
+        |    min(CASE WHEN (rn-1)*1000 < n*900 AND n*900 <= rn*1000 THEN v END) AS hi
+        |  FROM r GROUP BY 1
+        |)
+        |SELECT r.grp, count(*) AS n, min(b.lo) AS lo, min(b.hi) AS hi,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS raw_mean,
+        |  round(CAST(sum(greatest(b.lo, least(b.hi, v))) AS DOUBLE) / count(*), 6) AS win_mean
+        |FROM r JOIN b USING (grp) GROUP BY 1""".stripMargin,
+    // nucleus membership by the cross-multiplied prefix test
+    // (cum−cnt)·1000 < p·total; cnt DESC, tok ASC is a total order, so the
+    // RANGE default frame equals Spark's ROWS frame
+    "q_top_p_vocab" ->
+      s"""WITH toks AS (
+         |  SELECT source AS grp, unnest($duckToks) AS tok FROM documents
+         |), c AS (
+         |  SELECT grp, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+         |), w AS (
+         |  SELECT grp, cnt,
+         |    sum(cnt) OVER (PARTITION BY grp ORDER BY cnt DESC, tok) AS cum,
+         |    sum(cnt) OVER (PARTITION BY grp) AS total
+         |  FROM c
+         |)
+         |SELECT grp, count(*) AS nucleus_size, CAST(sum(cnt) AS BIGINT) AS nucleus_mass,
+         |  CAST(max(total) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(cnt) AS DOUBLE) / CAST(max(total) AS DOUBLE), 6) AS coverage
+         |FROM w WHERE (cum - cnt) * 1000 < 900 * total GROUP BY 1""".stripMargin,
+    "q_embed_dim_stats" ->
+      """WITH x AS (
+        |  SELECT unnest([{'dim': i - 1, 'v': embedding[i]} FOR i IN range(1, len(embedding) + 1)]) AS s
+        |  FROM embeddings
+        |)
+        |SELECT CAST(s.dim AS BIGINT) AS dim, count(*) AS n,
+        |  round(CAST(min(s.v) AS DOUBLE), 6) AS mn,
+        |  round(CAST(max(s.v) AS DOUBLE), 6) AS mx,
+        |  CAST(count(*) FILTER (WHERE s.v = 0) AS BIGINT) AS n_zero,
+        |  CAST(count(*) FILTER (WHERE s.v < 0) AS BIGINT) AS n_neg
+        |FROM x GROUP BY 1""".stripMargin,
+    "q_ngram_novelty" ->
+      s"""WITH ids AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
+         |toksrc AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ') FOR i IN range(1, len(w)-1)]) AS grams
+         |  FROM toksrc WHERE len(w) >= 3
+         |), gb AS (
+         |  SELECT DISTINCT
+         |    least(CAST(7 AS BIGINT), CAST((doc_id - mn) * 8 // greatest(1, mx - mn + 1) AS BIGINT)) AS bucket,
+         |    unnest(grams) AS gram
+         |  FROM sh, ids
+         |), novel AS (SELECT min(bucket) AS bucket FROM gb GROUP BY gram),
+         |nb AS (SELECT bucket, count(*) AS novel_grams FROM novel GROUP BY 1),
+         |seen AS (SELECT bucket, count(*) AS seen_grams FROM gb GROUP BY 1)
+         |SELECT seen.bucket, seen_grams,
+         |  CAST(COALESCE(novel_grams, 0) AS BIGINT) AS novel_grams,
+         |  round(CAST(COALESCE(novel_grams, 0) AS DOUBLE) / seen_grams, 6) AS novelty_frac
+         |FROM seen LEFT JOIN nb ON seen.bucket = nb.bucket""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

@@ -1409,4 +1409,136 @@ object Analytics {
       .withColumn("debiased_estimate",
         (lit(4L) * col("reported_positives") - col("n")).cast("double") / 2.0)
   }
+
+  /** Per-group winsorized statistics: values are clipped to the group's own
+    * [pLo, pHi] per-mille rank bounds before averaging — the robust-mean
+    * alternative to trimming (every row still counts, outliers just stop
+    * dominating the sum).
+    *
+    * The bounds are DISCRETE percentiles picked by integer rank
+    * (`ceil(n·p/1000)` computed as `(n·p + 999) div 1000` — no float `ceil`
+    * whose `0.1·n` representation error could shift the rank), so every
+    * intermediate is an exact integer and the mean is one deterministic
+    * int→double division at the end. One shuffle on the group key: the rank
+    * window, the bounds aggregate, and the final aggregate all share the
+    * same hash partitioning (the bounds table is |groups| rows; the join
+    * back is left to AQE — no forced broadcast).
+    */
+  def winsorizedStats(df: DataFrame, groupCol: Column, valueCol: Column,
+                      tieCol: Column, pLoPermille: Int, pHiPermille: Int): DataFrame = {
+    require(0 < pLoPermille && pLoPermille < pHiPermille && pHiPermille <= 1000,
+      s"need 0 < pLo < pHi <= 1000, got [$pLoPermille, $pHiPermille]")
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v").asc, col("__t").asc)
+    val ranked = df.select(groupCol.as("__g"), valueCol.cast("long").as("__v"),
+        tieCol.as("__t"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+    // rn == ceil(n·p/1000) expressed as the cross-multiplied band
+    // (rn−1)·1000 < n·p ≤ rn·1000 — pure int64, no division anywhere
+    def atRank(pPermille: Int): Column =
+      (col("__rn") - 1L) * 1000L < col("__n") * pPermille.toLong &&
+        col("__n") * pPermille.toLong <= col("__rn") * 1000L
+    val bounds = ranked
+      .groupBy(col("__g"))
+      .agg(min(when(atRank(pLoPermille), col("__v"))).as("lo"),
+        min(when(atRank(pHiPermille), col("__v"))).as("hi"))
+    ranked.join(bounds, "__g")
+      .withColumn("__clip", greatest(col("lo"), least(col("hi"), col("__v"))))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        sum(col("__v")).as("raw_sum"), sum(col("__clip")).as("win_sum"))
+      .select(col("__g").as("grp"), col("n"), col("lo"), col("hi"),
+        (col("raw_sum").cast("double") / col("n")).as("raw_mean"),
+        (col("win_sum").cast("double") / col("n")).as("win_mean"))
+  }
+
+  /** Per-group nucleus (top-p) vocabulary: the smallest prefix of the
+    * count-descending token list whose cumulative mass reaches p — the
+    * sampling-time "nucleus" applied to a corpus vocabulary, and the
+    * curation-time answer to "how concentrated is this source's token
+    * distribution". A token enters the nucleus while the mass BEFORE it is
+    * still < p·total, cross-multiplied in int64 (`(cum−cnt)·1000 < p·total`)
+    * so the cut is exact on any engine.
+    *
+    * Two shuffles: the (group, token) count (partial-aggregated, hot tokens
+    * combine map-side) and the per-group window; the final per-group rollup
+    * reuses the window's partitioning. Output is |groups| rows.
+    */
+  def nucleusVocab(df: DataFrame, groupCol: Column, textCol: Column,
+                   pPermille: Int): DataFrame = {
+    require(0 < pPermille && pPermille <= 1000, s"need 0 < p <= 1000, got $pPermille")
+    val toks = df.select(groupCol.as("grp"),
+        explode(graft.functions.TextFunctions.tokens(lower(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("cnt").desc, col("tok").asc)
+    val wp = Window.partitionBy(col("grp"))
+    toks
+      .withColumn("cum", sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("cnt")).over(wp))
+      .filter((col("cum") - col("cnt")) * 1000L < lit(pPermille.toLong) * col("total"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("nucleus_size"), sum(col("cnt")).as("nucleus_mass"),
+        max(col("total")).as("total_tokens"))
+      .withColumn("coverage",
+        round(col("nucleus_mass").cast("double") / col("total_tokens"), 6))
+  }
+
+  /** Per-dimension embedding-table health audit: count, min, max, and the
+    * dead/negative tallies for every vector position — the check that finds
+    * collapsed dimensions, saturated quantization ranges, and all-zero
+    * padding before an ANN index is built over garbage.
+    *
+    * Deliberately restricted to order-independent statistics (min/max/
+    * conditional counts): a cross-partition float SUM is summation-order-
+    * dependent and can never hash-match another engine, so means live in
+    * the int8-quantized pipeline ([[graft.similarity.Ann]]) where sums are
+    * exact integers. One explode (rows × dim, map-side partial agg) and one
+    * shuffle on the dimension id; output is |dim| rows.
+    */
+  def embedDimStats(df: DataFrame, vecCol: Column): DataFrame =
+    df.select(posexplode(vecCol).as(Seq("dim", "v")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("v")).cast("double"), 6).as("mn"),
+        round(max(col("v")).cast("double"), 6).as("mx"),
+        sum(when(col("v") === 0.0f, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("v") < 0.0f, 1L).otherwise(0L)).as("n_neg"))
+
+  /** N-gram novelty curve: documents are split into `buckets` equal-width
+    * ingestion batches by id, and each batch is charged with the distinct
+    * word n-grams whose FIRST occurrence falls in it. The curve is how a
+    * crawl's marginal value is measured — when `novel/seen` flattens, new
+    * data is mostly repeating the old (Heaps-law saturation, per batch
+    * rather than cumulative).
+    *
+    * The id range census is one collected row (bounded side input); grams
+    * pre-dedup per (gram, bucket) before the min-bucket pass so the heavy
+    * shuffle carries each (gram, batch) pair once. At 100 TB the gram
+    * string would be a 64-bit fingerprint ([[graft.functions.TextFunctions
+    * .fingerprint64]]) — 8 bytes/row on the wire; the raw string keeps the
+    * oracle replayable here. Output is `buckets` rows.
+    */
+  def ngramNovelty(df: DataFrame, idCol: Column, textCol: Column,
+                   n: Int, buckets: Int): DataFrame = {
+    val b = df.agg(min(idCol.cast("long")), max(idCol.cast("long"))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val span = math.max(1L, mx - mn + 1L)
+    // `div` (integer floor division, SQL operator — the Column `/` would be
+    // a lossy double divide) over the non-negative offset
+    val gramBucket = df
+      .select(((idCol.cast("long") - mn) * buckets).as("__braw"),
+        explode(graft.dedup.Dedup.wordShingles(textCol, n)).as("gram"))
+      .select(least(lit((buckets - 1).toLong), expr(s"__braw div $span")).as("bucket"),
+        col("gram"))
+      .groupBy(col("gram"), col("bucket")).agg(count(lit(1)).as("__dup"))
+    val novel = gramBucket.groupBy(col("gram"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("novel_grams"))
+    val seen = gramBucket.groupBy(col("bucket")).agg(count(lit(1)).as("seen_grams"))
+    seen.join(novel, Seq("bucket"), "left")
+      .select(col("bucket"), col("seen_grams"),
+        coalesce(col("novel_grams"), lit(0L)).as("novel_grams"))
+      .withColumn("novelty_frac",
+        round(col("novel_grams").cast("double") / col("seen_grams"), 6))
+  }
 }

@@ -776,4 +776,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashJoin"), p)
     assert(hintNodes(SparkEntry.queries("q_bpe_fertility")(spark, dir)) === 0, p)
   }
+
+  test("q_winsorize: group-partitioned windows only; bounds join is hint-free") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_winsorize")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the rank window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window (single-partition sort at scale): $w"))
+    // |groups| is data-dependent: the bounds-side broadcast must be the
+    // planner's size decision, never a forced hint
+    assert(hintNodes(df) === 0)
+    val p = plan("q_winsorize")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_top_p_vocab: token census partial-aggregates map-side; windows are group-partitioned") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_top_p_vocab")(spark, dir)
+    df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      .foreach(w => assert(w.partitionSpec.nonEmpty, s"global window: $w"))
+    val p = plan("q_top_p_vocab")
+    assert(p.contains("partial_count"), p) // hot tokens combine before the exchange
+  }
+
+  test("q_embed_dim_stats: explode feeds a partial aggregate — one exchange, |dim| rows out") {
+    val p = plan("q_embed_dim_stats")
+    assert(p.contains("partial_count") && p.contains("partial_min"), p)
+    assert(exchanges(p) === 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_ngram_novelty: gram/bucket pre-dedup partial-aggregates; no window, no cartesian") {
+    val p = plan("q_ngram_novelty")
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the bucket-level join joins two |buckets|-row aggregates — any strategy
+    // is fine, but the heavy gram shuffle must never carry the document text
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    exchangeSections.foreach { s =>
+      val cols = s.takeWhile(_ != '(')
+      assert(!cols.contains("text"), p)
+    }
+  }
 }

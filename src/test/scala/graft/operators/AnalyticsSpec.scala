@@ -669,4 +669,42 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(0L) === ((4L, 3L, 2L, 2.0)))  // (4·2 − 4)/2 = 2.0
     assert(out(1L) === ((2L, 2L, 0L, -1.0))) // all-flipped cohort goes negative — unbiased, not clamped
   }
+
+  test("winsorizedStats: discrete rank bounds clip exactly; singleton group degenerates to identity") {
+    val s = spark
+    import s.implicits._
+    // group a: values 1..10 → ceil(10·0.1)=rank 1 (=1), ceil(10·0.9)=rank 9 (=9)
+    // → clipped sum = 1 + 2..9 + 9 = 54, mean 5.4 (raw 5.5)
+    val a = (1 to 10).map(v => ("a", v.toLong, v.toLong))
+    val b = Seq(("b", 100L, 1L)) // n=1: lo=hi=100, win_mean == raw_mean
+    val out = Analytics.winsorizedStats((a ++ b).toDF("g", "v", "id"),
+        col("g"), col("v"), col("id"), 100, 900)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("a") === ((10L, 1L, 9L, 5.5, 5.4)))
+    assert(out("b") === ((1L, 100L, 100L, 100.0, 100.0)))
+  }
+
+  test("nucleusVocab: smallest count-desc prefix reaching p, ties broken by token") {
+    val s = spark
+    import s.implicits._
+    // tokens: x×5 y×3 z×1 w×1 (total 10). p=0.8 → prefix x(5), y(3): before-y
+    // mass 5 < 8 ✓, before-z mass 8 !< 8 ✗ → nucleus {x,y}, mass 8.
+    val df = Seq(("g", "x x x x x y y y z w")).toDF("src", "text")
+    val r = Analytics.nucleusVocab(df, col("src"), col("text"), 800).head()
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)) ===
+      ((2L, 8L, 10L, 0.8)))
+  }
+
+  test("ngramNovelty: first-seen bucket charged once; repeats count as seen, not novel") {
+    val s = spark
+    import s.implicits._
+    // ids 0..3, 2 buckets (0,1 → b0; 2,3 → b1). Trigram "a b c" first in b0,
+    // repeated in b1; "d e f" first in b1.
+    val df = Seq((0L, "a b c"), (1L, "a b c"), (2L, "a b c"), (3L, "d e f"))
+      .toDF("doc_id", "text")
+    val out = Analytics.ngramNovelty(df, col("doc_id"), col("text"), 3, 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out === Map(0L -> ((1L, 1L)), 1L -> ((2L, 1L))))
+  }
 }
