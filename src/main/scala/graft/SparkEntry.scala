@@ -2939,6 +2939,50 @@ object SparkEntry {
   private def ngramNoveltyQ(s: SparkSession, dir: String): DataFrame =
     Analytics.ngramNovelty(t(s, dir, "documents"), col("doc_id"), col("text"), 3, 8)
 
+  /** Per-source token-budget curation ([[TrainingData.groupBudgetSelect]]):
+    * quality-descending selection within each source until its 5,000-token
+    * cap — the per-domain budget that q_budget_select's single global
+    * budget cannot express.
+    */
+  private def cappedSelectQ(s: SparkSession, dir: String): DataFrame =
+    TrainingData.groupBudgetSelect(
+      t(s, dir, "documents").select(col("source"), col("doc_id"),
+        TF.qualityScore(col("text")).as("quality"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+      col("source"), Seq(col("quality").desc, col("doc_id").asc),
+      col("n_tokens"), 5000L)
+
+  /** DP count release ([[Analytics.dpNoisyCounts]]) of per-language doc
+    * counts with hash-derived uniform noise on [−3, 3] — deterministic
+    * stand-in for the geometric mechanism so the oracle replays the noise.
+    */
+  private def dpCountsQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.dpNoisyCounts(t(s, dir, "documents"), col("lang"), "graft-dp-2026", 3)
+
+  /** Chi-squared independence audit ([[Analytics.chiSquareIndependence]])
+    * of language × source — "is the corpus's language mix confounded with
+    * where it was crawled". Exact integer micro-units end to end.
+    */
+  private def chi2Q(s: SparkSession, dir: String): DataFrame =
+    Analytics.chiSquareIndependence(t(s, dir, "documents"), col("lang"), col("source"))
+
+  /** Matryoshka truncation audit: top-20 cosine retrieval using only the
+    * first 16 of 64 dims, flagged against the full-precision top-20 — the
+    * measured recall cost of the 4× cheaper index. Both rankings are the
+    * exact brute-force kernel; only the dimension slice differs.
+    */
+  private def mrlTruncationQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val q = queryVec(s, dir)
+    val full = Ann.bruteForceTopK(emb, "embedding", "vec_id", q, 20)
+      .select(col("vec_id"), lit(true).as("in_full"))
+    val emb16 = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb16"))
+    Ann.bruteForceTopK(emb16, "emb16", "vec_id", q.take(16), 20)
+      .join(full, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cos").as("cos16"),
+        coalesce(col("in_full"), lit(false)).as("in_full"))
+  }
+
   /** Full-outer reconciliation summary between the orders header and the
     * per-order lineitem rollup: missing-side orphans plus a price
     * match/mismatch split (decimal-exact lineitem totals). The classic
@@ -3931,7 +3975,11 @@ object SparkEntry {
     "q_winsorize"           -> (winsorizeQ(_, _)),
     "q_top_p_vocab"         -> (topPVocabQ(_, _)),
     "q_embed_dim_stats"     -> (embedDimStatsQ(_, _)),
-    "q_ngram_novelty"       -> (ngramNoveltyQ(_, _)))
+    "q_ngram_novelty"       -> (ngramNoveltyQ(_, _)),
+    "q_capped_select"       -> (cappedSelectQ(_, _)),
+    "q_dp_counts"           -> (dpCountsQ(_, _)),
+    "q_chi2_independence"   -> (chi2Q(_, _)),
+    "q_mrl_truncation"      -> (mrlTruncationQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -7478,7 +7526,68 @@ object SparkEntry {
          |SELECT seen.bucket, seen_grams,
          |  CAST(COALESCE(novel_grams, 0) AS BIGINT) AS novel_grams,
          |  round(CAST(COALESCE(novel_grams, 0) AS DOUBLE) / seen_grams, 6) AS novelty_frac
-         |FROM seen LEFT JOIN nb ON seen.bucket = nb.bucket""".stripMargin)
+         |FROM seen LEFT JOIN nb ON seen.bucket = nb.bucket""".stripMargin,
+    // token COUNT is case-insensitive, so the lowercasing duckToks is the
+    // correct twin of TF.tokenCount here
+    "q_capped_select" ->
+      s"""WITH qual AS (SELECT * FROM ($duckQualitySql)),
+         |d AS (
+         |  SELECT d.source, d.doc_id, q.quality,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN qual q ON q.doc_id = d.doc_id
+         |), w AS (
+         |  SELECT source, doc_id, quality, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM d
+         |)
+         |SELECT * FROM w WHERE cum_tokens <= 5000""".stripMargin,
+    "q_dp_counts" ->
+      s"""WITH g AS (SELECT lang AS grp, count(*) AS true_n FROM documents GROUP BY 1),
+         |h AS (SELECT grp, true_n,
+         |  ${duckU2S(duckFnvU("('graft-dp-2026:' || grp)"))} AS hs FROM g)
+         |SELECT grp, true_n, ((hs % 7) + 7) % 7 - 3 AS noise,
+         |  greatest(CAST(0 AS BIGINT), true_n + ((hs % 7) + 7) % 7 - 3) AS released
+         |FROM h""".stripMargin,
+    // identical exact-integer micro-unit accumulation: HUGEINT products,
+    // floor `//` per cell (Spark: DECIMAL(38) `div`), one double division
+    "q_chi2_independence" ->
+      """WITH cells AS (SELECT lang AS a, source AS b, count(*) AS o FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+        |cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(o) AS n FROM cells),
+        |grid AS (
+        |  SELECT ra.a, cb.b, r, c, CAST(COALESCE(o, 0) AS HUGEINT) AS o, n
+        |  FROM ra CROSS JOIN cb CROSS JOIN tot
+        |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+        |), t AS (
+        |  SELECT CAST((o*n - r*c) * (o*n - r*c) * 1000000 // (r*c*n) AS BIGINT) AS tt
+        |  FROM grid
+        |)
+        |SELECT count(*) AS n_cells,
+        |  (SELECT CAST(n AS BIGINT) FROM tot) AS n_rows,
+        |  CAST(sum(tt) AS DOUBLE) / 1000000.0 AS chi2
+        |FROM t""".stripMargin,
+    "q_mrl_truncation" ->
+      """WITH x AS (SELECT * FROM embeddings WHERE vec_id = 0),
+        |f AS (
+        |  SELECT y.vec_id,
+        |    round(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) FOR i IN range(1, 65)]) /
+        |      (sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])) *
+        |       sqrt(list_sum([CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) FOR i IN range(1, 65)]))), 6) AS cos
+        |  FROM embeddings y, x
+        |  ORDER BY cos DESC, y.vec_id LIMIT 20
+        |), tr AS (
+        |  SELECT y.vec_id,
+        |    round(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) FOR i IN range(1, 17)]) /
+        |      (sqrt(list_sum([CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE) FOR i IN range(1, 17)])) *
+        |       sqrt(list_sum([CAST(y.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE) FOR i IN range(1, 17)]))), 6) AS cos16
+        |  FROM embeddings y, x
+        |  ORDER BY cos16 DESC, y.vec_id LIMIT 20
+        |)
+        |SELECT tr.vec_id, tr.cos16, f.vec_id IS NOT NULL AS in_full
+        |FROM tr LEFT JOIN f ON tr.vec_id = f.vec_id""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

@@ -1410,6 +1410,73 @@ object Analytics {
         (lit(4L) * col("reported_positives") - col("n")).cast("double") / 2.0)
   }
 
+  /** Differentially-private count release, deterministic-replay form: each
+    * group's true count is perturbed by bounded discrete noise derived from
+    * a keyed hash of the group label (`pmod(fnv1a64(seed‖group), 2m+1) − m`,
+    * a uniform draw on [−m, m]). A production release draws FRESH geometric
+    * noise per release — the hash stands in for the RNG here so the whole
+    * mechanism (noise included) replays bit-exactly under the oracle, the
+    * same honesty trade as [[randomizedResponse]]. `true_n` is emitted for
+    * calibration at test scale; a real release drops it.
+    *
+    * One partial-aggregated shuffle on the group key; the noise is a
+    * codegen'd expression over the |groups|-row aggregate (zero per-row
+    * cost on the corpus).
+    */
+  def dpNoisyCounts(df: DataFrame, groupCol: Column, seed: String,
+                    noiseMag: Int): DataFrame = {
+    require(noiseMag >= 0, s"noiseMag must be non-negative: $noiseMag")
+    val m = noiseMag.toLong
+    df.groupBy(groupCol.as("grp"))
+      .agg(count(lit(1)).as("true_n"))
+      .withColumn("noise",
+        pmod(graft.functions.TextFunctions.fnv1a64(
+          concat(lit(seed + ":"), col("grp").cast("string"))), lit(2 * m + 1)) - m)
+      .withColumn("released", greatest(lit(0L), col("true_n") + col("noise")))
+  }
+
+  /** Pearson chi-squared statistic for independence of two categorical
+    * columns — the corpus-audit answer to "is language confounded with
+    * source". Every cell of the FULL |a|×|b| grid contributes (including
+    * zero cells: the margins make their expected counts positive), and the
+    * statistic is computed entirely in exact integer arithmetic: cell term
+    * = (o·N − r·c)² / (r·c·N), accumulated as floor-truncated micro-units
+    * in BigInt, one exact-long → double division at the end — the
+    * cross-engine float-sum problem never arises.
+    *
+    * Scale shape: ONE partial-aggregated corpus scan producing the
+    * (a, b) cell census, which is then a bounded driver-side collect (the
+    * margins/grid/statistic are O(|a|·|b|) work over that census — a
+    * distributed grid formulation was measured to plan THREE corpus scans,
+    * because each margin re-derives the un-persisted cell aggregate).
+    * `maxCells` guards the collect: past it, the caller is auditing
+    * continuous columns and should bucket them first.
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: Column, bCol: Column,
+                            maxCells: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df.groupBy(aCol.as("a"), bCol.as("b"))
+      .agg(count(lit(1)).as("o"))
+      .collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    require(cells.length <= maxCells,
+      s"${cells.length} contingency cells > maxCells=$maxCells — bucket the columns first")
+    val rA = cells.groupBy(_._1).map { case (k, v) => k -> BigInt(v.map(_._3).sum) }
+    val cB = cells.groupBy(_._2).map { case (k, v) => k -> BigInt(v.map(_._3).sum) }
+    val n = BigInt(cells.map(_._3).sum)
+    val obs = cells.map { case (a, b, o) => (a, b) -> BigInt(o) }.toMap
+    var chiMicro = BigInt(0)
+    var nCells = 0L
+    if (n > 0) for (a <- rA.keys; b <- cB.keys) {
+      val o = obs.getOrElse((a, b), BigInt(0))
+      val num = o * n - rA(a) * cB(b)
+      chiMicro += (num * num * 1000000) / (rA(a) * cB(b) * n)
+      nCells += 1
+    }
+    Seq((nCells, n.toLong, chiMicro.toLong.toDouble / 1e6))
+      .toDF("n_cells", "n_rows", "chi2")
+  }
+
   /** Per-group winsorized statistics: values are clipped to the group's own
     * [pLo, pHi] per-mille rank bounds before averaging — the robust-mean
     * alternative to trimming (every row still counts, outliers just stop

@@ -467,6 +467,30 @@ object TrainingData {
       .drop("__cum", "__start")
   }
 
+  /** Per-group token-budget selection: within every group, rows are taken
+    * in `orderCols` order (quality-descending in the curation use) until
+    * the group's cumulative token count would exceed `budget` — the
+    * per-domain cap that keeps one giant source from eating the whole
+    * selection, where [[graft.operators.Analytics.budgetSelect]] caps the
+    * GLOBAL budget.
+    *
+    * One shuffle on the group key; the running sum is a group-partitioned
+    * ROWS window (`orderCols` must make the per-group order total). A
+    * pathological corpus that is one single group degenerates to a global
+    * prefix sum — route that case through budgetSelect's range-sharded
+    * machinery instead.
+    */
+  def groupBudgetSelect(df: DataFrame, groupCol: Column, orderCols: Seq[Column],
+                        tokens: Column, budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative: $budget")
+    val w = Window.partitionBy(col("__grp")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__grp", groupCol)
+      .withColumn("cum_tokens", sum(tokens.cast("long")).over(w))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__grp")
+  }
+
   /** Mixture WITH REPLACEMENT (epoch upsampling — the DoReMi / domain-
     * weights shape): meets target token shares even for UNDER-represented
     * strata by deterministically REPLICATING rows, where [[mixToTargets]]

@@ -807,6 +807,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("q_capped_select: source-partitioned running sum; hint-free") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("q_capped_select")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the per-source budget window")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"global window (single-partition sort at scale): $w"))
+    assert(hintNodes(df) === 0)
+  }
+
+  test("q_dp_counts: one partial-aggregated exchange; noise is post-aggregate") {
+    val p = plan("q_dp_counts")
+    assert(p.contains("partial_count"), p)
+    // one exchange total: the noise expression is a projection over the
+    // |groups|-row aggregate, never a second shuffle or a per-row cost
+    assert(exchanges(p) === 1, p)
+  }
+
+  test("q_mrl_truncation: both rankings are TakeOrderedAndProject over one scan each") {
+    val p = plan("q_mrl_truncation")
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // global Sort would materialize the corpus ordering — top-k must not
+    assert(!"\\(\\d+\\) Sort\\b".r.findAllIn(p).exists(_ => true) ||
+      !p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("q_ngram_novelty: gram/bucket pre-dedup partial-aggregates; no window, no cartesian") {
     val p = plan("q_ngram_novelty")
     assert(p.contains("partial_count"), p)

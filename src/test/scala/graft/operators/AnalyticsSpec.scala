@@ -696,6 +696,33 @@ class AnalyticsSpec extends SparkSpec {
       ((2L, 8L, 10L, 0.8)))
   }
 
+  test("chiSquareIndependence: 0 for exact independence, N for a perfectly associated 2x2") {
+    val s = spark
+    import s.implicits._
+    // independent: every cell o = r·c/N exactly → every term 0
+    val ind = Seq.fill(10)(("a", "x")) ++ Seq.fill(20)(("a", "y")) ++
+      Seq.fill(20)(("b", "x")) ++ Seq.fill(40)(("b", "y"))
+    val r1 = Analytics.chiSquareIndependence(ind.toDF("u", "v"), col("u"), col("v")).head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getDouble(2)) === ((4L, 90L, 0.0)))
+    // perfect association: chi2 == N (2x2, all mass on the diagonal)
+    val dep = Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y"))
+    val r2 = Analytics.chiSquareIndependence(dep.toDF("u", "v"), col("u"), col("v")).head()
+    assert((r2.getLong(0), r2.getDouble(2)) === ((4L, 20.0)))
+  }
+
+  test("dpNoisyCounts: noise bounded by ±m, released clamped at 0, replay-deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.fill(5)("en") ++ Seq.fill(1)("zz")).toDF("lang")
+    val run = () => Analytics.dpNoisyCounts(df, col("lang"), "seed", 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val a = run()
+    assert(a === run()) // hash noise, not RNG: identical release every time
+    a.values.foreach { case (n, noise, rel) =>
+      assert(noise >= -3 && noise <= 3 && rel >= 0 && rel === math.max(0L, n + noise))
+    }
+  }
+
   test("ngramNovelty: first-seen bucket charged once; repeats count as seen, not novel") {
     val s = spark
     import s.implicits._

@@ -849,4 +849,17 @@ class TrainingDataSpec extends SparkSpec {
     assert(out("he") === 400L && out("lo") === 400L && out("wo") === 200L)
     assert(out.size === 8)
   }
+
+  test("groupBudgetSelect: inclusive cap per group; order decides who makes the cut") {
+    val df = Seq(
+      ("s1", 1L, 9.0, 3L), ("s1", 2L, 8.0, 2L), ("s1", 3L, 7.0, 2L), // cum 3,5,7
+      ("s2", 4L, 5.0, 5L), ("s2", 5L, 4.0, 1L)                        // cum 5,6
+    ).toDF("src", "doc_id", "quality", "n_tokens")
+    val kept = TrainingData.groupBudgetSelect(df, col("src"),
+        Seq(col("quality").desc, col("doc_id").asc), col("n_tokens"), 5L)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    // s1: docs 1 (cum 3) and 2 (cum 5 — exactly at budget, kept); doc 3 over.
+    // s2: doc 4 (cum 5); doc 5 would reach 6.
+    assert(kept === Map(1L -> 3L, 2L -> 5L, 4L -> 5L))
+  }
 }
