@@ -2966,6 +2966,73 @@ object SparkEntry {
   private def chi2Q(s: SparkSession, dir: String): DataFrame =
     Analytics.chiSquareIndependence(t(s, dir, "documents"), col("lang"), col("source"))
 
+  /** Population-stability-index drift between the even- and odd-id corpus
+    * halves over power-of-2 token-length buckets — the distribution-drift
+    * alarm a pipeline runs between crawls. One partial-aggregated shuffle
+    * (the bucket census); totals are a one-row collected side input.
+    * Emits PER-BUCKET terms (exact-int-derived doubles, deterministic on
+    * any engine) rather than a cross-partition double sum; the caller adds
+    * ≤64 terms (token counts fit 63 bits → at most 64 buckets, which also
+    * fixes the +1 smoothing denominator).
+    */
+  private def psiDriftQ(s: SparkSession, dir: String): DataFrame = {
+    val counts = t(s, dir, "documents")
+      .select(pmod(col("doc_id"), lit(2L)).as("half"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket_cap",
+        when(col("n_tokens") <= 1L, lit(1L))
+          .otherwise(expr("CAST(shiftleft(1L, length(bin(n_tokens - 1))) AS BIGINT)")))
+      .groupBy(col("bucket_cap"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_new"))
+    val trow = counts.agg(sum(col("n_ref")), sum(col("n_new"))).head()
+    val (tr, tn) = (trow.getLong(0) + 64.0, trow.getLong(1) + 64.0)
+    val pr = (col("n_ref") + 1L).cast("double") / tr
+    val pn = (col("n_new") + 1L).cast("double") / tn
+    counts.select(col("bucket_cap"), col("n_ref"), col("n_new"),
+      round((pn - pr) * log(pn / pr), 6).as("psi_term"))
+  }
+
+  /** Per-source sentence segmentation profile: sentences split on [.!?]+
+    * runs, blank fragments dropped, average sentence length as one exact
+    * int division. The explode is scan-side (generator before the only
+    * shuffle, the per-source aggregate).
+    */
+  private def sentenceStatsQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("source"),
+        explode(filter(split(col("text"), "[.!?]+"),
+          x => length(trim(x)) > 0)).as("sent"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(length(trim(col("sent")))).as("total_chars"))
+      .withColumn("avg_sentence_chars",
+        round(col("total_chars").cast("double") / col("n_sentences"), 6))
+
+  /** The bucketed-layout dividend: lineitem is written once bucketed 8 ways
+    * on l_orderkey, and the per-order aggregate over the bucketed table
+    * plans ZERO shuffle exchanges — the scan's bucket hashing already
+    * satisfies the aggregation's distribution requirement (at 100 TB this
+    * is the difference between an exabyte of shuffle and none for every
+    * downstream per-key pass; the write cost is paid once, the dividend
+    * recurs). Result must be layout-invariant: the oracle aggregates the
+    * un-bucketed parquet.
+    */
+  private def bucketedAggQ(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("\\W", "_")
+    val path = s"/tmp/graft_bucketed$tag"
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").option("path", path)
+      .saveAsTable(s"li_bucketed$tag")
+    s.table(s"li_bucketed$tag")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("total_qty"))
+      .orderBy(col("n_items").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** Matryoshka truncation audit: top-20 cosine retrieval using only the
     * first 16 of 64 dims, flagged against the full-precision top-20 — the
     * measured recall cost of the 4× cheaper index. Both rankings are the
@@ -3979,7 +4046,10 @@ object SparkEntry {
     "q_capped_select"       -> (cappedSelectQ(_, _)),
     "q_dp_counts"           -> (dpCountsQ(_, _)),
     "q_chi2_independence"   -> (chi2Q(_, _)),
-    "q_mrl_truncation"      -> (mrlTruncationQ(_, _)))
+    "q_mrl_truncation"      -> (mrlTruncationQ(_, _)),
+    "q_psi_drift"           -> (psiDriftQ(_, _)),
+    "q_sentence_stats"      -> (sentenceStatsQ(_, _)),
+    "q_bucketed_agg"        -> (bucketedAggQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -7587,7 +7657,45 @@ object SparkEntry {
         |  ORDER BY cos16 DESC, y.vec_id LIMIT 20
         |)
         |SELECT tr.vec_id, tr.cos16, f.vec_id IS NOT NULL AS in_full
-        |FROM tr LEFT JOIN f ON tr.vec_id = f.vec_id""".stripMargin)
+        |FROM tr LEFT JOIN f ON tr.vec_id = f.vec_id""".stripMargin,
+    // +1 smoothing over the FIXED 64-bucket space (token counts fit 63
+    // bits), so empty buckets never divide by zero and both engines use
+    // the identical denominator
+    "q_psi_drift" ->
+      s"""WITH d AS (
+         |  SELECT doc_id % 2 AS half, CAST(len($duckToks) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |), b AS (
+         |  SELECT half, CASE WHEN n_tokens <= 1 THEN 1
+         |    ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1))) END AS bucket_cap
+         |  FROM d
+         |), c AS (
+         |  SELECT bucket_cap,
+         |    count(*) FILTER (WHERE half = 0) AS n_ref,
+         |    count(*) FILTER (WHERE half = 1) AS n_new
+         |  FROM b GROUP BY 1
+         |), t AS (SELECT sum(n_ref) AS tr, sum(n_new) AS tn FROM c)
+         |SELECT bucket_cap, n_ref, n_new,
+         |  round(((n_new + 1) / (tn + 64.0) - (n_ref + 1) / (tr + 64.0))
+         |    * ln(((n_new + 1) / (tn + 64.0)) / ((n_ref + 1) / (tr + 64.0))), 6) AS psi_term
+         |FROM c, t""".stripMargin,
+    "q_sentence_stats" ->
+      """WITH s AS (
+        |  SELECT source, unnest(list_filter(string_split_regex(text, '[.!?]+'),
+        |    x -> len(trim(x)) > 0)) AS sent
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_sentences,
+        |  CAST(sum(len(trim(sent))) AS BIGINT) AS total_chars,
+        |  round(CAST(sum(len(trim(sent))) AS DOUBLE) / count(*), 6) AS avg_sentence_chars
+        |FROM s GROUP BY 1""".stripMargin,
+    // layout invariance: the oracle aggregates the UN-bucketed parquet —
+    // the bucketed write must change the plan (zero exchanges), never rows
+    "q_bucketed_agg" ->
+      """SELECT l_orderkey, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM lineitem GROUP BY 1
+        |ORDER BY n_items DESC, l_orderkey LIMIT 10""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

@@ -57,6 +57,15 @@ final case class AnomalyOut(user_id: Long, event_id: Long, value: Double,
                             z: Double, anomaly: Boolean)
 private final case class WelfordState(n: Long, mean: Double, m2: Double)
 
+/** One input event for [[StatefulOps.streamingRateLimit]]. */
+final case class RateEvent(user_id: Long, ts: Timestamp, event_id: Long)
+
+/** A token-bucket admission decision: `tokens_after_micro` is the bucket
+  * level (in millionths of a token) AFTER this event's refill-and-consume.
+  */
+final case class RateDecision(user_id: Long, event_id: Long, admitted: Boolean,
+                              tokens_after_micro: Long)
+
 /** Custom streaming state via `flatMapGroupsWithState` — the arbitrary-state
   * face of the engine (the batch analog is
   * [[graft.operators.Analytics.sessionize]]). Kafka Streams exposes this as
@@ -395,5 +404,75 @@ object StatefulOps {
           state.update(cur)
           out.iterator
       }
+  }
+
+  /** The shared event-time token-bucket fold: refill at `ratePerSec`
+    * tokens/second of ELAPSED EVENT TIME (micro-token integer arithmetic —
+    * elapsed-micros × rate — so every decision is exact and
+    * engine-replayable), cap at `capTokens`, admit iff a full token is
+    * available. A key's first-ever event finds a full bucket. Time moves
+    * the bucket forward for admitted AND rejected events alike (rejection
+    * does not stop the refill clock).
+    */
+  private def bucketFold(capMicro: Long, ratePerSec: Long)(
+      userId: Long, evs: Seq[RateEvent],
+      init: Option[(Long, Long)]): (Seq[RateDecision], (Long, Long)) = {
+    def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    var (last, toks) = init.getOrElse((Long.MinValue, capMicro))
+    val out = evs.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
+      val m = micros(e.ts)
+      if (last != Long.MinValue && m > last)
+        toks = math.min(capMicro, toks + (m - last) * ratePerSec)
+      last = math.max(last, m)
+      val admit = toks >= 1000000L
+      if (admit) toks -= 1000000L
+      RateDecision(userId, e.event_id, admit, toks)
+    }
+    (out, (last, toks))
+  }
+
+  /** Streaming per-key rate limiter (token bucket in EVENT time): each
+    * key's events are admitted while its bucket holds a full token; the
+    * bucket refills at `ratePerSec` and caps at `capTokens` — the
+    * ingestion-side defense against a single key (bot, hot tenant,
+    * runaway producer) flooding a pipeline. State is one (last-ts, level)
+    * record per key; one state-store shuffle.
+    *
+    * Parity contract (spec-asserted): with per-key event-time-ordered
+    * delivery across micro-batches, decisions equal [[rateLimitBatch]]'s —
+    * both run the IDENTICAL integer fold. Intra-batch disorder is absorbed
+    * by the (ts, event_id) sort; a cross-batch late event refills from the
+    * max-seen timestamp (time never runs backwards in the bucket).
+    */
+  def streamingRateLimit(events: Dataset[RateEvent], capTokens: Long,
+                         ratePerSec: Long): Dataset[RateDecision] = {
+    import events.sparkSession.implicits._
+    require(capTokens > 0 && ratePerSec > 0, "cap and rate must be positive")
+    val capMicro = capTokens * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), RateDecision](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (userId, batch, state: GroupState[(Long, Long)]) =>
+          val (out, next) =
+            bucketFold(capMicro, ratePerSec)(userId, batch.toSeq, state.getOption)
+          state.update(next)
+          out.iterator
+      }
+  }
+
+  /** Batch replay of [[streamingRateLimit]] — the same fold over each key's
+    * fully-sorted history (admission feeds back into the bucket level, so
+    * this is a per-key sequential recurrence, not a window: one shuffle on
+    * the key, linear per-key work, exactly like the streaming operator's
+    * state progression).
+    */
+  def rateLimitBatch(events: Dataset[RateEvent], capTokens: Long,
+                     ratePerSec: Long): Dataset[RateDecision] = {
+    import events.sparkSession.implicits._
+    require(capTokens > 0 && ratePerSec > 0, "cap and rate must be positive")
+    val capMicro = capTokens * 1000000L
+    events.groupByKey(_.user_id).flatMapGroups { (userId, evs) =>
+      bucketFold(capMicro, ratePerSec)(userId, evs.toSeq, None)._1.iterator
+    }
   }
 }

@@ -834,6 +834,29 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("q_psi_drift: one corpus exchange (the bucket census); totals are a collected side input") {
+    val p = plan("q_psi_drift")
+    assert(p.contains("partial_sum"), p)
+    assert(exchanges(p) === 1, p)
+    assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q_sentence_stats: scan-side generator, one partial-aggregated exchange") {
+    val p = plan("q_sentence_stats")
+    assert(p.contains("Generate"), p)
+    assert(p.contains("partial_count"), p)
+    assert(exchanges(p) === 1, p)
+  }
+
+  test("q_bucketed_agg: the bucketed layout makes the per-key aggregate exchange-free") {
+    val p = plan("q_bucketed_agg")
+    // the whole point: ZERO shuffles — the scan's bucket hashing satisfies
+    // the aggregation's distribution, and top-k is TakeOrderedAndProject
+    assert(exchanges(p) === 0, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("q_ngram_novelty: gram/bucket pre-dedup partial-aggregates; no window, no cartesian") {
     val p = plan("q_ngram_novelty")
     assert(p.contains("partial_count"), p)

@@ -369,4 +369,52 @@ class StatefulOpsSpec extends SparkSpec {
     assert(live(99L)._2, "the spike must be flagged")
     assert(live(3L)._1 === 0.0, "pre-warmup events carry z = 0")
   }
+
+  test("streamingRateLimit: refill is exact event-time micro-token arithmetic; rejection keeps the clock") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[RateEvent]
+    in.addData(
+      RateEvent(1L, ts("2024-01-01 10:00:00"), 1L),
+      RateEvent(1L, ts("2024-01-01 10:00:00.1"), 2L),
+      RateEvent(1L, ts("2024-01-01 10:00:00.5"), 3L),
+      RateEvent(1L, ts("2024-01-01 10:00:02.6"), 4L))
+    val q = StatefulOps.streamingRateLimit(in.toDS(), capTokens = 2, ratePerSec = 1)
+      .writeStream.format("memory").queryName("t_rate").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("t_rate").as[RateDecision].collect()
+      .map(d => d.event_id -> ((d.admitted, d.tokens_after_micro))).toMap
+    // full bucket (2 tokens) at first sight; +0.1s, +0.4s, +2.1s refills
+    assert(out === Map(
+      1L -> ((true, 1000000L)),   // 2.0 → admit → 1.0
+      2L -> ((true, 100000L)),    // 1.1 → admit → 0.1
+      3L -> ((false, 500000L)),   // 0.5 → reject (clock still advanced)
+      4L -> ((true, 1000000L))))  // capped at 2.0 → admit → 1.0
+  }
+
+  test("streamingRateLimit live == rateLimitBatch under in-order cross-batch delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      RateEvent(1L, ts("2024-01-01 10:00:00"), 1L),
+      RateEvent(1L, ts("2024-01-01 10:00:00.2"), 2L),
+      RateEvent(2L, ts("2024-01-01 10:00:00"), 3L),
+      RateEvent(1L, ts("2024-01-01 10:00:00.9"), 4L),
+      RateEvent(2L, ts("2024-01-01 10:00:03"), 5L),
+      RateEvent(1L, ts("2024-01-01 10:00:04"), 6L),
+      RateEvent(2L, ts("2024-01-01 10:00:04.5"), 7L))
+    val in = MemoryStream[RateEvent]
+    in.addData(events.take(3): _*)   // three micro-batches, per-key in order
+    in.addData(events.slice(3, 5): _*)
+    in.addData(events.drop(5): _*)
+    val q = StatefulOps.streamingRateLimit(in.toDS(), capTokens = 1, ratePerSec = 1)
+      .writeStream.format("memory").queryName("t_rate_parity").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val live = spark.table("t_rate_parity").as[RateDecision].collect()
+      .map(d => d.event_id -> ((d.admitted, d.tokens_after_micro))).toMap
+    val batch = StatefulOps.rateLimitBatch(events.toDS(), capTokens = 1, ratePerSec = 1)
+      .collect().map(d => d.event_id -> ((d.admitted, d.tokens_after_micro))).toMap
+    assert(live === batch)
+    assert(batch.values.exists(!_._1), "the scenario must actually reject something")
+  }
 }
