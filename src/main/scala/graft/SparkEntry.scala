@@ -3033,6 +3033,59 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** The bucketed-layout JOIN dividend: lineitem and orders both written
+    * bucketed 16 ways on the order key, then joined SHUFFLE-FREE — the
+    * sort-merge join reads co-bucketed files directly (plan-audited: the
+    * only exchange in the query is the final 3-group aggregate's). The
+    * `merge` hint pins the strategy the layout was built for (a strategy
+    * hint, not a size bet — at sf0.001 the planner would otherwise
+    * broadcast the small side and hide the demonstration); at 100 TB this
+    * join shape moves ZERO fact bytes over the wire. Oracle joins the
+    * un-bucketed parquet: layout must never change rows.
+    */
+  private def bucketedJoinQ(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("\\W", "_")
+    t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet").bucketBy(16, "l_orderkey")
+      .sortBy("l_orderkey").option("path", s"/tmp/graft_bj_li$tag")
+      .saveAsTable(s"bj_li$tag")
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").format("parquet").bucketBy(16, "o_orderkey")
+      .sortBy("o_orderkey").option("path", s"/tmp/graft_bj_ord$tag")
+      .saveAsTable(s"bj_ord$tag")
+    s.table(s"bj_li$tag").hint("merge")
+      .join(s.table(s"bj_ord$tag").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+  }
+
+  /** Interchange-format fidelity, end to end: documents written as JSONL
+    * and headered CSV, read back through the schema-on-read loaders
+    * ([[graft.sources.Tables.jsonTable]]/[[Tables.csvTable]], FAILFAST),
+    * full-outer-joined on doc_id and value-compared — `mismatches` must be
+    * 0 under the oracle's hash gate, so any quoting/escaping/type-coercion
+    * drift in either codec path fails the round, not just a spec.
+    */
+  private def formatRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("\\W", "_")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+    val (jPath, cPath) = (s"/tmp/graft_fmt_json$tag", s"/tmp/graft_fmt_csv$tag")
+    base.write.mode("overwrite").json(jPath)
+    base.write.mode("overwrite").option("header", "true").csv(cPath)
+    val j = graft.sources.Tables.jsonTable(s, jPath, base.schema)
+    val c = graft.sources.Tables.csvTable(s, cPath, base.schema)
+    j.as("j").join(c.as("c"), col("j.doc_id") === col("c.doc_id"), "full")
+      .groupBy(col("j.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("j.text") === col("c.text") &&
+          col("j.n_chars") === col("c.n_chars") &&
+          col("j.lang") === col("c.lang"), 0L).otherwise(1L)).as("mismatches"),
+        sum(col("j.n_chars")).as("total_chars"))
+  }
+
   /** Matryoshka truncation audit: top-20 cosine retrieval using only the
     * first 16 of 64 dims, flagged against the full-precision top-20 — the
     * measured recall cost of the 4× cheaper index. Both rankings are the
@@ -4049,7 +4102,9 @@ object SparkEntry {
     "q_mrl_truncation"      -> (mrlTruncationQ(_, _)),
     "q_psi_drift"           -> (psiDriftQ(_, _)),
     "q_sentence_stats"      -> (sentenceStatsQ(_, _)),
-    "q_bucketed_agg"        -> (bucketedAggQ(_, _)))
+    "q_bucketed_agg"        -> (bucketedAggQ(_, _)),
+    "q_bucketed_join"       -> (bucketedJoinQ(_, _)),
+    "q_format_roundtrip"    -> (formatRoundtripQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -7695,7 +7750,17 @@ object SparkEntry {
       """SELECT l_orderkey, count(*) AS n_items,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
         |FROM lineitem GROUP BY 1
-        |ORDER BY n_items DESC, l_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY n_items DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    // both codec paths must reproduce the parquet truth exactly
+    "q_format_roundtrip" ->
+      """SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

@@ -857,6 +857,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("q_bucketed_join: the co-bucketed sort-merge join is shuffle-free (one exchange total, the aggregate's)") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+    // exactly one exchange in the whole query: the 3-group final aggregate.
+    // ZERO exchanges feed the join — the buckets are read co-partitioned.
+    assert(exchanges(p) === 1, p)
+    assert("Bucketed: true".r.findAllIn(p).length >= 2, p)
+  }
+
+  test("q_format_roundtrip: both codec scans are schema-bound (no inference pass)") {
+    val p = plan("q_format_roundtrip")
+    assert(p.contains("Scan json") && p.contains("Scan csv"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_ngram_novelty: gram/bucket pre-dedup partial-aggregates; no window, no cartesian") {
     val p = plan("q_ngram_novelty")
     assert(p.contains("partial_count"), p)
