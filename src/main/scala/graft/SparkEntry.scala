@@ -3086,6 +3086,14 @@ object SparkEntry {
         sum(col("j.n_chars")).as("total_chars"))
   }
 
+  /** Windowed token-pair PMI ([[Analytics.pmiPairs]]): collocations within
+    * a ±3-token window, minCount 5, top-100 — the skip-gram count census
+    * an embedding pipeline precomputes.
+    */
+  private def pmiPairsQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.pmiPairs(t(s, dir, "documents"), col("text"),
+      window = 3, minCount = 5L, k = 100)
+
   /** Matryoshka truncation audit: top-20 cosine retrieval using only the
     * first 16 of 64 dims, flagged against the full-precision top-20 — the
     * measured recall cost of the 4× cheaper index. Both rankings are the
@@ -4104,7 +4112,8 @@ object SparkEntry {
     "q_sentence_stats"      -> (sentenceStatsQ(_, _)),
     "q_bucketed_agg"        -> (bucketedAggQ(_, _)),
     "q_bucketed_join"       -> (bucketedJoinQ(_, _)),
-    "q_format_roundtrip"    -> (formatRoundtripQ(_, _)))
+    "q_format_roundtrip"    -> (formatRoundtripQ(_, _)),
+    "q_pmi_pairs"           -> (pmiPairsQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -7760,7 +7769,31 @@ object SparkEntry {
     "q_format_roundtrip" ->
       """SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM documents GROUP BY 1""".stripMargin)
+        |FROM documents GROUP BY 1""".stripMargin,
+    // identical pair comprehension, slot marginals, and the one ln per
+    // output row: ((4.0·N)·c_ab)/(c_a·c_b) left-associated on both engines
+    "q_pmi_pairs" ->
+      s"""WITH t AS (SELECT $duckToks AS w FROM documents),
+         |p0 AS (
+         |  SELECT unnest(flatten([[
+         |      CASE WHEN w[i] <= w[j] THEN {'a': w[i], 'b': w[j]}
+         |           ELSE {'a': w[j], 'b': w[i]} END
+         |      FOR j IN range(i + 1, least(i + 3, len(w)) + 1)]
+         |    FOR i IN range(1, len(w))])) AS s
+         |  FROM t WHERE len(w) >= 2
+         |),
+         |pc AS (SELECT s.a AS a, s.b AS b, count(*) AS c_ab FROM p0 GROUP BY 1, 2),
+         |m AS (SELECT tok, sum(c) AS c_t FROM (
+         |    SELECT a AS tok, c_ab AS c FROM pc
+         |    UNION ALL SELECT b, c_ab FROM pc) GROUP BY 1),
+         |n AS (SELECT sum(c_ab) AS np FROM pc)
+         |SELECT a, b, c_ab,
+         |  round(ln(4.0 * np * c_ab / (ma.c_t * mb.c_t)), 6) AS pmi
+         |FROM pc CROSS JOIN n
+         |  JOIN m ma ON ma.tok = a
+         |  JOIN m mb ON mb.tok = b
+         |WHERE c_ab >= 5
+         |ORDER BY pmi DESC, a, b LIMIT 100""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

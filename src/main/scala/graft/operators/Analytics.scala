@@ -1410,6 +1410,50 @@ object Analytics {
         (lit(4L) * col("reported_positives") - col("n")).cast("double") / 2.0)
   }
 
+  /** Windowed token co-occurrence PMI — the collocation statistic embedding
+    * pipelines pre-compute (word2vec/GloVe-style skip-gram counts) and
+    * curators use to find boilerplate multi-word units. Pairs are generated
+    * SCAN-SIDE by a nested HOF over each document's token array (every
+    * position with its next ≤ `window` neighbors, unordered-canonicalized
+    * so (a,b) ≡ (b,a)) — never a positions self-join, whose per-document
+    * cost would be quadratic in document length instead of linear × window.
+    *
+    * PMI uses pair-slot marginals: p(a) = c_a/2N, p(ab) = c_ab/N ⇒
+    * pmi = ln(4N·c_ab / (c_a·c_b)) — one ln per OUTPUT row over exact
+    * integer counts (no cross-partition float sum anywhere). Shuffles:
+    * the pair census (partial-aggregated, hot pairs combine map-side), the
+    * |vocab| marginal rollup derived from the census (not the corpus), and
+    * two census-sized marginal joins; top-k is TakeOrderedAndProject.
+    */
+  def pmiPairs(df: DataFrame, textCol: Column, window: Int,
+               minCount: Long, k: Int): DataFrame = {
+    require(window >= 1 && minCount >= 1 && k >= 1,
+      s"window/minCount/k must be positive: $window/$minCount/$k")
+    val pairs = df
+      .select(graft.functions.TextFunctions.tokens(lower(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(1, size(__t) - 1), i ->
+           |  transform(sequence(i + 1, least(i + $window, size(__t))), j ->
+           |    IF(element_at(__t, i) <= element_at(__t, j),
+           |       struct(element_at(__t, i) AS a, element_at(__t, j) AS b),
+           |       struct(element_at(__t, j) AS a, element_at(__t, i) AS b)))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val pc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val marg = pc.select(explode(array(col("a"), col("b"))).as("tok"), col("c_ab"))
+      .groupBy(col("tok")).agg(sum(col("c_ab")).as("c_t"))
+    val nPairs = pc.agg(sum(col("c_ab"))).head().getLong(0)
+    pc.filter(col("c_ab") >= minCount)
+      .join(marg.select(col("tok").as("a"), col("c_t").as("c_a")), "a")
+      .join(marg.select(col("tok").as("b"), col("c_t").as("c_b")), "b")
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log(lit(4.0) * nPairs.toDouble * col("c_ab").cast("double")
+          / (col("c_a").cast("double") * col("c_b").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   /** Differentially-private count release, deterministic-replay form: each
     * group's true count is perturbed by bounded discrete noise derived from
     * a keyed hash of the group label (`pmod(fnv1a64(seed‖group), 2m+1) − m`,

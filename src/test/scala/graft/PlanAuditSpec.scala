@@ -873,6 +873,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_pmi_pairs: scan-side pair generator feeding a partial-aggregated census; top-k, no cartesian") {
+    val p = plan("q_pmi_pairs")
+    assert(p.contains("Generate"), p) // the nested-HOF pair explode
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the heavy exchanges carry (token-pair, count) census rows, never text
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    exchangeSections.foreach { s =>
+      val cols = s.takeWhile(_ != '(')
+      assert(!cols.contains("text"), p)
+    }
+  }
+
   test("q_ngram_novelty: gram/bucket pre-dedup partial-aggregates; no window, no cartesian") {
     val p = plan("q_ngram_novelty")
     assert(p.contains("partial_count"), p)
