@@ -3086,6 +3086,22 @@ object SparkEntry {
         sum(col("j.n_chars")).as("total_chars"))
   }
 
+  /** l-diversity audit — k-anonymity's stronger sibling: a quasi-identifier
+    * group is at risk not just when it is SMALL but when its sensitive
+    * attribute (here the power-of-2 length bucket standing in for one) is
+    * UNIFORM; l < 3 means an attacker who locates the group learns the
+    * sensitive value with ≤ 3-way ambiguity. Two-phase distinct aggregate:
+    * partials on (group, sensitive) combine map-side.
+    */
+  private def lDiversityQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("sensitive",
+        when(col("n_chars") <= 1L, lit(1L))
+          .otherwise(expr("CAST(shiftleft(1L, length(bin(n_chars - 1))) AS BIGINT)")))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("sensitive")).as("l_distinct"))
+      .withColumn("at_risk", col("l_distinct") < 3)
+
   /** Windowed token-pair PMI ([[Analytics.pmiPairs]]): collocations within
     * a ±3-token window, minCount 5, top-100 — the skip-gram count census
     * an embedding pipeline precomputes.
@@ -4113,7 +4129,8 @@ object SparkEntry {
     "q_bucketed_agg"        -> (bucketedAggQ(_, _)),
     "q_bucketed_join"       -> (bucketedJoinQ(_, _)),
     "q_format_roundtrip"    -> (formatRoundtripQ(_, _)),
-    "q_pmi_pairs"           -> (pmiPairsQ(_, _)))
+    "q_pmi_pairs"           -> (pmiPairsQ(_, _)),
+    "q_l_diversity"         -> (lDiversityQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -7793,7 +7810,18 @@ object SparkEntry {
          |  JOIN m ma ON ma.tok = a
          |  JOIN m mb ON mb.tok = b
          |WHERE c_ab >= 5
-         |ORDER BY pmi DESC, a, b LIMIT 100""".stripMargin)
+         |ORDER BY pmi DESC, a, b LIMIT 100""".stripMargin,
+    "q_l_diversity" ->
+      """WITH d AS (
+        |  SELECT lang, source,
+        |    CASE WHEN n_chars <= 1 THEN 1
+        |         ELSE (CAST(1 AS BIGINT) << length(bin(n_chars - 1))) END AS sensitive
+        |  FROM documents
+        |)
+        |SELECT lang, source, count(*) AS n,
+        |  count(DISTINCT sensitive) AS l_distinct,
+        |  count(DISTINCT sensitive) < 3 AS at_risk
+        |FROM d GROUP BY 1, 2""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the
