@@ -414,7 +414,7 @@ object StatefulOps {
     * the bucket forward for admitted AND rejected events alike (rejection
     * does not stop the refill clock).
     */
-  private def bucketFold(capMicro: Long, ratePerSec: Long)(
+  private[streaming] def bucketFold(capMicro: Long, ratePerSec: Long)(
       userId: Long, evs: Seq[RateEvent],
       init: Option[(Long, Long)]): (Seq[RateDecision], (Long, Long)) = {
     def micros(t: Timestamp): Long = t.getTime / 1000L * 1000000L + t.getNanos / 1000L
