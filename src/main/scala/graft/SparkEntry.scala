@@ -3102,6 +3102,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), countDistinct(col("sensitive")).as("l_distinct"))
       .withColumn("at_risk", col("l_distinct") < 3)
 
+  /** The DataSource V2 connector under the driver gate: read the synthetic
+    * corpus source ([[graft.sources.v2.SyntheticDocs]]) with a doc_id range
+    * predicate (pushed down — the scan plans only the surviving id window)
+    * and a pruned column set, then aggregate per language. Every row is a
+    * pure FNV function of (seed, doc_id), so the oracle regenerates the
+    * IDENTICAL corpus slice from `range()` — a custom connector whose
+    * output is value-exact against SQL.
+    */
+  private def connectorSourceQ(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SyntheticDocs")
+      .option("n_docs", 20000L).option("n_partitions", 16).option("seed", 7L)
+      .load()
+      .filter(col("doc_id") >= 5000L && col("doc_id") < 15000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
   /** Windowed token-pair PMI ([[Analytics.pmiPairs]]): collocations within
     * a ±3-token window, minCount 5, top-100 — the skip-gram count census
     * an embedding pipeline precomputes.
@@ -4130,7 +4146,8 @@ object SparkEntry {
     "q_bucketed_join"       -> (bucketedJoinQ(_, _)),
     "q_format_roundtrip"    -> (formatRoundtripQ(_, _)),
     "q_pmi_pairs"           -> (pmiPairsQ(_, _)),
-    "q_l_diversity"         -> (lDiversityQ(_, _)))
+    "q_l_diversity"         -> (lDiversityQ(_, _)),
+    "q_connector_source"    -> (connectorSourceQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -7821,7 +7838,19 @@ object SparkEntry {
         |SELECT lang, source, count(*) AS n,
         |  count(DISTINCT sensitive) AS l_distinct,
         |  count(DISTINCT sensitive) < 3 AS at_risk
-        |FROM d GROUP BY 1, 2""".stripMargin)
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    // the connector's row derivation regenerated from range(): unsigned FNV
+    // of "seed:doc_id", lang = h mod 5, n_chars = 5·(10 + h mod 90) − 1
+    "q_connector_source" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, ${duckFnvU("('7:' || CAST(doc_id AS VARCHAR))")} AS hu
+         |  FROM range(5000, 15000) t(doc_id)
+         |)
+         |SELECT CASE hu % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'fr'
+         |                   WHEN 3 THEN 'es' ELSE 'zh' END AS lang,
+         |  count(*) AS n_docs,
+         |  CAST(sum(5 * (10 + hu % 90) - 1) AS BIGINT) AS total_chars
+         |FROM h GROUP BY 1""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

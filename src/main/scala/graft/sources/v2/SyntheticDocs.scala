@@ -1,0 +1,188 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A DataSource V2 batch source that SYNTHESIZES a deterministic document
+  * corpus of any size — the connector face of the engine (the reference's
+  * sources are Kafka topics, `core.clj:78`; this sandbox has no broker, so
+  * the connector surface is demonstrated on a source whose rows are a pure
+  * function of (seed, doc_id) and therefore oracle-replayable).
+  *
+  * Usage: `spark.read.format("graft.sources.v2.SyntheticDocs")
+  * .option("n_docs", n).option("n_partitions", p).option("seed", s).load()`.
+  *
+  * Scale design:
+  *  - `planInputPartitions` slices the id space into `n_partitions`
+  *    independent ranges — a 10¹²-doc corpus plans the same way, no
+  *    driver-side materialization of anything but range bounds.
+  *  - Range predicates on `doc_id` PRUNE partitions at planning time
+  *    (pushFilters narrows the [lo, hi) id window; partitions that fall
+  *    outside are never created). All filters are also returned as
+  *    residuals, so Spark re-evaluates them — pruning is an optimization,
+  *    never a correctness dependence.
+  *  - `pruneColumns` is honored in the reader: unprojected columns —
+  *    including the expensive `text` — are never generated.
+  *
+  * Row derivation (shared with the DuckDB oracle via the FNV-1a helpers):
+  * `h = fnv1a64(doc_id.toString)` unsigned; `lang = langs[h mod 5]`,
+  * `source = sources[(h div 8) mod 4]`, `k = 10 + (h mod 90)` words of
+  * fixed width 4 ⇒ `n_chars = 5k − 1` exactly; word i is
+  * `"w" + (fnv1a64(doc_id + ":" + i) mod 1000)` zero-padded.
+  */
+class SyntheticDocs extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SyntheticDocs.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new SyntheticDocsTable(
+      SyntheticDocs.longOpt(properties, "n_docs", 1000L),
+      SyntheticDocs.longOpt(properties, "n_partitions", 8L).toInt,
+      SyntheticDocs.longOpt(properties, "seed", 42L))
+}
+
+object SyntheticDocs {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  val langs: IndexedSeq[String] = IndexedSeq("en", "de", "fr", "es", "zh")
+  val sources: IndexedSeq[String] = IndexedSeq("cc", "web", "books", "code")
+
+  private def longOpt(m: util.Map[String, String], k: String, dflt: Long): Long =
+    Option(m.get(k)).map(_.toLong).getOrElse(dflt)
+
+  /** FNV-1a 64 over the UTF-8 bytes — bit-identical to
+    * [[graft.expressions.Fnv1a64]] and the oracle's HUGEINT replay.
+    */
+  def fnv1a64(s: String): Long = {
+    var h = -3750763034362895579L // 14695981039346656037 as signed
+    s.getBytes("UTF-8").foreach { b =>
+      h = (h ^ (b & 0xffL)) * 1099511628211L
+    }
+    h
+  }
+
+  private def uMod(h: Long, m: Long): Long = java.lang.Long.remainderUnsigned(h, m)
+
+  def wordCount(seed: Long, docId: Long): Long =
+    10L + uMod(fnv1a64(s"$seed:$docId"), 90L)
+
+  def lang(seed: Long, docId: Long): String =
+    langs(uMod(fnv1a64(s"$seed:$docId"), 5L).toInt)
+
+  def source(seed: Long, docId: Long): String =
+    sources(uMod(java.lang.Long.divideUnsigned(fnv1a64(s"$seed:$docId"), 8L), 4L).toInt)
+
+  def text(seed: Long, docId: Long): String = {
+    val k = wordCount(seed, docId).toInt
+    val sb = new java.lang.StringBuilder(5 * k - 1)
+    var i = 0
+    while (i < k) {
+      if (i > 0) sb.append(' ')
+      val w = uMod(fnv1a64(s"$seed:$docId:$i"), 1000L)
+      sb.append('w').append(('0' + w / 100).toChar)
+        .append(('0' + w / 10 % 10).toChar).append(('0' + w % 10).toChar)
+      i += 1
+    }
+    sb.toString
+  }
+}
+
+private[v2] class SyntheticDocsTable(nDocs: Long, nParts: Int, seed: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"synthetic_docs($nDocs, seed=$seed)"
+  override def schema(): StructType = SyntheticDocs.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SyntheticDocsScanBuilder(nDocs, nParts, seed)
+}
+
+private[v2] class SyntheticDocsScanBuilder(nDocs: Long, nParts: Int, seed: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = SyntheticDocs.schema
+  private var lo: Long = 0L
+  private var hi: Long = nDocs // exclusive
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // Narrow the id window from doc_id range predicates; EVERYTHING is
+  // returned as residual (Spark re-evaluates), so pruning can only skip
+  // whole out-of-range partitions, never change results.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    filters.foreach {
+      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+      case _ => ()
+    }
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new SyntheticDocsScan(math.max(lo, 0L), math.min(hi, nDocs), nParts, seed, required)
+}
+
+/** One planned id range — public so tests can audit the pruned span. */
+case class DocsRange(lo: Long, hi: Long, seed: Long,
+                     fields: Seq[String]) extends InputPartition
+
+private[v2] class SyntheticDocsScan(lo: Long, hi: Long, nParts: Int, seed: Long,
+                                    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticDocs[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0L) Array.empty
+    else {
+      val parts = math.min(nParts.toLong, n).toInt
+      (0 until parts).map { p =>
+        val a = lo + n * p / parts
+        val b = lo + n * (p + 1) / parts
+        DocsRange(a, b, seed, required.fieldNames.toIndexedSeq): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new DocsReader(partition.asInstanceOf[DocsRange])
+}
+
+private[v2] class DocsReader(r: DocsRange) extends PartitionReader[InternalRow] {
+  private var id = r.lo - 1
+  override def next(): Boolean = { id += 1; id < r.hi }
+  override def get(): InternalRow = {
+    val values = r.fields.map {
+      case "doc_id" => java.lang.Long.valueOf(id)
+      case "lang" => UTF8String.fromString(SyntheticDocs.lang(r.seed, id))
+      case "source" => UTF8String.fromString(SyntheticDocs.source(r.seed, id))
+      case "n_chars" => java.lang.Long.valueOf(5L * SyntheticDocs.wordCount(r.seed, id) - 1L)
+      case "text" => UTF8String.fromString(SyntheticDocs.text(r.seed, id))
+      case other => throw new IllegalArgumentException(s"unknown column: $other")
+    }
+    new GenericInternalRow(values.toArray[Any])
+  }
+  override def close(): Unit = ()
+}

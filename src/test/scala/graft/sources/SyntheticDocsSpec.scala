@@ -1,0 +1,60 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.v2.{DocsRange, SyntheticDocs}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+class SyntheticDocsSpec extends SparkSpec {
+
+  private def docs(n: Long, parts: Int = 8, seed: Long = 42L): DataFrame =
+    spark.read.format("graft.sources.v2.SyntheticDocs")
+      .option("n_docs", n).option("n_partitions", parts).option("seed", seed)
+      .load()
+
+  private def scanOf(df: DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+
+  test("rows are a pure function of (seed, doc_id): deterministic, text length == n_chars") {
+    val a = docs(200).collect().map(_.toSeq).toSeq
+    val b = docs(200).collect().map(_.toSeq).toSeq
+    assert(a.toSet === b.toSet)
+    docs(200).collect().foreach { r =>
+      assert(r.getAs[String]("text").length.toLong === r.getAs[Long]("n_chars"))
+      assert(SyntheticDocs.langs.contains(r.getAs[String]("lang")))
+      assert(SyntheticDocs.sources.contains(r.getAs[String]("source")))
+    }
+    // a different seed is a different corpus
+    val c = docs(200, seed = 7L).collect().map(_.toSeq).toSet
+    assert(c !== a.toSet)
+  }
+
+  test("doc_id range predicates prune the planned id span, results stay exact") {
+    val df = docs(100000, parts = 16)
+      .filter(col("doc_id") >= 90000L && col("doc_id") < 90500L)
+    val ranges = scanOf(df).inputRDD.partitions.length
+    assert(ranges <= 16)
+    val planned = scanOf(df).batch.planInputPartitions()
+      .map(_.asInstanceOf[DocsRange]).map(r => r.hi - r.lo).sum
+    // only the surviving window is planned — not the 100k-doc corpus
+    assert(planned === 500L, s"planned $planned ids")
+    assert(df.count() === 500L)
+  }
+
+  test("column pruning reaches the reader: unprojected text is never generated") {
+    val df = docs(1000).select(col("lang"))
+    val scan = scanOf(df)
+    assert(scan.output.map(_.name) === Seq("lang"), scan.output)
+    assert(df.distinct().count() === SyntheticDocs.langs.size.toLong)
+  }
+
+  test("the scala FNV row derivation matches the expression-layer Fnv1a64") {
+    val viaExpr = spark.range(0, 50)
+      .select(graft.functions.TextFunctions.fnv1a64(
+        concat(lit("42:"), col("id").cast("string"))).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaScala = (0L until 50L).map(i => SyntheticDocs.fnv1a64(s"42:$i"))
+    assert(viaExpr === viaScala)
+  }
+}
