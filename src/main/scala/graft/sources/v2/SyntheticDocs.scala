@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,7 +48,8 @@ class SyntheticDocs extends TableProvider {
     new SyntheticDocsTable(
       SyntheticDocs.longOpt(properties, "n_docs", 1000L),
       SyntheticDocs.longOpt(properties, "n_partitions", 8L).toInt,
-      SyntheticDocs.longOpt(properties, "seed", 42L))
+      SyntheticDocs.longOpt(properties, "seed", 42L),
+      SyntheticDocs.longOpt(properties, "rows_per_batch", 1000L))
 }
 
 object SyntheticDocs {
@@ -101,17 +103,19 @@ object SyntheticDocs {
   }
 }
 
-private[v2] class SyntheticDocsTable(nDocs: Long, nParts: Int, seed: Long)
+private[v2] class SyntheticDocsTable(nDocs: Long, nParts: Int, seed: Long,
+                                     rowsPerBatch: Long)
     extends Table with SupportsRead {
   override def name(): String = s"synthetic_docs($nDocs, seed=$seed)"
   override def schema(): StructType = SyntheticDocs.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticDocsScanBuilder(nDocs, nParts, seed)
+    new SyntheticDocsScanBuilder(nDocs, nParts, seed, rowsPerBatch)
 }
 
-private[v2] class SyntheticDocsScanBuilder(nDocs: Long, nParts: Int, seed: Long)
+private[v2] class SyntheticDocsScanBuilder(nDocs: Long, nParts: Int, seed: Long,
+                                           rowsPerBatch: Long = 1000L)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = SyntheticDocs.schema
   private var lo: Long = 0L
@@ -139,7 +143,8 @@ private[v2] class SyntheticDocsScanBuilder(nDocs: Long, nParts: Int, seed: Long)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SyntheticDocsScan(math.max(lo, 0L), math.min(hi, nDocs), nParts, seed, required)
+    new SyntheticDocsScan(math.max(lo, 0L), math.min(hi, nDocs), nParts, seed,
+      required, rowsPerBatch)
 }
 
 /** One planned id range — public so tests can audit the pruned span. */
@@ -147,9 +152,12 @@ case class DocsRange(lo: Long, hi: Long, seed: Long,
                      fields: Seq[String]) extends InputPartition
 
 private[v2] class SyntheticDocsScan(lo: Long, hi: Long, nParts: Int, seed: Long,
-                                    required: StructType) extends Scan with Batch {
+                                    required: StructType,
+                                    rowsPerBatch: Long = 1000L) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SyntheticDocsMicroBatch(lo, hi, nParts, seed, required, rowsPerBatch)
   override def description(): String =
     s"SyntheticDocs[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
 
@@ -162,6 +170,51 @@ private[v2] class SyntheticDocsScan(lo: Long, hi: Long, nParts: Int, seed: Long,
         val a = lo + n * p / parts
         val b = lo + n * (p + 1) / parts
         DocsRange(a, b, seed, required.fieldNames.toIndexedSeq): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new DocsReader(partition.asInstanceOf[DocsRange])
+}
+
+/** A replayable micro-batch cursor over the id space: an offset IS a doc_id
+  * watermark, so any (start, end] interval replans the identical ranges —
+  * exactly-once replay after failure comes free from determinism (the same
+  * property a Kafka (partition, offset) pair gives the reference's source,
+  * `core.clj:78`). Each batch advances by `rowsPerBatch` ids.
+  */
+private[v2] case class DocsOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+private[v2] class SyntheticDocsMicroBatch(lo: Long, hi: Long, nParts: Int,
+                                          seed: Long, required: StructType,
+                                          rowsPerBatch: Long) extends MicroBatchStream {
+  // Admission pacing lives HERE, not in planInputPartitions: Spark commits
+  // the full (start, end] interval it was given, so a planner-side cap
+  // would silently drop the tail of a batch. latestOffset advances the
+  // published watermark by rowsPerBatch per call until the corpus end.
+  private var published = lo
+  override def initialOffset(): Offset = DocsOffset(lo)
+  override def latestOffset(): Offset = {
+    published = math.min(hi, published + rowsPerBatch)
+    DocsOffset(published)
+  }
+  override def deserializeOffset(json: String): Offset = DocsOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val a = start.asInstanceOf[DocsOffset].id
+    val b = end.asInstanceOf[DocsOffset].id
+    val n = math.max(0L, b - a)
+    if (n == 0L) Array.empty
+    else {
+      val parts = math.min(nParts.toLong, n).toInt
+      (0 until parts).map { p =>
+        DocsRange(a + n * p / parts, a + n * (p + 1) / parts, seed,
+          required.fieldNames.toIndexedSeq): InputPartition
       }.toArray
     }
   }

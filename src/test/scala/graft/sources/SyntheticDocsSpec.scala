@@ -49,6 +49,28 @@ class SyntheticDocsSpec extends SparkSpec {
     assert(df.distinct().count() === SyntheticDocs.langs.size.toLong)
   }
 
+  test("micro-batch stream == batch read: the offset cursor replays the id space exactly once") {
+    val streamed = spark.readStream.format("graft.sources.v2.SyntheticDocs")
+      .option("n_docs", 500).option("n_partitions", 4).option("seed", 9L)
+      .option("rows_per_batch", 150) // 4 uneven micro-batches
+      .load()
+    val q = streamed.writeStream.format("memory").queryName("t_synth_stream")
+      .outputMode("append").start()
+    try {
+      // pacing is driver-side: keep draining until the cursor reaches hi
+      var n = 0L
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (n < 500L && System.nanoTime() < deadline) {
+        q.processAllAvailable()
+        n = spark.table("t_synth_stream").count()
+      }
+    } finally q.stop()
+    val live = spark.table("t_synth_stream").collect().map(_.toSeq).toSet
+    val batch = docs(500, parts = 4, seed = 9L).collect().map(_.toSeq).toSet
+    assert(live.size === 500)
+    assert(live === batch)
+  }
+
   test("the scala FNV row derivation matches the expression-layer Fnv1a64") {
     val viaExpr = spark.range(0, 50)
       .select(graft.functions.TextFunctions.fnv1a64(
