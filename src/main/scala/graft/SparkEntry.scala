@@ -1358,9 +1358,7 @@ object SparkEntry {
     val padded = col("bucket_cap") * col("n_docs")
     t(s, dir, "documents")
       .select(TF.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("bucket_cap",
-        when(col("n_tokens") <= 1L, lit(1L))
-          .otherwise(expr("CAST(shiftleft(1L, length(bin(n_tokens - 1))) AS BIGINT)")))
+      .withColumn("bucket_cap", TF.pow2BucketCap(col("n_tokens")))
       .groupBy(col("bucket_cap"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .select(col("bucket_cap"), col("n_docs"), col("total_tokens"),
@@ -2979,9 +2977,7 @@ object SparkEntry {
     val counts = t(s, dir, "documents")
       .select(pmod(col("doc_id"), lit(2L)).as("half"),
         TF.tokenCount(col("text")).cast("long").as("n_tokens"))
-      .withColumn("bucket_cap",
-        when(col("n_tokens") <= 1L, lit(1L))
-          .otherwise(expr("CAST(shiftleft(1L, length(bin(n_tokens - 1))) AS BIGINT)")))
+      .withColumn("bucket_cap", TF.pow2BucketCap(col("n_tokens")))
       .groupBy(col("bucket_cap"))
       .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_new"))
@@ -3082,7 +3078,8 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("j.text") === col("c.text") &&
           col("j.n_chars") === col("c.n_chars") &&
-          col("j.lang") === col("c.lang"), 0L).otherwise(1L)).as("mismatches"),
+          col("j.lang") === col("c.lang") &&
+          col("j.source") === col("c.source"), 0L).otherwise(1L)).as("mismatches"),
         sum(col("j.n_chars")).as("total_chars"))
   }
 
@@ -3095,9 +3092,7 @@ object SparkEntry {
     */
   private def lDiversityQ(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .withColumn("sensitive",
-        when(col("n_chars") <= 1L, lit(1L))
-          .otherwise(expr("CAST(shiftleft(1L, length(bin(n_chars - 1))) AS BIGINT)")))
+      .withColumn("sensitive", TF.pow2BucketCap(col("n_chars")))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n"), countDistinct(col("sensitive")).as("l_distinct"))
       .withColumn("at_risk", col("l_distinct") < 3)

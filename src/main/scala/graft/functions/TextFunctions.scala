@@ -37,6 +37,15 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
+  /** Smallest power of two ≥ n (with n ≤ 1 ⇒ 1): the padding-bucket cap
+    * shared by the sequence-length bucketing, PSI drift, and l-diversity
+    * queries — `1 << bitlength(n − 1)`, closed-form, no loop, and the exact
+    * twin of the oracle's `1 << length(bin(n - 1))`.
+    */
+  def pow2BucketCap(n: Column): Column =
+    when(n <= 1L, lit(1L))
+      .otherwise(call_function("shiftleft", lit(1L), length(bin(n - 1L))).cast("long"))
+
   /** Count of sentence-level punctuation characters. Restricted to an explicit
     * class (not POSIX `[:punct:]`) so Spark and any SQL oracle agree exactly.
     */

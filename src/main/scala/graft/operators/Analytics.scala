@@ -1423,7 +1423,10 @@ object Analytics {
     * integer counts (no cross-partition float sum anywhere). Shuffles:
     * the pair census (partial-aggregated, hot pairs combine map-side), the
     * |vocab| marginal rollup derived from the census (not the corpus), and
-    * two census-sized marginal joins; top-k is TakeOrderedAndProject.
+    * two census-sized marginal joins; the pair total rides along as a
+    * crossed-in 1-row aggregate (a collected scalar would force the whole
+    * census pipeline to run twice — once for the scalar's job, once for
+    * the real plan); top-k is TakeOrderedAndProject.
     */
   def pmiPairs(df: DataFrame, textCol: Column, window: Int,
                minCount: Long, k: Int): DataFrame = {
@@ -1443,12 +1446,13 @@ object Analytics {
     val pc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val marg = pc.select(explode(array(col("a"), col("b"))).as("tok"), col("c_ab"))
       .groupBy(col("tok")).agg(sum(col("c_ab")).as("c_t"))
-    val nPairs = pc.agg(sum(col("c_ab"))).head().getLong(0)
+    val tot = pc.agg(sum(col("c_ab")).as("__np"))
     pc.filter(col("c_ab") >= minCount)
       .join(marg.select(col("tok").as("a"), col("c_t").as("c_a")), "a")
       .join(marg.select(col("tok").as("b"), col("c_t").as("c_b")), "b")
+      .crossJoin(tot)
       .select(col("a"), col("b"), col("c_ab"),
-        round(log(lit(4.0) * nPairs.toDouble * col("c_ab").cast("double")
+        round(log(lit(4.0) * col("__np").cast("double") * col("c_ab").cast("double")
           / (col("c_a").cast("double") * col("c_b").cast("double"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
       .limit(k)
@@ -1500,11 +1504,15 @@ object Analytics {
                             maxCells: Int = 100000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // guard BEFORE the collect: limit(maxCells + 1) bounds what can ever
+    // reach the driver, so a high-cardinality misuse fails with this
+    // message instead of a driver OOM
     val cells = df.groupBy(aCol.as("a"), bCol.as("b"))
       .agg(count(lit(1)).as("o"))
+      .limit(maxCells + 1)
       .collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
     require(cells.length <= maxCells,
-      s"${cells.length} contingency cells > maxCells=$maxCells — bucket the columns first")
+      s"more than maxCells=$maxCells contingency cells — bucket the columns first")
     val rA = cells.groupBy(_._1).map { case (k, v) => k -> BigInt(v.map(_._3).sum) }
     val cB = cells.groupBy(_._2).map { case (k, v) => k -> BigInt(v.map(_._3).sum) }
     val n = BigInt(cells.map(_._3).sum)
@@ -1632,7 +1640,8 @@ object Analytics {
   def ngramNovelty(df: DataFrame, idCol: Column, textCol: Column,
                    n: Int, buckets: Int): DataFrame = {
     val b = df.agg(min(idCol.cast("long")), max(idCol.cast("long"))).head()
-    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    // empty input: the aggregates are NULL; any bounds work (zero rows flow)
+    val (mn, mx) = if (b.isNullAt(0)) (0L, 0L) else (b.getLong(0), b.getLong(1))
     val span = math.max(1L, mx - mn + 1L)
     // `div` (integer floor division, SQL operator — the Column `/` would be
     // a lossy double divide) over the non-negative offset

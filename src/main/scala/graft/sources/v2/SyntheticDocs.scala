@@ -79,17 +79,22 @@ object SyntheticDocs {
 
   private def uMod(h: Long, m: Long): Long = java.lang.Long.remainderUnsigned(h, m)
 
-  def wordCount(seed: Long, docId: Long): Long =
-    10L + uMod(fnv1a64(s"$seed:$docId"), 90L)
+  /** The row's driving hash — computed ONCE per row in the reader; the
+    * per-field derivations below take it pre-computed.
+    */
+  def rowHash(seed: Long, docId: Long): Long = fnv1a64(s"$seed:$docId")
 
-  def lang(seed: Long, docId: Long): String =
-    langs(uMod(fnv1a64(s"$seed:$docId"), 5L).toInt)
+  def wordCountFromHash(h: Long): Long = 10L + uMod(h, 90L)
+  def langFromHash(h: Long): String = langs(uMod(h, 5L).toInt)
+  def sourceFromHash(h: Long): String =
+    sources(uMod(java.lang.Long.divideUnsigned(h, 8L), 4L).toInt)
 
-  def source(seed: Long, docId: Long): String =
-    sources(uMod(java.lang.Long.divideUnsigned(fnv1a64(s"$seed:$docId"), 8L), 4L).toInt)
+  def wordCount(seed: Long, docId: Long): Long = wordCountFromHash(rowHash(seed, docId))
+  def lang(seed: Long, docId: Long): String = langFromHash(rowHash(seed, docId))
+  def source(seed: Long, docId: Long): String = sourceFromHash(rowHash(seed, docId))
 
-  def text(seed: Long, docId: Long): String = {
-    val k = wordCount(seed, docId).toInt
+  def textFromHash(seed: Long, docId: Long, h: Long): String = {
+    val k = wordCountFromHash(h).toInt
     val sb = new java.lang.StringBuilder(5 * k - 1)
     var i = 0
     while (i < k) {
@@ -100,6 +105,26 @@ object SyntheticDocs {
       i += 1
     }
     sb.toString
+  }
+
+  def text(seed: Long, docId: Long): String =
+    textFromHash(seed, docId, rowHash(seed, docId))
+
+  /** Shared id-range slicer for the batch scan and the micro-batch planner —
+    * ONE implementation so a boundary fix can never break batch/stream
+    * parity (the invariant SyntheticDocsSpec's stream == batch test pins).
+    */
+  def sliceRange(lo: Long, hi: Long, nParts: Int, seed: Long,
+                 fields: Seq[String]): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0L) Array.empty
+    else {
+      val parts = math.min(nParts.toLong, n).toInt
+      (0 until parts).map { p =>
+        DocsRange(lo + n * p / parts, lo + n * (p + 1) / parts, seed,
+          fields): InputPartition
+      }.toArray
+    }
   }
 }
 
@@ -161,18 +186,8 @@ private[v2] class SyntheticDocsScan(lo: Long, hi: Long, nParts: Int, seed: Long,
   override def description(): String =
     s"SyntheticDocs[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
-    if (n == 0L) Array.empty
-    else {
-      val parts = math.min(nParts.toLong, n).toInt
-      (0 until parts).map { p =>
-        val a = lo + n * p / parts
-        val b = lo + n * (p + 1) / parts
-        DocsRange(a, b, seed, required.fieldNames.toIndexedSeq): InputPartition
-      }.toArray
-    }
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    SyntheticDocs.sliceRange(lo, hi, nParts, seed, required.fieldNames.toIndexedSeq)
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => new DocsReader(partition.asInstanceOf[DocsRange])
@@ -201,23 +216,24 @@ private[v2] class SyntheticDocsMicroBatch(lo: Long, hi: Long, nParts: Int,
     published = math.min(hi, published + rowsPerBatch)
     DocsOffset(published)
   }
-  override def deserializeOffset(json: String): Offset = DocsOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
+  // ratchet the cursor on every offset the engine hands back (checkpoint
+  // restore goes through deserializeOffset, completed batches through
+  // commit) — a fresh instance must never publish an offset BELOW the
+  // checkpointed watermark, which would regress the offset log and replay
+  // already-emitted ids into an append sink
+  override def deserializeOffset(json: String): Offset = {
+    val o = json.toLong
+    published = math.max(published, o)
+    DocsOffset(o)
+  }
+  override def commit(end: Offset): Unit =
+    published = math.max(published, end.asInstanceOf[DocsOffset].id)
   override def stop(): Unit = ()
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val a = start.asInstanceOf[DocsOffset].id
-    val b = end.asInstanceOf[DocsOffset].id
-    val n = math.max(0L, b - a)
-    if (n == 0L) Array.empty
-    else {
-      val parts = math.min(nParts.toLong, n).toInt
-      (0 until parts).map { p =>
-        DocsRange(a + n * p / parts, a + n * (p + 1) / parts, seed,
-          required.fieldNames.toIndexedSeq): InputPartition
-      }.toArray
-    }
-  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    SyntheticDocs.sliceRange(start.asInstanceOf[DocsOffset].id,
+      end.asInstanceOf[DocsOffset].id, nParts, seed,
+      required.fieldNames.toIndexedSeq)
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => new DocsReader(partition.asInstanceOf[DocsRange])
@@ -225,17 +241,27 @@ private[v2] class SyntheticDocsMicroBatch(lo: Long, hi: Long, nParts: Int,
 
 private[v2] class DocsReader(r: DocsRange) extends PartitionReader[InternalRow] {
   private var id = r.lo - 1
+  // resolve field extractors ONCE per partition — the hot loop computes the
+  // row hash a single time and never string-matches column names per row
+  private val extractors: Array[(Long, Long) => Any] = r.fields.map {
+    case "doc_id" => (docId: Long, _: Long) => java.lang.Long.valueOf(docId)
+    case "lang" => (_: Long, h: Long) =>
+      UTF8String.fromString(SyntheticDocs.langFromHash(h))
+    case "source" => (_: Long, h: Long) =>
+      UTF8String.fromString(SyntheticDocs.sourceFromHash(h))
+    case "n_chars" => (_: Long, h: Long) =>
+      java.lang.Long.valueOf(5L * SyntheticDocs.wordCountFromHash(h) - 1L)
+    case "text" => (docId: Long, h: Long) =>
+      UTF8String.fromString(SyntheticDocs.textFromHash(r.seed, docId, h))
+    case other => throw new IllegalArgumentException(s"unknown column: $other")
+  }.toArray
   override def next(): Boolean = { id += 1; id < r.hi }
   override def get(): InternalRow = {
-    val values = r.fields.map {
-      case "doc_id" => java.lang.Long.valueOf(id)
-      case "lang" => UTF8String.fromString(SyntheticDocs.lang(r.seed, id))
-      case "source" => UTF8String.fromString(SyntheticDocs.source(r.seed, id))
-      case "n_chars" => java.lang.Long.valueOf(5L * SyntheticDocs.wordCount(r.seed, id) - 1L)
-      case "text" => UTF8String.fromString(SyntheticDocs.text(r.seed, id))
-      case other => throw new IllegalArgumentException(s"unknown column: $other")
-    }
-    new GenericInternalRow(values.toArray[Any])
+    val h = SyntheticDocs.rowHash(r.seed, id)
+    val values = new Array[Any](extractors.length)
+    var i = 0
+    while (i < extractors.length) { values(i) = extractors(i)(id, h); i += 1 }
+    new GenericInternalRow(values)
   }
   override def close(): Unit = ()
 }

@@ -421,8 +421,14 @@ object StatefulOps {
     var (last, toks) = init.getOrElse((Long.MinValue, capMicro))
     val out = evs.sortBy(e => (micros(e.ts), e.event_id)).map { e =>
       val m = micros(e.ts)
-      if (last != Long.MinValue && m > last)
-        toks = math.min(capMicro, toks + (m - last) * ratePerSec)
+      if (last != Long.MinValue && m > last) {
+        // saturate BEFORE multiplying: a key silent for months at a high
+        // rate would overflow (gap · rate) in Long and wedge the bucket
+        // at a negative level forever (state persists across batches)
+        val gap = m - last
+        toks = if (gap >= capMicro / ratePerSec + 1L) capMicro
+               else math.min(capMicro, toks + gap * ratePerSec)
+      }
       last = math.max(last, m)
       val admit = toks >= 1000000L
       if (admit) toks -= 1000000L
@@ -447,7 +453,8 @@ object StatefulOps {
   def streamingRateLimit(events: Dataset[RateEvent], capTokens: Long,
                          ratePerSec: Long): Dataset[RateDecision] = {
     import events.sparkSession.implicits._
-    require(capTokens > 0 && ratePerSec > 0, "cap and rate must be positive")
+    require(capTokens > 0 && capTokens <= 1000000000000L && ratePerSec > 0 && ratePerSec <= 1000000000000L,
+      s"cap/rate must be in (0, 1e12]: $capTokens/$ratePerSec")
     val capMicro = capTokens * 1000000L
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long), RateDecision](
@@ -469,7 +476,8 @@ object StatefulOps {
   def rateLimitBatch(events: Dataset[RateEvent], capTokens: Long,
                      ratePerSec: Long): Dataset[RateDecision] = {
     import events.sparkSession.implicits._
-    require(capTokens > 0 && ratePerSec > 0, "cap and rate must be positive")
+    require(capTokens > 0 && capTokens <= 1000000000000L && ratePerSec > 0 && ratePerSec <= 1000000000000L,
+      s"cap/rate must be in (0, 1e12]: $capTokens/$ratePerSec")
     val capMicro = capTokens * 1000000L
     events.groupByKey(_.user_id).flatMapGroups { (userId, evs) =>
       bucketFold(capMicro, ratePerSec)(userId, evs.toSeq, None)._1.iterator

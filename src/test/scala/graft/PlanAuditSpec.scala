@@ -878,7 +878,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Generate"), p) // the nested-HOF pair explode
     assert(p.contains("partial_count"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one nested-loop join is expected and bounded: the 1-row pair
+    // total crossed into the plan (instead of a collected scalar, which
+    // would run the census pipeline twice as two driver jobs)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2, p) // tree + detail section
     // the heavy exchanges carry (token-pair, count) census rows, never text
     val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
     exchangeSections.foreach { s =>

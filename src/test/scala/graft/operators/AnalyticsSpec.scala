@@ -723,6 +723,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("pmiPairs and ngramNovelty return empty (not NPE) on degenerate input") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((1L, "solo")).toDF("doc_id", "text") // every doc < 2 tokens
+    assert(Analytics.pmiPairs(tiny, col("text"), 3, 1L, 10).count() === 0L)
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Analytics.ngramNovelty(none, col("doc_id"), col("text"), 3, 8).count() === 0L)
+  }
+
+  test("chiSquareIndependence maxCells guard trips BEFORE collecting an oversized census") {
+    val s = spark
+    import s.implicits._
+    val wide = (1 to 100).map(i => (s"a$i", s"b$i")).toDF("u", "v")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.chiSquareIndependence(wide, col("u"), col("v"), maxCells = 10)
+    }
+    assert(e.getMessage.contains("bucket the columns first"))
+  }
+
   test("ngramNovelty: first-seen bucket charged once; repeats count as seen, not novel") {
     val s = spark
     import s.implicits._

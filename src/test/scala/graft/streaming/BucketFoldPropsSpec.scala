@@ -39,6 +39,18 @@ object BucketFoldProps extends Properties("TokenBucketFold") {
       (h1 ++ h2) == whole
     }
 
+  property("saturating refill: a months-long gap at a high rate refills to exactly cap (no overflow)") =
+    forAll(Gen.chooseNum(1L, 1000000000000L), Gen.chooseNum(1L, 1000000000000L)) {
+      (cap, rate) =>
+        val capMicro = cap * 1000000L
+        val base = 1700000000000000L
+        val evs = List(RateEvent(1L, ts(base), 0L),
+          RateEvent(1L, ts(base + 200L * 86400L * 1000000L), 1L)) // 200-day gap
+        val (out, _) = StatefulOps.bucketFold(capMicro, rate)(1L, evs, None)
+        // second event must find a FULL bucket, then consume one token
+        out(1).admitted && out(1).tokens_after_micro == capMicro - 1000000L
+    }
+
   property("level always within [0, cap]; rejects only when below one token") =
     forAll(eventsGen, Gen.chooseNum(1L, 5L), Gen.chooseNum(1L, 10L)) { (evs, cap, rate) =>
       val capMicro = cap * 1000000L
