@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -141,11 +142,13 @@ private[v2] class SyntheticDocsTable(nDocs: Long, nParts: Int, seed: Long,
 
 private[v2] class SyntheticDocsScanBuilder(nDocs: Long, nParts: Int, seed: Long,
                                            rowsPerBatch: Long = 1000L)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
   private var required: StructType = SyntheticDocs.schema
   private var lo: Long = 0L
   private var hi: Long = nDocs // exclusive
   private var pushed: Array[Filter] = Array.empty
+  private var aggKinds: Option[Seq[String]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -167,9 +170,45 @@ private[v2] class SyntheticDocsScanBuilder(nDocs: Long, nParts: Int, seed: Long,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  private def isDocId(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
+      case _ => false
+    }
+
+  // COUNT(*) / MIN(doc_id) / MAX(doc_id) over an id range are CLOSED FORM —
+  // answered from the partition bounds without generating a single row.
+  // Pushdown is PARTIAL (Spark still runs the final merge), and Spark only
+  // offers an aggregate when no residual filter sits below it, so this can
+  // never change results. Other aggregates/groupings are declined.
+  override def supportCompletePushDown(a: Aggregation): Boolean = false
+  override def pushAggregation(a: Aggregation): Boolean = {
+    val ok = a.groupByExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => isDocId(m.column)
+        case m: Max => isDocId(m.column)
+        case _ => false
+      }
+    if (ok) aggKinds = Some(a.aggregateExpressions.toIndexedSeq.map {
+      case _: CountStar => "count"
+      case _: Min => "min"
+      case _: Max => "max"
+    })
+    ok
+  }
+
+  // at-most-`l` ids survive: truncate the planned window (Spark keeps its
+  // own Limit above — isPartiallyPushed — so this is purely a prune)
+  override def pushLimit(l: Int): Boolean = {
+    hi = math.min(hi, lo + math.max(0, l))
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
     new SyntheticDocsScan(math.max(lo, 0L), math.min(hi, nDocs), nParts, seed,
-      required, rowsPerBatch)
+      required, rowsPerBatch, aggKinds)
 }
 
 /** One planned id range — public so tests can audit the pruned span. */
@@ -178,19 +217,49 @@ case class DocsRange(lo: Long, hi: Long, seed: Long,
 
 private[v2] class SyntheticDocsScan(lo: Long, hi: Long, nParts: Int, seed: Long,
                                     required: StructType,
-                                    rowsPerBatch: Long = 1000L) extends Scan with Batch {
-  override def readSchema(): StructType = required
+                                    rowsPerBatch: Long = 1000L,
+                                    aggKinds: Option[Seq[String]] = None)
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggKinds match {
+    case Some(kinds) => StructType(kinds.zipWithIndex.map { case (k, i) =>
+      StructField(s"${k}_$i", LongType, nullable = false) })
+    case None => required
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SyntheticDocsMicroBatch(lo, hi, nParts, seed, required, rowsPerBatch)
   override def description(): String =
-    s"SyntheticDocs[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}]"
+    s"SyntheticDocs[lo=$lo, hi=$hi, cols=${required.fieldNames.mkString(",")}" +
+      aggKinds.map(k => s", pushedAgg=${k.mkString(",")}").getOrElse("") + "]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    SyntheticDocs.sliceRange(lo, hi, nParts, seed, required.fieldNames.toIndexedSeq)
+  override def planInputPartitions(): Array[InputPartition] = aggKinds match {
+    case Some(kinds) =>
+      if (hi <= lo) Array.empty
+      else Array(AggRange(lo, hi, kinds): InputPartition) // one closed-form row
+    case None =>
+      SyntheticDocs.sliceRange(lo, hi, nParts, seed, required.fieldNames.toIndexedSeq)
+  }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    (partition: InputPartition) => new DocsReader(partition.asInstanceOf[DocsRange])
+  override def createReaderFactory(): PartitionReaderFactory = {
+    case r: DocsRange => new DocsReader(r)
+    case a: AggRange => new AggReader(a)
+    case other => throw new IllegalArgumentException(s"unknown partition: $other")
+  }
+}
+
+/** One closed-form partial-aggregate row for the whole surviving id range. */
+case class AggRange(lo: Long, hi: Long, kinds: Seq[String]) extends InputPartition
+
+private[v2] class AggReader(r: AggRange) extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = { val first = !done; done = true; first }
+  override def get(): InternalRow =
+    new GenericInternalRow(r.kinds.map {
+      case "count" => java.lang.Long.valueOf(r.hi - r.lo)
+      case "min" => java.lang.Long.valueOf(r.lo)
+      case "max" => java.lang.Long.valueOf(r.hi - 1L)
+    }.toArray[Any])
+  override def close(): Unit = ()
 }
 
 /** A replayable micro-batch cursor over the id space: an offset IS a doc_id

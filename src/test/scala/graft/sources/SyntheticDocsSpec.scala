@@ -13,8 +13,14 @@ class SyntheticDocsSpec extends SparkSpec {
       .option("n_docs", n).option("n_partitions", parts).option("seed", seed)
       .load()
 
-  private def scanOf(df: DataFrame): BatchScanExec =
-    df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+  private def scanOf(df: DataFrame): BatchScanExec = {
+    def find(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => find(a.inputPlan)
+      case b: BatchScanExec => Seq(b)
+      case o => o.children.flatMap(find)
+    }
+    find(df.queryExecution.executedPlan).head
+  }
 
   test("rows are a pure function of (seed, doc_id): deterministic, text length == n_chars") {
     val a = docs(200).collect().map(_.toSeq).toSeq
@@ -69,6 +75,35 @@ class SyntheticDocsSpec extends SparkSpec {
     val batch = docs(500, parts = 4, seed = 9L).collect().map(_.toSeq).toSet
     assert(live.size === 500)
     assert(live === batch)
+  }
+
+  test("count/min/max(doc_id) push into the source: one closed-form row, no generation") {
+    val df = docs(1000000, parts = 8)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1000000L, 0L, 999999L)))
+    // a million-doc corpus answered without generating a single document
+    // row: the scan plans exactly one closed-form AggRange partition
+    scanOf(df).batch.planInputPartitions().toSeq match {
+      case Seq(a: graft.sources.v2.AggRange) => assert(a.hi - a.lo === 1000000L)
+      case other => fail(s"expected one AggRange, got $other")
+    }
+  }
+
+  test("sum(n_chars) is NOT pushable: the source declines and rows are generated") {
+    val df = docs(500).agg(sum(col("n_chars")).as("s"))
+    assert(scanOf(df).batch.planInputPartitions().head.isInstanceOf[graft.sources.v2.DocsRange])
+    // correctness unchanged: sum equals the row-level recomputation
+    val viaRows = docs(500).select(sum(col("n_chars"))).head().getLong(0)
+    assert(df.head().getLong(0) === viaRows)
+  }
+
+  test("limit pushdown prunes the planned window (at-most semantics, Spark keeps its Limit)") {
+    val df = docs(1000000, parts = 8).limit(7)
+    val planned = scanOf(df).batch.planInputPartitions()
+      .map(_.asInstanceOf[DocsRange]).map(r => r.hi - r.lo).sum
+    assert(planned === 7L, s"planned $planned ids for limit 7")
+    assert(df.count() === 7L)
   }
 
   test("the scala FNV row derivation matches the expression-layer Fnv1a64") {
