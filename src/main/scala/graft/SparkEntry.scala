@@ -3113,6 +3113,19 @@ object SparkEntry {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
 
+  /** The connector's pushed-aggregate path under the driver gate: count /
+    * min / max over a MILLION-doc synthetic corpus — answered closed-form
+    * from partition bounds (one AggRange partial row, zero document rows
+    * generated; spec-audited). The oracle computes the same aggregates
+    * over `range()`.
+    */
+  private def connectorCountQ(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.v2.SyntheticDocs")
+      .option("n_docs", 1000000L).option("n_partitions", 16).option("seed", 7L)
+      .load()
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"),
+        max(col("doc_id")).as("last_id"))
+
   /** Windowed token-pair PMI ([[Analytics.pmiPairs]]): collocations within
     * a ±3-token window, minCount 5, top-100 — the skip-gram count census
     * an embedding pipeline precomputes.
@@ -4142,7 +4155,8 @@ object SparkEntry {
     "q_format_roundtrip"    -> (formatRoundtripQ(_, _)),
     "q_pmi_pairs"           -> (pmiPairsQ(_, _)),
     "q_l_diversity"         -> (lDiversityQ(_, _)),
-    "q_connector_source"    -> (connectorSourceQ(_, _)))
+    "q_connector_source"    -> (connectorSourceQ(_, _)),
+    "q_connector_count"     -> (connectorCountQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -7845,7 +7859,10 @@ object SparkEntry {
          |                   WHEN 3 THEN 'es' ELSE 'zh' END AS lang,
          |  count(*) AS n_docs,
          |  CAST(sum(5 * (10 + hu % 90) - 1) AS BIGINT) AS total_chars
-         |FROM h GROUP BY 1""".stripMargin)
+         |FROM h GROUP BY 1""".stripMargin,
+    "q_connector_count" ->
+      """SELECT count(*) AS n_docs, min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM range(0, 1000000) t(doc_id)""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

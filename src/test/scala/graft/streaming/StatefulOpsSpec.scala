@@ -370,6 +370,37 @@ class StatefulOpsSpec extends SparkSpec {
     assert(live(3L)._1 === 0.0, "pre-warmup events carry z = 0")
   }
 
+  test("native session_window streaming == batch session_window on the same events") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      SessionEvent(1L, ts("2024-01-01 09:00:00"), 1.0),
+      SessionEvent(1L, ts("2024-01-01 09:10:00"), 2.0),
+      SessionEvent(1L, ts("2024-01-01 11:00:00"), 4.0),
+      SessionEvent(2L, ts("2024-01-01 09:05:00"), 8.0))
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("user_id"), col("session_window.start").as("s"),
+        col("n"), col("total"))
+    val batch = sessions(events.toDF())
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val in = MemoryStream[SessionEvent]
+    in.addData(events.take(2): _*)
+    in.addData(events.drop(2): _*)
+    // advance the watermark far enough to close every session
+    in.addData(SessionEvent(99L, ts("2024-01-02 00:00:00"), 0.0))
+    val q = sessions(in.toDF().withWatermark("ts", "10 seconds"))
+      .writeStream.format("memory").queryName("t_native_sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val live = spark.table("t_native_sessions")
+      .filter(col("user_id") =!= 99L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(live === batch.filter(_._1 != 99L))
+  }
+
   test("streamingRateLimit: refill is exact event-time micro-token arithmetic; rejection keeps the clock") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[RateEvent]
