@@ -95,6 +95,19 @@ object Bench {
         .trim.split("\\s+")(8).toLong
       catch { case _: Throwable => 0L }
     val stealStart = stealJiffies()
+    // Per-query shuffle BYTES (write side), attributed around the cold run
+    // with the listener bus drained on both edges: bytes are deterministic
+    // per execution (unlike wall-clock, steal can't fake them), so this is
+    // the scale posture number — a query whose bytes grow superlinearly
+    // with SF is the 100 TB bottleneck no local timing shows.
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          shuffleW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+        }
+    })
+    val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -112,7 +125,11 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val s0 = stealJiffies()
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+      val sb0 = shuffleW.get
       val cold = once()
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+      shuffleBytes(name) = shuffleW.get - sb0
       // steady-state = MEDIAN of three warm runs: a single warm sample can
       // be poisoned by a GC pause (observed: 3.4 s on a 0.26 s query), and
       // min() of few samples biases optimistic (one lucky run sets the
@@ -262,7 +279,9 @@ object Bench {
       s""""$k":{"raw_warm":${r3(w)},"cold":${r3(c)},"used":${r3(math.min(w, c))}}"""
     }.mkString("{", ",", "}")
     val stealTotal = stealJiffies() - stealStart
-    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"measure":"$measure","sf":"$sfDir"}"""
+    val shuffleJson = shuffleBytes
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"shuffle_bytes":$shuffleJson,"measure":"$measure","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
