@@ -3126,6 +3126,15 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"),
         max(col("doc_id")).as("last_id"))
 
+  /** Apriori frequent triples ([[Analytics.basketTriples]]) over part
+    * groups (l_partkey mod 50) per order — the mining level after
+    * q_market_basket's pairs, with the level-1 prune applied scan-side.
+    */
+  private def basketTriplesQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.basketTriples(t(s, dir, "lineitem"),
+      col("l_orderkey"), pmod(col("l_partkey"), lit(50L)),
+      minSupport = 5L, k = 50)
+
   /** Windowed token-pair PMI ([[Analytics.pmiPairs]]): collocations within
     * a ±3-token window, minCount 5, top-100 — the skip-gram count census
     * an embedding pipeline precomputes.
@@ -4156,7 +4165,8 @@ object SparkEntry {
     "q_pmi_pairs"           -> (pmiPairsQ(_, _)),
     "q_l_diversity"         -> (lDiversityQ(_, _)),
     "q_connector_source"    -> (connectorSourceQ(_, _)),
-    "q_connector_count"     -> (connectorCountQ(_, _)))
+    "q_connector_count"     -> (connectorCountQ(_, _)),
+    "q_basket_triples"      -> (basketTriplesQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -7862,7 +7872,33 @@ object SparkEntry {
          |FROM h GROUP BY 1""".stripMargin,
     "q_connector_count" ->
       """SELECT count(*) AS n_docs, min(doc_id) AS first_id, max(doc_id) AS last_id
-        |FROM range(0, 1000000) t(doc_id)""".stripMargin)
+        |FROM range(0, 1000000) t(doc_id)""".stripMargin,
+    // identical level-1 prune, cubic in-basket comprehension, and
+    // left-associated lift3 = n_abc·N²/(n_a·n_b·n_c)
+    "q_basket_triples" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey % 50 AS i FROM lineitem),
+        |ic AS (SELECT i, count(*) AS ni FROM it GROUP BY 1),
+        |fi AS (SELECT i FROM ic WHERE ni >= 5),
+        |ba AS (
+        |  SELECT bk, list_sort(list(i)) AS arr
+        |  FROM it WHERE i IN (SELECT i FROM fi) GROUP BY bk
+        |), tr AS (
+        |  SELECT unnest(flatten(flatten([[[
+        |      {'a': arr[x], 'b': arr[y], 'c': arr[z]}
+        |      FOR z IN range(y + 1, len(arr) + 1)]
+        |    FOR y IN range(x + 1, len(arr))]
+        |  FOR x IN range(1, len(arr) - 1)]))) AS s
+        |  FROM ba WHERE len(arr) >= 3
+        |), tc AS (
+        |  SELECT s.a AS a, s.b AS b, s.c AS c, count(*) AS n_abc
+        |  FROM tr GROUP BY 1, 2, 3 HAVING count(*) >= 5
+        |), nb AS (SELECT count(DISTINCT bk) AS nbk FROM it)
+        |SELECT a, b, c, CAST(n_abc AS BIGINT) AS n_abc,
+        |  round(CAST(n_abc AS DOUBLE) * CAST(nbk AS DOUBLE) * CAST(nbk AS DOUBLE)
+        |    / (CAST(na.ni AS DOUBLE) * CAST(nb2.ni AS DOUBLE) * CAST(nc.ni AS DOUBLE)), 6) AS lift
+        |FROM tc CROSS JOIN nb
+        |  JOIN ic na ON na.i = a JOIN ic nb2 ON nb2.i = b JOIN ic nc ON nc.i = c
+        |ORDER BY lift DESC, a, b, c LIMIT 50""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

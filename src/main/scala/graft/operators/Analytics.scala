@@ -1135,6 +1135,59 @@ object Analytics {
       .limit(k)
   }
 
+  /** Apriori level-3: frequent item TRIPLES with lift, the step after
+    * [[marketBasket]]'s pairs. The level-1 prune is applied scan-side —
+    * each basket's item array is intersected with the frequent-item set
+    * (support ≥ `minSupport`, a bounded census collected as a LITERAL
+    * array, gated by `maxFreqItems`) BEFORE the cubic in-basket generator
+    * runs, so the generator's cost is cubic in the basket's FREQUENT-item
+    * count only (the classic SON/Apriori observation: infrequent items
+    * cannot appear in any frequent triple). Triples then partial-aggregate
+    * like any census; lift₃ = n_abc·N²/(n_a·n_b·n_c) in exact-int-derived
+    * doubles; top-k is TakeOrderedAndProject.
+    *
+    * Per-basket blow-up is the caller's contract (same as marketBasket's
+    * pair generator): a basket with f frequent items emits C(f, 3) rows —
+    * cap pathological baskets upstream if the domain allows them.
+    */
+  def basketTriples(df: DataFrame, basketCol: Column, itemCol: Column,
+                    minSupport: Long, k: Int,
+                    maxFreqItems: Int = 100000): DataFrame = {
+    require(minSupport >= 1 && k >= 1, s"minSupport/k must be positive: $minSupport/$k")
+    val items = df.select(basketCol.as("__b"), itemCol.cast("long").as("__i")).distinct()
+    val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val freq = itemCounts.filter(col("__ni") >= minSupport)
+      .limit(maxFreqItems + 1).collect()
+    require(freq.length <= maxFreqItems,
+      s"more than maxFreqItems=$maxFreqItems frequent items — raise minSupport")
+    val freqArr = freq.map(_.getLong(0)).sorted
+    val nBaskets = items.agg(countDistinct(col("__b")).as("__nbk"))
+    val triples = items.groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__arr0"))
+      .withColumn("__arr", array_intersect(col("__arr0"), typedLit(freqArr.toSeq)))
+      .filter(size(col("__arr")) >= 3)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(__arr) - 2), x ->
+          |  flatten(transform(sequence(x + 1, size(__arr) - 1), y ->
+          |    transform(sequence(y + 1, size(__arr)), z ->
+          |      struct(element_at(__arr, x) AS a, element_at(__arr, y) AS b,
+          |             element_at(__arr, z) AS c))))))""".stripMargin)).as("__t"))
+      .select(col("__t.a").as("a"), col("__t.b").as("b"), col("__t.c").as("c"))
+      .groupBy(col("a"), col("b"), col("c")).agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= minSupport)
+    triples
+      .join(itemCounts.select(col("__i").as("a"), col("__ni").as("__na")), "a")
+      .join(itemCounts.select(col("__i").as("b"), col("__ni").as("__nb")), "b")
+      .join(itemCounts.select(col("__i").as("c"), col("__ni").as("__nc")), "c")
+      .crossJoin(broadcast(nBaskets))
+      .withColumn("lift", round(
+        col("n_abc").cast("double") * col("__nbk").cast("double") * col("__nbk").cast("double")
+          / (col("__na").cast("double") * col("__nb").cast("double") * col("__nc").cast("double")), 6))
+      .select(col("a"), col("b"), col("c"), col("n_abc"), col("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"), col("c"))
+      .limit(k)
+  }
+
   /** 2-D Pareto frontier, maximizing `valueCol` while minimizing the date
     * of `tsCol`: a row survives iff nothing with an earlier-or-equal date
     * strictly dominates it — i.e. it holds its date's max value AND beats

@@ -891,6 +891,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_basket_triples: level-1-pruned cubic generator; census joins; top-k") {
+    val p = plan("q_basket_triples")
+    assert(p.contains("Generate"), p) // the in-basket triple comprehension
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the frequent-item prune is a LITERAL array intersect below the
+    // generator — no join and no shuffle brings the frequent set to the data
+    assert(p.contains("array_intersect"), p)
+  }
+
   test("q_ngram_novelty: gram/bucket pre-dedup partial-aggregates; no window, no cartesian") {
     val p = plan("q_ngram_novelty")
     assert(p.contains("partial_count"), p)

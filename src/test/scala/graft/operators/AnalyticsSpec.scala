@@ -723,6 +723,25 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("basketTriples: level-1 prune removes infrequent items before the cubic step; lift exact") {
+    val s = spark
+    import s.implicits._
+    // items 1,2,3 co-occur in 3 baskets; item 9 appears once (pruned by
+    // minSupport=2 BEFORE triple generation — no triple may contain it)
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 9L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 3L))
+    val out = Analytics.basketTriples(rows.toDF("bk", "item"),
+        col("bk"), col("item"), minSupport = 2L, k = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3), r.getDouble(4)))
+    assert(out.length === 1)
+    val ((a, b, c), n, lift) = out.head
+    assert((a, b, c) === ((1L, 2L, 3L)) && n === 3L)
+    // lift3 = n_abc·N²/(n_a·n_b·n_c) = 3·9/(3·3·3) = 1.0
+    assert(lift === 1.0)
+  }
+
   test("pmiPairs and ngramNovelty return empty (not NPE) on degenerate input") {
     val s = spark
     import s.implicits._
