@@ -101,12 +101,13 @@ object Bench {
     // the scale posture number — a query whose bytes grow superlinearly
     // with SF is the 100 TB bottleneck no local timing shows.
     val shuffleW = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    val shuffleListener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null) {
           shuffleW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
         }
-    })
+    }
+    spark.sparkContext.addSparkListener(shuffleListener)
     val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = selected.map { case (name, fn) =>
       def once(): Double = {
@@ -285,6 +286,9 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
+    // unregister before stop: a wrapper invoking main() twice on one
+    // session must not stack listeners
+    spark.sparkContext.removeSparkListener(shuffleListener)
     spark.stop()
   }
 }

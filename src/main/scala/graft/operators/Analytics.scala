@@ -1154,7 +1154,10 @@ object Analytics {
                     minSupport: Long, k: Int,
                     maxFreqItems: Int = 100000): DataFrame = {
     require(minSupport >= 1 && k >= 1, s"minSupport/k must be positive: $minSupport/$k")
-    val items = df.select(basketCol.as("__b"), itemCol.cast("long").as("__i")).distinct()
+    // null/uncastable items carry no itemset information and would poison
+    // the frequent-item literal (a NULL row NPEs the collect)
+    val items = df.select(basketCol.as("__b"), itemCol.cast("long").as("__i"))
+      .filter(col("__i").isNotNull).distinct()
     val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val freq = itemCounts.filter(col("__ni") >= minSupport)
       .limit(maxFreqItems + 1).collect()

@@ -8,7 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -45,12 +45,18 @@ class SyntheticDocs extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticDocs.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new SyntheticDocsTable(
-      SyntheticDocs.longOpt(properties, "n_docs", 1000L),
-      SyntheticDocs.longOpt(properties, "n_partitions", 8L).toInt,
-      SyntheticDocs.longOpt(properties, "seed", 42L),
-      SyntheticDocs.longOpt(properties, "rows_per_batch", 1000L))
+                        properties: util.Map[String, String]): Table = {
+    val nDocs = SyntheticDocs.longOpt(properties, "n_docs", 1000L)
+    val nParts = SyntheticDocs.longOpt(properties, "n_partitions", 8L)
+    val rpb = SyntheticDocs.longOpt(properties, "rows_per_batch", 1000L)
+    // fail LOUDLY at table resolution: n_partitions=0 would silently plan an
+    // empty corpus, rows_per_batch=0 a stream that never advances
+    require(nDocs >= 0, s"n_docs must be >= 0: $nDocs")
+    require(nParts > 0 && nParts <= Int.MaxValue, s"n_partitions must be positive: $nParts")
+    require(rpb > 0, s"rows_per_batch must be positive: $rpb")
+    new SyntheticDocsTable(nDocs, nParts.toInt,
+      SyntheticDocs.longOpt(properties, "seed", 42L), rpb)
+  }
 }
 
 object SyntheticDocs {
@@ -121,9 +127,12 @@ object SyntheticDocs {
     if (n == 0L) Array.empty
     else {
       val parts = math.min(nParts.toLong, n).toInt
+      // BigInt for the proportional bounds: n·p overflows Long once
+      // n ≥ Long.Max/parts (~5.8e17 at 16 partitions) — and "plans at any
+      // corpus size" is this source's design claim
+      def bound(p: Int): Long = lo + ((BigInt(n) * p) / parts).toLong
       (0 until parts).map { p =>
-        DocsRange(lo + n * p / parts, lo + n * (p + 1) / parts, seed,
-          fields): InputPartition
+        DocsRange(bound(p), bound(p + 1), seed, fields): InputPartition
       }.toArray
     }
   }
@@ -155,17 +164,18 @@ private[v2] class SyntheticDocsScanBuilder(nDocs: Long, nParts: Int, seed: Long,
 
   // Narrow the id window from doc_id range predicates; EVERYTHING is
   // returned as residual (Spark re-evaluates), so pruning can only skip
-  // whole out-of-range partitions, never change results.
+  // whole out-of-range partitions, never change results. pushedFilters()
+  // reports ONLY the range predicates actually consumed — advertising the
+  // rest as "pushed" would make the plan metadata lie to pushdown audits.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    filters.foreach {
-      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
-      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
-      case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
-      case _ => ()
+    pushed = filters.filter {
+      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v); true
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
+      case _ => false
     }
-    pushed = filters
     filters
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -221,8 +231,11 @@ private[v2] class SyntheticDocsScan(lo: Long, hi: Long, nParts: Int, seed: Long,
                                     aggKinds: Option[Seq[String]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = aggKinds match {
+    // min/max are nullable: an EMPTY range still emits its one partial row
+    // (count 0, min/max null) so the final merge sees count(*) = 0, not a
+    // NULL sum over zero partials
     case Some(kinds) => StructType(kinds.zipWithIndex.map { case (k, i) =>
-      StructField(s"${k}_$i", LongType, nullable = false) })
+      StructField(s"${k}_$i", LongType, nullable = k != "count") })
     case None => required
   }
   override def toBatch: Batch = this
@@ -234,8 +247,10 @@ private[v2] class SyntheticDocsScan(lo: Long, hi: Long, nParts: Int, seed: Long,
 
   override def planInputPartitions(): Array[InputPartition] = aggKinds match {
     case Some(kinds) =>
-      if (hi <= lo) Array.empty
-      else Array(AggRange(lo, hi, kinds): InputPartition) // one closed-form row
+      // one closed-form row ALWAYS — even an empty range, whose partial row
+      // carries count 0 / null min/max (zero partials would merge count to
+      // a NULL sum and crash a non-nullable count(*))
+      Array(AggRange(lo, math.max(lo, hi), kinds): InputPartition)
     case None =>
       SyntheticDocs.sliceRange(lo, hi, nParts, seed, required.fieldNames.toIndexedSeq)
   }
@@ -253,12 +268,14 @@ case class AggRange(lo: Long, hi: Long, kinds: Seq[String]) extends InputPartiti
 private[v2] class AggReader(r: AggRange) extends PartitionReader[InternalRow] {
   private var done = false
   override def next(): Boolean = { val first = !done; done = true; first }
-  override def get(): InternalRow =
+  override def get(): InternalRow = {
+    val empty = r.hi <= r.lo
     new GenericInternalRow(r.kinds.map {
-      case "count" => java.lang.Long.valueOf(r.hi - r.lo)
-      case "min" => java.lang.Long.valueOf(r.lo)
-      case "max" => java.lang.Long.valueOf(r.hi - 1L)
+      case "count" => java.lang.Long.valueOf(math.max(0L, r.hi - r.lo))
+      case "min" => if (empty) null else java.lang.Long.valueOf(r.lo)
+      case "max" => if (empty) null else java.lang.Long.valueOf(r.hi - 1L)
     }.toArray[Any])
+  }
   override def close(): Unit = ()
 }
 
@@ -274,7 +291,25 @@ private[v2] case class DocsOffset(id: Long) extends Offset {
 
 private[v2] class SyntheticDocsMicroBatch(lo: Long, hi: Long, nParts: Int,
                                           seed: Long, required: StructType,
-                                          rowsPerBatch: Long) extends MicroBatchStream {
+                                          rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  // Admission-control pacing (the path Spark actually uses once
+  // SupportsAdmissionControl is implemented): the next batch end derives
+  // from the ENGINE's start offset — stateless, so restart safety needs no
+  // driver-side ratchet — and Trigger.AvailableNow drains the WHOLE corpus
+  // in rowsPerBatch slices instead of silently stopping after one (a
+  // source without this trait gets its no-arg latestOffset captured once).
+  override def prepareForTriggerAvailableNow(): Unit = () // corpus end is already fixed
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val a = start.asInstanceOf[DocsOffset].id
+    val step = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => rowsPerBatch
+    }
+    DocsOffset(math.min(hi, a + math.max(1L, step)))
+  }
   // Admission pacing lives HERE, not in planInputPartitions: Spark commits
   // the full (start, end] interval it was given, so a planner-side cap
   // would silently drop the tail of a batch. latestOffset advances the

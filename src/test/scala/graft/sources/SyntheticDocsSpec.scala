@@ -106,6 +106,47 @@ class SyntheticDocsSpec extends SparkSpec {
     assert(df.count() === 7L)
   }
 
+  test("pushed aggregate over an EMPTY corpus merges to count 0 (not a null sum over zero partials)") {
+    val df = docs(0).agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"))
+    val r = df.head()
+    assert(r.getLong(0) === 0L)
+    assert(r.isNullAt(1))
+  }
+
+  test("invalid options fail loudly at table resolution, not as silent empty reads") {
+    intercept[IllegalArgumentException] { docs(1000, parts = 0).count() }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft.sources.v2.SyntheticDocs")
+        .option("n_docs", 100).option("rows_per_batch", 0).load().count()
+    }
+  }
+
+  test("pushedFilters reports only the consumed doc_id range predicates") {
+    val df = docs(1000).filter(col("doc_id") < 10L && col("lang") === "en")
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("lo=0") && desc.contains("hi=10"), desc)
+    // the lang predicate must survive as a post-scan Filter (it was never
+    // consumed by the source) and results stay exact
+    assert(df.queryExecution.executedPlan.toString.contains("Filter"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.count() === docs(1000).collect()
+      .count(r => r.getAs[Long]("doc_id") < 10L && r.getAs[String]("lang") == "en"))
+  }
+
+  test("Trigger.AvailableNow drains the WHOLE corpus in rows_per_batch slices") {
+    val streamed = spark.readStream.format("graft.sources.v2.SyntheticDocs")
+      .option("n_docs", 500).option("n_partitions", 4).option("seed", 11L)
+      .option("rows_per_batch", 150)
+      .load()
+    val q = streamed.writeStream.format("memory").queryName("t_synth_an")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000L)
+    assert(spark.table("t_synth_an").count() === 500L)
+    assert(q.recentProgress.length >= 3, // 500 ids in <=150-id slices: >= 4 batches ran
+      q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("the scala FNV row derivation matches the expression-layer Fnv1a64") {
     val viaExpr = spark.range(0, 50)
       .select(graft.functions.TextFunctions.fnv1a64(
