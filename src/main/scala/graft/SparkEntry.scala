@@ -3126,6 +3126,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"),
         max(col("doc_id")).as("last_id"))
 
+  /** Windowed funnel ([[Analytics.funnelWindowed]]): signup → view within
+    * 7 days → purchase within 7 days of the view — the per-step conversion
+    * window q_funnel's unbounded form cannot express.
+    */
+  private def funnelWindowedQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.funnelWindowed(
+      t(s, dir, "events").select("user_id", "ts", "event_type"),
+      "user_id", "ts",
+      Seq("t_signup" -> (col("event_type") === "signup"),
+        "t_view" -> (col("event_type") === "view"),
+        "t_purchase" -> (col("event_type") === "purchase")),
+      maxGapSeconds = 7L * 86400L)
+
   /** Apriori frequent triples ([[Analytics.basketTriples]]) over part
     * groups (l_partkey mod 50) per order — the mining level after
     * q_market_basket's pairs, with the level-1 prune applied scan-side.
@@ -4166,7 +4179,8 @@ object SparkEntry {
     "q_l_diversity"         -> (lDiversityQ(_, _)),
     "q_connector_source"    -> (connectorSourceQ(_, _)),
     "q_connector_count"     -> (connectorCountQ(_, _)),
-    "q_basket_triples"      -> (basketTriplesQ(_, _)))
+    "q_basket_triples"      -> (basketTriplesQ(_, _)),
+    "q_funnel_windowed"     -> (funnelWindowedQ(_, _)))
 
   /** Shared SQL fragments for the oracle strings. */
   private val duckToks =
@@ -7898,7 +7912,27 @@ object SparkEntry {
         |    / (CAST(na.ni AS DOUBLE) * CAST(nb2.ni AS DOUBLE) * CAST(nc.ni AS DOUBLE)), 6) AS lift
         |FROM tc CROSS JOIN nb
         |  JOIN ic na ON na.i = a JOIN ic nb2 ON nb2.i = b JOIN ic nc ON nc.i = c
-        |ORDER BY lift DESC, a, b, c LIMIT 50""".stripMargin)
+        |ORDER BY lift DESC, a, b, c LIMIT 50""".stripMargin,
+    // per-step 7-day window in exact epoch micros, anchored at each stage's
+    // earliest completion (q_funnel's chain plus the gap conjunct)
+    "q_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t_signup
+        |  FROM events
+        |), s2 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'view' AND ts > t_signup
+        |    AND epoch_us(ts) <= epoch_us(t_signup) + 604800000000
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t_view FROM s1
+        |), s3 AS (
+        |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t_view
+        |    AND epoch_us(ts) <= epoch_us(t_view) + 604800000000
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t_purchase FROM s2
+        |)
+        |SELECT user_id, MAX(t_signup) AS t_signup, MAX(t_view) AS t_view,
+        |  MAX(t_purchase) AS t_purchase
+        |FROM s3 GROUP BY user_id""".stripMargin)
 
   /** The PQ encode → LUT → ADC → shortlist → exact-re-score replay,
     * parameterized by the source relation the codes are built over (the

@@ -812,6 +812,36 @@ object Analytics {
         stages.tail.map { case (n, _) => max(col(n)).as(n) }: _*)
   }
 
+  /** Ordered funnel with a PER-STEP conversion window: stage i completes at
+    * the first matching event strictly after stage i−1 AND within
+    * `maxGapSeconds` of it — "purchased within 7 days of viewing", the form
+    * product analytics actually reports. Semantics are anchored at each
+    * stage's EARLIEST completion (same anchoring as [[funnel]]; a later
+    * stage-i event that would open a different window does not re-anchor —
+    * stated, deterministic, and exactly replayable in SQL). Gap arithmetic
+    * is exact microseconds. Same scale shape as [[funnel]]: one key shuffle,
+    * |stages| unordered partition-wide min-windows, zero per-key sorts.
+    */
+  def funnelWindowed(df: DataFrame, keyCol: String, tsCol: String,
+                     stages: Seq[(String, Column)],
+                     maxGapSeconds: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapSeconds > 0, s"maxGapSeconds must be positive: $maxGapSeconds")
+    val w = Window.partitionBy(col(keyCol))
+    val staged = stages.zipWithIndex.foldLeft(df) {
+      case (d, ((name, pred), i)) =>
+        val gate =
+          if (i == 0) pred
+          else pred && col(tsCol) > col(stages(i - 1)._1) &&
+            unix_micros(col(tsCol)) <=
+              unix_micros(col(stages(i - 1)._1)) + maxGapSeconds * 1000000L
+        d.withColumn(name, min(when(gate, col(tsCol))).over(w))
+    }
+    staged.groupBy(col(keyCol))
+      .agg(max(col(stages.head._1)).as(stages.head._1),
+        stages.tail.map { case (n, _) => max(col(n)).as(n) }: _*)
+  }
+
   /** Time-series resampling onto a dense daily grid with
     * last-observation-carried-forward: every key gets one row per day of
     * the data's global [min, max] day span; days with no observation

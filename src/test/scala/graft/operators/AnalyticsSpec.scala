@@ -723,6 +723,27 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("funnelWindowed: inclusive at exactly the gap, broken one microsecond past it") {
+    val s = spark
+    import s.implicits._
+    def t(sec: Int, micro: Int = 0) = {
+      val x = Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d")
+      x.setNanos(micro * 1000); x
+    }
+    val events = Seq(
+      (1L, t(0), "a"), (1L, t(10), "b"),        // within the 10s gap exactly → converts
+      (2L, t(0), "a"), (2L, t(10, 1), "b"),     // 1µs past → stage 2 null
+      (3L, t(0), "a"), (3L, t(5), "b"), (3L, t(20), "b") // earliest in-window wins
+    ).toDF("user_id", "ts", "event_type")
+    val out = Analytics.funnelWindowed(events, "user_id", "ts",
+        Seq("t_a" -> (col("event_type") === "a"), "t_b" -> (col("event_type") === "b")),
+        maxGapSeconds = 10L)
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(2))).toMap
+    assert(out(1L) === Some(t(10)))
+    assert(out(2L) === None)
+    assert(out(3L) === Some(t(5)))
+  }
+
   test("basketTriples: level-1 prune removes infrequent items before the cubic step; lift exact") {
     val s = spark
     import s.implicits._
