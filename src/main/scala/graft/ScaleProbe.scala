@@ -179,6 +179,16 @@ object ScaleProbe {
           d, "lang", "doc_id", "text",
           Map(langs(0) -> 0.5, langs(1) -> 0.5), factor = 2.0)
           .queryExecution.toRdd.count() }
+      // round-11 operators on the blown-up corpus: the PMI pair census
+      // (the shuffle column should read pairs+marginals, never text) and
+      // the trigram novelty curve ((gram, bucket) pre-dedup'd)
+      timeM("pmi pairs (w=3, top-100)") {
+        graft.operators.Analytics.pmiPairs(d, col("text"), 3, 5L, 100)
+          .queryExecution.toRdd.count() }
+      timeM("ngram novelty (8 buckets)") {
+        graft.operators.Analytics.ngramNovelty(
+          d, col("doc_id"), col("text"), 3, 8)
+          .queryExecution.toRdd.count() }
       // Interval join on a hot-key event stream: 200k events over 30 days,
       // 10% owned by ONE user. The naive formulation (key-equi join, range
       // as a post-filter) sort-merges the hot user's ENTIRE view history
