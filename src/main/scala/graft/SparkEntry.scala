@@ -439,6 +439,40 @@ object SparkEntry {
     graft.operators.Graph.triangleCounts(knn, "src", "dst")
   }
 
+  /** Link prediction on the same symmetrized k-NN-5 embedding graph as
+    * [[triangleCountQ]]: non-adjacent two-hop pairs ranked by
+    * common-neighbor count and the resource-allocation index
+    * ([[graft.operators.Graph.linkPredict]]) — the "which similarity edges
+    * is the graph missing" second-pass candidate generator. RA credits are
+    * exact integer picocredits (10^12 div deg), so the score replays
+    * bit-for-bit on any engine.
+    */
+  private def linkPredictQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val knn = Ann.knnGraph(emb.filter(col("vec_id") < 200), emb, "vec_id",
+      "embedding", k = 5)
+    graft.operators.Graph.linkPredict(knn, "src", "dst", maxDeg = 64)
+  }
+
+  /** k-NN majority-vote classification ([[Ann.knnClassify]]): vectors
+    * 200–299 are stripped of their label and re-labeled by the plurality
+    * vote of their 5 nearest labeled neighbors (vec_id < 200); the output
+    * keeps the held-out true label and a correctness flag, so the query
+    * doubles as the label-spread accuracy audit a curation pipeline runs
+    * before trusting the classifier at corpus scale.
+    */
+  private def knnClassifyQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val labeled = emb.filter(col("vec_id") < 200)
+    val held = emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    Ann.knnClassify(held, labeled, "vec_id", "embedding", "label", k = 5)
+      .join(emb.select(col("vec_id"), col("label").as("true_label")),
+        col("id") === col("vec_id"))
+      .select(col("vec_id"), col("pred_label"), col("votes"),
+        col("true_label"),
+        (col("pred_label") === col("true_label")).cast("long").as("correct"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis race,
     * [[graft.operators.Graph.weightedSample]]): 200 documents drawn with
     * probability proportional to length, deterministically from the id
@@ -4159,6 +4193,8 @@ object SparkEntry {
     "q_span_corruption"     -> (spanCorruptQ(_, _)),
     "q_pagerank"            -> (pageRankQ(_, _)),
     "q_triangle_count"      -> (triangleCountQ(_, _)),
+    "q_link_predict"        -> (linkPredictQ(_, _)),
+    "q_knn_classify"        -> (knnClassifyQ(_, _)),
     "q_weighted_sample"     -> (weightedSampleQ(_, _)),
     "q_sql_q5"              -> (sqlQ5(_, _)),
     "q_cross_source_overlap" -> (crossSourceOverlapQ(_, _)),
@@ -7600,6 +7636,63 @@ object SparkEntry {
          |)
          |SELECT v, CAST(count(*) AS BIGINT) AS triangles
          |FROM (SELECT unnest([p, q, r]) AS v FROM tri) GROUP BY v""".stripMargin,
+    // link prediction: the same knn CTE symmetrized, degrees from the
+    // both-ways adjacency, centers pruned at deg > 64 (part of the
+    // semantics, replayed), wedges u < v through each surviving center,
+    // RA credit = 10^12 // deg (truncating integer division — exact on
+    // both engines), existing edges removed by NOT EXISTS on (a, b)
+    "q_link_predict" ->
+      s"""WITH p AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < 200 AND y.vec_id != x.vec_id
+         |), r AS (
+         |  SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM p
+         |), e AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rn <= 5
+         |), adj AS (
+         |  SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e
+         |), deg AS (
+         |  SELECT w AS v, COUNT(*) AS d FROM adj GROUP BY w
+         |), aw AS (
+         |  SELECT adj.w, adj.n, deg.d FROM adj JOIN deg ON deg.v = adj.w
+         |  WHERE deg.d <= 64
+         |), wdg AS (
+         |  SELECT x.n AS u, y.n AS v, x.d
+         |  FROM aw x JOIN aw y ON x.w = y.w AND x.n < y.n
+         |), cand AS (
+         |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+         |    CAST(SUM(1000000000000 // d) AS BIGINT) AS ra_pico
+         |  FROM wdg GROUP BY u, v
+         |)
+         |SELECT u, v, common_neighbors, ra_pico FROM cand
+         |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cand.u AND e.b = cand.v)""".stripMargin,
+    // k-NN plurality vote: neighbor ranking replayed on the identical
+    // double cosine, votes as exact counts, winner = (votes DESC, label)
+    // row_number 1 — the engine's min-struct argmax must agree
+    "q_knn_classify" ->
+      s"""WITH p AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, y.label AS nl, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id >= 200 AND x.vec_id < 300 AND y.vec_id < 200
+         |), r AS (
+         |  SELECT src, nl,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM p
+         |), v AS (
+         |  SELECT src, nl AS pred_label, CAST(COUNT(*) AS BIGINT) AS votes
+         |  FROM r WHERE rn <= 5 GROUP BY src, nl
+         |), b AS (
+         |  SELECT src, pred_label, votes,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY votes DESC, pred_label) AS brn
+         |  FROM v
+         |)
+         |SELECT b.src AS vec_id, b.pred_label, b.votes, e.label AS true_label,
+         |  CAST(CASE WHEN b.pred_label = e.label THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM b JOIN embeddings e ON e.vec_id = b.src WHERE brn = 1""".stripMargin,
     // 3 unrolled power iterations; contributions summed in DECIMAL(38,18)
     // (associative-exact), so ranks replay bit-identically
     "q_pagerank" ->

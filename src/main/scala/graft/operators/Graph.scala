@@ -149,4 +149,58 @@ object Graph {
     }
     levels.reduce(_ union _).groupBy(col("node")).agg(min(col("hops")).as("hops"))
   }
+
+  /** Link prediction over an undirected edge list: for every non-adjacent
+    * two-hop pair (u, v), the common-neighbor count and the
+    * resource-allocation index RA(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1/deg(w)
+    * (Zhou, Lü & Zhang, Eur. Phys. J. B 71, 2009 — the RA index
+    * consistently beats Adamic–Adar in their benchmark, and unlike AA it
+    * needs no logarithm, so it is exactly replayable in integer
+    * arithmetic). The near-dup / retrieval use: predict which documents a
+    * similarity graph is MISSING edges for — candidate pairs for a second
+    * verification pass.
+    *
+    * Exactness: each wedge center w contributes `10^12 div deg(w)`
+    * picocredits (truncating integer division — decimal DIVISION result
+    * scales are engine-specific, integer division is not), and the
+    * per-pair score is an exact BIGINT sum, order-independent and
+    * bit-identical on any engine.
+    *
+    * Scale shape: wedge generation explodes as Σ_w deg(w)² — the
+    * celebrity-vertex blow-up triangle counting dodges with degree
+    * ordering. Here every wedge through w is genuinely needed, so the
+    * skew defense is `maxDeg`, and it is part of the SEMANTICS, not an
+    * approximation knob the oracle can't see: centers with deg(w) >
+    * maxDeg are pruned before wedge generation (each contributes
+    * < 1/maxDeg ≈ nothing to RA, and a stopword-like hub's
+    * common-neighbor signal is noise — the standard production cap on
+    * posting/neighbor lists). The oracle replays the same prune. What
+    * remains is hash equi-joins plus one partial-aggregated groupBy;
+    * known edges leave via an anti-join on the same (least, greatest)
+    * key. Nothing is collected. Returns (`u`, `v`, `common_neighbors`,
+    * `ra_pico`) with u < v.
+    */
+  def linkPredict(edges: DataFrame, aCol: String, bCol: String,
+                  maxDeg: Int = 64): DataFrame = {
+    require(maxDeg >= 1, s"maxDeg must be >= 1: $maxDeg")
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val adj = und.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    val aw = adj.join(deg.filter(col("d") <= maxDeg), "w")
+    val wedges = aw.select(col("w"), col("d"), col("n").as("u"))
+      .join(aw.select(col("w"), col("n").as("v")), "w")
+      .filter(col("u") < col("v"))
+    val cand = wedges
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(expr("CAST(1000000000000 AS BIGINT) div d")).as("ra_pico"))
+    cand.join(und,
+        cand("u") === und("a") && cand("v") === und("b"), "left_anti")
+      .select(col("u"), col("v"), col("common_neighbors"), col("ra_pico"))
+  }
 }

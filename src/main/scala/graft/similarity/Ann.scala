@@ -544,4 +544,32 @@ object Ann {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** k-NN majority-vote classification (Cover & Hart 1967, the plurality
+    * rule): each query row gets the label held by most of its `k`
+    * highest-cosine labeled neighbors, ties broken toward the smallest
+    * label — how curation pipelines spread a small hand-labeled seed set
+    * (quality tiers, domains, topics) over a 100 TB corpus.
+    *
+    * Scale shape: neighbor search is [[knnGraph]] (bounded per-query
+    * top-k aggregate — ≤ k rows per (mapper, query) into the shuffle; at
+    * corpus scale the all-pairs candidate join swaps for the LSH/IVF
+    * candidate machinery exactly as knnGraph's scaladoc describes). The
+    * vote is one partial-aggregated groupBy over ≤ k·|queries| slim
+    * (query, label) rows, and the winner is a single min-struct aggregate
+    * — (−votes, label) ascending — never a per-query sort window. Returns
+    * (`id`, `pred_label`, `votes`).
+    */
+  def knnClassify(queries: DataFrame, labeled: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val knn = knnGraph(queries, labeled, idCol, vecCol, k)
+    val lbl = labeled.select(col(idCol).as("dst"), col(labelCol).as("__nl"))
+    knn.join(lbl, "dst")
+      .groupBy(col("src"), col("__nl"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("src"))
+      .agg(min(struct(negate(col("votes")).as("nv"), col("__nl").as("l"))).as("best"))
+      .select(col("src").as("id"), col("best.l").as("pred_label"),
+        negate(col("best.nv")).as("votes"))
+  }
 }

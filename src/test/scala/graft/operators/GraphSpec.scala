@@ -111,4 +111,32 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(out === Map(1L -> 0, 2L -> 1))
   }
+
+  test("linkPredict: hand-computed RA picocredits, existing edges excluded") {
+    import spark.implicits._
+    // 1-2, 2-3, 3-4, 2-4: deg = {1:1, 2:3, 3:2, 4:2}. Wedges through 2
+    // give (1,3), (1,4), (3,4); through 3 give (2,4); through 4 give
+    // (2,3). (3,4)/(2,4)/(2,3) are edges → anti-joined out. Survivors
+    // each have one center (vertex 2, deg 3): 10^12 div 3.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 4L), (2L, 1L)).toDF("s", "d")
+    val out = Graph.linkPredict(edges, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      (1L, 3L) -> (1L, 333333333333L),
+      (1L, 4L) -> (1L, 333333333333L)))
+  }
+
+  test("linkPredict: multi-center pairs sum credits; maxDeg prunes centers") {
+    import spark.implicits._
+    // square 1-2, 1-3, 2-4, 3-4: (1,4) closes through 2 AND 3 (both deg
+    // 2), (2,3) through 1 AND 4 — cn = 2, ra = 2 · (10^12 div 2) = 10^12.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("s", "d")
+    val out = Graph.linkPredict(edges, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      (1L, 4L) -> (2L, 1000000000000L),
+      (2L, 3L) -> (2L, 1000000000000L)))
+    // maxDeg = 1 prunes every center (all degrees are 2) → empty
+    assert(Graph.linkPredict(edges, "s", "d", maxDeg = 1).count() === 0L)
+  }
 }

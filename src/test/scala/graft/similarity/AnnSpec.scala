@@ -307,4 +307,24 @@ class AnnSpec extends SparkSpec {
       assert(mine === ref, s"src $s")
     }
   }
+
+  test("knnClassify: plurality vote, ties break to the smallest label") {
+    import spark.implicits._
+    val labeled = Seq(
+      (1L, Array(10f, 0f), 1),
+      (2L, Array(9f, 1f), 2),
+      (3L, Array(9f, -1f), 2),
+      (4L, Array(0f, 10f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val query = Seq((100L, Array(1f, 0f), 9)).toDF("vec_id", "embedding", "label")
+    // k = 3 nearest by cosine: ids 1 (cos 1.0), 2, 3 (≈0.9939) → labels
+    // {1, 2, 2} → plurality 2 with 2 votes
+    val out3 = Ann.knnClassify(query, labeled, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out3.toSeq === Seq((100L, 2, 2L)))
+    // k = 2: labels {1, 2} split 1–1 → tie breaks to the smaller label
+    val out2 = Ann.knnClassify(query, labeled, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out2.toSeq === Seq((100L, 1, 1L)))
+  }
 }
