@@ -473,6 +473,31 @@ object SparkEntry {
         (col("pred_label") === col("true_label")).cast("long").as("correct"))
   }
 
+  /** Mutual-kNN pairs ([[graft.operators.Graph.mutualEdges]]) over a closed
+    * 300-vector k-NN-5 subgraph: pairs where EACH vector ranks the other in
+    * its own top-5 — the high-precision near-dup signal (one-directional
+    * edges are usually hub attraction, mutual ones are genuine pairs). Both
+    * directions' ranks are kept so downstream can tighten to rank ≤ r.
+    */
+  private def mutualKnnQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+    val knn = Ann.knnGraph(emb, emb, "vec_id", "embedding", k = 5)
+    graft.operators.Graph.mutualEdges(knn, "src", "dst", "rn")
+  }
+
+  /** Degree assortativity ([[graft.operators.Graph.degreeAssortativity]])
+    * of the same symmetrized k-NN-5 graph as [[linkPredictQ]]: one row of
+    * exact BIGINT moment sums plus Newman's r — the similarity-graph health
+    * gate (r near +1 means duplicates are clique-ing; strongly negative
+    * means hubs dominate and the k-NN lists need a mutual filter).
+    */
+  private def assortativityQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val knn = Ann.knnGraph(emb.filter(col("vec_id") < 200), emb, "vec_id",
+      "embedding", k = 5)
+    graft.operators.Graph.degreeAssortativity(knn, "src", "dst")
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis race,
     * [[graft.operators.Graph.weightedSample]]): 200 documents drawn with
     * probability proportional to length, deterministically from the id
@@ -571,6 +596,52 @@ object SparkEntry {
       // DATE surfaces differently per engine (date32 vs datetime64) —
       // ship bars/cohorts at midnight TIMESTAMP for a type-stable contract
       .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
+  }
+
+  /** DAU/MAU stickiness per month: average daily actives over monthly
+    * actives — the engagement ratio product analytics tracks next to the
+    * retention matrix. Exact integer numerators/denominators (sum of daily
+    * distinct counts, one monthly distinct count); only the final ratio is
+    * one rounded double division. Both distincts are key-sharded exact
+    * aggregates — no HLL here because the contract is the exact ratio (the
+    * approximate tier is [[Analytics.hllRollup]]).
+    */
+  private def stickinessQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val daily = ev
+      .select(date_trunc("month", col("ts")).as("month"),
+        to_date(col("ts")).as("day"), col("user_id"))
+      .groupBy(col("month"), col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .groupBy(col("month"))
+      .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+    val monthly = ev
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    daily.join(monthly, "month")
+      .select(col("month"), col("sum_dau"), col("n_days"), col("mau"),
+        round(col("sum_dau").cast("double") /
+          (col("n_days") * col("mau")).cast("double"), 6).as("stickiness"))
+  }
+
+  /** Inactivity churn by signup cohort: users grouped by first-event ISO
+    * week; churned = no activity in the observation window's last 14 days.
+    * One per-user min/max aggregate, a 1-row global-max broadcast, and the
+    * cohort rollup — the whole query is two key shuffles regardless of
+    * corpus size. Cohort ships as midnight TIMESTAMP (the DATE-vs-engine
+    * contract used by [[cohortRetentionQ]]).
+    */
+  private def churnCohortQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    users.crossJoin(ev.agg(max(col("ts")).as("mx")))
+      .select(date_trunc("week", col("first_ts")).as("cohort_week"),
+        (col("last_ts") < col("mx") - expr("INTERVAL 14 DAYS")).cast("long").as("ch"))
+      .groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("users"), sum(col("ch")).as("churned"))
+      .withColumn("churn_rate",
+        round(col("churned").cast("double") / col("users").cast("double"), 6))
   }
 
   /** Ordered signup → view → purchase funnel ([[Analytics.funnel]]): per
@@ -829,6 +900,25 @@ object SparkEntry {
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .withColumn("files", expr("(total_chars + 16383) DIV 16384"))
+
+  /** Output-shard assignment balanced by token mass: documents ranked by
+    * (tokens DESC, id) and dealt round-robin into 16 shards — the
+    * longest-processing-time-first deal that bounds any shard's token sum
+    * to within one max-document of perfect balance, so no training-data
+    * writer task straggles. The global rank is the range-sharded
+    * [[Analytics.rangedRank]] (boundary-sampled, no one-reducer window);
+    * output is the 16-row balance audit a writer checks before committing
+    * the layout.
+    */
+  private def shardBalanceQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Analytics.rangedRank(docs, Seq.empty,
+        Seq(negate(col("n_tokens")), col("doc_id")))
+      .select(pmod(col("rn") - 1L, lit(16L)).as("shard"), col("n_tokens"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+  }
 
   /** Zone-map pruning audit ([[graft.sources.Tables.zoneMapAudit]]): would
     * a Q1 1998 ship-date predicate prune files under (a) the as-ingested
@@ -1531,6 +1621,16 @@ object SparkEntry {
     * deterministic for fixed data — no flake — while an estimator
     * regression (>5% error) fails the hash compare.
     */
+  /** KMV bottom-k distinct sketch ([[Analytics.kmvDistinct]], k = 256) of
+    * users per event type — the hash-replayable cardinality tier next to
+    * [[approxDistinctQ]]'s HLL: the oracle recomputes the exact summary
+    * (k-th minimum hash) and the identical estimate expression, so this
+    * one is value-gated, not error-contract-gated.
+    */
+  private def kmvDistinctQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.kmvDistinct(t(s, dir, "events"), "event_type",
+      col("user_id"), k = 256)
+
   private def approxDistinctQ(s: SparkSession, dir: String): DataFrame =
     // Two-phase: distinct (event_type, user_id) pairs first (map-side
     // combined — only unique pairs shuffle), then count + HLL over the
@@ -2964,6 +3064,26 @@ object SparkEntry {
   private def embedDimStatsQ(s: SparkSession, dir: String): DataFrame =
     Analytics.embedDimStats(t(s, dir, "embeddings"), col("embedding"))
 
+  /** Per-dimension energy audit of the int8 code store ([[Ann.quantize8]] —
+    * the exact codes the quantized ANN tier serves): sum, sum-of-squares,
+    * saturation (|q| = 127) and dead-zero tallies per position. This is the
+    * first-moment audit [[embedDimStatsQ]] deliberately can't provide over
+    * floats (cross-partition float sums never hash-replay) — over int8
+    * codes the sums are exact BIGINTs (≤ 127²·n, safe past 10¹⁴ rows), so
+    * collapsed or range-saturated dimensions are caught with order-exact
+    * arithmetic. One scan-side explode, map-side partials, |dim| rows out.
+    */
+  private def dimEnergyQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(Ann.quantize8(col("embedding")).as("qv"))
+      .select(posexplode(col("qv.q")).as(Seq("dim", "qval")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qval").cast("long")).as("sum_q"),
+        sum(col("qval").cast("long") * col("qval").cast("long")).as("sum_q2"),
+        sum(when(abs(col("qval")) === 127, 1L).otherwise(0L)).as("n_sat"),
+        sum(when(col("qval") === 0, 1L).otherwise(0L)).as("n_zero"))
+
   /** Word-trigram novelty curve over 8 ingestion batches
     * ([[Analytics.ngramNovelty]]): distinct trigrams first seen per batch —
     * the marginal-value measurement that says when a crawl stops paying.
@@ -3022,6 +3142,26 @@ object SparkEntry {
     counts.select(col("bucket_cap"), col("n_ref"), col("n_new"),
       round((pn - pr) * log(pn / pr), 6).as("psi_term"))
   }
+
+  /** Two-sample KS drift ([[Analytics.ksDrift]]) between the even- and
+    * odd-id document halves over length (64-char buckets) — the
+    * threshold-free companion to [[psiDriftQ]]: PSI averages divergence
+    * over bins, KS reports the single worst CDF gap and where it sits.
+    */
+  private def ksDriftQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.ksDrift(t(s, dir, "documents"),
+      expr("n_chars div 64"), pmod(col("doc_id"), lit(2L)) === 0L)
+
+  /** t-closeness audit ([[Analytics.tCloseness]]) over (lang, source)
+    * quasi-groups with document length (512-char buckets) as the ordered
+    * sensitive attribute — completes the k-anonymity / l-diversity /
+    * t-closeness release-gate trio: EMD in exact ppm fixed-point, so a
+    * group whose lengths all sit in the top bucket is caught even when
+    * l-diversity passes.
+    */
+  private def tClosenessQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.tCloseness(t(s, dir, "documents"), Seq("lang", "source"),
+      expr("n_chars div 512"))
 
   /** Per-source sentence segmentation profile: sentences split on [.!?]+
     * runs, blank fragments dropped, average sentence length as one exact
@@ -4055,6 +4195,7 @@ object SparkEntry {
     "q_bloom_join"          -> (bloomJoinQ(_, _)),
     "q_skew_report"         -> (skewReportQ(_, _)),
     "q_partition_plan"      -> (partitionPlanQ(_, _)),
+    "q_shard_balance"       -> (shardBalanceQ(_, _)),
     "q_asof_join"           -> (asofJoinQ(_, _)),
     "q_asof_tolerance"      -> (asofToleranceQ(_, _)),
     "q_pivot"               -> (pivotQ(_, _)),
@@ -4099,6 +4240,7 @@ object SparkEntry {
     "q_repetition"          -> (repetitionQ(_, _)),
     "q_text_stats"          -> (textStatsQ(_, _)),
     "q_approx_distinct"     -> (approxDistinctQ(_, _)),
+    "q_kmv_distinct"        -> (kmvDistinctQ(_, _)),
     "q_hll_rollup"          -> (hllRollupQ(_, _)),
     "q_kll_rollup"          -> (kllRollupQ(_, _)),
     "q_theta_intersect"     -> (thetaIntersectQ(_, _)),
@@ -4181,6 +4323,8 @@ object SparkEntry {
     "q_window_sliding"      -> (windowSlidingQ(_, _)),
     "q_table_join"          -> (tableJoinQ(_, _)),
     "q_cohort_retention"    -> (cohortRetentionQ(_, _)),
+    "q_stickiness"          -> (stickinessQ(_, _)),
+    "q_churn_cohort"        -> (churnCohortQ(_, _)),
     "q_resample_ffill"      -> (resampleFfillQ(_, _)),
     "q_funnel"              -> (funnelQ(_, _)),
     "q_ohlc_bars"           -> (ohlcBarsQ(_, _)),
@@ -4194,6 +4338,8 @@ object SparkEntry {
     "q_pagerank"            -> (pageRankQ(_, _)),
     "q_triangle_count"      -> (triangleCountQ(_, _)),
     "q_link_predict"        -> (linkPredictQ(_, _)),
+    "q_mutual_knn"          -> (mutualKnnQ(_, _)),
+    "q_assortativity"       -> (assortativityQ(_, _)),
     "q_knn_classify"        -> (knnClassifyQ(_, _)),
     "q_weighted_sample"     -> (weightedSampleQ(_, _)),
     "q_sql_q5"              -> (sqlQ5(_, _)),
@@ -4201,12 +4347,15 @@ object SparkEntry {
     "q_winsorize"           -> (winsorizeQ(_, _)),
     "q_top_p_vocab"         -> (topPVocabQ(_, _)),
     "q_embed_dim_stats"     -> (embedDimStatsQ(_, _)),
+    "q_dim_energy"          -> (dimEnergyQ(_, _)),
     "q_ngram_novelty"       -> (ngramNoveltyQ(_, _)),
     "q_capped_select"       -> (cappedSelectQ(_, _)),
     "q_dp_counts"           -> (dpCountsQ(_, _)),
     "q_chi2_independence"   -> (chi2Q(_, _)),
     "q_mrl_truncation"      -> (mrlTruncationQ(_, _)),
     "q_psi_drift"           -> (psiDriftQ(_, _)),
+    "q_ks_drift"            -> (ksDriftQ(_, _)),
+    "q_t_closeness"         -> (tClosenessQ(_, _)),
     "q_sentence_stats"      -> (sentenceStatsQ(_, _)),
     "q_bucketed_agg"        -> (bucketedAggQ(_, _)),
     "q_bucketed_join"       -> (bucketedJoinQ(_, _)),
@@ -5658,6 +5807,19 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST((sum(n_chars) + 16383) // 16384 AS BIGINT) AS files
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // LPT round-robin shard deal: global rank by (tokens DESC, id) dealt
+    // mod 16; the oracle's one-reducer window replays the range-sharded rank
+    "q_shard_balance" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS n_tokens FROM documents
+         |), r AS (
+         |  SELECT n_tokens,
+         |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+         |  FROM d
+         |)
+         |SELECT (rn - 1) % 16 AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM r GROUP BY 1""".stripMargin,
     "q_minhash_lsh"   -> duckShingleCte,
     "q_dedup_resolve" -> duckResolveCte,
     // same recursive components; the survivor is the quality-DESC, id-ASC
@@ -5769,6 +5931,29 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, true AS hll_in_band
         |FROM events GROUP BY event_type""".stripMargin,
+    // KMV: full summary replay — the k-th smallest distinct FNV hash per
+    // key in signed order, then the identical one-expression estimate;
+    // below k the sketch IS the exact count
+    "q_kmv_distinct" ->
+      s"""WITH hu AS (
+         |  SELECT DISTINCT event_type, ${duckFnvU("CAST(user_id AS VARCHAR)")} AS hu
+         |  FROM events
+         |), h AS (
+         |  SELECT event_type, ${duckU2S("hu")} AS h FROM hu
+         |), r AS (
+         |  SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h
+         |), t AS (
+         |  SELECT event_type, CAST(max(rn) AS BIGINT) AS kmv_k,
+         |    max_by(h, rn) AS h_k
+         |  FROM r WHERE rn <= 256 GROUP BY 1
+         |)
+         |SELECT event_type, kmv_k, h_k,
+         |  CASE WHEN kmv_k < 256 THEN CAST(kmv_k AS DOUBLE)
+         |  ELSE round(255.0 / ((CAST(h_k AS DOUBLE) + 9223372036854775808.0)
+         |    / 18446744073709551616.0), 6) END AS est_distinct
+         |FROM t""".stripMargin,
     // sketch-merge contract: the merged-rollup estimate must land in the
     // 5-sigma band around the exact distinct count (estimate bytes are
     // DataSketches-internal — the CONTRACT is portable, the registers not)
@@ -7456,6 +7641,36 @@ object SparkEntry {
         |  date_diff('day', cohort_day, day) AS age_days,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM d JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+    // DAU/MAU: exact integer counts, one rounded double ratio; months as
+    // date_trunc TIMESTAMP on both engines (the DATE-contract rule)
+    "q_stickiness" ->
+      """WITH d AS (
+        |  SELECT date_trunc('month', ts) AS month, CAST(ts AS DATE) AS day,
+        |    user_id FROM events
+        |), dau AS (
+        |  SELECT month, day, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY 1, 2
+        |), m AS (
+        |  SELECT month, CAST(SUM(dau) AS BIGINT) AS sum_dau,
+        |    COUNT(*) AS n_days FROM dau GROUP BY 1
+        |), mau AS (
+        |  SELECT date_trunc('month', ts) AS month,
+        |    COUNT(DISTINCT user_id) AS mau FROM events GROUP BY 1
+        |)
+        |SELECT month, sum_dau, n_days, mau,
+        |  round(CAST(sum_dau AS DOUBLE) / CAST(n_days * mau AS DOUBLE), 6) AS stickiness
+        |FROM m JOIN mau USING (month)""".stripMargin,
+    // inactivity churn: per-user first/last, ISO-Monday cohort weeks
+    // (date_trunc('week') on both engines), strict < against max_ts − 14d
+    "q_churn_cohort" ->
+      """WITH mx AS (SELECT max(ts) AS mx FROM events),
+        |u AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        |      FROM events GROUP BY 1)
+        |SELECT date_trunc('week', first_ts) AS cohort_week,
+        |  COUNT(*) AS users,
+        |  CAST(SUM(CASE WHEN last_ts < mx - INTERVAL 14 DAY THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+        |  round(CAST(SUM(CASE WHEN last_ts < mx - INTERVAL 14 DAY THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS churn_rate
+        |FROM u CROSS JOIN mx GROUP BY 1""".stripMargin,
     // dense user x day grid over the global span; LOCF via IGNORE NULLS,
     // null before a user's first observation in both engines
     "q_resample_ffill" ->
@@ -7670,6 +7885,56 @@ object SparkEntry {
          |)
          |SELECT u, v, common_neighbors, ra_pico FROM cand
          |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = cand.u AND e.b = cand.v)""".stripMargin,
+    // mutual-kNN: the closed <300 subgraph's top-5 lists replayed on the
+    // identical double cosine; a pair survives iff both directed edges
+    // exist, and each direction's row_number is carried through
+    "q_mutual_knn" ->
+      s"""WITH p AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < 300 AND y.vec_id < 300 AND y.vec_id != x.vec_id
+         |), r AS (
+         |  SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM p
+         |), e AS (SELECT src, dst, rn FROM r WHERE rn <= 5)
+         |SELECT f.src AS a, f.dst AS b, CAST(f.rn AS BIGINT) AS rank_ab,
+         |  CAST(g.rn AS BIGINT) AS rank_ba
+         |FROM e f JOIN e g ON g.src = f.dst AND g.dst = f.src
+         |WHERE f.src < f.dst""".stripMargin,
+    // degree assortativity: the link-predict knn CTE symmetrized, exact
+    // BIGINT moment sums over the both-ways stub list, Newman's r as one
+    // left-to-right double expression over those integers
+    "q_assortativity" ->
+      s"""WITH p AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < 200 AND y.vec_id != x.vec_id
+         |), r AS (
+         |  SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM p
+         |), e AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rn <= 5
+         |), adj AS (
+         |  SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e
+         |), deg AS (
+         |  SELECT w AS v, COUNT(*) AS d FROM adj GROUP BY w
+         |), st AS (
+         |  SELECT dx.d AS dx, dy.d AS dy
+         |  FROM adj JOIN deg dx ON dx.v = adj.w JOIN deg dy ON dy.v = adj.n
+         |), s AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS m2, CAST(SUM(dx) AS BIGINT) AS sx,
+         |    CAST(SUM(dx*dy) AS BIGINT) AS sxy, CAST(SUM(dx*dx) AS BIGINT) AS sx2
+         |  FROM st
+         |)
+         |SELECT m2, sx, sxy, sx2,
+         |  CASE WHEN m2*sx2 - sx*sx = 0 THEN NULL ELSE
+         |    round((CAST(m2 AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) /
+         |          (CAST(m2 AS DOUBLE)*CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 6)
+         |  END AS assortativity
+         |FROM s""".stripMargin,
     // k-NN plurality vote: neighbor ranking replayed on the identical
     // double cosine, votes as exact counts, winner = (votes DESC, label)
     // row_number 1 — the engine's min-struct argmax must agree
@@ -7803,6 +8068,26 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE s.v = 0) AS BIGINT) AS n_zero,
         |  CAST(count(*) FILTER (WHERE s.v < 0) AS BIGINT) AS n_neg
         |FROM x GROUP BY 1""".stripMargin,
+    // int8 code energy: the quantize8 replay (round half-away on both
+    // engines), per-position exact BIGINT sums over the codes
+    "q_dim_energy" ->
+      """WITH c AS (
+        |  SELECT list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS mx,
+        |    embedding FROM embeddings
+        |), cq AS (
+        |  SELECT [CAST(round(CAST(x AS DOUBLE) / (CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END)) AS BIGINT)
+        |          FOR x IN embedding] AS q
+        |  FROM c
+        |), e AS (
+        |  SELECT unnest([{'dim': i - 1, 'qval': q[i]} FOR i IN range(1, len(q) + 1)]) AS s
+        |  FROM cq
+        |)
+        |SELECT CAST(s.dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |  CAST(SUM(s.qval) AS BIGINT) AS sum_q,
+        |  CAST(SUM(s.qval * s.qval) AS BIGINT) AS sum_q2,
+        |  CAST(COUNT(*) FILTER (WHERE abs(s.qval) = 127) AS BIGINT) AS n_sat,
+        |  CAST(COUNT(*) FILTER (WHERE s.qval = 0) AS BIGINT) AS n_zero
+        |FROM e GROUP BY 1""".stripMargin,
     "q_ngram_novelty" ->
       s"""WITH ids AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx FROM documents),
          |toksrc AS (SELECT doc_id, $duckToks AS w FROM documents),
@@ -7903,6 +8188,61 @@ object SparkEntry {
          |  round(((n_new + 1) / (tn + 64.0) - (n_ref + 1) / (tr + 64.0))
          |    * ln(((n_new + 1) / (tn + 64.0)) / ((n_ref + 1) / (tr + 64.0))), 6) AS psi_term
          |FROM c, t""".stripMargin,
+    // KS drift: exact integer ECDFs at every occupied 64-char bucket; each
+    // D term is one double expression over four integers, max is
+    // order-independent, argmax tie-broken to the smallest bucket
+    "q_ks_drift" ->
+      """WITH c AS (
+        |  SELECT n_chars // 64 AS b,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+        |  FROM documents GROUP BY 1
+        |), tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM c),
+        |cum AS (
+        |  SELECT b, SUM(ca) OVER (ORDER BY b) AS cum_a,
+        |    SUM(cb) OVER (ORDER BY b) AS cum_b
+        |  FROM c
+        |), t AS (
+        |  SELECT b, abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |    - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS d
+        |  FROM cum CROSS JOIN tot
+        |)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  round((SELECT max(d) FROM t), 6) AS ks_d,
+        |  (SELECT min(b) FROM t WHERE d = (SELECT max(d) FROM t)) AS ks_at
+        |FROM tot""".stripMargin,
+    // t-closeness: per-(lang, source) EMD vs the global length distribution
+    // in exact ppm fixed-point (cum·10^6 // n — truncating integer
+    // division), densified over the occupied-bucket census; only the final
+    // normalization is a rounded double
+    "q_t_closeness" ->
+      """WITH c AS (
+        |  SELECT lang, source, n_chars // 512 AS b, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2, 3
+        |), bk AS (SELECT b, SUM(c) AS cg FROM c GROUP BY 1),
+        |g AS (SELECT lang, source, SUM(c) AS n_g FROM c GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT g.lang, g.source, bk.b, g.n_g, COALESCE(c.c, 0) AS c
+        |  FROM g CROSS JOIN bk
+        |  LEFT JOIN c ON c.lang = g.lang AND c.source = g.source AND c.b = bk.b
+        |), cumg AS (
+        |  SELECT lang, source, b, n_g,
+        |    SUM(c) OVER (PARTITION BY lang, source ORDER BY b) AS cum_g
+        |  FROM grid
+        |), cuma AS (SELECT b, SUM(cg) OVER (ORDER BY b) AS cum_all FROM bk),
+        |tot AS (SELECT SUM(cg) AS n_all, COUNT(*) AS n_b FROM bk),
+        |terms AS (
+        |  SELECT lang, source, n_g, n_b,
+        |    abs(cum_g * 1000000 // n_g - cum_all * 1000000 // n_all) AS term
+        |  FROM cumg JOIN cuma USING (b) CROSS JOIN tot
+        |)
+        |SELECT lang, source, CAST(max(n_g) AS BIGINT) AS n_g,
+        |  CAST(SUM(term) AS BIGINT) AS emd_ppm,
+        |  CASE WHEN max(n_b) <= 1 THEN 0.0 ELSE
+        |    round(CAST(SUM(term) AS DOUBLE) /
+        |      (CAST(max(n_b) - 1 AS DOUBLE) * 1000000.0), 6)
+        |  END AS t_close
+        |FROM terms GROUP BY lang, source""".stripMargin,
     "q_sentence_stats" ->
       """WITH s AS (
         |  SELECT source, unnest(list_filter(string_split_regex(text, '[.!?]+'),

@@ -1747,4 +1747,142 @@ object Analytics {
       .withColumn("novelty_frac",
         round(col("novel_grams").cast("double") / col("seen_grams"), 6))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift statistic over a BUCKETED value:
+    * D = max_b |F_A(b) − F_B(b)| between the rows where `inA` holds and the
+    * rest, evaluated at every occupied bucket. The distribution-shift gate
+    * PSI can't provide: KS is threshold-free and sensitive to the worst
+    * single point of divergence rather than a binned average, so it's the
+    * second opinion a corpus-refresh pipeline runs next to PSI before
+    * swapping in a new crawl.
+    *
+    * Exactness: both ECDFs are exact integer cumulative counts; each
+    * per-bucket D term is ONE double expression over four integers
+    * (identical left-to-right on any engine), and max is order-independent,
+    * so the statistic — and the argmax bucket, tie-broken to the smallest —
+    * replays bit-for-bit.
+    *
+    * Scale shape: one corpus scan into a per-bucket census (map-side
+    * partials; census size is DOMAIN-bounded by the bucketing, not
+    * data-bounded), then cumulative counts via a banded census self-join
+    * (b2 ≤ b1 — O(census²) on dozens-to-hundreds of rows, and crucially NO
+    * partition-less window: nothing in the plan funnels corpus-scale data
+    * to one task). Two tiny aggregates finish. Returns one row
+    * (`n_a`, `n_b`, `ks_d`, `ks_at`).
+    */
+  def ksDrift(df: DataFrame, bucket: Column, inA: Column): DataFrame = {
+    val census = df
+      .select(bucket.cast("long").as("b"), inA.cast("boolean").as("__a"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
+    val cum = census.select(col("b"), col("ca"), col("cb"))
+      .join(census.select(col("b").as("b2"), col("ca").as("ca2"),
+        col("cb").as("cb2")), col("b2") <= col("b"))
+      .groupBy(col("b"))
+      .agg(sum(col("ca2")).as("cum_a"), sum(col("cb2")).as("cum_b"))
+    val totals = census.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val terms = cum.crossJoin(totals)
+      .select(col("b"), col("n_a"), col("n_b"),
+        abs(col("cum_a").cast("double") / col("n_a").cast("double") -
+          col("cum_b").cast("double") / col("n_b").cast("double")).as("d"))
+    val dmax = terms.agg(max(col("d")).as("ks_d"))
+    terms.crossJoin(dmax)
+      .filter(col("d") === col("ks_d"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(round(max(col("ks_d")), 6).as("ks_d"), min(col("b")).as("ks_at"))
+  }
+
+  /** KMV / bottom-k distinct sketch (Bar-Yossef et al., RANDOM 2002): per
+    * key, the k smallest DISTINCT FNV-1a hashes of the value; the k-th
+    * minimum h_k estimates cardinality as (k−1)/u_k with u_k = h_k mapped
+    * to (0, 1). Unlike the HLL tier ([[hllRollup]] — opaque DataSketches
+    * registers whose estimate is error-contract-gated), a KMV summary is a
+    * plain sorted hash list: engine-replayable bit-for-bit (the oracle
+    * recomputes it in SQL), mergeable by sorted-union-truncate (the
+    * streaming face [[graft.streaming.StatefulOps.streamingKmvDistinct]]
+    * merges exactly so, with exact live == batch parity), and it degrades
+    * to EXACT counting below k distinct values.
+    *
+    * Scale shape: one (key, hash) pre-dedup shuffle — 8-byte hashes on the
+    * wire, never values — then the bounded top-k aggregate
+    * ([[topPerKeyAgg]]: ≤ k rows per (mapper, key) reach the final
+    * shuffle). Summary is O(k) per key. Only the final estimate is a
+    * double, as ONE left-to-right expression over (k, h_k) — identical on
+    * any engine. Returns (`key`, `kmv_k`, `h_k`, `est_distinct`).
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, value: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536]: $k")
+    val h = df.select(col(keyCol),
+      graft.functions.TextFunctions.fnv1a64(value.cast("string")).as("h")).distinct()
+    topPerKeyAgg(h, keyCol, Seq(col("h")), Seq("h" -> col("h")), k)
+      .groupBy(col(keyCol))
+      .agg(max(col("rn")).cast("long").as("kmv_k"),
+        max_by(col("h"), col("rn")).as("h_k"))
+      .select(col(keyCol), col("kmv_k"), col("h_k"),
+        when(col("kmv_k") < k, col("kmv_k").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) /
+            ((col("h_k").cast("double") + lit(math.pow(2, 63))) / lit(math.pow(2, 64))),
+            6)).as("est_distinct"))
+  }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): for every
+    * quasi-identifier group, the Earth Mover's Distance between the group's
+    * distribution of an ORDERED sensitive bucket and the global one —
+    * the third leg of the k-anonymity / l-diversity / t-closeness release
+    * gate. l-diversity can pass while every record in a group sits in the
+    * top length bucket; EMD over the ordered domain catches exactly that.
+    *
+    * Exactness: EMD over an ordered discrete domain is
+    * Σ_b |F_g(b) − F(b)| / (B − 1). Each CDF term is fixed-point ppm —
+    * `cum·1000000 div n` (truncating integer division, exact on any
+    * engine) — so the per-group sum is an exact BIGINT (≤ B·10⁶ always, no
+    * overflow at any corpus size) and only the final normalization is a
+    * single rounded double division.
+    *
+    * Scale shape: one corpus scan into a (group, bucket) census, densified
+    * by a census×bucket-census cross join (both domain-bounded), cumulated
+    * by a banded self-join on the bucket census (no partition-less window,
+    * no corpus-scale data past the first aggregate). Returns one row per
+    * group: the quasi columns, `n_g`, `emd_ppm`, `t_close`.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], bucket: Column): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi column")
+    val census = df
+      .select(quasiCols.map(col) :+ bucket.cast("long").as("b"): _*)
+      .groupBy(quasiCols.map(col) :+ col("b"): _*)
+      .agg(count(lit(1)).as("c"))
+    val buckets = census.groupBy(col("b")).agg(sum(col("c")).as("cg"))
+    val groups = census.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("c")).as("n_g"))
+    // densify: every group × every occupied bucket, zero-filled — the
+    // banded cumulative below needs a value at every bucket index
+    val grid = groups.crossJoin(buckets.select(col("b")))
+      .join(census, quasiCols :+ "b", "left")
+      .select(quasiCols.map(col) ++ Seq(col("b"), col("n_g"),
+        coalesce(col("c"), lit(0L)).as("c")): _*)
+    val cumG = grid
+      .join(grid.select(quasiCols.map(c => col(c).as(s"__$c")) ++
+        Seq(col("b").as("b2"), col("c").as("c2")): _*),
+        quasiCols.map(c => col(c) === col(s"__$c")).reduce(_ && _) &&
+          col("b2") <= col("b"))
+      .groupBy(quasiCols.map(col) :+ col("b"): _*)
+      .agg(max(col("n_g")).as("n_g"), sum(col("c2")).as("cum_g"))
+    val cumAll = buckets
+      .join(buckets.select(col("b").as("b2"), col("cg").as("cg2")),
+        col("b2") <= col("b"))
+      .groupBy(col("b")).agg(sum(col("cg2")).as("cum_all"))
+    val nAll = buckets.agg(sum(col("cg")).as("n_all"))
+    val nBuckets = buckets.agg(count(lit(1)).as("n_b"))
+    cumG.join(cumAll, "b").crossJoin(nAll).crossJoin(nBuckets)
+      .select(quasiCols.map(col) ++ Seq(col("n_g"), col("n_b"),
+        abs(expr("cum_g * 1000000 div n_g") -
+          expr("cum_all * 1000000 div n_all")).as("term")): _*)
+      .groupBy(quasiCols.map(col) :+ col("n_b"): _*)
+      .agg(max(col("n_g")).as("n_g"), sum(col("term")).as("emd_ppm"))
+      .select(quasiCols.map(col) ++ Seq(col("n_g"), col("emd_ppm"),
+        when(col("n_b") <= 1L, lit(0.0)).otherwise(
+          round(col("emd_ppm").cast("double") /
+            ((col("n_b") - 1L).cast("double") * 1000000.0), 6)).as("t_close")): _*)
+  }
 }

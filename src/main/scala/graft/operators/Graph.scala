@@ -203,4 +203,79 @@ object Graph {
         cand("u") === und("a") && cand("v") === und("b"), "left_anti")
       .select(col("u"), col("v"), col("common_neighbors"), col("ra_pico"))
   }
+
+  /** Mutual (reciprocated) edges of a DIRECTED graph: pairs (a < b) where
+    * both a→b and b→a exist, with each direction's rank carried through.
+    * The near-dup use: in a k-NN similarity graph, a MUTUAL nearest-neighbor
+    * pair is the high-precision duplicate signal (each document ranks the
+    * other among its own top-k — the standard mutual-kNN filter in
+    * embedding-dedup and bitext-mining pipelines), while a one-directional
+    * edge is often just a hub attracting faraway neighbors.
+    *
+    * Scale shape: one hash equi-join of the (a < b) half of the edge list
+    * against the reversed (a > b) half on the exact pair key — join fan-out
+    * is 1 (the pair key is unique per direction after the input's own
+    * per-src top-k), so there is no skew amplification regardless of hub
+    * degree. Nothing is collected. Returns (`a`, `b`, `rank_ab`,
+    * `rank_ba`) where rank_ab is b's rank in a's list.
+    */
+  def mutualEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                  rankCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"),
+      col(rankCol).as("r"))
+      .filter(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
+    val fwd = e.filter(col("s") < col("d"))
+    val rev = e.filter(col("s") > col("d"))
+      .select(col("d").as("s2"), col("s").as("d2"), col("r").as("r2"))
+    fwd.join(rev, col("s") === col("s2") && col("d") === col("d2"))
+      .select(col("s").as("a"), col("d").as("b"),
+        col("r").cast("long").as("rank_ab"), col("r2").cast("long").as("rank_ba"))
+  }
+
+  /** Degree assortativity of an undirected graph (Newman, PRL 89, 2002):
+    * the Pearson correlation of endpoint degrees over all directed edge
+    * stubs. r < 0 (disassortative) in a healthy similarity graph — hubs
+    * attach to low-degree nodes; r near +1 flags a degenerate corpus where
+    * duplicates cluster into cliques, so this is the one-row health gate a
+    * pipeline checks before trusting graph-derived dedup components.
+    *
+    * Exactness: the four moment sums are exact BIGINT aggregates over the
+    * both-ways stub list (x-marginals equal y-marginals by symmetry, so
+    * Σx = Σy and Σx² = Σy²); r is then ONE left-to-right double expression
+    * over those integers — bit-identical on any engine. BIGINT bound:
+    * Σ(dx·dy) ≤ m·maxdeg², safe while m·maxdeg² < 2⁶³ (any bounded-degree
+    * k-NN graph; a power-law web graph at 10¹² edges needs the sums
+    * widened to DECIMAL(38,0) — one cast).
+    *
+    * Scale shape: two hash equi-joins of the stub list against the degree
+    * table (skew-bounded: fan-out per stub is exactly 1) and one global
+    * aggregate with map-side partials. Nothing is collected. Returns a
+    * single row (`m2`, `sx`, `sxy`, `sx2`, `assortativity`).
+    */
+  def degreeAssortativity(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val adj = und.select(col("a").as("w"), col("b").as("n"))
+      .unionAll(und.select(col("b").as("w"), col("a").as("n")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("d"))
+    val stubs = adj
+      .join(deg.select(col("w"), col("d").as("dx")), "w")
+      .join(deg.select(col("w").as("n"), col("d").as("dy")), "n")
+    val sums = stubs.agg(
+      count(lit(1)).as("m2"),
+      sum(col("dx")).as("sx"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sx2"))
+    sums.select(col("m2"), col("sx"), col("sxy"), col("sx2"),
+      when(col("m2") * col("sx2") - col("sx") * col("sx") === 0L, lit(null))
+        .otherwise(round(
+          (col("m2").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) /
+          (col("m2").cast("double") * col("sx2").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")), 6))
+        .as("assortativity"))
+  }
 }

@@ -51,6 +51,16 @@ final case class HHEvent(group: String, seq: Long, item: String)
   * rows per group are those with the maximum n).
   */
 final case class HHSnapshot(group: String, item: String, est: Long, n: Long)
+
+/** One input item for [[StatefulOps.streamingKmvDistinct]]. */
+final case class KmvEvent(group: String, item: String)
+
+/** A group's KMV cardinality snapshot after a micro-batch: the summary
+  * size (`kmv_k` — below k it IS the exact distinct count), the k-th
+  * minimum hash, and the estimate.
+  */
+final case class KmvSnapshot(group: String, kmv_k: Long, h_k: Long,
+                             est_distinct: Double)
 private final case class EmaState(ema: Double)
 
 final case class AnomalyOut(user_id: Long, event_id: Long, value: Double,
@@ -375,6 +385,52 @@ object StatefulOps {
           state.update((counts.toMap, n))
           counts.toSeq.sortBy { case (i, c) => (-c, i) }
             .map { case (i, c) => HHSnapshot(group, i, c, n) }.iterator
+      }
+  }
+
+  /** Continuous distinct-count: the live face of the batch KMV sketch
+    * ([[graft.operators.Analytics.kmvDistinct]]). State per group is the k
+    * smallest distinct FNV-1a hashes seen so far — O(k) FOREVER, stream
+    * length and value cardinality notwithstanding — merged each micro-batch
+    * by sorted-union-truncate (the KMV merge is associative, commutative,
+    * and idempotent, so arrival order and batch splits cannot change the
+    * summary). Emits the group's snapshot after every batch it appears in.
+    *
+    * Parity contract (spec-asserted): after any sequence of micro-batches,
+    * the latest snapshot per group equals the batch operator on the same
+    * rows EXACTLY — same signed-ascending hash order, same k-th minimum,
+    * same HALF_UP 6-dp estimate — because both sides run the identical
+    * integer summary and one identical double expression.
+    *
+    * No timeout: a group's summary is k longs forever (the point of a
+    * sketch); for unbounded GROUP spaces wrap with the TTL pattern of
+    * [[streamingFunnel]].
+    */
+  def streamingKmvDistinct(events: Dataset[KmvEvent], k: Int): Dataset[KmvSnapshot] = {
+    import events.sparkSession.implicits._
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536]: $k")
+    events.groupByKey(_.group)
+      .flatMapGroupsWithState[Array[Long], KmvSnapshot](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (group, batch, state: GroupState[Array[Long]]) =>
+          val cur = state.getOption.getOrElse(Array.empty[Long])
+          // null items are skipped, like the batch side's null-eating hash
+          val hs = batch.filter(_.item != null)
+            .map(e => graft.expressions.Fnv1a.hash(
+              e.item.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          val merged = (cur ++ hs).distinct.sorted.take(k)
+          state.update(merged)
+          if (merged.isEmpty) Iterator.empty
+          else {
+            val kk = merged.length
+            val hk = merged.last
+            val est =
+              if (kk < k) kk.toDouble
+              else BigDecimal((k - 1).toDouble /
+                  ((hk.toDouble + math.pow(2, 63)) / math.pow(2, 64)))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            Iterator(KmvSnapshot(group, kk.toLong, hk, est))
+          }
       }
   }
 

@@ -288,6 +288,48 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_ks_drift / q_t_closeness: census cumulatives use the band-join, never a window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q_ks_drift", "q_t_closeness")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      // the ECDF/EMD cumulatives run as a banded self-join on the
+      // domain-bounded bucket census — a Window here would be the
+      // partition-less one-reducer cumsum these operators exist to avoid
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.isEmpty, s"$q: unexpected window: $windows")
+      // corpus-side census aggregate combines map-side
+      assert(plan(q).contains("partial_sum"), plan(q))
+    }
+  }
+
+  test("q_shard_balance: global deal rank is shard-partitioned (rangedRank), not one reducer") {
+    val p = plan("q_shard_balance")
+    assert(p.contains("hashpartitioning(__shard"), p)
+    assert(p.contains("BroadcastHashJoin"), p) // boundary-prefix side input
+  }
+
+  test("q_kmv_distinct: bounded top-k partial aggregate over pre-dedup'd 8-byte hashes") {
+    val p = plan("q_kmv_distinct")
+    assert(p.contains("partial_top_k_rows"), p) // <= k hashes per (mapper, key)
+    assert(!p.contains("Window"), p)
+    // the raw value column never crosses an exchange — only (key, hash)
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    exchangeSections.foreach { s =>
+      val cols = s.takeWhile(_ != '(')
+      assert(!cols.contains("user_id"), p)
+    }
+  }
+
+  test("q_dim_energy: scan-side explode, map-side partials; no exchange carries the vector") {
+    val p = plan("q_dim_energy")
+    assert(p.contains("partial_sum"), p)
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    exchangeSections.foreach { s =>
+      val cols = s.takeWhile(_ != '(')
+      assert(!cols.contains("embedding"), p) // codes exploded before the shuffle
+    }
+  }
+
   test("q_inverted_index: bounded postings partial-aggregate; term shuffles never carry text") {
     val p = plan("q_inverted_index")
     assert(p.contains("partial_top_k_rows"), p) // <= maxPostings rows/term/mapper

@@ -139,4 +139,30 @@ class GraphSpec extends SparkSpec {
     // maxDeg = 1 prunes every center (all degrees are 2) → empty
     assert(Graph.linkPredict(edges, "s", "d", maxDeg = 1).count() === 0L)
   }
+
+  test("mutualEdges keeps only reciprocated pairs with both ranks") {
+    import spark.implicits._
+    // 1→2 (rank 1) and 2→1 (rank 2) are mutual; 1→3 has no 3→1 back-edge;
+    // 3→2 / 2→3 are mutual at ranks (1, 3). Self-loops are dropped.
+    val edges = Seq((1L, 2L, 1), (2L, 1L, 2), (1L, 3L, 2),
+      (3L, 2L, 1), (2L, 3L, 3), (4L, 4L, 1)).toDF("s", "d", "rn")
+    val out = Graph.mutualEdges(edges, "s", "d", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map((1L, 2L) -> (1L, 2L), (2L, 3L) -> (3L, 1L)))
+  }
+
+  test("degreeAssortativity: path graph is exactly -1; single edge is NULL") {
+    import spark.implicits._
+    // path 1-2-3: stubs (1→2),(2→1),(2→3),(3→2) with degrees {1,2,1};
+    // m2=4, sx=6, sxy=8, sx2=10 → r = (32−36)/(40−36) = −1 exactly.
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val r = Graph.degreeAssortativity(path, "a", "b").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 6L, 8L, 10L)))
+    assert(r.getDouble(4) === -1.0)
+    // a single edge has zero degree variance → NULL, not a divide error
+    val one = Seq((1L, 2L)).toDF("a", "b")
+    assert(Graph.degreeAssortativity(one, "a", "b").head().isNullAt(4))
+  }
 }

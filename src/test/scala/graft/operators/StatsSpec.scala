@@ -345,4 +345,54 @@ class StatsSpec extends SparkSpec {
     assert(r.getString(0) === "2024-01-02")
     assert(r.getDouble(1) === 9.0)
   }
+
+  test("ksDrift: hand-computed D, argmax bucket, and tie → smallest bucket") {
+    // A buckets [1,1,2], B buckets [1,3,3]: ECDF gaps 1/3, 2/3, 0 → D at 2
+    val df = Seq((1L, true), (1L, true), (2L, true),
+      (1L, false), (3L, false), (3L, false)).toDF("b", "a")
+    val r = Analytics.ksDrift(df, col("b"), col("a")).head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L)))
+    assert(r.getDouble(2) === 0.666667)
+    assert(r.getLong(3) === 2L)
+    // A [1,3], B [2,4]: gaps .5, 0, .5, 0 — tie broken to bucket 1
+    val tie = Seq((1L, true), (3L, true), (2L, false), (4L, false)).toDF("b", "a")
+    val rt = Analytics.ksDrift(tie, col("b"), col("a")).head()
+    assert(rt.getDouble(2) === 0.5)
+    assert(rt.getLong(3) === 1L)
+  }
+
+  test("kmvDistinct: exact below k, k-th-minimum estimate above, multiplicity-invariant") {
+    val df = Seq("g" -> "x", "g" -> "y", "g" -> "z", "g" -> "x").toDF("k", "v")
+    val r = Analytics.kmvDistinct(df, "k", col("v"), k = 8).head()
+    assert(r.getLong(1) === 3L)          // summary below k is the exact count
+    assert(r.getDouble(3) === 3.0)
+    // above k: summary = the 4 smallest signed FNV hashes; estimate is the
+    // documented one-expression function of (k, h_k)
+    val items = (0 until 10).map(i => "g" -> s"item$i")
+    val withDups = items ++ items ++ items  // duplicates must not move the sketch
+    val out = Analytics.kmvDistinct(withDups.toDF("k", "v"), "k", col("v"), k = 4).head()
+    val hashes = (0 until 10)
+      .map(i => graft.expressions.Fnv1a.hash(s"item$i".getBytes("UTF-8"))).sorted
+    val hk = hashes(3)
+    assert(out.getLong(1) === 4L)
+    assert(out.getLong(2) === hk)
+    val est = BigDecimal(3.0 / ((hk.toDouble + math.pow(2, 63)) / math.pow(2, 64)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(3) === est)
+  }
+
+  test("tCloseness: hand-computed ppm EMD; single bucket → t = 0") {
+    // X all in bucket 1, Y all in bucket 2; global is 50/50 → both groups
+    // are |1 − 0.5| = 0.5 away at bucket 1, 0 at bucket 2 → t = 0.5
+    val df = Seq(("X", 1L), ("X", 1L), ("Y", 2L), ("Y", 2L)).toDF("g", "b")
+    val out = Analytics.tCloseness(df, Seq("g"), col("b"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out === Map("X" -> (2L, 500000L, 0.5), "Y" -> (2L, 500000L, 0.5)))
+    // one occupied bucket: EMD domain is a point → t defined as 0
+    val flat = Seq(("X", 1L), ("Y", 1L)).toDF("g", "b")
+    val t0 = Analytics.tCloseness(flat, Seq("g"), col("b"))
+      .collect().map(r => r.getDouble(3))
+    assert(t0.forall(_ === 0.0))
+  }
 }

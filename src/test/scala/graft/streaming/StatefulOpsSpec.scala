@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.operators.Analytics
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import java.sql.Timestamp
@@ -339,6 +340,42 @@ class StatefulOpsSpec extends SparkSpec {
     }
     // state is bounded: never more than k counters in any snapshot
     snaps.groupBy(_.n).foreach { case (_, rows) => assert(rows.length <= k) }
+  }
+
+  test("streamingKmvDistinct: cross-batch summary == batch kmvDistinct exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val k = 4
+    // group a: 12 distinct items (> k, estimate path) with heavy duplication
+    // across batches; group b: 2 distinct (< k, exact path)
+    val events = (0 until 36).map { i =>
+      KmvEvent(if (i % 3 == 2) "b" else "a",
+        if (i % 3 == 2) s"u${i % 2}" else s"item${i % 12}")
+    }
+    val in = MemoryStream[KmvEvent]
+    val q = StatefulOps.streamingKmvDistinct(in.toDS(), k)
+      .writeStream.format("memory").queryName("t_kmv").outputMode("update").start()
+    // a null item rides along: skipped like the batch side's null-eating hash
+    val withNull = KmvEvent("a", null) +: events
+    withNull.grouped(13).foreach { block =>
+      in.addData(block: _*); q.processAllAvailable()
+    }
+    q.stop()
+    val snaps = spark.table("t_kmv").as[KmvSnapshot].collect()
+    // the final state per group: kmv_k is nondecreasing over batches and,
+    // at equal kmv_k, the summary only improves downward (h_k nonincreasing)
+    val live = snaps.groupBy(_.group).map { case (g, ss) =>
+      val fin = ss.maxBy(s => (s.kmv_k, -s.h_k))
+      g -> ((fin.kmv_k, fin.h_k, fin.est_distinct))
+    }
+    val batch = Analytics.kmvDistinct(
+        events.toDF("group", "item"), "group", col("item"), k)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(live === batch)
+    assert(live("b")._1 === 2L)
+    assert(live("b")._3 === 2.0)  // below k the estimate IS the exact count
+    assert(live("a")._1 === 4L)   // summary capped at k forever
   }
 
   test("streamingAnomaly equals the batch Welford fold; spike flags after warmup") {
