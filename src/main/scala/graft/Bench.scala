@@ -68,6 +68,9 @@ object Bench {
     // on any run is reported as -1 in the per-query map, excluded from the
     // totals, and named in the "failed" list.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // queries whose numbers were measured under a whole-run steal burst and
+    // did not improve on retry — their entries are suspect, not wrong-code
+    val stealFlagged = scala.collection.mutable.LinkedHashSet.empty[String]
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset in an otherwise-identical
     // harness — the isolated-JVM control when bisecting cross-query
     // interference (a query slow in-suite but fast alone points at residue
@@ -147,6 +150,24 @@ object Bench {
         val stolen = stealJiffies() - s0
         System.err.println(f"BENCH RETRY $name%-26s warm $warm%.2fs > cold $cold%.2fs (steal ${stolen}j) — rerun median ${again}%.2fs")
         if (again < warm) warm = again
+      }
+      // The warm>cold check is blind to a steal burst that spans the WHOLE
+      // query (cold and warm poisoned alike: this session's gate shipped
+      // q_rolling_corr at 19.2 s warm / 19.6 s cold — 0.4 s on the same box
+      // minutes later, warm ≈ cold so nothing fired). Detect it directly:
+      // if the hypervisor stole more CPU-seconds during this query's runs
+      // than the runs' own wall-clock (≥ 1 core-equivalent stolen
+      // throughout), the timing ran under measured contention — retry, and
+      // if the retrial doesn't beat it, flag the query in the output JSON.
+      if (!failed.contains(name)) {
+        val stealSecQ = (stealJiffies() - s0) / 100.0
+        val wallSecQ = cold + 3 * warm
+        if (stealSecQ > math.max(2.0, wallSecQ)) {
+          val again = Seq(once(), once(), once()).sorted.apply(1)
+          System.err.println(f"BENCH STEAL-RETRY $name%-26s warm $warm%.2fs under ${stealSecQ}%.0f CPU-s steal — rerun median ${again}%.2fs")
+          if (again < warm) warm = again
+          else stealFlagged += name
+        }
       }
       if (failed.contains(name)) name -> (-1.0, -1.0) else name -> (warm, cold)
     }
@@ -282,7 +303,7 @@ object Bench {
     val stealTotal = stealJiffies() - stealStart
     val shuffleJson = shuffleBytes
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"shuffle_bytes":$shuffleJson,"measure":"$measure","sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_flagged":${stealFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"shuffle_bytes":$shuffleJson,"measure":"$measure","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -50,5 +50,8 @@ if d.get('failed'):
 if d.get('warm_gt_cold'):
     print(f"gate: WARNING timing suspect (warm>cold): {d['warm_gt_cold']} — "
           f"numbers unreliable, rerun on a quiet box")
+if d.get('steal_flagged'):
+    print(f"gate: WARNING measured under steal bursts: {d['steal_flagged']} — "
+          f"these entries are contention, not code; rerun on a quiet box")
 EOF2
 echo "GATE GREEN"
