@@ -498,6 +498,18 @@ object SparkEntry {
     graft.operators.Graph.degreeAssortativity(knn, "src", "dst")
   }
 
+  /** Margin-based parallel-pair mining ([[Ann.marginMine]]) between the
+    * label-0 and label-1 embedding sets: each label-0 vector's best label-1
+    * candidate by the LASER margin criterion — cosine renormalized by both
+    * endpoints' top-4 neighborhood density, the hub-robust score actual
+    * mined-bitext pipelines threshold on.
+    */
+  private def bitextMineQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Ann.marginMine(emb.filter(col("label") === 0),
+      emb.filter(col("label") === 1), "vec_id", "embedding", k = 4)
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis race,
     * [[graft.operators.Graph.weightedSample]]): 200 documents drawn with
     * probability proportional to length, deterministically from the id
@@ -4339,6 +4351,7 @@ object SparkEntry {
     "q_triangle_count"      -> (triangleCountQ(_, _)),
     "q_link_predict"        -> (linkPredictQ(_, _)),
     "q_mutual_knn"          -> (mutualKnnQ(_, _)),
+    "q_bitext_mine"         -> (bitextMineQ(_, _)),
     "q_assortativity"       -> (assortativityQ(_, _)),
     "q_knn_classify"        -> (knnClassifyQ(_, _)),
     "q_weighted_sample"     -> (weightedSampleQ(_, _)),
@@ -7902,6 +7915,41 @@ object SparkEntry {
          |  CAST(g.rn AS BIGINT) AS rank_ba
          |FROM e f JOIN e g ON g.src = f.dst AND g.dst = f.src
          |WHERE f.src < f.dst""".stripMargin,
+    // margin mining: both directed knn-4 passes replayed on the identical
+    // double cosine; neighborhood sums over the 6dp-rounded cosines as
+    // exact DECIMAL(10,6); margin = one double expression; best per x by
+    // (margin DESC, y)
+    "q_bitext_mine" ->
+      s"""WITH pxy AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.label = 0 AND y.label = 1
+         |), rxy AS (
+         |  SELECT src, dst, round(cos, 6) AS rc,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM pxy
+         |), kxy AS (SELECT * FROM rxy WHERE rn <= 4),
+         |pyx AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.label = 1 AND y.label = 0
+         |), ryx AS (
+         |  SELECT src, round(cos, 6) AS rc,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM pyx
+         |), kyx AS (SELECT * FROM ryx WHERE rn <= 4),
+         |sx AS (SELECT src AS xid, SUM(CAST(rc AS DECIMAL(10,6))) AS sx FROM kxy GROUP BY 1),
+         |sy AS (SELECT src AS yid, SUM(CAST(rc AS DECIMAL(10,6))) AS sy FROM kyx GROUP BY 1),
+         |cand AS (
+         |  SELECT kxy.src AS x, kxy.dst AS y, kxy.rc AS cos,
+         |    round(kxy.rc / (CAST(sx.sx + sy.sy AS DOUBLE) / 8.0), 6) AS margin
+         |  FROM kxy JOIN sx ON sx.xid = kxy.src JOIN sy ON sy.yid = kxy.dst
+         |), best AS (
+         |  SELECT x, y, cos, margin,
+         |    ROW_NUMBER() OVER (PARTITION BY x ORDER BY margin DESC, y) AS brn
+         |  FROM cand
+         |)
+         |SELECT x, y, cos, margin FROM best WHERE brn = 1""".stripMargin,
     // degree assortativity: the link-predict knn CTE symmetrized, exact
     // BIGINT moment sums over the both-ways stub list, Newman's r as one
     // left-to-right double expression over those integers

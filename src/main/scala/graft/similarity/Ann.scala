@@ -312,6 +312,47 @@ object Ann {
         round(col("cos"), 6).as("cos"), col("rn"))
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk, ACL 2019 — the
+    * LASER bitext-mining criterion): for every x in one set, its best
+    * candidate y in the other by `margin(x, y) = cos(x, y) / ((avg top-k
+    * cos of x into Y + avg top-k cos of y into X) / 2)`. Raw cosine
+    * thresholds fail because some vectors are "hubs" — close to everything;
+    * the margin renormalizes each pair by BOTH endpoints' neighborhood
+    * density, which is why it is the standard mined-corpus criterion.
+    *
+    * Exactness: candidate cosines enter at 6 dp and the neighborhood sums
+    * accumulate as DECIMAL(10,6) — exact and order-independent — so the
+    * margin is ONE left-to-right double expression over exact inputs;
+    * best-per-x ties break to the smaller y. Replays bit-for-bit.
+    *
+    * Scale shape: two [[knnGraph]] passes (fanned-out prenormed dots, ≤ k
+    * rows per (mapper, src) into the bounded top-k aggregate), two
+    * |set|-sized sum aggregates, two hash equi-joins, and a k=1 top-k
+    * aggregate — nothing quadratic past the candidate stage, which swaps
+    * for the LSH/IVF candidate machinery at corpus scale exactly as
+    * knnGraph's scaladoc describes. Returns (`x`, `y`, `cos`, `margin`).
+    */
+  def marginMine(x: DataFrame, y: DataFrame, idCol: String, vecCol: String,
+                 k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val kxy = knnGraph(x, y, idCol, vecCol, k)
+    val kyx = knnGraph(y, x, idCol, vecCol, k)
+    val sx = kxy.groupBy(col("src").as("xid"))
+      .agg(sum(col("cos").cast("decimal(10,6)")).as("sx"))
+    val sy = kyx.groupBy(col("src").as("yid"))
+      .agg(sum(col("cos").cast("decimal(10,6)")).as("sy"))
+    val cand = kxy.select(col("src").as("x"), col("dst").as("y"), col("cos"))
+      .join(sx, col("x") === col("xid"))
+      .join(sy, col("y") === col("yid"))
+      .select(col("x"), col("y"), col("cos"),
+        round(col("cos") /
+          ((col("sx") + col("sy")).cast("double") / lit(2.0 * k)), 6).as("margin"))
+    graft.operators.Analytics.topPerKeyAgg(cand, "x",
+        Seq(negate(col("margin")), col("y")),
+        Seq("y" -> col("y"), "cos" -> col("cos"), "margin" -> col("margin")), 1)
+      .select(col("x"), col("y"), col("cos"), col("margin"))
+  }
+
   /** LSH index parameters: `tables` independent signatures of `bits`
     * hyperplanes each. Recall for cosine ≥ c grows with tables and shrinks
     * with bits; bits controls bucket selectivity (≈ n/2^bits rows probed per

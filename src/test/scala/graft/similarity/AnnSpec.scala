@@ -42,6 +42,24 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("marginMine: hand-computed LASER margins, best-per-x, hub renormalization") {
+    // X: x1=(1,0), x2=(0,1); Y: y11=(1,0), y12=(0.6,0.8); k=2 (all of Y/X).
+    // sx(x1)=1.6, sx(x2)=0.8; sy(y11)=1.0, sy(y12)=1.4.
+    // margin(x1,y11) = 1/((1.6+1.0)/4)  = 1.538462 (best for x1)
+    // margin(x2,y12) = 0.8/((0.8+1.4)/4) = 1.454545 (best for x2)
+    val x = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val y = Seq((11L, Array(1.0f, 0.0f)), (12L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.marginMine(x, y, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L)._1 === 11L)
+    assert(out(1L)._3 === 1.538462)
+    assert(out(2L)._1 === 12L)
+    assert(out(2L)._3 === 1.454545)
+  }
+
   test("bitsFor/tablesFor sizing math") {
     assert(Ann.bitsFor(20000) === 9)          // ceil(log2(20000/64))
     assert(Ann.bitsFor(10) === 2)             // clamp floor
