@@ -3269,6 +3269,40 @@ object SparkEntry {
         sum(col("j.n_chars")).as("total_chars"))
   }
 
+  /** ORC round-trip fidelity: documents written as ORC (Spark's native
+    * writer), read back through [[graft.sources.Tables.orcTable]], and
+    * value-compared against the parquet base via a full-outer join —
+    * `mismatches` must be 0 under the oracle's hash gate, covering the
+    * second columnar codec path end to end the way [[formatRoundtripQ]]
+    * covers JSONL/CSV.
+    */
+  private def orcRoundtripQ(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("\\W", "_")
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+    val path = s"/tmp/graft_fmt_orc$tag"
+    base.write.mode("overwrite").orc(path)
+    val o = graft.sources.Tables.orcTable(s, path)
+    base.as("p").join(o.as("o"), col("p.doc_id") === col("o.doc_id"), "full")
+      .groupBy(col("p.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("p.text") === col("o.text") &&
+          col("p.n_chars") === col("o.n_chars") &&
+          col("p.lang") === col("o.lang") &&
+          col("p.source") === col("o.source"), 0L).otherwise(1L)).as("mismatches"),
+        sum(col("p.n_chars")).as("total_chars"))
+  }
+
+  /** Tie-corrected Mann–Whitney U ([[Analytics.mannWhitney]]) between the
+    * even- and odd-id document halves over length (16-char buckets) — the
+    * nonparametric LOCATION test beside [[ksDriftQ]]'s shape test: exact
+    * integer rank sums (midranks via the 2× identity), exact tie term, z
+    * as one replayed double expression.
+    */
+  private def mannWhitneyQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.mannWhitney(t(s, dir, "documents"),
+      expr("n_chars div 16"), pmod(col("doc_id"), lit(2L)) === 0L)
+
   /** l-diversity audit — k-anonymity's stronger sibling: a quasi-identifier
     * group is at risk not just when it is SMALL but when its sensitive
     * attribute (here the power-of-2 length bucket standing in for one) is
@@ -4368,6 +4402,8 @@ object SparkEntry {
     "q_mrl_truncation"      -> (mrlTruncationQ(_, _)),
     "q_psi_drift"           -> (psiDriftQ(_, _)),
     "q_ks_drift"            -> (ksDriftQ(_, _)),
+    "q_mann_whitney"        -> (mannWhitneyQ(_, _)),
+    "q_orc_roundtrip"       -> (orcRoundtripQ(_, _)),
     "q_t_closeness"         -> (tClosenessQ(_, _)),
     "q_sentence_stats"      -> (sentenceStatsQ(_, _)),
     "q_bucketed_agg"        -> (bucketedAggQ(_, _)),
@@ -8318,6 +8354,41 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // ORC leg of the codec-fidelity contract: same shape, mismatches must
+    // be exactly 0 after the write → orcTable read-back → value compare
+    "q_orc_roundtrip" ->
+      """SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // Mann-Whitney U: doubled midrank sums via the integer identity
+    // ca*(2*cum - c + 1), exact tie term c^3 - c, tie-corrected z as the
+    // identical left-to-right double expression
+    "q_mann_whitney" ->
+      """WITH c AS (
+        |  SELECT n_chars // 16 AS b,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS cb
+        |  FROM documents GROUP BY 1
+        |), cc AS (SELECT b, ca, ca + cb AS c FROM c),
+        |cum AS (SELECT b, ca, c, SUM(c) OVER (ORDER BY b) AS cum FROM cc),
+        |p AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(c - ca) AS BIGINT) AS n_b,
+        |    CAST(SUM(ca * (cum * 2 - c + 1)) AS BIGINT) AS ranks2,
+        |    CAST(SUM(c * c * c - c) AS BIGINT) AS tie_sum
+        |  FROM cum
+        |)
+        |SELECT n_a, n_b, CAST(ranks2 - n_a * (n_a + 1) AS BIGINT) AS u2, tie_sum,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND
+        |    sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(tie_sum AS DOUBLE) /
+        |       (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))) > 0.0
+        |  THEN round(CAST(ranks2 - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) /
+        |    (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+        |      ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(tie_sum AS DOUBLE) /
+        |       (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0))))), 6)
+        |  ELSE NULL END AS z
+        |FROM p""".stripMargin,
     // identical pair comprehension, slot marginals, and the one ln per
     // output row: ((4.0·N)·c_ab)/(c_a·c_b) left-associated on both engines
     "q_pmi_pairs" ->

@@ -1826,6 +1826,51 @@ object Analytics {
             6)).as("est_distinct"))
   }
 
+  /** Two-sample Mann–Whitney U over a BUCKETED value: the rank-sum test
+    * between the rows where `inA` holds and the rest — the nonparametric
+    * location test next to [[ksDrift]]'s shape test (KS asks "did the
+    * distribution change anywhere", MWU asks "did one side shift up").
+    * Ties (bucketing makes many) are handled exactly: midranks via the
+    * standard 2× scaling and the tie-corrected variance term Σ(t³ − t).
+    *
+    * Exactness: everything up to z is BIGINT — doubled rank-sum
+    * `2R_A = Σ_b ca·(2·cum − c + 1)` (an integer identity for midranks),
+    * `u2 = 2R_A − n_a(n_a+1) = 2U_A`, and the tie term — all safe while
+    * 2N² < 2⁶³ (N ≈ 2·10⁹; widen to DECIMAL(38,0) past that, one cast).
+    * z is ONE left-to-right double expression over those integers.
+    *
+    * Scale shape: identical to [[ksDrift]] — one corpus scan into the
+    * domain-bounded bucket census, cumulatives via the banded census
+    * self-join (no partition-less window), two scalar aggregates. Returns
+    * one row (`n_a`, `n_b`, `u2`, `tie_sum`, `z`).
+    */
+  def mannWhitney(df: DataFrame, bucket: Column, inA: Column): DataFrame = {
+    val census = df
+      .select(bucket.cast("long").as("b"), inA.cast("boolean").as("__a"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val cum = census
+      .join(census.select(col("b").as("b2"), col("c").as("c2")), col("b2") <= col("b"))
+      .groupBy(col("b"), col("ca"), col("c"))
+      .agg(sum(col("c2")).as("cum"))
+    val parts = cum.agg(
+      sum(col("ca")).as("n_a"),
+      sum(col("c") - col("ca")).as("n_b"),
+      sum(col("ca") * (col("cum") * 2L - col("c") + 1L)).as("ranks2"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("tie_sum"))
+    val nD = (col("n_a") + col("n_b")).cast("double")
+    val den = sqrt(col("n_a").cast("double") * col("n_b").cast("double") / lit(12.0) *
+      ((nD + lit(1.0)) - col("tie_sum").cast("double") / (nD * (nD - lit(1.0)))))
+    parts.select(col("n_a"), col("n_b"),
+      (col("ranks2") - col("n_a") * (col("n_a") + 1L)).as("u2"), col("tie_sum"),
+      when(col("n_a") > 0L && col("n_b") > 0L && den > 0.0,
+        round((col("ranks2") - col("n_a") * (col("n_a") + 1L) -
+          col("n_a") * col("n_b")).cast("double") / (lit(2.0) * den), 6))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): for every
     * quasi-identifier group, the Earth Mover's Distance between the group's
     * distribution of an ORDERED sensitive bucket and the global one —

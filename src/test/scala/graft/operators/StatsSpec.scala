@@ -361,6 +361,20 @@ class StatsSpec extends SparkSpec {
     assert(rt.getLong(3) === 1L)
   }
 
+  test("mannWhitney: midrank identity, tie term, and the hand-computed z") {
+    // A buckets [1,2], B buckets [2,3]: ranks 1, 2.5 | 2.5, 4.
+    // 2R_A = 7 → u2 = 2U_A = 7 − 2·3 = 1; ties: one pair at b=2 → 2³−2 = 6.
+    // var = (4/12)·(5 − 6/12) = 1.5 → z = (1 − 4)/(2·√1.5) = −1.224745.
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, false)).toDF("b", "a")
+    val r = Analytics.mannWhitney(df, col("b"), col("a")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((2L, 2L, 1L, 6L)))
+    assert(r.getDouble(4) === -1.224745)
+    // all values tied in one bucket: variance collapses to 0 → z is NULL
+    val flat = Seq((1L, true), (1L, false)).toDF("b", "a")
+    assert(Analytics.mannWhitney(flat, col("b"), col("a")).head().isNullAt(4))
+  }
+
   test("kmvDistinct: exact below k, k-th-minimum estimate above, multiplicity-invariant") {
     val df = Seq("g" -> "x", "g" -> "y", "g" -> "z", "g" -> "x").toDF("k", "v")
     val r = Analytics.kmvDistinct(df, "k", col("v"), k = 8).head()
