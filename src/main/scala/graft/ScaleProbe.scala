@@ -189,6 +189,22 @@ object ScaleProbe {
         graft.operators.Analytics.ngramNovelty(
           d, col("doc_id"), col("text"), 3, 8)
           .queryExecution.toRdd.count() }
+      // census band-join statistics (round-11): KS and Mann-Whitney reduce
+      // the corpus to a DOMAIN-bounded bucket census in one map-side-partial
+      // aggregate, then do all cumulative work census×census — shuffle
+      // bytes here must track the census (a few hundred rows), NOT the
+      // blown-up corpus; compare the bytes against any corpus-shaped probe
+      // above to see the reduction
+      timeM("ks drift (len/64 census)") {
+        graft.operators.Analytics.ksDrift(
+          d, length(col("text")).cast("long") / lit(64L),
+          pmod(col("doc_id"), lit(2L)) === 0L)
+          .queryExecution.toRdd.count() }
+      timeM("mann-whitney (len/16 census)") {
+        graft.operators.Analytics.mannWhitney(
+          d, length(col("text")).cast("long") / lit(16L),
+          pmod(col("doc_id"), lit(2L)) === 0L)
+          .queryExecution.toRdd.count() }
       // Interval join on a hot-key event stream: 200k events over 30 days,
       // 10% owned by ONE user. The naive formulation (key-equi join, range
       // as a post-filter) sort-merges the hot user's ENTIRE view history
