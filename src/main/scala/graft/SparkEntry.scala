@@ -656,6 +656,48 @@ object SparkEntry {
         round(col("churned").cast("double") / col("users").cast("double"), 6))
   }
 
+  /** Watermark-selection audit: per event type, how late events actually
+    * arrive — lateness = (max event-time seen EARLIER in the per-user
+    * arrival order, by event_id) minus the event's own time, exact micros.
+    * This is the measurement that justifies a streaming `withWatermark`
+    * bound: n_late says how often disorder happens, p99/max say how much
+    * slack the state store must keep. One key-partitioned window (arrival
+    * order per user) and one aggregate — no global sort.
+    */
+  private def watermarkAuditQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("late_us",
+        greatest(lit(0L), coalesce(max(col("us")).over(w) - col("us"), lit(0L))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0L, 1L).otherwise(0L)).as("n_late"),
+        max(col("late_us")).as("max_late_us"),
+        round(expr("percentile(late_us, 0.99)"), 6).as("p99_late_us"))
+  }
+
+  /** Inter-event gap histogram (power-of-2 second buckets): the measurement
+    * behind the sessionization gap knob — the session threshold should sit
+    * in the valley between the intra-session bucket mass and the
+    * between-visit mass, and this census shows exactly where that valley
+    * is. One key shuffle for the lag, then a domain-bounded census.
+    */
+  private def gapHistogramQ(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val gaps = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull)
+      .select(TF.pow2BucketCap(expr("(us - prev_us) div 1000000")).as("gap_cap_s"))
+    val counts = gaps.groupBy(col("gap_cap_s")).agg(count(lit(1)).as("n_gaps"))
+    counts.crossJoin(counts.agg(sum(col("n_gaps")).as("__tot")))
+      .select(col("gap_cap_s"), col("n_gaps"),
+        round(col("n_gaps").cast("double") / col("__tot").cast("double"), 6).as("share"))
+  }
+
   /** Ordered signup → view → purchase funnel ([[Analytics.funnel]]): per
     * user, the first completion time of each stage strictly after the
     * previous one — one key shuffle, no per-key sort at any stage.
@@ -1952,6 +1994,28 @@ object SparkEntry {
   private def embedOutliersQ(s: SparkSession, dir: String): DataFrame =
     graft.similarity.KMeans.labelOutliers(t(s, dir, "embeddings"),
       "label", "vec_id", "embedding", k = 5)
+
+  /** Curriculum interleave: within every source, documents ranked by
+    * (quality DESC, id) through the range-sharded per-source rank, then
+    * dealt into one global order position = (rank − 1)·|sources| + source
+    * index — the "best of each source first, sources round-robin"
+    * curriculum an epoch builder materializes (a pure quality sort would
+    * let one source monopolize the head of training). First 1000 positions
+    * returned. The source census is a bounded collect; the rank is
+    * [[Analytics.rangedRank]] — no |sources|-task window.
+    */
+  private def curriculumQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TF.qualityScore(col("text")).as("quality"))
+    val sources = d.select(col("source")).distinct()
+      .orderBy(col("source")).collect().map(_.getString(0))
+    val idx = typedlit(sources.zipWithIndex.map { case (s0, i) => s0 -> i }.toMap)
+    Analytics.rangedRank(d, Seq("source"), Seq(negate(col("quality")), col("doc_id")))
+      .select(((col("rn") - 1L) * sources.length +
+          element_at(idx, col("source")).cast("long")).as("position"),
+        col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
+      .filter(col("position") < 1000L)
+  }
 
   /** Per-source rank calibration of the quality score: raw quality is not
     * comparable across domains (a median news article outscores a great
@@ -4370,6 +4434,9 @@ object SparkEntry {
     "q_table_join"          -> (tableJoinQ(_, _)),
     "q_cohort_retention"    -> (cohortRetentionQ(_, _)),
     "q_stickiness"          -> (stickinessQ(_, _)),
+    "q_watermark_audit"     -> (watermarkAuditQ(_, _)),
+    "q_gap_histogram"       -> (gapHistogramQ(_, _)),
+    "q_curriculum"          -> (curriculumQ(_, _)),
     "q_churn_cohort"        -> (churnCohortQ(_, _)),
     "q_resample_ffill"      -> (resampleFfillQ(_, _)),
     "q_funnel"              -> (funnelQ(_, _)),
@@ -7618,6 +7685,26 @@ object SparkEntry {
          |SELECT doc_id, source, quality,
          |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS q_rank
          |FROM j""".stripMargin,
+    // curriculum interleave: per-source (quality DESC, id) ranks dealt
+    // round-robin across the sorted source census; first 1000 positions
+    "q_curriculum" ->
+      s"""WITH dq AS ($duckQualitySql),
+         |d AS (
+         |  SELECT doc.doc_id, doc.source, q.quality
+         |  FROM documents doc JOIN dq q ON q.doc_id = doc.doc_id
+         |), srcs AS (
+         |  SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS idx,
+         |    COUNT(*) OVER () AS k
+         |  FROM (SELECT DISTINCT source FROM documents)
+         |), r AS (
+         |  SELECT doc_id, source,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+         |  FROM d
+         |)
+         |SELECT CAST((r.rn - 1) * s.k + s.idx AS BIGINT) AS position,
+         |  r.doc_id, r.source, CAST(r.rn AS BIGINT) AS rn
+         |FROM r JOIN srcs s USING (source)
+         |WHERE (r.rn - 1) * s.k + s.idx < 1000""".stripMargin,
     // Sequence windows: global inclusive prefix sum in doc_id order, then
     // each doc emits one row per overlapped 512-token window — all-integer
     // arithmetic, floor-division == `//` on non-negative BIGINTs
@@ -7708,6 +7795,42 @@ object SparkEntry {
         |SELECT month, sum_dau, n_days, mau,
         |  round(CAST(sum_dau AS DOUBLE) / CAST(n_days * mau AS DOUBLE), 6) AS stickiness
         |FROM m JOIN mau USING (month)""".stripMargin,
+    // watermark audit: lateness vs the per-user running max in ARRIVAL
+    // order (event_id), exact micros; p99 via the same interpolated
+    // percentile contract as q_percentiles
+    "q_watermark_audit" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, event_id, epoch_us(ts) AS us FROM events
+        |), l AS (
+        |  SELECT event_type,
+        |    GREATEST(0, COALESCE(MAX(us) OVER (PARTITION BY user_id
+        |      ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      - us, 0)) AS late_us
+        |  FROM e
+        |)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(MAX(late_us) AS BIGINT) AS max_late_us,
+        |  round(quantile_cont(late_us, 0.99), 6) AS p99_late_us
+        |FROM l GROUP BY 1""".stripMargin,
+    // inter-event gap census in power-of-2 second buckets (the psi/l-div
+    // bucket-cap formula), share as one double division
+    "q_gap_histogram" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |), g0 AS (
+        |  SELECT us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS d
+        |  FROM e
+        |), g AS (SELECT d // 1000000 AS gap_s FROM g0 WHERE d IS NOT NULL),
+        |b AS (
+        |  SELECT CASE WHEN gap_s <= 1 THEN 1
+        |    ELSE (CAST(1 AS BIGINT) << length(bin(gap_s - 1))) END AS gap_cap_s
+        |  FROM g
+        |), c AS (SELECT gap_cap_s, COUNT(*) AS n_gaps FROM b GROUP BY 1),
+        |t AS (SELECT SUM(n_gaps) AS tot FROM c)
+        |SELECT gap_cap_s, n_gaps,
+        |  round(CAST(n_gaps AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        |FROM c, t""".stripMargin,
     // inactivity churn: per-user first/last, ISO-Monday cohort weeks
     // (date_trunc('week') on both engines), strict < against max_ts − 14d
     "q_churn_cohort" ->
