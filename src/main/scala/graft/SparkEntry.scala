@@ -3228,6 +3228,18 @@ object SparkEntry {
     Analytics.ksDrift(t(s, dir, "documents"),
       expr("n_chars div 64"), pmod(col("doc_id"), lit(2L)) === 0L)
 
+  /** Neyman allocation ([[Analytics.neymanAllocation]]) of a 10,000-doc
+    * QA-sample budget across languages, variance-optimal for estimating
+    * mean tokens/doc: n_h ∝ N_h·σ_h with exact decimal moment sums,
+    * fixed-point ppm weights, and largest-remainder integer seats that sum
+    * to exactly 10,000.
+    */
+  private def neymanAllocQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.neymanAllocation(
+      t(s, dir, "documents").select(col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "lang", col("n_tokens"), sampleSize = 10000L)
+
   /** t-closeness audit ([[Analytics.tCloseness]]) over (lang, source)
     * quasi-groups with document length (512-char buckets) as the ordered
     * sensitive attribute — completes the k-anonymity / l-diversity /
@@ -4472,6 +4484,7 @@ object SparkEntry {
     "q_mann_whitney"        -> (mannWhitneyQ(_, _)),
     "q_orc_roundtrip"       -> (orcRoundtripQ(_, _)),
     "q_t_closeness"         -> (tClosenessQ(_, _)),
+    "q_neyman_alloc"        -> (neymanAllocQ(_, _)),
     "q_sentence_stats"      -> (sentenceStatsQ(_, _)),
     "q_bucketed_agg"        -> (bucketedAggQ(_, _)),
     "q_bucketed_join"       -> (bucketedJoinQ(_, _)),
@@ -8418,6 +8431,42 @@ object SparkEntry {
         |  round((SELECT max(d) FROM t), 6) AS ks_d,
         |  (SELECT min(b) FROM t WHERE d = (SELECT max(d) FROM t)) AS ks_at
         |FROM tot""".stripMargin,
+    // Neyman allocation: exact moment census; sigma and the ppm weight are
+    // the identical double expressions (w_ppm from UNROUNDED sigma); base
+    // seats, remainders, and largest-remainder ranks are pure integers
+    "q_neyman_alloc" ->
+      s"""WITH d AS (
+         |  SELECT lang, CAST(len($duckToks) AS BIGINT) AS x FROM documents
+         |), c AS (
+         |  SELECT lang AS stratum, COUNT(*) AS n_h, SUM(x) AS s_x, SUM(x*x) AS q_x
+         |  FROM d GROUP BY 1
+         |), w0 AS (
+         |  SELECT stratum, CAST(n_h AS BIGINT) AS n_h,
+         |    CASE WHEN n_h > 1 THEN
+         |      sqrt((CAST(n_h AS DOUBLE)*CAST(q_x AS DOUBLE) - CAST(s_x AS DOUBLE)*CAST(s_x AS DOUBLE)) /
+         |           (CAST(n_h AS DOUBLE)*(CAST(n_h AS DOUBLE)-1.0)))
+         |    ELSE 0.0 END AS sg
+         |  FROM c
+         |), w AS (
+         |  SELECT stratum, n_h, round(sg, 6) AS sigma,
+         |    CAST(floor(CAST(n_h AS DOUBLE) * sg * 1000000.0) AS BIGINT) AS w_ppm
+         |  FROM w0
+         |), t AS (SELECT SUM(w_ppm) AS w_tot FROM w),
+         |b AS (
+         |  SELECT stratum, n_h, sigma, w_ppm,
+         |    CASE WHEN w_tot > 0 THEN 10000 * w_ppm // w_tot ELSE 0 END AS base,
+         |    CASE WHEN w_tot > 0 THEN 10000 * w_ppm % w_tot ELSE 0 END AS rem
+         |  FROM w CROSS JOIN t
+         |), lo AS (SELECT 10000 - SUM(base) AS r FROM b),
+         |rk AS (
+         |  SELECT b.stratum, b.n_h, b.sigma, b.w_ppm, b.base, b.rem,
+         |    (SELECT COUNT(*) FROM b b2
+         |     WHERE b2.rem > b.rem OR (b2.rem = b.rem AND b2.stratum < b.stratum)) AS n_better
+         |  FROM b
+         |)
+         |SELECT stratum, n_h, sigma, w_ppm,
+         |  CAST(base + CASE WHEN n_better < (SELECT r FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM rk""".stripMargin,
     // t-closeness: per-(lang, source) EMD vs the global length distribution
     // in exact ppm fixed-point (cum·10^6 // n — truncating integer
     // division), densified over the occupied-bucket census; only the final

@@ -1793,6 +1793,67 @@ object Analytics {
       .agg(round(max(col("ks_d")), 6).as("ks_d"), min(col("b")).as("ks_at"))
   }
 
+  /** Neyman allocation (Neyman 1934) of a sampling budget across strata:
+    * `n_h ∝ N_h·σ_h` — the variance-optimal design for estimating a mean
+    * under stratified sampling, which is how an eval-set or QA-sample
+    * budget SHOULD be split across languages/sources (proportional
+    * allocation oversamples homogeneous strata; equal allocation wastes
+    * budget on tiny ones). Integer seats are assigned by the
+    * largest-remainder (Hamilton) method, so the allocations sum to
+    * exactly `sampleSize`.
+    *
+    * Exactness: per-stratum moments are exact BIGINT sums; σ_h is one
+    * left-to-right double expression over them; the weight is then
+    * FIXED-POINT ppm (`floor(N_h·σ_h·10⁶)` — identical double → identical
+    * integer on any engine) so every subsequent step (base = S·w div W,
+    * remainder ranks, +1 seats) is pure integer arithmetic — a
+    * cross-stratum double SUM would be order-dependent and could never
+    * hash-replay. Remainder ties break to the smaller stratum name.
+    *
+    * Scale shape: one corpus scan into the |strata| census (map-side
+    * partials), then census-sized joins only. Returns one row per stratum:
+    * (`stratum`, `n_h`, `sigma`, `w_ppm`, `alloc`).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, x: Column,
+                       sampleSize: Long): DataFrame = {
+    require(sampleSize > 0, s"sampleSize must be positive: $sampleSize")
+    val census = df
+      .select(col(stratumCol).as("stratum"), x.cast("long").as("__x"))
+      .groupBy(col("stratum"))
+      // moment sums in DECIMAL(38,0): the per-row square fits a long, the
+      // cross-corpus SUM does not at 10¹¹ rows — decimal sums stay exact
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("__x").cast("decimal(20,0)")).as("s_x"),
+        sum((col("__x") * col("__x")).cast("decimal(20,0)")).as("q_x"))
+    val d = (c: Column) => c.cast("double")
+    val sigma = when(col("n_h") > 1L,
+      sqrt((d(col("n_h")) * d(col("q_x")) - d(col("s_x")) * d(col("s_x"))) /
+        (d(col("n_h")) * (d(col("n_h")) - lit(1.0))))).otherwise(lit(0.0))
+    val weighted = census.select(col("stratum"), col("n_h"),
+      round(sigma, 6).as("sigma"),
+      floor(d(col("n_h")) * sigma * lit(1000000.0)).cast("long").as("w_ppm"))
+    val tot = weighted.agg(sum(col("w_ppm")).as("w_tot"))
+    val based = weighted.crossJoin(tot)
+      .select(col("stratum"), col("n_h"), col("sigma"), col("w_ppm"),
+        when(col("w_tot") > 0L,
+          expr(s"CAST($sampleSize AS BIGINT) * w_ppm div w_tot")).otherwise(0L).as("base"),
+        when(col("w_tot") > 0L,
+          expr(s"CAST($sampleSize AS BIGINT) * w_ppm % w_tot")).otherwise(0L).as("rem"))
+    val leftover = based.agg((lit(sampleSize) - sum(col("base"))).as("r"))
+    // remainder rank via the census self-join (strictly-greater count):
+    // |strata|² comparisons on a domain-bounded census, no window
+    val ranked = based
+      .join(based.select(col("rem").as("rem2"), col("stratum").as("st2")),
+        col("rem2") > col("rem") ||
+          (col("rem2") === col("rem") && col("st2") < col("stratum")), "left")
+      .groupBy(col("stratum"), col("n_h"), col("sigma"), col("w_ppm"),
+        col("base"), col("rem"))
+      .agg(count(col("st2")).as("n_better"))
+    ranked.crossJoin(leftover)
+      .select(col("stratum"), col("n_h"), col("sigma"), col("w_ppm"),
+        (col("base") + when(col("n_better") < col("r"), 1L).otherwise(0L)).as("alloc"))
+  }
+
   /** KMV / bottom-k distinct sketch (Bar-Yossef et al., RANDOM 2002): per
     * key, the k smallest DISTINCT FNV-1a hashes of the value; the k-th
     * minimum h_k estimates cardinality as (k−1)/u_k with u_k = h_k mapped

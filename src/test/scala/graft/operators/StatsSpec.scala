@@ -361,6 +361,22 @@ class StatsSpec extends SparkSpec {
     assert(rt.getLong(3) === 1L)
   }
 
+  test("neymanAllocation: sigma-weighted seats, largest-remainder, exact-sum budget") {
+    // A: [0,2] → σ=√2, w=2828427 ppm; B: [0,4] → σ=2√2, w=5656854 ppm.
+    // S=10: base A=3 (rem 2828427), B=6 (rem 5656854); leftover 1 → B.
+    val df = Seq(("A", 0L), ("A", 2L), ("B", 0L), ("B", 4L)).toDF("g", "x")
+    val out = Analytics.neymanAllocation(df, "g", col("x"), 10L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out === Map("A" -> (2L, 2828427L, 3L), "B" -> (2L, 5656854L, 7L)))
+    assert(out.values.map(_._3).sum === 10L) // seats sum to the budget exactly
+    // a single-member stratum has zero variance: no seats, no divide error
+    val deg = Seq(("A", 0L), ("A", 2L), ("C", 9L)).toDF("g", "x")
+    val d2 = Analytics.neymanAllocation(deg, "g", col("x"), 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(d2 === Map("A" -> 10L, "C" -> 0L))
+  }
+
   test("mannWhitney: midrank identity, tie term, and the hand-computed z") {
     // A buckets [1,2], B buckets [2,3]: ranks 1, 2.5 | 2.5, 4.
     // 2R_A = 7 → u2 = 2U_A = 7 − 2·3 = 1; ties: one pair at b=2 → 2³−2 = 6.
