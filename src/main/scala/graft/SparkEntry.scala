@@ -3003,6 +3003,38 @@ object SparkEntry {
     Dedup.ppjoinPairs(t(s, dir, "documents"), "doc_id", "text", n = 5,
       tNum = 4, tDen = 5)
 
+  /** Per-source vocabulary fingerprint: within the global top-200 token
+    * census, each source's 5 most OVER-represented tokens by the smoothed
+    * KL contribution p_s·ln(p_s/p_g) — the "what makes this source talk
+    * differently" report a curation review reads before weighting sources.
+    * Restricted to the top-census domain (the bounded shortlist), so every
+    * per-term double is computed from exact integer counts with the
+    * identical expression on both engines; ranking uses the unrounded term.
+    * Scale shape: one (source, token) census shuffle (map-side partials, no
+    * text past the explode), a TakeOrdered top-200, broadcast-sized joins,
+    * and the bounded top-5 aggregate.
+    */
+  private def sourceFingerprintQ(s: SparkSession, dir: String): DataFrame = {
+    val stc = t(s, dir, "documents")
+      .select(col("source"), explode(TF.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n_s"))
+    val top = stc.groupBy(col("tok")).agg(sum(col("n_s")).as("n_g"))
+      .orderBy(col("n_g").desc, col("tok")).limit(200)
+    val ts = stc.join(top.select(col("tok")), Seq("tok"))
+      .groupBy(col("source")).agg(sum(col("n_s")).as("t_s"))
+    val tg = top.agg(sum(col("n_g")).as("t_g"))
+    val ps = (col("n_s") + lit(1L)) / (col("t_s") + lit(200.0))
+    val pg = (col("n_g") + lit(1L)) / (col("t_g") + lit(200.0))
+    val terms = stc.join(top, Seq("tok")).join(ts, Seq("source")).crossJoin(tg)
+      .select(col("source"), col("tok"), col("n_s"),
+        (ps * log(ps / pg)).as("term"))
+    Analytics.topPerKeyAgg(terms, "source",
+        Seq(negate(col("term")), col("tok")),
+        Seq("tok" -> col("tok"), "n_s" -> col("n_s"), "term" -> col("term")), 5)
+      .select(col("source"), col("tok"), col("n_s"),
+        round(col("term"), 6).as("kl_term"), col("rn").cast("long").as("rn"))
+  }
+
   /** Top-40 token vocabulary with cumulative corpus coverage
     * ([[Analytics.vocabCoverage]]) over whitespace tokens of the lowered
     * document text.
@@ -4449,6 +4481,7 @@ object SparkEntry {
     "q_watermark_audit"     -> (watermarkAuditQ(_, _)),
     "q_gap_histogram"       -> (gapHistogramQ(_, _)),
     "q_curriculum"          -> (curriculumQ(_, _)),
+    "q_source_fingerprint"  -> (sourceFingerprintQ(_, _)),
     "q_churn_cohort"        -> (churnCohortQ(_, _)),
     "q_resample_ffill"      -> (resampleFfillQ(_, _)),
     "q_funnel"              -> (funnelQ(_, _)),
@@ -7698,6 +7731,31 @@ object SparkEntry {
          |SELECT doc_id, source, quality,
          |  round(percent_rank() OVER (PARTITION BY source ORDER BY quality, doc_id), 6) AS q_rank
          |FROM j""".stripMargin,
+    // source fingerprint: (source, token) census restricted to the global
+    // top-200; smoothed KL contribution per pair from exact counts, top-5
+    // per source ranked on the unrounded term
+    "q_source_fingerprint" ->
+      s"""WITH tk AS (SELECT source, unnest($duckToks) AS tok FROM documents),
+         |stc AS (SELECT source, tok, COUNT(*) AS n_s FROM tk GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok, SUM(n_s) AS n_g FROM stc GROUP BY 1
+         |  ORDER BY n_g DESC, tok LIMIT 200
+         |), ts AS (
+         |  SELECT source, SUM(n_s) AS t_s
+         |  FROM stc JOIN top USING (tok) GROUP BY 1
+         |), tg AS (SELECT SUM(n_g) AS t_g FROM top),
+         |term AS (
+         |  SELECT stc.source, stc.tok, CAST(stc.n_s AS BIGINT) AS n_s,
+         |    ((stc.n_s + 1) / (ts.t_s + 200.0)) *
+         |      ln(((stc.n_s + 1) / (ts.t_s + 200.0)) / ((top.n_g + 1) / (tg.t_g + 200.0))) AS term
+         |  FROM stc JOIN top USING (tok) JOIN ts USING (source) CROSS JOIN tg
+         |), r AS (
+         |  SELECT source, tok, n_s, round(term, 6) AS kl_term,
+         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY term DESC, tok) AS rn
+         |  FROM term
+         |)
+         |SELECT source, tok, n_s, kl_term, CAST(rn AS BIGINT) AS rn
+         |FROM r WHERE rn <= 5""".stripMargin,
     // curriculum interleave: per-source (quality DESC, id) ranks dealt
     // round-robin across the sorted source census; first 1000 positions
     "q_curriculum" ->
