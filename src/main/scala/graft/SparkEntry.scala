@@ -3260,6 +3260,18 @@ object SparkEntry {
     Analytics.ksDrift(t(s, dir, "documents"),
       expr("n_chars div 64"), pmod(col("doc_id"), lit(2L)) === 0L)
 
+  /** Deterministic Poisson-bootstrap 95% CI
+    * ([[Analytics.poissonBootstrapCI]], b = 100) for mean tokens/doc —
+    * the uncertainty a corpus datasheet should quote next to every mean,
+    * computed in one scan with hash-derived weights so the interval
+    * replays bit-for-bit.
+    */
+  private def bootstrapCiQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.poissonBootstrapCI(
+      t(s, dir, "documents").select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens")),
+      col("doc_id"), col("n_tokens"), b = 100)
+
   /** Neyman allocation ([[Analytics.neymanAllocation]]) of a 10,000-doc
     * QA-sample budget across languages, variance-optimal for estimating
     * mean tokens/doc: n_h ∝ N_h·σ_h with exact decimal moment sums,
@@ -4518,6 +4530,7 @@ object SparkEntry {
     "q_orc_roundtrip"       -> (orcRoundtripQ(_, _)),
     "q_t_closeness"         -> (tClosenessQ(_, _)),
     "q_neyman_alloc"        -> (neymanAllocQ(_, _)),
+    "q_bootstrap_ci"        -> (bootstrapCiQ(_, _)),
     "q_sentence_stats"      -> (sentenceStatsQ(_, _)),
     "q_bucketed_agg"        -> (bucketedAggQ(_, _)),
     "q_bucketed_join"       -> (bucketedJoinQ(_, _)),
@@ -8489,6 +8502,45 @@ object SparkEntry {
         |  round((SELECT max(d) FROM t), 6) AS ks_d,
         |  (SELECT min(b) FROM t WHERE d = (SELECT max(d) FROM t)) AS ks_at
         |FROM tot""".stripMargin,
+    // Poisson bootstrap: hash-derived inverse-CDF weights (ppm table),
+    // exact BIGINT per-resample sums, one division per mean, CI bounds by
+    // exact rank over the 100-row resample census
+    "q_bootstrap_ci" ->
+      s"""WITH d AS (
+         |  SELECT CAST(doc_id AS VARCHAR) AS id, CAST(len($duckToks) AS BIGINT) AS x
+         |  FROM documents
+         |), rep AS (
+         |  SELECT d.id, d.x, g.b
+         |  FROM d CROSS JOIN (SELECT unnest(range(0, 100)) AS b) g
+         |), h AS (
+         |  SELECT b, x,
+         |    ${duckU2S(duckFnvU("('boot#' || CAST(b AS VARCHAR) || '#' || id)"))} AS hs
+         |  FROM rep
+         |), uw AS (
+         |  SELECT b, x, ((hs % 1000000) + 1000000) % 1000000 AS u FROM h
+         |), w AS (
+         |  SELECT b, x,
+         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735758 THEN 1
+         |         WHEN u < 919698 THEN 2 WHEN u < 981011 THEN 3
+         |         WHEN u < 996439 THEN 4 WHEN u < 999405 THEN 5
+         |         WHEN u < 999899 THEN 6 WHEN u < 999970 THEN 7 ELSE 8 END AS w
+         |  FROM uw
+         |), m AS (
+         |  SELECT b, CASE WHEN SUM(w) > 0
+         |    THEN CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+         |    ELSE 0.0 END AS m
+         |  FROM w GROUP BY 1
+         |), r AS (
+         |  SELECT b, m,
+         |    (SELECT COUNT(*) FROM m m2
+         |     WHERE m2.m < m.m OR (m2.m = m.m AND m2.b < m.b)) AS rk
+         |  FROM m
+         |), f AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, COUNT(*) AS n FROM d)
+         |SELECT CAST(100 AS BIGINT) AS b_resamples,
+         |  round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+         |  round((SELECT max(m) FROM r WHERE rk = 2), 6) AS ci_lo,
+         |  round((SELECT max(m) FROM r WHERE rk = 97), 6) AS ci_hi
+         |FROM f""".stripMargin,
     // Neyman allocation: exact moment census; sigma and the ppm weight are
     // the identical double expressions (w_ppm from UNROUNDED sigma); base
     // seats, remainders, and largest-remainder ranks are pure integers

@@ -1793,6 +1793,65 @@ object Analytics {
       .agg(round(max(col("ks_d")), 6).as("ks_d"), min(col("b")).as("ks_at"))
   }
 
+  /** Deterministic Poisson bootstrap confidence interval for a mean
+    * (Poisson bootstrap: Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012 — resample weights are iid
+    * Poisson(1), so no resample needs the corpus size up front and the
+    * whole procedure is one scan): each of `b` resamples weighs every row
+    * by an inverse-CDF Poisson(1) draw from a CONTENT hash of
+    * (salt, resample, id) — no RNG state, so the interval is a pure
+    * function of the data and replays on any engine.
+    *
+    * Exactness: per-resample Σw and Σw·x are exact BIGINT sums (weights
+    * ≤ 8 — the CDF tail beyond 8 is 1.1e-6 and is folded into w = 8);
+    * each resample mean is ONE double division; the CI bounds are order
+    * statistics selected by exact rank (ties broken by resample index)
+    * over the `b`-row census — a band self-join, no window.
+    *
+    * Scale shape: the weight explode is a scan-side generator (b rows per
+    * input row, map-side partial aggregation → only `b × partitions`
+    * partial rows shuffle); everything after the first aggregate is
+    * census-sized. Returns one row: (`b_resamples`, `mean`, `ci_lo`,
+    * `ci_hi`) at the 2.5/97.5 percentile ranks.
+    */
+  def poissonBootstrapCI(df: DataFrame, idCol: Column, x: Column, b: Int,
+                         salt: String = "boot#"): DataFrame = {
+    require(b >= 40 && b <= 10000, s"b must be in [40, 10000]: $b")
+    // cumulative Poisson(1) CDF in ppm: floor(1e6 · e^-1 · Σ 1/k!)
+    val cum = Seq(367879L, 735758L, 919698L, 981011L, 996439L, 999405L,
+      999899L, 999970L)
+    val loIdx = math.floor(0.025 * b).toInt
+    val hiIdx = math.min(b - 1, math.ceil(0.975 * b).toInt - 1)
+    val base = df.select(idCol.cast("string").as("__id"), x.cast("long").as("__x"))
+    val rep = base.select(col("__id"), col("__x"),
+      explode(sequence(lit(0), lit(b - 1))).as("b"))
+    val u = pmod(graft.functions.TextFunctions.fnv1a64(
+      concat(lit(salt), col("b").cast("string"), lit("#"), col("__id"))),
+      lit(1000000L))
+    val w = cum.zipWithIndex.reverse.foldLeft(lit(8L)) { case (acc, (t, i)) =>
+      when(u < t, lit(i.toLong)).otherwise(acc)
+    }
+    val means = rep.select(col("b"), w.as("w"), col("__x"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("__x")).as("swx"))
+      .select(col("b"), when(col("sw") > 0L,
+        col("swx").cast("double") / col("sw").cast("double"))
+        .otherwise(lit(0.0)).as("m"))
+    val ranked = means
+      .join(means.select(col("m").as("m2"), col("b").as("b2")),
+        col("m2") < col("m") || (col("m2") === col("m") && col("b2") < col("b")),
+        "left")
+      .groupBy(col("b"), col("m")).agg(count(col("b2")).as("rk"))
+    val full = base.agg(sum(col("__x")).as("sx"), count(lit(1)).as("n"))
+    ranked.agg(
+        max(when(col("rk") === loIdx.toLong, col("m"))).as("__lo"),
+        max(when(col("rk") === hiIdx.toLong, col("m"))).as("__hi"))
+      .crossJoin(full)
+      .select(lit(b.toLong).as("b_resamples"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6).as("mean"),
+        round(col("__lo"), 6).as("ci_lo"), round(col("__hi"), 6).as("ci_hi"))
+  }
+
   /** Neyman allocation (Neyman 1934) of a sampling budget across strata:
     * `n_h ∝ N_h·σ_h` — the variance-optimal design for estimating a mean
     * under stratified sampling, which is how an eval-set or QA-sample

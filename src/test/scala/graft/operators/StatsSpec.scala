@@ -361,6 +361,18 @@ class StatsSpec extends SparkSpec {
     assert(rt.getLong(3) === 1L)
   }
 
+  test("poissonBootstrapCI: constant column collapses the interval; bounds bracket the mean") {
+    // constant x: every resample mean is exactly 7 regardless of weights
+    val const = (1L to 50L).map(i => (i, 7L)).toDF("id", "x")
+    val c = Analytics.poissonBootstrapCI(const, col("id"), col("x"), b = 100).head()
+    assert((c.getDouble(1), c.getDouble(2), c.getDouble(3)) === ((7.0, 7.0, 7.0)))
+    // varying x: ci_lo <= mean <= ci_hi and the bounds are distinct
+    val varied = (1L to 200L).map(i => (i, i % 13)).toDF("id", "x")
+    val v = Analytics.poissonBootstrapCI(varied, col("id"), col("x"), b = 100).head()
+    assert(v.getDouble(2) <= v.getDouble(1) && v.getDouble(1) <= v.getDouble(3))
+    assert(v.getDouble(2) < v.getDouble(3))
+  }
+
   test("neymanAllocation: sigma-weighted seats, largest-remainder, exact-sum budget") {
     // A: [0,2] → σ=√2, w=2828427 ppm; B: [0,4] → σ=2√2, w=5656854 ppm.
     // S=10: base A=3 (rem 2828427), B=6 (rem 5656854); leftover 1 → B.
