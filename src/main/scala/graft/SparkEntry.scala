@@ -498,6 +498,57 @@ object SparkEntry {
     graft.operators.Graph.degreeAssortativity(knn, "src", "dst")
   }
 
+  /** Per-discount-position constants for nDCG@10: 1/log2(i+1) precomputed
+    * once in Scala and embedded as LITERALS on both engines — a runtime
+    * log2 could differ by an ulp between libm and Math.log, a literal
+    * cannot. IDCG is the same fold over the ideal gains 10..1.
+    */
+  private val ndcgDiscounts: IndexedSeq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val ndcgIdeal: Double =
+    (1 to 10).foldLeft(0.0)((acc, j) => acc + (11 - j) * ndcgDiscounts(j - 1))
+
+  /** nDCG@10 of the int8-quantized ANN tier against the exact cosine
+    * ranking, per query vector (ids 0–4): graded relevance = 11 − exact
+    * rank (0 outside the exact top-10), DCG folded in ANN-rank order.
+    * This is the retrieval-quality eval [[annRecallQ]] can't express —
+    * recall treats rank 1 and rank 10 alike; nDCG charges the quantizer
+    * for every position it displaces. The DCG fold runs over a 10-element
+    * per-query array via the ORDERED higher-order aggregate, so the
+    * double sum has ONE defined association on both engines.
+    */
+  private def ndcgQ(s: SparkSession, dir: String): DataFrame = {
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    val emb = t(s, dir, "embeddings")
+    val quant = emb.select(col("vec_id"), Ann.quantize8(col("embedding")).as("qv"))
+    val qs = quant.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("src"), col("qv").as("qq"))
+    val idot = br.column(graft.expressions.DotProductInt8(
+      br.expression(col("qq.q")), br.expression(col("qv.q"))))
+    val annPairs = qs.join(quant, col("vec_id") =!= col("src"))
+      .select(col("src"), col("vec_id").as("dst"),
+        round(col("qv.scale") * col("qq.scale") * idot.cast("double"), 6).as("qscore"))
+    val ann = Analytics.topPerKeyAgg(annPairs, "src",
+        Seq(negate(col("qscore")), col("dst")), Seq("dst" -> col("dst")), 10)
+      .select(col("src"), col("dst"), col("rn").as("arank"))
+    val exact = Ann.knnGraph(emb.filter(col("vec_id") < 5), emb, "vec_id",
+        "embedding", 10)
+      .select(col("src"), col("dst"), col("rn").as("erank"))
+    val rel = ann.join(exact, Seq("src", "dst"), "left")
+      .select(col("src"), col("arank"),
+        coalesce(lit(11L) - col("erank"), lit(0L)).as("rel"))
+    val dlit = typedlit(ndcgDiscounts)
+    rel.groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("arank").cast("int").as("a"),
+        col("rel").cast("double").as("r")))).as("lst"))
+      .select(col("src").as("vec_id"),
+        aggregate(col("lst"), lit(0.0),
+          (acc, e) => acc + e.getField("r") * element_at(dlit, e.getField("a")))
+          .as("dcg"))
+      .select(col("vec_id"), round(col("dcg"), 6).as("dcg"),
+        round(col("dcg") / lit(ndcgIdeal), 6).as("ndcg"))
+  }
+
   /** Margin-based parallel-pair mining ([[Ann.marginMine]]) between the
     * label-0 and label-1 embedding sets: each label-0 vector's best label-1
     * candidate by the LASER margin criterion — cosine renormalized by both
@@ -4510,6 +4561,7 @@ object SparkEntry {
     "q_link_predict"        -> (linkPredictQ(_, _)),
     "q_mutual_knn"          -> (mutualKnnQ(_, _)),
     "q_bitext_mine"         -> (bitextMineQ(_, _)),
+    "q_ndcg"                -> (ndcgQ(_, _)),
     "q_assortativity"       -> (assortativityQ(_, _)),
     "q_knn_classify"        -> (knnClassifyQ(_, _)),
     "q_weighted_sample"     -> (weightedSampleQ(_, _)),
@@ -8158,6 +8210,54 @@ object SparkEntry {
          |  CAST(g.rn AS BIGINT) AS rank_ba
          |FROM e f JOIN e g ON g.src = f.dst AND g.dst = f.src
          |WHERE f.src < f.dst""".stripMargin,
+    // nDCG@10: quantize replay for the ANN ranking, exact-cos replay for
+    // relevance, DCG as an ORDERED list_reduce over the arank-sorted list
+    // with the SAME discount literals the Spark side embeds
+    "q_ndcg" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id, list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS mx,
+         |    embedding FROM embeddings
+         |), c AS (
+         |  SELECT vec_id, CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END AS scale,
+         |    [CAST(round(CAST(x AS DOUBLE) / (CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END)) AS BIGINT)
+         |     FOR x IN embedding] AS q
+         |  FROM c0
+         |), qs AS (SELECT vec_id AS src, scale AS qscale, q AS qq FROM c WHERE vec_id < 5),
+         |p AS (
+         |  SELECT qs.src, c.vec_id AS dst,
+         |    round(c.scale * qs.qscale *
+         |      list_sum([c.q[i] * qs.qq[i] FOR i IN range(1, len(c.q)+1)]), 6) AS qscore
+         |  FROM qs JOIN c ON c.vec_id != qs.src
+         |), a0 AS (
+         |  SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY qscore DESC, dst) AS arank
+         |  FROM p
+         |), a AS (SELECT * FROM a0 WHERE arank <= 10),
+         |ex0 AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < 5 AND y.vec_id != x.vec_id
+         |), ex AS (
+         |  SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS erank
+         |  FROM ex0
+         |), r AS (
+         |  SELECT a.src, a.arank, COALESCE(11 - e.erank, 0) AS rel
+         |  FROM a LEFT JOIN (SELECT * FROM ex WHERE erank <= 10) e
+         |    ON e.src = a.src AND e.dst = a.dst
+         |), l AS (
+         |  SELECT src, list(struct_pack(a := arank, r := CAST(rel AS DOUBLE))
+         |    ORDER BY arank) AS lst
+         |  FROM r GROUP BY 1
+         |), g AS (
+         |  SELECT src, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    [e.r * (${ndcgDiscounts.mkString("[", ", ", "]")})[e.a] FOR e IN lst]),
+         |    (x, y) -> x + y) AS dcg
+         |  FROM l
+         |)
+         |SELECT src AS vec_id, round(dcg, 6) AS dcg,
+         |  round(dcg / $ndcgIdeal, 6) AS ndcg
+         |FROM g""".stripMargin,
     // margin mining: both directed knn-4 passes replayed on the identical
     // double cosine; neighborhood sums over the 6dp-rounded cosines as
     // exact DECIMAL(10,6); margin = one double expression; best per x by
