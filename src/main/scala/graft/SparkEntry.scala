@@ -4198,6 +4198,43 @@ object SparkEntry {
         .otherwise(lit(null).cast("double")).as("roll_corr"))
   }
 
+  /** Exact order-statistic SELECTION without a global sort: the lower/upper
+    * median and the discrete p90 of order totals picked by their exact
+    * global rank through the range-sharded [[Analytics.rangedRank]] — the
+    * 100 TB path to EXACT quantiles (`percentile()` buffers a group's
+    * values in one aggregator; KLL approximates; this selects the k-th of
+    * 10¹¹ rows with a boundary sample plus one partitioned rank pass and
+    * a rank-literal filter). Target ranks come from the rank pass's own
+    * total-count column, so nothing is collected.
+    */
+  private def medianSelectQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.rangedRank(
+        t(s, dir, "orders").select(col("o_totalprice"), col("o_orderkey")),
+        Seq.empty, Seq(col("o_totalprice"), col("o_orderkey")))
+      .filter(expr("rn = (n_part + 1) div 2 OR rn = (n_part + 2) div 2 " +
+        "OR rn = (n_part * 9 + 9) div 10"))
+      .select(
+        when(col("rn") === expr("(n_part + 1) div 2"), "median_lo")
+          .when(col("rn") === expr("(n_part + 2) div 2"), "median_hi")
+          .otherwise("p90").as("stat"),
+        col("rn").cast("long").as("rn"),
+        round(col("o_totalprice"), 6).as("value"))
+
+  /** Systematic 1% sample over the quality-ordered frame: every 100th
+    * document of the (quality DESC, id) order — the classic survey design
+    * that guarantees even coverage of the quality spectrum (a uniform
+    * hash sample can cluster; the systematic frame cannot), ranked by the
+    * same range-sharded machinery, no global sort.
+    */
+  private def systematicSampleQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TF.qualityScore(col("text")).as("quality"))
+    Analytics.rangedRank(d, Seq.empty, Seq(negate(col("quality")), col("doc_id")))
+      .filter(pmod(col("rn") - 1L, lit(100L)) === 0L)
+      .select(col("rn").cast("long").as("rn"), col("doc_id"), col("source"),
+        col("quality"))
+  }
+
   /** Revenue-concentration deciles (the 80/20 curve): users ranked by
     * exact-decimal monetary total through the range-sharded global NTILE
     * (no single-reducer window at any user count), then per-decile sums
@@ -4413,6 +4450,8 @@ object SparkEntry {
     "q_skew_report"         -> (skewReportQ(_, _)),
     "q_partition_plan"      -> (partitionPlanQ(_, _)),
     "q_shard_balance"       -> (shardBalanceQ(_, _)),
+    "q_median_select"       -> (medianSelectQ(_, _)),
+    "q_systematic_sample"   -> (systematicSampleQ(_, _)),
     "q_asof_join"           -> (asofJoinQ(_, _)),
     "q_asof_tolerance"      -> (asofToleranceQ(_, _)),
     "q_pivot"               -> (pivotQ(_, _)),
@@ -6034,6 +6073,35 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST((sum(n_chars) + 16383) // 16384 AS BIGINT) AS files
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // exact rank selection: the oracle's one-reducer window replays the
+    // range-sharded global rank; identical div arithmetic for the targets
+    "q_median_select" ->
+      """WITH r AS (
+        |  SELECT o_totalprice AS v,
+        |    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM orders
+        |)
+        |SELECT CASE WHEN rn = (n + 1) // 2 THEN 'median_lo'
+        |            WHEN rn = (n + 2) // 2 THEN 'median_hi'
+        |            ELSE 'p90' END AS stat,
+        |  CAST(rn AS BIGINT) AS rn, round(v, 6) AS value
+        |FROM r
+        |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 OR rn = (n * 9 + 9) // 10""".stripMargin,
+    // systematic 1% over the (quality DESC, id) frame; rank replay via the
+    // quality CTE, stride filter identical
+    "q_systematic_sample" ->
+      s"""WITH dq AS ($duckQualitySql),
+         |d AS (
+         |  SELECT doc.doc_id, doc.source, q.quality
+         |  FROM documents doc JOIN dq q ON q.doc_id = doc.doc_id
+         |), r AS (
+         |  SELECT doc_id, source, quality,
+         |    ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS rn
+         |  FROM d
+         |)
+         |SELECT CAST(rn AS BIGINT) AS rn, doc_id, source, quality
+         |FROM r WHERE (rn - 1) % 100 = 0""".stripMargin,
     // LPT round-robin shard deal: global rank by (tokens DESC, id) dealt
     // mod 16; the oracle's one-reducer window replays the range-sharded rank
     "q_shard_balance" ->
