@@ -1726,6 +1726,37 @@ object SparkEntry {
     * deterministic for fixed data — no flake — while an estimator
     * regression (>5% error) fails the hash compare.
     */
+  /** AMS second-moment (F₂) sketch (Alon, Matias & Szegedy, STOC 1996):
+    * the self-join size Σc² of the user stream estimated from nine
+    * hash-derived ±1 sign sums — the one-pass, O(1)-state answer to "how
+    * big would this key's self-join be" that the CM inner product
+    * ([[joinSizeEstQ]]-style) answers for A⋈B. Every piece is an exact
+    * integer (sign sums, their squares, the median-of-9 by exact rank),
+    * so the estimate — unusual for a sketch — is value-gated by the
+    * oracle, not error-band-gated. One scan-side ×9 generator with
+    * map-side partials; only 9 partial rows per mapper shuffle.
+    */
+  private def amsF2Q(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id").cast("string").as("k"))
+    val reps = ev.select(col("k"), explode(sequence(lit(0), lit(8))).as("e"))
+    val sign = lit(1L) - lit(2L) * pmod(TF.fnv1a64(
+      concat(lit("ams"), col("e").cast("string"), lit("#"), col("k"))), lit(2L))
+    val ests = reps.select(col("e"), sign.as("s"))
+      .groupBy(col("e")).agg(sum(col("s")).as("se"))
+      .select(col("e"), (col("se") * col("se")).as("est"))
+    val med = ests.join(ests.select(col("est").as("e2"), col("e").as("i2")),
+        col("e2") < col("est") || (col("e2") === col("est") && col("i2") < col("e")),
+        "left")
+      .groupBy(col("e"), col("est")).agg(count(col("i2")).as("rk"))
+      .filter(col("rk") === 4L).select(col("est").as("ams_f2"))
+    ev.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("exact_f2"))
+      .crossJoin(med)
+      .select(col("exact_f2"), col("ams_f2"),
+        round((col("ams_f2") - col("exact_f2")).cast("double") /
+          col("exact_f2").cast("double") * 100.0, 6).as("rel_err_pct"))
+  }
+
   /** KMV bottom-k distinct sketch ([[Analytics.kmvDistinct]], k = 256) of
     * users per event type — the hash-replayable cardinality tier next to
     * [[approxDistinctQ]]'s HLL: the oracle recomputes the exact summary
@@ -2066,6 +2097,27 @@ object SparkEntry {
           element_at(idx, col("source")).cast("long")).as("position"),
         col("doc_id"), col("source"), col("rn").cast("long").as("rn"))
       .filter(col("position") < 1000L)
+  }
+
+  /** Quality-for-length forensics: the 20 documents whose quality score
+    * deviates most from the corpus-wide quality~length OLS line
+    * ([[Analytics.olsTrend]] — exact moment sums, one closed-form double).
+    * A raw quality ranking mostly re-ranks by length; the residual
+    * surfaces the docs that are suspiciously good (template/spam that
+    * games the score) or bad FOR THEIR SIZE — the review queue a curation
+    * pass actually wants. Residuals use the published (rounded) fit, so
+    * the whole row replays.
+    */
+  private def qualityResidualsQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+      TF.qualityScore(col("text")).as("quality"))
+    val fit = Analytics.olsTrend(d, Seq.empty, col("n_chars"), col("quality"))
+    d.crossJoin(fit.select(col("slope"), col("intercept")))
+      .select(col("doc_id"), col("n_chars"), col("quality"),
+        round(col("quality") - (col("slope") * col("n_chars") + col("intercept")), 6)
+          .as("residual"))
+      .orderBy(abs(col("residual")).desc, col("doc_id"))
+      .limit(20)
   }
 
   /** Per-source rank calibration of the quality score: raw quality is not
@@ -4497,6 +4549,8 @@ object SparkEntry {
     "q_text_stats"          -> (textStatsQ(_, _)),
     "q_approx_distinct"     -> (approxDistinctQ(_, _)),
     "q_kmv_distinct"        -> (kmvDistinctQ(_, _)),
+    "q_ams_f2"              -> (amsF2Q(_, _)),
+    "q_quality_residuals"   -> (qualityResidualsQ(_, _)),
     "q_hll_rollup"          -> (hllRollupQ(_, _)),
     "q_kll_rollup"          -> (kllRollupQ(_, _)),
     "q_theta_intersect"     -> (thetaIntersectQ(_, _)),
@@ -6226,6 +6280,31 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, true AS hll_in_band
         |FROM events GROUP BY event_type""".stripMargin,
+    // AMS F2: nine sign sums replayed from the identical hash parity,
+    // squares and the median-of-9 by exact rank — value-gated, unusual
+    // for a sketch
+    "q_ams_f2" ->
+      s"""WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+         |rep AS (
+         |  SELECT k.k, g.e FROM k CROSS JOIN (SELECT unnest(range(0, 9)) AS e) g
+         |), h AS (
+         |  SELECT e, ${duckU2S(duckFnvU("('ams' || CAST(e AS VARCHAR) || '#' || k)"))} AS hs
+         |  FROM rep
+         |), s AS (
+         |  SELECT e, SUM(1 - 2 * (((hs % 2) + 2) % 2)) AS se FROM h GROUP BY 1
+         |), est AS (SELECT e, se * se AS est FROM s),
+         |r AS (
+         |  SELECT e, est,
+         |    (SELECT COUNT(*) FROM est e2
+         |     WHERE e2.est < est.est OR (e2.est = est.est AND e2.e < est.e)) AS rk
+         |  FROM est
+         |), x AS (
+         |  SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2
+         |  FROM (SELECT COUNT(*) AS c FROM events GROUP BY user_id)
+         |), m AS (SELECT CAST(est AS BIGINT) AS ams_f2 FROM r WHERE rk = 4)
+         |SELECT exact_f2, ams_f2,
+         |  round(CAST(ams_f2 - exact_f2 AS DOUBLE) / CAST(exact_f2 AS DOUBLE) * 100.0, 6) AS rel_err_pct
+         |FROM x CROSS JOIN m""".stripMargin,
     // KMV: full summary replay — the k-th smallest distinct FNV hash per
     // key in signed order, then the identical one-expression estimate;
     // below k the sketch IS the exact count
@@ -7889,6 +7968,38 @@ object SparkEntry {
          |)
          |SELECT source, tok, n_s, kl_term, CAST(rn AS BIGINT) AS rn
          |FROM r WHERE rn <= 5""".stripMargin,
+    // quality~length residuals: the olsTrend moment/closed-form replay on
+    // the global group, residuals from the PUBLISHED (rounded) fit, top-20
+    // by |residual| with id tiebreak
+    "q_quality_residuals" ->
+      s"""WITH dq AS ($duckQualitySql),
+         |d AS (
+         |  SELECT doc.doc_id, doc.n_chars, q.quality
+         |  FROM documents doc JOIN dq q ON q.doc_id = doc.doc_id
+         |), j AS (
+         |  SELECT CAST(n_chars AS DECIMAL(20,0)) AS x,
+         |    CAST(quality AS DECIMAL(19,4)) AS y
+         |  FROM d
+         |), m AS (
+         |  SELECT count(*) AS n, sum(x) AS sx, sum(x*x) AS sxx,
+         |    sum(y) AS sy, sum(y*x) AS sxy
+         |  FROM j
+         |), e AS (
+         |  SELECT CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num,
+         |    CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS dx,
+         |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |    CAST(n AS DOUBLE) AS nd
+         |  FROM m
+         |), f AS (
+         |  SELECT round(num / NULLIF(dx, 0), 6) AS slope,
+         |    round((syd - (num / NULLIF(dx, 0)) * sxd) / nd, 6) AS intercept
+         |  FROM e
+         |)
+         |SELECT doc_id, n_chars, quality,
+         |  round(quality - (slope * n_chars + intercept), 6) AS residual
+         |FROM d CROSS JOIN f
+         |ORDER BY abs(round(quality - (slope * n_chars + intercept), 6)) DESC, doc_id
+         |LIMIT 20""".stripMargin,
     // curriculum interleave: per-source (quality DESC, id) ranks dealt
     // round-robin across the sorted source census; first 1000 positions
     "q_curriculum" ->
