@@ -661,6 +661,56 @@ object SparkEntry {
       .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
   }
 
+  /** Discrete conversion-hazard curve: for each day-since-signup t, the
+    * users still unconverted entering day t (n_at_risk) and the share who
+    * first purchase ON day t (hazard = d/n) — the life-table form of
+    * time-to-convert analytics (the Kaplan–Meier survival curve is the
+    * running product of (1 − hazard); the hazard table is its exact,
+    * order-free core, and censoring at the observation horizon is
+    * implicit: users never converting simply stay in the risk set).
+    * Exact shape: one per-user min/first-purchase aggregate, a
+    * domain-bounded day census, at-risk via the banded census self-join
+    * (strictly-before cumulative — no partition-less window), one double
+    * division per row.
+    */
+  private def hazardCurveQ(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val users = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("conv_ts"))
+    val nAll = users.agg(count(lit(1)).as("n_users"))
+    val census = users.filter(col("conv_ts").isNotNull)
+      .select(datediff(to_date(col("conv_ts")), to_date(col("first_ts"))).cast("long").as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("d"))
+    val cumBefore = census
+      .join(census.select(col("t").as("t2"), col("d").as("d2")), col("t2") < col("t"), "left")
+      .groupBy(col("t"), col("d")).agg(coalesce(sum(col("d2")), lit(0L)).as("cb"))
+    cumBefore.crossJoin(nAll)
+      .select(col("t"), (col("n_users") - col("cb")).as("n_at_risk"), col("d"),
+        round(col("d").cast("double") / (col("n_users") - col("cb")).cast("double"), 6)
+          .as("hazard"))
+  }
+
+  /** Gini coefficient of token mass across documents — the corpus-
+    * concentration number next to [[powerUsersQ]]'s decile curve:
+    * G = (2·Σ rank·x) / (n·Σx) − (n+1)/n over the ascending-token global
+    * rank. Σ rank·x is an exact DECIMAL(38,0) sum over the range-sharded
+    * rank (no single-task sort at any corpus size); G is one left-to-right
+    * double expression over three exact integers.
+    */
+  private def giniTokensQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), TF.tokenCount(col("text")).cast("long").as("x"))
+    Analytics.rangedRank(d, Seq.empty, Seq(col("x"), col("doc_id")))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_tokens"),
+        sum((col("rn") * col("x")).cast("decimal(38,0)")).as("rx"))
+      .select(col("n"), col("sum_tokens"),
+        round(lit(2.0) * col("rx").cast("double") /
+            (col("n").cast("double") * col("sum_tokens").cast("double")) -
+          (col("n") + 1L).cast("double") / col("n").cast("double"), 6).as("gini"))
+  }
+
   /** DAU/MAU stickiness per month: average daily actives over monthly
     * actives — the engagement ratio product analytics tracks next to the
     * retention matrix. Exact integer numerators/denominators (sum of daily
@@ -4639,6 +4689,8 @@ object SparkEntry {
     "q_curriculum"          -> (curriculumQ(_, _)),
     "q_source_fingerprint"  -> (sourceFingerprintQ(_, _)),
     "q_churn_cohort"        -> (churnCohortQ(_, _)),
+    "q_hazard_curve"        -> (hazardCurveQ(_, _)),
+    "q_gini_tokens"         -> (giniTokensQ(_, _)),
     "q_resample_ffill"      -> (resampleFfillQ(_, _)),
     "q_funnel"              -> (funnelQ(_, _)),
     "q_ohlc_bars"           -> (ohlcBarsQ(_, _)),
@@ -8146,6 +8198,42 @@ object SparkEntry {
         |SELECT gap_cap_s, n_gaps,
         |  round(CAST(n_gaps AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
         |FROM c, t""".stripMargin,
+    // hazard curve: per-user first/conversion aggregate, day census,
+    // at-risk via the strictly-before banded cumulative, one division
+    "q_hazard_curve" ->
+      """WITH u AS (
+        |  SELECT user_id, min(ts) AS first_ts,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS conv_ts
+        |  FROM events GROUP BY 1
+        |), na AS (SELECT COUNT(*) AS n_users FROM u),
+        |c AS (
+        |  SELECT CAST(CAST(conv_ts AS DATE) - CAST(first_ts AS DATE) AS BIGINT) AS t,
+        |    COUNT(*) AS d
+        |  FROM u WHERE conv_ts IS NOT NULL GROUP BY 1
+        |), cb AS (
+        |  SELECT c.t, c.d, COALESCE(SUM(c2.d), 0) AS cb
+        |  FROM c LEFT JOIN c c2 ON c2.t < c.t GROUP BY c.t, c.d
+        |)
+        |SELECT t, CAST(n_users - cb AS BIGINT) AS n_at_risk, d,
+        |  round(CAST(d AS DOUBLE) / CAST(n_users - cb AS DOUBLE), 6) AS hazard
+        |FROM cb CROSS JOIN na""".stripMargin,
+    // Gini: ascending-token global rank (the oracle's one-reducer window
+    // replays the range-sharded rank), exact rank-weighted sum, one
+    // double expression
+    "q_gini_tokens" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS x FROM documents
+         |), r AS (
+         |  SELECT x, ROW_NUMBER() OVER (ORDER BY x, doc_id) AS rn FROM d
+         |), m AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sum_tokens,
+         |    SUM(rn * x) AS rx
+         |  FROM r
+         |)
+         |SELECT n, sum_tokens,
+         |  round(2.0 * CAST(rx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sum_tokens AS DOUBLE))
+         |    - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+         |FROM m""".stripMargin,
     // inactivity churn: per-user first/last, ISO-Monday cohort weeks
     // (date_trunc('week') on both engines), strict < against max_ts − 14d
     "q_churn_cohort" ->
