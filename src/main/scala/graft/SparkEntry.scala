@@ -402,6 +402,25 @@ object SparkEntry {
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc)
 
+  /** Duplicate ATTRIBUTION by source: per source, how many of its
+    * documents share a normalized-text fingerprint with ANY document in
+    * the corpus — the "who brings the duplicates" view the global dedup
+    * rate hides (a source can be small and still contribute most of the
+    * dup mass). The join key is the 8-byte FNV of the normalized text —
+    * the same fingerprint-not-text rule every dedup shuffle here follows.
+    */
+  private def dupBySourceQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      TF.fnv1a64(TF.normalizeText(col("text"))).as("hk"))
+    val counts = d.groupBy(col("hk")).agg(count(lit(1)).as("cnt"))
+    d.join(counts, "hk")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cnt") > 1L, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate",
+        round(col("n_dup").cast("double") / col("n_docs").cast("double"), 6))
+  }
+
   /** Cross-source shingle-overlap matrix over the documents corpus
     * ([[TrainingData.crossSourceOverlap]]).
     */
@@ -4591,6 +4610,7 @@ object SparkEntry {
     "q_fingerprint"         -> (fingerprintQ(_, _)),
     "q_quality_score"       -> (qualityScoreQ(_, _)),
     "q_subword_count"       -> (subwordCountQ(_, _)),
+    "q_dup_by_source"       -> (dupBySourceQ(_, _)),
     "q_dedup_normalized"    -> (dedupNormalized(_, _)),
     "q_distinct_users"      -> (distinctUsers(_, _)),
     "q_percentiles"         -> (percentilesQ(_, _)),
@@ -6119,6 +6139,21 @@ object SparkEntry {
     "q_dedup_normalized" ->
       """SELECT trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), '\s+', ' ', 'g')) AS norm_text,
         |MIN(doc_id) AS doc_id FROM documents GROUP BY 1""".stripMargin,
+    // dup attribution: identical normalization, identical FNV fingerprint,
+    // per-source share of fingerprint-colliding docs
+    "q_dup_by_source" ->
+      s"""WITH nrm AS (
+         |  SELECT doc_id, source,
+         |    trim(regexp_replace(regexp_replace(lower(text), '[.,;:!?]', '', 'g'), '\\s+', ' ', 'g')) AS k
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, source, ${duckU2S(duckFnvU("k"))} AS hk FROM nrm
+         |), c AS (SELECT hk, COUNT(*) AS cnt FROM h GROUP BY 1)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  round(CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate
+         |FROM h JOIN c USING (hk) GROUP BY 1""".stripMargin,
     "q_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
         |FROM events GROUP BY event_type""".stripMargin,
