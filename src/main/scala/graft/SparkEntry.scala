@@ -3585,6 +3585,48 @@ object SparkEntry {
         sum(col("p.n_chars")).as("total_chars"))
   }
 
+  /** Spearman rank correlation (tie-aware, via exact census midranks)
+    * between document length and token count: ranks come from per-value
+    * censuses (both variables are DOMAIN-bounded integers) using the same
+    * 2× midrank identity as [[Analytics.mannWhitney]] — 2·cum_before + c
+    * + 1 — so every rank is an exact integer and ρ is Pearson over exact
+    * DECIMAL(38,0) rank moments, one closed-form double. Spearman answers
+    * what [[corrMatrixQ]]'s Pearson can't: monotone-but-nonlinear
+    * dependence, robust to the heavy length tail. Scale shape: two census
+    * aggregates, two banded census self-joins, two hash joins back to
+    * rows, one global moment aggregate.
+    */
+  private def spearmanQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      col("n_chars").cast("long").as("x"),
+      TF.tokenCount(col("text")).cast("long").as("y"))
+    def midranks(vcol: String, out: String): DataFrame = {
+      val census = d.groupBy(col(vcol).as("v")).agg(count(lit(1)).as("c"))
+      census
+        .join(census.select(col("v").as("v2"), col("c").as("c2")),
+          col("v2") < col("v"), "left")
+        .groupBy(col("v"), col("c")).agg(coalesce(sum(col("c2")), lit(0L)).as("cb"))
+        .select(col("v"), (col("cb") * 2L + col("c") + 1L).as(out))
+    }
+    val ranked = d
+      .join(midranks("x", "r2x").withColumnRenamed("v", "x"), "x")
+      .join(midranks("y", "r2y").withColumnRenamed("v", "y"), "y")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("r2x").cast("decimal(38,0)")).as("sx"),
+      sum((col("r2x") * col("r2x")).cast("decimal(38,0)")).as("sxx"),
+      sum(col("r2y").cast("decimal(38,0)")).as("sy"),
+      sum((col("r2y") * col("r2y")).cast("decimal(38,0)")).as("syy"),
+      sum((col("r2x") * col("r2y")).cast("decimal(38,0)")).as("sxy"))
+    val dd = (c: Column) => c.cast("double")
+    val vx = dd(col("n")) * dd(col("sxx")) - dd(col("sx")) * dd(col("sx"))
+    val vy = dd(col("n")) * dd(col("syy")) - dd(col("sy")) * dd(col("sy"))
+    m.select(col("n"),
+      when(vx * vy > 0.0,
+        round((dd(col("n")) * dd(col("sxy")) - dd(col("sx")) * dd(col("sy"))) /
+          sqrt(vx * vy), 6))
+        .otherwise(lit(null).cast("double")).as("spearman_rho"))
+  }
+
   /** Tie-corrected Mann–Whitney U ([[Analytics.mannWhitney]]) between the
     * even- and odd-id document halves over length (16-char buckets) — the
     * nonparametric LOCATION test beside [[ksDriftQ]]'s shape test: exact
@@ -4744,6 +4786,7 @@ object SparkEntry {
     "q_psi_drift"           -> (psiDriftQ(_, _)),
     "q_ks_drift"            -> (ksDriftQ(_, _)),
     "q_mann_whitney"        -> (mannWhitneyQ(_, _)),
+    "q_spearman"            -> (spearmanQ(_, _)),
     "q_orc_roundtrip"       -> (orcRoundtripQ(_, _)),
     "q_t_closeness"         -> (tClosenessQ(_, _)),
     "q_neyman_alloc"        -> (neymanAllocQ(_, _)),
@@ -9044,6 +9087,36 @@ object SparkEntry {
       """SELECT source, count(*) AS n_docs, CAST(0 AS BIGINT) AS mismatches,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // Spearman: identical 2x census midranks, exact rank moments, Pearson
+    // closed form as one double expression
+    "q_spearman" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+         |    CAST(len($duckToks) AS BIGINT) AS y
+         |  FROM documents
+         |), cx AS (SELECT x AS v, COUNT(*) AS c FROM d GROUP BY 1),
+         |rx AS (
+         |  SELECT cx.v, 2 * COALESCE(SUM(c2.c), 0) + cx.c + 1 AS r2x
+         |  FROM cx LEFT JOIN cx c2 ON c2.v < cx.v GROUP BY cx.v, cx.c
+         |), cy AS (SELECT y AS v, COUNT(*) AS c FROM d GROUP BY 1),
+         |ry AS (
+         |  SELECT cy.v, 2 * COALESCE(SUM(c2.c), 0) + cy.c + 1 AS r2y
+         |  FROM cy LEFT JOIN cy c2 ON c2.v < cy.v GROUP BY cy.v, cy.c
+         |), j AS (
+         |  SELECT r2x, r2y FROM d JOIN rx ON rx.v = d.x JOIN ry ON ry.v = d.y
+         |), m AS (
+         |  SELECT COUNT(*) AS n, SUM(r2x) AS sx, SUM(r2x * r2x) AS sxx,
+         |    SUM(r2y) AS sy, SUM(r2y * r2y) AS syy, SUM(r2x * r2y) AS sxy
+         |  FROM j
+         |)
+         |SELECT CAST(n AS BIGINT) AS n,
+         |  CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         |          * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0.0
+         |  THEN round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) /
+         |    sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+         |       * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+         |  ELSE NULL END AS spearman_rho
+         |FROM m""".stripMargin,
     // Mann-Whitney U: doubled midrank sums via the integer identity
     // ca*(2*cum - c + 1), exact tie term c^3 - c, tie-corrected z as the
     // identical left-to-right double expression
