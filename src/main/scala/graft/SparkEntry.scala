@@ -402,6 +402,31 @@ object SparkEntry {
         .cast("double").as("revenue"))
       .orderBy(col("revenue").desc)
 
+  /** Per-source language diversity (Shannon entropy in bits): the census
+    * of (source, lang) counts is domain-bounded (≤ |langs| per source), so
+    * the entropy sum runs as an ORDERED higher-order fold over the
+    * lang-sorted count list — one defined association on both engines,
+    * like [[ndcgQ]]'s DCG — with each p·log2(p) term built from exact
+    * integer counts. The curation read: a "diverse" source at entropy ~2
+    * bits needs per-lang quality thresholds; a monolingual one (0 bits)
+    * can take a global one.
+    */
+  private def langEntropyQ(s: SparkSession, dir: String): DataFrame = {
+    val census = t(s, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    val ln2 = math.log(2.0)
+    census.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sort_array(collect_list(struct(col("lang").as("l"),
+          col("c").cast("double").as("c")))).as("lst"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        round(aggregate(col("lst"), lit(0.0), (acc, e) =>
+          acc - e.getField("c") / col("n_docs").cast("double") *
+            (log(e.getField("c") / col("n_docs").cast("double")) / lit(ln2))),
+          6).as("entropy_bits"))
+  }
+
   /** Duplicate ATTRIBUTION by source: per source, how many of its
     * documents share a normalized-text fingerprint with ANY document in
     * the corpus — the "who brings the duplicates" view the global dedup
@@ -471,6 +496,31 @@ object SparkEntry {
     val knn = Ann.knnGraph(emb.filter(col("vec_id") < 200), emb, "vec_id",
       "embedding", k = 5)
     graft.operators.Graph.linkPredict(knn, "src", "dst", maxDeg = 64)
+  }
+
+  /** Global transitivity (clustering coefficient) of the same k-NN-5
+    * similarity graph as [[triangleCountQ]]: 3·triangles / wedges, both
+    * EXACT integers (Σ per-vertex triangle counts = 3T from the
+    * degree-ordered wedge join; Σ deg·(deg−1) = 2W from the degree
+    * census), one final double division — the one-number "are similar
+    * documents similar to each other" cohesion gate next to
+    * [[assortativityQ]]'s mixing gate.
+    */
+  private def transitivityQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val knn = Ann.knnGraph(emb.filter(col("vec_id") < 200), emb, "vec_id",
+      "embedding", k = 5)
+    val und = knn.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val t3 = graft.operators.Graph.triangleCounts(und, "a", "b")
+      .agg(sum(col("triangles")).as("t3"))
+    val w2 = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .agg(sum(col("d") * (col("d") - 1L)).as("w2"))
+    t3.crossJoin(w2).select(col("t3"), col("w2"),
+      round(lit(2.0) * col("t3").cast("double") / col("w2").cast("double"), 6)
+        .as("transitivity"))
   }
 
   /** k-NN majority-vote classification ([[Ann.knnClassify]]): vectors
@@ -4770,6 +4820,8 @@ object SparkEntry {
     "q_bitext_mine"         -> (bitextMineQ(_, _)),
     "q_ndcg"                -> (ndcgQ(_, _)),
     "q_assortativity"       -> (assortativityQ(_, _)),
+    "q_transitivity"        -> (transitivityQ(_, _)),
+    "q_lang_entropy"        -> (langEntropyQ(_, _)),
     "q_knn_classify"        -> (knnClassifyQ(_, _)),
     "q_weighted_sample"     -> (weightedSampleQ(_, _)),
     "q_sql_q5"              -> (sqlQ5(_, _)),
@@ -8504,6 +8556,48 @@ object SparkEntry {
          |)
          |SELECT v, CAST(count(*) AS BIGINT) AS triangles
          |FROM (SELECT unnest([p, q, r]) AS v FROM tri) GROUP BY v""".stripMargin,
+    // transitivity: the triangle CTE counts each triangle once at its
+    // min-id corner (t3 = 3T); wedges from the exact degree census
+    "q_transitivity" ->
+      s"""WITH p AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < 200 AND y.vec_id != x.vec_id
+         |), r AS (
+         |  SELECT src, dst,
+         |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |  FROM p
+         |), e AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM r WHERE rn <= 5
+         |), tri AS (
+         |  SELECT e1.a AS p, e1.b AS q, e2.b AS r
+         |  FROM e e1
+         |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+         |), t3 AS (SELECT CAST(3 * COUNT(*) AS BIGINT) AS t3 FROM tri),
+         |adj AS (SELECT a AS w FROM e UNION ALL SELECT b FROM e),
+         |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY 1),
+         |w2 AS (SELECT CAST(SUM(d * (d - 1)) AS BIGINT) AS w2 FROM deg)
+         |SELECT t3, w2,
+         |  round(2.0 * CAST(t3 AS DOUBLE) / CAST(w2 AS DOUBLE), 6) AS transitivity
+         |FROM t3 CROSS JOIN w2""".stripMargin,
+    // per-source language entropy: ordered fold over the lang-sorted
+    // census, the ln(2) constant embedded as the same literal both sides
+    "q_lang_entropy" ->
+      s"""WITH c AS (
+         |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+         |), g AS (
+         |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs, COUNT(*) AS n_langs,
+         |    list(struct_pack(l := lang, c := CAST(c AS DOUBLE)) ORDER BY lang) AS lst
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT source, n_docs, n_langs,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    [ -(e.c / CAST(n_docs AS DOUBLE)) *
+         |      (ln(e.c / CAST(n_docs AS DOUBLE)) / ${math.log(2.0)}) FOR e IN lst]),
+         |    (x, y) -> x + y), 6) AS entropy_bits
+         |FROM g""".stripMargin,
     // link prediction: the same knn CTE symmetrized, degrees from the
     // both-ways adjacency, centers pruned at deg > 64 (part of the
     // semantics, replayed), wedges u < v through each surviving center,
