@@ -3394,6 +3394,34 @@ object SparkEntry {
   private def embedDimStatsQ(s: SparkSession, dir: String): DataFrame =
     Analytics.embedDimStats(t(s, dir, "embeddings"), col("embedding"))
 
+  /** Embedding isotropy audit (Ethayarajh, EMNLP 2019 — anisotropic
+    * embeddings crowd into a cone and cosine loses discriminative power):
+    * the average pairwise cosine over ALL n² pairs WITHOUT any pair
+    * generation, via the identity Σᵢⱼ uᵢ·uⱼ = ‖Σu‖². Unit vectors are
+    * rounded to 6 dp and accumulated as exact DECIMAL per dimension, so
+    * the two sides of the identity — the squared component sums and the
+    * self-term diagonal — are exact and order-free; avg_cos near 0 is
+    * healthy, near 1 is representation collapse. One scan-side explode +
+    * one |dim|-row census; the all-pairs answer at ZERO pairs materialized
+    * (the 100 TB posture for a quadratic statistic).
+    */
+  private def isotropyQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val v = VF.toDouble(col("embedding"))
+    val u = emb.select(transform(v, x =>
+      round(x / VF.norm(v), 6).cast("decimal(10,6)")).as("u"))
+    val dims = u.select(posexplode(col("u")).as(Seq("dim", "ud")))
+      .groupBy(col("dim"))
+      .agg(sum(col("ud")).as("s_d"), sum(col("ud") * col("ud")).as("q_d"))
+    val n = emb.agg(count(lit(1)).as("n"))
+    dims.agg(sum(col("s_d") * col("s_d")).as("norm2"), sum(col("q_d")).as("diag"))
+      .crossJoin(n)
+      .select(col("n"),
+        round(col("norm2").cast("double"), 6).as("sum_norm2"),
+        round((col("norm2") - col("diag")).cast("double") /
+          (col("n") * (col("n") - 1L)).cast("double"), 6).as("avg_cos"))
+  }
+
   /** Per-dimension energy audit of the int8 code store ([[Ann.quantize8]] —
     * the exact codes the quantized ANN tier serves): sum, sum-of-squares,
     * saturation (|q| = 127) and dead-zero tallies per position. This is the
@@ -4830,6 +4858,7 @@ object SparkEntry {
     "q_top_p_vocab"         -> (topPVocabQ(_, _)),
     "q_embed_dim_stats"     -> (embedDimStatsQ(_, _)),
     "q_dim_energy"          -> (dimEnergyQ(_, _)),
+    "q_isotropy"            -> (isotropyQ(_, _)),
     "q_ngram_novelty"       -> (ngramNoveltyQ(_, _)),
     "q_capped_select"       -> (cappedSelectQ(_, _)),
     "q_dp_counts"           -> (dpCountsQ(_, _)),
@@ -8898,6 +8927,27 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE s.v = 0) AS BIGINT) AS n_zero,
         |  CAST(count(*) FILTER (WHERE s.v < 0) AS BIGINT) AS n_neg
         |FROM x GROUP BY 1""".stripMargin,
+    // isotropy: 6dp unit components as exact DECIMAL per-dim sums; both
+    // sides of the sum-identity (squared sums, self-diagonal) exact,
+    // one double division
+    "q_isotropy" ->
+      """WITH u AS (
+        |  SELECT [CAST(round(CAST(x AS DOUBLE) /
+        |      sqrt(list_sum([CAST(y AS DOUBLE)*CAST(y AS DOUBLE) FOR y IN embedding])), 6)
+        |    AS DECIMAL(10,6)) FOR x IN embedding] AS u
+        |  FROM embeddings
+        |), e AS (
+        |  SELECT unnest([{'dim': i - 1, 'ud': u[i]} FOR i IN range(1, len(u) + 1)]) AS s
+        |  FROM u
+        |), d AS (
+        |  SELECT s.dim, SUM(s.ud) AS s_d, SUM(s.ud * s.ud) AS q_d FROM e GROUP BY 1
+        |), m AS (
+        |  SELECT SUM(s_d * s_d) AS norm2, SUM(q_d) AS diag FROM d
+        |), nn AS (SELECT COUNT(*) AS n FROM embeddings)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(norm2 AS DOUBLE), 6) AS sum_norm2,
+        |  round(CAST(norm2 - diag AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) AS avg_cos
+        |FROM m CROSS JOIN nn""".stripMargin,
     // int8 code energy: the quantize8 replay (round half-away on both
     // engines), per-position exact BIGINT sums over the codes
     "q_dim_energy" ->
