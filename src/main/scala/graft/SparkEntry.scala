@@ -4551,6 +4551,32 @@ object SparkEntry {
         expr("percentile(__nrm, 0.5)").as("p50_norm"),
         max(col("__nrm")).as("max_norm"))
 
+  /** Seasonally-adjusted revenue anomalies: the 10 days whose revenue
+    * deviates most from their OWN weekday's mean — raw daily outliers
+    * mostly rediscover the weekly cycle; subtracting the day-of-week level
+    * first is the one-step seasonal adjustment that surfaces genuine
+    * anomalies. Exactness: daily revenues and weekday sums are exact
+    * decimals; the residual numerator `rev·n_dow − sum_dow` stays an exact
+    * decimal (no mean division until the end), so ranking is engine-exact
+    * with one rounded double at output.
+    */
+  private def seasonalResidQ(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      .withColumn("dow",
+        (((dayofweek(col("day")) + lit(5)) % lit(7)) + lit(1)).cast("long"))
+    val byDow = daily.groupBy(col("dow"))
+      .agg(sum(col("rev")).as("sum_dow"), count(lit(1)).as("n_dow"))
+    daily.join(byDow, "dow")
+      .select(col("day").cast("timestamp").as("day"), col("dow"),
+        col("rev").cast("double").as("revenue"),
+        round((col("rev") * col("n_dow") - col("sum_dow")).cast("double") /
+          col("n_dow").cast("double"), 6).as("resid"))
+      .orderBy(abs(col("resid")).desc, col("day"))
+      .limit(10)
+  }
+
   /** Weekend-vs-weekday order value: Welch's t from EXACT decimal moments
     * (one conditional-sum pass; variance closed forms divide doubles of
     * exact sums — the same no-float-merge discipline as
@@ -4830,6 +4856,7 @@ object SparkEntry {
     "q_source_fingerprint"  -> (sourceFingerprintQ(_, _)),
     "q_churn_cohort"        -> (churnCohortQ(_, _)),
     "q_hazard_curve"        -> (hazardCurveQ(_, _)),
+    "q_seasonal_resid"      -> (seasonalResidQ(_, _)),
     "q_gini_tokens"         -> (giniTokensQ(_, _)),
     "q_resample_ffill"      -> (resampleFfillQ(_, _)),
     "q_funnel"              -> (funnelQ(_, _)),
@@ -8357,6 +8384,23 @@ object SparkEntry {
         |SELECT gap_cap_s, n_gaps,
         |  round(CAST(n_gaps AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
         |FROM c, t""".stripMargin,
+    // seasonal residuals: exact decimal numerator rev*n_dow - sum_dow (no
+    // mean division until output), isodow == the Spark ISO formula
+    "q_seasonal_resid" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1
+        |), dd AS (
+        |  SELECT day, rev, CAST(isodow(day) AS BIGINT) AS dow FROM daily
+        |), bd AS (
+        |  SELECT dow, SUM(rev) AS sum_dow, COUNT(*) AS n_dow FROM dd GROUP BY 1
+        |)
+        |SELECT CAST(day AS TIMESTAMP) AS day, dow, CAST(rev AS DOUBLE) AS revenue,
+        |  round(CAST(rev * n_dow - sum_dow AS DOUBLE) / CAST(n_dow AS DOUBLE), 6) AS resid
+        |FROM dd JOIN bd USING (dow)
+        |ORDER BY abs(round(CAST(rev * n_dow - sum_dow AS DOUBLE) / CAST(n_dow AS DOUBLE), 6)) DESC, day
+        |LIMIT 10""".stripMargin,
     // hazard curve: per-user first/conversion aggregate, day census,
     // at-risk via the strictly-before banded cumulative, one division
     "q_hazard_curve" ->
