@@ -330,6 +330,34 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_spearman / q_hazard_curve / q_mann_whitney / q_bootstrap_ci: band-join cumulatives, never a window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q_spearman", "q_hazard_curve", "q_mann_whitney", "q_bootstrap_ci")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.isEmpty, s"$q: unexpected window: $windows")
+    }
+  }
+
+  test("q_isotropy: the quadratic statistic materializes ZERO pairs") {
+    val p = plan("q_isotropy")
+    // the n² average comes from the sum identity — no self-join of the
+    // embeddings table may appear, and the vector column never shuffles
+    assert(!p.contains("SortMergeJoin"), p)
+    val exchangeSections = p.split("\\(\\d+\\) Exchange").drop(1)
+    exchangeSections.foreach { s =>
+      val cols = s.takeWhile(_ != '(')
+      assert(!cols.contains("embedding"), p)
+    }
+  }
+
+  test("q_gini_tokens / q_median_select: global ranks are shard-partitioned (rangedRank)") {
+    for (q <- Seq("q_gini_tokens", "q_median_select")) {
+      val p = plan(q)
+      assert(p.contains("hashpartitioning(__shard"), s"$q:\n$p")
+    }
+  }
+
   test("q_inverted_index: bounded postings partial-aggregate; term shuffles never carry text") {
     val p = plan("q_inverted_index")
     assert(p.contains("partial_top_k_rows"), p) // <= maxPostings rows/term/mapper
