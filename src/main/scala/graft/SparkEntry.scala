@@ -1845,6 +1845,21 @@ object SparkEntry {
     * deterministic for fixed data — no flake — while an estimator
     * regression (>5% error) fails the hash compare.
     */
+  /** KMV set-similarity matrix ([[Analytics.kmvJaccard]], k = 256):
+    * pairwise Jaccard of the user sets behind every event-type pair,
+    * estimated from bottom-256 signatures next to the exact answer — the
+    * audience-overlap question answered from |keys|·256 longs instead of
+    * the full sets, with BOTH columns value-gated (the estimator is
+    * deterministic from the hash).
+    */
+  private def kmvJaccardQ(s: SparkSession, dir: String): DataFrame =
+    // (user, day) incidence, not bare users: every user eventually touches
+    // every type, which would make all ten Jaccards a degenerate 1.0 —
+    // the day-sliced sets actually differ and stress the estimator
+    Analytics.kmvJaccard(t(s, dir, "events"), "event_type",
+      concat(col("user_id").cast("string"), lit("#"),
+        to_date(col("ts")).cast("string")), k = 256)
+
   /** AMS second-moment (F₂) sketch (Alon, Matias & Szegedy, STOC 1996):
     * the self-join size Σc² of the user stream estimated from nine
     * hash-derived ±1 sign sums — the one-pass, O(1)-state answer to "how
@@ -4766,6 +4781,7 @@ object SparkEntry {
     "q_approx_distinct"     -> (approxDistinctQ(_, _)),
     "q_kmv_distinct"        -> (kmvDistinctQ(_, _)),
     "q_ams_f2"              -> (amsF2Q(_, _)),
+    "q_kmv_jaccard"         -> (kmvJaccardQ(_, _)),
     "q_quality_residuals"   -> (qualityResidualsQ(_, _)),
     "q_hll_rollup"          -> (hllRollupQ(_, _)),
     "q_kll_rollup"          -> (kllRollupQ(_, _)),
@@ -6518,6 +6534,55 @@ object SparkEntry {
     "q_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, true AS hll_in_band
         |FROM events GROUP BY event_type""".stripMargin,
+    // KMV Jaccard: bottom-256 signatures per key replayed in signed hash
+    // order; shared-in-union-bottom-k estimator and the exact
+    // distinct-join Jaccard both value-gated
+    "q_kmv_jaccard" ->
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    CAST(user_id AS VARCHAR) || '#' || CAST(CAST(ts AS DATE) AS VARCHAR) AS uv
+         |  FROM events
+         |), hu AS (
+         |  SELECT DISTINCT event_type AS t, ${duckFnvU("uv")} AS hu FROM ev
+         |), hs AS (SELECT t, ${duckU2S("hu")} AS h FROM hu),
+         |r AS (
+         |  SELECT t, h, ROW_NUMBER() OVER (PARTITION BY t ORDER BY h) AS rn FROM hs
+         |), bot AS (SELECT t, h FROM r WHERE rn <= 256),
+         |tp AS (
+         |  SELECT x.t AS a, y.t AS b
+         |  FROM (SELECT DISTINCT t FROM hs) x JOIN (SELECT DISTINCT t FROM hs) y
+         |    ON x.t < y.t
+         |), tg AS (
+         |  SELECT a, b, h, MAX(ia) AS ia, MAX(ib) AS ib FROM (
+         |    SELECT tp.a, tp.b, bot.h, 1 AS ia, 0 AS ib FROM tp JOIN bot ON bot.t = tp.a
+         |    UNION ALL
+         |    SELECT tp.a, tp.b, bot.h, 0 AS ia, 1 AS ib FROM tp JOIN bot ON bot.t = tp.b
+         |  ) GROUP BY 1, 2, 3
+         |), u AS (
+         |  SELECT a, b, ia, ib,
+         |    ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY h) AS rn
+         |  FROM tg
+         |), e AS (
+         |  SELECT a, b, CAST(SUM(ia * ib) AS BIGINT) AS kmv_shared,
+         |    COUNT(*) AS kmv_union_k
+         |  FROM u WHERE rn <= 256 GROUP BY 1, 2
+         |), sets AS (
+         |  SELECT DISTINCT event_type AS t, uv AS v FROM ev
+         |), sz AS (SELECT t, COUNT(*) AS n FROM sets GROUP BY 1),
+         |itr AS (
+         |  SELECT s1.t AS a, s2.t AS b, COUNT(*) AS n_inter
+         |  FROM sets s1 JOIN sets s2 ON s1.v = s2.v AND s1.t < s2.t GROUP BY 1, 2
+         |), x AS (
+         |  SELECT tp.a, tp.b, CAST(COALESCE(itr.n_inter, 0) AS BIGINT) AS n_inter,
+         |    CAST(sa.n + sb.n - COALESCE(itr.n_inter, 0) AS BIGINT) AS n_union
+         |  FROM tp JOIN sz sa ON sa.t = tp.a JOIN sz sb ON sb.t = tp.b
+         |  LEFT JOIN itr ON itr.a = tp.a AND itr.b = tp.b
+         |)
+         |SELECT e.a, e.b, kmv_shared, kmv_union_k,
+         |  round(CAST(kmv_shared AS DOUBLE) / CAST(kmv_union_k AS DOUBLE), 6) AS jacc_est,
+         |  n_inter, n_union,
+         |  round(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6) AS jacc_exact
+         |FROM e JOIN x USING (a, b)""".stripMargin,
     // AMS F2: nine sign sums replayed from the identical hash parity,
     // squares and the median-of-9 by exact rank — value-gated, unusual
     // for a sketch

@@ -1991,6 +1991,63 @@ object Analytics {
         .otherwise(lit(null).cast("double")).as("z"))
   }
 
+  /** Pairwise set similarity from KMV summaries (Beyer et al., SIGMOD 2007
+    * — "distinct-value synopses"): for every ordered pair of keys, the
+    * Jaccard of their VALUE sets estimated from the two bottom-k
+    * signatures — shared hashes within the bottom-k of the union over the
+    * union signature size — next to the exact Jaccard for the audit. The
+    * sketch answer needs only the 2·k-hash signatures (the 100 TB shape:
+    * |keys|·k longs, not |keys| user sets); the estimator is deterministic
+    * from the hash, so — unusual for a sketch — BOTH columns are
+    * value-gated by the oracle.
+    *
+    * Scale shape: one (key, hash) pre-dedup shuffle into the bounded
+    * bottom-k aggregate; everything pairwise happens on the |keys|²·k
+    * signature census (per-pair windows are census-partitioned, ≤ 2k rows
+    * each). The exact side is two hash joins over the distinct pair set.
+    * Returns per pair: (`a`, `b`, `kmv_shared`, `kmv_union_k`,
+    * `jacc_est`, `n_inter`, `n_union`, `jacc_exact`).
+    */
+  def kmvJaccard(df: DataFrame, keyCol: String, value: Column, k: Int): DataFrame = {
+    require(k >= 2 && k <= 65536, s"k must be in [2, 65536]: $k")
+    val h = df.select(col(keyCol).as("t"),
+      graft.functions.TextFunctions.fnv1a64(value.cast("string")).as("h")).distinct()
+    val bottom = topPerKeyAgg(h, "t", Seq(col("h")), Seq("h" -> col("h")), k)
+      .select(col("t"), col("h"))
+    val types = h.select(col("t")).distinct()
+    val tpairs = types.select(col("t").as("a"))
+      .join(types.select(col("t").as("b")), col("a") < col("b"))
+    val tagged = tpairs.join(bottom.withColumnRenamed("t", "a"), Seq("a"))
+      .select(col("a"), col("b"), col("h"), lit(1L).as("ia"), lit(0L).as("ib"))
+      .unionAll(tpairs.join(bottom.withColumnRenamed("t", "b"), Seq("b"))
+        .select(col("a"), col("b"), col("h"), lit(0L).as("ia"), lit(1L).as("ib")))
+      .groupBy(col("a"), col("b"), col("h"))
+      .agg(max(col("ia")).as("ia"), max(col("ib")).as("ib"))
+    val w = Window.partitionBy(col("a"), col("b")).orderBy(col("h"))
+    val unionK = tagged.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val est = unionK.groupBy(col("a"), col("b"))
+      .agg(sum(col("ia") * col("ib")).as("kmv_shared"),
+        count(lit(1)).as("kmv_union_k"))
+      .select(col("a"), col("b"), col("kmv_shared"), col("kmv_union_k"),
+        round(col("kmv_shared").cast("double") / col("kmv_union_k").cast("double"), 6)
+          .as("jacc_est"))
+    val sets = df.select(col(keyCol).as("t"), value.cast("string").as("v")).distinct()
+    val sizes = sets.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val inter = sets.select(col("t").as("a"), col("v"))
+      .join(sets.select(col("t").as("b"), col("v")), Seq("v"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    val exact = tpairs
+      .join(sizes.select(col("t").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("t").as("b"), col("n").as("nb")), Seq("b"))
+      .join(inter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))).as("n_union"))
+      .withColumn("jacc_exact",
+        round(col("n_inter").cast("double") / col("n_union").cast("double"), 6))
+    est.join(exact, Seq("a", "b"))
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): for every
     * quasi-identifier group, the Earth Mover's Distance between the group's
     * distribution of an ORDERED sensitive bucket and the global one —
