@@ -519,8 +519,10 @@ object SparkEntry {
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
       .agg(sum(col("d") * (col("d") - 1L)).as("w2"))
     t3.crossJoin(w2).select(col("t3"), col("w2"),
-      round(lit(2.0) * col("t3").cast("double") / col("w2").cast("double"), 6)
-        .as("transitivity"))
+      // an edgeless/starless graph has zero wedges: NULL, not Infinity
+      when(col("w2") > 0L,
+        round(lit(2.0) * col("t3").cast("double") / col("w2").cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("transitivity"))
   }
 
   /** k-NN majority-vote classification ([[Ann.knnClassify]]): vectors
@@ -8718,7 +8720,8 @@ object SparkEntry {
          |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY 1),
          |w2 AS (SELECT CAST(SUM(d * (d - 1)) AS BIGINT) AS w2 FROM deg)
          |SELECT t3, w2,
-         |  round(2.0 * CAST(t3 AS DOUBLE) / CAST(w2 AS DOUBLE), 6) AS transitivity
+         |  CASE WHEN w2 > 0 THEN round(2.0 * CAST(t3 AS DOUBLE) / CAST(w2 AS DOUBLE), 6)
+         |  ELSE NULL END AS transitivity
          |FROM t3 CROSS JOIN w2""".stripMargin,
     // per-source language entropy: ordered fold over the lang-sorted
     // census, the ln(2) constant embedded as the same literal both sides

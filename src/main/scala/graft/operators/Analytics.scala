@@ -1878,6 +1878,9 @@ object Analytics {
     require(sampleSize > 0, s"sampleSize must be positive: $sampleSize")
     val census = df
       .select(col(stratumCol).as("stratum"), x.cast("long").as("__x"))
+      // a null x would leave the count in n_h but vanish from the moment
+      // sums — an inconsistent sigma; rows without a measurement are out
+      .filter(col("__x").isNotNull)
       .groupBy(col("stratum"))
       // moment sums in DECIMAL(38,0): the per-row square fits a long, the
       // cross-corpus SUM does not at 10¹¹ rows — decimal sums stay exact
@@ -1933,8 +1936,12 @@ object Analytics {
     */
   def kmvDistinct(df: DataFrame, keyCol: String, value: Column, k: Int): DataFrame = {
     require(k >= 2 && k <= 65536, s"k must be in [2, 65536]: $k")
+    // a NULL value hashes to NULL, which would sort FIRST into the bottom-k
+    // and poison h_k — drop it here, which is also what the streaming
+    // face's null-skip mirrors
     val h = df.select(col(keyCol),
-      graft.functions.TextFunctions.fnv1a64(value.cast("string")).as("h")).distinct()
+      graft.functions.TextFunctions.fnv1a64(value.cast("string")).as("h"))
+      .filter(col("h").isNotNull).distinct()
     topPerKeyAgg(h, keyCol, Seq(col("h")), Seq("h" -> col("h")), k)
       .groupBy(col(keyCol))
       .agg(max(col("rn")).cast("long").as("kmv_k"),
@@ -2011,7 +2018,8 @@ object Analytics {
   def kmvJaccard(df: DataFrame, keyCol: String, value: Column, k: Int): DataFrame = {
     require(k >= 2 && k <= 65536, s"k must be in [2, 65536]: $k")
     val h = df.select(col(keyCol).as("t"),
-      graft.functions.TextFunctions.fnv1a64(value.cast("string")).as("h")).distinct()
+      graft.functions.TextFunctions.fnv1a64(value.cast("string")).as("h"))
+      .filter(col("h").isNotNull).distinct() // NULL hashes would sort first
     val bottom = topPerKeyAgg(h, "t", Seq(col("h")), Seq("h" -> col("h")), k)
       .select(col("t"), col("h"))
     val types = h.select(col("t")).distinct()
