@@ -4599,6 +4599,54 @@ object SparkEntry {
     * exact sums — the same no-float-merge discipline as
     * [[Analytics.olsTrend]]), with the Welch–Satterthwaite dof.
     */
+  /** Randomization test for the weekend effect: the observed
+    * weekend-vs-weekday mean-value difference against 200 hash-derived
+    * random relabelings (randomization inference — the assumption-free
+    * companion to [[weekendEffectQ]]'s Welch t: no normality, no variance
+    * model, the null is "labels don't matter"). Every per-relabeling
+    * group sum is an exact decimal (one ×200 scan-side generator,
+    * map-side partials, 200 census rows), each mean difference ONE double
+    * expression, and the p-value the standard (1 + #{|perm| ≥ |obs|}) /
+    * (B + 1) — all deterministic from the order-key hash, so the p-value
+    * itself replays bit-for-bit.
+    */
+  private def permTestQ(s: SparkSession, dir: String): DataFrame = {
+    val b = 200
+    val isW = (((dayofweek(col("o_orderdate")) + lit(5)) % lit(7)) + lit(1)) >= 6
+    val base = t(s, dir, "orders").select(col("o_orderkey"),
+      col("o_totalprice").cast("decimal(19,4)").as("y"), isW.as("w"))
+    val d = (c: Column) => c.cast("double")
+    def diff(nA: Column, sA: Column, nB: Column, sB: Column): Column =
+      d(sA) / d(nA) - d(sB) / d(nB)
+    val obs = base.agg(
+        sum(when(col("w"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("w"), col("y"))).as("sa"),
+        sum(when(!col("w"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("w"), col("y"))).as("sb"))
+      .select(diff(col("na"), col("sa"), col("nb"), col("sb")).as("obs_diff"))
+    val reps = base.select(col("o_orderkey"), col("y"),
+      explode(sequence(lit(0), lit(b - 1))).as("b"))
+    // per-(row, relabeling) coin: the Knuth multiplicative-mod-prime mix
+    // q_randomized_response uses — integer-only, so the ×200 generator
+    // costs arithmetic, not string hashing, on both engines
+    val flip = pmod(pmod(col("o_orderkey") * b + col("b"), lit(1000000007L)) *
+      lit(2654435761L), lit(1000000007L)) % 2L === 0L
+    val perms = reps
+      .groupBy(col("b"))
+      .agg(sum(when(flip, 1L).otherwise(0L)).as("na"),
+        sum(when(flip, col("y"))).as("sa"),
+        sum(when(!flip, 1L).otherwise(0L)).as("nb"),
+        sum(when(!flip, col("y"))).as("sb"))
+      .select(col("b"), diff(col("na"), col("sa"), col("nb"), col("sb")).as("pd"))
+    perms.crossJoin(obs)
+      .agg(count(lit(1)).as("b_perms"),
+        sum(when(abs(col("pd")) >= abs(col("obs_diff")), 1L).otherwise(0L)).as("n_ge"),
+        max(col("obs_diff")).as("od"))
+      .select(col("b_perms"), round(col("od"), 6).as("obs_diff"), col("n_ge"),
+        round((col("n_ge") + 1L).cast("double") /
+          (col("b_perms") + 1L).cast("double"), 6).as("p_value"))
+  }
+
   private def weekendEffectQ(s: SparkSession, dir: String): DataFrame = {
     val isW = (((dayofweek(col("o_orderdate")) + lit(5)) % lit(7)) + lit(1)) >= 6
     val y = col("o_totalprice").cast("decimal(19,4)")
@@ -4875,6 +4923,7 @@ object SparkEntry {
     "q_churn_cohort"        -> (churnCohortQ(_, _)),
     "q_hazard_curve"        -> (hazardCurveQ(_, _)),
     "q_seasonal_resid"      -> (seasonalResidQ(_, _)),
+    "q_perm_test"           -> (permTestQ(_, _)),
     "q_gini_tokens"         -> (giniTokensQ(_, _)),
     "q_resample_ffill"      -> (resampleFfillQ(_, _)),
     "q_funnel"              -> (funnelQ(_, _)),
@@ -8451,6 +8500,41 @@ object SparkEntry {
         |SELECT gap_cap_s, n_gaps,
         |  round(CAST(n_gaps AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
         |FROM c, t""".stripMargin,
+    // randomization test: the Knuth modular coin per (row, relabeling),
+    // exact decimal group sums per relabeling, mean diffs and the p-value
+    // as the identical double expressions
+    "q_perm_test" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(19,4)) AS y,
+        |    isodow(CAST(o_orderdate AS DATE)) >= 6 AS w
+        |  FROM orders
+        |), obs AS (
+        |  SELECT CAST(SUM(CASE WHEN w THEN y END) AS DOUBLE)
+        |       / CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS DOUBLE)
+        |       - CAST(SUM(CASE WHEN NOT w THEN y END) AS DOUBLE)
+        |       / CAST(SUM(CASE WHEN NOT w THEN 1 ELSE 0 END) AS DOUBLE) AS obs_diff
+        |  FROM base
+        |), rep AS (
+        |  SELECT base.o_orderkey, base.y, g.b
+        |  FROM base CROSS JOIN (SELECT unnest(range(0, 200)) AS b) g
+        |), f AS (
+        |  SELECT b, y,
+        |    (((o_orderkey * 200 + b) % 1000000007) * 2654435761) % 1000000007 % 2 = 0 AS fl
+        |  FROM rep
+        |), p AS (
+        |  SELECT b,
+        |    CAST(SUM(CASE WHEN fl THEN y END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN fl THEN 1 ELSE 0 END) AS DOUBLE)
+        |    - CAST(SUM(CASE WHEN NOT fl THEN y END) AS DOUBLE)
+        |    / CAST(SUM(CASE WHEN NOT fl THEN 1 ELSE 0 END) AS DOUBLE) AS pd
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT COUNT(*) AS b_perms,
+        |  round((SELECT obs_diff FROM obs), 6) AS obs_diff,
+        |  CAST(SUM(CASE WHEN abs(pd) >= abs((SELECT obs_diff FROM obs)) THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+        |  round(CAST(SUM(CASE WHEN abs(pd) >= abs((SELECT obs_diff FROM obs)) THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+        |    / CAST(COUNT(*) + 1 AS DOUBLE), 6) AS p_value
+        |FROM p""".stripMargin,
     // seasonal residuals: exact decimal numerator rev*n_dow - sum_dow (no
     // mean division until output), isodow == the Spark ISO formula
     "q_seasonal_resid" ->
