@@ -2889,6 +2889,38 @@ object SparkEntry {
   private def trainSplitQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.contentSplit(t(s, dir, "documents"), "text", valPct = 10, testPct = 10)
 
+  /** Sample-ratio-mismatch (SRM) check on [[trainSplitQ]]'s 80/10/10
+    * content split — the experiment-platform health gate applied to data
+    * splits: a biased hash, a filter applied to one split, or a text
+    * distribution quirk all surface as observed shares drifting off the
+    * design, and the χ² (2 dof) catches it long before a model does.
+    * Exactness: the χ² numerator is assembled as Σ(100·o − n·w)²·(80/w)
+    * over exact integers (LCD trick — w ∈ {80,10,10} makes the
+    * multipliers {1,8,8} integral), so only the final /8000n division is
+    * a double; the 5.991 (α = 0.05) flag compares the unrounded value on
+    * both engines.
+    */
+  private def srmCheckQ(s: SparkSession, dir: String): DataFrame = {
+    val splits = TrainingData.contentSplit(t(s, dir, "documents"), "text",
+      valPct = 10, testPct = 10)
+    val tot = splits.agg(sum(col("n_docs")).as("n"))
+    val w = when(col("split") === "train", lit(80L)).otherwise(lit(10L))
+    val mult = when(col("split") === "train", lit(1L)).otherwise(lit(8L))
+    val dev = col("n_docs") * 100L - col("n") * w
+    val chi2 = col("num").cast("double") / (col("n") * 8000L).cast("double")
+    splits.crossJoin(tot)
+      .select(col("n"),
+        ((dev * dev).cast("decimal(38,0)") * mult).as("term"),
+        when(col("split") === "train", col("n_docs")).otherwise(0L).as("tr"),
+        when(col("split") === "val", col("n_docs")).otherwise(0L).as("va"),
+        when(col("split") === "test", col("n_docs")).otherwise(0L).as("te"))
+      .groupBy(col("n"))
+      .agg(sum(col("term")).as("num"), sum(col("tr")).as("n_train"),
+        sum(col("va")).as("n_val"), sum(col("te")).as("n_test"))
+      .select(col("n"), col("n_train"), col("n_val"), col("n_test"),
+        round(chi2, 6).as("chi2"), (chi2 > 5.991).as("srm_flag"))
+  }
+
   /** Content-hash per-language stratified sample: the keep/drop decision is
     * `fnv1a64(doc_id) mod 1000 < rate(lang)·1000` — deterministic from row
     * content, independent of partition layout and engine, so the DuckDB
@@ -4924,6 +4956,7 @@ object SparkEntry {
     "q_hazard_curve"        -> (hazardCurveQ(_, _)),
     "q_seasonal_resid"      -> (seasonalResidQ(_, _)),
     "q_perm_test"           -> (permTestQ(_, _)),
+    "q_srm_check"           -> (srmCheckQ(_, _)),
     "q_gini_tokens"         -> (giniTokensQ(_, _)),
     "q_resample_ffill"      -> (resampleFfillQ(_, _)),
     "q_funnel"              -> (funnelQ(_, _)),
@@ -6887,6 +6920,35 @@ object SparkEntry {
          |SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
          |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM f GROUP BY 1""".stripMargin,
+    // SRM: the train_split hash CTE, chi2 numerator as exact integers via
+    // the LCD trick (w in {80,10,10} -> multipliers {1,8,8}), one division
+    "q_srm_check" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(5381 AS BIGINT), [CAST(ord(text[i]) AS BIGINT) FOR i IN range(1, len(text)+1)]),
+         |      (a, x) -> (a * 31 + x) % 1000000007) % 100 AS bucket
+         |  FROM documents
+         |), s AS (
+         |  SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |    ELSE 'test' END AS split, COUNT(*) AS n_docs
+         |  FROM f GROUP BY 1
+         |), t AS (SELECT SUM(n_docs) AS n FROM s),
+         |x AS (
+         |  SELECT s.split, s.n_docs, t.n,
+         |    s.n_docs * 100 - t.n * (CASE WHEN s.split = 'train' THEN 80 ELSE 10 END) AS dev,
+         |    CASE WHEN s.split = 'train' THEN 1 ELSE 8 END AS mult
+         |  FROM s CROSS JOIN t
+         |), g AS (
+         |  SELECT n, SUM(dev * dev * mult) AS num,
+         |    CAST(SUM(CASE WHEN split = 'train' THEN n_docs ELSE 0 END) AS BIGINT) AS n_train,
+         |    CAST(SUM(CASE WHEN split = 'val' THEN n_docs ELSE 0 END) AS BIGINT) AS n_val,
+         |    CAST(SUM(CASE WHEN split = 'test' THEN n_docs ELSE 0 END) AS BIGINT) AS n_test
+         |  FROM x GROUP BY 1
+         |)
+         |SELECT CAST(n AS BIGINT) AS n, n_train, n_val, n_test,
+         |  round(CAST(num AS DOUBLE) / CAST(n * 8000 AS DOUBLE), 6) AS chi2,
+         |  CAST(num AS DOUBLE) / CAST(n * 8000 AS DOUBLE) > 5.991 AS srm_flag
+         |FROM g""".stripMargin,
     "q_fuzzy_decontaminate" ->
       s"""WITH toksrc AS (
          |  SELECT doc_id, $duckToks AS w FROM documents
