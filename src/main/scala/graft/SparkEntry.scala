@@ -4645,9 +4645,15 @@ object SparkEntry {
   private def permTestQ(s: SparkSession, dir: String): DataFrame = {
     val b = 200
     val isW = (((dayofweek(col("o_orderdate")) + lit(5)) % lit(7)) + lit(1)) >= 6
+    // exact LONG cents, not DECIMAL(19,4): the ×200 generator pushes 30M
+    // rows at sf0.1 through FOUR conditional sums, and long partials run
+    // ~5× the decimal aggregator's throughput (measured 7.9 → 1.6 s warm,
+    // solo); 2-dp money ×100 rounds to an exact integer on both engines
     val base = t(s, dir, "orders").select(col("o_orderkey"),
-      col("o_totalprice").cast("decimal(19,4)").as("y"), isW.as("w"))
+      round(col("o_totalprice") * 100.0).cast("long").as("y"), isW.as("w"))
     val d = (c: Column) => c.cast("double")
+    // diffs stay in cents (scale cancels in the |perm| >= |obs| compare);
+    // only the published obs_diff converts back to currency units
     def diff(nA: Column, sA: Column, nB: Column, sB: Column): Column =
       d(sA) / d(nA) - d(sB) / d(nB)
     val obs = base.agg(
@@ -4656,8 +4662,11 @@ object SparkEntry {
         sum(when(!col("w"), 1L).otherwise(0L)).as("nb"),
         sum(when(!col("w"), col("y"))).as("sb"))
       .select(diff(col("na"), col("sa"), col("nb"), col("sb")).as("obs_diff"))
+    // explode a CONSTANT literal array, not sequence(): sequence() builds a
+    // fresh 200-element array PER ROW (measured 7.9 s warm at sf0.1); the
+    // literal is one shared ArrayData the generator just iterates
     val reps = base.select(col("o_orderkey"), col("y"),
-      explode(sequence(lit(0), lit(b - 1))).as("b"))
+      explode(typedlit((0 until b).toArray)).as("b"))
     // per-(row, relabeling) coin: the Knuth multiplicative-mod-prime mix
     // q_randomized_response uses — integer-only, so the ×200 generator
     // costs arithmetic, not string hashing, on both engines
@@ -4674,7 +4683,7 @@ object SparkEntry {
       .agg(count(lit(1)).as("b_perms"),
         sum(when(abs(col("pd")) >= abs(col("obs_diff")), 1L).otherwise(0L)).as("n_ge"),
         max(col("obs_diff")).as("od"))
-      .select(col("b_perms"), round(col("od"), 6).as("obs_diff"), col("n_ge"),
+      .select(col("b_perms"), round(col("od") / 100.0, 6).as("obs_diff"), col("n_ge"),
         round((col("n_ge") + 1L).cast("double") /
           (col("b_perms") + 1L).cast("double"), 6).as("p_value"))
   }
@@ -8567,7 +8576,7 @@ object SparkEntry {
     // as the identical double expressions
     "q_perm_test" ->
       """WITH base AS (
-        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(19,4)) AS y,
+        |  SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS y,
         |    isodow(CAST(o_orderdate AS DATE)) >= 6 AS w
         |  FROM orders
         |), obs AS (
@@ -8592,7 +8601,7 @@ object SparkEntry {
         |  FROM f GROUP BY 1
         |)
         |SELECT COUNT(*) AS b_perms,
-        |  round((SELECT obs_diff FROM obs), 6) AS obs_diff,
+        |  round((SELECT obs_diff FROM obs) / 100.0, 6) AS obs_diff,
         |  CAST(SUM(CASE WHEN abs(pd) >= abs((SELECT obs_diff FROM obs)) THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
         |  round(CAST(SUM(CASE WHEN abs(pd) >= abs((SELECT obs_diff FROM obs)) THEN 1 ELSE 0 END) + 1 AS DOUBLE)
         |    / CAST(COUNT(*) + 1 AS DOUBLE), 6) AS p_value
