@@ -1445,6 +1445,51 @@ object SparkEntry {
       .withColumn("recall", round(col("n_hit").cast("double") / 20.0, 6))
   }
 
+  /** IVF tuning curve: recall@20 vs nprobe ∈ {1, 2, 3}, where a probe's
+    * lists are the labels with the nearest 6-dp centroids to the query —
+    * the sweep behind choosing an ANN operating point ([[annRecallQ]]
+    * audits one setting; this measures how fast recall buys back as more
+    * inverted lists are probed, which is THE latency/recall dial at
+    * corpus scale). All ranks replay: centroid components are the
+    * order-noise-absorbing 6-dp means of [[labelCentroids]], list ranking
+    * and candidate ranking use the identical cosine, and recall is an
+    * exact hit count against the exact top-20.
+    */
+  private def ivfProbeSweepQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val cent = emb.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), VF.vecSum(VF.toDouble(col("embedding"))).as("sums"))
+      .select(col("label").as("clab"),
+        transform(col("sums"), x => round(x / col("n"), 6)).as("cvec"))
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), VF.toDouble(col("embedding")).as("qv"))
+    val lrank = Analytics.topPerKeyAgg(
+        probes.crossJoin(cent).select(col("qid"), col("clab"),
+          VF.cosine(col("qv"), col("cvec")).as("ccos")),
+        "qid", Seq(negate(col("ccos")), col("clab")), Seq("clab" -> col("clab")), 3)
+      .select(col("qid"), col("clab"), col("rn").as("lrank"))
+    val corpus = emb.select(col("vec_id").as("did"),
+      VF.toDouble(col("embedding")).as("dv"), col("label").as("dlab"))
+    def top20(pairs: DataFrame): DataFrame =
+      Analytics.topPerKeyAgg(
+        pairs.select(col("qid"), col("did"), VF.cosine(col("qv"), col("dv")).as("cos")),
+        "qid", Seq(negate(col("cos")), col("did")), Seq("did" -> col("did")), 20)
+    val exact = top20(probes.join(corpus, col("did") =!= col("qid")))
+      .select(col("qid"), col("did"))
+    Seq(1, 2, 3).map { np =>
+      val lists = lrank.filter(col("lrank") <= np).select(col("qid"), col("clab"))
+      val ivf = top20(probes.join(lists, "qid")
+        .join(corpus, col("dlab") === col("clab") && col("did") =!= col("qid")))
+      val hits = exact.join(broadcast(ivf.select(col("qid"), col("did"))),
+          Seq("qid", "did"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
+      probes.select(col("qid")).join(broadcast(hits), Seq("qid"), "left")
+        .select(lit(np.toLong).as("nprobe"), col("qid"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+    }.reduce(_ unionAll _)
+      .withColumn("recall", round(col("n_hit").cast("double") / 20.0, 6))
+  }
+
   // ------------------------------------------------------------------ dedup
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -4995,6 +5040,7 @@ object SparkEntry {
     "q_embed_dim_stats"     -> (embedDimStatsQ(_, _)),
     "q_dim_energy"          -> (dimEnergyQ(_, _)),
     "q_isotropy"            -> (isotropyQ(_, _)),
+    "q_ivf_probe_sweep"     -> (ivfProbeSweepQ(_, _)),
     "q_ngram_novelty"       -> (ngramNoveltyQ(_, _)),
     "q_capped_select"       -> (cappedSelectQ(_, _)),
     "q_dp_counts"           -> (dpCountsQ(_, _)),
@@ -9194,6 +9240,56 @@ object SparkEntry {
         |  CAST(count(*) FILTER (WHERE s.v = 0) AS BIGINT) AS n_zero,
         |  CAST(count(*) FILTER (WHERE s.v < 0) AS BIGINT) AS n_neg
         |FROM x GROUP BY 1""".stripMargin,
+    // IVF probe sweep: 6dp-centroid list ranking, candidate and truth
+    // ranks on the identical cosine, one settings table instead of a loop
+    "q_ivf_probe_sweep" ->
+      s"""WITH c0 AS (
+         |  SELECT label, i AS dim,
+         |    round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cd
+         |  FROM embeddings, generate_series(1, 64) AS g(i)
+         |  GROUP BY 1, 2
+         |), cent AS (SELECT label AS clab, list(cd ORDER BY dim) AS cvec FROM c0 GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < 10),
+         |lc AS (
+         |  SELECT q.qid, cent.clab,
+         |    list_sum([CAST(q.embedding[i] AS DOUBLE) * cvec[i] FOR i IN range(1, 65)]) /
+         |    (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) FOR i IN range(1, 65)])) *
+         |     sqrt(list_sum([cvec[i] * cvec[i] FOR i IN range(1, 65)]))) AS ccos
+         |  FROM q CROSS JOIN cent
+         |), lr AS (
+         |  SELECT qid, clab,
+         |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, clab) AS lrank
+         |  FROM lc
+         |), ex0 AS (
+         |  SELECT x.vec_id AS qid, y.vec_id AS did, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < 10 AND y.vec_id != x.vec_id
+         |), ex AS (
+         |  SELECT qid, did FROM (
+         |    SELECT qid, did,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, did) AS rn
+         |    FROM ex0) WHERE rn <= 20
+         |), np AS (SELECT unnest([1, 2, 3]) AS nprobe),
+         |cl AS (SELECT np.nprobe, lr.qid, lr.clab FROM np JOIN lr ON lr.lrank <= np.nprobe),
+         |cand AS (
+         |  SELECT cl.nprobe, x.vec_id AS qid, y.vec_id AS did, $duckCos AS cos
+         |  FROM cl JOIN embeddings x ON x.vec_id = cl.qid
+         |  JOIN embeddings y ON y.label = cl.clab AND y.vec_id != cl.qid
+         |), iv AS (
+         |  SELECT nprobe, qid, did FROM (
+         |    SELECT nprobe, qid, did,
+         |      ROW_NUMBER() OVER (PARTITION BY nprobe, qid ORDER BY cos DESC, did) AS rn
+         |    FROM cand) WHERE rn <= 20
+         |), hits AS (
+         |  SELECT iv.nprobe, iv.qid, COUNT(*) AS n_hit
+         |  FROM iv JOIN ex ON ex.qid = iv.qid AND ex.did = iv.did
+         |  GROUP BY 1, 2
+         |)
+         |SELECT CAST(np.nprobe AS BIGINT) AS nprobe, q.qid,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  round(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 20.0, 6) AS recall
+         |FROM np CROSS JOIN q
+         |LEFT JOIN hits h ON h.nprobe = np.nprobe AND h.qid = q.qid""".stripMargin,
     // isotropy: 6dp unit components as exact DECIMAL per-dim sums; both
     // sides of the sum-identity (squared sums, self-diagonal) exact,
     // one double division
