@@ -588,20 +588,48 @@ object SparkEntry {
     * per-query array via the ORDERED higher-order aggregate, so the
     * double sum has ONE defined association on both engines.
     */
-  private def ndcgQ(s: SparkSession, dir: String): DataFrame = {
+  /** Per-query int8-quantized ANN ranks (the exact replayed scoring of
+    * [[Ann.quantizedTopK]] generalized to a query SET) — shared by the
+    * nDCG and MRR retrieval evals.
+    */
+  private def quantizedAnnRanks(emb: DataFrame, maxQid: Int, k: Int): DataFrame = {
     val br = org.apache.spark.sql.graft.ColumnBridge
-    val emb = t(s, dir, "embeddings")
     val quant = emb.select(col("vec_id"), Ann.quantize8(col("embedding")).as("qv"))
-    val qs = quant.filter(col("vec_id") < 5)
+    val qs = quant.filter(col("vec_id") < maxQid)
       .select(col("vec_id").as("src"), col("qv").as("qq"))
     val idot = br.column(graft.expressions.DotProductInt8(
       br.expression(col("qq.q")), br.expression(col("qv.q"))))
     val annPairs = qs.join(quant, col("vec_id") =!= col("src"))
       .select(col("src"), col("vec_id").as("dst"),
         round(col("qv.scale") * col("qq.scale") * idot.cast("double"), 6).as("qscore"))
-    val ann = Analytics.topPerKeyAgg(annPairs, "src",
-        Seq(negate(col("qscore")), col("dst")), Seq("dst" -> col("dst")), 10)
+    Analytics.topPerKeyAgg(annPairs, "src",
+        Seq(negate(col("qscore")), col("dst")), Seq("dst" -> col("dst")), k)
       .select(col("src"), col("dst"), col("rn").as("arank"))
+  }
+
+  /** Mean-reciprocal-rank eval of the int8 tier: at which ANN position the
+    * EXACT nearest neighbor lands (rr = 1/position, 0 if outside the
+    * top-10) — the first-result quality number next to [[annRecallQ]]'s
+    * set recall and [[ndcgQ]]'s graded ranking. Per-query rows, no
+    * cross-query float mean (the reader averages exact rationals).
+    */
+  private def mrrQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ann = quantizedAnnRanks(emb, maxQid = 5, k = 10)
+    val exact1 = Ann.knnGraph(emb.filter(col("vec_id") < 5), emb, "vec_id",
+        "embedding", 1)
+      .select(col("src"), col("dst"))
+    exact1.join(ann, Seq("src", "dst"), "left")
+      .select(col("src").as("vec_id"), col("dst").as("true_nn"),
+        coalesce(col("arank").cast("long"), lit(0L)).as("found_at"),
+        when(col("arank").isNotNull,
+          round(lit(1.0) / col("arank").cast("double"), 6)).otherwise(lit(0.0))
+          .as("rr"))
+  }
+
+  private def ndcgQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val ann = quantizedAnnRanks(emb, maxQid = 5, k = 10)
     val exact = Ann.knnGraph(emb.filter(col("vec_id") < 5), emb, "vec_id",
         "embedding", 10)
       .select(col("src"), col("dst"), col("rn").as("erank"))
@@ -5028,6 +5056,7 @@ object SparkEntry {
     "q_mutual_knn"          -> (mutualKnnQ(_, _)),
     "q_bitext_mine"         -> (bitextMineQ(_, _)),
     "q_ndcg"                -> (ndcgQ(_, _)),
+    "q_mrr"                 -> (mrrQ(_, _)),
     "q_assortativity"       -> (assortativityQ(_, _)),
     "q_transitivity"        -> (transitivityQ(_, _)),
     "q_lang_entropy"        -> (langEntropyQ(_, _)),
@@ -8991,6 +9020,43 @@ object SparkEntry {
          |  CAST(g.rn AS BIGINT) AS rank_ba
          |FROM e f JOIN e g ON g.src = f.dst AND g.dst = f.src
          |WHERE f.src < f.dst""".stripMargin,
+    // MRR: the exact top-1 looked up in the quantized top-10 ranking;
+    // rr = 1/position (0 outside), per query — no cross-query float mean
+    "q_mrr" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id, list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS mx,
+         |    embedding FROM embeddings
+         |), c AS (
+         |  SELECT vec_id, CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END AS scale,
+         |    [CAST(round(CAST(x AS DOUBLE) / (CASE WHEN mx > 0 THEN mx/127.0 ELSE 1.0 END)) AS BIGINT)
+         |     FOR x IN embedding] AS q
+         |  FROM c0
+         |), qs AS (SELECT vec_id AS src, scale AS qscale, q AS qq FROM c WHERE vec_id < 5),
+         |p AS (
+         |  SELECT qs.src, c.vec_id AS dst,
+         |    round(c.scale * qs.qscale *
+         |      list_sum([c.q[i] * qs.qq[i] FOR i IN range(1, len(c.q)+1)]), 6) AS qscore
+         |  FROM qs JOIN c ON c.vec_id != qs.src
+         |), a AS (
+         |  SELECT src, dst, arank FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY qscore DESC, dst) AS arank
+         |    FROM p) WHERE arank <= 10
+         |), ex0 AS (
+         |  SELECT x.vec_id AS src, y.vec_id AS dst, $duckCos AS cos
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id < 5 AND y.vec_id != x.vec_id
+         |), e1 AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |    FROM ex0) WHERE rn = 1
+         |)
+         |SELECT e1.src AS vec_id, e1.dst AS true_nn,
+         |  CAST(COALESCE(a.arank, 0) AS BIGINT) AS found_at,
+         |  CASE WHEN a.arank IS NOT NULL THEN round(1.0 / CAST(a.arank AS DOUBLE), 6)
+         |  ELSE 0.0 END AS rr
+         |FROM e1 LEFT JOIN a ON a.src = e1.src AND a.dst = e1.dst""".stripMargin,
     // nDCG@10: quantize replay for the ANN ranking, exact-cos replay for
     // relevance, DCG as an ORDERED list_reduce over the arank-sorted list
     // with the SAME discount literals the Spark side embeds
