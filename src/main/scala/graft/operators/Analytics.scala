@@ -1773,6 +1773,9 @@ object Analytics {
   def ksDrift(df: DataFrame, bucket: Column, inA: Column): DataFrame = {
     val census = df
       .select(bucket.cast("long").as("b"), inA.cast("boolean").as("__a"))
+      // a NULL bucket would enter the totals but silently drop out of the
+      // banded cumulative (NULL compares UNKNOWN) — out of scope entirely
+      .filter(col("b").isNotNull)
       .groupBy(col("b"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
@@ -1822,7 +1825,10 @@ object Analytics {
       999899L, 999970L)
     val loIdx = math.floor(0.025 * b).toInt
     val hiIdx = math.min(b - 1, math.ceil(0.975 * b).toInt - 1)
+    // a NULL id would hash to NULL and fall through the weight CASE to the
+    // default arm (w = 8) — rows without an identity are out of scope
     val base = df.select(idCol.cast("string").as("__id"), x.cast("long").as("__x"))
+      .filter(col("__id").isNotNull)
     val rep = base.select(col("__id"), col("__x"),
       explode(sequence(lit(0), lit(b - 1))).as("b"))
     val u = pmod(graft.functions.TextFunctions.fnv1a64(
@@ -1974,6 +1980,7 @@ object Analytics {
   def mannWhitney(df: DataFrame, bucket: Column, inA: Column): DataFrame = {
     val census = df
       .select(bucket.cast("long").as("b"), inA.cast("boolean").as("__a"))
+      .filter(col("b").isNotNull) // same null-bucket rule as ksDrift
       .groupBy(col("b"))
       .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("__a"), 0L).otherwise(1L)).as("cb"))
@@ -2039,7 +2046,8 @@ object Analytics {
       .select(col("a"), col("b"), col("kmv_shared"), col("kmv_union_k"),
         round(col("kmv_shared").cast("double") / col("kmv_union_k").cast("double"), 6)
           .as("jacc_est"))
-    val sets = df.select(col(keyCol).as("t"), value.cast("string").as("v")).distinct()
+    val sets = df.select(col(keyCol).as("t"), value.cast("string").as("v"))
+      .filter(col("v").isNotNull).distinct() // mirror the hash side's null drop
     val sizes = sets.groupBy(col("t")).agg(count(lit(1)).as("n"))
     val inter = sets.select(col("t").as("a"), col("v"))
       .join(sets.select(col("t").as("b"), col("v")), Seq("v"))
@@ -2080,6 +2088,7 @@ object Analytics {
     require(quasiCols.nonEmpty, "tCloseness needs at least one quasi column")
     val census = df
       .select(quasiCols.map(col) :+ bucket.cast("long").as("b"): _*)
+      .filter(col("b").isNotNull) // same null-bucket rule as ksDrift
       .groupBy(quasiCols.map(col) :+ col("b"): _*)
       .agg(count(lit(1)).as("c"))
     val buckets = census.groupBy(col("b")).agg(sum(col("c")).as("cg"))
