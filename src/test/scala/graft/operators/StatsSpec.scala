@@ -423,6 +423,28 @@ class StatsSpec extends SparkSpec {
     assert(out.getDouble(3) === est)
   }
 
+  test("null scope rules: null buckets/values/ids are OUT, not skew") {
+    // ksDrift: a null-bucket row must leave the totals too (it can never
+    // participate in the banded cumulative)
+    val df = Seq((Some(1L), true), (Some(1L), true), (Some(2L), true),
+      (Some(1L), false), (Some(3L), false), (Some(3L), false),
+      (None, true), (None, false)).toDF("b", "a")
+    val r = Analytics.ksDrift(df, col("b"), col("a")).head()
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 3L))) // nulls not counted
+    assert(r.getDouble(2) === 0.666667)
+    // kmvDistinct: null values leave the sketch unchanged (no NULL h_k)
+    val withNull = Seq("g" -> Some("x"), "g" -> None, "g" -> Some("y"))
+      .toDF("k", "v")
+    val kv = Analytics.kmvDistinct(withNull, "k", col("v"), k = 4).head()
+    assert(kv.getLong(1) === 2L)
+    assert(kv.getDouble(3) === 2.0)
+    // poissonBootstrapCI: a null-id row is out of scope, not weight-8
+    val ids = (1L to 50L).map(i => (Some(i), 7L)) :+ ((None: Option[Long], 999999L))
+    val ci = Analytics.poissonBootstrapCI(ids.toDF("id", "x"), col("id"),
+      col("x"), b = 100).head()
+    assert((ci.getDouble(1), ci.getDouble(2), ci.getDouble(3)) === ((7.0, 7.0, 7.0)))
+  }
+
   test("tCloseness: hand-computed ppm EMD; single bucket → t = 0") {
     // X all in bucket 1, Y all in bucket 2; global is 50/50 → both groups
     // are |1 − 0.5| = 0.5 away at bucket 1, 0 at bucket 2 → t = 0.5
