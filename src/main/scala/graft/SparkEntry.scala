@@ -4583,6 +4583,24 @@ object SparkEntry {
         col("rn").cast("long").as("rn"),
         round(col("o_totalprice"), 6).as("value"))
 
+  /** Per-GROUP exact median by rank selection: the lower median of token
+    * count for every language, picked by exact per-group rank through the
+    * same range-sharded machinery as [[medianSelectQ]] — the grouped
+    * variant `percentile()` can't do memory-bounded (it buffers each
+    * group's values in one aggregator; this holds nothing beyond the
+    * boundary sample and per-shard prefix table at ANY group size or
+    * skew). Target rank comes from the rank pass's own per-group total.
+    */
+  private def groupMedianQ(s: SparkSession, dir: String): DataFrame =
+    Analytics.rangedRank(
+        t(s, dir, "documents").select(col("lang"),
+          TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+          col("doc_id")),
+        Seq("lang"), Seq(col("n_tokens"), col("doc_id")))
+      .filter(expr("rn = (n_part + 1) div 2"))
+      .select(col("lang"), col("n_part").cast("long").as("n_docs"),
+        col("rn").cast("long").as("rn"), col("n_tokens").as("median_tokens"))
+
   /** Systematic 1% sample over the quality-ordered frame: every 100th
     * document of the (quality DESC, id) order — the classic survey design
     * that guarantees even coverage of the quality spectrum (a uniform
@@ -4897,6 +4915,7 @@ object SparkEntry {
     "q_partition_plan"      -> (partitionPlanQ(_, _)),
     "q_shard_balance"       -> (shardBalanceQ(_, _)),
     "q_median_select"       -> (medianSelectQ(_, _)),
+    "q_group_median"        -> (groupMedianQ(_, _)),
     "q_systematic_sample"   -> (systematicSampleQ(_, _)),
     "q_asof_join"           -> (asofJoinQ(_, _)),
     "q_asof_tolerance"      -> (asofToleranceQ(_, _)),
@@ -6564,6 +6583,21 @@ object SparkEntry {
         |  CAST(rn AS BIGINT) AS rn, round(v, 6) AS value
         |FROM r
         |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 OR rn = (n * 9 + 9) // 10""".stripMargin,
+    // grouped exact median: per-lang rank + count windows replay the
+    // range-sharded per-group rank, identical target-rank arithmetic
+    "q_group_median" ->
+      s"""WITH d AS (
+         |  SELECT lang, CAST(len($duckToks) AS BIGINT) AS n_tokens, doc_id
+         |  FROM documents
+         |), r AS (
+         |  SELECT lang, n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n
+         |  FROM d
+         |)
+         |SELECT lang, CAST(n AS BIGINT) AS n_docs, CAST(rn AS BIGINT) AS rn,
+         |  n_tokens AS median_tokens
+         |FROM r WHERE rn = (n + 1) // 2""".stripMargin,
     // systematic 1% over the (quality DESC, id) frame; rank replay via the
     // quality CTE, stride filter identical
     "q_systematic_sample" ->
