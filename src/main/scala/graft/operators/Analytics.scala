@@ -12,6 +12,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Analytics {
 
+  /** Cumulative Poisson(1) CDF at k = 0..7 in ppm:
+    * `floor(1e6 · e^-1 · Σ_{j=0}^{k} 1/j!)` — the inverse-CDF ladder for
+    * the Poisson-bootstrap weights. Pinned against the formula by
+    * `StatsSpec` ("Poisson(1) CDF ppm table matches the formula").
+    */
+  private[graft] val PoissonCdfPpm: Seq[Long] =
+    Seq(367879L, 735758L, 919698L, 981011L, 996340L, 999405L,
+      999916L, 999989L)
+
   /** Event-time sessionization: a new session starts when the gap from the
     * previous event of the same key exceeds `gapSeconds`. One shuffle
     * (partitionBy key) and two window passes over the sorted partition —
@@ -1820,9 +1829,7 @@ object Analytics {
   def poissonBootstrapCI(df: DataFrame, idCol: Column, x: Column, b: Int,
                          salt: String = "boot#"): DataFrame = {
     require(b >= 40 && b <= 10000, s"b must be in [40, 10000]: $b")
-    // cumulative Poisson(1) CDF in ppm: floor(1e6 · e^-1 · Σ 1/k!)
-    val cum = Seq(367879L, 735758L, 919698L, 981011L, 996439L, 999405L,
-      999899L, 999970L)
+    val cum = PoissonCdfPpm
     val loIdx = math.floor(0.025 * b).toInt
     val hiIdx = math.min(b - 1, math.ceil(0.975 * b).toInt - 1)
     // a NULL id would hash to NULL and fall through the weight CASE to the

@@ -373,6 +373,16 @@ class StatsSpec extends SparkSpec {
     assert(v.getDouble(2) < v.getDouble(3))
   }
 
+  test("Poisson(1) CDF ppm table matches the formula") {
+    // floor(1e6 · e^-1 · Σ_{j=0}^{k} 1/j!) for k = 0..7 — re-derived here
+    // so the inverse-CDF ladder cannot silently drift from its definition.
+    val derived = (0 to 7).map { k =>
+      val partial = (0 to k).map(j => 1.0 / (1L to j).map(_.toDouble).product).sum
+      math.floor(1e6 * math.exp(-1.0) * partial).toLong
+    }
+    assert(Analytics.PoissonCdfPpm === derived)
+  }
+
   test("neymanAllocation: sigma-weighted seats, largest-remainder, exact-sum budget") {
     // A: [0,2] → σ=√2, w=2828427 ppm; B: [0,4] → σ=2√2, w=5656854 ppm.
     // S=10: base A=3 (rem 2828427), B=6 (rem 5656854); leftover 1 → B.
