@@ -71,6 +71,11 @@ object Bench {
     // queries whose numbers were measured under a whole-run steal burst and
     // did not improve on retry — their entries are suspect, not wrong-code
     val stealFlagged = scala.collection.mutable.LinkedHashSet.empty[String]
+    // queries whose COLD run happened inside a detected whole-run steal
+    // burst: the warm number may have recovered via retry, but the cold
+    // sample in cold_total was measured under contention and cannot be
+    // re-taken honestly in this JVM (a second run no longer pays codegen)
+    val coldStealSuspect = scala.collection.mutable.LinkedHashSet.empty[String]
     // SPARK_GRAFT_ONLY=q_a,q_b runs a subset in an otherwise-identical
     // harness — the isolated-JVM control when bisecting cross-query
     // interference (a query slow in-suite but fast alone points at residue
@@ -129,6 +134,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val s0 = stealJiffies()
+      val tq0 = System.nanoTime()
       org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
       val sb0 = shuffleW.get
       val cold = once()
@@ -159,10 +165,18 @@ object Bench {
       // than the runs' own wall-clock (≥ 1 core-equivalent stolen
       // throughout), the timing ran under measured contention — retry, and
       // if the retrial doesn't beat it, flag the query in the output JSON.
+      // The wall side is the MEASURED elapsed time since this query's first
+      // run (tq0) — not the cold+3·warm estimate, which under-counted when
+      // the warm>cold retry trio above had already widened the steal window
+      // and made this check over-trigger after any first retry.
       if (!failed.contains(name)) {
         val stealSecQ = (stealJiffies() - s0) / 100.0
-        val wallSecQ = cold + 3 * warm
+        val wallSecQ = (System.nanoTime() - tq0) / 1e9
         if (stealSecQ > math.max(2.0, wallSecQ)) {
+          // the cold sample ran inside this burst too; it cannot be retaken
+          // in-JVM (codegen is warm now) — flag it so cold_total readers
+          // know which addends were measured under contention
+          coldStealSuspect += name
           val again = Seq(once(), once(), once()).sorted.apply(1)
           System.err.println(f"BENCH STEAL-RETRY $name%-26s warm $warm%.2fs under ${stealSecQ}%.0f CPU-s steal — rerun median ${again}%.2fs")
           if (again < warm) warm = again
@@ -303,7 +317,7 @@ object Bench {
     val stealTotal = stealJiffies() - stealStart
     val shuffleJson = shuffleBytes
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_flagged":${stealFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"shuffle_bytes":$shuffleJson,"measure":"$measure","sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_flagged":${stealFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"cold_steal_suspect":${coldStealSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")},"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"shuffle_bytes":$shuffleJson,"measure":"$measure","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

@@ -138,6 +138,22 @@ object ScaleProbe {
           .head().getSeq[Double](0).toIndexedSeq
         graft.similarity.Ann.quantizedTopK(v, "embedding", "vec_id", q, 20).count() }
     }
+    if (!skewOnly && !opsOnly) {
+      // Deep-chain duplicate resolution, distributed path FORCED
+      // (maxDriverEdges = 0): a 2^14-node path graph is the adversarial
+      // depth case for min-label propagation — the "near-dup components
+      // are shallow" assumption is exactly what this row refuses to take
+      // on faith. With pointer halving the expected round count is
+      // ~log2(depth) + settle (≈ 15-18), not 16384; the shuffle meter
+      // shows per-round cost (2 joins over |edges| + |labels| rows).
+      // Non-convergence throws loudly rather than timing a wrong answer.
+      val depth = 1 << 14
+      val chainEdges = spark.range(1, depth.toLong)
+        .select(col("id").as("a"), (col("id") + 1L).as("b"))
+      time(s"deep-chain resolve d=$depth") {
+        graft.dedup.Dedup.resolveDuplicates(chainEdges, maxDriverEdges = 0L)
+          .count() }
+    }
     if (!skewOnly && nCopies <= 10) {
       // round-6 operators with an unprobed shuffle surface, metered: the
       // mixture census shuffles |strata| partial rows keyed by a LOW-

@@ -170,8 +170,11 @@ object Dedup {
     // edit distance > k (drops most of the block for free), then the BANDED
     // threshold DP — O(prefixLen·k) cells instead of O(prefixLen²), −1 when
     // the band is exceeded. Measured on sf0.1: 18.4 s → sub-second for the
-    // same exact result.
-    base.as("x").join(base.as("y"),
+    // same exact result. fanOut on the probe side: the DP executes in the
+    // probe partitions of a broadcast join, and a single-file corpus scans
+    // as ONE split — without the fan-out the whole DP ran one-core
+    // (r12 tail audit: 1.99 s warm with zero shuffle bytes was the tell).
+    graft.operators.Par.fanOut(base).as("x").join(base.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id") &&
           abs(length(col("x.__t")) - length(col("y.__t"))) <= maxDist)
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
@@ -236,7 +239,9 @@ object Dedup {
     val base = df.select(col(idCol).as("__id"),
       substring(col(textCol), 1, prefixLen).as("__t"),
       struct(blockCols: _*).as("__blk"))
-    base.as("x").join(base.as("y"),
+    // same probe-side fan-out as editDistancePairs: the JW scorer runs in
+    // the probe partitions, and one-split corpora would run it one-core
+    graft.operators.Par.fanOut(base).as("x").join(base.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
         graft.functions.TextFunctions.jaroWinkler(col("x.__t"), col("y.__t")).as("__jw"))
@@ -414,12 +419,19 @@ object Dedup {
     *    output of the LSH+verify funnel), so even 100 TB corpora typically
     *    yield driver-sized pair graphs; a distributed iteration on a 255-edge
     *    graph is pure scheduling overhead (measured 2.6 s vs ~0.1 s).
-    *  - otherwise: iterative min-label propagation entirely in DataFrames —
-    *    per round, every node adopts the smallest label among itself and its
-    *    neighbors; converges in O(component diameter) rounds (near-dup
-    *    components are shallow: duplicates of a common source). Each round is
-    *    one shuffle on the edge list; no driver-side graph.
-    * Both paths are asserted equal in DedupSpec.
+    *  - otherwise: iterative min-label propagation WITH POINTER HALVING,
+    *    entirely in DataFrames — per round every node adopts the smallest
+    *    label among itself and its neighbors, then additionally the label
+    *    of that label (one extra join), so labels shortcut along label
+    *    chains and convergence is O(log component diameter) rounds, not
+    *    O(diameter): the default 20-round budget covers ~2^20-deep
+    *    components instead of 20-deep ones. Each round is two shuffles on
+    *    the edge/label tables; no driver-side graph. Non-convergence at
+    *    maxRounds throws (a partial label table would under-merge
+    *    duplicates SILENTLY — the worst dedup failure mode).
+    * Both paths are asserted equal in DedupSpec (deep chain included);
+    * ScaleProbe's "deep-chain resolve" row measures rounds/bytes at depth
+    * 2^14.
     */
   def resolveDuplicates(pairs: DataFrame, aCol: String = "a", bCol: String = "b",
                         maxRounds: Int = 20, maxDriverEdges: Long = 1L << 22): DataFrame = {
@@ -486,14 +498,29 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("keep_id", "v_label"), "v")
         .groupBy(col("u").as("id")).agg(min(col("v_label")).as("n_label"))
+      // Propagate (adopt the smallest neighbor label), then POINTER-HALVE:
+      // also adopt the label OF the adopted label (one join against the
+      // round-start labels). Plain neighbor-min alone converges in
+      // O(component diameter) rounds — a depth-D chain needs D rounds and
+      // silently exceeds maxRounds; with halving, labels jump along the
+      // label chain as well as the edge graph, and a depth-2^14 chain
+      // converges in 15 rounds (ScaleProbe "deep-chain resolve" measures
+      // this). Any member's label is a valid upper bound for the component
+      // min, so halving never breaks correctness (asserted against the
+      // union-find path in DedupSpec, deep chain included).
+      val prop = labels.select(col("id"), col("keep_id").as("__old"))
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__old"), coalesce(col("n_label"), col("__old"))).as("__k1"))
       // Fold the convergence flag into the SAME select that the checkpoint
       // materializes: the old formulation re-joined next against the previous
       // labels just to count changes — a second shuffling job per round. Now
       // the post-checkpoint count only scans the cached round result.
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val next = prop
+        .join(labels.select(col("keep_id").as("__gp"), col("id").as("__k1")), Seq("__k1"), "left")
         .select(col("id"),
-          least(col("keep_id"), coalesce(col("n_label"), col("keep_id"))).as("keep_id"),
-          (coalesce(col("n_label"), col("keep_id")) < col("keep_id")).as("chg"))
+          least(col("__k1"), coalesce(col("__gp"), col("__k1"))).as("keep_id"),
+          (least(col("__k1"), coalesce(col("__gp"), col("__k1"))) < col("__old")).as("chg"))
         .localCheckpoint()
       changed = next.filter(col("chg")).count()
       // `next` is materialized — the PREVIOUS round's checkpoint blocks are
@@ -506,6 +533,16 @@ object Dedup {
     }
     edges.unpersist()
     rawEdges.unpersist()
+    // LOUD failure, never silent wrong answers: hitting maxRounds with
+    // changes still flowing means some component is not fully resolved —
+    // returning the partial labels would under-merge duplicates silently
+    // (the worst failure mode for a dedup pass). With pointer halving the
+    // default budget covers component diameters up to ~2^maxRounds, so a
+    // trip here is a genuinely pathological graph — surface it.
+    require(changed == 0,
+      s"resolveDuplicates did not converge in $maxRounds rounds " +
+        s"($changed labels still changing) — raise maxRounds; with pointer " +
+        "halving each extra round doubles the resolvable component diameter")
     labels
   }
 

@@ -337,16 +337,24 @@ object Ann {
     require(k > 0, "k must be positive")
     val kxy = knnGraph(x, y, idCol, vecCol, k)
     val kyx = knnGraph(y, x, idCol, vecCol, k)
+    // average over the ACTUAL neighborhood size (counted beside the sum),
+    // not a fixed k: when a side has fewer than k candidates (|Y| < k, or
+    // a filtered candidate set), dividing by k would understate the
+    // denominator and inflate every margin — Artetxe & Schwenk average
+    // over the neighbors actually retrieved
     val sx = kxy.groupBy(col("src").as("xid"))
-      .agg(sum(col("cos").cast("decimal(10,6)")).as("sx"))
+      .agg(sum(col("cos").cast("decimal(10,6)")).as("sx"),
+        count(lit(1)).as("nx"))
     val sy = kyx.groupBy(col("src").as("yid"))
-      .agg(sum(col("cos").cast("decimal(10,6)")).as("sy"))
+      .agg(sum(col("cos").cast("decimal(10,6)")).as("sy"),
+        count(lit(1)).as("ny"))
     val cand = kxy.select(col("src").as("x"), col("dst").as("y"), col("cos"))
       .join(sx, col("x") === col("xid"))
       .join(sy, col("y") === col("yid"))
       .select(col("x"), col("y"), col("cos"),
         round(col("cos") /
-          ((col("sx") + col("sy")).cast("double") / lit(2.0 * k)), 6).as("margin"))
+          ((col("sx").cast("double") / col("nx") +
+            col("sy").cast("double") / col("ny")) / lit(2.0)), 6).as("margin"))
     graft.operators.Analytics.topPerKeyAgg(cand, "x",
         Seq(negate(col("margin")), col("y")),
         Seq("y" -> col("y"), "cos" -> col("cos"), "margin" -> col("margin")), 1)

@@ -253,6 +253,29 @@ class DedupSpec extends SparkSpec {
     assert(out.values.toSet === Set(1L))
   }
 
+  test("resolveDuplicates: pointer halving resolves a deep chain in O(log depth) rounds") {
+    // a 300-deep path forced onto the distributed path: plain neighbor-min
+    // would need 300 rounds; halving must land it comfortably inside the
+    // default 20-round budget (≈ log2(300) + a few)
+    val depth = 300L
+    val chain = (1L until depth).map(i => (i, i + 1)).toDF("a", "b")
+    val out = Dedup.resolveDuplicates(chain, maxDriverEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === depth)
+    assert(out.values.toSet === Set(1L))
+  }
+
+  test("resolveDuplicates fails LOUDLY when maxRounds cannot cover the diameter") {
+    // a silent partial result would under-merge duplicates; the contract is
+    // to throw with a message naming the dial to raise
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.resolveDuplicates(chain, maxRounds = 2, maxDriverEdges = 0L).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("maxRounds"))
+  }
+
   test("resolveDuplicates works with non-numeric (string) ids via the distributed path") {
     // string ids cannot take the long-keyed union-find fast path; they must
     // fall through to min-label propagation, which orders lexicographically

@@ -80,9 +80,10 @@ class AnnSpec extends SparkSpec {
 
   test("marginMine: hand-computed LASER margins, best-per-x, hub renormalization") {
     // X: x1=(1,0), x2=(0,1); Y: y11=(1,0), y12=(0.6,0.8); k=2 (all of Y/X).
-    // sx(x1)=1.6, sx(x2)=0.8; sy(y11)=1.0, sy(y12)=1.4.
-    // margin(x1,y11) = 1/((1.6+1.0)/4)  = 1.538462 (best for x1)
-    // margin(x2,y12) = 0.8/((0.8+1.4)/4) = 1.454545 (best for x2)
+    // sx(x1)=1.6, sx(x2)=0.8; sy(y11)=1.0, sy(y12)=1.4; every neighborhood
+    // has exactly 2 members, so the per-endpoint averages are sums/2.
+    // margin(x1,y11) = 1/((1.6/2+1.0/2)/2)  = 1.538462 (best for x1)
+    // margin(x2,y12) = 0.8/((0.8/2+1.4/2)/2) = 1.454545 (best for x2)
     val x = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
       .toDF("vec_id", "embedding")
     val y = Seq((11L, Array(1.0f, 0.0f)), (12L, Array(0.6f, 0.8f)))

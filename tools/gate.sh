@@ -33,12 +33,22 @@ if runs < prev:
           f"queries are silently failing (Verify skips throwers)")
     sys.exit(1)
 EOF2
-rm -f /tmp/graft_bench.json   # never report a stale bench as green
-SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
-SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
-SPARK_GRAFT_OUT=/tmp/graft_bench.json \
-  sbt -batch "runMain graft.Bench" > /dev/null
-python3 - <<'EOF2'
+# Bench with a noise gate (r11 verdict: the committed totals carried steal
+# bursts and warm>cold entries behind mere warnings): a run whose
+# steal_flagged or warm_gt_cold list is non-empty is re-run ONCE (the
+# settle guard gets a second chance on a draining box); if the rerun is
+# still flagged the gate REFUSES — commit bench numbers from a quiet box,
+# or override explicitly with SPARK_GRAFT_ALLOW_NOISY=1 (the override is
+# for working commits; never re-base bench_out.json under it).
+run_bench() {
+  rm -f /tmp/graft_bench.json   # never report a stale bench as green
+  SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
+  SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
+  SPARK_GRAFT_OUT=/tmp/graft_bench.json \
+    sbt -batch "runMain graft.Bench" > /dev/null
+}
+check_bench() {  # prints summary; exit 1 = hard fail, 2 = noisy
+  python3 - <<'EOF2'
 import json, sys
 d = json.load(open('/tmp/graft_bench.json'))
 print(f"bench: {d['value']:.1f}s steady / {d['cold_total']:.1f}s cold over {len(d['queries'])} queries")
@@ -47,11 +57,34 @@ for k, v in sorted(d['queries'].items(), key=lambda kv: -kv[1])[:5]:
 if d.get('failed'):
     print(f"GATE RED: bench queries FAILED: {d['failed']}")
     sys.exit(1)
+noisy = []
 if d.get('warm_gt_cold'):
-    print(f"gate: WARNING timing suspect (warm>cold): {d['warm_gt_cold']} — "
-          f"numbers unreliable, rerun on a quiet box")
+    noisy.append(f"warm>cold: {list(d['warm_gt_cold'])}")
 if d.get('steal_flagged'):
-    print(f"gate: WARNING measured under steal bursts: {d['steal_flagged']} — "
-          f"these entries are contention, not code; rerun on a quiet box")
+    noisy.append(f"steal bursts: {d['steal_flagged']}")
+if d.get('cold_steal_suspect'):
+    print(f"gate: note cold samples measured under steal (cold_total only, "
+          f"steady totals unaffected): {d['cold_steal_suspect']}")
+if noisy:
+    print("gate: timing flags — " + "; ".join(noisy))
+    sys.exit(2)
 EOF2
+}
+run_bench
+set +e; check_bench; rc=$?; set -e
+if [ "$rc" = 2 ]; then
+  echo "gate: NOISY bench — re-running once after settle"
+  run_bench
+  set +e; check_bench; rc=$?; set -e
+  if [ "$rc" = 2 ]; then
+    if [ "${SPARK_GRAFT_ALLOW_NOISY:-0}" = 1 ]; then
+      echo "gate: still noisy — ALLOWED by SPARK_GRAFT_ALLOW_NOISY=1"
+    else
+      echo "GATE RED: bench still noise-flagged after one re-run — box is busy;"
+      echo "  rerun later or set SPARK_GRAFT_ALLOW_NOISY=1 (never re-base under it)"
+      exit 1
+    fi
+  fi
+fi
+if [ "$rc" = 1 ]; then exit 1; fi
 echo "GATE GREEN"
