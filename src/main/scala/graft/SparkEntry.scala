@@ -652,7 +652,13 @@ object SparkEntry {
       .select(col("vec_id").as("src"), col("qv").as("qq"))
     val idot = br.column(graft.expressions.DotProductInt8(
       br.expression(col("qq.q")), br.expression(col("qv.q"))))
-    val annPairs = qs.join(quant, col("vec_id") =!= col("src"))
+    // fan out the PROBE side: the corpus streams through the broadcast
+    // nested-loop join doing quantize + |queries| dot products per row, and
+    // a single-file embedding table scans as one split — without this the
+    // whole scoring pass ran one-core (stage-profiled: 0.93 s of a 1.7 s
+    // query). No-op at scale, where the scan already has ≥ cores splits.
+    val annPairs = qs.join(graft.operators.Par.fanOut(quant),
+        col("vec_id") =!= col("src"))
       .select(col("src"), col("vec_id").as("dst"),
         round(col("qv.scale") * col("qq.scale") * idot.cast("double"), 6).as("qscore"))
     Analytics.topPerKeyAgg(annPairs, "src",

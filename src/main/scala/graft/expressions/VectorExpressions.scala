@@ -210,3 +210,86 @@ case class DotProductInt8(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native symmetric int8 quantization of an `array<double>` vector: ONE
+  * pass computes `s = max|v| / 127` (1.0 when the max is 0 or undefined)
+  * and the rounded codes, returned as `struct<scale double, q array<tinyint>>`.
+  *
+  * The HOF formulation (`transform(v, x -> round(x / scale))` with `scale`
+  * built from `array_max(transform(v, abs))`) embeds the O(d) max reduction
+  * inside the per-element lambda — O(d²) per row, measured 766 ms of a
+  * 1.7 s q_ndcg on a 2000×128 corpus. Here the max is found once and the
+  * quantization loop is compiled Scala behind a single generated call, so
+  * the pass stays inside whole-stage codegen.
+  *
+  * Rounding is HALF_UP away from zero via BigDecimal — exactly Spark's
+  * `round(double)` and DuckDB's `round`, element for element (the oracle
+  * replays the codes value-exactly, so cheaper `floor(|x|+0.5)` float
+  * tricks are not an option: they disagree with decimal HALF_UP on values
+  * like 0.49999999999999994). Null elements stay null; an empty or all-null
+  * vector gets scale 1.0 and its elements unchanged — the exact `when`
+  * ladder of the HOF version.
+  */
+case class Quantize8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("scale", DoubleType, nullable = false),
+    org.apache.spark.sql.types.StructField("q",
+      ArrayType(org.apache.spark.sql.types.ByteType,
+        containsNull = child.dataType match {
+          case ArrayType(_, n) => n
+          case _ => true
+        }))))
+  override def prettyName: String = "vec_quantize8"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = Quantize8.quantizeRow(a.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.Quantize8.quantizeRow($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Quantize8 {
+  def quantizeRow(v: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    var mx = Double.NegativeInfinity
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = math.abs(v.getDouble(i))
+        if (x > mx) mx = x
+        seen = true
+      }
+      i += 1
+    }
+    val scale = if (seen && mx > 0) mx / 127.0 else 1.0
+    val q = new Array[Any](n)
+    i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) {
+        val x = v.getDouble(i) / scale
+        // BigDecimal.valueOf throws on non-finite input; Spark's
+        // round-then-cast pipeline passes NaN/Inf through round and
+        // truncates in the tinyint cast — mirror that (NaN → 0)
+        q(i) = if (java.lang.Double.isFinite(x))
+          java.math.BigDecimal.valueOf(x)
+            .setScale(0, java.math.RoundingMode.HALF_UP).byteValue()
+        else x.toByte
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
+  }
+}

@@ -49,23 +49,31 @@ private[graft] object RangeShard {
   }
 
   /** Shard id as a pure deterministic Column: the count of boundaries
-    * lexicographically below the key (strict `>` per field, descending into
-    * the next field through a null-safe `<=>` — ascending NULLS FIRST, the
-    * same total preorder as the window `orderBy` default, so a null key
-    * field lands in the earliest shard of its prefix). Monotone in the key
+    * strictly below the key in ascending NULLS FIRST lexicographic order —
+    * the same total order as the window `orderBy` default, so a null key
+    * field lands in the earliest shard of its prefix. Monotone in the key
     * order, hence equal sort keys never straddle a shard boundary — the
     * invariant the driver-side prefix reconstruction relies on.
+    *
+    * One native [[graft.expressions.RangeShardId]] node (binary search over
+    * the frozen boundary table, keys evaluated once): the previous sum of
+    * `nBounds` nested comparison trees cost O(B·K) per row, re-evaluated any
+    * non-trivial key expression under every term after projection collapse
+    * (measured 28 CPU-s on q_zorder_layout's z-order key), and generated
+    * code that grew with B.
     */
   def shardOf(keys: Seq[Column], bounds: Array[Row], keyTypes: Seq[DataType]): Column =
     if (bounds.isEmpty) lit(0)
-    else bounds.map { b =>
-      val lits = keyTypes.indices.map { i =>
-        org.apache.spark.sql.graft.ColumnBridge.column(
-          org.apache.spark.sql.catalyst.expressions.Literal.create(b.get(i), keyTypes(i)))
-      }
-      val gt = keys.zip(lits).foldRight(lit(false)) { case ((k, l), rest) =>
-        (k > l) || ((k <=> l) && rest)
-      }
-      when(gt, 1).otherwise(0)
-    }.reduce(_ + _)
+    else {
+      val conv = keyTypes.map(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter)
+      val catalystBounds: IndexedSeq[IndexedSeq[Any]] =
+        bounds.toIndexedSeq.map { b =>
+          keyTypes.indices.map(i => conv(i)(b.get(i))).toIndexedSeq
+        }
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.RangeShardId(
+          keys.map(org.apache.spark.sql.graft.ColumnBridge.expression),
+          catalystBounds, keyTypes))
+    }
 }

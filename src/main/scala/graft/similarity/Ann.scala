@@ -266,8 +266,15 @@ object Ann {
     def prep(d: DataFrame, p: String): DataFrame =
       d.select(col(idCol).as(s"${p}id"), toDouble(col(vecCol)).as(s"${p}v"))
         .withColumn(s"${p}n", norm(col(s"${p}v")))
+    // fan out BOTH sides: the planner broadcasts whichever is smaller, so
+    // the OTHER side streams the per-row vector math (prep + |other| dots)
+    // — and a single-file table scans as one split, serializing the whole
+    // scoring pass (stage-profiled on q_ndcg: 0.96 s one-core). Fanning
+    // both guarantees the probe side is parallel whichever way the
+    // broadcast lands; at scale the scans already have ≥ cores splits and
+    // both fan-outs are no-ops.
     val a = graft.operators.Par.fanOut(prep(src, "s"))
-    val b = prep(corpus, "d")
+    val b = graft.operators.Par.fanOut(prep(corpus, "d"))
     val pairs = a.join(b, col("sid") =!= col("did"))
       .select(col("sid").as("src"), col("did").as("dst"),
         cosinePrenormed(dot(col("sv"), col("dv")), col("sn"), col("dn")).as("cos"))
@@ -298,8 +305,10 @@ object Ann {
       d.select(col(idCol).as(s"${p}id"), col(labelCol).as(s"${p}lbl"),
         toDouble(col(vecCol)).as(s"${p}v"))
         .withColumn(s"${p}n", norm(col(s"${p}v")))
+    // both sides fanned for the same reason as knnGraph: the probe side of
+    // the broadcast join must be parallel whichever side the planner picks
     val a = graft.operators.Par.fanOut(prep(src, "s"))
-    val b = prep(corpus, "d")
+    val b = graft.operators.Par.fanOut(prep(corpus, "d"))
     val pairs = a.join(b, col("sid") =!= col("did") && col("slbl") =!= col("dlbl"))
       .select(col("sid").as("src"), col("slbl").as("src_label"),
         col("did").as("neg"), col("dlbl").as("neg_label"),
@@ -450,11 +459,14 @@ object Ann {
     * codes exactly.
     */
   def quantize8(vec: Column): Column = {
-    val v = graft.functions.VectorFunctions.toDouble(vec)
-    val mx = array_max(transform(v, x => abs(x)))
-    val scale = when(mx > 0, mx / 127.0).otherwise(lit(1.0))
-    struct(scale.as("scale"),
-      transform(v, x => round(x / scale).cast("tinyint")).as("q"))
+    val br = org.apache.spark.sql.graft.ColumnBridge
+    // single-pass native expression: the HOF formulation embedded the
+    // array_max reduction inside the per-element lambda (O(d²) per row —
+    // measured 766 ms of a 1.7 s q_ndcg); parity with the old codes is
+    // pinned by ExpressionParitySpec, and the DuckDB oracle replays the
+    // codes value-exactly either way
+    br.column(graft.expressions.Quantize8(
+      br.expression(graft.functions.VectorFunctions.toDouble(vec))))
   }
 
   /** Brute-force top-k over the int8-quantized corpus: integer dot products

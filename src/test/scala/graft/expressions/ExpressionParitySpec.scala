@@ -332,4 +332,44 @@ class ExpressionParitySpec extends SparkSpec {
       .select(TF.jaroWinkler(col("a"), col("b"))).collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("Quantize8 matches the HOF round(x/scale) formulation (60 random vectors + edges)") {
+    val cases = List.fill(60)(randVec(16)) ++
+      List(List.fill(8)(0.0), List(127.0), List(-3.2), Nil)
+    val df = cases.map(v => Tuple1(v)).toDF("v")
+    val vd = col("v").cast("array<double>")
+    val mx = array_max(transform(vd, x => abs(x)))
+    val scale = when(mx > 0, mx / 127.0).otherwise(lit(1.0))
+    val rows = df.select(
+        Ann.quantize8(col("v")).as("native"),
+        struct(scale.as("scale"),
+          transform(vd, x => round(x / scale).cast("tinyint")).as("q")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val nat = r.getStruct(0); val hof = r.getStruct(1)
+      assert(nat.getDouble(0) === hof.getDouble(0))
+      assert(nat.getSeq[Byte](1) === hof.getSeq[Byte](1))
+    }
+  }
+
+  test("Quantize8 interpreted eval matches codegen and keeps null elements null") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val lit0 = Literal.create(Seq(12.7, -127.0, 0.0), ArrayType(DoubleType))
+    val row = Quantize8(lit0).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row.getDouble(0) === 1.0)
+    assert(row.getArray(1).toByteArray().toSeq === Seq[Byte](13, -127, 0))
+    val withNull = Literal.create(Seq[Any](254.0, null), ArrayType(DoubleType))
+    val row2 = Quantize8(withNull).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(row2.getDouble(0) === 2.0)
+    assert(row2.getArray(1).getByte(0) === 127.toByte)
+    assert(row2.getArray(1).isNullAt(1))
+    // the same values through the codegen'd column path
+    val got = Seq(Tuple1(Seq(12.7, -127.0, 0.0))).toDF("v")
+      .select(Ann.quantize8(col("v"))).head.getStruct(0)
+    assert(got.getDouble(0) === 1.0)
+    assert(got.getSeq[Byte](1) === Seq[Byte](13, -127, 0))
+  }
 }

@@ -68,4 +68,24 @@ class BpeTrainerSpec extends SparkSpec {
     assert(fromVocab === inline)
     assert(fromVocab("lower") === Seq("lo", "we", "r"))
   }
+
+  test("driver fast path and forced distributed path learn identical merge tables") {
+    // maxDriverVocab = 0 forces the distributed per-round loop; the default
+    // takes the collected-census path — selection order, tie-breaks, and
+    // pair counts must agree round for round (including a count tie that
+    // only the lexicographic rule resolves, and an early stop)
+    val docs = Seq(
+      "low low low lower lower newest newest newest newest widest",
+      "aaab banana bandana", "zz zz yzy").toDF("text")
+    val fast = merges(BpeTrainer.train(docs, "text", rounds = 6))
+    val dist = merges(BpeTrainer.train(docs, "text", rounds = 6, maxDriverVocab = 0L))
+    assert(fast === dist)
+    assert(fast.size === 6)
+    // vocab: driver replay == chained-fold distributed replay, word for word
+    val rules = fast.map(m => (m._2, m._3))
+    def tbl(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2))).toSet
+    assert(tbl(BpeTrainer.vocab(docs, "text", rules)) ===
+      tbl(BpeTrainer.vocab(docs, "text", rules, maxDriverVocab = 0L)))
+  }
 }
