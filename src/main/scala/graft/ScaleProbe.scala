@@ -14,13 +14,17 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: blow-up factor (default 10× → 50k docs / 20k vectors;
     // pass 50 for the 100k-vector crossover demonstration)
-    val nCopies = args.find(a => a != "skew" && a != "ops").map(_.toInt).getOrElse(10)
+    val nCopies = args.find(a => a != "skew" && a != "ops" && a != "resolve").map(_.toInt).getOrElse(10)
     // `runMain graft.ScaleProbe skew` runs ONLY the skewed top-k probe;
     // `runMain graft.ScaleProbe ops` runs ONLY the metered operator probes
     // (census / split / boilerplate / upsampling) — the quick re-measure
     // mode when one of them changes
     val skewOnly = args.contains("skew")
     val opsOnly = args.contains("ops")
+    // `runMain graft.ScaleProbe resolve` runs ONLY the deep-chain
+    // duplicate-resolution row — the quick re-measure mode for the
+    // min-label/pointer-halving loop
+    val resolveOnly = args.contains("resolve")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -28,6 +32,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     val copies = spark.range(nCopies.toLong).select(col("id").as("copy"))
 
+    if (!resolveOnly) {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .crossJoin(copies)
       .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
@@ -41,10 +46,11 @@ object ScaleProbe {
       .select((col("vec_id") * 10 + col("copy")).as("vec_id"),
         transform(col("embedding"), x => x + (rand(42) - 0.5f) * lit(0.001f)).as("embedding"))
     vecs.write.mode("overwrite").parquet("/tmp/graft_probe_vecs")
+    }
 
-    val d = spark.read.parquet("/tmp/graft_probe_docs")
-    val v = spark.read.parquet("/tmp/graft_probe_vecs")
-    println(s"docs=${d.count()} vecs=${v.count()}")
+    lazy val d = spark.read.parquet("/tmp/graft_probe_docs")
+    lazy val v = spark.read.parquet("/tmp/graft_probe_vecs")
+    if (!resolveOnly) println(s"docs=${d.count()} vecs=${v.count()}")
 
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val n = f
@@ -78,7 +84,7 @@ object ScaleProbe {
     }
     // doc pipelines only at the default factor — the big-factor runs target
     // the embedding crossover and 250k-doc all-pairs baselines take minutes
-    if (!skewOnly && !opsOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) {
       time("exact dedup") { graft.dedup.Dedup.exact(d, "text", "doc_id").count() }
       time("minhash+lsh pairs") {
         graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", 5, 0.8).count() }
@@ -93,11 +99,11 @@ object ScaleProbe {
     // (factor 50) the quadratic runs exceeded 30 minutes on local[32] before
     // being killed — which IS the datapoint: past ~10^5 rows only the
     // sub-quadratic path is viable, whatever its constants.
-    if (!skewOnly && !opsOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) {
       time("embed near-dup exact") {
         graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.45).count() }
     }
-    if (!skewOnly && !opsOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) {
       // Forced-LSH at τ=0.45 only at the default factor: at 100k vectors the
       // 99.9%-recall config is ~2.6e9 candidate dots + a 213M-row probe
       // shuffle — the cost model prices it ≈ exact, so the DISPATCHER would
@@ -109,13 +115,13 @@ object ScaleProbe {
     // far more selective per bit and few tables hold high recall — this is
     // where hyperplane LSH decisively beats exact (low thresholds pay the
     // recall tax in candidates; see Dedup.embeddingNearDupLsh docs).
-    if (!skewOnly && !opsOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) {
       time("embed near-dup exact @0.7") {
         graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.7).count() }
     }
-    if (!skewOnly && !opsOnly) time("embed near-dup lsh  @0.7") {
+    if (!skewOnly && !opsOnly && !resolveOnly) time("embed near-dup lsh  @0.7") {
       graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.7).count() }
-    if (!skewOnly && !opsOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) {
       // the round-5 operators on the same blown-up corpus
       time("semantic dedup (k=64)") {
         val model = graft.similarity.KMeans.fit(v, "embedding", "vec_id", k = 64, maxIter = 5)
@@ -138,7 +144,7 @@ object ScaleProbe {
           .head().getSeq[Double](0).toIndexedSeq
         graft.similarity.Ann.quantizedTopK(v, "embedding", "vec_id", q, 20).count() }
     }
-    if (!skewOnly && !opsOnly) {
+    if ((!skewOnly && !opsOnly) || resolveOnly) {
       // Deep-chain duplicate resolution, distributed path FORCED
       // (maxDriverEdges = 0): a 2^14-node path graph is the adversarial
       // depth case for min-label propagation — the "near-dup components
@@ -154,7 +160,7 @@ object ScaleProbe {
         graft.dedup.Dedup.resolveDuplicates(chainEdges, maxDriverEdges = 0L)
           .count() }
     }
-    if (!skewOnly && nCopies <= 10) {
+    if (!skewOnly && !resolveOnly && nCopies <= 10) {
       // round-6 operators with an unprobed shuffle surface, metered: the
       // mixture census shuffles |strata| partial rows keyed by a LOW-
       // CARDINALITY stratum (worst case: one reducer per language takes the
