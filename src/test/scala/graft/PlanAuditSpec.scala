@@ -985,4 +985,28 @@ class PlanAuditSpec extends SparkSpec {
       assert(!cols.contains("text"), p)
     }
   }
+
+  test("q_zorder_layout: the range-shard id is ONE codegen'd node inside WSCG, not a boundary tree") {
+    val p = plan("q_zorder_layout")
+    // the shard projection must stay inside whole-stage codegen — a
+    // CodegenFallback regression of RangeShardId would split the span and
+    // put an interpreted expression back in the scan-side hot path
+    assert(p.contains("range_shard_id"), p)
+    val projSection = p.split("\\n").filter(_.contains("range_shard_id"))
+    assert(projSection.nonEmpty, p)
+    assert(!p.contains("CodegenFallback"), p)
+    // binary search replaced the old B-term sum: the plan must not contain
+    // the boundary CASE WHEN ladder (one per boundary, dozens of nodes)
+    assert("CASE WHEN.*CASE WHEN.*CASE WHEN".r.findFirstIn(p.replace("\n", " ")).isEmpty
+      || !p.contains("__shard CASE"), p)
+  }
+
+  test("q_ndcg: quantization is the single-pass native expression inside WSCG") {
+    val p = plan("q_ndcg")
+    assert(p.contains("vec_quantize8"), p)
+    // the O(d^2) HOF shape embedded a lambda max per element — its plan
+    // signature was transform(...array_max...) in the same projection
+    assert(!(p.contains("array_max") && p.contains("lambda")), p)
+    assert(!p.contains("CodegenFallback"), p)
+  }
 }
