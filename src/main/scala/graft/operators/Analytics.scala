@@ -987,7 +987,15 @@ object Analytics {
     * driver-side unpivot of the single aggregate row (p² scalars, not data).
     */
   def corrPairs(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
-    val dec = cols.map { case (n, c) => n -> c.cast("decimal(19,6)") }
+    // fan out before the partial aggregate: the decimal moment partials are
+    // the whole cost (O(k²) checked decimal MACs per row) and a single-file
+    // table scans as ONE split, so they otherwise run one-core. Exact
+    // decimal sums are merge-order-independent by design, so placement
+    // cannot change a digit; only the k slim measure columns ride the
+    // round-robin exchange. No-op at scale.
+    val slim = Par.fanOut(df.select(
+      cols.map { case (n, c) => c.as(s"__c_$n") }: _*))
+    val dec = cols.map { case (n, _) => n -> col(s"__c_$n").cast("decimal(19,6)") }
     val sums =
       dec.map { case (n, c) => sum(c).as(s"__s_$n") } ++
       dec.map { case (n, c) => sum(c * c).as(s"__q_$n") } ++
@@ -995,7 +1003,7 @@ object Analytics {
         val (ni, ci) = dec(i); val (nj, cj) = dec(j)
         sum(ci * cj).as(s"__p_${ni}__$nj")
       })
-    val one = df.agg(count(lit(1)).as("__n"), sums: _*)
+    val one = slim.agg(count(lit(1)).as("__n"), sums: _*)
     val d = (c: Column) => c.cast("double")
     val pairs = for { i <- dec.indices; j <- dec.indices if i < j } yield {
       val ni = dec(i)._1; val nj = dec(j)._1

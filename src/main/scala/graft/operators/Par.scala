@@ -13,6 +13,16 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (df.rdd.getNumPartitions < target)
+      // hash-repartition on the row content, NOT round-robin: round-robin
+      // placement depends on intra-partition row order, so Spark inserts a
+      // full local SORT of every column before the exchange to make task
+      // retries deterministic (spark.sql.execution.sortBeforeRepartition) —
+      // a single-core sort of exactly the stage this helper exists to
+      // unblock. Hashing the columns is deterministic by CONTENT, needs no
+      // sort, and identical rows colliding into one partition is harmless
+      // for the embarrassingly-parallel per-row work downstream.
+      df.repartition(target, df.columns.map(org.apache.spark.sql.functions.col): _*)
+    else df
   }
 }
