@@ -29,6 +29,12 @@ class KafkaSmokeSpec extends SparkSpec {
     val topicIn = s"graft_smoke_in_${System.nanoTime()}"
     val topicOut = s"graft_smoke_out_${System.nanoTime()}"
     val ckpt = s"/tmp/graft_kafka_ckpt_${System.nanoTime()}"
+    // S6 DDL through the engine's own AdminClient binding — explicit
+    // provisioning (partition count is the downstream parallelism dial),
+    // never broker auto-create
+    TopicAdmin.createTopics(bs, Seq(
+      TopicAdmin.TopicSpec(topicIn, 2, 1), TopicAdmin.TopicSpec(topicOut, 2, 1)))
+    assert(TopicAdmin.listTopics(bs).contains(topicIn))
     // seed the input topic through the batch Kafka writer (same wire shape
     // as kafkaSink, no streaming query needed for the seed)
     val rows = Seq((1L, 10L, 250000.0), (2L, 11L, 50.0), (3L, 12L, 400000.0))
