@@ -13,7 +13,8 @@ import org.apache.spark.sql.DataFrame
 object Par {
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target)
+    if (df.columns.isEmpty) df // nothing to hash; a 0-col frame has no per-row work either
+    else if (df.rdd.getNumPartitions < target)
       // hash-repartition on the row content, NOT round-robin: round-robin
       // placement depends on intra-partition row order, so Spark inserts a
       // full local SORT of every column before the exchange to make task
