@@ -330,7 +330,12 @@ object Multimodal {
   def syntheticMedia(df: DataFrame, idCol: String, w: Int, h: Int): Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    // fan out the id frame: downstream mapPartitions (PNG encode here,
+    // ImageIO decode in the consumers) inherit this partitioning, and a
+    // single-file id source would otherwise run the whole codec path
+    // one-core; the fan-out ships 8-byte ids. No-op at scale.
+    graft.operators.Par.fanOut(df.select(col(idCol).cast("long").as("__mid")))
+      .as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       ids.map { id =>
         val img = new java.awt.image.BufferedImage(
@@ -423,6 +428,11 @@ object Multimodal {
                      nSamples: Int = 800): Dataset[MediaRecord] = {
     val spark = df.sparkSession
     import spark.implicits._
+    // NO id-frame fan-out here, unlike syntheticMedia: PCM synthesis and
+    // javax.sound parsing are ~µs/row (measured: adding the exchange COST
+    // 0.5 s on the audio queries while the PNG codec path gained 2×+), so
+    // the extra exchange only pays where the per-row codec is heavy. At
+    // scale the id source has ≥ cores splits and both shapes coincide.
     df.select(col(idCol).cast("long")).as[Long].map { id =>
       val seed = fnv1a(("aud|" + id).getBytes("UTF-8"))
       val s0 = (seed & 0xffffL).toInt
