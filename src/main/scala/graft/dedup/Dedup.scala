@@ -57,7 +57,13 @@ object Dedup {
 
   /** doc_id → shingle set table (the verification side-input). */
   def shingleSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("shingles"))
+    // fan out before shingling: the shingle kernel (tokenize + FNV per
+    // n-gram window) is the CPU of every consumer's first stage, and a
+    // single-file corpus scans as ONE split — profiled 0.5 s one-core on
+    // q_ngram_jaccard/q_doc_containment before the fan-out. Ships (id,
+    // text) once; no-op at scale where the scan has ≥ cores splits.
+    graft.operators.Par.fanOut(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+      .select(col("doc_id"), wordShingles(col("__t"), n).as("shingles"))
 
   // ------------------------------------- exact n-gram Jaccard (baseline)
 

@@ -1214,6 +1214,14 @@ object Analytics {
     val nBaskets = items.agg(countDistinct(col("__b")).as("__nbk"))
     val triples = items.groupBy(col("__b"))
       .agg(sort_array(collect_set(col("__i"))).as("__arr0"))
+      // NOTE on the AQE-coalesced explode read (profiled r12): the agg's
+      // shuffle read coalesces to ~4 tasks (basket table is tiny in bytes)
+      // so the O(|basket|³) generation runs ~4-way. An explicit 32-way
+      // repartition was A/B'd and REJECTED: it did spread the stage, but
+      // total CPU inflated ~5× (the wider stage re-paid per-task setup on
+      // HOF-heavy work) and wall-clock was unchanged — at real scale the
+      // basket table's bytes grow with the corpus and AQE stops coalescing
+      // on its own, so the toy-scale shape is not the 100 TB shape.
       .withColumn("__arr", array_intersect(col("__arr0"), typedLit(freqArr.toSeq)))
       .filter(size(col("__arr")) >= 3)
       .select(explode(expr(
