@@ -117,7 +117,28 @@ object Bench {
     }
     spark.sparkContext.addSparkListener(shuffleListener)
     val shuffleBytes = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // Per-query GC attribution (r12 verdict: several queries ran 3-6x
+    // slower in-suite than solo with no steal evidence — the detector was
+    // blind to GC carry-over, garbage from EARLIER queries collected during
+    // a later query's timed runs). Two measures: (a) JMH-style hygiene — a
+    // forced full GC before each query's cold run, OUTSIDE the timed
+    // region, so every query starts from a clean heap exactly like its
+    // solo profile (and like a fresh-executor cluster job); (b) the GC
+    // seconds spent INSIDE each query's timed runs, written per-query to
+    // the output file and flagged when they dominate — turning "probably
+    // GC" into a number the next triage can read.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+    val gcSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val gcFlagged = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = selected.map { case (name, fn) =>
+      // heap isolation: collect the PREVIOUS query's garbage now, on
+      // untimed wall-clock, not inside this query's cold run
+      System.gc()
+      val gc0 = gcMs()
       def once(): Double = {
         val t0 = System.nanoTime()
         // toRdd.count(), not count(): a count() aggregate lets Catalyst
@@ -181,6 +202,18 @@ object Bench {
           System.err.println(f"BENCH STEAL-RETRY $name%-26s warm $warm%.2fs under ${stealSecQ}%.0f CPU-s steal — rerun median ${again}%.2fs")
           if (again < warm) warm = again
           else stealFlagged += name
+        }
+      }
+      val gcSecQ = (gcMs() - gc0) / 1000.0
+      gcSecs(name) = gcSecQ
+      // flag when GC ate a core's worth of the query's own wall — with the
+      // pre-query System.gc() this should be the query's OWN allocation
+      // pressure, a real signal about the plan, not a neighbor's garbage
+      if (!failed.contains(name)) {
+        val wallSecQ = (System.nanoTime() - tq0) / 1e9
+        if (gcSecQ > math.max(1.0, 0.30 * wallSecQ)) {
+          gcFlagged += name
+          System.err.println(f"BENCH GC $name%-26s spent $gcSecQ%.2fs in GC over $wallSecQ%.2fs wall")
         }
       }
       if (failed.contains(name)) name -> (-1.0, -1.0) else name -> (warm, cold)
@@ -317,7 +350,9 @@ object Bench {
     val stealTotal = stealJiffies() - stealStart
     val shuffleJson = shuffleBytes
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_flagged":${stealFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"cold_steal_suspect":${coldStealSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")},"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"shuffle_bytes":$shuffleJson,"measure":"$measure","sf":"$sfDir"}"""
+    val gcJson = jmap(gcSecs)
+    val gcFlaggedJson = gcFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_flagged":${stealFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"cold_steal_suspect":${coldStealSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")},"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"gc_sec":$gcJson,"gc_flagged":$gcFlaggedJson,"shuffle_bytes":$shuffleJson,"measure":"$measure","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

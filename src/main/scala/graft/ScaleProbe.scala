@@ -321,7 +321,7 @@ object ScaleProbe {
     // with f; the agg's partials stay balanced at any f). toRdd.count()
     // executes the FULL plan — a bare count() would let Catalyst prune the
     // payload column off the window side, deflating its shuffle.
-    if (nCopies <= 10 && !opsOnly) {
+    if (nCopies <= 10 && !opsOnly && !resolveOnly) {
       for (hotPct <- Seq(0, 50, 90)) {
         val skewed = spark.range(10L * 1000 * 1000).select(
           when(col("id") % 100 < hotPct, lit(0L)).otherwise(col("id") % 1000).as("k"),

@@ -594,8 +594,10 @@ object Dedup {
                             threshold: Double): DataFrame = {
     // fan out the streamed side: the quadratic dot loop must not run on a
     // single small-file scan split (no-op at scale)
-    val base = graft.operators.Par.fanOut(df)
-      .select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
+    // project to (unique id, vector) BEFORE fanning out: the hash key is
+    // then id-distinctive (never few-partition) and never a map column
+    val base = graft.operators.Par.fanOut(
+        df.select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v")))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val a = base.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -709,8 +711,8 @@ object Dedup {
     // partition, and without an exchange before the (broadcast) candidate
     // join, the bucket hashing, the quadratic pair emission, AND the cosine
     // verify all run on one core. No-op at scale.
-    val vecs = graft.operators.Par.fanOut(df)
-      .select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
+    val vecs = graft.operators.Par.fanOut(
+        df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v")))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val withB = index.withBuckets(vecs.select("doc_id", "v"), "v")
     // (table, bucket, id) tags — 20 bytes/row·table; the vector never rides along.
@@ -872,8 +874,8 @@ object Dedup {
     val corpusN = if (n > 0) n else df.count()
     val bcast: DataFrame => DataFrame =
       if (corpusN <= broadcastMaxRows) broadcast(_) else identity
-    val vecs = graft.operators.Par.fanOut(df)
-      .select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v"))
+    val vecs = graft.operators.Par.fanOut(
+        df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v")))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val assigned = vecs.select(col("doc_id"), model.assignCol(col("v")).as("list"))
     val guarded =

@@ -229,6 +229,14 @@ case class DotProductInt8(left: Expression, right: Expression)
   * like 0.49999999999999994). Null elements stay null; an empty or all-null
   * vector gets scale 1.0 and its elements unchanged — the exact `when`
   * ladder of the HOF version.
+  *
+  * NaN contract (pinned in ExpressionParitySpec): a NaN element poisons
+  * the max per Spark's comparison semantics (NaN orders above every
+  * double), so the scale is NaN and every code is 0. This is DEFINED and
+  * total where the ANSI HOF would throw (CAST_OVERFLOW casting NaN to
+  * tinyint) — one bad vector must not kill a 100 TB job, and the NaN
+  * scale is loud downstream (any dequantize yields NaN, never a silent
+  * wrong number).
   */
 case class Quantize8(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -268,12 +276,17 @@ object Quantize8 {
     while (i < n) {
       if (!v.isNullAt(i)) {
         val x = math.abs(v.getDouble(i))
-        if (x > mx) mx = x
+        // Spark comparison semantics order NaN ABOVE every other double
+        // (array_max of a NaN-bearing vector is NaN, and `NaN > 0` is true
+        // in SQL), while Java's `x > mx` is false for NaN — mirror Spark:
+        // a NaN element poisons the max, the scale goes NaN, and every
+        // code truncates to 0 exactly like the HOF round-then-cast did
+        if (x.isNaN || x > mx) mx = x
         seen = true
       }
       i += 1
     }
-    val scale = if (seen && mx > 0) mx / 127.0 else 1.0
+    val scale = if (seen && (mx.isNaN || mx > 0)) mx / 127.0 else 1.0
     val q = new Array[Any](n)
     i = 0
     while (i < n) {

@@ -11,10 +11,22 @@ import org.apache.spark.sql.DataFrame
   * input.
   */
 object Par {
+  /** True iff hash-partitioning on this type would throw at planning:
+    * Spark's `HashPartitioning` rejects MapType anywhere in the type tree
+    * (maps have no canonical element order, so no stable hash).
+    */
+  private def unhashable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case a: org.apache.spark.sql.types.ArrayType => unhashable(a.elementType)
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => unhashable(f.dataType))
+      case _ => false
+    }
+
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.columns.isEmpty) df // nothing to hash; a 0-col frame has no per-row work either
-    else if (df.rdd.getNumPartitions < target)
+    else if (df.rdd.getNumPartitions < target) {
       // hash-repartition on the row content, NOT round-robin: round-robin
       // placement depends on intra-partition row order, so Spark inserts a
       // full local SORT of every column before the exchange to make task
@@ -22,8 +34,18 @@ object Par {
       // a single-core sort of exactly the stage this helper exists to
       // unblock. Hashing the columns is deterministic by CONTENT, needs no
       // sort, and identical rows colliding into one partition is harmless
-      // for the embarrassingly-parallel per-row work downstream.
-      df.repartition(target, df.columns.map(org.apache.spark.sql.functions.col): _*)
-    else df
+      // for the embarrassingly-parallel per-row work downstream — PROVIDED
+      // row content is distinctive. Call sites should project to (unique id,
+      // payload) before fanning out; a duplicate-heavy projection hashes
+      // many rows into few partitions and defeats the fan-out silently.
+      // Map-typed columns cannot be hash-partitioned (AnalysisException at
+      // planning) — drop them from the key set; if NOTHING hashable
+      // remains, fall back to round-robin and pay its determinism sort
+      // (inputs are tiny exactly when this guard fires).
+      val hashable = df.schema.fields.filterNot(f => unhashable(f.dataType))
+        .map(f => org.apache.spark.sql.functions.col(f.name))
+      if (hashable.nonEmpty) df.repartition(target, hashable.toIndexedSeq: _*)
+      else df.repartition(target)
+    } else df
   }
 }

@@ -334,6 +334,9 @@ class ExpressionParitySpec extends SparkSpec {
   }
 
   test("Quantize8 matches the HOF round(x/scale) formulation (60 random vectors + edges)") {
+    // finite-domain parity only: on a NaN-bearing vector the ANSI HOF
+    // THROWS (CAST_OVERFLOW casting NaN to tinyint) — the native NaN
+    // contract is pinned separately below as defined, total behavior
     val cases = List.fill(60)(randVec(16)) ++
       List(List.fill(8)(0.0), List(127.0), List(-3.2), Nil)
     val df = cases.map(v => Tuple1(v)).toDF("v")
@@ -349,6 +352,75 @@ class ExpressionParitySpec extends SparkSpec {
       val nat = r.getStruct(0); val hof = r.getStruct(1)
       assert(nat.getDouble(0) === hof.getDouble(0))
       assert(nat.getSeq[Byte](1) === hof.getSeq[Byte](1))
+    }
+  }
+
+  test("Quantize8 NaN contract: NaN poisons the max, scale goes NaN, codes 0 — total, never throws") {
+    // Spark comparison semantics put NaN above every double (array_max of
+    // a NaN-bearing vector is NaN), so the scale is NaN and every
+    // quantized element is NaN → byte 0. The ANSI round-cast formulation
+    // would THROW here (CAST_OVERFLOW); the native expression stays TOTAL
+    // — at 100 TB one bad vector must not kill the job, and a (NaN, 0...)
+    // row is loud downstream (any dequantize yields NaN, never a silent
+    // wrong number).
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    for (v <- Seq(Seq(1.0, Double.NaN, -5.0), Seq(Double.NaN))) {
+      val row = Quantize8(Literal.create(v, ArrayType(DoubleType))).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      assert(row.getDouble(0).isNaN)
+      assert(row.getArray(1).toByteArray().toSeq === Seq.fill(v.length)(0: Byte))
+    }
+    // the codegen'd column path agrees
+    val got = Seq(Tuple1(Seq(1.0, Double.NaN))).toDF("v")
+      .select(Ann.quantize8(col("v"))).head.getStruct(0)
+    assert(got.getDouble(0).isNaN)
+    assert(got.getSeq[Byte](1) === Seq[Byte](0, 0))
+  }
+
+  test("TripleCombos matches the nested-HOF comprehension (40 random arrays + edges)") {
+    // n >= 3 only: the HOF's sequence(1, n-2) goes DESCENDING below n=3 and
+    // element_at throws — production filters size >= 3 before the generator,
+    // so parity is defined on that domain (sub-3 inputs covered natively in
+    // the interpreted-eval test below: empty output, no throw)
+    val cases = List.fill(40)(List.fill(3 + rng.nextInt(9))(rng.nextLong())) ++
+      List(List(1L, 2L, 3L), (1L to 12L).toList)
+    val df = cases.map(v => Tuple1(v)).toDF("__arr")
+    val rows = df.select(
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.expressions.TripleCombos(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__arr")))).as("native"),
+        expr(
+          """flatten(transform(sequence(1, size(__arr) - 2), x ->
+            |  flatten(transform(sequence(x + 1, size(__arr) - 1), y ->
+            |    transform(sequence(y + 1, size(__arr)), z ->
+            |      struct(element_at(__arr, x) AS a, element_at(__arr, y) AS b,
+            |             element_at(__arr, z) AS c))))))""".stripMargin).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      // the HOF yields an EMPTY sequence() (not empty array) below n=3 —
+      // normalize both sides to Seq of (a,b,c) triples
+      def tri(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+        .map(s => (s.getLong(0), s.getLong(1), s.getLong(2)))
+      assert(tri(0) === tri(1))
+    }
+  }
+
+  test("TripleCombos interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val arr = Literal.create(Seq(5L, 1L, 9L, 7L), ArrayType(LongType))
+    val got = graft.expressions.TripleCombos(arr).eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val triples = (0 until got.numElements()).map { i =>
+      val s = got.getStruct(i, 3); (s.getLong(0), s.getLong(1), s.getLong(2))
+    }
+    // position-ordered i<j<k over the INPUT order, not value-sorted
+    assert(triples === Seq((5L, 1L, 9L), (5L, 1L, 7L), (5L, 9L, 7L), (1L, 9L, 7L)))
+    // sub-3 inputs: empty array out, never a throw
+    for (n <- 0 to 2) {
+      val small = Literal.create((1L to n).toSeq, ArrayType(LongType))
+      assert(graft.expressions.TripleCombos(small).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() === 0)
     }
   }
 
