@@ -47,6 +47,75 @@ object ComboUtil {
   }
 }
 
+/** Hot loop for [[PairCombos]] — all C(n,2) position-ordered pairs. Same
+  * rationale as [[ComboUtil.triples]]: the HOF it replaces
+  * (`flatten(transform(arr, (x,i) -> transform(slice(arr, i+2, n), y ->
+  * struct(x, y))))`) re-sliced and re-flattened per outer element.
+  * Unlike triples, the element type is generic (marketBasket pairs
+  * arbitrary item types), so elements are copied opaquely.
+  */
+object PairComboUtil {
+  def pairs(arr: ArrayData, et: DataType): ArrayData = {
+    val n = arr.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val m = n.toLong * (n - 1) / 2
+    require(m <= Int.MaxValue, s"C($n,2) combinations overflow an array")
+    val elems = arr.toObjectArray(et)
+    val out = new Array[Any](m.toInt)
+    var w = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = elems(i)
+      var j = i + 1
+      while (j < n) {
+        out(w) = new GenericInternalRow(Array[Any](a, elems(j)))
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<T>` → `array<struct<p1:T, p2:T>>` of all position-ordered pairs
+  * (i < j) — native replacement for marketBasket's nested-HOF pair
+  * generator; parity pinned in ExpressionParitySpec. Null elements pass
+  * through opaquely (the call site feeds `collect_set` output, which never
+  * holds nulls).
+  */
+case class PairCombos(child: Expression) extends UnaryExpression {
+
+  private def elemType: DataType = child.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("p1", elemType), StructField("p2", elemType))),
+    containsNull = false)
+  override def prettyName: String = "pair_combos"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(_, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PairComboUtil.pairs(input.asInstanceOf[ArrayData], elemType)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val etRef = ctx.addReferenceObj("elemType", elemType,
+      classOf[DataType].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.PairComboUtil.pairs($c, $etRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** `array<long>` → `array<struct<a,b,c>>` of all position-ordered triples
   * (i < j < k). Native codegen'd replacement for the nested-HOF triple
   * generator in [[graft.operators.Analytics.basketTriples]]; parity with

@@ -1136,11 +1136,19 @@ object Analytics {
   /** Market-basket pair mining: co-occurrence count and lift for every
     * item pair sharing a basket, top `k` by (lift, pair) deterministic
     * order. Pairs are generated INSIDE each basket from its sorted
-    * distinct-item array (a nested `transform`/`slice` lambda — no
+    * distinct-item array (native [[graft.expressions.PairCombos]] — no
     * self-join, one shuffle on the basket key; baskets are bounded, so the
     * explosion is |basket|², not |data|²). Item totals join back, and
     * the final top-k is a distributed TakeOrdered, never a full sort.
     * Lift = n_ab·N / (n_a·n_b) from exact longs, divided once in double.
+    *
+    * ONE corpus shuffle: pairs, item counts, AND the basket census all
+    * derive from the single `groupBy(basket) → collect_set` aggregate, so
+    * the planner's ReusedExchange collapses them onto one scan + one
+    * exchange (plan-audited: 3 scans/3 exchanges before, the corpus side
+    * scans once after — the difference between one pass and three over
+    * 100 TB). `collect_set` dedupes within the basket, so no separate
+    * distinct pass exists either.
     *
     * The item-count side is |distinct items| — a parts catalog at TPC-H
     * scale, but potentially 10⁸–10⁹ at a web-scale item space, so the
@@ -1155,18 +1163,33 @@ object Analytics {
                    minPairCount: Long = 2, k: Int = 50,
                    distinctItems: Long = -1L,
                    broadcastMaxItems: Long = 4000000L): DataFrame = {
-    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i")).distinct()
-    val nBaskets = items.agg(countDistinct(col("__b")).as("__nb"))
-    val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    // the ONE corpus-wide aggregate everything derives from — building all
+    // three consumers from this exact val keeps their exchange subtrees
+    // canonically identical (ReusedExchange fires; the fleet scans once)
+    val baskets = df
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__arr"))
+    // count(size(__arr) >= 0), not count(1): a bare count lets Catalyst
+    // prune collect_set out of this branch and re-derive it as a separate
+    // narrow scan + distinct shuffle — referencing __arr (the predicate is
+    // vacuously true; collect_set output is never null) keeps the census
+    // on the SHARED exchange, so the corpus is read and shuffled once for
+    // all three consumers
+    val nBaskets = baskets
+      .agg(count(when(size(col("__arr")) >= 0, 1)).as("__nb"))
+    val itemCounts = baskets.select(explode(col("__arr")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val bcast: DataFrame => DataFrame =
       if (distinctItems >= 0 && distinctItems <= broadcastMaxItems) broadcast(_)
       else identity
-    val pairs = items.groupBy(col("__b"))
-      .agg(sort_array(collect_set(col("__i"))).as("__arr"))
-      .select(explode(expr(
-        """flatten(transform(__arr, (x, i) ->
-          |  transform(slice(__arr, i + 2, size(__arr)), y ->
-          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("__pr"))
+    val pairs = baskets
+      // native pair generator ([[graft.expressions.PairCombos]]) — the
+      // nested transform/slice/flatten HOF re-sliced the array per outer
+      // element; same structs, same order (parity in ExpressionParitySpec)
+      .select(explode(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.PairCombos(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__arr"))))).as("__pr"))
       .select(col("__pr.p1").as("p1"), col("__pr.p2").as("p2"))
       .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairCount)
@@ -1204,16 +1227,39 @@ object Analytics {
     // null/uncastable items carry no itemset information and would poison
     // the frequent-item literal (a NULL row NPEs the collect)
     val items = df.select(basketCol.as("__b"), itemCol.cast("long").as("__i"))
-      .filter(col("__i").isNotNull).distinct()
-    val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
-    val freq = itemCounts.filter(col("__ni") >= minSupport)
+      .filter(col("__i").isNotNull)
+    // ONE corpus aggregate (marketBasket's ReusedExchange pattern):
+    // collect_set dedupes within the basket (no separate distinct pass),
+    // and deriving itemCounts, the basket census, and the triple stream
+    // all from THIS val keeps their exchange subtrees canonically
+    // identical — the main job scans and shuffles the corpus once.
+    // Honest local A/B: ~+0.2 s at sf0.1 (1.8 → 2.0 warm) — reuse shares
+    // the EXCHANGE but each consumer re-finalizes the collect_set
+    // (ObjectHashAggregate, non-codegen), and local scans are page-cached
+    // so the three scans it removes were nearly free here. Kept anyway:
+    // at 100 TB the removed corpus scans+shuffles dominate and the
+    // repeated finalization reads already-shuffled local buffers.
+    val baskets = items.groupBy(col("__b"))
+      .agg(sort_array(collect_set(col("__i"))).as("__arr0"))
+    val itemCounts = baskets.select(explode(col("__arr0")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    // the frequent-item census is its own EAGER job (the literal prune
+    // array must exist before the main plan is built), so exchange reuse
+    // with the main job is impossible — give it the cheapest standalone
+    // shape (narrow two-column scan + distinct-aggregate) instead of the
+    // main job's collect_set machinery; the VALUES are identical
+    val freq = items.groupBy(col("__i"))
+      .agg(countDistinct(col("__b")).as("__ni"))
+      .filter(col("__ni") >= minSupport)
       .limit(maxFreqItems + 1).collect()
     require(freq.length <= maxFreqItems,
       s"more than maxFreqItems=$maxFreqItems frequent items — raise minSupport")
     val freqArr = freq.map(_.getLong(0)).sorted
-    val nBaskets = items.agg(countDistinct(col("__b")).as("__nbk"))
-    val triples = items.groupBy(col("__b"))
-      .agg(sort_array(collect_set(col("__i"))).as("__arr0"))
+    // count(size >= 0) keeps the census on the shared exchange (a bare
+    // count would let Catalyst prune collect_set into a separate scan)
+    val nBaskets = baskets
+      .agg(count(when(size(col("__arr0")) >= 0, 1)).as("__nbk"))
+    val triples = baskets
       // NOTE on the AQE-coalesced explode read (profiled r12): the agg's
       // shuffle read coalesces to ~4 tasks (basket table is tiny in bytes)
       // so the O(|basket|³) generation runs ~4-way. An explicit 32-way

@@ -405,6 +405,35 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("PairCombos matches the transform/slice/flatten pair comprehension") {
+    val cases = List.fill(40)(List.fill(2 + rng.nextInt(9))(rng.nextLong())) ++
+      List(List(1L, 2L), (1L to 12L).toList)
+    val df = cases.map(v => Tuple1(v)).toDF("__arr")
+    val rows = df.select(
+        org.apache.spark.sql.graft.ColumnBridge.column(graft.expressions.PairCombos(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__arr")))).as("native"),
+        expr(
+          """flatten(transform(__arr, (x, i) ->
+            |  transform(slice(__arr, i + 2, size(__arr)), y ->
+            |    struct(x AS p1, y AS p2))))""".stripMargin).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      def prs(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+        .map(s => (s.getLong(0), s.getLong(1)))
+      assert(prs(0) === prs(1))
+    }
+    // string element type (the generic-element path) + sub-2 edges
+    val sdf = Seq(Tuple1(Seq("b", "a", "c")), Tuple1(Seq("x")), Tuple1(Seq.empty[String]))
+      .toDF("__arr")
+    val got = sdf.select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.PairCombos(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__arr")))).as("p"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(s => (s.getString(0), s.getString(1))))
+    assert(got(0) === Seq(("b", "a"), ("b", "c"), ("a", "c")))
+    assert(got(1).isEmpty && got(2).isEmpty)
+  }
+
   test("TripleCombos interpreted eval matches codegen") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.types.{ArrayType, LongType}
