@@ -3276,6 +3276,10 @@ object SparkEntry {
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     val assigned = graft.similarity.KMeans.Model(cents).assign(emb, "embedding")
       .select(col("vec_id").as("doc_id"), col("list").cast("string").as("cluster"))
+    // NOT fanned out (measured A/B): fanOut(docs) pushed 1.55 → 2.46 s —
+    // unimaxMix runs an eager census job plus the main job, and each
+    // action re-pays the full-text exchange the fan-out inserts, costing
+    // more than the one-core tokenCount passes it parallelizes
     val docs = t(s, dir, "documents").join(assigned, "doc_id")
     val strata = assigned.select("cluster").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -3690,7 +3694,12 @@ object SparkEntry {
     * the scan side — no shuffle until the 4-group aggregate.
     */
   private def unpivotQ(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+    // fan out before the stack: the 4× row multiplication + decimal
+    // partial sums are the whole cost (4 groups — the shuffle is bytes),
+    // and the single-file scan otherwise runs it all one-core
+    graft.operators.Par.fanOut(t(s, dir, "lineitem")
+        .select(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")))
       .select(expr(
         """stack(4,
           |  'l_quantity', l_quantity,
@@ -4999,8 +5008,14 @@ object SparkEntry {
     // rows at sf0.1 through FOUR conditional sums, and long partials run
     // ~5× the decimal aggregator's throughput (measured 7.9 → 1.6 s warm,
     // solo); 2-dp money ×100 rounds to an exact integer on both engines
-    val base = t(s, dir, "orders").select(col("o_orderkey"),
-      round(col("o_totalprice") * 100.0).cast("long").as("y"), isW.as("w"))
+    // fan out the 3-column base: the ×200 generator + 30M conditional long
+    // sums all execute BEFORE any exchange (the groupBy(b) partials
+    // collapse to 200 rows/partition), so on a single-file orders scan the
+    // whole permutation kernel ran one-core; the exchange ships 150k slim
+    // rows, the kernel then runs 32-way
+    val base = graft.operators.Par.fanOut(
+      t(s, dir, "orders").select(col("o_orderkey"),
+        round(col("o_totalprice") * 100.0).cast("long").as("y"), isW.as("w")))
     val d = (c: Column) => c.cast("double")
     // diffs stay in cents (scale cancels in the |perm| >= |obs| compare);
     // only the published obs_diff converts back to currency units

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -35,6 +35,33 @@ object ShingleUtil {
     var k = 0
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Windowed skip-gram pairs, canonical byte order within each pair —
+    * the [[SkipGramPairs]] kernel. UTF8String.compareTo is byte-wise,
+    * exactly Spark's binary string `<=`.
+    */
+  def skipGramPairs(tokens: ArrayData, window: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    val out = new java.util.ArrayList[Any](n * window)
+    i = 0
+    while (i < n - 1) {
+      val hi = math.min(i + window, n - 1)
+      var j = i + 1
+      while (j <= hi) {
+        val (a, b) =
+          if (toks(i).compareTo(toks(j)) <= 0) (toks(i), toks(j))
+          else (toks(j), toks(i))
+        out.add(new GenericInternalRow(Array[Any](a, b)))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** Top-bigram frequency stats in one per-row pass: returns
@@ -419,6 +446,41 @@ case class SpanFingerprints(child: Expression, window: Int) extends UnaryExpress
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expressions.ShingleUtil.spanFingerprints($c, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Windowed skip-gram co-occurrence pairs over an `array<string>` token
+  * column, canonically ordered (byte-wise min first — Spark's binary
+  * string comparison): the generator behind
+  * [[graft.operators.Analytics.pmiPairs]]. Native for the TripleCombos
+  * reason: the HOF formulation (`flatten(transform(sequence(1, n-1), i ->
+  * transform(sequence(i+1, min(i+w, n)), j -> IF(t_i <= t_j, struct(t_i,
+  * t_j), struct(t_j, t_i)))))`) allocates two sequence arrays, closure
+  * frames, and a flatten copy per POSITION per row; this is one O(n·w)
+  * primitive loop.
+  */
+case class SkipGramPairs(child: Expression, window: Int) extends UnaryExpression {
+  require(window >= 1, "window must be >= 1")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType), StructField("b", StringType))),
+    containsNull = false)
+  override def prettyName: String = "skipgram_pairs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleUtil.skipGramPairs(input.asInstanceOf[ArrayData], window)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.ShingleUtil.skipGramPairs($c, $window);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

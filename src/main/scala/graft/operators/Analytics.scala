@@ -1597,16 +1597,19 @@ object Analytics {
                minCount: Long, k: Int): DataFrame = {
     require(window >= 1 && minCount >= 1 && k >= 1,
       s"window/minCount/k must be positive: $window/$minCount/$k")
-    val pairs = df
-      .select(graft.functions.TextFunctions.tokens(lower(textCol)).as("__t"))
+    // fan out the token frame: the skip-gram generation + the partial pair
+    // counts are the whole cost (the tiny-vocab partials collapse the
+    // shuffle to ~nothing), and a single-file corpus scans as ONE split —
+    // without the exchange the entire kernel ran one-core. Native
+    // SkipGramPairs replaces the nested sequence/transform/flatten HOF
+    // (per-position allocations; parity pinned in ExpressionParitySpec).
+    val pairs = Par.fanOut(df.select(textCol.as("__raw")))
+      .select(graft.functions.TextFunctions.tokens(lower(col("__raw"))).as("__t"))
       .filter(size(col("__t")) >= 2)
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, size(__t) - 1), i ->
-           |  transform(sequence(i + 1, least(i + $window, size(__t))), j ->
-           |    IF(element_at(__t, i) <= element_at(__t, j),
-           |       struct(element_at(__t, i) AS a, element_at(__t, j) AS b),
-           |       struct(element_at(__t, j) AS a, element_at(__t, i) AS b)))))"""
-          .stripMargin)).as("p"))
+      .select(explode(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.SkipGramPairs(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__t")),
+          window))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val pc = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
     val marg = pc.select(explode(array(col("a"), col("b"))).as("tok"), col("c_ab"))

@@ -405,6 +405,41 @@ class ExpressionParitySpec extends SparkSpec {
     }
   }
 
+  test("SkipGramPairs matches the windowed sequence/transform HOF with canonical ordering") {
+    val vocab = Vector("spark", "join", "window", "the", "a", "agg", "zz", "")
+    val cases = List.fill(40)(List.fill(2 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))) ++
+      List(List("b", "a"), List("x", "x", "x"))
+    for (w <- Seq(1, 3, 5)) {
+      val df = cases.map(v => Tuple1(v)).toDF("__t")
+      val rows = df.select(
+          org.apache.spark.sql.graft.ColumnBridge.column(graft.expressions.SkipGramPairs(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("__t")), w)).as("native"),
+          expr(
+            s"""flatten(transform(sequence(1, size(__t) - 1), i ->
+               |  transform(sequence(i + 1, least(i + $w, size(__t))), j ->
+               |    IF(element_at(__t, i) <= element_at(__t, j),
+               |       struct(element_at(__t, i) AS a, element_at(__t, j) AS b),
+               |       struct(element_at(__t, j) AS a, element_at(__t, i) AS b)))))"""
+              .stripMargin).as("hof"))
+        .collect()
+      rows.foreach { r =>
+        def prs(i: Int) = r.getSeq[org.apache.spark.sql.Row](i)
+          .map(s => (s.getString(0), s.getString(1)))
+        assert(prs(0) === prs(1))
+      }
+    }
+    // sub-2 inputs: empty, never a throw (the HOF's descending sequence
+    // domain starts at n=2, so this is native-only)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    for (v <- Seq(Seq.empty[String], Seq("one"))) {
+      val got = graft.expressions.SkipGramPairs(
+          Literal.create(v, ArrayType(StringType)), 3).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      assert(got.numElements() === 0)
+    }
+  }
+
   test("PairCombos matches the transform/slice/flatten pair comprehension") {
     val cases = List.fill(40)(List.fill(2 + rng.nextInt(9))(rng.nextLong())) ++
       List(List(1L, 2L), (1L to 12L).toList)
