@@ -321,8 +321,20 @@ object SparkEntry {
       .streamingAsofEnrich(src, refType = "view", factType = "purchase")
       .select(col("event_id"), col("user_id"), col("value"),
         col("prior_view_value"))
-    val q = graft.streaming.StreamRunner.fileSink(
-      enriched.toDF(), s"$runBase/out", s"$runBase/ckpt")
+    // SIZE THE STATE PARTITIONS TO THE KEY SPACE: a stateful query's
+    // shuffle-partition count is burned into its checkpoint at first
+    // start, and every micro-batch writes one state-store delta file +
+    // fsync PER PARTITION — 32 partitions × 3 batches = 96 store commits
+    // for 1.5k keys was pure per-file overhead (the Kafka Streams analog
+    // is sizing task count to the key space). The batch-side conf is
+    // restored immediately; each run starts a FRESH checkpoint, so the
+    // burned-in value never conflicts.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      graft.streaming.StreamRunner.fileSink(
+        enriched.toDF(), s"$runBase/out", s"$runBase/ckpt")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     q.awaitTermination() // AvailableNow: terminates once the input drains
     s.read.parquet(s"$runBase/out")
   }

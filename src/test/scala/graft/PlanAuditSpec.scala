@@ -272,6 +272,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_market_basket: pairs, item counts, and the census share ONE corpus scan via ReusedExchange") {
+    // the r13 consolidation claim, pinned: all three consumers derive from
+    // the same groupBy(basket) -> collect_set exchange, so the FINAL
+    // adaptive plan reuses it (>= 2 ReusedExchange: second itemCounts join
+    // + census) and scans the input exactly once. A refactor that breaks
+    // canonical exchange equality (e.g. re-deriving items per consumer, or
+    // a census Catalyst can prune collect_set out of) re-grows the scans.
+    val df = SparkEntry.queries("q_market_basket")(spark, dir)
+    df.queryExecution.toRdd.count() // AQE finalizes stages on execution
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("ReusedExchange".r.findAllIn(finalPlan).size >= 2, finalPlan)
+    assert("Scan parquet|FileScan".r.findAllIn(finalPlan).size === 1, finalPlan)
+  }
+
   test("q_heavy_hitters: the sketch partial-aggregates map-side (<= k counters per mapper into the shuffle)") {
     val p = plan("q_heavy_hitters")
     assert(p.contains("partial_freq_items_mg"), p)
