@@ -560,6 +560,11 @@ object SparkEntry {
   private def sqlQ5(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "customer")
       .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      // probe-side fanOut A/B'd and REJECTED (r13): 1.377 s without vs
+      // 1.370 s with — at this SF all five joins broadcast and the run
+      // cost is the broadcast BUILDS (orders/customer HashedRelations per
+      // run), not the single-split probe; at real scale these joins
+      // shuffle on their keys and the question disappears
       .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))

@@ -1131,7 +1131,12 @@ object TrainingData {
   def perplexityScore(df: DataFrame, target: DataFrame, idCol: String,
                       textCol: String, buckets: Int = 16384): DataFrame = {
     val (lnBi, lnCtx) = bigramLmTables(target, textCol, buckets)
-    df.select(col(idCol), round(nllOf(textCol, lnBi, lnCtx, buckets), 6).as("nll"))
+    // fan out the scoring side: the per-doc tokenize + hashed-bigram NLL
+    // otherwise runs on a single scan split (no-op at scale); measured
+    // neutral on q_ccnet_buckets (rangedRank dominates there) but it is
+    // the correct shape for a bare scoring pass over a one-split corpus
+    graft.operators.Par.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), round(nllOf(textCol, lnBi, lnCtx, buckets), 6).as("nll"))
   }
 
   private def lowerToks(text: org.apache.spark.sql.Column) =
@@ -1458,7 +1463,12 @@ object TrainingData {
       starts.cast("long"))
     // does block j's span fit inside the document?
     def fits(j: Column, n: Column) = j * block + startOf(j) + span <= n
-    val withToks = docs.select(col(idCol), toks.as("__w"))
+    // fan out (id, text) first: tokenization AND the per-token mask/rewrite
+    // HOFs below are the whole cost, and a single-file corpus scans as one
+    // split — one-core without the exchange. No-op at scale.
+    val withToks = graft.operators.Par
+      .fanOut(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), toks.as("__w"))
       .withColumn("__n", size(col("__w")))
       // token indices 1..n and block indices 0..n/block — both guarded for
       // n = 0, where sequence(1, 0) would DESCEND instead of being empty
