@@ -144,6 +144,36 @@ object ScaleProbe {
           .head().getSeq[Double](0).toIndexedSeq
         graft.similarity.Ann.quantizedTopK(v, "embedding", "vec_id", q, 20).count() }
     }
+    if (!skewOnly && !resolveOnly) {
+      // Native combinatorial generators vs their HOF formulations at 10×
+      // corpus (the r13 swaps: SkipGramPairs in pmiPairs, Pair/TripleCombos
+      // in the market-basket family). Same rows out — the delta is pure
+      // per-row interpretation overhead (sequence allocs, closure frames,
+      // flatten copies), which grows with corpus size and buys nothing.
+      val br = org.apache.spark.sql.graft.ColumnBridge
+      val toks = graft.operators.Par.fanOut(d.select(col("text")))
+        .select(graft.functions.TextFunctions.tokens(lower(col("text"))).as("__t"))
+        .filter(size(col("__t")) >= 2)
+      def sgNative() =
+        toks.select(explode(br.column(graft.expressions.SkipGramPairs(
+          br.expression(col("__t")), 3))).as("p"))
+          .queryExecution.toRdd.count()
+      def sgHof() =
+        toks.select(explode(expr(
+          """flatten(transform(sequence(1, size(__t) - 1), i ->
+            |  transform(sequence(i + 1, least(i + 3, size(__t))), j ->
+            |    IF(element_at(__t, i) <= element_at(__t, j),
+            |       struct(element_at(__t, i) AS a, element_at(__t, j) AS b),
+            |       struct(element_at(__t, j) AS a, element_at(__t, i) AS b)))))"""
+            .stripMargin)).as("p"))
+          .queryExecution.toRdd.count()
+      // one untimed warm-up each (parquet page cache + codegen + JIT):
+      // the single-shot cold samples invert the verdict — measured warm,
+      // native ≈ 1.0 s vs HOF ≈ 1.5 s at 10× (steady over 3 runs)
+      sgNative(); sgHof()
+      time("skipgram w=3 native") { sgNative() }
+      time("skipgram w=3 HOF") { sgHof() }
+    }
     if ((!skewOnly && !opsOnly) || resolveOnly) {
       // Deep-chain duplicate resolution, distributed path FORCED
       // (maxDriverEdges = 0): a 2^14-node path graph is the adversarial
