@@ -59,6 +59,14 @@ object Bench {
     // whichever query happens to run first
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // stage the streaming parity queries' shared 3-file fixture EAGERLY:
+    // staging is fixture construction, not the runtime under measure, and
+    // inside the first timed invocation it inflated that query's COLD
+    // sample (and cold_total) relative to warm runs
+    try SparkEntry.stageTimeSplitEvents(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH WARN stream-fixture staging failed (stream parity queries will restage): ${e.getMessage}")
+    }
     // Each query runs twice: run 1 pays its plan's one-time codegen/JIT
     // compile (~1-2 s/query locally — irrelevant at cluster scale where a
     // plan compiles once and processes TBs), run 2 is steady-state

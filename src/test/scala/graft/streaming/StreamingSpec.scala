@@ -132,6 +132,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("t_dedup").select("k").collect().map(_.getString(0)).sorted === Seq("x", "y"))
   }
 
+  test("streamingDedup retention: a key re-emits after its state is evicted " +
+      "by the watermark, and is still suppressed before eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val dedup = StreamRunner.streamingDedup(
+      in.toDF().toDF("ts", "k"), "ts", "10 seconds", Seq("k"))
+    val q = dedup.writeStream.format("memory").queryName("t_dedup_ttl").start()
+    def drain(rows: (String, String)*): Unit = {
+      in.addData(rows.map { case (t, k) => (Timestamp.valueOf(t), k) }: _*)
+      q.processAllAvailable() // one controlled micro-batch per call
+    }
+    // batch 1: x first seen at :00 → emitted; state expires at :10
+    drain(("2024-01-01 00:00:00", "x"))
+    // batch 2: in-horizon duplicate at :05 suppressed; y at :08 emitted and
+    // advances the watermark only to max(:08) − 10 s — x NOT yet evicted
+    drain(("2024-01-01 00:00:05", "x"), ("2024-01-01 00:00:08", "y"))
+    // batch 3: z at :60 pushes the watermark to :50 (> x's :10 expiry) —
+    // batch 4's x is a FRESH key to the store and must re-emit
+    drain(("2024-01-01 00:01:00", "z"))
+    drain(("2024-01-01 00:01:02", "x"))
+    q.stop()
+    val ks = spark.table("t_dedup_ttl").select("k").collect().map(_.getString(0))
+    // x twice (pre- and post-eviction episodes), y and z once each
+    assert(ks.sorted.toSeq === Seq("x", "x", "y", "z"),
+      s"retention semantics drifted: got ${ks.sorted.toSeq}")
+  }
+
   test("JsonCodec round-trip: encode to Kafka wire shape, decode back") {
     val df = Seq((1, 1234, 200), (2, 2345, 150)).toDF("key", "user_id", "amount")
     val wire = JsonCodec.encode(df)
