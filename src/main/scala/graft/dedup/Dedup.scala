@@ -62,7 +62,7 @@ object Dedup {
     // single-file corpus scans as ONE split — profiled 0.5 s one-core on
     // q_ngram_jaccard/q_doc_containment before the fan-out. Ships (id,
     // text) once; no-op at scale where the scan has ≥ cores splits.
-    graft.operators.Par.fanOut(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")))
+    graft.operators.Par.fanOut(df.select(col(idCol).as("doc_id"), col(textCol).as("__t")), Seq("doc_id"))
       .select(col("doc_id"), wordShingles(col("__t"), n).as("shingles"))
 
   // ------------------------------------- exact n-gram Jaccard (baseline)
@@ -180,7 +180,7 @@ object Dedup {
     // probe partitions of a broadcast join, and a single-file corpus scans
     // as ONE split — without the fan-out the whole DP ran one-core
     // (r12 tail audit: 1.99 s warm with zero shuffle bytes was the tell).
-    graft.operators.Par.fanOut(base).as("x").join(base.as("y"),
+    graft.operators.Par.fanOut(base, Seq("__id")).as("x").join(base.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id") &&
           abs(length(col("x.__t")) - length(col("y.__t"))) <= maxDist)
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
@@ -247,7 +247,7 @@ object Dedup {
       struct(blockCols: _*).as("__blk"))
     // same probe-side fan-out as editDistancePairs: the JW scorer runs in
     // the probe partitions, and one-split corpora would run it one-core
-    graft.operators.Par.fanOut(base).as("x").join(base.as("y"),
+    graft.operators.Par.fanOut(base, Seq("__id")).as("x").join(base.as("y"),
         col("x.__blk") === col("y.__blk") && col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("a"), col("y.__id").as("b"),
         graft.functions.TextFunctions.jaroWinkler(col("x.__t"), col("y.__t")).as("__jw"))
@@ -597,7 +597,7 @@ object Dedup {
     // project to (unique id, vector) BEFORE fanning out: the hash key is
     // then id-distinctive (never few-partition) and never a map column
     val base = graft.operators.Par.fanOut(
-        df.select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v")))
+        df.select(col(idCol).as("id"), VectorFunctions.toDouble(col(vecCol)).as("v")), Seq("id"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val a = base.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val b = base.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -712,7 +712,7 @@ object Dedup {
     // join, the bucket hashing, the quadratic pair emission, AND the cosine
     // verify all run on one core. No-op at scale.
     val vecs = graft.operators.Par.fanOut(
-        df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v")))
+        df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v")), Seq("doc_id"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val withB = index.withBuckets(vecs.select("doc_id", "v"), "v")
     // (table, bucket, id) tags — 20 bytes/row·table; the vector never rides along.
@@ -875,7 +875,7 @@ object Dedup {
     val bcast: DataFrame => DataFrame =
       if (corpusN <= broadcastMaxRows) broadcast(_) else identity
     val vecs = graft.operators.Par.fanOut(
-        df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v")))
+        df.select(col(idCol).as("doc_id"), VectorFunctions.toDouble(col(vecCol)).as("v")), Seq("doc_id"))
       .withColumn("nrm", VectorFunctions.norm(col("v")))
     val assigned = vecs.select(col("doc_id"), model.assignCol(col("v")).as("list"))
     val guarded =

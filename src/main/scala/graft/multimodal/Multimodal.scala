@@ -334,7 +334,7 @@ object Multimodal {
     // ImageIO decode in the consumers) inherit this partitioning, and a
     // single-file id source would otherwise run the whole codec path
     // one-core; the fan-out ships 8-byte ids. No-op at scale.
-    graft.operators.Par.fanOut(df.select(col(idCol).cast("long").as("__mid")))
+    graft.operators.Par.fanOut(df.select(col(idCol).cast("long").as("__mid")), Seq("__mid"))
       .as[Long].mapPartitions { ids =>
       javax.imageio.ImageIO.setUseCache(false)
       ids.map { id =>

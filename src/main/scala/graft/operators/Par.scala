@@ -48,4 +48,26 @@ object Par {
       else df.repartition(target)
     } else df
   }
+
+  /** Keyed fan-out — the CONTRACT form of the content-hash overload's
+    * uniqueness caveat: hash-repartitions on the caller's `keyCols`
+    * (normally a unique id), so a duplicate-heavy payload can never
+    * collapse the exchange into few partitions. Every call site that HAS
+    * an id uses this form; the content-hash overload remains only for
+    * frames with no key (slim measure/text projections), where the caveat
+    * is documented at the site. Missing key columns fail loudly at call
+    * time, not as a downstream resolution error.
+    */
+  def fanOut(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "fanOut(df, keyCols) requires at least one key column")
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"fanOut key columns not in frame: ${missing.mkString(", ")} " +
+        s"(have: ${df.columns.mkString(", ")})")
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target)
+      df.repartition(target,
+        keyCols.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    else df
+  }
 }

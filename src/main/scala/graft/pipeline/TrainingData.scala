@@ -1135,7 +1135,7 @@ object TrainingData {
     // otherwise runs on a single scan split (no-op at scale); measured
     // neutral on q_ccnet_buckets (rangedRank dominates there) but it is
     // the correct shape for a bare scoring pass over a one-split corpus
-    graft.operators.Par.fanOut(df.select(col(idCol), col(textCol)))
+    graft.operators.Par.fanOut(df.select(col(idCol), col(textCol)), Seq(idCol))
       .select(col(idCol), round(nllOf(textCol, lnBi, lnCtx, buckets), 6).as("nll"))
   }
 

@@ -273,8 +273,8 @@ object Ann {
     // both guarantees the probe side is parallel whichever way the
     // broadcast lands; at scale the scans already have ≥ cores splits and
     // both fan-outs are no-ops.
-    val a = graft.operators.Par.fanOut(prep(src, "s"))
-    val b = graft.operators.Par.fanOut(prep(corpus, "d"))
+    val a = graft.operators.Par.fanOut(prep(src, "s"), Seq("sid"))
+    val b = graft.operators.Par.fanOut(prep(corpus, "d"), Seq("did"))
     val pairs = a.join(b, col("sid") =!= col("did"))
       .select(col("sid").as("src"), col("did").as("dst"),
         cosinePrenormed(dot(col("sv"), col("dv")), col("sn"), col("dn")).as("cos"))
@@ -307,8 +307,8 @@ object Ann {
         .withColumn(s"${p}n", norm(col(s"${p}v")))
     // both sides fanned for the same reason as knnGraph: the probe side of
     // the broadcast join must be parallel whichever side the planner picks
-    val a = graft.operators.Par.fanOut(prep(src, "s"))
-    val b = graft.operators.Par.fanOut(prep(corpus, "d"))
+    val a = graft.operators.Par.fanOut(prep(src, "s"), Seq("sid"))
+    val b = graft.operators.Par.fanOut(prep(corpus, "d"), Seq("did"))
     val pairs = a.join(b, col("sid") =!= col("did") && col("slbl") =!= col("dlbl"))
       .select(col("sid").as("src"), col("slbl").as("src_label"),
         col("did").as("neg"), col("dlbl").as("neg_label"),

@@ -42,6 +42,31 @@ class ParSpec extends SparkSpec {
     assert(out.count() === 2)
   }
 
+  test("fanOut(df, keyCols) spreads a duplicate-heavy frame that content hashing collapses") {
+    val n = spark.sparkContext.defaultParallelism
+    def nonEmpty(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.mapPartitions(it => Iterator(if (it.hasNext) 1 else 0)).sum().toInt
+    val dup = spark.range(400)
+      .select((col("id") % 2).cast("string").as("payload"), col("id"))
+      .coalesce(1)
+    // content-hash on the 2-distinct-row payload: the documented caveat —
+    // everything lands in at most 2 partitions, the fan-out is defeated
+    assert(nonEmpty(Par.fanOut(dup.select("payload"))) <= 2)
+    // keyed on the unique id: the contract — the same payload reaches at
+    // least half the target partitions
+    val keyed = Par.fanOut(dup, Seq("id"))
+    assert(keyed.rdd.getNumPartitions === n)
+    assert(nonEmpty(keyed) >= n / 2, s"keyed fan-out reached ${nonEmpty(keyed)} of $n")
+    assert(keyed.count() === 400)
+  }
+
+  test("fanOut(df, keyCols) rejects empty or missing key columns loudly") {
+    val df = Seq((1L, "a")).toDF("id", "v")
+    intercept[IllegalArgumentException](Par.fanOut(df, Seq.empty))
+    val e = intercept[IllegalArgumentException](Par.fanOut(df, Seq("nope")))
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("fanOut tolerates maps nested in arrays and structs") {
     val df = Seq((7L, Seq(Map("a" -> 1)))).toDF("id", "ms").coalesce(1)
     assert(Par.fanOut(df).count() === 1)
