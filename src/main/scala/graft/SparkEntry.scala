@@ -525,6 +525,52 @@ object SparkEntry {
     s.read.parquet(s"$base/out")
   }
 
+  /** STREAM-STREAM interval join under the driver gate — the live face of
+    * [[graft.operators.Analytics.intervalJoin]] (q_interval_join's exact
+    * shape: each purchase joined to the same user's views in the trailing
+    * hour) via [[graft.streaming.StreamRunner.streamIntervalJoin]], both
+    * sides file-streamed from the staged 3-batch split with watermarks.
+    * Exactness over the split is structural, not delay-tuned: the split is
+    * time-ordered, so a match's view (rt ≤ lt) is always in the same or an
+    * EARLIER batch than its purchase — the probe side only ever looks at
+    * state already built, and eviction (watermark vs the join's time
+    * bound) can only remove rows whose match window future batches have
+    * provably left behind. The joined pairs land in an append sink; the
+    * read-back aggregates per purchase BATCH-side, so the streamed face
+    * under gate is the join itself. Oracle = the batch q_interval_join SQL
+    * verbatim. (MemoryStream parity incl. cross-batch buffering was
+    * already spec'd; this puts the join-state runtime under the hash gate
+    * every round.)
+    */
+  private def streamJoinParityQ(s: SparkSession, dir: String): DataFrame = {
+    val landing = stageTimeSplitEvents(s, dir)
+    val base = s"/tmp/graft_stream_join_${dir.replaceAll("\\W", "_")}"
+    wipeTree(base)
+    def src() = graft.streaming.StreamRunner
+      .fileSource(s, landing, stagedEventsSchema, format = "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withWatermark("ts", "1 hour")
+    val views = src().filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", "1 hour")
+    val joined = graft.streaming.StreamRunner.streamIntervalJoin(
+      purchases, views, "user_id", "ts", "ts",
+      beforeUs = 3600L * 1000000L, afterUs = 0L,
+      rightCols = Seq("value" -> "view_value"))
+    val q = withStatePartitions(s, 4) {
+      graft.streaming.StreamRunner.fileSink(
+        joined.select(col("event_id"), col("user_id"), col("view_value")),
+        s"$base/out", s"$base/ckpt")
+    }
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_views"),
+        sum(col("view_value").cast("decimal(18,2)")).cast("double").as("view_total"))
+  }
+
   /** T4 under the driver gate: the DOT rendering of the Part-3 topology
     * (`wv/view-topology`, reference core.clj:204) as a 1-row literal table.
     * The oracle pins the exact text — node sort order, shapes, and edge
@@ -967,7 +1013,7 @@ object SparkEntry {
     // a single-file embedding table scans as one split — without this the
     // whole scoring pass ran one-core (stage-profiled: 0.93 s of a 1.7 s
     // query). No-op at scale, where the scan already has ≥ cores splits.
-    val annPairs = qs.join(graft.operators.Par.fanOut(quant),
+    val annPairs = qs.join(graft.operators.Par.fanOut(quant, Seq("vec_id")),
         col("vec_id") =!= col("src"))
       .select(col("src"), col("vec_id").as("dst"),
         round(col("qv.scale") * col("qq.scale") * idot.cast("double"), 6).as("qscore"))
@@ -3735,6 +3781,12 @@ object SparkEntry {
     val items = li.distinct()
     val edges = items.groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("__arr"))
+      // the HOF pair generator is KEPT here (r14 A/B): swapping in the
+      // native PairCombos — the q_basket_triples win — re-planned the
+      // query from 12 to 19 jobs and wall 1.8 → 2.2 s at sf0.1. Order
+      // baskets average ~4 items, so the per-element re-slice overhead
+      // PairCombos removes is negligible; the profiled cost lives in the
+      // distinct + collect_set shuffles (data), not the lambda (PERF.md)
       .select(explode(expr(
         """flatten(transform(__arr, (x, i) ->
           |  transform(slice(__arr, i + 2, size(__arr)), y ->
@@ -5218,7 +5270,7 @@ object SparkEntry {
     // rows, the kernel then runs 32-way
     val base = graft.operators.Par.fanOut(
       t(s, dir, "orders").select(col("o_orderkey"),
-        round(col("o_totalprice") * 100.0).cast("long").as("y"), isW.as("w")))
+        round(col("o_totalprice") * 100.0).cast("long").as("y"), isW.as("w")), Seq("o_orderkey"))
     val d = (c: Column) => c.cast("double")
     // diffs stay in cents (scale cancels in the |perm| >= |obs| compare);
     // only the published obs_diff converts back to currency units
@@ -5312,6 +5364,7 @@ object SparkEntry {
     "q_stream_dedup_parity" -> (streamDedupParityQ(_, _)),
     "q_stream_funnel_parity" -> (streamFunnelParityQ(_, _)),
     "q_stream_window_parity" -> (streamWindowParityQ(_, _)),
+    "q_stream_join_parity"  -> (streamJoinParityQ(_, _)),
     "q_topology_dot"        -> (topologyDotQ(_, _)),
     "q_topology_validate"   -> (topologyValidateQ(_, _)),
     "q_repl_walkthrough"    -> (replWalkthroughQ(_, _)),
@@ -6109,6 +6162,18 @@ object SparkEntry {
         |SELECT ws, event_type, COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS total
         |FROM b GROUP BY ws, event_type
         |HAVING ws + INTERVAL 1 DAY <= (SELECT MAX(ts) - INTERVAL 1 HOUR FROM events)""".stripMargin,
+    // the batch q_interval_join SQL verbatim: live stream-stream join
+    // state over 3 ordered micro-batches == the batch interval join
+    "q_stream_join_parity" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS lt
+        |           FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT user_id, epoch_us(ts) AS rt, value
+        |           FROM events WHERE event_type = 'view')
+        |SELECT p.event_id, p.user_id, COUNT(*) AS n_views,
+        |  CAST(SUM(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE) AS view_total
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |  AND v.rt >= p.lt - 3600000000 AND v.rt <= p.lt
+        |GROUP BY 1, 2""".stripMargin,
     // T4: the DOT literal IS the oracle — any drift in node sorting,
     // shapes, or edge order hash-mismatches at the driver gate
     "q_topology_dot" ->
