@@ -81,8 +81,9 @@ object PairComboUtil {
 /** `array<T>` → `array<struct<p1:T, p2:T>>` of all position-ordered pairs
   * (i < j) — native replacement for marketBasket's nested-HOF pair
   * generator; parity pinned in ExpressionParitySpec. Null elements pass
-  * through opaquely (the call site feeds `collect_set` output, which never
-  * holds nulls).
+  * through opaquely — a null slot emits structs with a null field
+  * (spec-checked in ExpressionParitySpec); engine call sites feed
+  * `collect_set` output, which never holds nulls.
   */
 case class PairCombos(child: Expression) extends UnaryExpression {
 
@@ -120,8 +121,9 @@ case class PairCombos(child: Expression) extends UnaryExpression {
   * (i < j < k). Native codegen'd replacement for the nested-HOF triple
   * generator in [[graft.operators.Analytics.basketTriples]]; parity with
   * the HOF formulation is pinned by ExpressionParitySpec. Elements must be
-  * non-null (the call site feeds `collect_set` output, which never holds
-  * nulls).
+  * non-null — enforced at ANALYSIS (`containsNull=true` input types are
+  * rejected; a null slot would silently read as 0L on unsafe rows). Engine
+  * call sites feed `collect_set` output, which is containsNull=false.
   */
 case class TripleCombos(child: Expression) extends UnaryExpression {
 
@@ -132,7 +134,16 @@ case class TripleCombos(child: Expression) extends UnaryExpression {
   override def prettyName: String = "triple_combos"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    // the hot loop reads primitives (arr.getLong) — on UnsafeArrayData a
+    // null slot would silently read as 0L, corrupting triples, and the
+    // declared output fields are nullable=false. Reject nullable elements
+    // at analysis instead: callers wrap with filter/array_compact (every
+    // engine call site feeds collect_set output, containsNull=false)
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> with non-nullable elements " +
+        "(a null slot would silently read as 0) — filter nulls or " +
+        "array_compact first")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<bigint>, got ${other.simpleString}")
   }

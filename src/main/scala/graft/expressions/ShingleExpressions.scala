@@ -47,7 +47,11 @@ object ShingleUtil {
     val toks = new Array[UTF8String](n)
     var i = 0
     while (i < n) { toks(i) = tokens.getUTF8String(i); i += 1 }
-    val out = new java.util.ArrayList[Any](n * window)
+    // clamp the hint: n * window as an Int can go negative on pathological
+    // token arrays (n > MaxInt/window) and the constructor would throw
+    // before any useful guard fires — the list still GROWS past the hint
+    val out = new java.util.ArrayList[Any](
+      math.min(n.toLong * window, 1L << 20).toInt)
     i = 0
     while (i < n - 1) {
       val hi = math.min(i + window, n - 1)

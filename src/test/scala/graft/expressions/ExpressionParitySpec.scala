@@ -301,6 +301,85 @@ class ExpressionParitySpec extends SparkSpec {
     assert(e1 == e2 && e1.hashCode == e2.hashCode)
   }
 
+  test("NaN/Inf sweep: DotProduct propagates NaN exactly like the HOF formulation") {
+    val cases = Seq(
+      (Seq(Double.NaN, 1.0), Seq(1.0, 1.0)),   // NaN element → NaN
+      (Seq(Double.PositiveInfinity, 0.0), Seq(0.0, 1.0)), // Inf·0 → NaN
+      (Seq(Double.PositiveInfinity, 1.0), Seq(1.0, 1.0)), // Inf·1 → +Inf
+      (Seq(1.0, 2.0), Seq(3.0, 4.0)))          // finite control
+    val rows = cases.toDF("a", "b").select(
+        graft.functions.VectorFunctions.dot(col("a"), col("b")).as("native"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      val (n, h) = (r.getDouble(0), r.getDouble(1))
+      assert(n.isNaN === h.isNaN && (n.isNaN || n === h), s"native $n vs hof $h")
+    }
+    assert(rows(0).getDouble(0).isNaN && rows(1).getDouble(0).isNaN)
+    assert(rows(2).getDouble(0) === Double.PositiveInfinity)
+  }
+
+  test("NaN/Inf sweep: cosine kernels score corrupt vectors 0.0 — CosineByIds, " +
+      "cosine, and cosinePrenormed agree (a NaN score would float to the top of a desc top-k)") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.{VectorFunctions => VF}
+    val dim = 2
+    val vecs = Map(
+      1L -> Array(1.0, 0.0),                      // clean
+      2L -> Array(Double.NaN, 1.0),               // NaN-poisoned
+      3L -> Array(Double.PositiveInfinity, 0.0),  // Inf-poisoned
+      4L -> Array(0.0, 1.0))                      // clean
+    val (ids, flat, norms) = flatStore(vecs, dim)
+    val pairs = (for { a <- vecs.keys; b <- vecs.keys if a < b } yield (a, b)).toSeq
+    val byIds = pairs.toDF("a", "b").select(col("a"), col("b"),
+        ColumnBridge.column(CosineByIds(
+          ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")),
+          ids, flat, norms, dim)).as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val vdf = pairs.map { case (a, b) => (a, b, vecs(a).toSeq, vecs(b).toSeq) }
+      .toDF("a", "b", "va", "vb")
+    val joined = vdf.select(col("a"), col("b"),
+        VF.cosine(col("va"), col("vb")).as("c1"),
+        VF.cosinePrenormed(VF.dot(col("va"), col("vb")),
+          VF.norm(col("va")), VF.norm(col("vb"))).as("c2"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    pairs.foreach { case (a, b) =>
+      val (c1, c2) = joined((a, b))
+      assert(!byIds((a, b)).isNaN && !c1.isNaN && !c2.isNaN, s"NaN escaped on ($a,$b)")
+      assert(byIds((a, b)) === c1 && c1 === c2, s"($a,$b): byIds ${byIds((a, b))} cosine $c1 prenormed $c2")
+      // any pair touching a poisoned vector scores exactly 0.0
+      if (a == 2L || b == 2L || a == 3L || b == 3L)
+        assert(byIds((a, b)) === 0.0, s"corrupt pair ($a,$b) must score 0.0")
+    }
+    assert(byIds((1L, 4L)) === 0.0) // orthogonal clean pair, sanity
+  }
+
+  test("NaN/Inf sweep: Quantize8 ∘ DotProductInt8 — NaN vector quantizes to zero codes, " +
+      "the int8 dot is 0, and the rescaled score is loud-NaN (pinned, not silent)") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val df = Seq(
+      (Seq(Double.NaN, 2.0), Seq(127.0, -1.0)),
+      (Seq(Double.PositiveInfinity, 1.0), Seq(3.0, 4.0)))
+      .toDF("bad", "good")
+    val q = (c: org.apache.spark.sql.Column) => Ann.quantize8(c)
+    val rows = df.select(q(col("bad")).as("qb"), q(col("good")).as("qg"))
+      .select(col("qb.scale").as("sb"), col("qg.scale").as("sg"),
+        ColumnBridge.column(DotProductInt8(
+          ColumnBridge.expression(col("qb.q")),
+          ColumnBridge.expression(col("qg.q")))).as("idot"))
+      .withColumn("score", col("sb") * col("sg") * col("idot").cast("double"))
+      .collect()
+    // NaN row: scale NaN, codes 0 → idot 0 → score NaN (loud, documented)
+    assert(rows(0).getDouble(0).isNaN && rows(0).getLong(2) === 0L)
+    assert(rows(0).getDouble(3).isNaN)
+    // Inf row: max is +Inf → scale +Inf; Inf-scaled codes are 0 (x/Inf
+    // rounds to 0), finite elements quantize to 0 too → idot 0, score NaN
+    // via Inf·0 — same loud contract, never a silent finite score
+    assert(rows(1).getDouble(0) === Double.PositiveInfinity)
+    assert(rows(1).getLong(2) === 0L && rows(1).getDouble(3).isNaN)
+  }
+
   test("JaroWinkler: literature values, boost threshold, window clamp, nulls") {
     import graft.functions.{TextFunctions => TF}
     val cases = Seq(
@@ -486,6 +565,29 @@ class ExpressionParitySpec extends SparkSpec {
       assert(graft.expressions.TripleCombos(small).eval(null)
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() === 0)
     }
+  }
+
+  test("TripleCombos rejects nullable-element arrays at analysis; PairCombos passes null slots through") {
+    // TripleCombos reads primitives (getLong) — a null slot on unsafe rows
+    // silently reads as 0L, so nullable element types must fail ANALYSIS,
+    // not corrupt. array() of nullable longs types as containsNull=true.
+    val nullable = Seq(Tuple1(1L)).toDF("x")
+      .select(array(when(col("x") > 0, col("x"))).as("__arr"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      nullable.select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.TripleCombos(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__arr"))))).collect()
+    }
+    assert(e.getMessage.contains("non-nullable"))
+    // PairCombos copies elements opaquely — the documented null contract:
+    // a null slot emits structs with a null field, never a throw or a 0
+    val prs = Seq(Tuple1(1L)).toDF("x")
+      .select(array(lit(7L), when(col("x") < 0, col("x"))).as("__arr"))
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.PairCombos(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("__arr")))).as("p"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(prs.length === 1 && prs.head.getLong(0) === 7L && prs.head.isNullAt(1))
   }
 
   test("Quantize8 interpreted eval matches codegen and keeps null elements null") {
