@@ -90,7 +90,13 @@ object VectorUtil {
     var k = 0
     while (k < dim) { s += flat(oi + k) * flat(oj + k); k += 1 }
     val nn = norms(i) * norms(j)
-    if (nn > 0) s / nn else 0.0
+    // bad-vector contract (shared with VectorFunctions.cosine, spec-pinned):
+    // NaN/Inf-poisoned vectors score 0.0, never NaN — Java's `NaN > 0` is
+    // already false (NaN norms → 0.0 here), but Inf/Inf slips through the
+    // division as NaN, and a NaN score sorts ABOVE every real score in
+    // Spark, floating corrupt pairs to the top of a descending top-k
+    val c = if (nn > 0) s / nn else 0.0
+    if (java.lang.Double.isNaN(c)) 0.0 else c
   }
 }
 

@@ -32,11 +32,20 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity; 0.0 for zero-norm inputs (deterministic, no NaN). */
+  /** Cosine similarity; 0.0 for zero-norm AND NaN/Inf-poisoned inputs —
+    * total and deterministic, never NaN. The NaN clause matters at scale:
+    * Spark orders NaN ABOVE every double, so a NaN score would float a
+    * corrupt vector's pairs to the TOP of any descending top-k / dedup
+    * threshold — one bad vector silently reordering a 100 TB pipeline.
+    * (Note `nn > 0` alone does NOT catch it: SQL comparison semantics
+    * make `NaN > 0` TRUE, unlike Java — the pre-r14 formulation returned
+    * NaN here while the native [[graft.expressions.CosineByIds]] kernel
+    * returned 0.0; both now score bad vectors 0.0, parity spec-pinned.)
+    */
   def cosine(a: Column, b: Column): Column = {
     val d  = dot(a, b)
     val nn = norm(a) * norm(b)
-    when(nn > 0, d / nn).otherwise(lit(0.0))
+    nanvl(when(nn > 0, d / nn).otherwise(lit(0.0)), lit(0.0))
   }
 
   /** Cosine from a pair dot and precomputed per-vector norms. For quadratic
@@ -47,7 +56,8 @@ object VectorFunctions {
     */
   def cosinePrenormed(d: Column, normA: Column, normB: Column): Column = {
     val nn = normA * normB
-    when(nn > 0, d / nn).otherwise(lit(0.0))
+    // nanvl: same bad-vector-scores-0.0 contract as [[cosine]] (see there)
+    nanvl(when(nn > 0, d / nn).otherwise(lit(0.0)), lit(0.0))
   }
 
   /** Squared L2 distance. */

@@ -6,6 +6,29 @@ import org.apache.spark.sql.functions._
 class KMeansSpec extends SparkSpec {
   import spark.implicits._
 
+  test("assignCol is total and deterministic on NaN/Inf vectors — never throws, " +
+      "NaN distances tie to the smallest centroid id") {
+    // one bad vector must not kill (or nondeterministically reshuffle) a
+    // 100 TB IVF build: all-NaN distances are EQUAL under Spark's total
+    // ordering (NaN == NaN, above every double), so the (d, i) struct min
+    // falls through to the id field — centroid 0, deterministically; an
+    // Inf vector's distances are ±Inf and pick the centroid its sign
+    // points at. Pinned on a fixed 2-centroid model.
+    val m = KMeans.Model(Array(Array(1.0, 0.0), Array(-1.0, 0.0)))
+    val df = Seq(
+      (1L, Seq(Double.NaN, 0.0)),
+      (2L, Seq(Double.PositiveInfinity, 0.0)),
+      (3L, Seq(Double.NegativeInfinity, 0.0)),
+      (4L, Seq(0.9, 0.1)),
+      (5L, Seq(-0.9, 0.1))).toDF("id", "v")
+    val got = m.assign(df, "v").select("id", "list").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) === 0, "NaN vector must tie-break to centroid 0")
+    assert(got(2L) === 0, "+Inf x: -2·(+Inf)·1 = -Inf at centroid (1,0)")
+    assert(got(3L) === 1, "-Inf x: -2·(-Inf)·(-1) = -Inf at centroid (-1,0)")
+    assert(got(4L) === 0 && got(5L) === 1) // finite controls
+  }
+
   test("fit recovers three well-separated clusters and ivfTopK probes them") {
     val rng = new scala.util.Random(17)
     val centers = Seq(Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0))
