@@ -322,6 +322,10 @@ object Analytics {
   // (not) reused across q_ntile/q_percent_rank" is a logged fact, not a guess
   private[graft] val prefixCacheHits = new java.util.concurrent.atomic.AtomicLong
   private[graft] val prefixCacheMisses = new java.util.concurrent.atomic.AtomicLong
+  // observability only: bumped when basketTriples' auto gate engages the
+  // level-2 pair prune — the spec asserts the gate fires on a selective
+  // (wide-vocab) domain and stays off on a dense one
+  private[graft] val pairPruneEngaged = new java.util.concurrent.atomic.AtomicLong
 
   /** Content fingerprint of a plan's file-backed leaves: sorted file paths +
     * total size. Plan canonicalization compares file scans by root PATH, so
@@ -1219,11 +1223,24 @@ object Analytics {
     * Per-basket blow-up is the caller's contract (same as marketBasket's
     * pair generator): a basket with f frequent items emits C(f, 3) rows —
     * cap pathological baskets upstream if the domain allows them.
+    *
+    * The level-2 (pair) prune is GATED on estimated pair selectivity
+    * (`pairPrune = "auto"`): it engages only when the driver-side
+    * independence estimate says ≥ half the frequent-item pairs fall below
+    * minSupport — on sf0.1's dense 50-item domain every pair is frequent
+    * (support ≥ 775 vs threshold 5, the r13 measurement) and the prune
+    * would only add a pair pass, so the gate keeps it off; on a sparse
+    * wide-vocab domain it cuts the cubic generator's input before the
+    * blow-up. Output is bit-identical either way (AnalyticsSpec pins
+    * on == off on a fixture where the prune fires).
     */
   def basketTriples(df: DataFrame, basketCol: Column, itemCol: Column,
                     minSupport: Long, k: Int,
-                    maxFreqItems: Int = 100000): DataFrame = {
+                    maxFreqItems: Int = 100000,
+                    pairPrune: String = "auto"): DataFrame = {
     require(minSupport >= 1 && k >= 1, s"minSupport/k must be positive: $minSupport/$k")
+    require(Set("auto", "on", "off")(pairPrune),
+      s"pairPrune must be auto|on|off: $pairPrune")
     // null/uncastable items carry no itemset information and would poison
     // the frequent-item literal (a NULL row NPEs the collect)
     val items = df.select(basketCol.as("__b"), itemCol.cast("long").as("__i"))
@@ -1255,32 +1272,97 @@ object Analytics {
     require(freq.length <= maxFreqItems,
       s"more than maxFreqItems=$maxFreqItems frequent items — raise minSupport")
     val freqArr = freq.map(_.getLong(0)).sorted
+    // Level-2 (pair) prune GATE — driver-side, priced from stats already in
+    // hand, no extra job. The prune itself costs a per-basket C(f,2) pair
+    // pass + one pair-support shuffle, so it must engage only where it
+    // deletes work: estimate, under item independence, the fraction of
+    // frequent-item pairs whose expected co-support n_a·n_b/N falls below
+    // minSupport (N lower-bounded by the max item support — a smaller N
+    // inflates expectations, i.e. errs toward NOT engaging). Dense domains
+    // (sf0.1's 50-item mod buckets: every pair support ≥775 vs threshold 5)
+    // estimate ~0 and keep the r13 no-prune shape; sparse wide-vocab
+    // domains estimate ~1 and engage. `pairPrune` = on/off forces either
+    // path for specs and for callers who know their domain.
+    val engagePrune = pairPrune match {
+      case "on"  => true
+      case "off" => false
+      case _ =>
+        val supports = freq.map(_.getLong(1)).sorted
+        val f = supports.length
+        if (f < 3) false
+        else {
+          val nEst = supports.last.toDouble
+          var below = 0L
+          var i = 0
+          while (i < f - 1) {
+            // count j > i with supports(i)·supports(j)/nEst < minSupport,
+            // i.e. supports(j) < minSupport·nEst/supports(i) — supports is
+            // ascending, so one binary search per i
+            val limit = minSupport.toDouble * nEst / supports(i)
+            var lo = i + 1; var hi = f
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (supports(mid) < limit) lo = mid + 1 else hi = mid
+            }
+            below += lo - (i + 1)
+            i += 1
+          }
+          val total = f.toLong * (f - 1) / 2
+          below.toDouble / total >= 0.5
+        }
+    }
     // count(size >= 0) keeps the census on the shared exchange (a bare
     // count would let Catalyst prune collect_set into a separate scan)
     val nBaskets = baskets
       .agg(count(when(size(col("__arr0")) >= 0, 1)).as("__nbk"))
-    val triples = baskets
-      // NOTE on the AQE-coalesced explode read (profiled r12): the agg's
-      // shuffle read coalesces to ~4 tasks (basket table is tiny in bytes)
-      // so the O(|basket|³) generation runs ~4-way. An explicit 32-way
-      // repartition was A/B'd and REJECTED: it did spread the stage, but
-      // total CPU inflated ~5× (the wider stage re-paid per-task setup on
-      // HOF-heavy work) and wall-clock was unchanged — at real scale the
-      // basket table's bytes grow with the corpus and AQE stops coalescing
-      // on its own, so the toy-scale shape is not the 100 TB shape.
-      .withColumn("__arr", array_intersect(col("__arr0"), typedLit(freqArr.toSeq)))
-      .filter(size(col("__arr")) >= 3)
+    // NOTE on the AQE-coalesced explode read (profiled r12): the agg's
+    // shuffle read coalesces to ~4 tasks (basket table is tiny in bytes)
+    // so the O(|basket|³) generation runs ~4-way. An explicit 32-way
+    // repartition was A/B'd and REJECTED: it did spread the stage, but
+    // total CPU inflated ~5× (the wider stage re-paid per-task setup on
+    // HOF-heavy work) and wall-clock was unchanged — at real scale the
+    // basket table's bytes grow with the corpus and AQE stops coalescing
+    // on its own, so the toy-scale shape is not the 100 TB shape.
+    val level1 = baskets
+      .withColumn("__arr1", array_intersect(col("__arr0"), typedLit(freqArr.toSeq)))
+      .filter(size(col("__arr1")) >= 3)
+    // Level-2 prune (gated above): keep, per basket, only items that
+    // participate in ≥ 2 FREQUENT pairs within that basket — any item of a
+    // frequent triple does (two of the triple's three pairs touch it, and
+    // pair support ⊇ triple support), so no frequent triple loses a basket
+    // and n_abc/lift are bit-identical with the prune on or off; only
+    // cannot-be-frequent candidates are cut before the CUBIC generator.
+    // Cost when engaged: one C(f,2)-per-basket pair stream counted once
+    // (quadratic — cheap relative to the cubic it guards), a semi-join
+    // back, and a per-(basket, item) degree count; exactly the SON/Apriori
+    // level-2 step, distributed with no driver-side pair state.
+    val pruned =
+      if (!engagePrune) level1.select(col("__b"), col("__arr1").as("__arr"))
+      else {
+        Analytics.pairPruneEngaged.incrementAndGet()
+        val bp = level1.select(col("__b"),
+            explode(org.apache.spark.sql.graft.ColumnBridge.column(
+              graft.expressions.PairCombos(
+                org.apache.spark.sql.graft.ColumnBridge.expression(col("__arr1"))))).as("__pr"))
+          .select(col("__b"), col("__pr.p1").as("p1"), col("__pr.p2").as("p2"))
+        val frequentPairs = bp.groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("__np"))
+          .filter(col("__np") >= minSupport)
+          .select(col("p1"), col("p2"))
+        bp.join(frequentPairs, Seq("p1", "p2"), "left_semi")
+          .select(col("__b"), explode(array(col("p1"), col("p2"))).as("__i2"))
+          .groupBy(col("__b"), col("__i2")).agg(count(lit(1)).as("__deg"))
+          .filter(col("__deg") >= 2)
+          .groupBy(col("__b"))
+          .agg(sort_array(collect_set(col("__i2"))).as("__arr"))
+          .filter(size(col("__arr")) >= 3)
+      }
+    val triples = pruned
       // native triple generator ([[graft.expressions.TripleCombos]]): the
       // nested-HOF comprehension it replaces re-paid sequence allocation,
       // closure dispatch, and two flatten copies per outer index PER ROW —
       // q_basket_triples sf0.1 warm 3.05 s → 1.80 s with this swap alone.
       // Same structs, same order (parity pinned in ExpressionParitySpec).
-      // A level-2 apriori prune was CONSIDERED and rejected by
-      // measurement: on the 50-value mod-bucket item domain ALL C(50,2) =
-      // 1225 pairs occur with support ≥ 775 at sf0.1 (minSupport 5), so a
-      // pair prune deletes zero triples and only adds a pair-count pass;
-      // on a domain where pairs ARE selective, intersect __arr with the
-      // per-item frequent-partner sets before this generator.
       .select(explode(org.apache.spark.sql.graft.ColumnBridge.column(
         graft.expressions.TripleCombos(
           org.apache.spark.sql.graft.ColumnBridge.expression(col("__arr"))))).as("__t"))
@@ -1598,7 +1680,10 @@ object Analytics {
     require(window >= 1 && minCount >= 1 && k >= 1,
       s"window/minCount/k must be positive: $window/$minCount/$k")
     // fan out the token frame: the skip-gram generation + the partial pair
-    // counts are the whole cost (the tiny-vocab partials collapse the
+    // counts are the whole cost. CONTENT-hash form (audited): this frame
+    // has no id column — duplicate raw texts would collapse the fan-out's
+    // spread (perf only, never correctness); callers with duplicate-heavy
+    // corpora should dedup upstream or thread an id through pmiPairs (the tiny-vocab partials collapse the
     // shuffle to ~nothing), and a single-file corpus scans as ONE split —
     // without the exchange the entire kernel ran one-core. Native
     // SkipGramPairs replaces the nested sequence/transform/flatten HOF

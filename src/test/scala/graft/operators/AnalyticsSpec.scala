@@ -763,6 +763,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(lift === 1.0)
   }
 
+  test("basketTriples level-2 pair prune: the auto gate engages on a sparse wide-vocab " +
+      "domain, stays off on a dense one, and never changes the output") {
+    val s = spark
+    import s.implicits._
+    // Wide-vocab fixture: 100 baskets. The triple {1,2,3} rides baskets
+    // 0..29 (frequent). Fillers 100..119 are each level-1-frequent (10
+    // baskets apiece) but their pairs are rare: basket b carries fillers
+    // {100+b%20, 100+(b+7)%20}, so only offset-7 filler pairs ever
+    // co-occur; filler×{1,2,3} pairs occur ≤ 2 times — under minSupport 5.
+    // Independence estimate: filler·filler expected co-support
+    // 10·10/30 ≈ 3.3 < 5 for 190 of 253 pairs → the auto gate engages.
+    val rows = (0 until 100).flatMap { b =>
+      val fillers = Seq(100L + b % 20, 100L + (b + 7) % 20)
+      val triple = if (b < 30) Seq(1L, 2L, 3L) else Seq.empty[Long]
+      (triple ++ fillers).map(i => (b.toLong, i))
+    }
+    val df = rows.toDF("bk", "item")
+    def run(mode: String) = Analytics.basketTriples(
+        df, col("bk"), col("item"), minSupport = 5L, k = 10, pairPrune = mode)
+      .collect().map(r =>
+        ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3), r.getDouble(4))).toSeq
+    val off = run("off")
+    val on = run("on")
+    val before = Analytics.pairPruneEngaged.get()
+    val auto = run("auto")
+    assert(Analytics.pairPruneEngaged.get() === before + 1,
+      "auto gate must ENGAGE the prune on this sparse domain")
+    assert(on === off && auto === off, "prune must never change the output")
+    assert(off.map(_._1) === Seq((1L, 2L, 3L)) && off.head._2 === 30L)
+    // dense control (the original 3-basket fixture): the gate stays off
+    val dense = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L), (3L, 3L)).toDF("bk", "item")
+    val before2 = Analytics.pairPruneEngaged.get()
+    Analytics.basketTriples(dense, col("bk"), col("item"),
+      minSupport = 2L, k = 10).collect()
+    assert(Analytics.pairPruneEngaged.get() === before2,
+      "auto gate must stay OFF on a dense domain")
+  }
+
   test("pmiPairs and ngramNovelty return empty (not NPE) on degenerate input") {
     val s = spark
     import s.implicits._
