@@ -14,7 +14,7 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: blow-up factor (default 10× → 50k docs / 20k vectors;
     // pass 50 for the 100k-vector crossover demonstration)
-    val nCopies = args.find(a => a != "skew" && a != "ops" && a != "resolve").map(_.toInt).getOrElse(10)
+    val nCopies = args.find(a => a != "skew" && a != "ops" && a != "resolve" && a != "curate").map(_.toInt).getOrElse(10)
     // `runMain graft.ScaleProbe skew` runs ONLY the skewed top-k probe;
     // `runMain graft.ScaleProbe ops` runs ONLY the metered operator probes
     // (census / split / boilerplate / upsampling) — the quick re-measure
@@ -25,6 +25,10 @@ object ScaleProbe {
     // duplicate-resolution row — the quick re-measure mode for the
     // min-label/pointer-halving loop
     val resolveOnly = args.contains("resolve")
+    // `runMain graft.ScaleProbe curate` runs ONLY the curate-pipeline
+    // 1x-vs-10x amortization row — the quick re-measure mode for the
+    // job-count-overhead verdict
+    val curateOnly = args.contains("curate")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -84,7 +88,7 @@ object ScaleProbe {
     }
     // doc pipelines only at the default factor — the big-factor runs target
     // the embedding crossover and 250k-doc all-pairs baselines take minutes
-    if (!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
       time("exact dedup") { graft.dedup.Dedup.exact(d, "text", "doc_id").count() }
       time("minhash+lsh pairs") {
         graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", 5, 0.8).count() }
@@ -99,11 +103,11 @@ object ScaleProbe {
     // (factor 50) the quadratic runs exceeded 30 minutes on local[32] before
     // being killed — which IS the datapoint: past ~10^5 rows only the
     // sub-quadratic path is viable, whatever its constants.
-    if (!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
       time("embed near-dup exact") {
         graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.45).count() }
     }
-    if (!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
       // Forced-LSH at τ=0.45 only at the default factor: at 100k vectors the
       // 99.9%-recall config is ~2.6e9 candidate dots + a 213M-row probe
       // shuffle — the cost model prices it ≈ exact, so the DISPATCHER would
@@ -115,13 +119,13 @@ object ScaleProbe {
     // far more selective per bit and few tables hold high recall — this is
     // where hyperplane LSH decisively beats exact (low thresholds pay the
     // recall tax in candidates; see Dedup.embeddingNearDupLsh docs).
-    if (!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
       time("embed near-dup exact @0.7") {
         graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.7).count() }
     }
-    if (!skewOnly && !opsOnly && !resolveOnly) time("embed near-dup lsh  @0.7") {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly) time("embed near-dup lsh  @0.7") {
       graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.7).count() }
-    if (!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
       // the round-5 operators on the same blown-up corpus
       time("semantic dedup (k=64)") {
         val model = graft.similarity.KMeans.fit(v, "embedding", "vec_id", k = 64, maxIter = 5)
@@ -144,7 +148,7 @@ object ScaleProbe {
           .head().getSeq[Double](0).toIndexedSeq
         graft.similarity.Ann.quantizedTopK(v, "embedding", "vec_id", q, 20).count() }
     }
-    if (!skewOnly && !resolveOnly) {
+    if (!skewOnly && !resolveOnly && !curateOnly) {
       // Native combinatorial generators vs their HOF formulations at 10×
       // corpus (the r13 swaps: SkipGramPairs in pmiPairs, Pair/TripleCombos
       // in the market-basket family). Same rows out — the delta is pure
@@ -174,7 +178,43 @@ object ScaleProbe {
       time("skipgram w=3 native") { sgNative() }
       time("skipgram w=3 HOF") { sgHof() }
     }
-    if ((!skewOnly && !opsOnly) || resolveOnly) {
+    if ((!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) || curateOnly) {
+      // The "fixed job-submission overhead amortizes at scale" verdict for
+      // the curate pipelines, MEASURED instead of extrapolated: the exact
+      // q_curate_corpus_v2 stage chain (exact dedup → Gopher gate →
+      // perplexity band → surgical span decontamination → budgeted pack;
+      // ~30+ sequential micro-jobs of eager censuses + AQE stages) runs on
+      // the 1× corpus and the 10× blow-up. The micro-jobs cost the same
+      // fixed latency regardless of data, so if the job-count verdict
+      // holds, 10× the corpus must cost far less than 10× the wall.
+      // Warm-measured (one untimed run per factor first).
+      def curateV2(docs: org.apache.spark.sql.DataFrame): Long = {
+        import graft.functions.{TextFunctions => TF}
+        val train = docs.filter(col("doc_id") % 4 =!= 0)
+        val bench = docs.filter(col("doc_id") % 4 === 0)
+        val target = docs.filter(col("doc_id") % 5 === 0)
+        val keep = graft.dedup.Dedup.exact(
+          train.select(col("doc_id"), TF.normalizeText(col("text")).as("k")),
+          "k", "doc_id").select(col("doc_id"))
+        val g = TF.gopherFlags(col("text"))
+        val gophered = train.join(keep, "doc_id")
+          .filter(g.getField("f_wc") && g.getField("f_mwl") &&
+            g.getField("f_symbol") && g.getField("f_bullet") &&
+            g.getField("f_ellipsis") && g.getField("f_alpha"))
+        val banded = graft.pipeline.TrainingData
+          .perplexityGate(target, "text", maxNll = 7.85)(gophered)
+        val cleaned = graft.pipeline.TrainingData
+          .decontaminateSpans(banded, bench, "doc_id", "text")
+        graft.pipeline.TrainingData
+          .packBudgeted(cleaned, "doc_id", "text", budget = 2000)
+          .queryExecution.toRdd.count()
+      }
+      val base1x = spark.read.parquet(s"$sfDir/documents.parquet")
+      curateV2(base1x); curateV2(d) // untimed: codegen + page cache
+      timeM("curate_v2 pipeline 1x") { curateV2(base1x) }
+      timeM("curate_v2 pipeline 10x") { curateV2(d) }
+    }
+    if ((!skewOnly && !opsOnly && !curateOnly) || resolveOnly) {
       // Deep-chain duplicate resolution, distributed path FORCED
       // (maxDriverEdges = 0): a 2^14-node path graph is the adversarial
       // depth case for min-label propagation — the "near-dup components
@@ -190,7 +230,7 @@ object ScaleProbe {
         graft.dedup.Dedup.resolveDuplicates(chainEdges, maxDriverEdges = 0L)
           .count() }
     }
-    if (!skewOnly && !resolveOnly && nCopies <= 10) {
+    if (!skewOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
       // round-6 operators with an unprobed shuffle surface, metered: the
       // mixture census shuffles |strata| partial rows keyed by a LOW-
       // CARDINALITY stratum (worst case: one reducer per language takes the
@@ -351,7 +391,7 @@ object ScaleProbe {
     // with f; the agg's partials stay balanced at any f). toRdd.count()
     // executes the FULL plan — a bare count() would let Catalyst prune the
     // payload column off the window side, deflating its shuffle.
-    if (nCopies <= 10 && !opsOnly && !resolveOnly) {
+    if (nCopies <= 10 && !opsOnly && !resolveOnly && !curateOnly) {
       for (hotPct <- Seq(0, 50, 90)) {
         val skewed = spark.range(10L * 1000 * 1000).select(
           when(col("id") % 100 < hotPct, lit(0L)).otherwise(col("id") % 1000).as("k"),
