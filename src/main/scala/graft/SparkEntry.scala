@@ -571,6 +571,46 @@ object SparkEntry {
         sum(col("view_value").cast("decimal(18,2)")).cast("double").as("view_total"))
   }
 
+  /** Session windows with a FIRING event-time timeout under the driver
+    * gate — [[graft.streaming.StatefulOps.streamingSessionize]]
+    * (`flatMapGroupsWithState` + EventTimeTimeout) live over the staged
+    * 3-batch stream: the first gated query where state timeouts actually
+    * FIRE (the funnel gate's TTL outlives the corpus; here every mid-corpus
+    * session's 30-min gap elapses and the timeout flush emits it). A
+    * session is emitted either in-stream (a later event for the user
+    * exceeds the gap — watermark-independent) or by timeout (watermark
+    * passes last+gap), so the only emission the final watermark governs is
+    * each user's LAST session — the oracle applies exactly that predicate.
+    * Two precision traps the oracle mirrors: the operator's state is
+    * MILLISECOND (java.sql.Timestamp.getTime), so gap decisions diff
+    * `epoch_ms`, not micros, and emitted start/end are ms-truncated
+    * (`date_trunc('milliseconds')`; trunc is monotone, so trunc∘min =
+    * min∘trunc). `total_value` is NOT projected: its per-session double
+    * accumulation order is undefined between equal-ts events.
+    */
+  private def streamSessionizeParityQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val landing = stageTimeSplitEvents(s, dir)
+    val base = s"/tmp/graft_stream_sess_${dir.replaceAll("\\W", "_")}"
+    wipeTree(base)
+    val src = graft.streaming.StreamRunner
+      .fileSource(s, landing, stagedEventsSchema, format = "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[graft.streaming.SessionEvent]
+    val sessions = graft.streaming.StatefulOps
+      .streamingSessionize(src, gapMs = 1800L * 1000)
+    val q = withStatePartitions(s, 4) {
+      graft.streaming.StreamRunner.fileSink(
+        sessions.toDF().select(col("user_id"), col("n_events"),
+          col("session_start"), col("session_end")),
+        s"$base/out", s"$base/ckpt")
+    }
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+  }
+
   /** T4 under the driver gate: the DOT rendering of the Part-3 topology
     * (`wv/view-topology`, reference core.clj:204) as a 1-row literal table.
     * The oracle pins the exact text — node sort order, shapes, and edge
@@ -5365,6 +5405,7 @@ object SparkEntry {
     "q_stream_funnel_parity" -> (streamFunnelParityQ(_, _)),
     "q_stream_window_parity" -> (streamWindowParityQ(_, _)),
     "q_stream_join_parity"  -> (streamJoinParityQ(_, _)),
+    "q_stream_sessionize_parity" -> (streamSessionizeParityQ(_, _)),
     "q_topology_dot"        -> (topologyDotQ(_, _)),
     "q_topology_validate"   -> (topologyValidateQ(_, _)),
     "q_repl_walkthrough"    -> (replWalkthroughQ(_, _)),
@@ -6174,6 +6215,34 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         |  AND v.rt >= p.lt - 3600000000 AND v.rt <= p.lt
         |GROUP BY 1, 2""".stripMargin,
+    // live sessionize == batch sessions at MILLISECOND precision (the
+    // operator's state is Timestamp.getTime ms): gap decisions diff
+    // epoch_ms; start/end are ms-truncated; each user's LAST session is
+    // emitted only if the final watermark (max ts − 1 h) strictly passed
+    // its last+gap timeout — every other session was closed in-stream
+    "q_stream_sessionize_parity" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+        |  FROM x
+        |), g AS (
+        |  SELECT user_id, seq, COUNT(*) AS n_events,
+        |    date_trunc('milliseconds', MIN(ts)) AS session_start,
+        |    date_trunc('milliseconds', MAX(ts)) AS session_end,
+        |    MAX(seq) OVER (PARTITION BY user_id) AS max_seq
+        |  FROM s GROUP BY user_id, seq
+        |)
+        |SELECT user_id, n_events, session_start, session_end
+        |FROM g
+        |WHERE seq < max_seq
+        |   OR epoch_ms(session_end) + 1800000 <
+        |      (SELECT epoch_ms(MAX(ts) - INTERVAL 1 HOUR) FROM events)""".stripMargin,
     // T4: the DOT literal IS the oracle — any drift in node sorting,
     // shapes, or edge order hash-mismatches at the driver gate
     "q_topology_dot" ->
