@@ -73,6 +73,11 @@ object ScaleProbe {
           shuffleW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
           shuffleRec.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
           maxTask.updateAndGet(m => math.max(m, te.taskMetrics.executorRunTime))
+          if (te.taskMetrics.executorRunTime > 2000)
+            println(s"SLOWTASK stage=${te.stageId} ${te.taskMetrics.executorRunTime}ms " +
+              s"shufW=${te.taskMetrics.shuffleWriteMetrics.bytesWritten/1024}KB " +
+              s"shufR=${te.taskMetrics.shuffleReadMetrics.totalBytesRead/1024}KB " +
+              s"input=${te.taskMetrics.inputMetrics.bytesRead/1024}KB")
           ()
         }
     }
@@ -213,6 +218,18 @@ object ScaleProbe {
       curateV2(base1x); curateV2(d) // untimed: codegen + page cache
       timeM("curate_v2 pipeline 1x") { curateV2(base1x) }
       timeM("curate_v2 pipeline 10x") { curateV2(d) }
+      // layout control: the shared probe corpus is ONE snappy file (10
+      // near-identical copies compress to 1.7 MB — far under
+      // maxPartitionBytes), so every scan in the pipeline above is a
+      // SINGLE task decoding 50k rows — the adversarial layout the
+      // engine's fanOut guard exists for, and an artifact a real 10x
+      // corpus (which arrives as many files) does not have. Same bytes,
+      // 32-file layout: the delta is pure scan parallelism.
+      val multi = "/tmp/graft_probe_docs_multi"
+      d.repartition(32, col("doc_id")).write.mode("overwrite").parquet(multi)
+      val dMulti = spark.read.parquet(multi)
+      curateV2(dMulti) // untimed warm-up
+      timeM("curate_v2 pipeline 10x multifile") { curateV2(dMulti) }
     }
     if ((!skewOnly && !opsOnly && !curateOnly) || resolveOnly) {
       // Deep-chain duplicate resolution, distributed path FORCED

@@ -611,6 +611,49 @@ object SparkEntry {
     s.read.parquet(s"$base/out")
   }
 
+  /** Streaming KMV distinct-count sketch under the driver gate — the live
+    * face of [[graft.operators.Analytics.kmvDistinct]]
+    * ([[graft.streaming.StatefulOps.streamingKmvDistinct]]): per event
+    * type, the k smallest distinct FNV-1a hashes of the user ids carried
+    * as state across the 3 staged micro-batches, snapshot emitted per
+    * batch in update mode. KMV state is a pure SET function — the k
+    * smallest distinct hashes are arrival-order independent — so the LAST
+    * snapshot per group equals the batch sketch EXACTLY (k, k-th minimum,
+    * and the 6-dp estimate), and the oracle is the batch q_kmv_distinct
+    * SQL verbatim. The value-exactness contract (not just an error band)
+    * is what makes a sketch portable across engines; this gate extends it
+    * to the streaming runtime.
+    */
+  private def streamKmvParityQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val landing = stageTimeSplitEvents(s, dir)
+    val base = s"/tmp/graft_stream_kmv_${dir.replaceAll("\\W", "_")}"
+    wipeTree(base)
+    val src = graft.streaming.StreamRunner
+      .fileSource(s, landing, stagedEventsSchema, format = "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .select(col("event_type").as("group"),
+        col("user_id").cast("string").as("item"))
+      .as[graft.streaming.KmvEvent]
+    val snaps = graft.streaming.StatefulOps.streamingKmvDistinct(src, k = 256)
+    val q = withStatePartitions(s, 4) {
+      snaps.toDF().writeStream
+        .outputMode("update")
+        .foreachBatch((b: DataFrame, id: Long) =>
+          graft.streaming.StreamRunner.writeBatchIdempotent(b, id, s"$base/out"))
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .groupBy(col("group"))
+      .agg(max_by(struct(col("kmv_k"), col("h_k"), col("est_distinct")),
+        col("_batch_id")).as("__f"))
+      .select(col("group").as("event_type"), col("__f.kmv_k").as("kmv_k"),
+        col("__f.h_k").as("h_k"), col("__f.est_distinct").as("est_distinct"))
+  }
+
   /** T4 under the driver gate: the DOT rendering of the Part-3 topology
     * (`wv/view-topology`, reference core.clj:204) as a 1-row literal table.
     * The oracle pins the exact text — node sort order, shapes, and edge
@@ -5406,6 +5449,7 @@ object SparkEntry {
     "q_stream_window_parity" -> (streamWindowParityQ(_, _)),
     "q_stream_join_parity"  -> (streamJoinParityQ(_, _)),
     "q_stream_sessionize_parity" -> (streamSessionizeParityQ(_, _)),
+    "q_stream_kmv_parity"   -> (streamKmvParityQ(_, _)),
     "q_topology_dot"        -> (topologyDotQ(_, _)),
     "q_topology_validate"   -> (topologyValidateQ(_, _)),
     "q_repl_walkthrough"    -> (replWalkthroughQ(_, _)),
@@ -6215,6 +6259,29 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         |  AND v.rt >= p.lt - 3600000000 AND v.rt <= p.lt
         |GROUP BY 1, 2""".stripMargin,
+    // the batch q_kmv_distinct SQL verbatim: KMV state is a pure set
+    // function (k smallest distinct hashes, arrival-order independent),
+    // so the live final snapshot must equal the batch sketch value-exactly
+    "q_stream_kmv_parity" ->
+      s"""WITH hu AS (
+         |  SELECT DISTINCT event_type, ${duckFnvU("CAST(user_id AS VARCHAR)")} AS hu
+         |  FROM events
+         |), h AS (
+         |  SELECT event_type, ${duckU2S("hu")} AS h FROM hu
+         |), r AS (
+         |  SELECT event_type, h,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h
+         |), t AS (
+         |  SELECT event_type, CAST(max(rn) AS BIGINT) AS kmv_k,
+         |    max_by(h, rn) AS h_k
+         |  FROM r WHERE rn <= 256 GROUP BY 1
+         |)
+         |SELECT event_type, kmv_k, h_k,
+         |  CASE WHEN kmv_k < 256 THEN CAST(kmv_k AS DOUBLE)
+         |  ELSE round(255.0 / ((CAST(h_k AS DOUBLE) + 9223372036854775808.0)
+         |    / 18446744073709551616.0), 6) END AS est_distinct
+         |FROM t""".stripMargin,
     // live sessionize == batch sessions at MILLISECOND precision (the
     // operator's state is Timestamp.getTime ms): gap decisions diff
     // epoch_ms; start/end are ms-truncated; each user's LAST session is
