@@ -39,6 +39,45 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out.contains((2L, 1L, 3.0)))
   }
 
+  test("streamingSessionize timeout boundary: watermark == last+gap does NOT flush; " +
+      "strictly past it does — the q_stream_sessionize_parity oracle's predicate") {
+    // The driver oracle emits a user's final session only when
+    // final_watermark > last + gap STRICTLY. That strictness is Spark's
+    // EventTimeTimeout contract ("fires when watermark EXCEEDS the
+    // timeout timestamp") — pin it with exact-boundary batches so a Spark
+    // upgrade flipping it breaks THIS spec, not the round's hash gate.
+    implicit val sqlCtx = spark.sqlContext
+    def run(probe: String, lastEventTs: String): Set[(Long, Long)] = {
+      val in = MemoryStream[SessionEvent]
+      val sessions = StatefulOps.streamingSessionize(
+        in.toDS().withWatermark("ts", "0 seconds").as[SessionEvent],
+        gapMs = 60 * 1000)
+      val q = sessions.writeStream.format("memory").queryName(probe)
+        .outputMode("append").start()
+      // batch 1: user 1's session, last event at 10:00:00 → timeout 10:01:00
+      in.addData(SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2: another key advances the watermark to exactly/past 10:01:00
+      in.addData(SessionEvent(9L, ts(lastEventTs), 0.0))
+      q.processAllAvailable()
+      // batch 3: no-op key so a post-watermark-update batch runs
+      in.addData(SessionEvent(9L, ts(lastEventTs), 0.0))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(probe).as[SessionOut].collect()
+        .map(s => (s.user_id, s.n_events)).toSet
+    }
+    // watermark lands EXACTLY on last+gap (delay 0: wm = max ts seen):
+    // no flush — the timeout has not been strictly exceeded
+    val atBoundary = run("t_sess_at", "2024-01-01 10:01:00")
+    assert(!atBoundary.contains((1L, 1L)),
+      s"session flushed at wm == last+gap — oracle strictness is wrong: $atBoundary")
+    // one millisecond past: the timeout fires and the session flushes
+    val pastBoundary = run("t_sess_past", "2024-01-01 10:01:00.001")
+    assert(pastBoundary.contains((1L, 1L)),
+      s"session NOT flushed at wm > last+gap: $pastBoundary")
+  }
+
   test("batch sessionize and streaming sessionize agree on session boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
