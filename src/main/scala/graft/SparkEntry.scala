@@ -3499,6 +3499,23 @@ object SparkEntry {
       .filter(col("doc_id") =!= col("bench_id"))
   }
 
+  /** Semantic (embedding-space) benchmark decontamination
+    * ([[TrainingData.semanticDecontaminate]]): every `vec_id % 4 != 0`
+    * train embedding scored by max cosine against the broadcast
+    * `% 4 == 0` benchmark quarter, flagged at 0.35 — the vector face of
+    * the decontamination family (paraphrase-level leakage the n-gram
+    * faces can't see). The oracle replays the dense pass: same
+    * left-to-right IEEE dot (list_sum comprehension == DotProduct's
+    * accumulation order), max per train id, UNROUNDED threshold compare.
+    */
+  private def semanticDecontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    TrainingData.semanticDecontaminate(
+      emb.filter(col("vec_id") % 4 =!= 0),
+      emb.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", threshold = 0.35)
+  }
+
   private def chunkDocsQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
       chunkTokens = 32, stride = 16)
@@ -5621,6 +5638,7 @@ object SparkEntry {
     "q_stratified_sample"   -> (stratifiedSampleQ(_, _)),
     "q_hash_reservoir"      -> (hashReservoirQ(_, _)),
     "q_fuzzy_decontaminate" -> (fuzzyDecontaminateQ(_, _)),
+    "q_semantic_decontaminate" -> (semanticDecontaminateQ(_, _)),
     "q_chunk_docs"          -> (chunkDocsQ(_, _)),
     "q_importance_weights"  -> (importanceWeightsQ(_, _)),
     "q_ann_quantized"       -> (annQuantizedQ(_, _)),
@@ -7872,6 +7890,18 @@ object SparkEntry {
          |  round(CAST(num AS DOUBLE) / CAST(n * 8000 AS DOUBLE), 6) AS chi2,
          |  CAST(num AS DOUBLE) / CAST(n * 8000 AS DOUBLE) > 5.991 AS srm_flag
          |FROM g""".stripMargin,
+    // dense embedding decontamination: identical left-to-right dots
+    // (list_sum comprehension == DotProduct), per-train max, threshold
+    // compared on the UNROUNDED max exactly like the operator
+    "q_semantic_decontaminate" ->
+      s"""WITH p AS (
+         |  SELECT x.vec_id AS tid, max($duckCos) AS mc
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id % 4 != 0 AND y.vec_id % 4 = 0
+         |  GROUP BY 1)
+         |SELECT tid AS vec_id, round(mc, 6) AS max_bench_cos,
+         |  mc >= 0.35 AS contaminated
+         |FROM p""".stripMargin,
     "q_fuzzy_decontaminate" ->
       s"""WITH toksrc AS (
          |  SELECT doc_id, $duckToks AS w FROM documents

@@ -752,6 +752,60 @@ object TrainingData {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EMBEDDING-space (semantic) benchmark decontamination — the vector
+    * face of the decontamination family: a training document is
+    * contaminated when its embedding's cosine against ANY benchmark
+    * embedding reaches `threshold`, catching paraphrases and translations
+    * the n-gram faces ([[fuzzyDecontaminate]]'s shingle MinHash,
+    * [[decontaminateSpans]]' exact spans) structurally cannot see. Returns
+    * one row per train id: `(idCol, max_bench_cos ROUND 6, contaminated)`
+    * — a report the caller filters/joins on (same contract as
+    * [[contaminationReport]]'s shape; an anti-join on `contaminated`
+    * drops the flagged slice).
+    *
+    * Scale shape: the benchmark side is SMALL by nature (a benchmark is
+    * curated; the train side is the 100 TB one) — enforced by
+    * `maxBenchRows` with a loud failure naming the LSH/IVF alternative,
+    * then broadcast prenormed. The train side streams MAP-ONLY through a
+    * BroadcastNestedLoop scoring pass (|bench| fused codegen'd dots per
+    * row — the [[graft.similarity.Ann.knnGraph]] kernel shape) into a
+    * partial-aggregated per-id max, so the only shuffle is |train| slim
+    * (id, max) rows and the corpus itself never reshuffles. The count
+    * gate makes plan construction eager (one count() over the
+    * small-by-premise side — the [[fuzzyDecontaminate]] trade, stated).
+    * The contamination compare uses the UNROUNDED max (the oracle
+    * replays the identical left-to-right IEEE dot), rounding only the
+    * published score.
+    */
+  def semanticDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double,
+                            maxBenchRows: Long = 500000L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    import graft.functions.{VectorFunctions => VF}
+    val bCount = bench.count()
+    require(bCount <= maxBenchRows,
+      s"semanticDecontaminate broadcasts the benchmark: $bCount rows > " +
+        s"maxBenchRows=$maxBenchRows — at benchmark scale use the LSH/IVF " +
+        "candidate machinery (Dedup.embeddingNearDupLsh over the union, or " +
+        "Ann.ivfTopK per train row) instead of the dense scoring pass")
+    def prep(d: DataFrame, p: String): DataFrame =
+      d.select(col(idCol).as(s"${p}id"), VF.toDouble(col(vecCol)).as(s"${p}v"))
+        .withColumn(s"${p}n", VF.norm(col(s"${p}v")))
+    // fan out the TRAIN side (keyed — the id is unique by contract): on a
+    // single-file toy corpus the whole scoring pass otherwise runs
+    // one-core; no-op at scale (the knnGraph lesson)
+    val t = graft.operators.Par.fanOut(prep(train, "t"), Seq("tid"))
+    val scored = t.crossJoin(broadcast(prep(bench, "b")))
+      .select(col("tid"),
+        VF.cosinePrenormed(VF.dot(col("tv"), col("bv")), col("tn"), col("bn"))
+          .as("__cos"))
+      .groupBy(col("tid"))
+      .agg(max(col("__cos")).as("__mc"))
+    scored.select(col("tid").as(idCol),
+      round(col("__mc"), 6).as("max_bench_cos"),
+      (col("__mc") >= threshold).as("contaminated"))
+  }
+
   /** The gate form of [[fuzzyDecontaminate]]: the benchmark's LSH band-
     * bucket keys are collected ONCE into a Bloom bitmap and the returned
     * transform drops any document sharing a band bucket with the benchmark

@@ -119,6 +119,32 @@ class TrainingDataSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("semanticDecontaminate: max-cosine report matches brute force; benchmark-size gate is loud") {
+    // 2-D toy geometry so the expected cosines are exact by construction
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // cos vs bench: max(1, 0)      = 1.0  → contaminated
+      (2L, Seq(0.6f, 0.8f)),   // max(0.6, 0.8)                = 0.8  → contaminated at 0.75
+      (3L, Seq(-1.0f, 0.0f)),  // max(-1, 0)                   = 0.0
+      (5L, Seq(0.0f, 0.0f)))   // zero vector: cosine 0.0 by contract, never NaN
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, Seq(1.0f, 0.0f)), (101L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = TrainingData.semanticDecontaminate(train, bench, "vec_id", "embedding",
+        threshold = 0.75)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((1.0, true)))
+    assert(got(2L) === ((0.8, true)))
+    assert(got(3L) === ((0.0, false)))
+    assert(got(5L) === ((0.0, false)))
+    // the benchmark side must stay broadcast-small — a train-scale bench
+    // fails loudly, naming the LSH/IVF path, instead of OOMing executors
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.semanticDecontaminate(train, bench, "vec_id", "embedding",
+        threshold = 0.5, maxBenchRows = 1L)
+    }
+    assert(e.getMessage.contains("LSH/IVF"))
+  }
+
   test("fuzzyDecontaminate equals the exact cross-corpus Jaccard join (sf0.01)") {
     // same strength as the q_minhash_lsh gate, cross-corpus: LSH candidates +
     // exact verify must reproduce the brute-force cross join exactly
