@@ -654,6 +654,83 @@ object SparkEntry {
         col("__f.h_k").as("h_k"), col("__f.est_distinct").as("est_distinct"))
   }
 
+  /** The three RECURSIVE stateful runtimes under the driver gate — EMA,
+    * Welford anomaly, token-bucket rate limit — whose per-event folds are
+    * NOT SQL-expressible (each output feeds the next event's state:
+    * recursive IEEE / integer chains no window formulation reproduces),
+    * so value-replay oracles are impossible. This gate uses the
+    * INVARIANT form instead: each op runs LIVE over the staged 3-batch
+    * split (three concurrent update-mode streams, real cross-batch
+    * state-store round-trips) AND as its own batch twin (the identical
+    * fold — `flatMapGroupsWithState` in batch mode for ema/anomaly,
+    * [[graft.streaming.StatefulOps.rateLimitBatch]] for the bucket), and
+    * the query emits one row per op: (op, n_rows, n_mismatch) from a
+    * full-outer join on event_id comparing EXACT values (bit equality —
+    * same Scala arithmetic in same per-key order is the contract). The
+    * oracle pins n_mismatch = 0 and anchors n_rows to DuckDB's OWN
+    * count(*) of events — a dropped, duplicated, or diverging row
+    * anywhere in the live runtime hash-mismatches the round. Stated
+    * honestly: this is live == engine-batch-twin under an independent
+    * row-count anchor, not an independent value replay — the strongest
+    * gate the non-replayable folds admit.
+    */
+  private def streamRecursiveParityQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.streaming.{StatefulOps, StreamRunner, EmaEvent, RateEvent}
+    val landing = stageTimeSplitEvents(s, dir)
+    val base = s"/tmp/graft_stream_recur_${dir.replaceAll("\\W", "_")}"
+    wipeTree(base)
+    def src() = StreamRunner
+      .fileSource(s, landing, stagedEventsSchema, format = "parquet",
+        options = Map("maxFilesPerTrigger" -> "1"))
+    def upd(df: DataFrame, name: String) = df.writeStream
+      .outputMode("update")
+      .foreachBatch((b: DataFrame, id: Long) =>
+        StreamRunner.writeBatchIdempotent(b, id, s"$base/$name"))
+      .option("checkpointLocation", s"$base/ckpt_$name")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val queries = withStatePartitions(s, 4) { Seq(
+      upd(StatefulOps.streamingEma(
+        src().select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[EmaEvent], alpha = 0.3).toDF(), "ema"),
+      upd(StatefulOps.streamingAnomaly(
+        src().select(col("user_id"), col("ts"), col("event_id"), col("value"))
+          .as[EmaEvent], zMax = 3.0).toDF(), "anomaly"),
+      upd(StatefulOps.streamingRateLimit(
+        src().select(col("user_id"), col("ts"), col("event_id"))
+          .as[RateEvent], capTokens = 2L, ratePerSec = 1L).toDF(), "rate_limit"))
+    }
+    queries.foreach(_.awaitTermination()) // concurrent AvailableNow streams
+    val staged = s.read.parquet(landing)
+    def cmp(op: String, live: DataFrame, twin: DataFrame,
+            cols: Seq[String]): DataFrame = {
+      val l = live.select(col("event_id") +: cols.map(col): _*)
+      val t = twin.select(col("event_id") +:
+        cols.map(c => col(c).as(s"__b_$c")): _*)
+      val mism = cols.map(c => col(c).isNull || col(s"__b_$c").isNull ||
+        col(c) =!= col(s"__b_$c")).reduce(_ || _)
+      l.join(t, Seq("event_id"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(mism, 1L).otherwise(0L)).as("n_mismatch"))
+        .select(lit(op).as("op"), col("n_rows"), col("n_mismatch"))
+    }
+    val emaTwin = StatefulOps.streamingEma(
+      staged.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[EmaEvent], alpha = 0.3).toDF()
+    val anomTwin = StatefulOps.streamingAnomaly(
+      staged.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .as[EmaEvent], zMax = 3.0).toDF()
+    val rateTwin = StatefulOps.rateLimitBatch(
+      staged.select(col("user_id"), col("ts"), col("event_id"))
+        .as[RateEvent], capTokens = 2L, ratePerSec = 1L).toDF()
+    cmp("anomaly", s.read.parquet(s"$base/anomaly"), anomTwin,
+        Seq("value", "z", "anomaly"))
+      .unionByName(cmp("ema", s.read.parquet(s"$base/ema"), emaTwin, Seq("ema")))
+      .unionByName(cmp("rate_limit", s.read.parquet(s"$base/rate_limit"),
+        rateTwin, Seq("admitted", "tokens_after_micro")))
+  }
+
   /** T4 under the driver gate: the DOT rendering of the Part-3 topology
     * (`wv/view-topology`, reference core.clj:204) as a 1-row literal table.
     * The oracle pins the exact text — node sort order, shapes, and edge
@@ -5467,6 +5544,7 @@ object SparkEntry {
     "q_stream_join_parity"  -> (streamJoinParityQ(_, _)),
     "q_stream_sessionize_parity" -> (streamSessionizeParityQ(_, _)),
     "q_stream_kmv_parity"   -> (streamKmvParityQ(_, _)),
+    "q_stream_recursive_parity" -> (streamRecursiveParityQ(_, _)),
     "q_topology_dot"        -> (topologyDotQ(_, _)),
     "q_topology_validate"   -> (topologyValidateQ(_, _)),
     "q_repl_walkthrough"    -> (replWalkthroughQ(_, _)),
@@ -6300,6 +6378,16 @@ object SparkEntry {
          |  ELSE round(255.0 / ((CAST(h_k AS DOUBLE) + 9223372036854775808.0)
          |    / 18446744073709551616.0), 6) END AS est_distinct
          |FROM t""".stripMargin,
+    // invariant gate for the NON-SQL-expressible recursive folds (see
+    // streamRecursiveParityQ): zero live-vs-twin mismatches, row counts
+    // anchored to DuckDB's own count of events — one row per op
+    "q_stream_recursive_parity" ->
+      """SELECT 'anomaly' AS op, (SELECT count(*) FROM events) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_mismatch
+        |UNION ALL
+        |SELECT 'ema', (SELECT count(*) FROM events), 0
+        |UNION ALL
+        |SELECT 'rate_limit', (SELECT count(*) FROM events), 0""".stripMargin,
     // live sessionize == batch sessions at MILLISECOND precision (the
     // operator's state is Timestamp.getTime ms): gap decisions diff
     // epoch_ms; start/end are ms-truncated; each user's LAST session is
