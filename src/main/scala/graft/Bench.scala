@@ -285,9 +285,26 @@ object Bench {
     // this box is ±2x — hence the settle guard and median-of-3 above).
     val measure = "plan_exec_median3warm_noisefloor"
     val trendBase = sys.env.getOrElse("SPARK_GRAFT_TREND_BASE", "bench_out.json")
+    val trendTxt: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(trendBase)), "UTF-8"))
+      catch { case _: Throwable => None }
+    // Fingerprint normalization (r14 verdict: +16% raw was 100% box drift,
+    // fp 0.756 -> 0.927, and two rounds burned settle+rerun cycles
+    // adjudicating noise the recorded fingerprint already explained): scale
+    // this run's totals to the BASELINE's box speed — value_normalized =
+    // value × (fingerprint_ref / this box's fingerprint) — so the committed
+    // baseline and any run compare in the same hardware-hour unit. The ref
+    // fingerprint is the trend baseline's own recorded one; with no
+    // baseline (or an unfingerprinted one) normalization is the identity
+    // and both numbers are published either way, raw never hidden.
+    val fpRef: Double = trendTxt
+      .flatMap(""""box_fingerprint_sec":(-?[0-9.]+)""".r.findFirstMatchIn(_))
+      .map(_.group(1).toDouble).filter(_ > 0).getOrElse(boxFp)
+    val fpScale = fpRef / boxFp
     try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(trendBase)), "UTF-8")
+      val txt = trendTxt.getOrElse(
+        throw new java.nio.file.NoSuchFileException(trendBase))
       val body = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt).map(_.group(1))
       val baseSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
       // methodology-change annotation: if the baseline was recorded under a
@@ -340,6 +357,8 @@ object Bench {
         System.err.println(s"BENCH TREND: failed (${e.getMessage}) — skipped")
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
+    System.err.println(f"BENCH NORMALIZED total ${total * fpScale}%.1fs " +
+      f"(raw ${total}%.1fs x fpRef $fpRef%.3f / box $boxFp%.3f)")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"failed":$failedJson,"measure":"$measure","sf":"$sfDir"}"""
     println(line)
     // The driver parses the metric line out of a BOUNDED log tail. With 79+
@@ -360,7 +379,7 @@ object Bench {
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val gcJson = jmap(gcSecs)
     val gcFlaggedJson = gcFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fileLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_flagged":${stealFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"cold_steal_suspect":${coldStealSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")},"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"gc_sec":$gcJson,"gc_flagged":$gcFlaggedJson,"shuffle_bytes":$shuffleJson,"measure":"$measure","sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":${r3(total)},"value_normalized":${r3(total * fpScale)},"fingerprint_ref":${r3(fpRef)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"queries_cold":$qsCold,"failed":$failedJson,"warm_gt_cold":$noiseJson,"steal_flagged":${stealFlagged.map("\"" + _ + "\"").mkString("[", ",", "]")},"cold_steal_suspect":${coldStealSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")},"steal_jiffies":$stealTotal,"box_fingerprint_sec":${r3(boxFp)},"prefix_cache":{"hits":$pcHits,"misses":$pcMisses},"gc_sec":$gcJson,"gc_flagged":$gcFlaggedJson,"shuffle_bytes":$shuffleJson,"measure":"$measure","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (fileLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }

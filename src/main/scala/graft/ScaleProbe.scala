@@ -14,7 +14,7 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: blow-up factor (default 10× → 50k docs / 20k vectors;
     // pass 50 for the 100k-vector crossover demonstration)
-    val nCopies = args.find(a => a != "skew" && a != "ops" && a != "resolve" && a != "curate").map(_.toInt).getOrElse(10)
+    val nCopies = args.find(a => a != "skew" && a != "ops" && a != "resolve" && a != "curate" && a != "stream").map(_.toInt).getOrElse(10)
     // `runMain graft.ScaleProbe skew` runs ONLY the skewed top-k probe;
     // `runMain graft.ScaleProbe ops` runs ONLY the metered operator probes
     // (census / split / boilerplate / upsampling) — the quick re-measure
@@ -34,6 +34,9 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // `runMain graft.ScaleProbe stream` runs ONLY the streaming state-store
+    // probe (sessionize + funnel-TTL at 1x and 10x key cardinality)
+    if (args.contains("stream")) { streamStateProbe(spark); spark.stop(); return }
     val copies = spark.range(nCopies.toLong).select(col("id").as("copy"))
 
     if (!resolveOnly) {
@@ -438,5 +441,135 @@ object ScaleProbe {
       spark.sparkContext.removeSparkListener(listener)
     }
     spark.stop()
+  }
+
+  /** Streaming state-store growth/eviction probe — the measurement behind
+    * the live stateful ops' 100 TB posture (r14 verdict #4: the parity
+    * queries gate correctness, but nothing MEASURED state bytes at 10x key
+    * cardinality). Two operators, each at K and 10K keys over a 3-file
+    * time-split source (`maxFilesPerTrigger=1` => 3 ordered micro-batches,
+    * real cross-batch state round-trips, watermark advancing per batch):
+    *
+    *  - `streamingSessionize` (flatMapGroupsWithState + EventTimeTimeout):
+    *    state must track OPEN sessions (~= active keys), never event
+    *    history — peak state rows ~ K, memory ~ linear in K.
+    *  - `streamingFunnel` with stateTtlMs: half the keys go idle after an
+    *    early burst; the watermark passing idle+TTL must EVICT them —
+    *    final state rows ~ K/2 while peak ~ K, and numRowsRemoved > 0.
+    *
+    * Printed per run: wall, peak/final state rows, peak state memory,
+    * rows removed (evictions), output rows. The claims to check at 10x:
+    * state rows scale with ACTIVE keys (linear, never superlinear), memory
+    * per key is flat, wall grows sublinearly (micro-batch overhead
+    * amortizes — the streaming analog of the curate job-count verdict).
+    */
+  private def streamStateProbe(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val baseUs = 1704067200000000L // 2024-01-01 UTC
+    def wipe(p: String): Unit = {
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(path)) {
+        import scala.jdk.CollectionConverters._
+        scala.util.Using.resource(java.nio.file.Files.walk(path)) { st =>
+          st.iterator().asScala.toSeq.reverseIterator
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    }
+    // events for K keys: burst 1 = 5 events 5 min apart starting at a
+    // per-key offset (0..96 min); ODD keys get a burst 2 two hours later
+    // (even keys go idle — the funnel-TTL eviction targets). ~7.5K rows.
+    def events(k: Int): org.apache.spark.sql.DataFrame =
+      spark.range(k.toLong).select(col("id").as("user_id"))
+        .crossJoin(spark.range(10).select(col("id").as("j")))
+        .filter(col("user_id") % 2 === 1 || col("j") < 5)
+        .select(col("user_id"),
+          timestamp_micros(lit(baseUs) + (col("user_id") % 97) * 60000000L +
+            when(col("j") < 5, col("j") * 300000000L)
+              .otherwise(lit(7200000000L) + (col("j") - 5) * 300000000L)).as("ts"),
+          concat(lit("s"), col("j") % 3).as("event_type"),
+          (col("j") + 1).cast("double").as("value"))
+    // stage as 3 time-range files with ascending mtimes (the
+    // stageTimeSplitEvents shape): batch order == time order
+    def stage(df: org.apache.spark.sql.DataFrame, base: String): String = {
+      val landing = java.nio.file.Paths.get(s"$base/in")
+      java.nio.file.Files.createDirectories(landing)
+      val mm = df.agg(min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val (b1, b2) = (lo + (hi - lo) / 3, hi - (hi - lo) / 3)
+      Seq(df.filter(unix_micros(col("ts")) <= b1),
+        df.filter(unix_micros(col("ts")) > b1 && unix_micros(col("ts")) <= b2),
+        df.filter(unix_micros(col("ts")) > b2)).zipWithIndex.foreach { case (p, i) =>
+        val tmp = s"$base/tmp_$i"
+        p.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = scala.util.Using.resource(
+            java.nio.file.Files.list(java.nio.file.Paths.get(tmp))) { st =>
+          st.filter(_.getFileName.toString.endsWith(".parquet")).findFirst().get()
+        }
+        val dst = landing.resolve(f"ev_$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+      }
+      landing.toString
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    def run(name: String, k: Int, mode: String)(
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val base = s"/tmp/graft_probe_stream_${name}_$k"
+      wipe(base)
+      val landing = stage(events(k), base)
+      val src = spark.readStream.format("parquet").schema(schema)
+        .option("maxFilesPerTrigger", "1").load(landing)
+      // 4 state partitions at 1x, 8 at 10x (the key-space sizing rule the
+      // parity queries use): per-batch per-partition delta-file overhead
+      // stays fixed while rows/partition grows 5x
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        spark.conf.set("spark.sql.shuffle.partitions",
+          if (k > 10000) "8" else "4")
+        mk(src).writeStream.outputMode(mode).format("noop")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val t0 = System.nanoTime()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val st = q.recentProgress.toSeq.flatMap(_.stateOperators.toSeq)
+      val peakRows = if (st.isEmpty) 0L else st.map(_.numRowsTotal).max
+      val finalRows = q.recentProgress.lastOption
+        .flatMap(_.stateOperators.headOption).map(_.numRowsTotal).getOrElse(0L)
+      val peakMem = if (st.isEmpty) 0L else st.map(_.memoryUsedBytes).max
+      val removed = st.map(_.numRowsRemoved).sum
+      val outRows = q.recentProgress.map(_.sink.numOutputRows).filter(_ > 0).sum
+      println(f"$name%-22s k=$k%6d  $wall%6.2f s  peakState=$peakRows%7d rows/" +
+        f"${peakMem / 1024}%6d KB  finalState=$finalRows%7d  evicted=$removed%6d  out=$outRows%7d")
+    }
+    for (k <- Seq(2000, 20000)) {
+      run("sessionize gap=30m", k, "append") { df =>
+        graft.streaming.StatefulOps.streamingSessionize(
+          df.withWatermark("ts", "1 hour")
+            .select(col("user_id"), col("ts"), col("value"))
+            .as[graft.streaming.SessionEvent],
+          gapMs = 1800L * 1000).toDF()
+      }
+      run("funnel ttl=1h", k, "update") { df =>
+        graft.streaming.StatefulOps.streamingFunnel(
+          df.withWatermark("ts", "1 hour")
+            .select(col("user_id"), col("ts"), col("event_type"))
+            .as[graft.streaming.FunnelEvent],
+          stageTypes = Seq("s0", "s1", "s2"), stateTtlMs = 3600L * 1000).toDF()
+      }
+    }
   }
 }

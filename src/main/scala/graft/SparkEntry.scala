@@ -186,6 +186,41 @@ object SparkEntry {
     * queries, which keep exactly ONE fixed tree per sf dir alive (wiped on
     * the way in, so bench retries never accumulate /tmp garbage).
     */
+  /** App-scoped /tmp base for a streaming query's staging/run tree. The
+    * appId suffix is the concurrency contract: with a FIXED shared path, a
+    * second Spark app (bench + verify JVMs overlapping, or two sessions in
+    * one JVM) would wipeTree a fixture another app was actively streaming
+    * from — surfacing as baffling mid-stream failures or parity hash
+    * mismatches, never as the real cause. Each app now wipes and streams
+    * only its own tree. Stale trees from EXITED apps are swept here (once
+    * per JVM): any graft_stream_* sibling not ours whose mtime is >2h old —
+    * a live app's base mtime refreshes every invocation because the run
+    * dirs are wiped/recreated as direct children — so /tmp holds at most
+    * the last ~2h of app trees instead of growing forever.
+    */
+  private val staleSweepDone = new java.util.concurrent.atomic.AtomicBoolean
+  private def streamBase(s: SparkSession, tag: String, dir: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("\\W", "_")
+    if (staleSweepDone.compareAndSet(false, true)) {
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      try {
+        scala.util.Using.resource(
+            java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter { p =>
+              val n = p.getFileName.toString
+              n.startsWith("graft_stream_") && !n.endsWith(s"__$app") &&
+                (try java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+                 catch { case _: Throwable => false })
+            }
+            .toSeq // materialize before deleting under the open listing fd
+        }.foreach(p => try wipeTree(p.toString) catch { case _: Throwable => () })
+      } catch { case _: Throwable => () } // sweep is best-effort hygiene
+    }
+    s"/tmp/graft_stream_${tag}_${dir.replaceAll("\\W", "_")}__$app"
+  }
+
   private def wipeTree(base: String): Unit = {
     val p = java.nio.file.Paths.get(base)
     if (java.nio.file.Files.exists(p)) {
@@ -208,7 +243,7 @@ object SparkEntry {
     // warm + retries); wiping the previous tree on the way in keeps at
     // most ONE tree alive per sf dir while still giving every invocation
     // the cold checkpoint/sink this query exists to measure
-    val base = s"/tmp/graft_stream_parity_${dir.replaceAll("\\W", "_")}"
+    val base = streamBase(s, "parity", dir)
     wipeTree(base)
     val ordersSchema = StructType(Seq(
       StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
@@ -289,7 +324,9 @@ object SparkEntry {
   }
 
   /** Stage the events table as THREE time-range parquet files under a
-    * fixed per-sfdir landing directory — the shared multi-batch fixture
+    * per-(sfdir, applicationId) landing directory ([[streamBase]]: a fixed
+    * shared path let a second Spark app wipe the fixture this app was
+    * streaming from) — the shared multi-batch fixture
     * behind every live-streaming parity query (`maxFilesPerTrigger=1`
     * turns the files into three ordered micro-batches; mtime spacing makes
     * FileStreamSource admit them oldest-first, so batch order == time
@@ -312,7 +349,7 @@ object SparkEntry {
     * fixture construction.
     */
   private[graft] def stageTimeSplitEvents(s: SparkSession, dir: String): String = {
-    val base = s"/tmp/graft_stream_stateful_${dir.replaceAll("\\W", "_")}"
+    val base = streamBase(s, "stateful", dir)
     val landing = java.nio.file.Paths.get(s"$base/in_events")
     val key = s"$dir@${s.sparkContext.applicationId}"
     // synchronized check-then-stage: the memo's add() can no longer be the
@@ -358,7 +395,7 @@ object SparkEntry {
 
   private def streamStatefulParityQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = s"/tmp/graft_stream_stateful_${dir.replaceAll("\\W", "_")}"
+    val base = streamBase(s, "stateful", dir)
     val landing = java.nio.file.Paths.get(stageTimeSplitEvents(s, dir))
     // fresh streaming run dirs per invocation (the part under gate)
     val runBase = s"$base/run"
@@ -379,12 +416,10 @@ object SparkEntry {
     // is sizing task count to the key space). The batch-side conf is
     // restored immediately; each run starts a FRESH checkpoint, so the
     // burned-in value never conflicts.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q = withStatePartitions(s, 4) {
       graft.streaming.StreamRunner.fileSink(
         enriched.toDF(), s"$runBase/out", s"$runBase/ckpt")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     q.awaitTermination() // AvailableNow: terminates once the input drains
     s.read.parquet(s"$runBase/out")
   }
@@ -397,11 +432,17 @@ object SparkEntry {
     * caller starts a FRESH checkpoint, so the burned-in value never
     * conflicts.
     */
-  private def withStatePartitions[A](s: SparkSession, n: Int)(start: => A): A = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try { s.conf.set("spark.sql.shuffle.partitions", n.toString); start }
-    finally s.conf.set("spark.sql.shuffle.partitions", prev)
-  }
+  private def withStatePartitions[A](s: SparkSession, n: Int)(start: => A): A =
+    // synchronized on the session: the get/set/restore is non-atomic, and
+    // two threads building gated queries on one session would otherwise
+    // race — one could read the other's temporary n as "prev" and leak it
+    // as the session default. Java monitors are reentrant, so a nested use
+    // on the same thread still restores outside-in correctly.
+    s.synchronized {
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      try { s.conf.set("spark.sql.shuffle.partitions", n.toString); start }
+      finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
 
   /** `dropDuplicatesWithinWatermark` under the driver gate — the streaming
     * dedup runtime ([[graft.streaming.StreamRunner.streamingDedup]], the
@@ -422,7 +463,7 @@ object SparkEntry {
     */
   private def streamDedupParityQ(s: SparkSession, dir: String): DataFrame = {
     val landing = stageTimeSplitEvents(s, dir)
-    val base = s"/tmp/graft_stream_dedup_${dir.replaceAll("\\W", "_")}"
+    val base = streamBase(s, "dedup", dir)
     wipeTree(base)
     val src = graft.streaming.StreamRunner
       .fileSource(s, landing, stagedEventsSchema, format = "parquet",
@@ -460,7 +501,7 @@ object SparkEntry {
   private def streamFunnelParityQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val landing = stageTimeSplitEvents(s, dir)
-    val base = s"/tmp/graft_stream_funnel_${dir.replaceAll("\\W", "_")}"
+    val base = streamBase(s, "funnel", dir)
     wipeTree(base)
     val src = graft.streaming.StreamRunner
       .fileSource(s, landing, stagedEventsSchema, format = "parquet",
@@ -508,7 +549,7 @@ object SparkEntry {
     */
   private def streamWindowParityQ(s: SparkSession, dir: String): DataFrame = {
     val landing = stageTimeSplitEvents(s, dir)
-    val base = s"/tmp/graft_stream_window_${dir.replaceAll("\\W", "_")}"
+    val base = streamBase(s, "window", dir)
     wipeTree(base)
     val src = graft.streaming.StreamRunner
       .fileSource(s, landing, stagedEventsSchema, format = "parquet",
@@ -544,7 +585,7 @@ object SparkEntry {
     */
   private def streamJoinParityQ(s: SparkSession, dir: String): DataFrame = {
     val landing = stageTimeSplitEvents(s, dir)
-    val base = s"/tmp/graft_stream_join_${dir.replaceAll("\\W", "_")}"
+    val base = streamBase(s, "join", dir)
     wipeTree(base)
     def src() = graft.streaming.StreamRunner
       .fileSource(s, landing, stagedEventsSchema, format = "parquet",
@@ -591,7 +632,7 @@ object SparkEntry {
   private def streamSessionizeParityQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val landing = stageTimeSplitEvents(s, dir)
-    val base = s"/tmp/graft_stream_sess_${dir.replaceAll("\\W", "_")}"
+    val base = streamBase(s, "sess", dir)
     wipeTree(base)
     val src = graft.streaming.StreamRunner
       .fileSource(s, landing, stagedEventsSchema, format = "parquet",
@@ -627,7 +668,7 @@ object SparkEntry {
   private def streamKmvParityQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val landing = stageTimeSplitEvents(s, dir)
-    val base = s"/tmp/graft_stream_kmv_${dir.replaceAll("\\W", "_")}"
+    val base = streamBase(s, "kmv", dir)
     wipeTree(base)
     val src = graft.streaming.StreamRunner
       .fileSource(s, landing, stagedEventsSchema, format = "parquet",
@@ -678,7 +719,7 @@ object SparkEntry {
     import s.implicits._
     import graft.streaming.{StatefulOps, StreamRunner, EmaEvent, RateEvent}
     val landing = stageTimeSplitEvents(s, dir)
-    val base = s"/tmp/graft_stream_recur_${dir.replaceAll("\\W", "_")}"
+    val base = streamBase(s, "recur", dir)
     wipeTree(base)
     def src() = StreamRunner
       .fileSource(s, landing, stagedEventsSchema, format = "parquet",
@@ -705,11 +746,19 @@ object SparkEntry {
     val staged = s.read.parquet(landing)
     def cmp(op: String, live: DataFrame, twin: DataFrame,
             cols: Seq[String]): DataFrame = {
-      val l = live.select(col("event_id") +: cols.map(col): _*)
-      val t = twin.select(col("event_id") +:
+      // presence markers + null-safe <=> per column: the earlier
+      // isNull-either-side form counted a row whose compared column is
+      // legitimately null on BOTH sides as a mismatch, so a future stateful
+      // op emitting nullable values would hash-fail the gate as a false
+      // positive. Only a row missing from one side entirely (presence
+      // marker null after the full outer join) or a genuine value
+      // divergence (not <=>) counts now.
+      val l = live.select(col("event_id") +: lit(true).as("__pl") +:
+        cols.map(col): _*)
+      val t = twin.select(col("event_id") +: lit(true).as("__pt") +:
         cols.map(c => col(c).as(s"__b_$c")): _*)
-      val mism = cols.map(c => col(c).isNull || col(s"__b_$c").isNull ||
-        col(c) =!= col(s"__b_$c")).reduce(_ || _)
+      val mism = (col("__pl").isNull || col("__pt").isNull ||
+        cols.map(c => !(col(c) <=> col(s"__b_$c"))).reduce(_ || _))
       l.join(t, Seq("event_id"), "full_outer")
         .agg(count(lit(1)).as("n_rows"),
           sum(when(mism, 1L).otherwise(0L)).as("n_mismatch"))
@@ -732,13 +781,30 @@ object SparkEntry {
   }
 
   /** T4 under the driver gate: the DOT rendering of the Part-3 topology
-    * (`wv/view-topology`, reference core.clj:204) as a 1-row literal table.
-    * The oracle pins the exact text — node sort order, shapes, and edge
-    * order are hash-checked every round, not just spec-checked.
+    * (`wv/view-topology`, reference core.clj:204) in BOTH faces — bare, and
+    * with experiment results overlaid on the node labels (the reference's
+    * post-experiment visualization, `wv/view-topology` after
+    * `we/run-experiment`, core.clj:237). The overlay runs a deterministic
+    * literal experiment (the Part-1 purchases plus one humble/one large
+    * donation) through [[graft.core.Topology.experiment]], so every node
+    * label's sample rows and row count — truncation at maxRows included —
+    * are part of the pinned text. The oracle pins both literals exactly:
+    * node sort order, shapes, edge order, label escaping, and the
+    * per-entity fold results are hash-checked every round, not just
+    * spec-checked.
     */
   private def topologyDotQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Seq(ReferenceOps.transactionTopology.toDot).toDF("dot")
+    val topo = ReferenceOps.transactionTopology
+    val purchases = Seq(
+      (1, 10.0, 101, 1), (2, 500.0, 102, 3), (3, 50.0, 103, 2),
+      (4, 1000.0, 104, 5)).toDF("key", "amount", "user_id", "quantity")
+    val donations = Seq((10, 5000, 201), (11, 20000, 202))
+      .toDF("key", "donation_amount_cents", "user_id")
+    val results = topo.experiment(Map(
+      "purchase-made" -> purchases, "humble-donation-made" -> donations))
+    Seq("bare" -> topo.toDot, "overlay" -> topo.toDot(results))
+      .toDF("variant", "dot")
   }
 
   /** T3 under the driver gate: the validation walkthrough
@@ -6416,10 +6482,14 @@ object SparkEntry {
         |WHERE seq < max_seq
         |   OR epoch_ms(session_end) + 1800000 <
         |      (SELECT epoch_ms(MAX(ts) - INTERVAL 1 HOUR) FROM events)""".stripMargin,
-    // T4: the DOT literal IS the oracle — any drift in node sorting,
-    // shapes, or edge order hash-mismatches at the driver gate
+    // T4: the DOT literals ARE the oracle — any drift in node sorting,
+    // shapes, edge order, or the overlay's per-entity experiment rows
+    // (sample rows, truncation, row counts) hash-mismatches at the driver
+    // gate. '\n' inside the single-quoted SQL string is the literal
+    // backslash-n DOT label escape, exactly as toDot emits it.
     "q_topology_dot" ->
-      """SELECT 'digraph topology {
+      """SELECT * FROM (VALUES
+        |('bare', 'digraph topology {
         |  "humble-donation-made" [shape=cylinder];
         |  "large-donation-stream" [shape=box];
         |  "large-purchase-stream" [shape=box];
@@ -6429,7 +6499,18 @@ object SparkEntry {
         |  "humble-donation-made" -> "large-donation-stream";
         |  "large-purchase-stream" -> "large-transaction-made";
         |  "large-donation-stream" -> "large-transaction-made";
-        |}' AS dot""".stripMargin,
+        |}'),
+        |('overlay', 'digraph topology {
+        |  "humble-donation-made" [shape=cylinder, label="humble-donation-made\n(10, 5000, 201)\n(11, 20000, 202)\n[2 rows]"];
+        |  "large-donation-stream" [shape=box, label="large-donation-stream\n(11, 202, 200)\n[1 rows]"];
+        |  "large-purchase-stream" [shape=box, label="large-purchase-stream\n(2, 102, 500)\n(4, 104, 1000)\n[2 rows]"];
+        |  "large-transaction-made" [shape=cylinder, label="large-transaction-made\n(2, 102, 500)\n(4, 104, 1000)\n(11, 202, 200)\n[3 rows]"];
+        |  "purchase-made" [shape=cylinder, label="purchase-made\n(1, 10.0, 101, 1)\n(2, 500.0, 102, 3)\n(3, 50.0, 103, 2)\n[4 rows]"];
+        |  "purchase-made" -> "large-purchase-stream";
+        |  "humble-donation-made" -> "large-donation-stream";
+        |  "large-purchase-stream" -> "large-transaction-made";
+        |  "large-donation-stream" -> "large-transaction-made";
+        |}')) AS t(variant, dot)""".stripMargin,
     "q_topology_validate" ->
       """SELECT * FROM (VALUES
         |  ('valid', true, ''),

@@ -1345,11 +1345,19 @@ object Analytics {
               graft.expressions.PairCombos(
                 org.apache.spark.sql.graft.ColumnBridge.expression(col("__arr1"))))).as("__pr"))
           .select(col("__b"), col("__pr.p1").as("p1"), col("__pr.p2").as("p2"))
-        val frequentPairs = bp.groupBy(col("p1"), col("p2"))
-          .agg(count(lit(1)).as("__np"))
+        // Pair support via a whole-partition window on (p1, p2), NOT an
+        // aggregate + semi-join back: the agg/semi-join form referenced bp
+        // from TWO plan branches, so the quadratic PairCombos explode was
+        // planned and executed twice — on exactly the sparse domains the
+        // prune targets, where that explode is the dominant cost. The
+        // window pays one shuffle of the exploded pairs instead (spilling
+        // ExternalAppendOnlyUnsafeRowArray frames, no cache pinning), and
+        // the generator runs once. Same survivors: a bp row passes iff its
+        // (p1, p2) global count >= minSupport, bit-identical to the
+        // semi-join (prune on/off parity stays pinned in AnalyticsSpec).
+        bp.withColumn("__np",
+            count(lit(1)).over(Window.partitionBy(col("p1"), col("p2"))))
           .filter(col("__np") >= minSupport)
-          .select(col("p1"), col("p2"))
-        bp.join(frequentPairs, Seq("p1", "p2"), "left_semi")
           .select(col("__b"), explode(array(col("p1"), col("p2"))).as("__i2"))
           .groupBy(col("__b"), col("__i2")).agg(count(lit(1)).as("__deg"))
           .filter(col("__deg") >= 2)

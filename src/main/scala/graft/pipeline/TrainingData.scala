@@ -764,14 +764,17 @@ object TrainingData {
     * drops the flagged slice).
     *
     * Scale shape: the benchmark side is SMALL by nature (a benchmark is
-    * curated; the train side is the 100 TB one) — enforced by
-    * `maxBenchRows` with a loud failure naming the LSH/IVF alternative,
-    * then broadcast prenormed. The train side streams MAP-ONLY through a
-    * BroadcastNestedLoop scoring pass (|bench| fused codegen'd dots per
-    * row — the [[graft.similarity.Ann.knnGraph]] kernel shape) into a
-    * partial-aggregated per-id max, so the only shuffle is |train| slim
-    * (id, max) rows and the corpus itself never reshuffles. The count
-    * gate makes plan construction eager (one count() over the
+    * curated; the train side is the 100 TB one). Up to `maxBenchRows` the
+    * benchmark is broadcast prenormed and the train side streams MAP-ONLY
+    * through a BroadcastNestedLoop scoring pass (|bench| fused codegen'd
+    * dots per row — the [[graft.similarity.Ann.knnGraph]] kernel shape)
+    * into a partial-aggregated per-id max, so the only shuffle is |train|
+    * slim (id, max) rows and the corpus itself never reshuffles. ABOVE
+    * `maxBenchRows` the call dispatches to [[semanticDecontaminateLsh]]
+    * — random-hyperplane bucket candidates + exact re-score — whose
+    * weaker score contract (NULL `max_bench_cos` for candidate-free rows,
+    * detection recall ~`recall`) is documented there. The count gate
+    * makes plan construction eager (one count() over the
     * small-by-premise side — the [[fuzzyDecontaminate]] trade, stated).
     * The contamination compare uses the UNROUNDED max (the oracle
     * replays the identical left-to-right IEEE dot), rounding only the
@@ -779,15 +782,15 @@ object TrainingData {
     */
   def semanticDecontaminate(train: DataFrame, bench: DataFrame, idCol: String,
                             vecCol: String, threshold: Double,
-                            maxBenchRows: Long = 500000L): DataFrame = {
+                            maxBenchRows: Long = 500000L,
+                            recall: Double = 0.999,
+                            seed: Long = 42L): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     import graft.functions.{VectorFunctions => VF}
     val bCount = bench.count()
-    require(bCount <= maxBenchRows,
-      s"semanticDecontaminate broadcasts the benchmark: $bCount rows > " +
-        s"maxBenchRows=$maxBenchRows — at benchmark scale use the LSH/IVF " +
-        "candidate machinery (Dedup.embeddingNearDupLsh over the union, or " +
-        "Ann.ivfTopK per train row) instead of the dense scoring pass")
+    if (bCount > maxBenchRows)
+      return semanticDecontaminateLsh(train, bench, idCol, vecCol, threshold,
+        benchN = bCount, recall = recall, seed = seed)
     def prep(d: DataFrame, p: String): DataFrame =
       d.select(col(idCol).as(s"${p}id"), VF.toDouble(col(vecCol)).as(s"${p}v"))
         .withColumn(s"${p}n", VF.norm(col(s"${p}v")))
@@ -804,6 +807,87 @@ object TrainingData {
     scored.select(col("tid").as(idCol),
       round(col("__mc"), 6).as("max_bench_cos"),
       (col("__mc") >= threshold).as("contaminated"))
+  }
+
+  /** The LARGE-benchmark face of [[semanticDecontaminate]] — the path that
+    * used to be an error message. When the benchmark outgrows the dense
+    * broadcast (> `maxBenchRows`), candidates come from random-hyperplane
+    * LSH bucket collisions ([[graft.similarity.Ann.LshIndex]], the
+    * [[graft.dedup.Dedup.embeddingNearDupLsh]] machinery re-aimed at a
+    * bipartite train-vs-bench probe instead of a self-join), then exact
+    * cosine re-scores only the collided pairs.
+    *
+    * CONTRACT DIFFERENCE vs the dense face, by nature of LSH: the output
+    * is still one row per train id, but `max_bench_cos` is the exact max
+    * over *candidate* benchmark rows only — NULL when no bucket collision
+    * fired (the dense face's "true max over the whole benchmark, however
+    * low" is exactly the all-pairs work this path exists to avoid), and
+    * `contaminated` detection holds with recall ~`recall` at `threshold`
+    * (config auto-sized by [[graft.similarity.Ann.autoConfig]], radius-1
+    * multiprobe on the train side when cost-optimal).
+    *
+    * Scale shape: the benchmark is hashed into (table, bucket, id) tags —
+    * ~20 B/row·table, broadcast when they fit an executor, shuffled
+    * otherwise — and the train side streams through hashing + the
+    * candidate equi-join map-only in the broadcast regime. Vectors never
+    * ride through the candidate join: pairs dedup as bare (tid, bid) ids
+    * first (the embeddingNearDupLsh multiplicity lesson), then the two
+    * vector joins and the per-id max shuffle linearly in candidates. The
+    * one row per train id comes from a final left join of the slim id
+    * projection against the slim (id, max) aggregate — the corpus itself
+    * never reshuffles.
+    */
+  def semanticDecontaminateLsh(train: DataFrame, bench: DataFrame,
+                               idCol: String, vecCol: String, threshold: Double,
+                               benchN: Long = -1L, recall: Double = 0.999,
+                               seed: Long = 42L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    import graft.functions.{VectorFunctions => VF}
+    val benchCount = if (benchN > 0) benchN else bench.count()
+    // dim from one benchmark row (a bounded head(1) job): the index needs
+    // the hyperplane dimensionality and the API takes none explicitly
+    val dim = bench.select(size(col(vecCol)).as("d")).head().getInt(0)
+    // size by the INDEXED (bench) side: recall per pair is a property of
+    // (bits, tables, probe) at the threshold alone, and cost scales with
+    // bench bucket occupancy — the train side pays linear hashing either
+    // way, so its (possibly unknowable) count must not gate the plan
+    val (bits, tables, probe) =
+      graft.similarity.Ann.autoConfig(benchCount, threshold, recall)
+    val index = graft.similarity.Ann.LshIndex(dim, bits, tables, seed)
+    def prep(d: DataFrame, p: String): DataFrame =
+      d.select(col(idCol).as(s"${p}id"), VF.toDouble(col(vecCol)).as(s"${p}v"))
+        .withColumn(s"${p}n", VF.norm(col(s"${p}v")))
+    val t = graft.operators.Par.fanOut(prep(train, "t"), Seq("tid"))
+    val b = prep(bench, "b")
+    val bTags = index.withBuckets(b.select(col("bid"), col("bv").as("v")), "v")
+      .select(col("bid"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    val tTags = index.withBuckets(t.select(col("tid"), col("tv").as("v")), "v")
+      .select(col("tid"), posexplode(col("buckets")).as(Seq("table", "bucket")))
+    // multiprobe on the PROBING (train) side only, as in embeddingNearDupLsh:
+    // (1+bits)x slim tag rows there; the indexed side keeps real buckets
+    val tProbed =
+      if (probe <= 0) tTags
+      else {
+        val masks = (0 until bits).map(1L << _)
+        tTags.select(col("tid"), col("table"),
+          explode(concat(array(col("bucket")),
+            transform(typedlit(masks), m => col("bucket").bitwiseXOR(m)))).as("bucket"))
+      }
+    val buildSide =
+      if (benchCount * tables <= 4000000L) broadcast(bTags) else bTags
+    val cand = tProbed.join(buildSide, Seq("table", "bucket"))
+      .select(col("tid"), col("bid")).distinct()
+    val scored = cand
+      .join(b.select(col("bid"), col("bv"), col("bn")), "bid")
+      .join(t.select(col("tid"), col("tv"), col("tn")), "tid")
+      .select(col("tid"),
+        VF.cosinePrenormed(VF.dot(col("tv"), col("bv")), col("tn"), col("bn"))
+          .as("__cos"))
+      .groupBy(col("tid")).agg(max(col("__cos")).as("__mc"))
+    t.select(col("tid")).join(scored, Seq("tid"), "left")
+      .select(col("tid").as(idCol),
+        round(col("__mc"), 6).as("max_bench_cos"),
+        coalesce(col("__mc") >= threshold, lit(false)).as("contaminated"))
   }
 
   /** The gate form of [[fuzzyDecontaminate]]: the benchmark's LSH band-

@@ -135,4 +135,26 @@ class TopologySpec extends SparkSpec {
     // structure-only rendering unchanged
     assert(!t.toDot.contains("rows]"))
   }
+
+  test("q_topology_dot pins BOTH faces: the overlay literal matches the oracle text exactly") {
+    // the same literal is pinned in SparkEntry.oracleSql — a drift in either
+    // transcription fails HERE before the driver's hash gate does
+    val out = graft.SparkEntry.queries("q_topology_dot")(spark, "unused")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set("bare", "overlay"))
+    assert(out("bare").startsWith("digraph topology {"))
+    val expectedOverlay =
+      """digraph topology {
+        |  "humble-donation-made" [shape=cylinder, label="humble-donation-made\n(10, 5000, 201)\n(11, 20000, 202)\n[2 rows]"];
+        |  "large-donation-stream" [shape=box, label="large-donation-stream\n(11, 202, 200)\n[1 rows]"];
+        |  "large-purchase-stream" [shape=box, label="large-purchase-stream\n(2, 102, 500)\n(4, 104, 1000)\n[2 rows]"];
+        |  "large-transaction-made" [shape=cylinder, label="large-transaction-made\n(2, 102, 500)\n(4, 104, 1000)\n(11, 202, 200)\n[3 rows]"];
+        |  "purchase-made" [shape=cylinder, label="purchase-made\n(1, 10.0, 101, 1)\n(2, 500.0, 102, 3)\n(3, 50.0, 103, 2)\n[4 rows]"];
+        |  "purchase-made" -> "large-purchase-stream";
+        |  "humble-donation-made" -> "large-donation-stream";
+        |  "large-purchase-stream" -> "large-transaction-made";
+        |  "large-donation-stream" -> "large-transaction-made";
+        |}""".stripMargin
+    assert(out("overlay") === expectedOverlay)
+  }
 }

@@ -119,7 +119,7 @@ class TrainingDataSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
-  test("semanticDecontaminate: max-cosine report matches brute force; benchmark-size gate is loud") {
+  test("semanticDecontaminate: max-cosine report matches brute force (dense face)") {
     // 2-D toy geometry so the expected cosines are exact by construction
     val train = Seq(
       (1L, Seq(1.0f, 0.0f)),   // cos vs bench: max(1, 0)      = 1.0  → contaminated
@@ -136,13 +136,47 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(2L) === ((0.8, true)))
     assert(got(3L) === ((0.0, false)))
     assert(got(5L) === ((0.0, false)))
-    // the benchmark side must stay broadcast-small — a train-scale bench
-    // fails loudly, naming the LSH/IVF path, instead of OOMing executors
-    val e = intercept[IllegalArgumentException] {
-      TrainingData.semanticDecontaminate(train, bench, "vec_id", "embedding",
-        threshold = 0.5, maxBenchRows = 1L)
+  }
+
+  test("semanticDecontaminate dispatches to the LSH face above maxBenchRows; " +
+       "LSH face matches the dense face on contamination and candidate scores (sf0.01)") {
+    // real embedding corpus (clustered, like any production one) at the
+    // q_embed_near_dup_lsh threshold regime where the auto-sized radius-1
+    // multiprobe config is known to reach exact parity at this scale
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val train = emb.filter(col("vec_id") % 4 =!= 0)
+    val bench = emb.filter(col("vec_id") % 4 === 0)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          r.getBoolean(2)))
+      }.toMap
+    val dense = collect(TrainingData.semanticDecontaminate(
+      train, bench, "vec_id", "embedding", threshold = 0.45))
+    // maxBenchRows below the bench count: the dispatcher must route to the
+    // LSH face (the path that used to be a loud throw) instead of throwing
+    val lsh = collect(TrainingData.semanticDecontaminate(
+      train, bench, "vec_id", "embedding", threshold = 0.45, maxBenchRows = 1L))
+    assert(lsh.keySet === dense.keySet, "one row per train id on both faces")
+    val denseContaminated = dense.filter(_._2._2).keySet
+    assert(denseContaminated.nonEmpty, "fixture must actually contaminate")
+    assert(lsh.filter(_._2._2).keySet === denseContaminated,
+      "LSH detection must match dense at this scale/threshold")
+    // for every contaminated row the argmax partner clears the threshold,
+    // so it is an LSH candidate and the candidate max equals the true max
+    denseContaminated.foreach { id =>
+      assert(lsh(id)._1 === dense(id)._1, s"score mismatch for $id")
     }
-    assert(e.getMessage.contains("LSH/IVF"))
+    // the weaker contract: candidate-free rows report NULL score, never a
+    // fabricated one, and are always uncontaminated
+    lsh.values.foreach { case (score, contaminated) =>
+      if (score.isEmpty) assert(!contaminated)
+    }
+    // direct call with explicit benchN: same result, no count job
+    val direct = collect(TrainingData.semanticDecontaminateLsh(
+      train, bench, "vec_id", "embedding", threshold = 0.45,
+      benchN = bench.count()))
+    assert(direct === lsh)
   }
 
   test("fuzzyDecontaminate equals the exact cross-corpus Jaccard join (sf0.01)") {

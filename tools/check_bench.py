@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Bench gate check — standalone so a synthetic run can be tested directly.
+
+Usage: check_bench.py BENCH_JSON [BASELINE_JSON]
+
+Exit codes: 0 = green, 1 = hard fail (failed queries, or a NORMALIZED
+regression past the 2x gate), 2 = noisy (timing flags — caller re-runs).
+
+The regression check is FINGERPRINT-NORMALIZED (r14 verdict: +16% raw was
+100% box drift, fp 0.756 -> 0.927; the raw-seconds trend burned settle/
+re-run cycles two rounds running adjudicating noise the recorded
+fingerprint already explained). Bench emits value_normalized =
+value * (baseline fingerprint / this box's fingerprint); a run on a 25%
+slower box with unchanged code normalizes back to ~1.0x and passes, while
+a real 2x code regression is 2x at any fingerprint. Raw ratio is printed
+alongside so a normalization bug can't hide a real slowdown silently.
+"""
+import json
+import sys
+
+WARN_RATIO = 1.30   # advisory: look before committing
+FAIL_RATIO = 2.00   # the driver's 2x gate, applied normalized
+
+
+def main() -> int:
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_bench.json"
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "bench_out.json"
+    d = json.load(open(bench_path))
+    print(f"bench: {d['value']:.1f}s steady / {d['cold_total']:.1f}s cold "
+          f"over {len(d['queries'])} queries")
+    for k, v in sorted(d["queries"].items(), key=lambda kv: -kv[1])[:5]:
+        print(f"  {k:26s} {v:.2f}s warm")
+    if d.get("failed"):
+        print(f"GATE RED: bench queries FAILED: {d['failed']}")
+        return 1
+
+    # normalized regression vs the committed baseline (skip when absent or
+    # at a different SF — nothing comparable to gate against)
+    try:
+        base = json.load(open(base_path))
+    except (OSError, ValueError):
+        base = None
+    if base and base.get("sf") == d.get("sf") and base.get("value", 0) > 0:
+        norm = d.get("value_normalized", d["value"])
+        raw_ratio = d["value"] / base["value"]
+        norm_ratio = norm / base["value"]
+        fp = d.get("box_fingerprint_sec", 0)
+        fp_ref = d.get("fingerprint_ref", fp)
+        print(f"bench trend vs {base_path}: raw {raw_ratio:.2f}x, "
+              f"normalized {norm_ratio:.2f}x (fp {fp:.3f}s vs ref {fp_ref:.3f}s)")
+        if norm_ratio > FAIL_RATIO:
+            print(f"GATE RED: NORMALIZED bench total {norm:.1f}s is "
+                  f"{norm_ratio:.2f}x the committed baseline {base['value']:.1f}s "
+                  f"(> {FAIL_RATIO}x) — a real regression, not box drift")
+            return 1
+        if norm_ratio > WARN_RATIO:
+            print(f"gate: WARN normalized ratio {norm_ratio:.2f}x > "
+                  f"{WARN_RATIO}x — investigate before re-basing")
+
+    noisy = []
+    if d.get("warm_gt_cold"):
+        noisy.append(f"warm>cold: {list(d['warm_gt_cold'])}")
+    if d.get("steal_flagged"):
+        noisy.append(f"steal bursts: {d['steal_flagged']}")
+    if d.get("cold_steal_suspect"):
+        print(f"gate: note cold samples measured under steal (cold_total only, "
+              f"steady totals unaffected): {d['cold_steal_suspect']}")
+    if noisy:
+        print("gate: timing flags — " + "; ".join(noisy))
+        return 2
+    return 0
+
+
+def selftest() -> int:
+    """Synthetic-box scenarios for the normalized gate (run by gate.sh).
+
+    The scenario the normalization exists for: a 2.2x raw "regression"
+    measured on a 2.3x slower box (fingerprint 0.75 -> 1.725) must PASS —
+    normalized it is ~0.96x. And a true 2.2x code regression on the SAME
+    box must still FAIL. Both run through main() itself, not a copy of its
+    logic, so the gate tested is the gate shipped.
+    """
+    import os
+    import subprocess
+    import tempfile
+
+    base = {"metric": "total", "value": 100.0, "unit": "sec", "sf": "sfX",
+            "box_fingerprint_sec": 0.75, "queries": {"q": 100.0},
+            "cold_total": 120.0, "failed": []}
+
+    def run(bench):
+        with tempfile.TemporaryDirectory() as td:
+            bp, pp = os.path.join(td, "b.json"), os.path.join(td, "base.json")
+            json.dump(bench, open(bp, "w"))
+            json.dump(base, open(pp, "w"))
+            return subprocess.run(
+                [sys.executable, __file__, bp, pp],
+                capture_output=True, text=True).returncode
+
+    def bench(raw, fp):
+        return {"metric": "total", "value": raw,
+                "value_normalized": raw * base["box_fingerprint_sec"] / fp,
+                "fingerprint_ref": base["box_fingerprint_sec"],
+                "box_fingerprint_sec": fp, "unit": "sec", "sf": "sfX",
+                "queries": {"q": raw}, "cold_total": raw * 1.2, "failed": []}
+
+    slow_box = run(bench(220.0, 1.725))   # 2.2x raw, all box: must pass
+    real_reg = run(bench(220.0, 0.75))    # 2.2x raw, same box: must fail
+    quiet = run(bench(101.0, 0.75))       # 1.01x: must pass
+    ok = (slow_box == 0 and real_reg == 1 and quiet == 0)
+    print(f"check_bench selftest: slow-box-2.2x-raw={slow_box} (want 0), "
+          f"real-2.2x-regression={real_reg} (want 1), quiet={quiet} (want 0) "
+          f"-> {'OK' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
+    sys.exit(main())

@@ -33,6 +33,9 @@ if runs < prev:
           f"queries are silently failing (Verify skips throwers)")
     sys.exit(1)
 EOF2
+# regenerate the counts stated in README prose from the artifacts just
+# produced (test reports + verify output) — prose can't drift (r14 #6)
+python3 tools/update_counts.py /tmp/graft_gate
 # Bench with a noise gate (r11 verdict: the committed totals carried steal
 # bursts and warm>cold entries behind mere warnings): a run whose
 # steal_flagged or warm_gt_cold list is non-empty is re-run ONCE (the
@@ -48,28 +51,15 @@ run_bench() {
     sbt -batch "runMain graft.Bench" > /dev/null
 }
 check_bench() {  # prints summary; exit 1 = hard fail, 2 = noisy
-  python3 - <<'EOF2'
-import json, sys
-d = json.load(open('/tmp/graft_bench.json'))
-print(f"bench: {d['value']:.1f}s steady / {d['cold_total']:.1f}s cold over {len(d['queries'])} queries")
-for k, v in sorted(d['queries'].items(), key=lambda kv: -kv[1])[:5]:
-    print(f"  {k:26s} {v:.2f}s warm")
-if d.get('failed'):
-    print(f"GATE RED: bench queries FAILED: {d['failed']}")
-    sys.exit(1)
-noisy = []
-if d.get('warm_gt_cold'):
-    noisy.append(f"warm>cold: {list(d['warm_gt_cold'])}")
-if d.get('steal_flagged'):
-    noisy.append(f"steal bursts: {d['steal_flagged']}")
-if d.get('cold_steal_suspect'):
-    print(f"gate: note cold samples measured under steal (cold_total only, "
-          f"steady totals unaffected): {d['cold_steal_suspect']}")
-if noisy:
-    print("gate: timing flags — " + "; ".join(noisy))
-    sys.exit(2)
-EOF2
+  # standalone script (tools/check_bench.py) so the fingerprint-normalized
+  # regression gate is testable against synthetic slow-box inputs; the 2x
+  # regression check runs NORMALIZED (box drift passes, code regressions
+  # fail at any fingerprint)
+  python3 tools/check_bench.py /tmp/graft_bench.json bench_out.json
 }
+# prove the normalized gate distinguishes box drift from code regression
+# BEFORE trusting it on the real run (3 synthetic scenarios, <1 s)
+python3 tools/check_bench.py --selftest
 run_bench
 set +e; check_bench; rc=$?; set -e
 if [ "$rc" = 2 ]; then
