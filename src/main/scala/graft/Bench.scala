@@ -142,6 +142,9 @@ object Bench {
     }
     val gcSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val gcFlagged = scala.collection.mutable.LinkedHashSet.empty[String]
+    // cause label per warm>cold-flagged query, from steal/GC sampled
+    // around the final warm trio itself (see the trio() note below)
+    val warmCause = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       // heap isolation: collect the PREVIOUS query's garbage now, on
       // untimed wall-clock, not inside this query's cold run
@@ -172,8 +175,26 @@ object Bench {
       // steady-state = MEDIAN of three warm runs: a single warm sample can
       // be poisoned by a GC pause (observed: 3.4 s on a 0.26 s query), and
       // min() of few samples biases optimistic (one lucky run sets the
-      // number) — the median is robust to one outlier in either direction
-      var warm = Seq(once(), once(), once()).sorted.apply(1)
+      // number) — the median is robust to one outlier in either direction.
+      // Each trio also samples steal + GC around ITSELF: the whole-query
+      // steal detector below needs > max(2s, query wall) of steal to fire,
+      // so a smaller burst can poison every warm sample of a multi-second
+      // query and leave warm>cold "unexplained" (r12/r14's q_image_dhash:
+      // warm 5.67 s vs cold 0.93 s, gc 0.35 s, no steal flag — a
+      // sub-threshold burst is the only consistent account, and solo
+      // profiles are clean at 0.6 s). Attributing the trio turns the
+      // noise-floor substitution from silent masking into a labeled cause
+      // — "unknown" now MEANS "possibly a real warm-path regression".
+      var warmTrioSteal = 0L; var warmTrioGc = 0.0; var warmTrioSec = 0.0
+      def trio(): Seq[Double] = {
+        val ts0 = stealJiffies(); val tg0 = gcMs()
+        val xs = Seq(once(), once(), once())
+        warmTrioSteal = stealJiffies() - ts0
+        warmTrioGc = (gcMs() - tg0) / 1000.0
+        warmTrioSec = xs.sum
+        xs
+      }
+      var warm = trio().sorted.apply(1)
       // A warm median above the query's own cold time is physically
       // implausible on a quiet box (cold pays codegen on top of the same
       // work): a steal/GC burst poisoned all three samples. ONE bounded
@@ -181,7 +202,7 @@ object Bench {
       // number survives unless the rerun's median (not min) beats it, and
       // the retry is logged with the steal evidence.
       if (!failed.contains(name) && warm > cold * 1.10 && warm - cold > 0.25) {
-        val again = Seq(once(), once(), once()).sorted.apply(1)
+        val again = trio().sorted.apply(1)
         val stolen = stealJiffies() - s0
         System.err.println(f"BENCH RETRY $name%-26s warm $warm%.2fs > cold $cold%.2fs (steal ${stolen}j) — rerun median ${again}%.2fs")
         if (again < warm) warm = again
@@ -206,7 +227,7 @@ object Bench {
           // in-JVM (codegen is warm now) — flag it so cold_total readers
           // know which addends were measured under contention
           coldStealSuspect += name
-          val again = Seq(once(), once(), once()).sorted.apply(1)
+          val again = trio().sorted.apply(1)
           System.err.println(f"BENCH STEAL-RETRY $name%-26s warm $warm%.2fs under ${stealSecQ}%.0f CPU-s steal — rerun median ${again}%.2fs")
           if (again < warm) warm = again
           else stealFlagged += name
@@ -224,6 +245,17 @@ object Bench {
           System.err.println(f"BENCH GC $name%-26s spent $gcSecQ%.2fs in GC over $wallSecQ%.2fs wall")
         }
       }
+      // attribute a would-be warm>cold flag while the trio stats are in
+      // scope (the flag list itself is recomputed post-loop from results)
+      if (!failed.contains(name) && warm > cold * 1.10 && warm - cold > 0.25) {
+        val stealSec = warmTrioSteal / 100.0
+        warmCause(name) =
+          if (stealSec >= 0.5 * warmTrioSec)
+            f"steal $stealSec%.1fs over $warmTrioSec%.1fs warm wall"
+          else if (warmTrioGc >= 0.5 * warmTrioSec)
+            f"gc $warmTrioGc%.1fs over $warmTrioSec%.1fs warm wall"
+          else "unknown — possibly a real warm-path regression"
+      }
       if (failed.contains(name)) name -> (-1.0, -1.0) else name -> (warm, cold)
     }
     // Noise self-check (r7/r8 judge ask): a query's warm MEDIAN exceeding its
@@ -240,7 +272,8 @@ object Bench {
       case (k, (w, c)) if w > 0 && c > 0 && w > c * 1.10 && w - c > 0.25 => (k, w, c)
     }.sortBy { case (_, w, c) => -(w / c) }
     warmGtCold.foreach { case (k, w, c) =>
-      System.err.println(f"BENCH NOISE $k%-26s warm $w%.2fs > cold $c%.2fs (${w / c}%.2fx) — timing suspect, rerun on a quiet box")
+      System.err.println(f"BENCH NOISE $k%-26s warm $w%.2fs > cold $c%.2fs (${w / c}%.2fx) — " +
+        warmCause.getOrElse(k, "timing suspect") + "; rerun on a quiet box")
     }
     // Steady value per query: the warm median — EXCEPT when even the
     // retried median stays implausibly above the query's own cold run
@@ -301,7 +334,18 @@ object Bench {
     val fpRef: Double = trendTxt
       .flatMap(""""box_fingerprint_sec":(-?[0-9.]+)""".r.findFirstMatchIn(_))
       .map(_.group(1).toDouble).filter(_ > 0).getOrElse(boxFp)
-    val fpScale = fpRef / boxFp
+    // CALIBRATED blend, not full proportionality: only ~70% of suite wall
+    // tracks single-thread CPU speed — the rest is IO, scheduling, and
+    // fixed job-submission latency that a faster core doesn't shrink.
+    // Measured on the r14 same-code box pair: fp 0.756 -> 143.6 s vs
+    // fp 0.927 -> 166.3 s solves value(fpB) = value(fpA) x
+    // (gamma x fpB/fpA + (1-gamma)) at gamma = 0.70 exactly; full
+    // proportionality (gamma = 1) over-corrects — it penalizes runs on
+    // fast boxes ~1.16x and over-forgives slow ones by the same factor.
+    // The normalizer is the exact INVERSE of that forward model.
+    val FpSensitiveFraction = 0.70
+    val fpScale = 1.0 /
+      (FpSensitiveFraction * boxFp / fpRef + (1 - FpSensitiveFraction))
     try {
       val txt = trendTxt.getOrElse(
         throw new java.nio.file.NoSuchFileException(trendBase))
@@ -358,7 +402,7 @@ object Bench {
     }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_OUT", "bench_out.json")
     System.err.println(f"BENCH NORMALIZED total ${total * fpScale}%.1fs " +
-      f"(raw ${total}%.1fs x fpRef $fpRef%.3f / box $boxFp%.3f)")
+      f"(raw ${total}%.1fs, gamma-blend box $boxFp%.3f -> ref $fpRef%.3f, x$fpScale%.3f)")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"failed":$failedJson,"measure":"$measure","sf":"$sfDir"}"""
     println(line)
     // The driver parses the metric line out of a BOUNDED log tail. With 79+
@@ -372,7 +416,8 @@ object Bench {
     // flagged queries keep all three numbers in the file: the raw (noisy)
     // warm median, the cold run, and the min() that entered the totals
     val noiseJson = warmGtCold.map { case (k, w, c) =>
-      s""""$k":{"raw_warm":${r3(w)},"cold":${r3(c)},"used":${r3(math.min(w, c))}}"""
+      val cause = warmCause.getOrElse(k, "unattributed").replace("\"", "")
+      s""""$k":{"raw_warm":${r3(w)},"cold":${r3(c)},"used":${r3(math.min(w, c))},"cause":"$cause"}"""
     }.mkString("{", ",", "}")
     val stealTotal = stealJiffies() - stealStart
     val shuffleJson = shuffleBytes

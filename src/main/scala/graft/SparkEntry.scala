@@ -198,8 +198,8 @@ object SparkEntry {
     * dirs are wiped/recreated as direct children — so /tmp holds at most
     * the last ~2h of app trees instead of growing forever.
     */
-  private val staleSweepDone = new java.util.concurrent.atomic.AtomicBoolean
-  private def streamBase(s: SparkSession, tag: String, dir: String): String = {
+  private[graft] val staleSweepDone = new java.util.concurrent.atomic.AtomicBoolean
+  private[graft] def streamBase(s: SparkSession, tag: String, dir: String): String = {
     val app = s.sparkContext.applicationId.replaceAll("\\W", "_")
     if (staleSweepDone.compareAndSet(false, true)) {
       val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
@@ -3659,6 +3659,28 @@ object SparkEntry {
       "vec_id", "embedding", threshold = 0.35)
   }
 
+  /** The LSH face of semantic decontamination under the driver gate: same
+    * train/bench split as [[semanticDecontaminateQ]] but FORCED through
+    * [[TrainingData.semanticDecontaminateLsh]] (`maxBenchRows = 1`) and
+    * projected to the CONTAMINATED slice — the slice whose scores the LSH
+    * face contracts to compute exactly (every contaminated row's argmax
+    * partner clears the threshold, so it is a bucket candidate and the
+    * candidate max equals the true max). At this scale and threshold the
+    * auto-sized radius-1 multiprobe config detects exactly the dense
+    * face's contaminated set (TrainingDataSpec pins set AND scores), so
+    * the dense max-cosine SQL filtered to the threshold applies verbatim
+    * — a recall regression in the LSH candidate machinery hash-fails the
+    * driver gate, the q_embed_near_dup_lsh pattern.
+    */
+  private def semanticDecontaminateLshQ(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    TrainingData.semanticDecontaminate(
+      emb.filter(col("vec_id") % 4 =!= 0),
+      emb.filter(col("vec_id") % 4 === 0),
+      "vec_id", "embedding", threshold = 0.45, maxBenchRows = 1L)
+      .filter(col("contaminated"))
+  }
+
   private def chunkDocsQ(s: SparkSession, dir: String): DataFrame =
     TrainingData.chunkDocs(t(s, dir, "documents"), "doc_id", "text",
       chunkTokens = 32, stride = 16)
@@ -5783,6 +5805,7 @@ object SparkEntry {
     "q_hash_reservoir"      -> (hashReservoirQ(_, _)),
     "q_fuzzy_decontaminate" -> (fuzzyDecontaminateQ(_, _)),
     "q_semantic_decontaminate" -> (semanticDecontaminateQ(_, _)),
+    "q_semantic_decontaminate_lsh" -> (semanticDecontaminateLshQ(_, _)),
     "q_chunk_docs"          -> (chunkDocsQ(_, _)),
     "q_importance_weights"  -> (importanceWeightsQ(_, _)),
     "q_ann_quantized"       -> (annQuantizedQ(_, _)),
@@ -8071,6 +8094,18 @@ object SparkEntry {
          |SELECT tid AS vec_id, round(mc, 6) AS max_bench_cos,
          |  mc >= 0.35 AS contaminated
          |FROM p""".stripMargin,
+    // the LSH face emits exactly the dense face's contaminated slice with
+    // exact candidate scores (see semanticDecontaminateLshQ) — the oracle
+    // is the dense max-cosine SQL filtered to the 0.45 threshold
+    "q_semantic_decontaminate_lsh" ->
+      s"""WITH p AS (
+         |  SELECT x.vec_id AS tid, max($duckCos) AS mc
+         |  FROM embeddings x, embeddings y
+         |  WHERE x.vec_id % 4 != 0 AND y.vec_id % 4 = 0
+         |  GROUP BY 1)
+         |SELECT tid AS vec_id, round(mc, 6) AS max_bench_cos,
+         |  TRUE AS contaminated
+         |FROM p WHERE mc >= 0.45""".stripMargin,
     "q_fuzzy_decontaminate" ->
       s"""WITH toksrc AS (
          |  SELECT doc_id, $duckToks AS w FROM documents

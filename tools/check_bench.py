@@ -74,11 +74,12 @@ def main() -> int:
 def selftest() -> int:
     """Synthetic-box scenarios for the normalized gate (run by gate.sh).
 
-    The scenario the normalization exists for: a 2.2x raw "regression"
-    measured on a 2.3x slower box (fingerprint 0.75 -> 1.725) must PASS —
-    normalized it is ~0.96x. And a true 2.2x code regression on the SAME
-    box must still FAIL. Both run through main() itself, not a copy of its
-    logic, so the gate tested is the gate shipped.
+    The scenario the normalization exists for: a 1.91x raw "regression"
+    measured on a 2.3x slower box (fingerprint 0.75 -> 1.725 — exactly
+    what the calibrated gamma=0.7 box model predicts for unchanged code)
+    must PASS at ~1.0x normalized. And a true 2.2x code regression on the
+    SAME box must still FAIL. Both run through main() itself, not a copy
+    of its logic, so the gate tested is the gate shipped.
     """
     import os
     import subprocess
@@ -98,17 +99,19 @@ def selftest() -> int:
                 capture_output=True, text=True).returncode
 
     def bench(raw, fp):
+        # the same calibrated gamma=0.7 blend Bench.scala emits
+        fp_ref = base["box_fingerprint_sec"]
         return {"metric": "total", "value": raw,
-                "value_normalized": raw * base["box_fingerprint_sec"] / fp,
-                "fingerprint_ref": base["box_fingerprint_sec"],
+                "value_normalized": raw / (0.70 * fp / fp_ref + 0.30),
+                "fingerprint_ref": fp_ref,
                 "box_fingerprint_sec": fp, "unit": "sec", "sf": "sfX",
                 "queries": {"q": raw}, "cold_total": raw * 1.2, "failed": []}
 
-    slow_box = run(bench(220.0, 1.725))   # 2.2x raw, all box: must pass
+    slow_box = run(bench(191.0, 1.725))   # 1.91x raw, all box: must pass
     real_reg = run(bench(220.0, 0.75))    # 2.2x raw, same box: must fail
     quiet = run(bench(101.0, 0.75))       # 1.01x: must pass
     ok = (slow_box == 0 and real_reg == 1 and quiet == 0)
-    print(f"check_bench selftest: slow-box-2.2x-raw={slow_box} (want 0), "
+    print(f"check_bench selftest: slow-box-1.91x-raw={slow_box} (want 0), "
           f"real-2.2x-regression={real_reg} (want 1), quiet={quiet} (want 0) "
           f"-> {'OK' if ok else 'FAIL'}")
     return 0 if ok else 1
