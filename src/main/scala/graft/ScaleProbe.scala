@@ -294,6 +294,14 @@ object ScaleProbe {
       // round-11 operators on the blown-up corpus: the PMI pair census
       // (the shuffle column should read pairs+marginals, never text) and
       // the trigram novelty curve ((gram, bucket) pre-dedup'd)
+      // ZCA whitening at 10x vectors: the fit's shuffle column must read
+      // ~one 17 KB Gram buffer per mapper (never n·d² explode rows), and
+      // the apply is map-only — shuffle bytes here are the proof of the
+      // aggregate-not-explode design
+      timeM("zca whiten fit+apply (d=64)") {
+        val model = graft.similarity.Whitening.fitZca(v, "embedding")
+        graft.similarity.Whitening.whiten(v, "vec_id", "embedding", model)
+          .queryExecution.toRdd.count() }
       timeM("pmi pairs (w=3, top-100)") {
         graft.operators.Analytics.pmiPairs(d, col("text"), 3, 5L, 100)
           .queryExecution.toRdd.count() }

@@ -4301,6 +4301,61 @@ object SparkEntry {
           (col("n") * (col("n") - 1L)).cast("double"), 6).as("avg_cos"))
   }
 
+  /** ZCA whitening under the driver gate, in INVARIANT form (the
+    * q_stream_recursive_parity pattern for non-SQL-expressible math): fit
+    * [[graft.similarity.Whitening]] on the embeddings (one-pass
+    * GramMatrixAgg + driver Jacobi eigen), whiten every vector distributed
+    * (d codegen'd dots per row, map-only), re-aggregate the WHITENED Gram
+    * with the same one-pass aggregate, and emit per-dimension
+    * (mean, variance, max |off-diagonal covariance|) rounded to 4 dp. The
+    * oracle is the mathematical identity the transform exists to produce —
+    * mean 0, covariance I — as a 64-row literal: a fit bug, an eigen-solver
+    * drift, or a broken matvec all hash-fail the gate. 4 dp, not the usual
+    * 6: the whitened invariant's float error is amplified by the
+    * covariance condition number (~kappa x 1e-12 for the two differing
+    * accumulation paths), and 4 dp keeps the gate deterministic for any
+    * plausibly-conditioned regeneration of the corpus.
+    */
+  private def embedWhitenQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val model = graft.similarity.Whitening.fitZca(emb, "embedding")
+    val white = graft.similarity.Whitening
+      .whiten(emb, "vec_id", "embedding", model)
+    val g = white.select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.GramMatrixAgg(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("whitened"))))
+        .as("g"))
+      .head().getSeq[Double](0).toArray
+    val d = model.mean.length
+    val n = g(0)
+    val mean = Array.tabulate(d)(i => g(1 + i) / n)
+    val cov = Array.ofDim[Double](d, d)
+    var k = 1 + d
+    for (i <- 0 until d; j <- i until d) {
+      val c = g(k) / n - mean(i) * mean(j); cov(i)(j) = c; cov(j)(i) = c; k += 1
+    }
+    // + 0.0 folds -0.0 to 0.0 so the hash matches the oracle's literal zero
+    def r4(x: Double): Double = math.rint(x * 1e4) / 1e4 + 0.0
+    (0 until d).map { i =>
+      val off = (0 until d).filter(_ != i).map(j => math.abs(cov(i)(j))).max
+      (i.toLong, r4(mean(i)), r4(cov(i)(i)), r4(off))
+    }.toDF("dim", "mean_w", "var_w", "max_abs_offdiag")
+  }
+
+  /** Sorted-neighborhood near-dup pairs over part names
+    * ([[Dedup.sortedNeighborPairs]], window 8) verified by the bit-exact
+    * Jaro-Winkler: the SNM blocking face the fixed-prefix/length blocks
+    * of q_jaro_pairs/q_lev_pairs don't cover. Filter on the UNROUNDED
+    * similarity, publish rounded — the repo's float contract.
+    */
+  private def snmPairsQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborPairs(t(s, dir, "part"), "p_partkey", col("p_name"),
+        window = 8)
+      .filter(TF.jaroWinkler(col("ka"), col("kb")) >= 0.9)
+      .select(col("a"), col("b"),
+        round(TF.jaroWinkler(col("ka"), col("kb")), 6).as("sim"))
+
   /** Per-dimension energy audit of the int8 code store ([[Ann.quantize8]] —
     * the exact codes the quantized ANN tier serves): sum, sum-of-squares,
     * saturation (|q| = 127) and dead-zero tallies per position. This is the
@@ -5893,6 +5948,8 @@ object SparkEntry {
     "q_embed_dim_stats"     -> (embedDimStatsQ(_, _)),
     "q_dim_energy"          -> (dimEnergyQ(_, _)),
     "q_isotropy"            -> (isotropyQ(_, _)),
+    "q_embed_whiten"        -> (embedWhitenQ(_, _)),
+    "q_snm_pairs"           -> (snmPairsQ(_, _)),
     "q_ivf_probe_sweep"     -> (ivfProbeSweepQ(_, _)),
     "q_ngram_novelty"       -> (ngramNoveltyQ(_, _)),
     "q_capped_select"       -> (cappedSelectQ(_, _)),
@@ -10440,6 +10497,25 @@ object SparkEntry {
         |  round(CAST(norm2 AS DOUBLE), 6) AS sum_norm2,
         |  round(CAST(norm2 - diag AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE), 6) AS avg_cos
         |FROM m CROSS JOIN nn""".stripMargin,
+    // whitening invariant gate (see embedWhitenQ): the oracle IS the
+    // identity ZCA exists to produce — whitened mean 0, covariance I —
+    // as a 64-row literal at the 4-dp tolerance
+    "q_embed_whiten" ->
+      """SELECT CAST(d AS BIGINT) AS dim, 0.0 AS mean_w, 1.0 AS var_w,
+        |  0.0 AS max_abs_offdiag
+        |FROM range(0, 64) t(d)""".stripMargin,
+    // sorted-neighborhood pairs: DuckDB's jaro_winkler_similarity is the
+    // function the native expression is bit-exact to (q_jaro_pairs), and
+    // the rank window replays the same (name, key) global order
+    "q_snm_pairs" ->
+      """WITH r AS (
+        |  SELECT p_partkey, p_name,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+        |  FROM part)
+        |SELECT a.p_partkey AS a, b.p_partkey AS b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""".stripMargin,
     // int8 code energy: the quantize8 replay (round half-away on both
     // engines), per-position exact BIGINT sums over the codes
     "q_dim_energy" ->

@@ -585,6 +585,45 @@ object Dedup {
       .select(col("id"), coalesce(col("__win"), col("__root")).as("keep_id"))
   }
 
+  /** Sorted-neighborhood (SNM) candidate pairs — the Hernández/Stolfo
+    * blocking family member the prefix/length-blocked string joins
+    * ([[levenshteinPairs]], [[jaroWinklerPairs]]) don't cover: sort the
+    * corpus globally by `sortKey` (id as tiebreaker), then every pair
+    * co-resident in a sliding window of `window` rows (rank distance <
+    * window) is a candidate — O(n·window) candidates instead of O(n²),
+    * catching near-dups whose keys sort adjacently (suffix typos, trailing
+    * noise) that fixed-prefix blocking misses. Returns
+    * `(a, b, ka, kb)` — ids ordered by rank (a before b) with both key
+    * values, for the caller's similarity verify.
+    *
+    * Scale shape: the global rank comes from [[Analytics.rangedRank]]
+    * (range-sharded boundaries — no single-task global sort), and the
+    * window join is a BANDED equi-self-join on floor(rn/window): a pair
+    * within rank distance < window sits in the same or adjacent band, so
+    * the probe side explodes to exactly 2 skinny band tags and no task
+    * ever holds more than ~2·window rows of one band — balanced by
+    * construction because ranks are unique. Each qualifying pair meets on
+    * exactly one band value (the build row's own), so no dedup pass.
+    */
+  def sortedNeighborPairs(df: DataFrame, idCol: String, sortKey: Column,
+                          window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val ranked = graft.operators.Analytics.rangedRank(
+        df.select(col(idCol).as("id"), sortKey.as("__k")), Seq.empty,
+        Seq(col("__k"), col("id")))
+      .select(col("id"), col("__k"), col("rn"))
+    val w = window.toLong
+    val build = ranked.select(col("id").as("b"), col("__k").as("kb"),
+      col("rn").as("__rnb"), floor(col("rn") / w).as("__band"))
+    val probe = ranked.select(col("id").as("a"), col("__k").as("ka"),
+        col("rn").as("__rna"))
+      .withColumn("__band", explode(array(
+        floor(col("__rna") / w), floor(col("__rna") / w) + 1L)))
+    probe.join(build, "__band")
+      .filter(col("__rnb") > col("__rna") && col("__rnb") - col("__rna") < w)
+      .select(col("a"), col("b"), col("ka"), col("kb"))
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Exact embedding-cosine near-dup pairs (cosine ≥ threshold) — the O(n²)

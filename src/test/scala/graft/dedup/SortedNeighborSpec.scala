@@ -1,0 +1,49 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sorted-neighborhood blocking: the banded rank join must equal the
+  * brute-force "rank distance < window" definition exactly, at any
+  * partition layout, including across band boundaries.
+  */
+class SortedNeighborSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sortedNeighborPairs equals the brute-force rank-window definition") {
+    // names with deliberate near-collisions and ties-by-prefix; ids shuffled
+    // relative to sort order so rank != id
+    val rows = Seq(
+      (10L, "alpha"), (3L, "alphb"), (7L, "beta"), (1L, "betb"),
+      (9L, "gamma"), (2L, "gamm"), (8L, "delta"), (4L, "delt"),
+      (6L, "epsilon"), (5L, "zeta"), (11L, "eta"), (12L, "theta"))
+    val df = rows.toDF("id", "name").repartition(5)
+    val window = 3
+    val got = Dedup.sortedNeighborPairs(df, "id", col("name"), window)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: global sort by (name, id), all pairs within rank dist < w
+    val sorted = rows.sortBy { case (id, n) => (n, id) }
+    val want = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + window, sorted.length)
+    } yield (sorted(i)._1, sorted(j)._1)).toSet
+    assert(want.nonEmpty && got === want)
+    // key values ride along for the caller's verify
+    val withKeys = Dedup.sortedNeighborPairs(df, "id", col("name"), window)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    withKeys.foreach { case (id, k) =>
+      assert(rows.toMap.apply(id) === k)
+    }
+  }
+
+  test("sortedNeighborPairs is partition-count invariant and window-bounded") {
+    val df = (1L to 200L).map(i => (i, f"key${(i * 37) % 100}%03d-$i"))
+      .toDF("id", "name")
+    def run(parts: Int) =
+      Dedup.sortedNeighborPairs(df.repartition(parts), "id", col("name"), 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = run(1)
+    assert(run(7) === one && run(32) === one)
+    // |pairs| = sum over positions of min(w-1, remaining) = n*(w-1) - tail
+    assert(one.size === 200 * 4 - (1 + 2 + 3 + 4))
+  }
+}

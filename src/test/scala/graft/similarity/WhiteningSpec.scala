@@ -1,0 +1,108 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ZCA whitening: eigen-solver against hand-computable matrices, the
+  * whitening identity on a deliberately skewed corpus, and the contracts
+  * (symmetry, degenerate-direction behavior).
+  */
+class WhiteningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jacobiEigen recovers the spectrum of a hand-computable symmetric matrix") {
+    // [[2,1],[1,2]] has eigenvalues 3 and 1 (vectors along (1,1)/(1,-1))
+    val (vals, vecs) = Whitening.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(vals.sorted.zip(Seq(1.0, 3.0)).forall { case (a, b) =>
+      math.abs(a - b) < 1e-12 })
+    // columns are orthonormal: VᵀV == I
+    for (a <- 0 until 2; b <- 0 until 2) {
+      val dot = (0 until 2).map(i => vecs(i)(a) * vecs(i)(b)).sum
+      assert(math.abs(dot - (if (a == b) 1.0 else 0.0)) < 1e-12)
+    }
+    // reconstruction: V Λ Vᵀ == A
+    for (i <- 0 until 2; j <- 0 until 2) {
+      val r = (0 until 2).map(m => vecs(i)(m) * vals(m) * vecs(j)(m)).sum
+      assert(math.abs(r - (if (i == j) 2.0 else 1.0)) < 1e-12)
+    }
+  }
+
+  test("fitZca + whiten produce identity covariance and zero mean on a skewed corpus") {
+    // 3-dim corpus with strong cross-correlation and wildly unequal scales:
+    // x ~ base, y = 10x + noise, z independent small — deterministic LCG
+    val rows = (0 until 500).map { i =>
+      val a = ((i * 2654435761L) % 1000L).toDouble / 1000.0
+      val b = ((i * 40503L + 17L) % 1000L).toDouble / 1000.0
+      val c = ((i * 69069L + 5L) % 1000L).toDouble / 1000.0
+      (i.toLong, Seq(a + 5.0, 10.0 * a + 0.3 * b, 0.01 * c - 2.0))
+    }
+    val df = rows.toDF("id", "v")
+    val model = Whitening.fitZca(df, "v")
+    // W symmetric (the ZCA property)
+    val d = model.mean.length
+    for (i <- 0 until d; j <- 0 until d)
+      assert(math.abs(model.w(i)(j) - model.w(j)(i)) < 1e-9, "W must be symmetric")
+    val white = Whitening.whiten(df, "id", "v", model)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val n = white.length.toDouble
+    val mean = Array.tabulate(d)(i => white.map(_(i)).sum / n)
+    mean.foreach(m => assert(math.abs(m) < 1e-9, s"whitened mean must be 0, got $m"))
+    for (i <- 0 until d; j <- 0 until d) {
+      val cov = white.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(cov - want) < 1e-6, s"cov($i,$j)=$cov != $want")
+    }
+  }
+
+  test("a degenerate (constant) dimension whitens toward zero, not infinity") {
+    val df = (0 until 100).map(i =>
+      (i.toLong, Seq(i.toDouble / 100.0, 7.0))).toDF("id", "v")
+    val model = Whitening.fitZca(df, "v")
+    val white = Whitening.whiten(df, "id", "v", model)
+      .collect().map(_.getSeq[Double](1).toArray)
+    // dim 1 is constant: centered value is exactly 0, and the eps-bounded
+    // scale keeps the output finite and ~0 (the stated contract)
+    white.foreach { v =>
+      assert(java.lang.Double.isFinite(v(1)))
+      assert(math.abs(v(1)) < 1e-3)
+    }
+  }
+
+  test("q_embed_whiten emits the exact invariant literal on the real corpus (sf0.001)") {
+    // the driver oracle is a literal (mean 0 / var 1 / offdiag 0 at 4 dp);
+    // this pins the Spark side to it BEFORE the driver gate does, on the
+    // same corpus family the gate uses
+    val out = graft.SparkEntry.queries("q_embed_whiten")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.length === 64)
+    assert(out.map(_._1).sorted.toSeq === (0L until 64L))
+    out.foreach { case (dim, m, v, o) =>
+      assert(m === 0.0, s"mean_w($dim)")
+      assert(v === 1.0, s"var_w($dim)")
+      assert(o === 0.0, s"max_abs_offdiag($dim)")
+    }
+  }
+
+  test("GramMatrixAgg matches a driver-side exact accumulation") {
+    val vecs = (0 until 200).map(i =>
+      Seq(i.toDouble, (i % 7).toDouble, math.sin(i.toDouble)))
+    val g = vecs.map(v => (0L, v)).toDF("k", "v")
+      .repartition(8) // force real merges across partial buffers
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.expressions.GramMatrixAgg(
+          org.apache.spark.sql.graft.ColumnBridge.expression(
+            col("v").cast("array<double>")))).as("g"))
+      .head().getSeq[Double](0).toArray
+    assert(g(0) === 200.0)
+    for (i <- 0 until 3)
+      assert(math.abs(g(1 + i) - vecs.map(_(i)).sum) < 1e-8)
+    var k = 4
+    for (i <- 0 until 3; j <- i until 3) {
+      val want = vecs.map(v => v(i) * v(j)).sum
+      assert(math.abs(g(k) - want) < 1e-7, s"xx($i,$j)")
+      k += 1
+    }
+  }
+}

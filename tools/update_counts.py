@@ -60,6 +60,13 @@ def main():
     if n != 1:
         sys.exit(f"update_counts: expected exactly 1 generated-counts line "
                  f"in README.md, found {n} — marker drifted")
+    # the intro's query count drifts too — own it here
+    intro = re.compile(r"\(\d+ named queries, ALL \d+ with DuckDB oracles\)")
+    new, n2 = intro.subn(
+        f"({queries} named queries, ALL {queries} with DuckDB oracles)", new)
+    if n2 != 1:
+        sys.exit(f"update_counts: expected exactly 1 intro query-count line "
+                 f"in README.md, found {n2} — marker drifted")
     if new != text:
         open(readme, "w", encoding="utf-8").write(new)
         print(f"update_counts: README.md -> {tests} specs / {suites} suites / "
