@@ -4343,6 +4343,22 @@ object SparkEntry {
     }.toDF("dim", "mean_w", "var_w", "max_abs_offdiag")
   }
 
+  /** Greedy k-center coreset selection under the driver gate
+    * ([[graft.similarity.Coreset.kCenterGreedy]], k = 8 over the
+    * embeddings corpus): the oracle replays the ENTIRE greedy loop as a
+    * recursive CTE — seed by smallest id, then per step a LATERAL argmax
+    * of the min cosine distance to every already-selected center
+    * (identical left-to-right IEEE dots, min over the same doubles,
+    * DESC/id tie-break) — so a drift anywhere in the selection order, the
+    * distance kernel, or the radius values hash-fails. The q_mmr_rerank
+    * oracle pattern, corpus-global.
+    */
+  private def kcenterCoresetQ(s: SparkSession, dir: String): DataFrame =
+    graft.similarity.Coreset.kCenterGreedy(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+      .select(col("step"), col("id").as("vec_id"),
+        round(col("min_dist"), 6).as("min_dist"))
+
   /** Sorted-neighborhood near-dup pairs over part names
     * ([[Dedup.sortedNeighborPairs]], window 8) verified by the bit-exact
     * Jaro-Winkler: the SNM blocking face the fixed-prefix/length blocks
@@ -5950,6 +5966,7 @@ object SparkEntry {
     "q_isotropy"            -> (isotropyQ(_, _)),
     "q_embed_whiten"        -> (embedWhitenQ(_, _)),
     "q_snm_pairs"           -> (snmPairsQ(_, _)),
+    "q_kcenter_coreset"     -> (kcenterCoresetQ(_, _)),
     "q_ivf_probe_sweep"     -> (ivfProbeSweepQ(_, _)),
     "q_ngram_novelty"       -> (ngramNoveltyQ(_, _)),
     "q_capped_select"       -> (cappedSelectQ(_, _)),
@@ -10504,6 +10521,34 @@ object SparkEntry {
       """SELECT CAST(d AS BIGINT) AS dim, 0.0 AS mean_w, 1.0 AS var_w,
         |  0.0 AS max_abs_offdiag
         |FROM range(0, 64) t(d)""".stripMargin,
+    // k-center greedy: the full selection loop replayed as a recursive
+    // CTE (seed = smallest id; per step the LATERAL argmax of min cosine
+    // distance to the selected set, ties to smallest id — the mmr_rerank
+    // oracle pattern, corpus-global)
+    "q_kcenter_coreset" ->
+      """WITH RECURSIVE nv AS (
+        |  SELECT vec_id AS id,
+        |    [CAST(embedding[i] AS DOUBLE) FOR i IN range(1, 65)] AS vec
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT id, vec, sqrt(list_sum([x * x FOR x IN vec])) AS nrm FROM nv
+        |), sel(step, id, d, ids) AS (
+        |  SELECT 1, w.id, CAST(NULL AS DOUBLE), [w.id]
+        |  FROM (SELECT id FROM n ORDER BY id LIMIT 1) w
+        |  UNION ALL
+        |  SELECT s.step + 1, w.id, w.d, list_append(s.ids, w.id)
+        |  FROM sel s, LATERAL (
+        |    SELECT c.id,
+        |      (SELECT min(1 - list_sum(list_transform(list_zip(c.vec, p.vec),
+        |            z -> z[1] * z[2])) / (c.nrm * p.nrm))
+        |       FROM n p WHERE list_contains(s.ids, p.id)) AS d
+        |    FROM n c WHERE NOT list_contains(s.ids, c.id)
+        |    ORDER BY d DESC, c.id LIMIT 1) w
+        |  WHERE s.step < 8
+        |)
+        |SELECT CAST(step AS BIGINT) AS step, id AS vec_id,
+        |  round(d, 6) AS min_dist
+        |FROM sel""".stripMargin,
     // sorted-neighborhood pairs: DuckDB's jaro_winkler_similarity is the
     // function the native expression is bit-exact to (q_jaro_pairs), and
     // the rank window replays the same (name, key) global order

@@ -35,6 +35,19 @@ class SortedNeighborSpec extends SparkSpec {
     }
   }
 
+  test("plan audit: the window join is an EQUI join on the band key, never a cartesian") {
+    val df = (1L to 500L).map(i => (i, s"name$i")).toDF("id", "name")
+    val pairs = Dedup.sortedNeighborPairs(df, "id", col("name"), 8)
+    pairs.collect() // finalize the AQE plan before auditing it
+    val plan = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"SNM must join on the band key, plan was:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi join on __band, plan was:\n$plan")
+  }
+
   test("sortedNeighborPairs is partition-count invariant and window-bounded") {
     val df = (1L to 200L).map(i => (i, f"key${(i * 37) % 100}%03d-$i"))
       .toDF("id", "name")

@@ -69,6 +69,19 @@ class WhiteningSpec extends SparkSpec {
     }
   }
 
+  test("plan audit: whiten() is MAP-ONLY — zero exchanges in the apply stage") {
+    val df = (0 until 50).map(i =>
+      (i.toLong, Seq(i.toDouble, 2.0 * i, 1.0 - i))).toDF("id", "v")
+    val model = Whitening.fitZca(df, "v")
+    val plan = Whitening.whiten(df, "id", "v", model)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.isEmpty,
+      s"whitening apply must not shuffle, got ${exchanges.length} exchange(s)")
+  }
+
   test("q_embed_whiten emits the exact invariant literal on the real corpus (sf0.001)") {
     // the driver oracle is a literal (mean 0 / var 1 / offdiag 0 at 4 dp);
     // this pins the Spark side to it BEFORE the driver gate does, on the
