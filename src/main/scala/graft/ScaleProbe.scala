@@ -14,7 +14,7 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: blow-up factor (default 10× → 50k docs / 20k vectors;
     // pass 50 for the 100k-vector crossover demonstration)
-    val nCopies = args.find(a => a != "skew" && a != "ops" && a != "resolve" && a != "curate" && a != "stream").map(_.toInt).getOrElse(10)
+    val nCopies = args.find(a => a != "skew" && a != "ops" && a != "resolve" && a != "curate" && a != "stream" && a != "coreset").map(_.toInt).getOrElse(10)
     // `runMain graft.ScaleProbe skew` runs ONLY the skewed top-k probe;
     // `runMain graft.ScaleProbe ops` runs ONLY the metered operator probes
     // (census / split / boilerplate / upsampling) — the quick re-measure
@@ -29,6 +29,9 @@ object ScaleProbe {
     // 1x-vs-10x amortization row — the quick re-measure mode for the
     // job-count-overhead verdict
     val curateOnly = args.contains("curate")
+    // `runMain graft.ScaleProbe coreset` runs ONLY the k-center per-round
+    // flatness row — the quick re-measure mode for the running-min loop
+    val coresetOnly = args.contains("coreset")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -96,7 +99,7 @@ object ScaleProbe {
     }
     // doc pipelines only at the default factor — the big-factor runs target
     // the embedding crossover and 250k-doc all-pairs baselines take minutes
-    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && !coresetOnly && nCopies <= 10) {
       time("exact dedup") { graft.dedup.Dedup.exact(d, "text", "doc_id").count() }
       time("minhash+lsh pairs") {
         graft.dedup.Dedup.minhashPairs(d, "doc_id", "text", 5, 0.8).count() }
@@ -111,11 +114,11 @@ object ScaleProbe {
     // (factor 50) the quadratic runs exceeded 30 minutes on local[32] before
     // being killed — which IS the datapoint: past ~10^5 rows only the
     // sub-quadratic path is viable, whatever its constants.
-    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && !coresetOnly && nCopies <= 10) {
       time("embed near-dup exact") {
         graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.45).count() }
     }
-    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && !coresetOnly && nCopies <= 10) {
       // Forced-LSH at τ=0.45 only at the default factor: at 100k vectors the
       // 99.9%-recall config is ~2.6e9 candidate dots + a 213M-row probe
       // shuffle — the cost model prices it ≈ exact, so the DISPATCHER would
@@ -127,13 +130,13 @@ object ScaleProbe {
     // far more selective per bit and few tables hold high recall — this is
     // where hyperplane LSH decisively beats exact (low thresholds pay the
     // recall tax in candidates; see Dedup.embeddingNearDupLsh docs).
-    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && !coresetOnly && nCopies <= 10) {
       time("embed near-dup exact @0.7") {
         graft.dedup.Dedup.embeddingNearDupExact(v, "vec_id", "embedding", 0.7).count() }
     }
-    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly) time("embed near-dup lsh  @0.7") {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && !coresetOnly) time("embed near-dup lsh  @0.7") {
       graft.dedup.Dedup.embeddingNearDupLsh(v, "vec_id", "embedding", 64, 0.7).count() }
-    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
+    if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && !coresetOnly && nCopies <= 10) {
       // the round-5 operators on the same blown-up corpus
       time("semantic dedup (k=64)") {
         val model = graft.similarity.KMeans.fit(v, "embedding", "vec_id", k = 64, maxIter = 5)
@@ -156,7 +159,7 @@ object ScaleProbe {
           .head().getSeq[Double](0).toIndexedSeq
         graft.similarity.Ann.quantizedTopK(v, "embedding", "vec_id", q, 20).count() }
     }
-    if (!skewOnly && !resolveOnly && !curateOnly) {
+    if (!skewOnly && !resolveOnly && !curateOnly && !coresetOnly) {
       // Native combinatorial generators vs their HOF formulations at 10×
       // corpus (the r13 swaps: SkipGramPairs in pmiPairs, Pair/TripleCombos
       // in the market-basket family). Same rows out — the delta is pure
@@ -186,7 +189,7 @@ object ScaleProbe {
       time("skipgram w=3 native") { sgNative() }
       time("skipgram w=3 HOF") { sgHof() }
     }
-    if ((!skewOnly && !opsOnly && !resolveOnly && nCopies <= 10) || curateOnly) {
+    if ((!skewOnly && !opsOnly && !resolveOnly && !coresetOnly && nCopies <= 10) || curateOnly) {
       // The "fixed job-submission overhead amortizes at scale" verdict for
       // the curate pipelines, MEASURED instead of extrapolated: the exact
       // q_curate_corpus_v2 stage chain (exact dedup → Gopher gate →
@@ -234,7 +237,7 @@ object ScaleProbe {
       curateV2(dMulti) // untimed warm-up
       timeM("curate_v2 pipeline 10x multifile") { curateV2(dMulti) }
     }
-    if ((!skewOnly && !opsOnly && !curateOnly) || resolveOnly) {
+    if ((!skewOnly && !opsOnly && !curateOnly && !coresetOnly) || resolveOnly) {
       // Deep-chain duplicate resolution, distributed path FORCED
       // (maxDriverEdges = 0): a 2^14-node path graph is the adversarial
       // depth case for min-label propagation — the "near-dup components
@@ -249,6 +252,27 @@ object ScaleProbe {
       time(s"deep-chain resolve d=$depth") {
         graft.dedup.Dedup.resolveDuplicates(chainEdges, maxDriverEdges = 0L)
           .count() }
+    }
+    if ((!skewOnly && !opsOnly && !resolveOnly && !curateOnly && !coresetOnly && nCopies <= 10)
+        || coresetOnly) {
+      // Greedy k-center at two k values: the running-min formulation's claim
+      // is per-round wall FLAT in |centers| (O(n) dots per round vs the
+      // naive form's O(n·|centers|)). Marginal s/round between the two runs
+      // ≈ the small-k per-round average ⇒ flat; growing marginal cost would
+      // betray an O(k)-deep round plan sneaking back in.
+      def coresetWall(k: Int): Double = {
+        val t0 = System.nanoTime()
+        val n = graft.similarity.Coreset
+          .kCenterGreedy(v, "vec_id", "embedding", k).count()
+        require(n == k, s"coreset probe expected $k rows, got $n")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (k1, k2) = (4, 20)
+      val w1 = coresetWall(k1)
+      val w2 = coresetWall(k2)
+      println(f"kcenter k=$k1: $w1%.2f s (${w1 / k1}%.3f s/round)  " +
+        f"k=$k2: $w2%.2f s (${w2 / k2}%.3f s/round)  " +
+        f"marginal=${(w2 - w1) / (k2 - k1)}%.3f s/round")
     }
     if (!skewOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
       // round-6 operators with an unprobed shuffle surface, metered: the
@@ -419,7 +443,7 @@ object ScaleProbe {
     // with f; the agg's partials stay balanced at any f). toRdd.count()
     // executes the FULL plan — a bare count() would let Catalyst prune the
     // payload column off the window side, deflating its shuffle.
-    if (nCopies <= 10 && !opsOnly && !resolveOnly && !curateOnly) {
+    if (nCopies <= 10 && !opsOnly && !resolveOnly && !curateOnly && !coresetOnly) {
       for (hotPct <- Seq(0, 50, 90)) {
         val skewed = spark.range(10L * 1000 * 1000).select(
           when(col("id") % 100 < hotPct, lit(0L)).otherwise(col("id") % 1000).as("k"),

@@ -20,15 +20,20 @@ import graft.functions.{VectorFunctions => VF}
   * contract, computed with the same left-to-right IEEE accumulation the
   * DuckDB oracle replays.
   *
-  * Scale shape: Gonzalez is inherently k-pass, and each pass here is
-  * map + TakeOrdered(1) over a persisted slim `(id, vec, norm)` projection
-  * — per-row work is `|centers|` fused codegen'd dots against broadcast
-  * literals (`least` over ≤ k distance columns), and the only cross-task
-  * traffic per round is the top-1 reduction. Nothing quadratic, no
-  * shuffles, lineage does NOT grow with rounds (each round's plan is
-  * rebuilt from the cached base — the q_bfs_reach lesson). For k beyond
-  * tens, switch to sampled/stream variants; this operator targets the
-  * small-k curation regime.
+  * Scale shape: Gonzalez is inherently k-pass, but each pass is O(n·1),
+  * not O(n·|centers|): the classic running-minimum formulation. The loop
+  * carries `(id, v, nrm, dmin)` where `dmin` is the distance to the
+  * nearest center picked SO FAR; each round computes ONE codegen'd dot —
+  * against the newest center only — and folds it in with
+  * `least(dmin, d_new)`, then TakeOrdered(1) on `dmin` picks the next
+  * center. Total work O(n·k) dots (the naive re-evaluate-all-centers
+  * form is O(n·k²)), constant-size round plans, and the only cross-task
+  * traffic per round is the top-1 reduction. The carried state is
+  * `localCheckpoint`ed per round so lineage stays flat (the q_bfs_reach
+  * lesson; at cluster scale: `checkpoint()` to reliable storage), and the
+  * previous round's blocks are released once the new round materializes.
+  * `min` over doubles is associative/order-independent, so the running
+  * fold is bit-identical to `least` over all centers at once.
   */
 object Coreset {
 
@@ -47,31 +52,57 @@ object Coreset {
           VF.toDouble(col(vecCol)).as("v")), Seq("id"))
       .withColumn("nrm", VF.norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `state` carries (id, v, nrm, dmin) across rounds; null until the first
+    // fold. Declared here so the finally can release the final round's
+    // checkpoint blocks (the returned DataFrame is driver-built, so nothing
+    // distributed survives the call).
+    var state: DataFrame = null
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Any)]
-      var centers = List.empty[(Long, Seq[Double], Double)]
+      // (id, vec, norm) of the MOST RECENT pick — the only center the next
+      // round touches.
+      var newest: Option[(Long, Seq[Double], Double)] = None
+      var picked = List.empty[Long]
       base.orderBy(col("id")).limit(1)
         .select(col("id"), col("v"), col("nrm")).collect().headOption
         .foreach { r =>
-          centers = List((r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          newest = Some((r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+          picked = List(r.getLong(0))
           out += ((1L, r.getLong(0), null))
         }
       var step = 2
-      var exhausted = centers.isEmpty
+      var exhausted = newest.isEmpty
       while (step <= k && !exhausted) {
-        val dists: Seq[Column] = centers.map { case (_, cv, cn) =>
-          lit(1.0) - VF.cosinePrenormed(
-            VF.dot(col("v"), typedlit(cv)), col("nrm"), lit(cn))
-        }
-        val minDist = if (dists.size == 1) dists.head else least(dists: _*)
-        val picked = base
-          .filter(!col("id").isInCollection(centers.map(_._1)))
-          .select(col("id"), col("v"), col("nrm"), minDist.as("d"))
-          .orderBy(col("d").desc, col("id")).limit(1)
+        val (_, cv, cn) = newest.get
+        val dNew = lit(1.0) - VF.cosinePrenormed(
+          VF.dot(col("v"), typedlit(cv)), col("nrm"), lit(cn))
+        // Fold the newest center into the running min. Lazy checkpoint: the
+        // TakeOrdered below is the materializing action, so each round stays
+        // one job. min over doubles is order-independent, so this equals
+        // least(d_1, …, d_r) evaluated at once.
+        val next = (if (state == null)
+            base.select(col("id"), col("v"), col("nrm"), dNew.as("dmin"))
+          else
+            state.select(col("id"), col("v"), col("nrm"),
+              least(col("dmin"), dNew).as("dmin")))
+          .localCheckpoint(false)
+        // Exclude already-picked ids explicitly: their dmin is 0, but an
+        // all-identical corpus would otherwise re-pick a center on the
+        // smallest-id tiebreak. |picked| ≤ k, an InSet literal — cheap.
+        val pickedRow = next
+          .filter(!col("id").isInCollection(picked))
+          .orderBy(col("dmin").desc, col("id")).limit(1)
           .collect().headOption
-        picked match {
+        // `next` is materialized by the action above — the previous round's
+        // checkpoint blocks are dead weight now (Dataset.unpersist can't
+        // release them: checkpoint storage bypasses the CacheManager).
+        if (state != null)
+          org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(state)
+        state = next
+        pickedRow match {
           case Some(r) =>
-            centers = centers :+ ((r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+            newest = Some((r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+            picked = r.getLong(0) :: picked
             out += ((step.toLong, r.getLong(0), r.getDouble(3)))
             step += 1
           case None => exhausted = true // k exceeded the corpus: stop early
@@ -80,6 +111,10 @@ object Coreset {
       out.toSeq.map { case (s, id, d) =>
         (s, id, Option(d).map(_.asInstanceOf[Double]))
       }.toDF("step", "id", "min_dist")
-    } finally base.unpersist(false)
+    } finally {
+      if (state != null)
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(state)
+      base.unpersist(false)
+    }
   }
 }
