@@ -3661,7 +3661,9 @@ object SparkEntry {
 
   /** The LSH face of semantic decontamination under the driver gate: same
     * train/bench split as [[semanticDecontaminateQ]] but FORCED through
-    * [[TrainingData.semanticDecontaminateLsh]] (`maxBenchRows = 1`) and
+    * [[TrainingData.semanticDecontaminateLsh]] (`strategy = Lsh` — the
+    * explicit opt-in to the candidate-max contract, not the Auto
+    * size-dispatch) and
     * projected to the CONTAMINATED slice — the slice whose scores the LSH
     * face contracts to compute exactly (every contaminated row's argmax
     * partner clears the threshold, so it is a bucket candidate and the
@@ -3677,7 +3679,8 @@ object SparkEntry {
     TrainingData.semanticDecontaminate(
       emb.filter(col("vec_id") % 4 =!= 0),
       emb.filter(col("vec_id") % 4 === 0),
-      "vec_id", "embedding", threshold = 0.45, maxBenchRows = 1L)
+      "vec_id", "embedding", threshold = 0.45,
+      strategy = TrainingData.DecontaminationStrategy.Lsh)
       .filter(col("contaminated"))
   }
 

@@ -15,6 +15,26 @@ import graft.functions.TextFunctions
   */
 object TrainingData {
 
+  /** Dispatch contract for [[semanticDecontaminate]] — which score contract
+    * the caller is opting into when the benchmark outgrows the dense
+    * broadcast:
+    *  - [[DecontaminationStrategy.Dense]]: the exact contract only — true
+    *    max cosine over the WHOLE benchmark for every train row. Hard error
+    *    above `maxBenchRows` rather than a silent substitution.
+    *  - [[DecontaminationStrategy.Lsh]]: force the approximate face
+    *    ([[semanticDecontaminateLsh]]) at any size — candidate-max scores,
+    *    NULL for candidate-free rows, detection recall ~`recall`.
+    *  - [[DecontaminationStrategy.Auto]]: dense when it fits, LSH above the
+    *    gate — with a LOUD log line at dispatch time stating the weakened
+    *    contract (bench count, chosen LSH config, target recall).
+    */
+  sealed trait DecontaminationStrategy
+  object DecontaminationStrategy {
+    case object Dense extends DecontaminationStrategy
+    case object Lsh extends DecontaminationStrategy
+    case object Auto extends DecontaminationStrategy
+  }
+
   /** Benchmark decontamination report: for every training document sharing at
     * least one word n-gram with the benchmark corpus, the number of distinct
     * shared shingles and the containment ratio shared/|train shingles|
@@ -770,10 +790,18 @@ object TrainingData {
     * dots per row — the [[graft.similarity.Ann.knnGraph]] kernel shape)
     * into a partial-aggregated per-id max, so the only shuffle is |train|
     * slim (id, max) rows and the corpus itself never reshuffles. ABOVE
-    * `maxBenchRows` the call dispatches to [[semanticDecontaminateLsh]]
+    * `maxBenchRows` the call's behavior is `strategy`'s decision:
+    * `Auto` (the default) dispatches to [[semanticDecontaminateLsh]]
     * — random-hyperplane bucket candidates + exact re-score — whose
     * weaker score contract (NULL `max_bench_cos` for candidate-free rows,
-    * detection recall ~`recall`) is documented there. The count gate
+    * detection recall ~`recall`) is documented there, and LOGS the
+    * dispatch loudly (bench count, auto-sized LSH config, target recall):
+    * a decontamination pass silently weakening its recall contract is how
+    * contaminated data survives "decontamination", so the weaker contract
+    * must reach the operator's logs even under Auto. `Dense` refuses the
+    * dispatch — a hard error above `maxBenchRows` (the caller asked for
+    * the exact-score contract; give it or fail, never substitute).
+    * `Lsh` forces the approximate face regardless of size. The count gate
     * makes plan construction eager (one count() over the
     * small-by-premise side — the [[fuzzyDecontaminate]] trade, stated).
     * The contamination compare uses the UNROUNDED max (the oracle
@@ -784,13 +812,42 @@ object TrainingData {
                             vecCol: String, threshold: Double,
                             maxBenchRows: Long = 500000L,
                             recall: Double = 0.999,
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L,
+                            strategy: DecontaminationStrategy =
+                              DecontaminationStrategy.Auto): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
     import graft.functions.{VectorFunctions => VF}
     val bCount = bench.count()
-    if (bCount > maxBenchRows)
+    val useLsh = strategy match {
+      case DecontaminationStrategy.Lsh => true
+      case DecontaminationStrategy.Dense =>
+        require(bCount <= maxBenchRows,
+          s"semanticDecontaminate(strategy=Dense): benchmark has $bCount rows " +
+            s"> maxBenchRows=$maxBenchRows — the dense exact-score contract " +
+            "cannot be honored at this size; raise maxBenchRows (and executor " +
+            "memory for the broadcast) or opt into strategy=Lsh / Auto, whose " +
+            "weaker candidate-max contract is documented on " +
+            "semanticDecontaminateLsh")
+        false
+      case DecontaminationStrategy.Auto => bCount > maxBenchRows
+    }
+    if (useLsh) {
+      if (strategy == DecontaminationStrategy.Auto) {
+        val dim = bench.select(size(col(vecCol)).as("d")).head().getInt(0)
+        val (bits, tables, probe) =
+          graft.similarity.Ann.autoConfig(bCount, threshold, recall)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"semanticDecontaminate: benchmark ($bCount rows > maxBenchRows=" +
+            f"$maxBenchRows) dispatching to the APPROXIMATE LSH face (dim=$dim, " +
+            f"bits=$bits, tables=$tables, probeHamming=$probe, target recall " +
+            f"$recall%.4f at threshold $threshold%.3f) — max_bench_cos is the " +
+            "max over bucket CANDIDATES only (NULL when no bucket fired) and " +
+            "contaminated detection holds at ~recall, not exactly; pass " +
+            "strategy=Dense to refuse this substitution")
+      }
       return semanticDecontaminateLsh(train, bench, idCol, vecCol, threshold,
         benchN = bCount, recall = recall, seed = seed)
+    }
     def prep(d: DataFrame, p: String): DataFrame =
       d.select(col(idCol).as(s"${p}id"), VF.toDouble(col(vecCol)).as(s"${p}v"))
         .withColumn(s"${p}n", VF.norm(col(s"${p}v")))
@@ -836,6 +893,17 @@ object TrainingData {
     * one row per train id comes from a final left join of the slim id
     * projection against the slim (id, max) aggregate — the corpus itself
     * never reshuffles.
+    *
+    * The slim `(tid, tv, tn)` train projection is PERSISTED (memory+disk):
+    * the plan reads it three times (tag hashing, the candidate vector
+    * re-score, the final id spine), and without the cache each read is a
+    * full corpus scan + norm recomputation — two avoidable 100 TB passes.
+    * The cache entry is keyed by the canonicalized plan, so Spark's
+    * CacheManager dedupes repeated calls over the same input to ONE
+    * resident copy; it stays cached for the lifetime of the returned plan
+    * (a lazy result cannot unpersist behind itself — callers that need the
+    * memory back release it after materializing, e.g.
+    * `spark.catalog.clearCache()`).
     */
   def semanticDecontaminateLsh(train: DataFrame, bench: DataFrame,
                                idCol: String, vecCol: String, threshold: Double,
@@ -858,6 +926,7 @@ object TrainingData {
       d.select(col(idCol).as(s"${p}id"), VF.toDouble(col(vecCol)).as(s"${p}v"))
         .withColumn(s"${p}n", VF.norm(col(s"${p}v")))
     val t = graft.operators.Par.fanOut(prep(train, "t"), Seq("tid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = prep(bench, "b")
     val bTags = index.withBuckets(b.select(col("bid"), col("bv").as("v")), "v")
       .select(col("bid"), posexplode(col("buckets")).as(Seq("table", "bucket")))

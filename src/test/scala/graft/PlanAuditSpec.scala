@@ -87,6 +87,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_semantic_decontaminate_lsh: train side scans parquet once, via a " +
+      "shared InMemoryRelation") {
+    val p = plan("q_semantic_decontaminate_lsh")
+    // the slim (tid, tv, tn) projection is read three times (tag hashing,
+    // candidate re-score, id spine) — all three must hit the cache, leaving
+    // exactly one parquet scan for the train side (+2 for the small bench
+    // side, which is not worth a cache entry)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 3, p)
+  }
+
   test("q_sessionize: one shuffle shared by both windows and the aggregation") {
     val p = plan("q_sessionize")
     // the lag window, the running-sum window and the final groupBy all

@@ -177,6 +177,33 @@ class TrainingDataSpec extends SparkSpec {
       train, bench, "vec_id", "embedding", threshold = 0.45,
       benchN = bench.count()))
     assert(direct === lsh)
+    // explicit strategy=Lsh: same result as the Auto dispatch, no size trick
+    val forced = collect(TrainingData.semanticDecontaminate(
+      train, bench, "vec_id", "embedding", threshold = 0.45,
+      strategy = TrainingData.DecontaminationStrategy.Lsh))
+    assert(forced === lsh)
+  }
+
+  test("semanticDecontaminate strategy=Dense refuses the LSH substitution " +
+       "above maxBenchRows with a loud error") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val train = emb.filter(col("vec_id") % 4 =!= 0)
+    val bench = emb.filter(col("vec_id") % 4 === 0)
+    // the caller asked for the exact-score contract: above the broadcast
+    // gate the call must FAIL, never silently weaken to candidate-max
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.semanticDecontaminate(
+        train, bench, "vec_id", "embedding", threshold = 0.45,
+        maxBenchRows = 1L,
+        strategy = TrainingData.DecontaminationStrategy.Dense)
+    }
+    assert(e.getMessage.contains("strategy=Dense"), e.getMessage)
+    assert(e.getMessage.contains("maxBenchRows"), e.getMessage)
+    // and below the gate, Dense runs the dense face normally
+    val ok = TrainingData.semanticDecontaminate(
+      train, bench, "vec_id", "embedding", threshold = 0.45,
+      strategy = TrainingData.DecontaminationStrategy.Dense)
+    assert(ok.count() === train.count())
   }
 
   test("fuzzyDecontaminate equals the exact cross-corpus Jaccard join (sf0.01)") {
