@@ -193,16 +193,21 @@ object SparkEntry {
     * from — surfacing as baffling mid-stream failures or parity hash
     * mismatches, never as the real cause. Each app now wipes and streams
     * only its own tree. Stale trees from EXITED apps are swept here (once
-    * per JVM): any graft_stream_* sibling not ours whose mtime is >2h old —
-    * a live app's base mtime refreshes every invocation because the run
-    * dirs are wiped/recreated as direct children — so /tmp holds at most
-    * the last ~2h of app trees instead of growing forever.
+    * per JVM): any graft_stream_* sibling not ours whose mtime is >24h old.
+    * Two things keep a LIVE app's tree out of the sweep window: every
+    * streamBase call touches the base mtime explicitly below (the run dirs
+    * being wiped/recreated refreshed it implicitly, but an app that staged
+    * once and then only STREAMS — a single long-running query — never
+    * re-invokes staging), and the cutoff sits far above any plausible
+    * single-run duration in this environment (gate + bench + verify
+    * together are under an hour; 24h of margin, not 2h). /tmp then holds
+    * at most the last day of app trees instead of growing forever.
     */
   private[graft] val staleSweepDone = new java.util.concurrent.atomic.AtomicBoolean
   private[graft] def streamBase(s: SparkSession, tag: String, dir: String): String = {
     val app = s.sparkContext.applicationId.replaceAll("\\W", "_")
     if (staleSweepDone.compareAndSet(false, true)) {
-      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
       try {
         scala.util.Using.resource(
             java.nio.file.Files.list(java.nio.file.Paths.get("/tmp"))) { st =>
@@ -218,7 +223,16 @@ object SparkEntry {
         }.foreach(p => try wipeTree(p.toString) catch { case _: Throwable => () })
       } catch { case _: Throwable => () } // sweep is best-effort hygiene
     }
-    s"/tmp/graft_stream_${tag}_${dir.replaceAll("\\W", "_")}__$app"
+    val base = s"/tmp/graft_stream_${tag}_${dir.replaceAll("\\W", "_")}__$app"
+    // keep OUR tree visibly live for other JVMs' sweeps even when staging
+    // is memoized and no child dir gets recreated (see the doc above)
+    try {
+      val p = java.nio.file.Paths.get(base)
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    } catch { case _: Throwable => () }
+    base
   }
 
   private def wipeTree(base: String): Unit = {
