@@ -1,9 +1,9 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
@@ -311,4 +311,75 @@ object Quantize8 {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(q)))
   }
+}
+
+/** Static hot loop shared by interpreted eval and codegen of [[ZcaWhiten]]. */
+object MatVecUtil {
+  /** y = W·(x − μ) with W a row-major d×d flat array: per output row i,
+    * `s += w(i·d + j) · (x(j) − mean(j))` left-to-right in j — the identical
+    * IEEE accumulation (subtract, multiply, add, same operand order) as the
+    * zip_with-center + per-dim [[DotProduct]] formulation this replaces, so
+    * results are bit-for-bit unchanged. Input length must equal d: the HOF
+    * form silently zip_with-padded a short vector with nulls; a dimension
+    * mismatch is a broken pipeline, so fail loudly instead.
+    */
+  def whiten(x: ArrayData, w: Array[Double], mean: Array[Double]): ArrayData = {
+    val d = mean.length
+    require(x.numElements() == d,
+      s"zca_whiten: vector length ${x.numElements()} != fitted dim $d")
+    val c = new Array[Double](d)
+    var j = 0
+    while (j < d) { c(j) = x.getDouble(j) - mean(j); j += 1 }
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val off = i * d
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += w(off + k) * c(k); k += 1 }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `array<double>` → `array<double>`: one fused centered mat-vec against a
+  * broadcast-referenced W — the whole ZCA apply as ONE codegen'd node. The
+  * per-dim formulation it replaces (`array(dot(lit(w_0), c), …,
+  * dot(lit(w_{d-1}), c))` over a zip_with-centered column) embedded d
+  * literal rows of d doubles each in the projection: O(d²) literals that
+  * blow the JVM 64 KB method limit / constant pool in WholeStageCodegen at
+  * production dims (512–1024) and take quadratic time to even construct.
+  * Here W and μ ride as `ctx.addReferenceObj` arrays ([[graft.expressions
+  * .HyperplaneBuckets]]' pattern) — codegen size is constant in d, the
+  * arithmetic is the identical left-to-right IEEE loop (parity + a d=512
+  * compile pinned in WhiteningSpec).
+  */
+case class ZcaWhiten(child: Expression, mean: Array[Double], w: Array[Double])
+    extends UnaryExpression {
+  require(w.length == mean.length.toLong * mean.length,
+    s"zca_whiten: |w|=${w.length} != d²=${mean.length.toLong * mean.length}")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "zca_whiten"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MatVecUtil.whiten(input.asInstanceOf[ArrayData], w, mean)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("zcaW", w, "double[]")
+    val mRef = ctx.addReferenceObj("zcaMean", mean, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expressions.MatVecUtil.whiten($c, $wRef, $mRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => VF}
 
@@ -18,10 +18,10 @@ import graft.functions.{VectorFunctions => VF}
   * (map-side partial — the corpus never reshuffles), then the d×d
   * eigen-decomposition runs on the driver with a cyclic Jacobi sweep
   * (deterministic rotation order, no randomness; d is embedding-sized, so
-  * driver O(d³) is microseconds). Apply is map-only: center via one
-  * `transform` HOF, then one codegen'd [[graft.expressions.DotProduct]]
-  * per output dimension against the broadcast-literal rows of W — d fused
-  * dots per row, zero joins, zero shuffles.
+  * driver O(d³) is microseconds). Apply is map-only: one fused
+  * [[graft.expressions.ZcaWhiten]] centered mat-vec per row, W and μ
+  * riding as referenced arrays (constant codegen size in d) — zero joins,
+  * zero shuffles.
   */
 object Whitening {
 
@@ -83,18 +83,24 @@ object Whitening {
     Whitener(mean, w, eigVals.sorted(Ordering[Double].reverse))
   }
 
-  /** Map-only application: (idCol, `whitened` array<double>). */
+  /** Map-only application: (idCol, `whitened` array<double>) — one fused
+    * [[graft.expressions.ZcaWhiten]] mat-vec node per row. The previous
+    * formulation (zip_with centering + d separate DotProduct columns, each
+    * against a d-double literal row) embedded O(d²) literals in a single
+    * projection — fine at the gated d=64, but at production embedding dims
+    * (512–1024) that risks the 64 KB JVM method limit / constant-pool
+    * blowup inside WholeStageCodegen and quadratic codegen time. W and μ
+    * now ride as referenced arrays; arithmetic is the identical
+    * left-to-right IEEE loop, so outputs are bit-for-bit unchanged
+    * (d=512 compile-and-match pinned in WhiteningSpec).
+    */
   def whiten(df: DataFrame, idCol: String, vecCol: String,
-             model: Whitener): DataFrame = {
-    val d = model.mean.length
-    val meanLit = typedlit(model.mean.toSeq)
-    val centered = zip_with(VF.toDouble(col(vecCol)), meanLit, (x, m) => x - m)
-    val dims: Seq[Column] = (0 until d).map { i =>
-      VF.dot(typedlit(model.w(i).toSeq), col("__c"))
-    }
-    df.select(col(idCol), centered.as("__c"))
-      .select(col(idCol), array(dims: _*).as("whitened"))
-  }
+             model: Whitener): DataFrame =
+    df.select(col(idCol), org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.expressions.ZcaWhiten(
+        org.apache.spark.sql.graft.ColumnBridge.expression(
+          VF.toDouble(col(vecCol))),
+        model.mean, model.w.flatten)).as("whitened"))
 
   /** Cyclic Jacobi eigen-decomposition of a symmetric matrix —
     * deterministic sweep order (row-major upper triangle), converges to

@@ -98,6 +98,57 @@ class WhiteningSpec extends SparkSpec {
     }
   }
 
+  test("whiten at production dims (d=512): codegen compiles and matches a " +
+       "driver-side mat-vec") {
+    // the per-dim DotProduct formulation embedded d² literal doubles in one
+    // projection — at d=512 that risks the 64 KB JVM method limit in
+    // WholeStageCodegen; the fused ZcaWhiten expression carries W/μ as
+    // referenced arrays, so this spec pins both "it compiles at real dims"
+    // and bit-parity with the naive loop
+    val d = 512
+    val rnd = new scala.util.Random(7)
+    val n = 20
+    val rows = (0 until n).map(i =>
+      (i.toLong, Seq.fill(d)(rnd.nextDouble() - 0.5)))
+    val df = rows.toDF("id", "v")
+    // a dense non-trivial Whitener (not fitted — fit is O(d³) driver time
+    // and already covered; apply is what changes shape at d=512)
+    val mean = Array.fill(d)(rnd.nextDouble() * 0.1)
+    val w = Array.fill(d, d)(0.0)
+    for (i <- 0 until d; j <- 0 to i) {
+      val x = (rnd.nextDouble() - 0.5) / d
+      w(i)(j) = x; w(j)(i) = x // symmetric like any real ZCA matrix
+    }
+    val model = Whitening.Whitener(mean, w, Array.fill(d)(1.0))
+    val got = Whitening.whiten(df, "id", "v", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.foreach { case (id, v) =>
+      val c = Array.tabulate(d)(j => v(j) - mean(j))
+      val want = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += w(i)(j) * c(j); j += 1 }
+        s
+      }
+      val g = got(id)
+      assert(g.length === d)
+      var i = 0
+      while (i < d) {
+        assert(g(i) === want(i), s"row $id dim $i") // bit-exact, same IEEE order
+        i += 1
+      }
+    }
+  }
+
+  test("whiten rejects a vector whose length differs from the fitted dim") {
+    val model = Whitening.Whitener(Array(0.0, 0.0),
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(1.0, 1.0))
+    val df = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      Whitening.whiten(df, "id", "v", model).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("GramMatrixAgg matches a driver-side exact accumulation") {
     val vecs = (0 until 200).map(i =>
       Seq(i.toDouble, (i % 7).toDouble, math.sin(i.toDouble)))
