@@ -74,6 +74,7 @@ object Coreset {
       var exhausted = newest.isEmpty
       while (step <= k && !exhausted) {
         val (_, cv, cn) = newest.get
+        val foldsFromBase = state == null // round 2 — base's LAST reader
         val dNew = lit(1.0) - VF.cosinePrenormed(
           VF.dot(col("v"), typedlit(cv)), col("nrm"), lit(cn))
         // Fold the newest center into the running min. Lazy checkpoint: the
@@ -99,6 +100,11 @@ object Coreset {
         if (state != null)
           org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(state)
         state = next
+        // the running-min state now carries (v, nrm) itself — the cached
+        // base was read for the last time by the fold just materialized, so
+        // release it here instead of pinning corpus-sized blocks for all k
+        // rounds (the finally's unpersist is then a no-op)
+        if (foldsFromBase) base.unpersist(false)
         pickedRow match {
           case Some(r) =>
             newest = Some((r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
