@@ -143,7 +143,8 @@ object Bench {
     val gcSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val gcFlagged = scala.collection.mutable.LinkedHashSet.empty[String]
     // cause label per warm>cold-flagged query, from steal/GC sampled
-    // around the final warm trio itself (see the trio() note below)
+    // around the trio whose median was actually PUBLISHED as warm (see
+    // the trio() note below)
     val warmCause = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
       // heap isolation: collect the PREVIOUS query's garbage now, on
@@ -185,16 +186,20 @@ object Bench {
       // profiles are clean at 0.6 s). Attributing the trio turns the
       // noise-floor substitution from silent masking into a labeled cause
       // — "unknown" now MEANS "possibly a real warm-path regression".
-      var warmTrioSteal = 0L; var warmTrioGc = 0.0; var warmTrioSec = 0.0
-      def trio(): Seq[Double] = {
+      // Trio stats travel WITH the samples and are kept paired with
+      // whichever trio's median is ultimately published: the earlier
+      // formulation read the LAST trio's counters, so a retry whose median
+      // did not beat the original published the FIRST trio's number with
+      // the RETRY trio's steal/GC evidence — a mislabeled cause on exactly
+      // the flagged queries the label exists to triage.
+      // (median, steal jiffies, gc sec, summed wall) per trio
+      def trio(): (Double, Long, Double, Double) = {
         val ts0 = stealJiffies(); val tg0 = gcMs()
         val xs = Seq(once(), once(), once())
-        warmTrioSteal = stealJiffies() - ts0
-        warmTrioGc = (gcMs() - tg0) / 1000.0
-        warmTrioSec = xs.sum
-        xs
+        (xs.sorted.apply(1), stealJiffies() - ts0,
+          (gcMs() - tg0) / 1000.0, xs.sum)
       }
-      var warm = trio().sorted.apply(1)
+      var (warm, warmTrioSteal, warmTrioGc, warmTrioSec) = trio()
       // A warm median above the query's own cold time is physically
       // implausible on a quiet box (cold pays codegen on top of the same
       // work): a steal/GC burst poisoned all three samples. ONE bounded
@@ -202,10 +207,13 @@ object Bench {
       // number survives unless the rerun's median (not min) beats it, and
       // the retry is logged with the steal evidence.
       if (!failed.contains(name) && warm > cold * 1.10 && warm - cold > 0.25) {
-        val again = trio().sorted.apply(1)
+        val (again, aSteal, aGc, aSec) = trio()
         val stolen = stealJiffies() - s0
         System.err.println(f"BENCH RETRY $name%-26s warm $warm%.2fs > cold $cold%.2fs (steal ${stolen}j) — rerun median ${again}%.2fs")
-        if (again < warm) warm = again
+        if (again < warm) {
+          warm = again
+          warmTrioSteal = aSteal; warmTrioGc = aGc; warmTrioSec = aSec
+        }
       }
       // The warm>cold check is blind to a steal burst that spans the WHOLE
       // query (cold and warm poisoned alike: this session's gate shipped
@@ -227,10 +235,12 @@ object Bench {
           // in-JVM (codegen is warm now) — flag it so cold_total readers
           // know which addends were measured under contention
           coldStealSuspect += name
-          val again = trio().sorted.apply(1)
+          val (again, aSteal, aGc, aSec) = trio()
           System.err.println(f"BENCH STEAL-RETRY $name%-26s warm $warm%.2fs under ${stealSecQ}%.0f CPU-s steal — rerun median ${again}%.2fs")
-          if (again < warm) warm = again
-          else stealFlagged += name
+          if (again < warm) {
+            warm = again
+            warmTrioSteal = aSteal; warmTrioGc = aGc; warmTrioSec = aSec
+          } else stealFlagged += name
         }
       }
       val gcSecQ = (gcMs() - gc0) / 1000.0

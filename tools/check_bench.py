@@ -20,6 +20,13 @@ import sys
 
 WARN_RATIO = 1.30   # advisory: look before committing
 FAIL_RATIO = 2.00   # the driver's 2x gate, applied normalized
+# Raw-ratio backstop: the normalized gate divides by a blend of the box
+# fingerprint, and a fingerprint sample inflated by contention during its
+# own measurement scales an arbitrarily large real regression back under
+# the 2x gate. Past 3x raw we refuse REGARDLESS of normalization — either
+# it is a real regression, or the box is >3x degraded and nothing measured
+# on it should gate a commit anyway.
+RAW_FAIL_RATIO = 3.00
 
 
 def main() -> int:
@@ -52,6 +59,13 @@ def main() -> int:
             print(f"GATE RED: NORMALIZED bench total {norm:.1f}s is "
                   f"{norm_ratio:.2f}x the committed baseline {base['value']:.1f}s "
                   f"(> {FAIL_RATIO}x) — a real regression, not box drift")
+            return 1
+        if raw_ratio > RAW_FAIL_RATIO:
+            print(f"GATE RED: RAW bench total {d['value']:.1f}s is "
+                  f"{raw_ratio:.2f}x the committed baseline (> {RAW_FAIL_RATIO}x) "
+                  f"— past this point normalization is not trusted (a "
+                  f"contention-inflated fingerprint can scale any regression "
+                  f"under the {FAIL_RATIO}x gate); re-measure on a sane box")
             return 1
         if norm_ratio > WARN_RATIO:
             print(f"gate: WARN normalized ratio {norm_ratio:.2f}x > "
@@ -110,9 +124,15 @@ def selftest() -> int:
     slow_box = run(bench(191.0, 1.725))   # 1.91x raw, all box: must pass
     real_reg = run(bench(220.0, 0.75))    # 2.2x raw, same box: must fail
     quiet = run(bench(101.0, 0.75))       # 1.01x: must pass
-    ok = (slow_box == 0 and real_reg == 1 and quiet == 0)
+    # a 3.2x raw regression whose fingerprint sample was inflated 2x by
+    # contention normalizes to ~1.88x — under the normalized gate, but the
+    # raw backstop must refuse it (the advice case: a bad fingerprint must
+    # not be able to pass an unbounded regression)
+    bad_fp = run(bench(320.0, 1.5))       # 3.2x raw, norm ~1.88x: must fail
+    ok = (slow_box == 0 and real_reg == 1 and quiet == 0 and bad_fp == 1)
     print(f"check_bench selftest: slow-box-1.91x-raw={slow_box} (want 0), "
-          f"real-2.2x-regression={real_reg} (want 1), quiet={quiet} (want 0) "
+          f"real-2.2x-regression={real_reg} (want 1), quiet={quiet} (want 0), "
+          f"bad-fp-3.2x-raw={bad_fp} (want 1) "
           f"-> {'OK' if ok else 'FAIL'}")
     return 0 if ok else 1
 
