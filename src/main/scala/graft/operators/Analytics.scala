@@ -1355,6 +1355,11 @@ object Analytics {
         // the generator runs once. Same survivors: a bp row passes iff its
         // (p1, p2) global count >= minSupport, bit-identical to the
         // semi-join (prune on/off parity stays pinned in AnalyticsSpec).
+        // The semi-join/window equivalence needs p1/p2 NON-NULL (a semi
+        // join drops null keys, Window.partitionBy groups them) — which
+        // holds by construction: __arr1 = array_intersect(collect_set(...),
+        // literal), and collect_set never emits null elements, so
+        // PairCombos only ever sees (and produces) non-null values.
         bp.withColumn("__np",
             count(lit(1)).over(Window.partitionBy(col("p1"), col("p2"))))
           .filter(col("__np") >= minSupport)

@@ -48,6 +48,41 @@ class SortedNeighborSpec extends SparkSpec {
       s"expected an equi join on __band, plan was:\n$plan")
   }
 
+  test("sortedNeighborPairsMulti: a transposed-prefix duplicate is found by " +
+       "the reversed-key pass that the name pass misses") {
+    // the Hernández/Stolfo motivating case: two near-copies differing in
+    // their FIRST character sort > window apart under the name key (ten
+    // filler names sit between x... and y...), but their shared SUFFIX
+    // makes them ADJACENT under reverse(name)
+    val pairIds = (1L, 12L)
+    val rows = Seq((1L, "xa shared-suffix"), (12L, "ya shared-suffix")) ++
+      (2L to 11L).map(i => (i, f"xb filler-$i%02d")) // distinct suffixes
+    val df = rows.toDF("id", "name").repartition(4)
+    val window = 8
+    def pairs(keys: Seq[org.apache.spark.sql.Column]) =
+      Dedup.sortedNeighborPairsMulti(df, "id", keys, window)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pass1 = pairs(Seq(col("name")))
+    val multi = pairs(Seq(col("name"), reverse(col("name"))))
+    assert(!pass1.contains(pairIds),
+      "fixture broken: the name pass must NOT reach the transposed pair")
+    assert(multi.contains(pairIds),
+      "the reversed-key pass must surface the transposed pair")
+    // multi == canonicalized union of the per-key brute-force replays
+    def brute(key: String => String) = {
+      val sorted = rows.sortBy { case (id, n) => (key(n), id) }
+      (for {
+        i <- sorted.indices
+        j <- (i + 1) until math.min(i + window, sorted.length)
+      } yield (math.min(sorted(i)._1, sorted(j)._1),
+        math.max(sorted(i)._1, sorted(j)._1))).toSet
+    }
+    val want = brute(identity) ++ brute(_.reverse)
+    assert(multi === want)
+    // single-key multi == canonicalized single pass (no phantom pairs)
+    assert(pass1 === brute(identity))
+  }
+
   test("sortedNeighborPairs is partition-count invariant and window-bounded") {
     val df = (1L to 200L).map(i => (i, f"key${(i * 37) % 100}%03d-$i"))
       .toDF("id", "name")
