@@ -355,14 +355,26 @@ object MatVecUtil {
   * .HyperplaneBuckets]]' pattern) — codegen size is constant in d, the
   * arithmetic is the identical left-to-right IEEE loop (parity + a d=512
   * compile pinned in WhiteningSpec).
+  *
+  * Fields are immutable `ArraySeq` so two instances built from the same
+  * model compare structurally (Catalyst canonicalization / CSE — the
+  * [[CosineByIds]] precedent); the unwrapped primitive arrays are cached
+  * transiently for the hot path.
   */
-case class ZcaWhiten(child: Expression, mean: Array[Double], w: Array[Double])
+case class ZcaWhiten(child: Expression,
+                     mean: scala.collection.immutable.ArraySeq[Double],
+                     w: scala.collection.immutable.ArraySeq[Double])
     extends UnaryExpression {
   require(w.length == mean.length.toLong * mean.length,
     s"zca_whiten: |w|=${w.length} != d²=${mean.length.toLong * mean.length}")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "zca_whiten"
+
+  @transient private lazy val meanArr: Array[Double] =
+    mean.unsafeArray.asInstanceOf[Array[Double]]
+  @transient private lazy val wArr: Array[Double] =
+    w.unsafeArray.asInstanceOf[Array[Double]]
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -371,11 +383,11 @@ case class ZcaWhiten(child: Expression, mean: Array[Double], w: Array[Double])
   }
 
   override def nullSafeEval(input: Any): Any =
-    MatVecUtil.whiten(input.asInstanceOf[ArrayData], w, mean)
+    MatVecUtil.whiten(input.asInstanceOf[ArrayData], wArr, meanArr)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val wRef = ctx.addReferenceObj("zcaW", w, "double[]")
-    val mRef = ctx.addReferenceObj("zcaMean", mean, "double[]")
+    val wRef = ctx.addReferenceObj("zcaW", wArr, "double[]")
+    val mRef = ctx.addReferenceObj("zcaMean", meanArr, "double[]")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expressions.MatVecUtil.whiten($c, $wRef, $mRef);")
   }

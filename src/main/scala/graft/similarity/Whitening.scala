@@ -100,7 +100,9 @@ object Whitening {
       graft.expressions.ZcaWhiten(
         org.apache.spark.sql.graft.ColumnBridge.expression(
           VF.toDouble(col(vecCol))),
-        model.mean, model.w.flatten)).as("whitened"))
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(model.mean),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          model.w.flatten))).as("whitened"))
 
   /** Cyclic Jacobi eigen-decomposition of a symmetric matrix —
     * deterministic sweep order (row-major upper triangle), converges to

@@ -139,6 +139,19 @@ class WhiteningSpec extends SparkSpec {
     }
   }
 
+  test("two whiten plans from the same model are structurally equal " +
+       "(ArraySeq fields — canonicalization/CSE can dedupe them)") {
+    val df = (0 until 10).map(i =>
+      (i.toLong, Seq(i.toDouble, 1.0 - i))).toDF("id", "v")
+    val model = Whitening.fitZca(df, "v")
+    val a = Whitening.whiten(df, "id", "v", model).queryExecution
+      .analyzed.canonicalized
+    val b = Whitening.whiten(df, "id", "v", model).queryExecution
+      .analyzed.canonicalized
+    assert(a === b,
+      "raw Array fields would compare by reference and break this")
+  }
+
   test("whiten rejects a vector whose length differs from the fitted dim") {
     val model = Whitening.Whitener(Array(0.0, 0.0),
       Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(1.0, 1.0))
