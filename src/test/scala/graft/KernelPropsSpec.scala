@@ -140,4 +140,39 @@ object KernelProps extends Properties("IntegerKernels") {
       val rhs = (for (a <- xs; b <- xs) yield (BigInt(a) - b).abs).sum
       lhs == rhs
     }
+
+  private def arr(xs: Array[Double]) =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(xs)
+
+  // ZcaWhiten's fused kernel, probed with STRUCTURAL matrices (not a
+  // parallel re-implementation, which would share any indexing bug):
+  // identity W must return the centered vector exactly
+  property("matvec: identity W == centered input, bit-exact") =
+    forAll(Gen.chooseNum(1, 48), Gen.long) { (d, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val x = Array.fill(d)(rnd.nextDouble() * 10 - 5)
+      val mean = Array.fill(d)(rnd.nextDouble() - 0.5)
+      val w = Array.tabulate(d * d)(k => if (k / d == k % d) 1.0 else 0.0)
+      val got = graft.expressions.MatVecUtil.whiten(arr(x), w, mean)
+      (0 until d).forall(i => got.getDouble(i) == x(i) - mean(i))
+    }
+
+  // a single nonzero W(i, j) must land w·(x(j) − mean(j)) at OUTPUT row i —
+  // the probe that catches a row/column transposition or a flat-index
+  // off-by-one, which identity (symmetric) cannot see
+  property("matvec: single-entry W(i,j) selects row i from column j") =
+    forAll(Gen.chooseNum(2, 48), Gen.long) { (d, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val i = rnd.nextInt(d); val j = rnd.nextInt(d)
+      val x = Array.fill(d)(rnd.nextDouble() * 10 - 5)
+      val mean = Array.fill(d)(rnd.nextDouble() - 0.5)
+      val wij = rnd.nextDouble() * 4 - 2
+      val w = Array.fill(d * d)(0.0)
+      w(i * d + j) = wij
+      val got = graft.expressions.MatVecUtil.whiten(arr(x), w, mean)
+      (0 until d).forall { r =>
+        if (r == i) got.getDouble(r) == wij * (x(j) - mean(j))
+        else got.getDouble(r) == 0.0
+      }
+    }
 }
