@@ -147,6 +147,13 @@ object Bench {
     // the trio() note below)
     val warmCause = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = selected.map { case (name, fn) =>
+      // cache isolation, same rationale as the forced GC below: an operator
+      // that persists inside its returned plan (e.g. the LSH-decon slim
+      // train projection) must not stay resident into OTHER queries' timed
+      // runs — each query starts from a clean CacheManager exactly like its
+      // solo profile. Its own cold run re-registers whatever its operators
+      // persist, and the warm trio still reuses it (same canonical plan).
+      spark.catalog.clearCache()
       // heap isolation: collect the PREVIOUS query's garbage now, on
       // untimed wall-clock, not inside this query's cold run
       System.gc()

@@ -274,7 +274,7 @@ object ScaleProbe {
         f"k=$k2: $w2%.2f s (${w2 / k2}%.3f s/round)  " +
         f"marginal=${(w2 - w1) / (k2 - k1)}%.3f s/round")
     }
-    if (!skewOnly && !resolveOnly && !curateOnly && nCopies <= 10) {
+    if (!skewOnly && !resolveOnly && !curateOnly && !coresetOnly && nCopies <= 10) {
       // round-6 operators with an unprobed shuffle surface, metered: the
       // mixture census shuffles |strata| partial rows keyed by a LOW-
       // CARDINALITY stratum (worst case: one reducer per language takes the

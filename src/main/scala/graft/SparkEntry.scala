@@ -4383,11 +4383,16 @@ object SparkEntry {
     * similarity, publish rounded — the repo's float contract.
     */
   private def snmPairsQ(s: SparkSession, dir: String): DataFrame =
+    // compute the similarity ONCE in a projection and filter on the
+    // unrounded column: filter + select are separate operators, so the
+    // filter-then-recompute form ran the O(|a|·|b|) kernel twice per
+    // candidate (subexpression elimination does not cross the boundary)
     Dedup.sortedNeighborPairs(t(s, dir, "part"), "p_partkey", col("p_name"),
         window = 8)
-      .filter(TF.jaroWinkler(col("ka"), col("kb")) >= 0.9)
       .select(col("a"), col("b"),
-        round(TF.jaroWinkler(col("ka"), col("kb")), 6).as("sim"))
+        TF.jaroWinkler(col("ka"), col("kb")).as("__jw"))
+      .filter(col("__jw") >= 0.9)
+      .select(col("a"), col("b"), round(col("__jw"), 6).as("sim"))
 
   /** Multi-pass SNM ([[Dedup.sortedNeighborPairsMulti]], window 8, keys =
     * p_name and reverse(p_name)): the Hernández/Stolfo completion of
@@ -4406,9 +4411,11 @@ object SparkEntry {
         Seq(col("p_name"), reverse(col("p_name"))), window = 8)
       .join(names.select(col("p_partkey").as("a"), col("p_name").as("na")), "a")
       .join(names.select(col("p_partkey").as("b"), col("p_name").as("nb")), "b")
-      .filter(TF.jaroWinkler(col("na"), col("nb")) >= 0.9)
+      // similarity computed once, filtered unrounded (see snmPairsQ)
       .select(col("a"), col("b"),
-        round(TF.jaroWinkler(col("na"), col("nb")), 6).as("sim"))
+        TF.jaroWinkler(col("na"), col("nb")).as("__jw"))
+      .filter(col("__jw") >= 0.9)
+      .select(col("a"), col("b"), round(col("__jw"), 6).as("sim"))
   }
 
   /** Per-dimension energy audit of the int8 code store ([[Ann.quantize8]] —

@@ -371,10 +371,17 @@ case class ZcaWhiten(child: Expression,
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "zca_whiten"
 
-  @transient private lazy val meanArr: Array[Double] =
-    mean.unsafeArray.asInstanceOf[Array[Double]]
-  @transient private lazy val wArr: Array[Double] =
-    w.unsafeArray.asInstanceOf[Array[Double]]
+  // zero-copy when the ArraySeq is primitive-backed (ofDouble — the engine
+  // call site); a generically-built boxed ArraySeq (ofRef) falls back to a
+  // one-time copy instead of a first-row ClassCastException
+  @transient private lazy val meanArr: Array[Double] = mean.unsafeArray match {
+    case a: Array[Double] => a
+    case _ => mean.toArray
+  }
+  @transient private lazy val wArr: Array[Double] = w.unsafeArray match {
+    case a: Array[Double] => a
+    case _ => w.toArray
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess

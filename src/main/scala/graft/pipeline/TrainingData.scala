@@ -833,13 +833,17 @@ object TrainingData {
     }
     if (useLsh) {
       if (strategy == DecontaminationStrategy.Auto) {
-        val dim = bench.select(size(col(vecCol)).as("d")).head().getInt(0)
+        // autoConfig is pure driver math (microseconds) — recomputing it
+        // for the log is free and guaranteed to match the callee, which
+        // sizes with the identical (benchN, threshold, recall) inputs. No
+        // extra Spark job here: dim is deliberately NOT logged (reading it
+        // costs a head() over the bench plan the callee will run anyway).
         val (bits, tables, probe) =
           graft.similarity.Ann.autoConfig(bCount, threshold, recall)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           f"semanticDecontaminate: benchmark ($bCount rows > maxBenchRows=" +
-            f"$maxBenchRows) dispatching to the APPROXIMATE LSH face (dim=$dim, " +
-            f"bits=$bits, tables=$tables, probeHamming=$probe, target recall " +
+            f"$maxBenchRows) dispatching to the APPROXIMATE LSH face " +
+            f"(bits=$bits, tables=$tables, probeHamming=$probe, target recall " +
             f"$recall%.4f at threshold $threshold%.3f) — max_bench_cos is the " +
             "max over bucket CANDIDATES only (NULL when no bucket fired) and " +
             "contaminated detection holds at ~recall, not exactly; pass " +
