@@ -319,9 +319,13 @@ object MatVecUtil {
     * `s += w(i·d + j) · (x(j) − mean(j))` left-to-right in j — the identical
     * IEEE accumulation (subtract, multiply, add, same operand order) as the
     * zip_with-center + per-dim [[DotProduct]] formulation this replaces, so
-    * results are bit-for-bit unchanged. Input length must equal d: the HOF
-    * form silently zip_with-padded a short vector with nulls; a dimension
-    * mismatch is a broken pipeline, so fail loudly instead.
+    * results are bit-for-bit unchanged. Input length must equal d and
+    * elements must be non-null: the HOF form silently zip_with-padded a
+    * short vector with nulls and scored null slots as garbage; a dimension
+    * mismatch or a null element is a broken pipeline, so fail loudly
+    * instead (on unsafe rows a null slot would otherwise read as 0.0 and
+    * mis-score silently). The null probe runs once per element in the
+    * O(d) centering loop — noise next to the O(d²) multiply loop.
     */
   def whiten(x: ArrayData, w: Array[Double], mean: Array[Double]): ArrayData = {
     val d = mean.length
@@ -329,7 +333,11 @@ object MatVecUtil {
       s"zca_whiten: vector length ${x.numElements()} != fitted dim $d")
     val c = new Array[Double](d)
     var j = 0
-    while (j < d) { c(j) = x.getDouble(j) - mean(j); j += 1 }
+    while (j < d) {
+      if (x.isNullAt(j)) throw new IllegalArgumentException(
+        s"zca_whiten: null element at position $j — whitening needs dense vectors")
+      c(j) = x.getDouble(j) - mean(j); j += 1
+    }
     val out = new Array[Double](d)
     var i = 0
     while (i < d) {
@@ -370,6 +378,12 @@ case class ZcaWhiten(child: Expression,
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "zca_whiten"
+
+  // case-class hashCode walks all d² elements and is recomputed per call
+  // (Catalyst consults it for CSE set membership / canonicalization maps);
+  // cache it once — the fields are immutable, so this is pure memoization
+  @transient override lazy val hashCode: Int =
+    scala.runtime.ScalaRunTime._hashCode(this)
 
   // zero-copy when the ArraySeq is primitive-backed (ofDouble — the engine
   // call site); a generically-built boxed ArraySeq (ofRef) falls back to a

@@ -902,13 +902,62 @@ object TrainingData {
     * the plan reads it three times (tag hashing, the candidate vector
     * re-score, the final id spine), and without the cache each read is a
     * full corpus scan + norm recomputation — two avoidable 100 TB passes.
-    * The cache entry is keyed by the canonicalized plan, so Spark's
-    * CacheManager dedupes repeated calls over the same input to ONE
-    * resident copy; it stays cached for the lifetime of the returned plan
-    * (a lazy result cannot unpersist behind itself — callers that need the
-    * memory back release it after materializing, e.g.
-    * `spark.catalog.clearCache()`).
+    * A lazy result cannot unpersist behind itself, so the pin is BOUNDED
+    * instead: projections register in a 2-entry LRU keyed by canonicalized
+    * plan (sameResult-verified) — repeated calls over the same input share
+    * ONE resident copy, and a call over a THIRD distinct corpus evicts the
+    * least-recently-used projection. Eviction is always safe: an already-
+    * returned plan recomputes from lineage on the cache miss (correctness
+    * unaffected, only the single-scan speedup is lost for that stale
+    * plan). Callers wanting everything back immediately still have
+    * `spark.catalog.clearCache()`.
     */
+  /** Bounded registry behind [[semanticDecontaminateLsh]]'s train-side
+    * persist: at most `maxPersistedTrainSides` distinct slim projections
+    * stay resident; registering a new one unpersists the least-recently-
+    * used. Hash-keyed with a `sameResult` verification (the prefix-cache
+    * lesson: a bare semanticHash can collide), synchronized because the
+    * bench harness runs queries from one session concurrently with specs.
+    */
+  private val maxPersistedTrainSides = 2
+  private val trainSideCache =
+    scala.collection.mutable.LinkedHashMap.empty[
+      Int, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+
+  private[graft] def persistedTrainSides: Int =
+    trainSideCache.synchronized(trainSideCache.size)
+
+  private def persistTrainSideBounded(df: DataFrame): DataFrame =
+    trainSideCache.synchronized {
+      val canon = df.queryExecution.analyzed.canonicalized
+      val key = canon.semanticHash()
+      trainSideCache.remove(key) match {
+        case Some((plan, cached)) if plan.sameResult(canon) &&
+            !cached.sparkSession.sparkContext.isStopped =>
+          // someone may have clearCache()'d behind the registry (the bench
+          // harness does, between queries) — re-assert the persist so the
+          // single-scan property survives a hit after an external clear
+          if (cached.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+            cached.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          trainSideCache.put(key, (plan, cached)) // LRU refresh
+          cached
+        case other =>
+          // hash collision with a DIFFERENT plan, or a stale entry from a
+          // stopped session: release it — correctness never depends on the
+          // cache, only the scan count
+          other.foreach { case (_, old) =>
+            try old.unpersist(false) catch { case _: Throwable => () } }
+          val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          trainSideCache.put(key, (canon, p))
+          while (trainSideCache.size > maxPersistedTrainSides) {
+            val (k0, (_, old)) = trainSideCache.head
+            trainSideCache.remove(k0)
+            old.unpersist(false)
+          }
+          p
+      }
+    }
+
   def semanticDecontaminateLsh(train: DataFrame, bench: DataFrame,
                                idCol: String, vecCol: String, threshold: Double,
                                benchN: Long = -1L, recall: Double = 0.999,
@@ -929,8 +978,8 @@ object TrainingData {
     def prep(d: DataFrame, p: String): DataFrame =
       d.select(col(idCol).as(s"${p}id"), VF.toDouble(col(vecCol)).as(s"${p}v"))
         .withColumn(s"${p}n", VF.norm(col(s"${p}v")))
-    val t = graft.operators.Par.fanOut(prep(train, "t"), Seq("tid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = persistTrainSideBounded(
+      graft.operators.Par.fanOut(prep(train, "t"), Seq("tid")))
     val b = prep(bench, "b")
     val bTags = index.withBuckets(b.select(col("bid"), col("bv").as("v")), "v")
       .select(col("bid"), posexplode(col("buckets")).as(Seq("table", "bucket")))

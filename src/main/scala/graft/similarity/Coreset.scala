@@ -53,10 +53,15 @@ object Coreset {
       .withColumn("nrm", VF.norm(col("v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // `state` carries (id, v, nrm, dmin) across rounds; null until the first
-    // fold. Declared here so the finally can release the final round's
-    // checkpoint blocks (the returned DataFrame is driver-built, so nothing
-    // distributed survives the call).
+    // fold. `retired` is the previous round awaiting release — it can only
+    // be freed AFTER the new round materializes (the lazy checkpoint's
+    // lineage still references it until then). Both are declared here so
+    // the finally releases them on ANY exit, including a mid-round collect
+    // failure — otherwise a failed round would leak its corpus-sized
+    // checkpoint blocks until driver GC (the returned DataFrame is
+    // driver-built, so nothing distributed survives the call).
     var state: DataFrame = null
+    var retired: DataFrame = null
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Any)]
       // (id, vec, norm) of the MOST RECENT pick — the only center the next
@@ -87,6 +92,11 @@ object Coreset {
             state.select(col("id"), col("v"), col("nrm"),
               least(col("dmin"), dNew).as("dmin")))
           .localCheckpoint(false)
+        // hand `next` to the finally BEFORE the materializing action: if
+        // the collect throws, both the partial checkpoint and the previous
+        // round are released on the way out instead of leaking
+        retired = state
+        state = next
         // Exclude already-picked ids explicitly: their dmin is 0, but an
         // all-identical corpus would otherwise re-pick a center on the
         // smallest-id tiebreak. |picked| ≤ k, an InSet literal — cheap.
@@ -97,9 +107,10 @@ object Coreset {
         // `next` is materialized by the action above — the previous round's
         // checkpoint blocks are dead weight now (Dataset.unpersist can't
         // release them: checkpoint storage bypasses the CacheManager).
-        if (state != null)
-          org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(state)
-        state = next
+        if (retired != null) {
+          org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(retired)
+          retired = null
+        }
         // the running-min state now carries (v, nrm) itself — the cached
         // base was read for the last time by the fold just materialized, so
         // release it here instead of pinning corpus-sized blocks for all k
@@ -118,6 +129,8 @@ object Coreset {
         (s, id, Option(d).map(_.asInstanceOf[Double]))
       }.toDF("step", "id", "min_dist")
     } finally {
+      if (retired != null)
+        org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(retired)
       if (state != null)
         org.apache.spark.sql.graft.ColumnBridge.unpersistCheckpoint(state)
       base.unpersist(false)

@@ -184,6 +184,22 @@ class TrainingDataSpec extends SparkSpec {
     assert(forced === lsh)
   }
 
+  test("the LSH train-side persist is bounded: a third distinct corpus " +
+       "evicts the least-recently-used projection, results unaffected") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = emb.filter(col("vec_id") % 4 === 0)
+    def run(mod: Int) = TrainingData.semanticDecontaminateLsh(
+        emb.filter(col("vec_id") % 4 =!= 0 && col("vec_id") % 5 =!= mod),
+        bench, "vec_id", "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val first = run(1)
+    run(2); run(3) // three DISTINCT train plans through the registry
+    assert(TrainingData.persistedTrainSides <= 2,
+      "the registry must stay bounded at 2 resident projections")
+    // the evicted plan recomputes from lineage — same rows, no staleness
+    assert(run(1) === first)
+  }
+
   test("semanticDecontaminate strategy=Dense refuses the LSH substitution " +
        "above maxBenchRows with a loud error") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

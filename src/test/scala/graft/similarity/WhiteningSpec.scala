@@ -152,6 +152,18 @@ class WhiteningSpec extends SparkSpec {
       "raw Array fields would compare by reference and break this")
   }
 
+  test("the mat-vec kernel rejects null vector elements loudly") {
+    // on unsafe rows a null slot would read as 0.0 and mis-score silently;
+    // the kernel's contract is dense vectors, enforced, never guessed
+    val e = intercept[IllegalArgumentException] {
+      graft.expressions.MatVecUtil.whiten(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array[Any](1.0, null)),
+        Array(1.0, 0.0, 0.0, 1.0), Array(0.0, 0.0))
+    }
+    assert(e.getMessage.contains("null element"), e.getMessage)
+  }
+
   test("whiten rejects a vector whose length differs from the fitted dim") {
     val model = Whitening.Whitener(Array(0.0, 0.0),
       Array(Array(1.0, 0.0), Array(0.0, 1.0)), Array(1.0, 1.0))
