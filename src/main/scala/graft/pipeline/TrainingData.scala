@@ -927,13 +927,35 @@ object TrainingData {
   private[graft] def persistedTrainSides: Int =
     trainSideCache.synchronized(trainSideCache.size)
 
+  /** Explicit-release hook for the bounded train-side registry: unpersists
+    * every resident projection and empties the map. For callers who know
+    * the decontamination phase is over and want the executor memory back
+    * NOW (a long-lived application moving on to a different stage) without
+    * the collateral damage of `spark.catalog.clearCache()` — which would
+    * also drop caches the registry does not own. Each unpersist is guarded:
+    * an entry whose session has since stopped must not fail the release of
+    * the live ones.
+    */
+  def releaseTrainSides(): Unit =
+    trainSideCache.synchronized {
+      trainSideCache.valuesIterator.foreach { case (_, old) =>
+        try old.unpersist(false) catch { case _: Throwable => () } }
+      trainSideCache.clear()
+    }
+
   private def persistTrainSideBounded(df: DataFrame): DataFrame =
     trainSideCache.synchronized {
       val canon = df.queryExecution.analyzed.canonicalized
       val key = canon.semanticHash()
       trainSideCache.remove(key) match {
         case Some((plan, cached)) if plan.sameResult(canon) &&
-            !cached.sparkSession.sparkContext.isStopped =>
+            !cached.sparkSession.sparkContext.isStopped &&
+            // same-session only: in a JVM with two live sessions over one
+            // context, handing session A's cached Dataset to session B's
+            // caller would mix Datasets across sessions in downstream
+            // joins — fall through and re-persist under the caller's own
+            // session instead
+            (cached.sparkSession eq df.sparkSession) =>
           // someone may have clearCache()'d behind the registry (the bench
           // harness does, between queries) — re-assert the persist so the
           // single-scan property survives a hit after an external clear
@@ -943,8 +965,8 @@ object TrainingData {
           cached
         case other =>
           // hash collision with a DIFFERENT plan, or a stale entry from a
-          // stopped session: release it — correctness never depends on the
-          // cache, only the scan count
+          // stopped or foreign session: release it — correctness never
+          // depends on the cache, only the scan count
           other.foreach { case (_, old) =>
             try old.unpersist(false) catch { case _: Throwable => () } }
           val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -952,7 +974,10 @@ object TrainingData {
           while (trainSideCache.size > maxPersistedTrainSides) {
             val (k0, (_, old)) = trainSideCache.head
             trainSideCache.remove(k0)
-            old.unpersist(false)
+            // same guard as the collision path: a stale entry from a
+            // stopped context must not throw out of an otherwise-valid
+            // live registration (ADVICE r16)
+            try old.unpersist(false) catch { case _: Throwable => () }
           }
           p
       }

@@ -200,6 +200,50 @@ class TrainingDataSpec extends SparkSpec {
     assert(run(1) === first)
   }
 
+  test("releaseTrainSides empties the registry; later calls re-register " +
+       "and results are unchanged") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = emb.filter(col("vec_id") % 4 === 0)
+    def run() = TrainingData.semanticDecontaminateLsh(
+        emb.filter(col("vec_id") % 4 =!= 0), bench,
+        "vec_id", "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSet
+    val first = run()
+    assert(TrainingData.persistedTrainSides >= 1,
+      "the call must have registered its train side")
+    TrainingData.releaseTrainSides()
+    assert(TrainingData.persistedTrainSides === 0,
+      "explicit release must empty the registry")
+    // the hook gives memory back, never correctness: a fresh call simply
+    // re-registers and computes the same rows
+    assert(run() === first)
+    assert(TrainingData.persistedTrainSides >= 1)
+  }
+
+  test("a registry hit after an external clearCache re-asserts the persist: " +
+       "the executed plan reads the train side from ONE parquet scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = emb.filter(col("vec_id") % 4 === 0)
+    def build() = TrainingData.semanticDecontaminateLsh(
+      emb.filter(col("vec_id") % 4 =!= 0), bench,
+      "vec_id", "embedding", threshold = 0.45)
+    build().collect() // populate the registry
+    // the bench harness clears the CacheManager behind the registry
+    // between queries — the next registry HIT must re-materialize the
+    // cache (exactly once), not silently degrade to three parquet scans
+    spark.catalog.clearCache()
+    val df = build()
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // same shape as the PlanAuditSpec single-scan audit: the three train
+    // reads (tag hashing, candidate re-score, id spine) all hit the
+    // re-asserted cache; only the bench side's two scans plus ONE train
+    // scan reach parquet
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 3, p)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 3, p)
+  }
+
   test("semanticDecontaminate strategy=Dense refuses the LSH substitution " +
        "above maxBenchRows with a loud error") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
