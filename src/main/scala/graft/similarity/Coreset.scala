@@ -41,11 +41,30 @@ object Coreset {
     * seed (NULL min_dist — there is nothing to be far from yet), steps
     * 2..k the greedy selections with their distance-at-selection (raw,
     * unrounded — callers round for publication).
+    *
+    * `reliable = true` switches the per-round state from
+    * `localCheckpoint` (executor block manager — lost with an executor,
+    * fine on local mode and acceptable when a retry-from-scratch is cheap)
+    * to `checkpoint()` against the session's configured checkpoint
+    * directory — the cluster-scale posture the class doc describes: a
+    * k-round driver loop over 1000 executors should not restart from
+    * round 1 because one executor holding state blocks was decommissioned.
+    * Requires `sparkContext.setCheckpointDir` (checked loudly up front,
+    * not k rounds in); costs one extra pass per round (Spark recomputes
+    * the RDD once to write the files — the documented reliable-checkpoint
+    * shape) plus distributed-FS I/O, and each round's files are deleted as
+    * soon as the next round materializes (the same release discipline as
+    * the block-manager path; `ColumnBridge.unpersistCheckpoint` cleans
+    * both).
     */
   def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int): DataFrame = {
+                    k: Int, reliable: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     val spark = df.sparkSession
+    require(!reliable || spark.sparkContext.getCheckpointDir.nonEmpty,
+      "kCenterGreedy(reliable = true) needs a reliable checkpoint " +
+        "directory: call sparkContext.setCheckpointDir(<durable path>) " +
+        "first (localCheckpoint mode needs none)")
     import spark.implicits._
     val base = graft.operators.Par.fanOut(
         df.select(col(idCol).cast("long").as("id"),
@@ -86,12 +105,13 @@ object Coreset {
         // TakeOrdered below is the materializing action, so each round stays
         // one job. min over doubles is order-independent, so this equals
         // least(d_1, …, d_r) evaluated at once.
-        val next = (if (state == null)
+        val folded = if (state == null)
             base.select(col("id"), col("v"), col("nrm"), dNew.as("dmin"))
           else
             state.select(col("id"), col("v"), col("nrm"),
-              least(col("dmin"), dNew).as("dmin")))
-          .localCheckpoint(false)
+              least(col("dmin"), dNew).as("dmin"))
+        val next = if (reliable) folded.checkpoint(false)
+                   else folded.localCheckpoint(false)
         // hand `next` to the finally BEFORE the materializing action: if
         // the collect throws, both the partial checkpoint and the previous
         // round are released on the way out instead of leaking

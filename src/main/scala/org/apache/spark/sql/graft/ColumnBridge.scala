@@ -33,7 +33,18 @@ object ColumnBridge {
     */
   def unpersistCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
     ds.queryExecution.analyzed.collectLeaves().foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        // RELIABLE checkpoints additionally leave rdd-<id> files under the
+        // checkpoint dir that nothing reclaims until the application (or a
+        // cleaner pass) removes them — delete them here so an iterative
+        // caller releasing round r's state also releases its storage.
+        // `cleanCheckpoint` is `private[spark]`, reachable from this shim's
+        // package; it is a no-op for localCheckpoints (no files) and when
+        // no checkpoint dir is set, so the call is safe on any Dataset.
+        try org.apache.spark.rdd.ReliableRDDCheckpointData.cleanCheckpoint(
+          l.rdd.sparkContext, l.rdd.id)
+        catch { case _: Throwable => () }
       case _ => ()
     }
 

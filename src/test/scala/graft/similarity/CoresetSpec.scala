@@ -68,4 +68,36 @@ class CoresetSpec extends SparkSpec {
     assert(out.length === 2)
     assert(out.map(_.getLong(1)).toSeq === Seq(5L, 9L))
   }
+
+  test("reliable = true: loud without a checkpoint dir, identical output " +
+       "with one, and every round's checkpoint files are released") {
+    val rows: Seq[(Long, Seq[Double])] = (0 until 40).map { i =>
+      (i.toLong, Seq(math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 5)))
+    }
+    val df = rows.toDF("vec_id", "v")
+    val sc = spark.sparkContext
+    // contract check while no dir is configured: refuse up front, not k
+    // rounds in with an opaque RDD error
+    if (sc.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        Coreset.kCenterGreedy(df, "vec_id", "v", k = 4, reliable = true)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
+    }
+    val ckptBase = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    sc.setCheckpointDir(ckptBase.toString)
+    val want = Coreset.kCenterGreedy(df, "vec_id", "v", k = 6)
+      .collect().map(_.toSeq).toSeq
+    val got = Coreset.kCenterGreedy(df, "vec_id", "v", k = 6, reliable = true)
+      .collect().map(_.toSeq).toSeq
+    assert(got === want,
+      "reliable mode changes durability, never the selection")
+    // release discipline: each round's rdd-<id> directory is deleted when
+    // the next round materializes (the final one in the `finally`) — a
+    // leak here is k corpus-sized files per call at cluster scale
+    import scala.jdk.CollectionConverters._
+    val leaked = java.nio.file.Files.walk(ckptBase).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("rdd-")).toSeq
+    assert(leaked.isEmpty, s"checkpoint files left behind: $leaked")
+  }
 }
