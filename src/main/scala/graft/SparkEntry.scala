@@ -4395,20 +4395,28 @@ object SparkEntry {
       .select(col("a"), col("b"), round(col("__jw"), 6).as("sim"))
 
   /** Multi-pass SNM ([[Dedup.sortedNeighborPairsMulti]], window 8, keys =
-    * p_name and reverse(p_name)): the Hernández/Stolfo completion of
-    * q_snm_pairs — the reversed-name pass reaches duplicates whose edit
-    * sits in the name's PREFIX (name-sorted ranks put those > window
-    * apart; suffix-sorted ranks put them adjacent). At sf0.001 the second
-    * pass contributes 103 verified pairs the first pass cannot see (224
-    * at sf0.01) — measured, which is why the operator exists. Same
-    * bit-exact Jaro-Winkler verify; names join back by id (candidates are
-    * O(n·window·passes) slim id pairs, never corpus-shaped).
+    * p_name, reverse(p_name), and the brand∥type∥name attribute
+    * concatenation): the Hernández/Stolfo completion of q_snm_pairs,
+    * at the ≥3 complementary passes the SIGMOD '95 method prescribes.
+    * The reversed-name pass reaches duplicates whose edit sits in the
+    * name's PREFIX (name-sorted ranks put those > window apart;
+    * suffix-sorted ranks put them adjacent). The attribute-concatenation
+    * pass re-sorts WITHIN small brand×type blocks, where a window
+    * of 8 spans most of a block — so name pairs pushed apart in BOTH
+    * global name orders still meet. Pass contributions are measured
+    * (why each pass exists): at sf0.01, pass 2 adds 224 verified pairs
+    * pass 1 cannot see and pass 3 adds 209 more that neither name order
+    * reaches. Same bit-exact Jaro-Winkler verify; names join back by id
+    * (candidates are O(n·window·passes) slim id pairs, never
+    * corpus-shaped).
     */
   private def snmMultipassQ(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part")
     val names = part.select(col("p_partkey"), col("p_name"))
     Dedup.sortedNeighborPairsMulti(part, "p_partkey",
-        Seq(col("p_name"), reverse(col("p_name"))), window = 8)
+        Seq(col("p_name"), reverse(col("p_name")),
+          concat_ws(" ", col("p_brand"), col("p_type"), col("p_name"))),
+        window = 8)
       .join(names.select(col("p_partkey").as("a"), col("p_name").as("na")), "a")
       .join(names.select(col("p_partkey").as("b"), col("p_name").as("nb")), "b")
       // similarity computed once, filtered unrounded (see snmPairsQ)
@@ -10608,9 +10616,10 @@ object SparkEntry {
         |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
         |FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 8
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9""".stripMargin,
-    // multi-pass SNM: the union of BOTH rank-window replays (name order
-    // and reversed-name order), canonicalized least/greatest and dedup'd,
-    // then the same bit-exact jaro_winkler verify over names joined back
+    // multi-pass SNM: the union of ALL THREE rank-window replays (name
+    // order, reversed-name order, brand∥type∥name order),
+    // canonicalized least/greatest and dedup'd, then the same bit-exact
+    // jaro_winkler verify over names joined back
     "q_snm_multipass" ->
       """WITH r1 AS (
         |  SELECT p_partkey, row_number() OVER (ORDER BY p_name, p_partkey) AS rn
@@ -10619,6 +10628,12 @@ object SparkEntry {
         |  SELECT p_partkey,
         |    row_number() OVER (ORDER BY reverse(p_name), p_partkey) AS rn
         |  FROM part),
+        |r3 AS (
+        |  SELECT p_partkey,
+        |    row_number() OVER (
+        |      ORDER BY concat_ws(' ', p_brand, p_type, p_name),
+        |        p_partkey) AS rn
+        |  FROM part),
         |cand AS (
         |  SELECT least(a.p_partkey, b.p_partkey) AS a,
         |    greatest(a.p_partkey, b.p_partkey) AS b
@@ -10626,7 +10641,11 @@ object SparkEntry {
         |  UNION
         |  SELECT least(a.p_partkey, b.p_partkey),
         |    greatest(a.p_partkey, b.p_partkey)
-        |  FROM r2 a JOIN r2 b ON b.rn > a.rn AND b.rn - a.rn < 8)
+        |  FROM r2 a JOIN r2 b ON b.rn > a.rn AND b.rn - a.rn < 8
+        |  UNION
+        |  SELECT least(a.p_partkey, b.p_partkey),
+        |    greatest(a.p_partkey, b.p_partkey)
+        |  FROM r3 a JOIN r3 b ON b.rn > a.rn AND b.rn - a.rn < 8)
         |SELECT c.a, c.b,
         |  round(jaro_winkler_similarity(pa.p_name, pb.p_name), 6) AS sim
         |FROM cand c

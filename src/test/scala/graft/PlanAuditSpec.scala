@@ -98,15 +98,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size === 3, p)
   }
 
-  test("q_snm_multipass: both passes stay banded equi-joins — no cartesian, " +
-      "no nested loop, no partition-less window") {
+  test("q_snm_multipass: all three passes stay banded equi-joins — no " +
+      "cartesian, no nested loop, no partition-less window") {
     val df = SparkEntry.queries("q_snm_multipass")(spark, dir)
     df.collect() // finalize the AQE plan before auditing it
     val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
     // the global ranks must be range-sharded (rangedRank) — every window
-    // in BOTH passes partitions by its shard, never one whole-corpus sort
+    // in ALL passes partitions by its shard, never one whole-corpus sort
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
       .foreach(w => assert(w.partitionSpec.nonEmpty,
