@@ -226,14 +226,65 @@ object SparkEntry {
     val base = s"/tmp/graft_stream_${tag}_${dir.replaceAll("\\W", "_")}__$app"
     // keep OUR tree visibly live for other JVMs' sweeps even when staging
     // is memoized and no child dir gets recreated (see the doc above)
-    try {
-      val p = java.nio.file.Paths.get(base)
-      if (java.nio.file.Files.exists(p))
-        java.nio.file.Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-    } catch { case _: Throwable => () }
+    touchBase(base)
+    // …and keep it live for the duration of any RUNNING stream too: an app
+    // that calls streamBase once and then streams for days never re-invokes
+    // this method, so its only mtime refreshes would be the single touch
+    // above — inside another app's 24h sweep window eventually. Every query
+    // progress event re-touches every base this app registered, so a tree
+    // stays sweep-proof exactly as long as something is actually streaming
+    // from it (ADVICE r16).
+    liveStreamBases.add(base)
+    registerHeartbeat(s)
     base
   }
+
+  private def touchBase(base: String): Boolean =
+    try {
+      val p = java.nio.file.Paths.get(base)
+      val exists = java.nio.file.Files.exists(p)
+      if (exists)
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      exists
+    } catch { case _: Throwable => true } // transient FS error: keep registered
+
+  /** Bases this app has handed out, re-touched on every streaming progress
+    * event by [[StreamBaseHeartbeat]]. Entries whose tree is gone (wiped by
+    * our own staging or an external cleanup) self-remove on the next touch.
+    */
+  private[graft] val liveStreamBases =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[graft] def touchStreamBases(): Unit =
+    liveStreamBases.forEach { b => if (!touchBase(b)) liveStreamBases.remove(b) }
+
+  /** Heartbeat listener: any streaming progress in the session refreshes
+    * every registered base's mtime — cost is one utimes per base per
+    * micro-batch, nothing touches the data files.
+    */
+  private[graft] final class StreamBaseHeartbeat
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    override def onQueryStarted(
+      e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(
+      e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+      touchStreamBases()
+    override def onQueryTerminated(
+      e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  /** One heartbeat per session (listeners are session-scoped); idempotent
+    * under the lock via the listener-type scan.
+    */
+  private val heartbeatLock = new Object
+  private def registerHeartbeat(s: SparkSession): Unit =
+    heartbeatLock.synchronized {
+      try {
+        if (!s.streams.listListeners().exists(_.isInstanceOf[StreamBaseHeartbeat]))
+          s.streams.addListener(new StreamBaseHeartbeat)
+      } catch { case _: Throwable => () } // hygiene only — never fail a query
+    }
 
   private def wipeTree(base: String): Unit = {
     val p = java.nio.file.Paths.get(base)

@@ -62,4 +62,38 @@ class StreamBaseSpec extends SparkSpec {
         s"own base mtime must be refreshed by streamBase, got $mtime vs $old")
     } finally Files.deleteIfExists(own)
   }
+
+  test("the streaming heartbeat keeps long-running bases fresh: progress " +
+       "events re-touch every registered base; vanished trees self-remove") {
+    val app = spark.sparkContext.applicationId.replaceAll("\\W", "_")
+    val own = Paths.get(s"/tmp/graft_stream_hbtag__tmp_x__$app")
+    Files.createDirectories(own)
+    try {
+      val base = SparkEntry.streamBase(spark, "hbtag", "/tmp/x")
+      assert(base === own.toString)
+      // streamBase must have registered the base AND a heartbeat listener
+      // on the session (the ADVICE r16 case: an app that staged once and
+      // then only streams never re-invokes streamBase, so without the
+      // listener its tree ages into foreign sweeps' 24 h window)
+      assert(SparkEntry.liveStreamBases.contains(base))
+      assert(spark.streams.listListeners()
+        .exists(_.isInstanceOf[SparkEntry.StreamBaseHeartbeat]),
+        "streamBase must install the heartbeat listener once per session")
+      // age the tree, then fire the touch the listener delegates to — the
+      // mtime must come back to now without any streamBase re-invocation
+      val old = System.currentTimeMillis() - 25L * 3600 * 1000
+      Files.setLastModifiedTime(own, FileTime.fromMillis(old))
+      SparkEntry.touchStreamBases()
+      assert(Files.getLastModifiedTime(own).toMillis > old + 24L * 3600 * 1000,
+        "heartbeat touch must refresh a registered base's mtime")
+      // a wiped tree is dropped from the registry on its next touch
+      Files.delete(own)
+      SparkEntry.touchStreamBases()
+      assert(!SparkEntry.liveStreamBases.contains(base),
+        "a vanished tree must self-remove from the heartbeat registry")
+    } finally {
+      SparkEntry.liveStreamBases.remove(own.toString)
+      Files.deleteIfExists(own)
+    }
+  }
 }
