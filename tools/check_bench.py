@@ -67,6 +67,15 @@ def main() -> int:
                   f"contention-inflated fingerprint can scale any regression "
                   f"under the {FAIL_RATIO}x gate); re-measure on a sane box")
             return 1
+        if raw_ratio > FAIL_RATIO:
+            # the 2x-3x raw band: normalization passed, but a real
+            # regression paired with a contention-inflated fingerprint
+            # would read exactly like this — make the band visible in
+            # gate output instead of silently trusting the blend
+            print(f"gate: WARN raw ratio {raw_ratio:.2f}x is past the "
+                  f"{FAIL_RATIO}x gate while normalized {norm_ratio:.2f}x "
+                  f"passes — the fingerprint is carrying the difference; "
+                  f"confirm on a quiet box before trusting this run")
         if norm_ratio > WARN_RATIO:
             print(f"gate: WARN normalized ratio {norm_ratio:.2f}x > "
                   f"{WARN_RATIO}x — investigate before re-basing")
@@ -103,14 +112,18 @@ def selftest() -> int:
             "box_fingerprint_sec": 0.75, "queries": {"q": 100.0},
             "cold_total": 120.0, "failed": []}
 
-    def run(bench):
+    def run_full(bench):
         with tempfile.TemporaryDirectory() as td:
             bp, pp = os.path.join(td, "b.json"), os.path.join(td, "base.json")
             json.dump(bench, open(bp, "w"))
             json.dump(base, open(pp, "w"))
-            return subprocess.run(
+            r = subprocess.run(
                 [sys.executable, __file__, bp, pp],
-                capture_output=True, text=True).returncode
+                capture_output=True, text=True)
+            return r.returncode, r.stdout
+
+    def run(bench):
+        return run_full(bench)[0]
 
     def bench(raw, fp):
         # the same calibrated gamma=0.7 blend Bench.scala emits
@@ -129,10 +142,18 @@ def selftest() -> int:
     # raw backstop must refuse it (the advice case: a bad fingerprint must
     # not be able to pass an unbounded regression)
     bad_fp = run(bench(320.0, 1.5))       # 3.2x raw, norm ~1.88x: must fail
-    ok = (slow_box == 0 and real_reg == 1 and quiet == 0 and bad_fp == 1)
+    # the 2x-3x raw band the backstop can't reach: 2.5x raw with a
+    # 2x-inflated fingerprint normalizes to ~1.47x and PASSES, but the
+    # gate must make the band visible (ADVICE r16: a real regression
+    # hiding behind a contended fingerprint read as silent green here)
+    band_rc, band_out = run_full(bench(250.0, 1.5))
+    band = band_rc == 0 and "raw ratio" in band_out and "WARN" in band_out
+    ok = (slow_box == 0 and real_reg == 1 and quiet == 0 and bad_fp == 1
+          and band)
     print(f"check_bench selftest: slow-box-1.91x-raw={slow_box} (want 0), "
           f"real-2.2x-regression={real_reg} (want 1), quiet={quiet} (want 0), "
-          f"bad-fp-3.2x-raw={bad_fp} (want 1) "
+          f"bad-fp-3.2x-raw={bad_fp} (want 1), "
+          f"band-2.5x-raw-warns={'OK' if band else 'FAIL'} "
           f"-> {'OK' if ok else 'FAIL'}")
     return 0 if ok else 1
 
