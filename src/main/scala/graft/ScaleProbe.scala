@@ -14,7 +14,9 @@ object ScaleProbe {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: blow-up factor (default 10× → 50k docs / 20k vectors;
     // pass 50 for the 100k-vector crossover demonstration)
-    val nCopies = args.find(a => a != "skew" && a != "ops" && a != "resolve" && a != "curate" && a != "stream" && a != "coreset").map(_.toInt).getOrElse(10)
+    val modeNames = Set("skew", "ops", "resolve", "curate", "stream",
+      "coreset", "snm", "gates")
+    val nCopies = args.find(a => !modeNames.contains(a)).map(_.toInt).getOrElse(10)
     // `runMain graft.ScaleProbe skew` runs ONLY the skewed top-k probe;
     // `runMain graft.ScaleProbe ops` runs ONLY the metered operator probes
     // (census / split / boilerplate / upsampling) — the quick re-measure
@@ -40,6 +42,13 @@ object ScaleProbe {
     // `runMain graft.ScaleProbe stream` runs ONLY the streaming state-store
     // probe (sessionize + funnel-TTL at 1x and 10x key cardinality)
     if (args.contains("stream")) { streamStateProbe(spark); spark.stop(); return }
+    // `runMain graft.ScaleProbe snm` runs ONLY the multi-pass SNM
+    // candidate-growth probe (O(n·window·passes), per-pass contribution)
+    if (args.contains("snm")) { snmProbe(spark, sfDir); spark.stop(); return }
+    // `runMain graft.ScaleProbe gates` runs ONLY the dispatch-gate probes
+    // at one order of magnitude above bench SF (the r16 verdict's "100x
+    // question, measured": where each gate flips and what each face costs)
+    if (args.contains("gates")) { gatesProbe(spark, sfDir); spark.stop(); return }
     val copies = spark.range(nCopies.toLong).select(col("id").as("copy"))
 
     if (!resolveOnly) {
@@ -473,6 +482,173 @@ object ScaleProbe {
       spark.sparkContext.removeSparkListener(listener)
     }
     spark.stop()
+  }
+
+  /** Shared metered timer for the standalone probe modes: wall plus the
+    * 100 TB facts (shuffle bytes/rows written, slowest task). Returns the
+    * thunk's row count so callers can also assert/compare result parity.
+    */
+  private def withMeter(spark: SparkSession)(
+      body: (String => (=> Long) => Long) => Unit): Unit = {
+    import java.util.concurrent.atomic.AtomicLong
+    val shuffleW = new AtomicLong; val shuffleRec = new AtomicLong
+    val maxTask = new AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          shuffleW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          shuffleRec.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          maxTask.updateAndGet(m => math.max(m, te.taskMetrics.executorRunTime))
+          ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def timeM(name: String)(f: => Long): Long = {
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+      shuffleW.set(0); maxTask.set(0); shuffleRec.set(0)
+      val t0 = System.nanoTime(); val n = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
+      println(f"$name%-40s $sec%6.2f s  shuffle=${shuffleW.get / 1024 / 1024}%5d MB / ${shuffleRec.get}%9d rows  maxTask=${maxTask.get}%6d ms  rows=$n")
+      n
+    }
+    try body(timeM) finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** Multi-pass SNM candidate growth ([[graft.dedup.Dedup.sortedNeighborPairsMulti]]):
+    * distinct candidate pairs must grow O(n·window·passes) — linear in
+    * BOTH the corpus and the pass count, with each added pass contributing
+    * its marginal pairs (logged) and never re-shuffling the corpus more
+    * than its own ranked scan. Runs the 1/2/3-key ladder on the sf part
+    * table and on a 10x near-dup blow-up (copies get a version-suffixed
+    * name — the realistic shape: duplicates whose keys sort adjacently).
+    */
+  private def snmProbe(spark: SparkSession, sfDir: String): Unit = {
+    val part = spark.read.parquet(s"$sfDir/part.parquet")
+    val copies = spark.range(10).select(col("id").as("copy"))
+    part.crossJoin(copies).select(
+        (col("p_partkey") * 10 + col("copy")).as("p_partkey"),
+        when(col("copy") === 0, col("p_name"))
+          .otherwise(concat(col("p_name"), lit(" v"), col("copy"))).as("p_name"),
+        col("p_brand"), col("p_type"))
+      .write.mode("overwrite").parquet("/tmp/graft_probe_part10")
+    val part10 = spark.read.parquet("/tmp/graft_probe_part10")
+    val keys = Seq(col("p_name"), reverse(col("p_name")),
+      concat_ws(" ", col("p_brand"), col("p_type"), col("p_name")))
+    withMeter(spark) { timeM =>
+      for ((nm, d) <- Seq("1x" -> part, "10x" -> part10)) {
+        val n = d.count()
+        var prev = 0L
+        for (p <- 1 to 3) {
+          val c = timeM(f"snm $nm%-4s n=$n%7d passes=$p") {
+            graft.dedup.Dedup.sortedNeighborPairsMulti(
+              d, "p_partkey", keys.take(p), window = 8).count()
+          }
+          println(f"    pass $p marginal pairs: ${c - prev}%8d " +
+            f"(cand/n/pass=${c.toDouble / n / p}%.2f, bound window-1=7)")
+          prev = c
+        }
+      }
+    }
+  }
+
+  /** The dispatch gates, measured one order of magnitude above bench SF
+    * (r16 verdict #4 — "would the gate flip where the cost model says, and
+    * does each face's wall/shuffle track its claimed shape at 10x?"):
+    *
+    *  1. [[graft.dedup.Dedup.embeddingNearDup]] cost dispatch: the probe
+    *     prints the cost model's exact-vs-LSH decision at each n alongside
+    *     the measured wall of the AUTO call and (at small n) both forced
+    *     faces — the flip is right where the curves cross, and the LSH
+    *     face's candidate shuffle must grow ~n^(1+rho), not n².
+    *  2. [[graft.pipeline.TrainingData.semanticDecontaminate]]: both faces
+    *     at train = 1x/3x/10x with a FIXED bench side — the train side
+    *     must stay linear (one scan, partial-aggregated max) on the dense
+    *     face and one hash pass + banded candidates on the LSH face; plus
+    *     the Auto flip itself (maxBenchRows below the bench count) logging
+    *     its loud recall-contract warning.
+    *  3. [[graft.pipeline.TrainingData.fuzzyDecontaminate]]'s
+    *     broadcast→shuffle fallback: same query, same rows out, with the
+    *     bench band table broadcast (default) vs forced through the
+    *     shuffle join (broadcastMaxRows=1) — the fallback's extra cost is
+    *     the shuffle of the TRAIN band tags, which is the linear-in-train
+    *     price a >500k-row benchmark pays at cluster scale.
+    */
+  private def gatesProbe(spark: SparkSession, sfDir: String): Unit = {
+    val copies = spark.range(10).select(col("id").as("copy"))
+    spark.read.parquet(s"$sfDir/embeddings.parquet").crossJoin(copies)
+      .select((col("vec_id") * 10 + col("copy")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (rand(42) - 0.5f) * lit(0.001f)).as("embedding"))
+      .write.mode("overwrite").parquet("/tmp/graft_gates_vecs")
+    spark.read.parquet(s"$sfDir/documents.parquet").crossJoin(copies)
+      .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+        concat(col("text"), lit(" copytag"), col("copy")).as("text"),
+        col("lang"))
+      .write.mode("overwrite").parquet("/tmp/graft_gates_docs")
+    val v10 = spark.read.parquet("/tmp/graft_gates_vecs")
+    val d10 = spark.read.parquet("/tmp/graft_gates_docs")
+    def vAt(f: Int) = v10.filter(pmod(col("vec_id"), lit(10)) < f)
+    val n1 = v10.count() / 10
+
+    withMeter(spark) { timeM =>
+      println("=== gate 1: embeddingNearDup cost dispatch (tau=0.7) ===")
+      for (f <- Seq(1, 3, 10)) {
+        val n = n1 * f
+        val (cfg, lshCost) =
+          graft.similarity.Ann.autoConfigWithCost(n, 0.7, 0.999)
+        val exactCost = 0.5 * n.toDouble * n / 2
+        val pick = if (n <= 8192L || (lshCost != Double.MaxValue &&
+          exactCost <= lshCost)) "EXACT" else "LSH"
+        println(f"  n=$n%7d exactCost=$exactCost%.3g lshCost=$lshCost%.3g " +
+          f"(bits=${cfg._1},tables=${cfg._2},probe=${cfg._3}) -> model picks $pick")
+        timeM(f"near-dup AUTO   tau=0.7 n=$n%7d") {
+          graft.dedup.Dedup.embeddingNearDup(
+            vAt(f), "vec_id", "embedding", 64, 0.7, n = n).count() }
+        if (n <= 3 * n1) {
+          timeM(f"near-dup exact  tau=0.7 n=$n%7d (forced)") {
+            graft.dedup.Dedup.embeddingNearDupExact(
+              vAt(f), "vec_id", "embedding", 0.7).count() }
+          timeM(f"near-dup lsh    tau=0.7 n=$n%7d (forced)") {
+            graft.dedup.Dedup.embeddingNearDupLsh(
+              vAt(f), "vec_id", "embedding", 64, 0.7, n = n).count() }
+        }
+      }
+
+      println("=== gate 2: semanticDecontaminate faces (fixed bench, train scales) ===")
+      val bench = v10.filter(pmod(col("vec_id"), lit(40)) === 7)
+      val benchN = bench.count()
+      println(s"  bench side fixed at $benchN rows")
+      for (f <- Seq(1, 3, 10)) {
+        timeM(f"semdecon DENSE  train=${f}%2dx") {
+          graft.pipeline.TrainingData.semanticDecontaminate(
+            vAt(f), bench, "vec_id", "embedding", 0.45).count() }
+        timeM(f"semdecon LSH    train=${f}%2dx") {
+          graft.pipeline.TrainingData.semanticDecontaminate(
+            vAt(f), bench, "vec_id", "embedding", 0.45,
+            strategy = graft.pipeline.TrainingData.DecontaminationStrategy.Lsh)
+            .count() }
+      }
+      // release the LSH face's registry pins before the doc-side probes —
+      // the explicit hook, exercised where a long pipeline would use it
+      graft.pipeline.TrainingData.releaseTrainSides()
+      timeM("semdecon AUTO flip (maxBenchRows < bench)") {
+        graft.pipeline.TrainingData.semanticDecontaminate(
+          vAt(10), bench, "vec_id", "embedding", 0.45,
+          maxBenchRows = benchN - 1).count() }
+      graft.pipeline.TrainingData.releaseTrainSides()
+
+      println("=== gate 3: fuzzyDecontaminate broadcast vs shuffle fallback (10x docs) ===")
+      val benchD = d10.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val nb = timeM("fuzzy broadcast path (default gate)") {
+        graft.pipeline.TrainingData.fuzzyDecontaminate(
+          d10, benchD, "doc_id", "text").count() }
+      val ns = timeM("fuzzy shuffle fallback (broadcastMaxRows=1)") {
+        graft.pipeline.TrainingData.fuzzyDecontaminate(
+          d10, benchD, "doc_id", "text", broadcastMaxRows = 1L).count() }
+      println(s"  fallback row-parity: broadcast=$nb shuffle=$ns " +
+        (if (nb == ns) "OK" else "MISMATCH"))
+    }
   }
 
   /** Streaming state-store growth/eviction probe — the measurement behind
