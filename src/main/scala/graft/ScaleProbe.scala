@@ -48,13 +48,16 @@ object ScaleProbe {
     // `runMain graft.ScaleProbe gates` runs ONLY the dispatch-gate probes
     // at one order of magnitude above bench SF (the r16 verdict's "100x
     // question, measured": where each gate flips and what each face costs)
-    if (args.contains("gates")) { gatesProbe(spark, sfDir); spark.stop(); return }
+    if (args.contains("gates")) { gatesProbe(spark, sfDir, nCopies); spark.stop(); return }
     val copies = spark.range(nCopies.toLong).select(col("id").as("copy"))
 
     if (!resolveOnly) {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .crossJoin(copies)
-      .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+      // ids scale by nCopies, not a fixed 10: at factor 50 `*10 + copy`
+      // collides (orig 1 copy 12 == orig 2 copy 2) and near-dup pair
+      // counts silently drift
+      .select((col("doc_id") * nCopies + col("copy")).as("doc_id"),
         // jitter: append a copy-specific token so copies are near- not exact dups
         concat(col("text"), lit(" copytag"), col("copy")).as("text"),
         col("lang"))
@@ -62,7 +65,7 @@ object ScaleProbe {
 
     val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .crossJoin(copies)
-      .select((col("vec_id") * 10 + col("copy")).as("vec_id"),
+      .select((col("vec_id") * nCopies + col("copy")).as("vec_id"),
         transform(col("embedding"), x => x + (rand(42) - 0.5f) * lit(0.001f)).as("embedding"))
     vecs.write.mode("overwrite").parquet("/tmp/graft_probe_vecs")
     }
@@ -282,6 +285,20 @@ object ScaleProbe {
       println(f"kcenter k=$k1: $w1%.2f s (${w1 / k1}%.3f s/round)  " +
         f"k=$k2: $w2%.2f s (${w2 / k2}%.3f s/round)  " +
         f"marginal=${(w2 - w1) / (k2 - k1)}%.3f s/round")
+      // the r17 reliable knob's price tag: checkpoint() recomputes each
+      // round's state once more to write files + pays FS I/O — measure it
+      // against the localCheckpoint wall at the same k so the durability
+      // tradeoff is a number, not an adjective (selections are identical,
+      // CoresetSpec-pinned)
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft_probe_ckpt")
+      spark.sparkContext.setCheckpointDir(ckptDir.toString)
+      val t0 = System.nanoTime()
+      val nr = graft.similarity.Coreset
+        .kCenterGreedy(v, "vec_id", "embedding", k2, reliable = true).count()
+      val wr = (System.nanoTime() - t0) / 1e9
+      require(nr == k2, s"reliable coreset probe expected $k2 rows, got $nr")
+      println(f"kcenter k=$k2 RELIABLE ckpt: $wr%.2f s " +
+        f"(${wr / w2}%.2fx local mode — the durability premium)")
     }
     if (!skewOnly && !resolveOnly && !curateOnly && !coresetOnly && nCopies <= 10) {
       // round-6 operators with an unprobed shuffle surface, metered: the
@@ -574,26 +591,31 @@ object ScaleProbe {
     *     the shuffle of the TRAIN band tags, which is the linear-in-train
     *     price a >500k-row benchmark pays at cluster scale.
     */
-  private def gatesProbe(spark: SparkSession, sfDir: String): Unit = {
-    val copies = spark.range(10).select(col("id").as("copy"))
+  private def gatesProbe(spark: SparkSession, sfDir: String,
+                         nCopies: Int): Unit = {
+    // default 10x = one order above bench SF; `gates 50` adds a SECOND
+    // decade point (100k vectors / 250k docs) so growth exponents are
+    // measured across two decades, not read off one ratio
+    val copies = spark.range(nCopies.toLong).select(col("id").as("copy"))
     spark.read.parquet(s"$sfDir/embeddings.parquet").crossJoin(copies)
-      .select((col("vec_id") * 10 + col("copy")).as("vec_id"),
+      .select((col("vec_id") * nCopies + col("copy")).as("vec_id"),
         transform(col("embedding"),
           x => x + (rand(42) - 0.5f) * lit(0.001f)).as("embedding"))
       .write.mode("overwrite").parquet("/tmp/graft_gates_vecs")
     spark.read.parquet(s"$sfDir/documents.parquet").crossJoin(copies)
-      .select((col("doc_id") * 10 + col("copy")).as("doc_id"),
+      .select((col("doc_id") * nCopies + col("copy")).as("doc_id"),
         concat(col("text"), lit(" copytag"), col("copy")).as("text"),
         col("lang"))
       .write.mode("overwrite").parquet("/tmp/graft_gates_docs")
     val v10 = spark.read.parquet("/tmp/graft_gates_vecs")
     val d10 = spark.read.parquet("/tmp/graft_gates_docs")
-    def vAt(f: Int) = v10.filter(pmod(col("vec_id"), lit(10)) < f)
-    val n1 = v10.count() / 10
+    def vAt(f: Int) = v10.filter(pmod(col("vec_id"), lit(nCopies)) < f)
+    val n1 = v10.count() / nCopies
+    val factors = (Seq(1, 3, 10) ++ Seq(nCopies)).distinct.filter(_ <= nCopies)
 
     withMeter(spark) { timeM =>
       println("=== gate 1: embeddingNearDup cost dispatch (tau=0.7) ===")
-      for (f <- Seq(1, 3, 10)) {
+      for (f <- factors) {
         val n = n1 * f
         val (cfg, lshCost) =
           graft.similarity.Ann.autoConfigWithCost(n, 0.7, 0.999)
@@ -619,7 +641,7 @@ object ScaleProbe {
       val bench = v10.filter(pmod(col("vec_id"), lit(40)) === 7)
       val benchN = bench.count()
       println(s"  bench side fixed at $benchN rows")
-      for (f <- Seq(1, 3, 10)) {
+      for (f <- factors) {
         timeM(f"semdecon DENSE  train=${f}%2dx") {
           graft.pipeline.TrainingData.semanticDecontaminate(
             vAt(f), bench, "vec_id", "embedding", 0.45).count() }
@@ -634,11 +656,11 @@ object ScaleProbe {
       graft.pipeline.TrainingData.releaseTrainSides()
       timeM("semdecon AUTO flip (maxBenchRows < bench)") {
         graft.pipeline.TrainingData.semanticDecontaminate(
-          vAt(10), bench, "vec_id", "embedding", 0.45,
+          vAt(nCopies), bench, "vec_id", "embedding", 0.45,
           maxBenchRows = benchN - 1).count() }
       graft.pipeline.TrainingData.releaseTrainSides()
 
-      println("=== gate 3: fuzzyDecontaminate broadcast vs shuffle fallback (10x docs) ===")
+      println(s"=== gate 3: fuzzyDecontaminate broadcast vs shuffle fallback (${nCopies}x docs) ===")
       val benchD = d10.filter(pmod(col("doc_id"), lit(97)) === 0)
       val nb = timeM("fuzzy broadcast path (default gate)") {
         graft.pipeline.TrainingData.fuzzyDecontaminate(
