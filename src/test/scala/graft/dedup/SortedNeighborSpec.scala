@@ -81,6 +81,13 @@ class SortedNeighborSpec extends SparkSpec {
     assert(multi === want)
     // single-key multi == canonicalized single pass (no phantom pairs)
     assert(pass1 === brute(identity))
+    // three keys — the exact q_snm_multipass shape since r17: an
+    // arbitrary third ordering (length-major) must union in the same
+    // canonicalized way, with no phantom pairs beyond the three replays
+    val tri = pairs(Seq(col("name"), reverse(col("name")),
+      concat_ws(" ", length(col("name")).cast("string"), col("name"))))
+    val wantTri = want ++ brute(n => f"${n.length}%s $n")
+    assert(tri === wantTri)
   }
 
   test("sortedNeighborPairs is partition-count invariant and window-bounded") {
