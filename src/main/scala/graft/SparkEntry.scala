@@ -250,14 +250,19 @@ object SparkEntry {
     } catch { case _: Throwable => true } // transient FS error: keep registered
 
   /** Bases this app has handed out, re-touched on every streaming progress
-    * event by [[StreamBaseHeartbeat]]. Entries whose tree is gone (wiped by
-    * our own staging or an external cleanup) self-remove on the next touch.
+    * event by [[StreamBaseHeartbeat]]. Entries whose tree is momentarily
+    * absent stay REGISTERED: a caller wipes-then-restages its tree right
+    * after streamBase returns, and a progress event from another live
+    * stream landing in that window must not permanently drop the base's
+    * sweep protection (the touch is a no-op until the tree reappears).
+    * The set is bounded by construction — one entry per distinct
+    * (tag, sf-dir) pair this app ever streams, a handful of strings.
     */
   private[graft] val liveStreamBases =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private[graft] def touchStreamBases(): Unit =
-    liveStreamBases.forEach { b => if (!touchBase(b)) liveStreamBases.remove(b) }
+    liveStreamBases.forEach { b => touchBase(b); () }
 
   /** Heartbeat listener: any streaming progress in the session refreshes
     * every registered base's mtime — cost is one utimes per base per

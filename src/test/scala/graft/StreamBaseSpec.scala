@@ -86,11 +86,19 @@ class StreamBaseSpec extends SparkSpec {
       SparkEntry.touchStreamBases()
       assert(Files.getLastModifiedTime(own).toMillis > old + 24L * 3600 * 1000,
         "heartbeat touch must refresh a registered base's mtime")
-      // a wiped tree is dropped from the registry on its next touch
+      // a momentarily-absent tree (the wipe-then-restage window) must STAY
+      // registered — dropping it here would permanently lose sweep
+      // protection for the restaged tree — and the touch must resume once
+      // the tree reappears
       Files.delete(own)
+      SparkEntry.touchStreamBases() // no-op, no throw, no deregistration
+      assert(SparkEntry.liveStreamBases.contains(base),
+        "an absent tree must stay in the heartbeat registry (wipe/restage window)")
+      Files.createDirectories(own)
+      Files.setLastModifiedTime(own, FileTime.fromMillis(old))
       SparkEntry.touchStreamBases()
-      assert(!SparkEntry.liveStreamBases.contains(base),
-        "a vanished tree must self-remove from the heartbeat registry")
+      assert(Files.getLastModifiedTime(own).toMillis > old + 24L * 3600 * 1000,
+        "the heartbeat must resume touching a restaged tree")
     } finally {
       SparkEntry.liveStreamBases.remove(own.toString)
       Files.deleteIfExists(own)
