@@ -920,9 +920,15 @@ object TrainingData {
     * bench harness runs queries from one session concurrently with specs.
     */
   private val maxPersistedTrainSides = 2
+  // keyed by (session identity, plan hash): two live sessions alternating
+  // over the SAME corpus each keep their own resident projection instead
+  // of evicting each other's every call (cache thrash — every call would
+  // re-pay the full train-side materialization the registry exists to
+  // avoid); the 2-entry bound is global, so a second session still costs
+  // the first at most its LRU slot, never correctness
   private val trainSideCache =
     scala.collection.mutable.LinkedHashMap.empty[
-      Int, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
+      (Int, Int), (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame)]
 
   private[graft] def persistedTrainSides: Int =
     trainSideCache.synchronized(trainSideCache.size)
@@ -946,15 +952,15 @@ object TrainingData {
   private def persistTrainSideBounded(df: DataFrame): DataFrame =
     trainSideCache.synchronized {
       val canon = df.queryExecution.analyzed.canonicalized
-      val key = canon.semanticHash()
+      val key = (System.identityHashCode(df.sparkSession), canon.semanticHash())
       trainSideCache.remove(key) match {
         case Some((plan, cached)) if plan.sameResult(canon) &&
             !cached.sparkSession.sparkContext.isStopped &&
-            // same-session only: in a JVM with two live sessions over one
-            // context, handing session A's cached Dataset to session B's
-            // caller would mix Datasets across sessions in downstream
-            // joins — fall through and re-persist under the caller's own
-            // session instead
+            // same-session only (defense in depth behind the key's
+            // identityHashCode component): handing session A's cached
+            // Dataset to session B's caller would mix Datasets across
+            // sessions in downstream joins — fall through and re-persist
+            // under the caller's own session instead
             (cached.sparkSession eq df.sparkSession) =>
           // someone may have clearCache()'d behind the registry (the bench
           // harness does, between queries) — re-assert the persist so the
