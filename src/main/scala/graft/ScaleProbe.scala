@@ -49,26 +49,9 @@ object ScaleProbe {
     // at one order of magnitude above bench SF (the r16 verdict's "100x
     // question, measured": where each gate flips and what each face costs)
     if (args.contains("gates")) { gatesProbe(spark, sfDir, nCopies); spark.stop(); return }
-    val copies = spark.range(nCopies.toLong).select(col("id").as("copy"))
-
-    if (!resolveOnly) {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .crossJoin(copies)
-      // ids scale by nCopies, not a fixed 10: at factor 50 `*10 + copy`
-      // collides (orig 1 copy 12 == orig 2 copy 2) and near-dup pair
-      // counts silently drift
-      .select((col("doc_id") * nCopies + col("copy")).as("doc_id"),
-        // jitter: append a copy-specific token so copies are near- not exact dups
-        concat(col("text"), lit(" copytag"), col("copy")).as("text"),
-        col("lang"))
-    docs.write.mode("overwrite").parquet("/tmp/graft_probe_docs")
-
-    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .crossJoin(copies)
-      .select((col("vec_id") * nCopies + col("copy")).as("vec_id"),
-        transform(col("embedding"), x => x + (rand(42) - 0.5f) * lit(0.001f)).as("embedding"))
-    vecs.write.mode("overwrite").parquet("/tmp/graft_probe_vecs")
-    }
+    if (!resolveOnly)
+      blowUpCorpus(spark, sfDir, nCopies,
+        "/tmp/graft_probe_docs", "/tmp/graft_probe_vecs")
 
     lazy val d = spark.read.parquet("/tmp/graft_probe_docs")
     lazy val v = spark.read.parquet("/tmp/graft_probe_vecs")
@@ -81,34 +64,11 @@ object ScaleProbe {
     // Metered timer: wall-clock plus the facts that actually break at
     // 100 TB — total shuffle bytes/records and the slowest task (the skew
     // signal local[32] wall-clock hides, because local shuffle is
-    // memory-speed). Shared by the skew sweep and the per-operator probes.
-    import java.util.concurrent.atomic.AtomicLong
-    val shuffleW = new AtomicLong; val maxTask = new AtomicLong
-    val shuffleRec = new AtomicLong
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (te.taskMetrics != null) {
-          shuffleW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
-          shuffleRec.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
-          maxTask.updateAndGet(m => math.max(m, te.taskMetrics.executorRunTime))
-          if (te.taskMetrics.executorRunTime > 2000)
-            println(s"SLOWTASK stage=${te.stageId} ${te.taskMetrics.executorRunTime}ms " +
-              s"shufW=${te.taskMetrics.shuffleWriteMetrics.bytesWritten/1024}KB " +
-              s"shufR=${te.taskMetrics.shuffleReadMetrics.totalBytesRead/1024}KB " +
-              s"input=${te.taskMetrics.inputMetrics.bytesRead/1024}KB")
-          ()
-        }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    def timeM(name: String)(f: => Long): Unit = {
-      // flush pending task-end events from the previous run
-      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
-      shuffleW.set(0); maxTask.set(0); shuffleRec.set(0)
-      val t0 = System.nanoTime(); val n = f
-      val sec = (System.nanoTime() - t0) / 1e9
-      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
-      println(f"$name%-34s $sec%6.2f s  shuffle=${shuffleW.get / 1024 / 1024}%5d MB / ${shuffleRec.get}%8d rows  maxTask=${maxTask.get}%6d ms  rows=$n")
-    }
+    // memory-speed). ONE implementation ([[Meter]]) shared with the
+    // standalone probe modes, thinly wrapped here because the dozens of
+    // existing call sites discard the row count.
+    val meter = new Meter(spark)
+    def timeM(name: String)(f: => Long): Unit = { meter.timeM(name)(f); () }
     // doc pipelines only at the default factor — the big-factor runs target
     // the embedding crossover and 250k-doc all-pairs baselines take minutes
     if (!skewOnly && !opsOnly && !resolveOnly && !curateOnly && !coresetOnly && nCopies <= 10) {
@@ -496,31 +456,40 @@ object ScaleProbe {
             .queryExecution.toRdd.count()
         }
       }
-      spark.sparkContext.removeSparkListener(listener)
+      meter.close()
     }
     spark.stop()
   }
 
-  /** Shared metered timer for the standalone probe modes: wall plus the
-    * 100 TB facts (shuffle bytes/rows written, slowest task). Returns the
-    * thunk's row count so callers can also assert/compare result parity.
+  /** THE metered timer: wall plus the 100 TB facts (shuffle bytes/rows
+    * written, slowest task, SLOWTASK lines for >2 s stragglers). One
+    * implementation for the main flow and every standalone probe mode —
+    * two drifting copies of listener+counters is how probe sections stop
+    * being comparable. `timeM` returns the thunk's row count so probe
+    * callers can also assert/compare result parity; `close()` unregisters
+    * the listener.
     */
-  private def withMeter(spark: SparkSession)(
-      body: (String => (=> Long) => Long) => Unit): Unit = {
+  private final class Meter(spark: SparkSession) {
     import java.util.concurrent.atomic.AtomicLong
-    val shuffleW = new AtomicLong; val shuffleRec = new AtomicLong
-    val maxTask = new AtomicLong
-    val listener = new org.apache.spark.scheduler.SparkListener {
+    private val shuffleW = new AtomicLong; private val shuffleRec = new AtomicLong
+    private val maxTask = new AtomicLong
+    private val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null) {
           shuffleW.addAndGet(te.taskMetrics.shuffleWriteMetrics.bytesWritten)
           shuffleRec.addAndGet(te.taskMetrics.shuffleWriteMetrics.recordsWritten)
           maxTask.updateAndGet(m => math.max(m, te.taskMetrics.executorRunTime))
+          if (te.taskMetrics.executorRunTime > 2000)
+            println(s"SLOWTASK stage=${te.stageId} ${te.taskMetrics.executorRunTime}ms " +
+              s"shufW=${te.taskMetrics.shuffleWriteMetrics.bytesWritten/1024}KB " +
+              s"shufR=${te.taskMetrics.shuffleReadMetrics.totalBytesRead/1024}KB " +
+              s"input=${te.taskMetrics.inputMetrics.bytesRead/1024}KB")
           ()
         }
     }
     spark.sparkContext.addSparkListener(listener)
     def timeM(name: String)(f: => Long): Long = {
+      // flush pending task-end events from the previous run
       org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
       shuffleW.set(0); maxTask.set(0); shuffleRec.set(0)
       val t0 = System.nanoTime(); val n = f
@@ -529,7 +498,39 @@ object ScaleProbe {
       println(f"$name%-40s $sec%6.2f s  shuffle=${shuffleW.get / 1024 / 1024}%5d MB / ${shuffleRec.get}%9d rows  maxTask=${maxTask.get}%6d ms  rows=$n")
       n
     }
-    try body(timeM) finally spark.sparkContext.removeSparkListener(listener)
+    def close(): Unit = spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def withMeter(spark: SparkSession)(
+      body: (String => (=> Long) => Long) => Unit): Unit = {
+    val m = new Meter(spark)
+    try body(m.timeM) finally m.close()
+  }
+
+  /** Blow the sf corpus up nCopies× with near-dup jitter (each doc gets a
+    * copy-suffixed token, each vector ±0.0005 noise — the realistic shape).
+    * Ids scale by nCopies, NOT a fixed multiplier: at factor 50
+    * `*10 + copy` collides (orig 1 copy 12 == orig 2 copy 2) and near-dup
+    * pair counts silently drift; `pmod(id, nCopies) < f` recovers exactly
+    * the first f copies. ONE implementation shared by the main flow and
+    * gatesProbe so that encoding lives in a single place.
+    */
+  private def blowUpCorpus(spark: SparkSession, sfDir: String, nCopies: Int,
+                           docsPath: String, vecsPath: String): Unit = {
+    val copies = spark.range(nCopies.toLong).select(col("id").as("copy"))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .crossJoin(copies)
+      .select((col("doc_id") * nCopies + col("copy")).as("doc_id"),
+        // jitter: append a copy-specific token so copies are near- not exact dups
+        concat(col("text"), lit(" copytag"), col("copy")).as("text"),
+        col("lang"))
+      .write.mode("overwrite").parquet(docsPath)
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .crossJoin(copies)
+      .select((col("vec_id") * nCopies + col("copy")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (rand(42) - 0.5f) * lit(0.001f)).as("embedding"))
+      .write.mode("overwrite").parquet(vecsPath)
   }
 
   /** Multi-pass SNM candidate growth ([[graft.dedup.Dedup.sortedNeighborPairsMulti]]):
@@ -596,17 +597,8 @@ object ScaleProbe {
     // default 10x = one order above bench SF; `gates 50` adds a SECOND
     // decade point (100k vectors / 250k docs) so growth exponents are
     // measured across two decades, not read off one ratio
-    val copies = spark.range(nCopies.toLong).select(col("id").as("copy"))
-    spark.read.parquet(s"$sfDir/embeddings.parquet").crossJoin(copies)
-      .select((col("vec_id") * nCopies + col("copy")).as("vec_id"),
-        transform(col("embedding"),
-          x => x + (rand(42) - 0.5f) * lit(0.001f)).as("embedding"))
-      .write.mode("overwrite").parquet("/tmp/graft_gates_vecs")
-    spark.read.parquet(s"$sfDir/documents.parquet").crossJoin(copies)
-      .select((col("doc_id") * nCopies + col("copy")).as("doc_id"),
-        concat(col("text"), lit(" copytag"), col("copy")).as("text"),
-        col("lang"))
-      .write.mode("overwrite").parquet("/tmp/graft_gates_docs")
+    blowUpCorpus(spark, sfDir, nCopies,
+      "/tmp/graft_gates_docs", "/tmp/graft_gates_vecs")
     val v10 = spark.read.parquet("/tmp/graft_gates_vecs")
     val d10 = spark.read.parquet("/tmp/graft_gates_docs")
     def vAt(f: Int) = v10.filter(pmod(col("vec_id"), lit(nCopies)) < f)
@@ -617,13 +609,13 @@ object ScaleProbe {
       println("=== gate 1: embeddingNearDup cost dispatch (tau=0.7) ===")
       for (f <- factors) {
         val n = n1 * f
-        val (cfg, lshCost) =
-          graft.similarity.Ann.autoConfigWithCost(n, 0.7, 0.999)
-        val exactCost = 0.5 * n.toDouble * n / 2
-        val pick = if (n <= 8192L || (lshCost != Double.MaxValue &&
-          exactCost <= lshCost)) "EXACT" else "LSH"
-        println(f"  n=$n%7d exactCost=$exactCost%.3g lshCost=$lshCost%.3g " +
-          f"(bits=${cfg._1},tables=${cfg._2},probe=${cfg._3}) -> model picks $pick")
+        // print the REAL gate's decision (Dedup.nearDupDispatch is the
+        // exact predicate embeddingNearDup executes) — a probe
+        // re-implementing the compare silently lies when pricing changes
+        val dd = graft.dedup.Dedup.nearDupDispatch(n, 0.7)
+        println(f"  n=$n%7d exactCost=${dd.exactCost}%.3g lshCost=${dd.lshCost}%.3g " +
+          f"(bits=${dd.config._1},tables=${dd.config._2},probe=${dd.config._3}) " +
+          f"-> model picks ${dd.picked}")
         timeM(f"near-dup AUTO   tau=0.7 n=$n%7d") {
           graft.dedup.Dedup.embeddingNearDup(
             vAt(f), "vec_id", "embedding", 64, 0.7, n = n).count() }

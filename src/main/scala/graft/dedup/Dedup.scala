@@ -691,31 +691,53 @@ object Dedup {
     * crossover, auto-sized LSH. The same size-gating idea as
     * [[resolveDuplicates]]' union-find fast path.
     */
+  /** The [[embeddingNearDup]] dispatch decision, exposed so probes and
+    * callers can print/inspect the SAME predicate the operator executes
+    * (a probe re-implementing the compare silently lies the moment the
+    * pricing changes). `useExact` is the verdict; the costs and the
+    * auto-sized LSH config ride along for logging.
+    */
+  final case class NearDupDispatch(useExact: Boolean, exactCost: Double,
+                                   lshCost: Double,
+                                   config: (Int, Int, Int)) {
+    def picked: String = if (useExact) "EXACT" else "LSH"
+  }
+
+  /** Cost-based dispatch above the small-n floor: exact costs n²/2 dots in
+    * a tight codegen loop — priced at half an LSH verification dot (no join
+    * machinery) — vs the LSH config's model cost (candidates + probe rows,
+    * Ann.autoConfigWithCost). This encodes the measured reality that the
+    * crossover is THRESHOLD-dependent: at τ=0.45/R=0.999 exact wins far
+    * past 20k vectors (recall is paid for in candidates), at τ=0.7 LSH
+    * reaches parity at 20k and wins beyond. When NO config holds the recall
+    * (lshCost = MaxValue), the cost compare must not fall through to exact —
+    * at large n that launches an infeasible O(n²) job; past the crossover,
+    * best-effort LSH with the fallback config is the only tractable plan
+    * (autoConfigWithCost has already logged the achieved sub-target recall).
+    */
+  def nearDupDispatch(corpusN: Long, threshold: Double,
+                      crossoverN: Long = 8192L,
+                      recall: Double = 0.999): NearDupDispatch = {
+    val (config, lshCost) =
+      graft.similarity.Ann.autoConfigWithCost(corpusN, threshold, recall)
+    val exactCost = 0.5 * corpusN.toDouble * corpusN / 2
+    val infeasible = lshCost == Double.MaxValue
+    NearDupDispatch(
+      corpusN <= crossoverN || (!infeasible && exactCost <= lshCost),
+      exactCost, lshCost, config)
+  }
+
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                        threshold: Double, n: Long = -1L,
                        crossoverN: Long = 8192L,
                        recall: Double = 0.999): DataFrame = {
     val corpusN = if (n > 0) n else df.count()
-    // Cost-based dispatch above the small-n floor: exact costs n²/2 dots in
-    // a tight codegen loop — priced at half an LSH verification dot (no join
-    // machinery) — vs the LSH config's model cost (candidates + probe rows,
-    // Ann.autoConfigWithCost). This encodes the measured reality that the
-    // crossover is THRESHOLD-dependent: at τ=0.45/R=0.999 exact wins far
-    // past 20k vectors (recall is paid for in candidates), at τ=0.7 LSH
-    // reaches parity at 20k and wins beyond.
-    val (config, lshCost) = graft.similarity.Ann.autoConfigWithCost(corpusN, threshold, recall)
-    val exactCost = 0.5 * corpusN.toDouble * corpusN / 2
-    // When NO config holds the recall (lshCost = MaxValue), the cost compare
-    // must not fall through to exact — at large n that launches an
-    // infeasible O(n²) job. Past the crossover, best-effort LSH with the
-    // fallback config is the only tractable plan; autoConfigWithCost has
-    // already logged the achieved (sub-target) recall.
-    val infeasible = lshCost == Double.MaxValue
-    if (corpusN <= crossoverN || (!infeasible && exactCost <= lshCost))
+    val d = nearDupDispatch(corpusN, threshold, crossoverN, recall)
+    if (d.useExact)
       embeddingNearDupExact(df, idCol, vecCol, threshold)
     else
       embeddingNearDupLsh(df, idCol, vecCol, dim, threshold,
-        bits = config._1, tables = config._2, probeHamming = config._3,
+        bits = d.config._1, tables = d.config._2, probeHamming = d.config._3,
         n = corpusN, recall = recall)
   }
 
