@@ -84,20 +84,34 @@ class CoresetSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("setCheckpointDir"), e.getMessage)
     }
+    // NOTE: there is no SparkContext API to UNSET a checkpoint dir, so
+    // this leaves one configured on the shared context (harmless — only
+    // explicit checkpoint() calls use it; the intercept above is guarded
+    // for exactly that suite-order dependence)
     val ckptBase = java.nio.file.Files.createTempDirectory("graft_ckpt")
-    sc.setCheckpointDir(ckptBase.toString)
-    val want = Coreset.kCenterGreedy(df, "vec_id", "v", k = 6)
-      .collect().map(_.toSeq).toSeq
-    val got = Coreset.kCenterGreedy(df, "vec_id", "v", k = 6, reliable = true)
-      .collect().map(_.toSeq).toSeq
-    assert(got === want,
-      "reliable mode changes durability, never the selection")
-    // release discipline: each round's rdd-<id> directory is deleted when
-    // the next round materializes (the final one in the `finally`) — a
-    // leak here is k corpus-sized files per call at cluster scale
-    import scala.jdk.CollectionConverters._
-    val leaked = java.nio.file.Files.walk(ckptBase).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("rdd-")).toSeq
-    assert(leaked.isEmpty, s"checkpoint files left behind: $leaked")
+    try {
+      sc.setCheckpointDir(ckptBase.toString)
+      val want = Coreset.kCenterGreedy(df, "vec_id", "v", k = 6)
+        .collect().map(_.toSeq).toSeq
+      val got = Coreset.kCenterGreedy(df, "vec_id", "v", k = 6, reliable = true)
+        .collect().map(_.toSeq).toSeq
+      assert(got === want,
+        "reliable mode changes durability, never the selection")
+      // release discipline: each round's rdd-<id> directory is deleted when
+      // the next round materializes (the final one in the `finally`) — a
+      // leak here is k corpus-sized files per call at cluster scale
+      import scala.jdk.CollectionConverters._
+      val leaked = scala.util.Using.resource(java.nio.file.Files.walk(ckptBase)) {
+        st => st.iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("rdd-")).toSeq
+      }
+      assert(leaked.isEmpty, s"checkpoint files left behind: $leaked")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(java.nio.file.Files.walk(ckptBase)) { st =>
+        st.iterator().asScala.toSeq.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
   }
 }
