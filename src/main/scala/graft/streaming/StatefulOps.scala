@@ -97,9 +97,21 @@ object StatefulOps {
     * the last one, tracked by event-time timeout against the watermark.
     *
     * Input must already have a watermark on `ts`.
+    *
+    * Late-event trade (the Append-mode approximation, same family as
+    * [[streamingAsofEnrich]]'s): a cross-batch late event that still lands
+    * within `gapMs` of the OPEN session merges into it and extends
+    * `session_start` backwards — the emitted session stays internally
+    * consistent (start ≤ every counted event) but a batch replay that saw
+    * the event in order might have split differently. Events later than
+    * the late-events watermark never arrive here at all; batch replay is
+    * authoritative.
     */
   def streamingSessionize(events: Dataset[SessionEvent], gapMs: Long,
                           outputMode: OutputMode = OutputMode.Append()): Dataset[SessionOut] = {
+    require(gapMs > 0, s"session gap must be positive millis, got $gapMs " +
+      "(a zero/negative gap closes every event into a singleton and can " +
+      "set an already-expired event-time timeout)")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
@@ -119,7 +131,12 @@ object StatefulOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.n + 1, s.total + e.value, s.start, math.max(s.last, t)))
+                  // min(start, t): a late-but-admitted event older than the
+                  // open session must extend it BACKWARDS — keeping start
+                  // untouched emitted sessions whose start postdated events
+                  // they counted
+                  cur = Some(SessionState(s.n + 1, s.total + e.value,
+                    math.min(s.start, t), math.max(s.last, t)))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.n, s.total, new Timestamp(s.start), new Timestamp(s.last))
                   cur = Some(SessionState(1, e.value, t, t))
@@ -129,7 +146,13 @@ object StatefulOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // clamp above the current watermark (the funnel/asof pattern):
+              // a batch whose newest event is late enough that last + gap
+              // sits at/below the eviction watermark would THROW here and
+              // terminate the query; clamping times the session out on the
+              // next watermark advance instead
+              state.setTimeoutTimestamp(math.max(s.last + gapMs,
+                state.getCurrentWatermarkMs() + 1L))
             }
             closed.reverseIterator
           }
@@ -329,20 +352,6 @@ object StatefulOps {
       }
   }
 
-  /** Streaming per-key anomaly gate: each event is z-scored against the
-    * key's RUNNING history (Welford's online mean/variance — O(1) state:
-    * three numbers per key) BEFORE being folded in, and flagged when
-    * |z| > `zMax` with at least `minN` prior observations. The filter
-    * form of the batch [[graft.operators.Analytics.madOutliers]] idea:
-    * a stream processor cannot see the future corpus, so the robust
-    * batch median becomes the online running moments — the standard
-    * monitoring trade, stated.
-    *
-    * Parity contract (spec-asserted): with per-key event-time-ordered
-    * delivery across micro-batches, the emitted (z, anomaly) series
-    * equals the same Welford fold run in batch — the recurrence is a
-    * deterministic chain of IEEE ops in both.
-    */
   /** Continuous heavy hitters: the live face of the batch Misra-Gries
     * aggregate ([[graft.expressions.FreqItemsAgg]]) — per group, at most
     * `k` counters EVER (state is O(k·|groups|), independent of stream
@@ -434,6 +443,20 @@ object StatefulOps {
       }
   }
 
+  /** Streaming per-key anomaly gate: each event is z-scored against the
+    * key's RUNNING history (Welford's online mean/variance — O(1) state:
+    * three numbers per key) BEFORE being folded in, and flagged when
+    * |z| > `zMax` with at least `minN` prior observations. The filter
+    * form of the batch [[graft.operators.Analytics.madOutliers]] idea:
+    * a stream processor cannot see the future corpus, so the robust
+    * batch median becomes the online running moments — the standard
+    * monitoring trade, stated.
+    *
+    * Parity contract (spec-asserted): with per-key event-time-ordered
+    * delivery across micro-batches, the emitted (z, anomaly) series
+    * equals the same Welford fold run in batch — the recurrence is a
+    * deterministic chain of IEEE ops in both.
+    */
   def streamingAnomaly(events: Dataset[EmaEvent], zMax: Double,
                        minN: Long = 5L): Dataset[AnomalyOut] = {
     import events.sparkSession.implicits._

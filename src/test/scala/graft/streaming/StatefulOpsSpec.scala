@@ -78,6 +78,93 @@ class StatefulOpsSpec extends SparkSpec {
       s"session NOT flushed at wm > last+gap: $pastBoundary")
   }
 
+  test("streamingSessionize survives a late-but-admitted batch whose timeout " +
+      "lands below the eviction watermark (the clamp — unclamped this THROWS)") {
+    // The one-batch watermark skew (SPARK-40925 two-watermark design):
+    // batch N's late-row filter uses the watermark from batch N-1's
+    // PLANNING while GroupState validates timeouts against the one
+    // updated at batch N's planning. No-data micro-batches normally
+    // collapse the two (an empty trigger advances both), so disable them
+    // to hold the window open: b1 pushes the watermark to 12:00 (delay
+    // 0); b2's 10:00 event passes the still-0 late filter, and its
+    // natural timeout 10:30 sits below the 12:00 eviction watermark —
+    // setTimeoutTimestamp(10:30) terminates the query with
+    // IllegalArgumentException unless clamped above the watermark.
+    implicit val sqlCtx = spark.sqlContext
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noData)
+    spark.conf.set(noData, "false")
+    try {
+    val in = MemoryStream[SessionEvent]
+    val sessions = StatefulOps.streamingSessionize(
+      in.toDS().withWatermark("ts", "0 seconds").as[SessionEvent],
+      gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("t_sess_clamp")
+      .outputMode("append").start()
+    in.addData(SessionEvent(2L, ts("2024-01-01 12:00:00"), 1.0))
+    q.processAllAvailable()
+    in.addData(SessionEvent(1L, ts("2024-01-01 10:00:00"), 5.0)) // late, admitted
+    q.processAllAvailable() // unclamped: StreamingQueryException here
+    in.addData(SessionEvent(99L, ts("2024-01-02 00:00:00"), 0.0)) // raise wm
+    q.processAllAvailable()
+    // with no-data batches off, timeouts only fire inside a data batch —
+    // one more batch runs under the raised watermark and flushes everything
+    in.addData(SessionEvent(99L, ts("2024-01-02 00:10:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_sess_clamp").as[SessionOut].collect()
+      .map(s => (s.user_id, s.n_events, s.total_value)).toSet
+    assert(out.contains((1L, 1L, 5.0)),
+      s"the late singleton must still close via the clamped timeout: $out")
+    assert(out.contains((2L, 1L, 1.0)))
+    } finally spark.conf.set(noData, prevNoData)
+  }
+
+  test("streamingSessionize merges a late-but-admitted event BACKWARDS: " +
+      "session_start never postdates a counted event") {
+    implicit val sqlCtx = spark.sqlContext
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noData)
+    spark.conf.set(noData, "false")
+    try {
+    val in = MemoryStream[SessionEvent]
+    val sessions = StatefulOps.streamingSessionize(
+      in.toDS().withWatermark("ts", "0 seconds").as[SessionEvent],
+      gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("t_sess_back")
+      .outputMode("append").start()
+    in.addData(SessionEvent(1L, ts("2024-01-01 12:00:00"), 1.0),
+      SessionEvent(1L, ts("2024-01-01 12:05:00"), 2.0))
+    q.processAllAvailable()
+    // 11:50 is within the gap of the open session's span — it must merge
+    // and EXTEND THE START, not be counted under a 12:00 start
+    in.addData(SessionEvent(1L, ts("2024-01-01 11:50:00"), 4.0))
+    q.processAllAvailable()
+    in.addData(SessionEvent(99L, ts("2024-01-02 00:00:00"), 0.0))
+    q.processAllAvailable()
+    in.addData(SessionEvent(99L, ts("2024-01-02 00:10:00"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_sess_back").as[SessionOut].collect()
+      .filter(_.user_id == 1L)
+    assert(out.length === 1, out.mkString(","))
+    assert(out.head.n_events === 3L && out.head.total_value === 7.0)
+    assert(out.head.session_start === ts("2024-01-01 11:50:00"),
+      s"start must extend back to the late event: ${out.head}")
+    assert(out.head.session_end === ts("2024-01-01 12:05:00"))
+    } finally spark.conf.set(noData, prevNoData)
+  }
+
+  test("streamingSessionize refuses a non-positive gap up front") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val e = intercept[IllegalArgumentException] {
+      StatefulOps.streamingSessionize(
+        in.toDS().withWatermark("ts", "0 seconds").as[SessionEvent], gapMs = 0L)
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
   test("batch sessionize and streaming sessionize agree on session boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(
