@@ -75,14 +75,19 @@ object StreamRunner {
     * the broker-less `js/to`. Restarting with the same checkpoint resumes
     * from the last committed batch — already-processed input files are not
     * re-emitted (the file-source analog of committed consumer offsets).
+    * Default trigger drains available data and STOPS (batch-style
+    * backfill, what every driver-gate parity run wants); a long-running
+    * landing-zone pipeline passes `Trigger.ProcessingTime(...)` — same
+    * knob as [[idempotentParquetSink]], previously hard-coded here.
     */
   def fileSink(df: DataFrame, path: String, checkpointDir: String,
-               format: String = "parquet"): StreamingQuery =
+               format: String = "parquet",
+               trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     df.writeStream
       .format(format)
       .option("path", path)
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** In-memory sink for tests (S5 analog of the reference's `view-messages`
@@ -159,6 +164,13 @@ object StreamRunner {
     val leftCols = left.columns.toSeq
     val clash = rightCols.map(_._2).toSet intersect leftCols.toSet
     require(clash.isEmpty, s"right aliases collide with left columns: ${clash.mkString(", ")}")
+    // aliases must also be distinct among THEMSELVES — a duplicate slips
+    // past both checks above and dies at planning with the same
+    // ambiguous-reference error these requires exist to pre-empt
+    val dupAliases = rightCols.map(_._2).groupBy(identity)
+      .collect { case (a, g) if g.size > 1 => a }
+    require(dupAliases.isEmpty,
+      s"duplicate right aliases: ${dupAliases.mkString(", ")}")
     // "__rkey"/"__rts" are this operator's internal key/timestamp columns —
     // a caller column or alias by either name would surface later as an
     // ambiguous-reference (or silently wrong-column) error, so reject it here
@@ -176,10 +188,15 @@ object StreamRunner {
       .select(leftCols.map(col) ++ rightCols.map { case (_, a) => col(a) }: _*)
   }
 
-  /** Stream-static enrichment join: every micro-batch hash-joins against the
-    * static dimension (re-resolved per batch, so a refreshed dim table is
-    * picked up). Broadcast by default — the dim is the small side in the
-    * enrichment shape; disable for dims that don't fit an executor.
+  /** Stream-static enrichment join: every micro-batch re-EXECUTES the join
+    * against the static dimension. Caveat for file-based dims: re-execution
+    * re-reads the files the DataFrame's file index listed at CREATION —
+    * new part files written later are NOT picked up (and a rewrite that
+    * deletes the listed files fails the batch). A pipeline that needs a
+    * refreshing dimension must rebuild the dim DataFrame per batch
+    * (foreachBatch + `spark.read`) or read a table format whose snapshot
+    * resolves per query. Broadcast by default — the dim is the small side
+    * in the enrichment shape; disable for dims that don't fit an executor.
     * `left_outer` by default: an event arriving before its dimension row
     * (new user, late dim refresh) must survive with null attributes, not
     * vanish — pass `joinType = "inner"` to filter instead.

@@ -312,6 +312,18 @@ class StreamingSpec extends SparkSpec {
         "user", "click_ts", "p_ts", 0L, 3600L * 1000000L, Seq("amount" -> "__rts"))
     }
     assert(reserved.getMessage.contains("reserved"), reserved.getMessage)
+    // aliases must be distinct among THEMSELVES too — a duplicate passes
+    // the clash/reserved checks and died at planning with the very
+    // ambiguous-reference error these requires exist to pre-empt
+    val dup = intercept[IllegalArgumentException] {
+      StreamRunner.streamIntervalJoin(
+        clicks.toDF().toDF("click_ts", "user", "ad").withWatermark("click_ts", "1 minute"),
+        buys.toDF().toDF("p_ts", "p_user", "amount").withColumnRenamed("p_user", "user")
+          .withWatermark("p_ts", "1 minute"),
+        "user", "click_ts", "p_ts", 0L, 3600L * 1000000L,
+        Seq("amount" -> "r_v", "p_ts" -> "r_v"))
+    }
+    assert(dup.getMessage.contains("duplicate"), dup.getMessage)
   }
 
   test("streaming session_window aggregation equals the batch formulation") {
