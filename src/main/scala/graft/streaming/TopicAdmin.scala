@@ -40,7 +40,20 @@ object TopicAdmin {
     props.put("bootstrap.servers", bootstrap)
     val admin = cls.getMethod("create", classOf[java.util.Properties])
       .invoke(null, props)
+    // unwrap the reflection noise: broker-side failures arrive as
+    // InvocationTargetException(ExecutionException(TopicExistsException)) —
+    // two causes deep, untyped, and logged as "InvocationTargetException:
+    // null". Rethrowing the real exception keeps the LOUD-failure contract
+    // (callers can catch Kafka exceptions by type).
+    def unwrap(e: Throwable): Throwable = e match {
+      case ite: java.lang.reflect.InvocationTargetException
+          if ite.getCause != null => unwrap(ite.getCause)
+      case ee: java.util.concurrent.ExecutionException
+          if ee.getCause != null => unwrap(ee.getCause)
+      case other => other
+    }
     try f(admin.asInstanceOf[AnyRef])
+    catch { case e: Throwable => throw unwrap(e) }
     finally admin.asInstanceOf[AutoCloseable].close()
   }
 
