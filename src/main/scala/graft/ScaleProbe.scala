@@ -44,7 +44,7 @@ object ScaleProbe {
     if (args.contains("stream")) { streamStateProbe(spark); spark.stop(); return }
     // `runMain graft.ScaleProbe snm` runs ONLY the multi-pass SNM
     // candidate-growth probe (O(n·window·passes), per-pass contribution)
-    if (args.contains("snm")) { snmProbe(spark, sfDir); spark.stop(); return }
+    if (args.contains("snm")) { snmProbe(spark, sfDir, nCopies); spark.stop(); return }
     // `runMain graft.ScaleProbe gates` runs ONLY the dispatch-gate probes
     // at one order of magnitude above bench SF (the r16 verdict's "100x
     // question, measured": where each gate flips and what each face costs)
@@ -541,11 +541,14 @@ object ScaleProbe {
     * table and on a 10x near-dup blow-up (copies get a version-suffixed
     * name — the realistic shape: duplicates whose keys sort adjacently).
     */
-  private def snmProbe(spark: SparkSession, sfDir: String): Unit = {
+  private def snmProbe(spark: SparkSession, sfDir: String,
+                       nCopies: Int): Unit = {
     val part = spark.read.parquet(s"$sfDir/part.parquet")
-    val copies = spark.range(10).select(col("id").as("copy"))
+    // same id-scaling rule as blowUpCorpus: multiply by the factor, never
+    // a fixed 10 (collisions past factor 10 drift the pair counts)
+    val copies = spark.range(nCopies.toLong).select(col("id").as("copy"))
     part.crossJoin(copies).select(
-        (col("p_partkey") * 10 + col("copy")).as("p_partkey"),
+        (col("p_partkey") * nCopies + col("copy")).as("p_partkey"),
         when(col("copy") === 0, col("p_name"))
           .otherwise(concat(col("p_name"), lit(" v"), col("copy"))).as("p_name"),
         col("p_brand"), col("p_type"))
@@ -554,11 +557,11 @@ object ScaleProbe {
     val keys = Seq(col("p_name"), reverse(col("p_name")),
       concat_ws(" ", col("p_brand"), col("p_type"), col("p_name")))
     withMeter(spark) { timeM =>
-      for ((nm, d) <- Seq("1x" -> part, "10x" -> part10)) {
+      for ((nm, d) <- Seq("1x" -> part, s"${nCopies}x" -> part10)) {
         val n = d.count()
         var prev = 0L
         for (p <- 1 to 3) {
-          val c = timeM(f"snm $nm%-4s n=$n%7d passes=$p") {
+          val c = timeM(f"snm $nm%-4s n=$n%8d passes=$p") {
             graft.dedup.Dedup.sortedNeighborPairsMulti(
               d, "p_partkey", keys.take(p), window = 8).count()
           }
