@@ -285,6 +285,10 @@ object Multimodal {
     */
   def frameSamples(media: Dataset[MediaRecord], everyN: Int, dim: Int): Dataset[FrameSample] = {
     require(dim > 3, "dim must exceed 3: three channel means + >=1 histogram bin")
+    // everyN = 0 would throw from `by 0` INSIDE an executor task (the
+    // fallback path sits outside the try), and a negative stride silently
+    // emits zero frames for every decodable asset — refuse both up front
+    require(everyN > 0, s"everyN must be a positive frame stride: $everyN")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { batch =>
@@ -303,7 +307,16 @@ object Multimodal {
                 try {
                   r.setInput(iis, false) // seekable: getNumImages needs traversal
                   val frames = r.getNumImages(true)
-                  Some((0 until frames by everyN).map(fi =>
+                  val idxs = 0 until frames by everyN
+                  // re-check the raster cap PER SAMPLED FRAME (header-only
+                  // reads): decodableRaster only vetted image index 0, and
+                  // a multi-frame GIF can declare a huge raster on a LATER
+                  // frame — r.read(fi) on it dies with the unrecoverable
+                  // OutOfMemoryError the admission guard exists to prevent
+                  if (idxs.exists(fi =>
+                      r.getWidth(fi).toLong * r.getHeight(fi) > (64L << 20)))
+                    None
+                  else Some(idxs.map(fi =>
                     FrameSample(m.media_id, fi, pixelFeature(r.read(fi), dim))))
                 } catch { case scala.util.control.NonFatal(_) => None }
                 finally r.dispose()
@@ -481,7 +494,11 @@ object Multimodal {
             new java.io.ByteArrayInputStream(m.content))
           val f = aff.getFormat
           val sr = f.getSampleRate.toInt
-          val n = aff.getFrameLength.toLong
+          // a recognized-but-unsized container (e.g. AU's streaming
+          // 0xffffffff data-size header) reports NOT_SPECIFIED (-1):
+          // clamp to 0 so the row never carries a negative sample count
+          // or duration — sr/channels/bits stay real, decoded stays true
+          val n = math.max(0L, aff.getFrameLength.toLong)
           AudioMeta(m.media_id, sr, f.getChannels, f.getSampleSizeInBits, n,
             if (sr > 0) n * 1000000L / sr else 0L, decoded = true)
         } catch {

@@ -36,26 +36,33 @@ import org.apache.spark.unsafe.types.UTF8String
   *    including the expensive `text` — are never generated.
   *
   * Row derivation (shared with the DuckDB oracle via the FNV-1a helpers):
-  * `h = fnv1a64(doc_id.toString)` unsigned; `lang = langs[h mod 5]`,
+  * `h = fnv1a64(seed + ":" + doc_id)` unsigned; `lang = langs[h mod 5]`,
   * `source = sources[(h div 8) mod 4]`, `k = 10 + (h mod 90)` words of
   * fixed width 4 ⇒ `n_chars = 5k − 1` exactly; word i is
-  * `"w" + (fnv1a64(doc_id + ":" + i) mod 1000)` zero-padded.
+  * `"w" + (fnv1a64(seed + ":" + doc_id + ":" + i) mod 1000)` zero-padded
+  * (the seed prefixes BOTH hashes — an oracle derived without it
+  * disagrees on every row).
   */
 class SyntheticDocs extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SyntheticDocs.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val nDocs = SyntheticDocs.longOpt(properties, "n_docs", 1000L)
-    val nParts = SyntheticDocs.longOpt(properties, "n_partitions", 8L)
-    val rpb = SyntheticDocs.longOpt(properties, "rows_per_batch", 1000L)
+    // DSv2 options are case-insensitive everywhere else (inferSchema gets a
+    // CaseInsensitiveStringMap; getTable receives the original-cased map) —
+    // reading the raw map would silently IGNORE an N_DOCS/Seed spelling and
+    // fall back to defaults (a seed mismatch also breaks oracle replay)
+    val opts: util.Map[String, String] = new CaseInsensitiveStringMap(properties)
+    val nDocs = SyntheticDocs.longOpt(opts, "n_docs", 1000L)
+    val nParts = SyntheticDocs.longOpt(opts, "n_partitions", 8L)
+    val rpb = SyntheticDocs.longOpt(opts, "rows_per_batch", 1000L)
     // fail LOUDLY at table resolution: n_partitions=0 would silently plan an
     // empty corpus, rows_per_batch=0 a stream that never advances
     require(nDocs >= 0, s"n_docs must be >= 0: $nDocs")
     require(nParts > 0 && nParts <= Int.MaxValue, s"n_partitions must be positive: $nParts")
     require(rpb > 0, s"rows_per_batch must be positive: $rpb")
     new SyntheticDocsTable(nDocs, nParts.toInt,
-      SyntheticDocs.longOpt(properties, "seed", 42L), rpb)
+      SyntheticDocs.longOpt(opts, "seed", 42L), rpb)
   }
 }
 
@@ -168,12 +175,18 @@ private[v2] class SyntheticDocsScanBuilder(nDocs: Long, nParts: Int, seed: Long,
   // reports ONLY the range predicates actually consumed — advertising the
   // rest as "pushed" would make the plan metadata lie to pushdown audits.
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // saturating increment: `v + 1` at Long.MaxValue wraps NEGATIVE, and
+    // `doc_id <= Long.MaxValue` (truth: every row) would plan ZERO
+    // partitions — a silent wrong answer the residual re-evaluation cannot
+    // undo, because rows from never-created partitions cannot be
+    // resurrected
+    def inc(v: Long): Long = if (v == Long.MaxValue) Long.MaxValue else v + 1
     pushed = filters.filter {
-      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1); true
-      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1); true
+      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, inc(v)); true
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, inc(v)); true
       case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v); true
       case LessThan("doc_id", v: Long) => hi = math.min(hi, v); true
-      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1); true
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, inc(v)); true
       case _ => false
     }
     filters
@@ -359,9 +372,15 @@ private[v2] class DocsReader(r: DocsRange) extends PartitionReader[InternalRow] 
       UTF8String.fromString(SyntheticDocs.textFromHash(r.seed, docId, h))
     case other => throw new IllegalArgumentException(s"unknown column: $other")
   }.toArray
+  // whether ANY projected column actually consumes the row hash — a
+  // doc_id-only scan (the common join-key projection) or a residual-filter
+  // count must not pay the dominant per-row cost (string build + UTF-8
+  // encode + FNV) for a value nothing reads
+  private val needsHash: Boolean =
+    r.fields.exists(f => f != "doc_id")
   override def next(): Boolean = { id += 1; id < r.hi }
   override def get(): InternalRow = {
-    val h = SyntheticDocs.rowHash(r.seed, id)
+    val h = if (needsHash) SyntheticDocs.rowHash(r.seed, id) else 0L
     val values = new Array[Any](extractors.length)
     var i = 0
     while (i < extractors.length) { values(i) = extractors(i)(id, h); i += 1 }

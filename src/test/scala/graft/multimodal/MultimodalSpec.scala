@@ -111,6 +111,35 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(0).feature(0) > 200f && frames(0).feature(1) < 50f)
   }
 
+  test("frameSamples refuses a non-positive stride up front — everyN = 0 " +
+       "used to throw `by 0` INSIDE an executor task") {
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.frameSamples(
+        media((1L, "image/png", encodedImage(4, 4, "png"))), everyN = 0, dim = 8)
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
+
+  test("audioMeta never emits negative counts: an AU header with the " +
+       "streaming unknown-size marker clamps to zero, stays decoded") {
+    // hand-built AU header: ".snd", offset 24, dataSize 0xFFFFFFFF
+    // (= unknown / streaming), encoding 3 (16-bit linear PCM), 8 kHz, mono
+    val bb = java.nio.ByteBuffer.allocate(24 + 8)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(0xFFFFFFFF)
+      .putInt(3).putInt(8000).putInt(1)
+    bb.put(Array[Byte](0, 1, 0, 2, 0, 3, 0, 4)) // 4 PCM16 frames of data
+    val rows = Multimodal.audioMeta(media((7L, "audio/basic", bb.array())))
+      .collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    // whatever the JDK reports for the unknown-size container, the row
+    // contract holds: sample count and duration are never negative
+    assert(r.n_samples >= 0L, s"negative n_samples: $r")
+    assert(r.duration_us >= 0L, s"negative duration: $r")
+    if (r.decoded) assert(r.sample_rate === 8000, r.toString)
+  }
+
   /** Multi-frame GIF fixture via the JDK's own GIF sequence writer. */
   private def animatedGif(colors: Seq[Int]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()

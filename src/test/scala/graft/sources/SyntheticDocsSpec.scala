@@ -48,6 +48,28 @@ class SyntheticDocsSpec extends SparkSpec {
     assert(df.count() === 500L)
   }
 
+  test("doc_id <= Long.MaxValue plans the WHOLE corpus — the saturating " +
+       "increment (v+1 used to wrap negative and silently return zero rows)") {
+    val df = docs(100).filter(col("doc_id") <= Long.MaxValue)
+    assert(df.count() === 100L,
+      "pruning dropped rows residual re-evaluation cannot resurrect")
+    // and the genuinely-empty shapes stay empty
+    assert(docs(100).filter(col("doc_id") === Long.MaxValue).count() === 0L)
+    assert(docs(100).filter(col("doc_id") > Long.MaxValue).count() === 0L)
+  }
+
+  test("options are case-insensitive like every other DSv2 source") {
+    val upper = spark.read.format("graft.sources.v2.SyntheticDocs")
+      .option("N_DOCS", 250).option("N_Partitions", 4).option("SEED", 7L)
+      .load()
+    assert(upper.count() === 250L,
+      "a differently-cased n_docs must not silently fall back to the default")
+    // same seed spelled differently == same corpus (seed mismatch would
+    // break oracle replay silently)
+    assert(upper.collect().map(_.toSeq).toSet ===
+      docs(250, parts = 4, seed = 7L).collect().map(_.toSeq).toSet)
+  }
+
   test("column pruning reaches the reader: unprojected text is never generated") {
     val df = docs(1000).select(col("lang"))
     val scan = scanOf(df)
