@@ -25,6 +25,26 @@ case class MinHashSignature(child: Expression, as: Array[Long], bs: Array[Long])
   private val numHashes = as.length
   require(bs.length == numHashes, "as/bs length mismatch")
 
+  // The coefficients stay primitive arrays (codegen indexes them directly),
+  // but Array equality is reference identity, which would defeat Catalyst
+  // canonicalization: two signature columns built from equal-seed
+  // MinHashParams instances (separately-constructed pipelines, the SQL
+  // function face) must compare equal for CSE / ReusedExchange to see one
+  // computation. Same contract as [[BloomMightContain]]; hashCode samples
+  // O(1) of each array, consistent with equals.
+  override def equals(other: Any): Boolean = other match {
+    case o: MinHashSignature =>
+      child == o.child && java.util.Arrays.equals(as, o.as) &&
+        java.util.Arrays.equals(bs, o.bs)
+    case _ => false
+  }
+  override def hashCode(): Int = {
+    def sample(xs: Array[Long]): Long =
+      if (xs.isEmpty) 0L else xs(0) ^ xs(xs.length - 1) ^ xs.length
+    java.util.Objects.hash(child,
+      java.lang.Long.valueOf(sample(as)), java.lang.Long.valueOf(sample(bs)))
+  }
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 
@@ -157,10 +177,11 @@ object BloomUtil {
     val m0 = math.max(64L,
       math.ceil(-n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
     val m = (m0 + 63) / 64 * 64
-    // callers allocate `new Array[Long]((m >>> 6).toInt)`: past 2^37 bits
-    // (16 GiB — already far beyond a sane single bitmap) the Int cast would
-    // silently overflow into a negative array size. Fail loudly instead.
-    require(m <= (1L << 37),
+    // callers allocate `new Array[Long]((m >>> 6).toInt)`: FROM 2^37 bits
+    // (16 GiB — already far beyond a sane single bitmap) the Int cast
+    // overflows into a negative array size — at exactly 2^37 the word count
+    // is 2^31, one past Int.MaxValue, so the bound is strict. Fail loudly.
+    require(m < (1L << 37),
       s"bloom bitmap of $m bits (n=$n, fpp=$fpp) exceeds the 2^37 single-array bound — " +
         "build per-partition bitmaps and OR-reduce them (see bloomDecontaminate's scaladoc)")
     (m, math.max(1, math.round(m.toDouble / n * math.log(2)).toInt))

@@ -61,8 +61,11 @@ object Skew {
   def bloomKeyFilter(dim: DataFrame, key: String, fpp: Double = 0.01,
                      maxBuildKeys: Int = 4000000): Option[org.apache.spark.sql.Column] = {
     import graft.expressions.{BloomMightContain, BloomUtil}
-    val keys = dim.select(col(key).cast("string")).distinct()
-      .limit(maxBuildKeys + 1).collect().map(_.getString(0))
+    // drop null keys from the build: an equi-join never matches NULL, and
+    // an unfiltered null reaches BloomUtil.add as a null UTF8String — a
+    // driver NPE on any nullable dim key column
+    val keys = dim.select(col(key).cast("string")).filter(col(key).isNotNull)
+      .distinct().limit(maxBuildKeys + 1).collect().map(_.getString(0))
     if (keys.length > maxBuildKeys) return None
     val (m, k) = BloomUtil.sized(math.max(1L, keys.length.toLong), fpp)
     val bits = new Array[Long]((m >>> 6).toInt)

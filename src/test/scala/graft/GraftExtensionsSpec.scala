@@ -115,6 +115,22 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(kept >= 15 && kept < 500, s"bloom kept $kept of 5000")
   }
 
+  test("bloomReducedJoin tolerates NULL dim keys — the build used to NPE " +
+       "on the driver before the join could even plan") {
+    import TestSpark.spark.implicits._
+    val fact = (1 to 100).map(i => (i.toLong % 10, i)).toDF("k", "v")
+    val dim = Seq(Some(3L), None, Some(7L))
+      .map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = fact.join(dim, "k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val got = Skew.bloomReducedJoin(fact, dim, "k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    // NULL never equi-matches, so dropping it from the bitmap build keeps
+    // the plain join's result bit-for-bit
+    assert(got === plain)
+    assert(plain.size === 20) // keys 3 and 7, 10 fact rows each
+  }
+
   test("bloomReducedJoin above maxBuildKeys falls back to the plain join") {
     import TestSpark.spark.implicits._
     val fact = (1 to 100).map(i => (i.toLong, i)).toDF("k", "v")

@@ -200,6 +200,16 @@ class ExpressionParitySpec extends SparkSpec {
     val b3 = graft.expressions.BloomMightContain(child, Array(1L, 2L, 9L), 4, 192L)
     assert(b1 == b2 && b1.hashCode == b2.hashCode)
     assert(b1 != b3)
+    // MinHash coefficients: two equal-seed MinHashParams produce distinct
+    // array objects — the expressions must still be one computation
+    val p1 = Dedup.MinHashParams(numHashes = 8, bands = 4, seed = 7L)
+    val p2 = Dedup.MinHashParams(numHashes = 8, bands = 4, seed = 7L)
+    val m1 = graft.expressions.MinHashSignature(child, p1.as, p1.bs)
+    val m2 = graft.expressions.MinHashSignature(child, p2.as, p2.bs)
+    val bsEdited = p1.bs.clone(); bsEdited(0) += 1L
+    val m3 = graft.expressions.MinHashSignature(child, p1.as, bsEdited)
+    assert(m1 == m2 && m1.hashCode == m2.hashCode)
+    assert(m1 != m3)
   }
 
   test("HyperplaneBuckets matches the driver-side bucketOf for every table") {
