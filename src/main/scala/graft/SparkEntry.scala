@@ -4360,9 +4360,19 @@ object SparkEntry {
   private def isotropyQ(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val v = VF.toDouble(col("embedding"))
-    val u = emb.select(transform(v, x =>
-      round(x / VF.norm(v), 6).cast("decimal(10,6)")).as("u"))
-    val dims = u.select(posexplode(col("u")).as(Seq("dim", "ud")))
+    // norm BELOW the explode, normalization above it: the former
+    // `transform(v, x => round(x / VF.norm(v), 6))` embedded the O(d) norm
+    // in the per-element lambda — O(d²) per row (the q_ndcg Quantize8
+    // lesson), and the Generate's implied non-empty filter re-evaluated the
+    // whole transform a second time. The Generate boundary keeps __nrm from
+    // being collapsed back into a per-element position (a plain hoisted
+    // projection would be re-inlined by CollapseProject, which counts the
+    // single lexical reference inside the lambda as "used once").
+    // round(x/nrm, 6) → decimal(10,6) per element is arithmetic-identical.
+    val dims = emb
+      .select(VF.norm(v).as("__nrm"), posexplode(v).as(Seq("dim", "x")))
+      .select(col("dim"),
+        round(col("x") / col("__nrm"), 6).cast("decimal(10,6)").as("ud"))
       .groupBy(col("dim"))
       .agg(sum(col("ud")).as("s_d"), sum(col("ud") * col("ud")).as("q_d"))
     val n = emb.agg(count(lit(1)).as("n"))

@@ -100,17 +100,23 @@ object Dedup {
       if (maxDocFreq >= 0) maxDocFreq
       else autoDocFreqCap(if (corpusN >= 0) corpusN else df.count())
     val sets = shingleSets(df, idCol, textCol, n)
-    val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // FULL set size rides each inverted-index row (+8 bytes on a ~50-byte
+    // shingle row): the alternative — joining size(shingles) back onto the
+    // pair set per side — re-scans and re-shingles the whole corpus and
+    // shuffles the (larger-than-n) candidate-pair set twice more. Sizes are
+    // taken BEFORE the hot-shingle drop, so capped pairs keep reporting the
+    // conservatively lower Jaccard over full set sizes (same values as the
+    // join-back formulation, row for row).
+    val inv0 = sets.select(col("doc_id"), size(col("shingles")).as("nd"),
+      explode(col("shingles")).as("s"))
     val inv = if (cap > 0) {
       val hot = inv0.groupBy("s").count().filter(col("count") > cap).select("s")
       inv0.join(hot, Seq("s"), "left_anti")
     } else inv0
-    val pairs = inv.as("x").join(inv.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    inv.as("x").join(inv.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.nd").as("na"), col("y.nd").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sets.select(col("doc_id").as("a"), size(col("shingles")).as("na")), "a")
-      .join(sets.select(col("doc_id").as("b"), size(col("shingles")).as("nb")), "b")
       .select(col("a"), col("b"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -138,17 +144,18 @@ object Dedup {
       if (maxDocFreq >= 0) maxDocFreq
       else autoDocFreqCap(if (corpusN >= 0) corpusN else df.count())
     val sets = shingleSets(df, idCol, textCol, n)
-    val inv0 = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // sizes ride the inverted index — same one-corpus-scan restructure as
+    // [[ngramJaccardPairs]] (see the note there)
+    val inv0 = sets.select(col("doc_id"), size(col("shingles")).as("nd"),
+      explode(col("shingles")).as("s"))
     val inv = if (cap > 0) {
       val hot = inv0.groupBy("s").count().filter(col("count") > cap).select("s")
       inv0.join(hot, Seq("s"), "left_anti")
     } else inv0
-    val pairs = inv.as("x").join(inv.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    inv.as("x").join(inv.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.nd").as("na"), col("y.nd").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sets.select(col("doc_id").as("a"), size(col("shingles")).as("na")), "a")
-      .join(sets.select(col("doc_id").as("b"), size(col("shingles")).as("nb")), "b")
       .select(col("a"), col("b"),
         round(col("inter").cast("double") / col("na"), 6).as("contain_ab"),
         round(col("inter").cast("double") / col("nb"), 6).as("contain_ba"),
@@ -212,10 +219,16 @@ object Dedup {
     val sets = shingleSets(df, idCol, textCol, n).filter(size(col("shingles")) > 0)
     val inv = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+    // __n = count over the SAME doc_id window partition the prefix rank
+    // already shuffles+sorts for: shingles are a distinct set, so the
+    // per-doc inverted-index row count IS size(shingles) — the former
+    // join-back re-scanned and re-shingled the corpus for a number this
+    // window already has in hand (plan: one Window operator, no extra
+    // exchange, one fewer corpus scan).
     val pref = inv.join(dfreq, "s")
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("__df"), col("s"))))
-      .join(sets.select(col("doc_id"), size(col("shingles")).as("__n")), "doc_id")
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .filter(col("__rn") <=
         col("__n") - expr(s"(($tNum * __n) + $tDen - 1) div $tDen") + 1)
       .select(col("doc_id"), col("s"))
