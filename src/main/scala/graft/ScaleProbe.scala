@@ -628,6 +628,7 @@ object ScaleProbe {
     val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", 4L << 20)
     spark.conf.set("spark.sql.files.openCostInBytes", 0L)
+    try {
     val v10 = spark.read.parquet("/tmp/graft_gates_vecs")
     val d10 = spark.read.parquet("/tmp/graft_gates_docs")
     def vAt(f: Int) = v10.filter(pmod(col("vec_id"), lit(nCopies)) < f)
@@ -716,8 +717,13 @@ object ScaleProbe {
       println(s"  fallback row-parity: broadcast=$nb shuffle=$ns " +
         (if (nb == ns) "OK" else "MISMATCH"))
     }
-    spark.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
-    spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    } finally {
+      // restore even when a probe body throws: an exception here used to
+      // leave the whole session pinned at 4 MB partitions / zero open cost
+      // for every later probe in the same JVM (ADVICE r17)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMpb)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
   }
 
   /** Streaming state-store growth/eviction probe — the measurement behind

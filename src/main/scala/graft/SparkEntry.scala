@@ -1215,10 +1215,22 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val knn = Ann.knnGraph(emb.filter(col("vec_id") < 200), emb, "vec_id",
       "embedding", k = 5)
+    // und duplicates Graph.triangleCounts' internal symmetrization EXPRESSION
+    // FOR EXPRESSION (same least/greatest projection, same =!=/isNotNull
+    // filter), and the t3 branch passes the RAW knn so triangleCounts builds
+    // that identical subtree itself: only canonically equal subtrees let AQE
+    // reuse und's exchange between the t3 and w2 branches. The previous
+    // shape (own `a =!= b`-only und, re-wrapped inside triangleCounts)
+    // collapsed into a filter carrying BOTH predicate generations — never
+    // canonically equal to the w2 side — so the brute-force kNN executed
+    // TWICE per run (plan-audited: two BroadcastNestedLoopJoin +
+    // ObjectHashAggregate chains in plans/r18/q_transitivity_before.txt,
+    // one + ReusedExchange after).
     val und = knn.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
-    val t3 = graft.operators.Graph.triangleCounts(und, "a", "b")
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val t3 = graft.operators.Graph.triangleCounts(knn, "src", "dst")
       .agg(sum(col("triangles")).as("t3"))
     val w2 = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))

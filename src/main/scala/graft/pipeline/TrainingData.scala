@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
@@ -941,12 +941,21 @@ object TrainingData {
     * also drop caches the registry does not own. Each unpersist is guarded:
     * an entry whose session has since stopped must not fail the release of
     * the live ones.
+    *
+    * Pass `session` to release ONLY that session's entries: the no-arg form
+    * is global, and one session's explicit release would otherwise also
+    * unpersist another live session's resident projection — silently
+    * re-imposing the full re-materialization cost on that session's next
+    * call (ADVICE r17; thrash, never correctness).
     */
-  def releaseTrainSides(): Unit =
+  def releaseTrainSides(session: Option[SparkSession] = None): Unit =
     trainSideCache.synchronized {
-      trainSideCache.valuesIterator.foreach { case (_, old) =>
-        try old.unpersist(false) catch { case _: Throwable => () } }
-      trainSideCache.clear()
+      val doomed = trainSideCache.filter { case (_, (_, cached)) =>
+        session.forall(_ eq cached.sparkSession) }
+      doomed.foreach { case (key, (_, old)) =>
+        try old.unpersist(false) catch { case _: Throwable => () }
+        trainSideCache.remove(key)
+      }
     }
 
   private def persistTrainSideBounded(df: DataFrame): DataFrame =

@@ -100,12 +100,16 @@ object StatefulOps {
     *
     * Late-event trade (the Append-mode approximation, same family as
     * [[streamingAsofEnrich]]'s): a cross-batch late event that still lands
-    * within `gapMs` of the OPEN session merges into it and extends
-    * `session_start` backwards — the emitted session stays internally
-    * consistent (start ≤ every counted event) but a batch replay that saw
-    * the event in order might have split differently. Events later than
-    * the late-events watermark never arrive here at all; batch replay is
-    * authoritative.
+    * within `gapMs` of the OPEN session — on either side — merges into it
+    * (extending `session_start` backwards when older), so the emitted
+    * session stays internally consistent (start ≤ every counted event,
+    * no internal gap beyond `gapMs` introduced by the merge). An admitted
+    * late event MORE than `gapMs` before the open session's start emits
+    * immediately as its own closed singleton session — a batch replay
+    * would always keep it separate from the open session (though it might
+    * merge several such strays with each other, which this path cannot).
+    * Events later than the late-events watermark never arrive here at
+    * all; batch replay is authoritative.
     */
   def streamingSessionize(events: Dataset[SessionEvent], gapMs: Long,
                           outputMode: OutputMode = OutputMode.Append()): Dataset[SessionOut] = {
@@ -130,13 +134,29 @@ object StatefulOps {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t >= s.start - gapMs && t - s.last <= gapMs =>
+                  // within gapMs of the OPEN session on either side.
                   // min(start, t): a late-but-admitted event older than the
                   // open session must extend it BACKWARDS — keeping start
                   // untouched emitted sessions whose start postdated events
-                  // they counted
+                  // they counted. The lower bound matters too: without it
+                  // the guard `t - s.last <= gapMs` is vacuously true for
+                  // ANY late event (t ≤ s.last makes the difference
+                  // negative), so an event hours older than the session
+                  // would merge and emit a session with an internal gap
+                  // far beyond gapMs — which a batch replay always splits.
                   cur = Some(SessionState(s.n + 1, s.total + e.value,
                     math.min(s.start, t), math.max(s.last, t)))
+                case Some(s) if t < s.start - gapMs =>
+                  // admitted-late stray MORE than gapMs before the open
+                  // session: batch replay would always keep it separate —
+                  // emit it as its own closed singleton session and leave
+                  // the open session untouched. (Strays between the same
+                  // two batches that batch replay would merge with EACH
+                  // OTHER still emit individually — the Append-mode
+                  // approximation, stated in the scaladoc.)
+                  closed ::= SessionOut(userId, 1, e.value,
+                    new Timestamp(t), new Timestamp(t))
                 case Some(s) =>
                   closed ::= SessionOut(userId, s.n, s.total, new Timestamp(s.start), new Timestamp(s.last))
                   cur = Some(SessionState(1, e.value, t, t))

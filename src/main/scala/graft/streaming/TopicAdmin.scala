@@ -53,7 +53,17 @@ object TopicAdmin {
       case other => other
     }
     try f(admin.asInstanceOf[AnyRef])
-    catch { case e: Throwable => throw unwrap(e) }
+    catch {
+      // NonFatal only: OOM/StackOverflow/Interrupted must propagate as
+      // themselves (unwrapping an InterruptedException's wrapper would also
+      // discard the thread's interrupt status). The original wrapper rides
+      // along as a suppressed exception so the reflective call site's stack
+      // is not lost (ADVICE r17).
+      case scala.util.control.NonFatal(e) =>
+        val real = unwrap(e)
+        if (!(real eq e)) real.addSuppressed(e)
+        throw real
+    }
     finally admin.asInstanceOf[AutoCloseable].close()
   }
 

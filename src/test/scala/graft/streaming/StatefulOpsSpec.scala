@@ -120,6 +120,47 @@ class StatefulOpsSpec extends SparkSpec {
     } finally spark.conf.set(noData, prevNoData)
   }
 
+  test("streamingSessionize emits an admitted-late stray OLDER than the open " +
+      "session by more than the gap as its own closed singleton (no merge)") {
+    implicit val sqlCtx = spark.sqlContext
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.get(noData)
+    spark.conf.set(noData, "false")
+    try {
+    val in = MemoryStream[SessionEvent]
+    val sessions = StatefulOps.streamingSessionize(
+      in.toDS().withWatermark("ts", "0 seconds").as[SessionEvent],
+      gapMs = 30 * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("t_sess_stray")
+      .outputMode("append").start()
+    in.addData(SessionEvent(1L, ts("2024-01-01 12:00:00"), 1.0),
+      SessionEvent(1L, ts("2024-01-01 12:05:00"), 2.0))
+    q.processAllAvailable()
+    // 08:00 is 4 h before the open session's start with a 30 min gap: the
+    // old `t - s.last <= gapMs` guard merged it (the difference is
+    // negative, so the predicate was vacuously true for ANY late event)
+    // and dragged session_start back 4 h — a session with an internal gap
+    // batch replay would always split. It must emit as its own singleton.
+    in.addData(SessionEvent(1L, ts("2024-01-01 08:00:00"), 8.0))
+    q.processAllAvailable()
+    in.addData(SessionEvent(99L, ts("2024-01-02 00:00:00"), 0.0)) // raise wm
+    q.processAllAvailable()
+    in.addData(SessionEvent(99L, ts("2024-01-02 00:10:00"), 0.0)) // flush
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("t_sess_stray").as[SessionOut].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    assert(out.length === 2, out.mkString(","))
+    assert(out(0).n_events === 1L && out(0).total_value === 8.0 &&
+      out(0).session_start === ts("2024-01-01 08:00:00") &&
+      out(0).session_end === ts("2024-01-01 08:00:00"),
+      s"the 4h-late stray must close as a singleton: ${out(0)}")
+    assert(out(1).n_events === 2L && out(1).total_value === 3.0 &&
+      out(1).session_start === ts("2024-01-01 12:00:00"),
+      s"the open session must be untouched by the stray: ${out(1)}")
+    } finally spark.conf.set(noData, prevNoData)
+  }
+
   test("streamingSessionize merges a late-but-admitted event BACKWARDS: " +
       "session_start never postdates a counted event") {
     implicit val sqlCtx = spark.sqlContext
