@@ -343,7 +343,16 @@ object Dedup {
                    corpusN: Long = -1L, broadcastMaxRows: Long = 200000L): DataFrame = {
     val sets = shingleSets(df, idCol, textCol, n)
       .select(col("doc_id"), array_distinct(transform(col("shingles"), s => xxhash64(s))).as("hs"))
-    val signed = df.select(col(idCol).as("doc_id"), wordShingles(col(textCol), n).as("shingles"))
+    // signature side derives from shingleSets too — two wins over the old
+    // direct `df.select(wordShingles...)`: (1) the |shingles|×numHashes
+    // signature kernel runs AFTER shingleSets' fan-out exchange, so a
+    // single-split corpus no longer computes every signature one-core
+    // (the editDistancePairs/codec-fan-out lesson — this was the only
+    // heavy kernel left on an unfanned scan); (2) the signature and
+    // verification branches now share a canonically identical scan+exchange
+    // subtree, so the corpus is READ once and AQE's ReusedExchange feeds
+    // both (plan-audited: 2 parquet scans → 1).
+    val signed = shingleSets(df, idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), minhashSignature(col("shingles"), params).as("sig"))
     val cand = minhashCandidates(signed, params)

@@ -1396,13 +1396,26 @@ object TrainingData {
     */
   def removeRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           window: Int = 16): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, window)
-    // first global occurrence of each fp survives; every other one is a cut.
-    // min(struct) partial-aggregates — no per-fp sort window, so a span
-    // repeated in a million documents costs what any fp costs
-    val firsts = spans.groupBy(col("span_fp"))
-      .agg(min(struct(col(idCol).as("__fid"), col("pos").as("__fpos"))).as("__first"))
-    val cuts = spans.join(firsts, "span_fp")
+    // ONE census carrying both the repeated-span filter and the global
+    // first occurrence: composing repeatedSpans (census + join) with a
+    // separate firsts census + cut join re-ran the span-fingerprint scan
+    // FOUR times per call (the plan duplicates the unpersisted subtree).
+    // The two-level aggregate below is the countDistinct the old census
+    // planned anyway (partial on (fp, id), final on fp), with the global
+    // min(struct(id, pos)) riding along: level 1 takes min(pos) per
+    // (fp, id), level 2 counts the distinct docs and takes the struct min
+    // — min∘min composes, so (__fid, __fpos) is exactly the old global
+    // first. Fingerprint passes: 4 → 2 (census + cut join), cut set
+    // row-identical.
+    val spans = spanFingerprints(df, idCol, textCol, window)
+    val census = spans.groupBy(col("span_fp"), col(idCol))
+      .agg(min(col("pos")).as("__minpos"))
+      .groupBy(col("span_fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col(idCol).as("__fid"), col("__minpos").as("__fpos"))).as("__first"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span_fp"), col("__first"))
+    val cuts = spans.join(census, "span_fp")
       .filter(!(col(idCol) === col("__first.__fid") && col("pos") === col("__first.__fpos")))
       .groupBy(col(idCol))
       .agg(collect_list(col("pos")).as("__cuts"))
