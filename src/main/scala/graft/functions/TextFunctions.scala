@@ -224,7 +224,15 @@ object TextFunctions {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("term"))
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // count(when(tf >= 1, 1)) — vacuously all rows (a count is never < 1),
+    // identical df values — NOT count(1): a bare row count lets Catalyst
+    // prune tf's count column out of this subtree, which makes the census's
+    // exchange canonically DIFFERENT from the tf side's and the corpus is
+    // scanned + tokenized twice (the r13 market-basket census lesson; with
+    // the column kept, AQE reuses the (doc_id, term) exchange and the
+    // corpus is read once — plan-audited on q_tfidf, 2 scans → 1).
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1L, 1)).as("df"))
     val dff = if (broadcastVocab) broadcast(dfreq) else dfreq
     tf.join(dff, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
   }

@@ -221,15 +221,26 @@ object Graph {
     */
   def mutualEdges(edges: DataFrame, srcCol: String, dstCol: String,
                   rankCol: String): DataFrame = {
+    // ONE pass keyed on the unordered pair, not a fwd⋈rev self-join: the
+    // split-filter-join formulation put two canonically different filters
+    // over the SAME edge subtree, so an expensive edge build (the kNN
+    // top-k) executed twice per run and shuffled twice (the q_transitivity
+    // lesson). Each direction occurs at most once (per-src top-k), so
+    // max(when(...)) recovers each direction's rank exactly; a pair is
+    // mutual iff both are non-null. Values and rows identical to the join
+    // form (GraphSpec pins it); one partial-aggregated shuffle, no join.
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"),
       col(rankCol).as("r"))
       .filter(col("s") =!= col("d") && col("s").isNotNull && col("d").isNotNull)
-    val fwd = e.filter(col("s") < col("d"))
-    val rev = e.filter(col("s") > col("d"))
-      .select(col("d").as("s2"), col("s").as("d2"), col("r").as("r2"))
-    fwd.join(rev, col("s") === col("s2") && col("d") === col("d2"))
-      .select(col("s").as("a"), col("d").as("b"),
-        col("r").cast("long").as("rank_ab"), col("r2").cast("long").as("rank_ba"))
+    e.select(least(col("s"), col("d")).as("a"),
+        greatest(col("s"), col("d")).as("b"),
+        when(col("s") < col("d"), col("r")).as("__rab"),
+        when(col("s") > col("d"), col("r")).as("__rba"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("__rab")).as("__rab"), max(col("__rba")).as("__rba"))
+      .filter(col("__rab").isNotNull && col("__rba").isNotNull)
+      .select(col("a"), col("b"),
+        col("__rab").cast("long").as("rank_ab"), col("__rba").cast("long").as("rank_ba"))
   }
 
   /** Degree assortativity of an undirected graph (Newman, PRL 89, 2002):
