@@ -422,6 +422,18 @@ object Bench {
       f"(raw ${total}%.1fs, gamma-blend box $boxFp%.3f -> ref $fpRef%.3f, x$fpScale%.3f)")
     val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"cold_total":${r3(coldTotal)},"failed":$failedJson,"measure":"$measure","sf":"$sfDir"}"""
     println(line)
+    // r18 post-mortem: the single ~10 KB per-query line above falls outside
+    // the driver's bounded tail capture, so PERF_rNN.per_query came back
+    // empty two rounds running. ADDITIONS-ONLY fix: re-emit the same warm
+    // medians as short self-describing chunk lines (each parses as its own
+    // JSON object, ~30 queries ≈ 800 B) immediately before the final
+    // summary, so however small the captured tail is it always ends with
+    // complete chunk lines. The full line above and the summary below are
+    // byte-identical to the r3+ contract.
+    steady.toSeq.grouped(30).zipWithIndex.foreach { case (chunk, i) =>
+      val n = (steady.size + 29) / 30
+      println(s"""{"metric":"per_query_chunk","i":$i,"n":$n,"queries":${jmap(chunk)}}""")
+    }
     // The driver parses the metric line out of a BOUNDED log tail. With 79+
     // queries the per-query map outgrew that window in round 5 and the line's
     // HEAD (the "metric":"total" prefix) was cut off -> parsed:null. The tail

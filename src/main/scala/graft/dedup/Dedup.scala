@@ -348,10 +348,14 @@ object Dedup {
     // signature kernel runs AFTER shingleSets' fan-out exchange, so a
     // single-split corpus no longer computes every signature one-core
     // (the editDistancePairs/codec-fan-out lesson — this was the only
-    // heavy kernel left on an unfanned scan); (2) the signature and
-    // verification branches now share a canonically identical scan+exchange
-    // subtree, so the corpus is READ once and AQE's ReusedExchange feeds
-    // both (plan-audited: 2 parquet scans → 1).
+    // heavy kernel left on an unfanned scan); (2) both branches derive
+    // from the same shingleSets call so a planner that keeps the subtrees
+    // canonically equal CAN share them — in practice per-branch filter
+    // pushdown specializes each side's parquet scan, so the corpus is
+    // still read twice (plan-audited r18: scans 10 → 10; the win is the
+    // fan-out, not scan sharing). Two column-pruned scans beat
+    // materializing a corpus-sized shingle table, so this is where it
+    // stays.
     val signed = shingleSets(df, idCol, textCol, n)
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), minhashSignature(col("shingles"), params).as("sig"))

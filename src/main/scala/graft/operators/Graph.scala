@@ -25,12 +25,26 @@ object Graph {
     * are summed in DECIMAL(38,18) — associative-exact, so ranks are
     * bit-identical under any partitioning and replayable by any engine.
     *
+    * Null-endpoint edges are dropped up front: a null vertex is not a node
+    * (the classic formulation never defines one), and the explicit base
+    * filter is also what keeps every consumer's subtree canonically EQUAL —
+    * without it, the joins above infer per-branch `isNotNull` constraints
+    * that push down differently into the nodes / outdeg / contribs copies
+    * of the edge build, and the whole edge-build pipeline (scan + join +
+    * distinct, the expensive part when edges derive from a join) executes
+    * once per consumer instead of once per run (plan-audited r19: the
+    * q_pagerank edge build ran 4x per execution, fresh Exchanges + a
+    * duplicated broadcast; one Exchange + ReusedExchange after — the same
+    * one-predicate canonical mismatch as r18's q_transitivity).
+    *
     * Returns (`id`, `rank`) for every node (sources and sinks).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1: $iterations")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
     val withDeg = e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), "src")
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
@@ -218,6 +232,14 @@ object Graph {
     * per-src top-k), so there is no skew amplification regardless of hub
     * degree. Nothing is collected. Returns (`a`, `b`, `rank_ab`,
     * `rank_ba`) where rank_ab is b's rank in a's list.
+    *
+    * Input contract (matters outside the k-NN use): each directed edge is
+    * expected AT MOST ONCE — the shape a per-src top-k emits. Violations
+    * degrade deliberately rather than explode: duplicate copies of the
+    * same direction collapse to one output row carrying the MAX of their
+    * ranks (a join formulation would emit a row per fwd×rev copy pair),
+    * and a direction whose rank is NULL is treated as absent, so the pair
+    * is dropped as non-mutual instead of surfacing a null rank.
     */
   def mutualEdges(edges: DataFrame, srcCol: String, dstCol: String,
                   rankCol: String): DataFrame = {

@@ -1050,4 +1050,58 @@ class PlanAuditSpec extends SparkSpec {
     assert(!(p.contains("array_max") && p.contains("lambda")), p)
     assert(!p.contains("CodegenFallback"), p)
   }
+
+  // ---- r18 canonical-equality wins, pinned (the r18 verdict's ask): each
+  // of these relies on two consumers building EXPRESSION-IDENTICAL subtrees
+  // so AQE's exchange reuse fires. Catalyst canonicalization is the only
+  // thing holding that together — an innocuous edit (or a Spark upgrade
+  // that folds the tfidf census's vacuously-true count predicate) silently
+  // re-doubles the heavy subtree with zero functional test failing. These
+  // audits fail the build instead. All four count nodes in the EXECUTED
+  // final adaptive plan, the market-basket pattern above.
+
+  private def finalPlanOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.toRdd.count() // AQE finalizes stages on execution
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q_tfidf: census and tf sides share ONE corpus scan via ReusedExchange") {
+    // termStats keeps the tf column referenced inside the census aggregate
+    // (count(when(tf>=1,1))) precisely so the census subtree stays
+    // canonically equal to the tf side; if that breaks, the corpus is
+    // tokenized twice again (scans 1 -> 2, ReusedExchange gone)
+    val p = finalPlanOf("q_tfidf")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("q_transitivity: the brute-force kNN build executes ONCE (one BNLJ chain + ReusedExchange)") {
+    // the t3 and wedge-census branches must stay expression-identical; the
+    // pre-r18 shape planned TWO BroadcastNestedLoopJoin Inner chains (the
+    // kNN executed twice per run). The outer 1-row x 1-row crossJoin of the
+    // two scalars is a BNLJ Cross and is excluded by matching Inner only.
+    val p = finalPlanOf("q_transitivity")
+    // tree format prints the build side first: "BNLJ BuildRight, Inner"
+    assert("BroadcastNestedLoopJoin [^,]+, Inner".r.findAllIn(p).size === 1, p)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("q_mutual_knn: one kNN pass — single BNLJ, single corpus scan, reused exchange") {
+    // mutualEdges' one-pass aggregate form: the fwd/rev join formulation
+    // rebuilt the kNN per direction (two BNLJ chains, two scans)
+    val p = finalPlanOf("q_mutual_knn")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1, p)
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("q_ngram_jaccard: set sizes ride the inverted index — no corpus join-backs") {
+    // pre-r18: the candidate-pair set was joined BACK to the shingle sets
+    // twice to attach na/nb, re-scanning and re-shingling the corpus; the
+    // sizes now ride the index rows, so the final plan scans the corpus at
+    // most twice (index + census) instead of four times
+    val p = finalPlanOf("q_ngram_jaccard")
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
 }
