@@ -79,6 +79,9 @@ object RocksDbParity {
     }
     def drain(): Seq[String] = {
       import scala.jdk.CollectionConverters._
+      // StreamingQueryListener events ride the shared async listener bus —
+      // flush it so each run's metrics land in ITS block, not the next one's
+      org.apache.spark.sql.graft.ColumnBridge.drainListenerBus(spark.sparkContext)
       val out = stateLines.asScala.toSeq
       stateLines.clear(); out
     }

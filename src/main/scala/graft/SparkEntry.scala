@@ -3601,8 +3601,26 @@ object SparkEntry {
     val gophered = train.join(keep, "doc_id")
       .filter(g.getField("f_wc") && g.getField("f_mwl") && g.getField("f_symbol") &&
         g.getField("f_bullet") && g.getField("f_ellipsis") && g.getField("f_alpha"))
-    val banded = TrainingData.perplexityGate(target, "text", maxNll = 7.85)(gophered)
-    val cleaned = TrainingData.decontaminateSpans(banded, bench, "doc_id", "text")
+    // The two driver-side side-input builds — the LM estimation (one fused
+    // histogram collect over the target slice) and the decontamination
+    // broadcast-gate census (distinct span-fp count over the benchmark
+    // quarter) — are INDEPENDENT; submit them from two driver threads so
+    // their jobs overlap instead of serializing (guide §2.6). Passing the
+    // census result as `benchN` reproduces exactly the broadcast decision
+    // decontaminateSpans would make alone: plan and rows are identical.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (gate, benchN) = try {
+      val gateF = pool.submit(new java.util.concurrent.Callable[DataFrame => DataFrame] {
+        def call() = TrainingData.perplexityGate(target, "text", maxNll = 7.85)
+      })
+      val bNF = pool.submit(new java.util.concurrent.Callable[java.lang.Long] {
+        def call() = TrainingData.benchSpanFingerprintCount(bench, "doc_id", "text")
+      })
+      (gateF.get(), bNF.get().longValue())
+    } finally pool.shutdown()
+    val banded = gate(gophered)
+    val cleaned = TrainingData.decontaminateSpans(banded, bench, "doc_id", "text",
+      benchN = benchN)
     TrainingData.packBudgeted(cleaned, "doc_id", "text", budget = 2000)
   }
 

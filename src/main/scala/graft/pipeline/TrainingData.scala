@@ -1131,9 +1131,10 @@ object TrainingData {
     * corpus toward the target (importance resampling). Token-less docs
     * score 0.
     *
-    * Scale shape: each side's bucket histogram is ONE partial-aggregated
-    * shuffle of ≤ `buckets` rows per partition, collected driver-side
-    * (`buckets` longs — a side input, not data); the per-doc score is then
+    * Scale shape: BOTH sides' bucket histograms ride one tagged
+    * partial-aggregated shuffle of ≤ 2·`buckets` rows per partition,
+    * collected driver-side in a single job (`buckets` longs each — a side
+    * input, not data); the per-doc score is then
     * a single embarrassingly-parallel pass with the weight table riding
     * into codegen as a 32 KB array literal. Summation is left-to-right in
     * token order on both engines (`aggregate` here, `list_reduce` in the
@@ -1146,15 +1147,19 @@ object TrainingData {
       filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
     def bucketOf(tok: org.apache.spark.sql.Column) =
       pmod(TextFunctions.fnv1a64(tok), lit(buckets.toLong))
-    def histogram(df: DataFrame): Array[Long] = {
-      val rows = df.select(explode(toksOf(col(textCol))).as("tok"))
-        .groupBy(bucketOf(col("tok")).as("b")).count().collect()
-      val arr = new Array[Long](buckets)
-      rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
-      arr
+    // both histograms in ONE job (r19, guide §2.6 overlap/§2.4 job-count):
+    // the tagged union partial-aggregates to ≤ 2·buckets rows per mapper
+    // and the two scans run CONCURRENTLY inside one job instead of as two
+    // sequential collect jobs; counts are bucket-for-bucket identical
+    val rows = target.select(lit(0).as("t"), explode(toksOf(col(textCol))).as("tok"))
+      .unionAll(train.select(lit(1).as("t"), explode(toksOf(col(textCol))).as("tok")))
+      .groupBy(col("t"), bucketOf(col("tok")).as("b")).count().collect()
+    val ct = new Array[Long](buckets)
+    val cr = new Array[Long](buckets)
+    rows.foreach { r =>
+      val arr = if (r.getInt(0) == 0) ct else cr
+      arr(r.getLong(1).toInt) = r.getLong(2)
     }
-    val ct = histogram(target)
-    val cr = histogram(train)
     val (tTot, rTot) = (ct.sum, cr.sum)
     // identical expression shape to the oracle: the DIFFERENCE of the two
     // smoothed log terms, ln(p_t) - ln(p_r) — the DuckDB oracle computes the
@@ -1436,9 +1441,10 @@ object TrainingData {
     * same float-parity contract as [[importanceWeights]], so the oracle
     * replays scores bit-for-bit.
     *
-    * Scale shape: two partial-aggregated histogram shuffles over the
-    * target (≤ `buckets` rows each), collected as side inputs (`buckets`
-    * longs); scoring is one embarrassingly-parallel pass with both weight
+    * Scale shape: ONE partial-aggregated histogram shuffle over the
+    * target (≤ 2·`buckets` rows per mapper — both histograms ride one
+    * tagged pass), collected as side inputs (`buckets` longs each);
+    * scoring is one embarrassingly-parallel pass with both weight
     * tables riding into codegen as array literals. Returns (idCol, nll).
     */
   def perplexityScore(df: DataFrame, target: DataFrame, idCol: String,
@@ -1476,23 +1482,30 @@ object TrainingData {
     def biBucket(prev: org.apache.spark.sql.Column, tok: org.apache.spark.sql.Column) =
       pmod(TextFunctions.fnv1a64(concat_ws(" ", prev, tok)), lit(buckets.toLong))
     val tt = target.select(lowerToks(col(textCol)).as("__t")).filter(size(col("__t")) >= 2)
-    def hist(pairs: DataFrame, bucket: org.apache.spark.sql.Column): Array[Long] = {
-      val rows = pairs.groupBy(bucket.as("b")).agg(count(lit(1)).as("c")).collect()
-      val arr = new Array[Long](buckets)
-      rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
-      arr
-    }
     // bigram occurrences: (prev, tok) for i in 1..n-1; context = its prev.
-    // Persisted across the TWO histogram collects — without it each would
-    // re-run the tokenize + posexplode generator over the whole target;
-    // unpersisted before return, so nothing stays pinned.
+    // BOTH histograms ride ONE pass (r19, guide §2.4/§2.6 job-count): each
+    // occurrence explodes into its two tagged bucket rows — (0, bigram
+    // bucket) and (1, context bucket) — and one partial-aggregated shuffle
+    // of ≤ 2·buckets rows per mapper feeds a single collect. The previous
+    // shape persisted the pair table and submitted two sequential
+    // histogram jobs (two shuffles, two collects, a cache
+    // materialization); counts are bucket-for-bucket identical, this is
+    // pure job/shuffle fusion.
     val bi = tt.select(posexplode(col("__t")).as(Seq("__i", "__tok")), col("__t"))
       .filter(col("__i") >= 1)
       .select(element_at(col("__t"), col("__i")).as("__prev"), col("__tok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (cBi, cCtx) = try {
-      (hist(bi, biBucket(col("__prev"), col("__tok"))), hist(bi, ctxBucket(col("__prev"))))
-    } finally bi.unpersist(false)
+    val rows = bi
+      .select(explode(array(
+        struct(lit(0).as("t"), biBucket(col("__prev"), col("__tok")).as("b")),
+        struct(lit(1).as("t"), ctxBucket(col("__prev")).as("b")))).as("tb"))
+      .groupBy(col("tb.t").as("t"), col("tb.b").as("b"))
+      .agg(count(lit(1)).as("c")).collect()
+    val cBi = new Array[Long](buckets)
+    val cCtx = new Array[Long](buckets)
+    rows.foreach { r =>
+      val arr = if (r.getInt(0) == 0) cBi else cCtx
+      arr(r.getLong(1).toInt) = r.getLong(2)
+    }
     // precomputed log tables: the scoring loop (native BigramNll — the HOF
     // formulation was CodegenFallback-interpreted, 8.4 s at sf0.1) does
     // pure lookups; identical doubles to computing ln per row
@@ -1537,6 +1550,19 @@ object TrainingData {
     * map-only against it, and only MATCHED positions form the per-doc cut
     * arrays — clean documents rewrite through the left join untouched.
     */
+  /** The distinct span-fingerprint count of `bench` — the broadcast-gate
+    * fact [[decontaminateSpans]] computes itself when `benchN` is not
+    * supplied. Exposed so composed pipelines (q_curate_corpus_v2) can
+    * overlap this census with their OTHER independent side-input builds
+    * (guide §2.6 — concurrent driver jobs back-fill each other's tails)
+    * and pass the result in; supplying `benchN = benchSpanFingerprintCount(…)`
+    * is exactly the decision the operator would have made alone.
+    */
+  def benchSpanFingerprintCount(bench: DataFrame, idCol: String,
+                                textCol: String, window: Int = 16): Long =
+    spanFingerprints(bench, idCol, textCol, window)
+      .select(col("span_fp")).distinct().count()
+
   def decontaminateSpans(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, window: Int = 16,
                          benchN: Long = -1L,
