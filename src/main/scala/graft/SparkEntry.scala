@@ -2281,12 +2281,29 @@ object SparkEntry {
         "qid", Seq(negate(col("ccos")), col("clab")), Seq("clab" -> col("clab")),
         IvfNprobe)
       .select(col("qid"), col("clab"), col("rn").as("lrank"))
+    // The three sweep points NEST: the np-probe candidate set is exactly
+    // {did : min list-rank over the lists containing did ≤ np}. Score the
+    // np=max candidate set ONCE — the min-lrank aggregate replaces the old
+    // per-np distinct() (same dedup, one extra tiny column) and the corpus
+    // re-rank join + cosine run once instead of once per sweep point (the
+    // old shape re-joined corpus and re-scored 3×; r19, guide §2.4). The
+    // repartition on qid is the one exchange all three top-20 branches
+    // then reuse (their filter preserves partitioning and the bounded
+    // top-k aggregate's required distribution is already satisfied).
+    // Per-np top-20s, hits, and recalls are row-identical: same candidate
+    // sets, same cosines, same (−cos, did) tie-breaks.
+    val candIds = lrank.select(col("qid"), col("clab"), col("lrank"))
+      .join(post, "clab")
+      .filter(col("did") =!= col("qid"))
+      .groupBy(col("qid"), col("did")).agg(min(col("lrank")).as("mlr"))
+    val scored = candIds.join(probes, "qid").join(corpus, "did")
+      .select(col("qid"), col("did"), col("mlr"),
+        VF.cosine(col("qv"), col("dv")).as("cos"))
+      .repartition(col("qid"))
     Seq(2, 4, IvfNprobe).map { np =>
-      val lists = lrank.filter(col("lrank") <= np).select(col("qid"), col("clab"))
-      val candIds = lists.join(post, "clab")
-        .filter(col("did") =!= col("qid"))
-        .select("qid", "did").distinct()
-      val ivf = top20(candIds.join(probes, "qid").join(corpus, "did"))
+      val ivf = Analytics.topPerKeyAgg(
+        scored.filter(col("mlr") <= np),
+        "qid", Seq(negate(col("cos")), col("did")), Seq("did" -> col("did")), 20)
       val hits = exact.join(broadcast(ivf.select(col("qid"), col("did"))),
           Seq("qid", "did"))
         .groupBy(col("qid")).agg(count(lit(1)).as("n_hit"))
