@@ -3633,7 +3633,12 @@ object SparkEntry {
       val bNF = pool.submit(new java.util.concurrent.Callable[java.lang.Long] {
         def call() = TrainingData.benchSpanFingerprintCount(bench, "doc_id", "text")
       })
-      (gateF.get(), bNF.get().longValue())
+      // surface the ORIGINAL failure, not the ExecutionException wrapper —
+      // a broken LM build must read the same here as on the sequential path
+      def unwrap[T](f: java.util.concurrent.Future[T]): T =
+        try f.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+      (unwrap(gateF), unwrap(bNF).longValue())
     } finally pool.shutdown()
     val banded = gate(gophered)
     val cleaned = TrainingData.decontaminateSpans(banded, bench, "doc_id", "text",
